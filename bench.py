@@ -1,0 +1,76 @@
+"""Benchmark runner — the driver's per-round performance probe.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count()-style consume (collect for small
+results) after a warm-up of the session; per-query wall time includes plan
++ execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pigpen_spark.session import get_spark  # noqa: E402
+from pigpen_spark import catalog  # noqa: E402
+
+#: Headline queries — the scale-sensitive subset (full catalog runs in the
+#: correctness gate; bench focuses on shuffles/joins/aggs that dominate at
+#: 100 TB).
+HEADLINE = [
+    "q1_groupby_fold",
+    "q6_filter_reduce",
+    "q3_join_agg",
+    "q5_multi_join",
+    "q_join_left",
+    "q_mapcat_tokens",
+    "q_events_window",
+    "q_sessionize",
+    "q_top_per_group",
+    "q_intersection_multiset",
+    "q_difference_multiset",
+    "q_rank",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("pigpen-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = catalog.queries()
+    # warm up the JVM + parquet footer caches with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink: forces FULL computation of every column (count() would
+        # let Catalyst prune the projections away)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline-suite-sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

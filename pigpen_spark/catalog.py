@@ -1,0 +1,704 @@
+"""Query catalog — the driver-facing correctness contract.
+
+Each entry exercises one operator family from SURVEY.md §2 through the
+:class:`pigpen_spark.relation.Relation` API and pairs it with an ANSI-SQL
+oracle that DuckDB runs over the same parquet tables.  Column names are
+aliased identically on both sides (the driver's compare hashes values after
+sorting columns by name).
+
+Determinism rules used throughout:
+- floating aggregates are ``round()``-ed (2dp for sums, 4dp for avgs) so
+  summation-order noise between engines can't flip the value hash;
+- every LIMIT/top-k is totally ordered with an explicit unique tie-break;
+- timestamps leave the result as epoch seconds (bigint) to sidestep
+  timestamp-representation differences;
+- bags are emitted as sorted comma-joined strings, not arrays.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pigpen_spark import fold
+from pigpen_spark.operators.windows import ranked, sessionize, top_n_per_group
+from pigpen_spark.relation import Relation, load_parquet
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+class _LazyTables:
+    """Load tables on demand — a query touching 2 tables must not pay (or
+    fail on) footer reads of the other 8."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getitem__(self, name: str) -> Relation:
+        if name == "events":
+            return load_events(self._spark, self._sf_dir)
+        return load_parquet(self._spark, f"{self._sf_dir}/{name}.parquet")
+
+
+def tables(spark: SparkSession, sf_dir: str) -> _LazyTables:
+    return _LazyTables(spark, sf_dir)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> Relation:
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's reader rejects by default; read nanos as long (runtime-settable
+    legacy conf) and convert to a microsecond TimestampType column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return Relation(df)
+
+
+# Registry: name -> (query_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# group-by + fold (SURVEY §2.3-2.4) — the flagship TPC-H-Q1 shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_groupby_fold",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                         AS sum_qty,
+           round(sum(l_extendedprice), 2)                    AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4)                         AS avg_qty,
+           round(avg(l_extendedprice), 4)                    AS avg_price,
+           count(*)                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_groupby_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load → filter → group_by → juxt of folds (fold.clj sum/avg/count).
+    One shuffle; partial aggregation map-side (HashAggregate)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .group_by("l_returnflag", "l_linestatus")
+        .fold(
+            fold.sum_("l_quantity").post(lambda c: F.round(c, 2)).alias("sum_qty"),
+            fold.sum_("l_extendedprice").post(lambda c: F.round(c, 2)).alias("sum_base_price"),
+            fold.Fold(F.sum(disc_price)).post(lambda c: F.round(c, 2)).alias("sum_disc_price"),
+            fold.avg("l_quantity").post(lambda c: F.round(c, 4)).alias("avg_qty"),
+            fold.avg("l_extendedprice").post(lambda c: F.round(c, 4)).alias("avg_price"),
+            fold.count().alias("count_order"),
+        )
+        .df
+    )
+
+
+@register(
+    "q6_filter_reduce",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    HAVING count(*) > 0
+    """,
+)
+def q6_filter_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushed-down filter + whole-relation reduce (empty→empty semantics,
+    join.clj:262-268 — HAVING count(*)>0 mirrors our existence guard)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
+        .reduce_rel(revenue=fold.Fold(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)))
+        .df
+    )
+
+
+@register(
+    "q_reduce_empty",
+    """
+    SELECT sum(l_quantity) AS s
+    FROM lineitem
+    WHERE l_quantity < 0
+    HAVING count(*) > 0
+    """,
+)
+def q_reduce_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty input → EMPTY output (not one null row) — the reference's
+    reduce/fold contract (join.clj:262-268, local.clj:361-364)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return li.filter(F.col("l_quantity") < 0).reduce_rel(s=fold.sum_("l_quantity")).df
+
+
+@register(
+    "q_group_collect",
+    """
+    SELECT l_returnflag,
+           string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           count(*) AS n
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group-by → bag (join.clj:195-223), bag emitted as sorted string."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return (
+        li.map("l_returnflag", "l_linestatus")
+        .distinct()
+        .group_by("l_returnflag")
+        .fold(
+            statuses=fold.vec("l_linestatus", sort=True).post(lambda c: F.array_join(c, ",")),
+            n=fold.count(),
+        )
+        .df
+    )
+
+
+@register(
+    "q_minmax_fold",
+    """
+    SELECT o_orderpriority,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           count(DISTINCT o_custkey)   AS n_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_minmax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fold/min, fold/max (fold.clj:411-495) + count-distinct."""
+    o = tables(spark, sf_dir)["orders"]
+    return (
+        o.group_by("o_orderpriority")
+        .fold(
+            min_price=fold.min_("o_totalprice").post(lambda c: F.round(c, 2)),
+            max_price=fold.max_("o_totalprice").post(lambda c: F.round(c, 2)),
+            n_cust=fold.count_distinct("o_custkey"),
+        )
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-record transforms (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_map_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_returnflag || '/' || l_linestatus AS flag
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def q_map_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed map (map.clj:31-77) — pure Catalyst projection, column-pruned
+    down to the 7 referenced columns at the parquet scan.  ``charge`` is
+    deliberately NOT rounded: a single arithmetic expression over the same
+    inputs is IEEE-deterministic in both engines, while round() at a
+    half-way boundary is not."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_quantity") >= 45)
+        .map(
+            "l_orderkey",
+            "l_linenumber",
+            charge=F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            flag=F.concat_ws("/", "l_returnflag", "l_linestatus"),
+        )
+        .df
+    )
+
+
+@register(
+    "q_mapcat_tokens",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q_mapcat_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapcat (map.clj:79-111) as explode — 1→N lateral view then fold."""
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        docs.mapcat(F.split(F.col("text"), " "), alias="token")
+        .filter(F.col("token") != "")
+        .group_by("token")
+        .fold(n=fold.count())
+        .df
+    )
+
+
+@register(
+    "q_rank",
+    """
+    SELECT o_orderkey, index FROM (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS index
+      FROM orders
+    ) WHERE index < 100
+    """,
+)
+def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / map-indexed (raw.clj:357-371; map.clj:113-162): 0-based dense
+    index over a total order."""
+    o = tables(spark, sf_dir)["orders"]
+    out = ranked(o.df, [F.col("o_totalprice").desc(), F.col("o_orderkey")], index_col="index")
+    return out.filter(F.col("index") < 100).select("o_orderkey", "index")
+
+
+@register(
+    "q_sort_take",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_sort_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort + take → TopK (Spark compiles orderBy.limit into TakeOrdered —
+    no total sort materialized; reference: map.clj:164-250 + filter.clj:82-95)."""
+    o = tables(spark, sf_dir)["orders"]
+    return (
+        o.sort(F.col("o_totalprice").desc(), "o_orderkey")
+        .take(10)
+        .map("o_orderkey", price=F.round("o_totalprice", 2))
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_join_agg",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q3_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join on differing key names (join.clj:166-193), customer
+    side broadcast (small dim)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], on="o_custkey", right_on="c_custkey", broadcast_other=True)
+        .group_by("c_mktsegment")
+        .fold(n_orders=fold.count(), revenue=fold.sum_("o_totalprice").post(lambda c: F.round(c, 2)))
+        .df
+    )
+
+
+@register(
+    "q5_multi_join",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: N-way join chain.  Join order: fact-fact
+    (lineitem⋈orders) shuffles once; every dimension side is broadcast —
+    at 100 TB only the lineitem⋈orders exchange scales with data."""
+    t = tables(spark, sf_dir)
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    nation = t["nation"].join(region, on="n_regionkey", right_on="r_regionkey", broadcast_other=True)
+    supplier = t["supplier"].join(nation, on="s_nationkey", right_on="n_nationkey", broadcast_other=True)
+    return (
+        t["lineitem"]
+        .join(t["orders"], on="l_orderkey", right_on="o_orderkey")
+        .join(supplier, on="l_suppkey", right_on="s_suppkey", broadcast_other=True)
+        .join(t["customer"], on="o_custkey", right_on="c_custkey", broadcast_other=True)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .group_by("n_name")
+        .fold(revenue=fold.Fold(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)))
+        .df
+    )
+
+
+@register(
+    "q_join_left",
+    """
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS spend
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT outer = [:required :optional] input tags (script.clj:321-336);
+    unmatched side padded with NULLs."""
+    t = tables(spark, sf_dir)
+    fo = t["orders"].filter(F.col("o_orderstatus") == "F")
+    return (
+        t["customer"]
+        .join(fo, on="c_custkey", right_on="o_custkey", how="left")
+        .group_by("c_custkey")
+        .fold(
+            n_orders=fold.count("o_orderkey"),
+            spend=fold.sum_("o_totalprice").post(lambda c: F.round(F.coalesce(c, F.lit(0.0)), 2)),
+        )
+        .df
+    )
+
+
+@register(
+    "q_join_nulls_std",
+    """
+    SELECT l.c_custkey, r.s_suppkey
+    FROM (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey % 25 END AS k FROM customer) l
+    JOIN (SELECT s_suppkey, CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE s_suppkey % 25 END AS k FROM supplier) r
+      ON l.k = r.k
+    """,
+)
+def q_join_nulls_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed (key-fn) join with NULL keys, default semantics: nil keys
+    NEVER match (join.clj:31-45; FIXTURES kv_nullable)."""
+    t = tables(spark, sf_dir)
+    nullify = lambda c, m: F.when(F.col(c) % 10 == 0, F.lit(None)).otherwise(F.col(c) % m)  # noqa: E731
+    left = t["customer"].map("c_custkey", k=nullify("c_custkey", 25))
+    right = t["supplier"].map("s_suppkey", k=nullify("s_suppkey", 25))
+    return (
+        left.join(right, on="k", right_on="k", join_nils=False)
+        .map("c_custkey", "s_suppkey")
+        .df
+    )
+
+
+@register(
+    "q_join_nils",
+    """
+    SELECT l.c_custkey, r.s_suppkey
+    FROM (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey % 25 END AS k FROM customer) l
+    JOIN (SELECT s_suppkey, CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE s_suppkey % 25 END AS k FROM supplier) r
+      ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def q_join_nils(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{:join-nils true} (join.clj:31-45) → null-safe equality `<=>`:
+    NULL keys DO match each other."""
+    t = tables(spark, sf_dir)
+    nullify = lambda c, m: F.when(F.col(c) % 10 == 0, F.lit(None)).otherwise(F.col(c) % m)  # noqa: E731
+    left = t["customer"].map("c_custkey", k=nullify("c_custkey", 25))
+    right = t["supplier"].map("s_suppkey", k=nullify("s_suppkey", 25))
+    return (
+        left.join(right, on="k", right_on="k", join_nils=True)
+        .map("c_custkey", "s_suppkey")
+        .df
+    )
+
+
+@register(
+    "q_full_outer",
+    """
+    SELECT l.k AS lk, r.k AS rk, l.c_custkey, r.s_suppkey
+    FROM (SELECT c_custkey, c_custkey % 7 AS k FROM customer WHERE c_custkey < 50) l
+    FULL OUTER JOIN (SELECT s_suppkey, s_suppkey % 13 AS k FROM supplier) r
+      ON l.k = r.k
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL outer = [:optional :optional] (script.clj:321-336)."""
+    t = tables(spark, sf_dir)
+    left = t["customer"].filter(F.col("c_custkey") < 50).map("c_custkey", lk=F.col("c_custkey") % 7)
+    right = t["supplier"].map("s_suppkey", rk=F.col("s_suppkey") % 13)
+    return (
+        left.join(right, on="lk", right_on="rk", how="full")
+        .map("lk", "rk", "c_custkey", "s_suppkey")
+        .df
+    )
+
+
+@register(
+    "q_semi_filter_by",
+    """
+    SELECT c.* FROM customer c
+    JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P') k
+      ON c.c_custkey = k.o_custkey
+    """,
+)
+def q_semi_filter_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter-by with deduped keys == classic semi-join (join.clj:403-441)."""
+    t = tables(spark, sf_dir)
+    keys = t["orders"].filter(F.col("o_orderstatus") == "P").map("o_custkey").distinct()
+    return t["customer"].filter_by("c_custkey", keys).df
+
+
+@register(
+    "q_filter_by_dups",
+    """
+    SELECT c.* FROM customer c
+    JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P' AND o_totalprice > 400000) k
+      ON c.c_custkey = k.o_custkey
+    """,
+)
+def q_filter_by_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter-by KEEPS duplicate multiplicities from the keys relation —
+    the reference's exact (and surprising) semantics
+    (functional/join_test.clj:655-668): each duplicate key duplicates rows.
+    This is why it's an inner join, not left_semi (SURVEY §7.3.5)."""
+    t = tables(spark, sf_dir)
+    keys = t["orders"].filter((F.col("o_orderstatus") == "P") & (F.col("o_totalprice") > 400000)).map("o_custkey")
+    return t["customer"].filter_by("c_custkey", keys).df
+
+
+@register(
+    "q_anti_remove_by",
+    """
+    SELECT c.* FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+)
+def q_anti_remove_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove-by = anti-join (join.clj:443-483)."""
+    t = tables(spark, sf_dir)
+    keys = t["orders"].filter(F.col("o_orderstatus") == "P").map("o_custkey")
+    return t["customer"].remove_by("c_custkey", keys).df
+
+
+@register(
+    "q_cogroup",
+    """
+    SELECT coalesce(c.k, o.k) AS key,
+           coalesce(c.n, 0) AS n_cust,
+           coalesce(o.n, 0) AS n_orders
+    FROM (SELECT c_nationkey AS k, count(*) AS n FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT o_custkey % 40 AS k, count(*) AS n FROM orders GROUP BY 1) o
+      ON c.k IS NOT DISTINCT FROM o.k
+    """,
+)
+def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup (join.clj:82-117): key → one bag per input, empty bag → NULL
+    ([:optional :optional] here).  Emitted as bag sizes for the oracle."""
+    t = tables(spark, sf_dir)
+    cust = t["customer"]
+    orders = t["orders"]
+    cg = cust.cogroup(
+        [(orders, F.col("o_custkey") % 40)],
+        on=F.col("c_nationkey").cast("bigint"),
+        required=[False, False],
+    )
+    return cg.map(
+        key=F.col("key"),
+        n_cust=F.coalesce(F.size("bag_0"), F.lit(0)).cast("long"),
+        n_orders=F.coalesce(F.size("bag_1"), F.lit(0)).cast("long"),
+    ).df
+
+
+# ---------------------------------------------------------------------------
+# set operations (SURVEY §2.6) — multiset semantics per set_test.clj:25-122
+# ---------------------------------------------------------------------------
+
+_MS1 = "SELECT (p_size % 12)::BIGINT AS x FROM part WHERE p_partkey % 3 = 0"
+_MS2 = "SELECT (s_suppkey % 8)::BIGINT AS x FROM supplier"
+
+
+def _ms_rels(spark: SparkSession, sf_dir: str) -> tuple[Relation, Relation]:
+    t = tables(spark, sf_dir)
+    ms1 = t["part"].filter(F.col("p_partkey") % 3 == 0).map(x=(F.col("p_size") % 12).cast("bigint"))
+    ms2 = t["supplier"].map(x=(F.col("s_suppkey") % 8).cast("bigint"))
+    return ms1, ms2
+
+
+@register("q_concat", f"SELECT * FROM ({_MS1}) UNION ALL SELECT * FROM ({_MS2})")
+def q_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat / union-multiset = UNION ALL (set.clj:155-197)."""
+    ms1, ms2 = _ms_rels(spark, sf_dir)
+    return ms1.concat(ms2).df
+
+
+@register("q_union_distinct", f"SELECT * FROM ({_MS1}) UNION SELECT * FROM ({_MS2})")
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union = distinct union (set.clj:127-153)."""
+    ms1, ms2 = _ms_rels(spark, sf_dir)
+    return ms1.union(ms2).df
+
+
+@register("q_distinct", "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders")
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct (set.clj:104-125)."""
+    return tables(spark, sf_dir)["orders"].map("o_orderpriority", "o_orderstatus").distinct().df
+
+
+@register("q_intersection", f"SELECT * FROM ({_MS1}) INTERSECT SELECT * FROM ({_MS2})")
+def q_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersection — distinct ∩ (set.clj:199-221)."""
+    ms1, ms2 = _ms_rels(spark, sf_dir)
+    return ms1.intersection(ms2).df
+
+
+@register("q_intersection_multiset", f"SELECT * FROM ({_MS1}) INTERSECT ALL SELECT * FROM ({_MS2})")
+def q_intersection_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersection-multiset — min multiplicity (set.clj:223-245)."""
+    ms1, ms2 = _ms_rels(spark, sf_dir)
+    return ms1.intersection_multiset(ms2).df
+
+
+@register("q_difference", f"SELECT * FROM ({_MS1}) EXCEPT SELECT * FROM ({_MS2})")
+def q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """difference — distinct − (set.clj:247-269)."""
+    ms1, ms2 = _ms_rels(spark, sf_dir)
+    return ms1.difference(ms2).df
+
+
+@register("q_difference_multiset", f"SELECT * FROM ({_MS1}) EXCEPT ALL SELECT * FROM ({_MS2})")
+def q_difference_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """difference-multiset — multiplicity-subtracting − (set.clj:271-293)."""
+    ms1, ms2 = _ms_rels(spark, sf_dir)
+    return ms1.difference_multiset(ms2).df
+
+
+# ---------------------------------------------------------------------------
+# windows / events (extension surface, SURVEY §2.5 note)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_window",
+    """
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window aggregation (batch form of the
+    streaming window op)."""
+    e = tables(spark, sf_dir)["events"]
+    return (
+        e.group_by(
+            hour_epoch=F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long"),
+            event_type=F.col("event_type"),
+        )
+        .fold(n=fold.count(), total=fold.sum_("value").post(lambda c: F.round(c, 2)))
+        .df
+    )
+
+
+@register(
+    "q_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag/cumsum window formulation;
+    one shuffle on user_id."""
+    e = tables(spark, sf_dir)["events"]
+    sess = sessionize(e.df, "user_id", "ts", gap_seconds=1800)
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count_distinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_top_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-n — the scale-path form of fold/top-by
+    (fold.clj:397-409): window row_number, no bag materialization."""
+    o = tables(spark, sf_dir)["orders"]
+    out = top_n_per_group(o.df, ["o_orderpriority"], [F.col("o_totalprice").desc(), "o_orderkey"], 3)
+    return out.select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+
+
+@register(
+    "q_rollup",
+    """
+    SELECT r_name, n_name, count(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup — extension beyond the reference (SURVEY §2.4:
+    no grouping sets there); nation/region broadcast."""
+    t = tables(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(t["nation"], on="c_nationkey", right_on="n_nationkey", broadcast_other=True)
+        .join(t["region"], on="n_regionkey", right_on="r_regionkey", broadcast_other=True)
+    )
+    return joined.df.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+# ---------------------------------------------------------------------------
+# sample (statistical check only — nondeterministic, no oracle)
+# ---------------------------------------------------------------------------
+
+
+@register("q_sample", None)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample (filter.clj:97-112) — the reference's own test only
+    bounds the count statistically (filter_test.clj:56-64); rows-only check."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return li.sample(0.5, seed=42).map("l_orderkey", "l_linenumber").df

@@ -1,0 +1,60 @@
+"""Window-adjacent operators.
+
+The reference's whole window story is ``rank`` + sorted ``map-indexed``
+(SURVEY §2.5); Spark Window functions cover and exceed it.  These helpers
+are the extension surface (ranking, per-group top-n, sessionization).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def ranked(df: DataFrame, order_by: Sequence, index_col: str = "index",
+           partition_by: Sequence = (), dense: bool = True) -> DataFrame:
+    """0-based rank (reference: rank$, raw.clj:357-371; Pig 1-based RANK is
+    decremented by a rewrite, pig/oven.clj:133-154 — we emit 0-based
+    directly).  Unpartitioned total rank is a single exchange
+    (row_number over global order); partitioned rank parallelizes fully —
+    prefer partitioned at scale."""
+    w = Window.orderBy(*[_c(c) for c in order_by])
+    if partition_by:
+        w = Window.partitionBy(*[_c(c) for c in partition_by]).orderBy(*[_c(c) for c in order_by])
+    fn = F.row_number() if dense else F.rank()
+    return df.withColumn(index_col, (fn.over(w) - F.lit(1)).cast("long"))
+
+
+def top_n_per_group(df: DataFrame, partition_by: Sequence, order_by: Sequence,
+                    n: int, keep_index: bool = False) -> DataFrame:
+    """Per-group top-n (reference: fold/top-by, fold.clj:397-409) as a
+    window query — scales to huge groups where collect_list would not."""
+    w = Window.partitionBy(*[_c(c) for c in partition_by]).orderBy(*[_c(c) for c in order_by])
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n)
+    if keep_index:
+        return out.withColumnRenamed("__rn", "rank")
+    return out.drop("__rn")
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str, gap_seconds: int,
+               session_col: str = "session_id") -> DataFrame:
+    """Gap-based sessionization (extension; absent from the reference).
+
+    Classic lag/cumsum formulation: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_seconds``.  One shuffle on
+    ``user_col`` — the window partitioning — and skew-safe under AQE.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.col(ts_col).cast("double") - prev.cast("double") > F.lit(gap_seconds))
+    ).cast("long")
+    sess_n = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(session_col, F.concat_ws("-", F.col(user_col).cast("string"), sess_n.cast("string")))

@@ -1,0 +1,622 @@
+"""The Relation API — PigPen's operator surface, Spark-first.
+
+A :class:`Relation` is a thin, immutable, fluent wrapper around a lazy
+``pyspark.sql.DataFrame``.  Catalyst *is* our IR: the reference's
+expression-tree → oven/bake → codegen pipeline (SURVEY §3-4) collapses to
+"call DataFrame methods and let the optimizer work".
+
+Two operator paths, mirroring the reference's native/frozen split
+(reference: pigpen-core/src/main/clojure/pigpen/model.clj:34-35 FieldType):
+
+- **typed path** (preferred): operators take Column expressions and compile
+  to pure Catalyst plans — whole-stage codegen, predicate pushdown, column
+  pruning, partial aggregation all apply.
+- **opaque path** (``*_py`` methods): operators take arbitrary Python
+  callables.  Consecutive Python ops are *fused* into a single
+  ``mapInPandas`` call — one Arrow round-trip per chain — reproducing the
+  reference's ``optimize-binds`` rewrite (pigpen-core/src/main/clojure/
+  pigpen/oven.clj:189-248) which composes maximal bind chains into one UDF.
+
+Operator semantics are taken from the reference's functional test corpus
+(SURVEY §5): nil keys don't join unless ``join_nils``; ``filter_by`` keeps
+duplicate multiplicities from the keys relation; ``reduce``/``fold`` of an
+empty relation is empty (not a single null row); sort keys are consumed;
+set ops come in distinct and multiset flavors.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Callable, Iterable, Iterator, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pigpen_spark.fold import Fold
+
+_counter = itertools.count()
+
+
+def _gensym(prefix: str) -> str:
+    """Unique internal column name (reference: namespaced field symbols,
+    pigpen-core/src/main/clojure/pigpen/raw.clj:32-38)."""
+    return f"__pp_{prefix}_{next(_counter)}"
+
+
+def _to_col(c: Any) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+ColumnLike = "Column | str"
+
+
+# ---------------------------------------------------------------------------
+# Python-op fusion (the optimize-binds analog)
+# ---------------------------------------------------------------------------
+
+
+class _PyOp:
+    """One deferred Python row-op: kind ∈ {map, mapcat, filter}."""
+
+    __slots__ = ("kind", "fn")
+
+    def __init__(self, kind: str, fn: Callable):
+        self.kind = kind
+        self.fn = fn
+
+
+def _compile_chain(ops: Sequence[_PyOp]) -> Callable[[dict], Iterator[dict]]:
+    """Compose a chain of row-level Python ops into one row → iter[row] fn.
+
+    Mirrors the reference's bind adapters (map->bind / mapcat->bind /
+    filter->bind, pigpen-core/src/main/clojure/pigpen/runtime.clj:32-86)
+    composed by optimize-binds into a single UDF invocation per chain.
+    """
+
+    def run(row: dict) -> Iterator[dict]:
+        batch: list = [row]
+        for op in ops:
+            if op.kind == "map":
+                batch = [op.fn(r) for r in batch]
+            elif op.kind == "filter":
+                batch = [r for r in batch if op.fn(r)]
+            elif op.kind == "mapcat":
+                batch = [o for r in batch for o in op.fn(r)]
+            else:  # pragma: no cover
+                raise ValueError(op.kind)
+            if not batch:
+                return iter(())
+        return iter(batch)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Relation
+# ---------------------------------------------------------------------------
+
+
+class Relation:
+    """An unordered bag of records (reference: SURVEY §1.1), lazily backed by
+    a DataFrame plus an optional pending chain of fused Python ops."""
+
+    def __init__(self, df: DataFrame, _pending: tuple = (), _pending_schema: str | None = None):
+        self._df = df
+        self._pending: tuple[_PyOp, ...] = tuple(_pending)
+        self._pending_schema = _pending_schema  # output schema of pending chain
+
+    # -- plumbing -----------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        """Materialize pending Python ops into ONE mapInPandas call."""
+        if not self._pending:
+            return self._df
+        ops = self._pending
+        out_schema = self._pending_schema or self._df.schema
+        chain = _compile_chain(ops)
+
+        def eval_chain(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = [r for rec in pdf.to_dict("records") for r in chain(rec)]
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        return self._df.mapInPandas(eval_chain, schema=out_schema)
+
+    def _with(self, df: DataFrame) -> "Relation":
+        return Relation(df)
+
+    def _push(self, op: _PyOp, schema: str | None) -> "Relation":
+        return Relation(self._df, self._pending + (op,), schema or self._pending_schema)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self._df.sparkSession
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    def alias(self, name: str) -> "Relation":
+        """reference: noop$ for field renaming / self-join disambiguation
+        (pigpen-core/src/main/clojure/pigpen/raw.clj:570-581)."""
+        return self._with(self.df.alias(name))
+
+    # -- per-record transforms (§2.2) --------------------------------------
+
+    def map(self, *cols: ColumnLike, **named: ColumnLike) -> "Relation":
+        """Typed projection: ``map(F.col('x')+1, y=expr)`` → select.
+
+        reference: pigpen.map/map (pigpen-core/src/main/clojure/pigpen/
+        map.clj:31-77) with a resolvable expression body.
+        """
+        exprs = [_to_col(c) for c in cols]
+        exprs += [_to_col(c).alias(n) for n, c in named.items()]
+        return self._with(self.df.select(*exprs))
+
+    select = map  # familiar alias
+
+    def with_column(self, name: str, col: ColumnLike) -> "Relation":
+        return self._with(self.df.withColumn(name, _to_col(col)))
+
+    def map_py(self, fn: Callable[[dict], dict], schema: str | None = None) -> "Relation":
+        """Opaque 1→1 transform over row-dicts; fused with neighbors.
+
+        reference: map->bind (runtime.clj:32-48)."""
+        return self._push(_PyOp("map", fn), schema)
+
+    def mapcat(self, col: ColumnLike, alias: str = "value", keep: Sequence[str] = ()) -> "Relation":
+        """Typed 1→N: explode an array expression (lateral view).
+
+        reference: pigpen.map/mapcat (map.clj:79-111); flatten projections
+        (raw.clj:184-275)."""
+        keep_cols = [F.col(c) for c in keep]
+        return self._with(self.df.select(*keep_cols, F.explode(_to_col(col)).alias(alias)))
+
+    def mapcat_py(self, fn: Callable[[dict], Iterable[dict]], schema: str | None = None) -> "Relation":
+        """Opaque 1→N (reference: mapcat->bind, runtime.clj:50-66)."""
+        return self._push(_PyOp("mapcat", fn), schema)
+
+    def filter(self, cond: ColumnLike) -> "Relation":
+        """Typed filter → Catalyst predicate (pushdown-eligible).
+
+        reference: pigpen.filter/filter (filter.clj:31-65) and the native
+        filter$ s-expr subset (raw.clj:375-391) — Catalyst subsumes both."""
+        return self._with(self.df.filter(_to_col(cond)))
+
+    where = filter
+
+    def filter_py(self, fn: Callable[[dict], bool]) -> "Relation":
+        """Opaque filter (reference: filter->bind, runtime.clj:68-86)."""
+        return self._push(_PyOp("filter", fn), None)
+
+    def remove(self, cond: ColumnLike) -> "Relation":
+        """reference: pigpen.filter/remove (filter.clj:67-80)."""
+        return self._with(self.df.filter(~_to_col(cond)))
+
+    def remove_py(self, fn: Callable[[dict], bool]) -> "Relation":
+        return self._push(_PyOp("filter", lambda r: not fn(r)), None)
+
+    def map_partitions(self, fn, schema) -> "Relation":
+        """Arrow-batched partition-wise transform (mapInPandas passthrough):
+        the last-resort imperative escape hatch."""
+        return self._with(self.df.mapInPandas(fn, schema=schema))
+
+    def map_indexed(self, order_by: Sequence[ColumnLike] | None = None, index_col: str = "index", dense: bool = True) -> "Relation":
+        """Attach a 0-based index (reference: rank$ + map-indexed,
+        pigpen-core/src/main/clojure/pigpen/map.clj:113-162, raw.clj:357-371).
+
+        dense+ordered → ``row_number() over (order by …) - 1`` (one total
+        exchange, same cost class as the reference's RANK); un-ordered sparse
+        → ``monotonically_increasing_id`` (no shuffle at all — preferred at
+        scale when only uniqueness matters).
+        """
+        if order_by:
+            w = Window.orderBy(*[_to_col(c) for c in order_by])
+            idx = (F.row_number().over(w) - F.lit(1)).cast("long")
+        elif dense:
+            # zipWithIndex semantics without ordering: partition-offset trick
+            # would need two passes; monotonically_increasing_id is the
+            # scale-safe default for "some unique index".
+            idx = F.monotonically_increasing_id()
+        else:
+            idx = F.monotonically_increasing_id()
+        return self._with(self.df.withColumn(index_col, idx))
+
+    # -- sort / limit / sample (§2.5) --------------------------------------
+
+    def sort(self, *cols: ColumnLike, ascending: bool | Sequence[bool] | None = None) -> "Relation":
+        """Total order (reference: pigpen.map/sort, map.clj:164-250).
+        Spark range-partitions the sort — no single-reducer bottleneck.
+
+        Columns may already be SortOrder expressions (``col.desc()``); they
+        are passed through untouched unless ``ascending`` is given."""
+        exprs = [_to_col(c) for c in cols]
+        if ascending is not None:
+            asc = [ascending] * len(exprs) if isinstance(ascending, bool) else list(ascending)
+            exprs = [e.asc() if a else e.desc() for e, a in zip(exprs, asc)]
+        return self._with(self.df.orderBy(*exprs))
+
+    def sort_by(self, key: ColumnLike, ascending: bool = True) -> "Relation":
+        """Sort by a computed key; the key is consumed (not in the output),
+        reproducing the reference's semantics (raw.clj:340-355)."""
+        k = _gensym("sortkey")
+        df = self.df.withColumn(k, _to_col(key))
+        df = df.orderBy(F.col(k).asc() if ascending else F.col(k).desc())
+        return self._with(df.drop(k))
+
+    def take(self, n: int) -> "Relation":
+        """reference: pigpen.filter/take → LIMIT (filter.clj:82-95)."""
+        return self._with(self.df.limit(n))
+
+    def sample(self, p: float, seed: int | None = None) -> "Relation":
+        """Bernoulli sample (reference: filter.clj:97-112)."""
+        return self._with(self.df.sample(fraction=p, seed=seed))
+
+    # -- set operations (§2.6) ---------------------------------------------
+
+    def concat(self, *others: "Relation") -> "Relation":
+        """Bag union / UNION ALL (reference: pigpen.set/concat,
+        set.clj:155-197). No shuffle — pure partition union."""
+        df = self.df
+        for o in others:
+            df = df.unionByName(o.df)
+        return self._with(df)
+
+    union_multiset = concat
+
+    def union(self, *others: "Relation") -> "Relation":
+        """Distinct union (reference: set.clj:127-153)."""
+        return self.concat(*others).distinct()
+
+    def distinct(self, partition_by: ColumnLike | None = None, parallel: int | None = None) -> "Relation":
+        """reference: set.clj:104-125; {:partition-by f} → repartition first
+        (custom partitioner, PigPenPartitioner.java), {:parallel n} →
+        shuffle-width hint."""
+        df = self.df
+        if partition_by is not None:
+            df = df.repartition(*( [parallel] if parallel else [] ), _to_col(partition_by))
+        elif parallel:
+            df = df.repartition(parallel)
+        return self._with(df.distinct())
+
+    def intersection(self, *others: "Relation") -> "Relation":
+        """Distinct ∩, N-ary (reference: set.clj:199-221)."""
+        df = self.df
+        for o in others:
+            df = df.intersect(o.df)
+        return self._with(df)
+
+    def intersection_multiset(self, *others: "Relation") -> "Relation":
+        """Min-multiplicity ∩ (reference: set.clj:223-245) → intersectAll."""
+        df = self.df
+        for o in others:
+            df = df.intersectAll(o.df)
+        return self._with(df)
+
+    def difference(self, *others: "Relation") -> "Relation":
+        """Distinct − , set semantics: an element present in ANY other is
+        excluded entirely (reference: set.clj:247-269 — Clojure
+        set/difference) = SQL EXCEPT."""
+        df = self.df
+        for o in others:
+            df = df.subtract(o.df)
+        return self._with(df)
+
+    def difference_multiset(self, *others: "Relation") -> "Relation":
+        """Multiplicity-subtracting − (reference: set.clj:271-293)."""
+        df = self.df
+        for o in others:
+            df = df.exceptAll(o.df)
+        return self._with(df)
+
+    # -- joins & grouping (§2.3) -------------------------------------------
+
+    def join(
+        self,
+        other: "Relation",
+        on: ColumnLike | Sequence[ColumnLike] | None = None,
+        right_on: ColumnLike | Sequence[ColumnLike] | None = None,
+        how: str = "inner",
+        join_nils: bool = False,
+        broadcast_other: bool = False,
+    ) -> "Relation":
+        """N-way-composable equi-join on (possibly computed) keys.
+
+        reference: pigpen.join/join (join.clj:166-193, 360-401).  Default
+        SQL NULL semantics = the reference's "nil keys never match";
+        ``join_nils=True`` = null-safe equality (``<=>``), the reference's
+        {:join-nils true} (join.clj:31-45).  ``:required/:optional`` input
+        tags map to how ∈ {inner, left, right, full} (script.clj:321-336).
+
+        Scale: equi-join → Catalyst picks broadcast/sort-merge/shuffled-hash
+        via AQE; ``broadcast_other`` forces the hint for known-small dims.
+        """
+        lk = [on] if isinstance(on, (str, Column)) else list(on or [])
+        rk = [right_on] if isinstance(right_on, (str, Column)) else list(right_on or lk)
+        ldf, rdf = self.df, other.df
+        rdf = F.broadcast(rdf) if broadcast_other else rdf
+
+        if all(isinstance(c, str) for c in lk) and [str(c) for c in lk] == [str(c) for c in rk] and not join_nils:
+            # same-named string keys: use USING-style join → output has ONE
+            # key column, no ambiguity, and Catalyst prunes the duplicate.
+            return self._with(ldf.join(rdf, on=lk, how=how))
+
+        lkeys = [_gensym("jk") for _ in lk]
+        rkeys = [_gensym("jk") for _ in rk]
+        for name, expr in zip(lkeys, lk):
+            ldf = ldf.withColumn(name, _to_col(expr))
+        for name, expr in zip(rkeys, rk):
+            rdf = rdf.withColumn(name, _to_col(expr))
+        conds = [
+            ldf[ln].eqNullSafe(rdf[rn]) if join_nils else (ldf[ln] == rdf[rn])
+            for ln, rn in zip(lkeys, rkeys)
+        ]
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        joined = ldf.join(rdf, on=cond, how=how).drop(*lkeys, *rkeys)
+        return self._with(joined)
+
+    def filter_by(self, key: ColumnLike, keys: "Relation", keys_col: ColumnLike | None = None,
+                  broadcast_keys: bool = True) -> "Relation":
+        """Semi-join that KEEPS duplicate multiplicities from the keys
+        relation and matches NULL keys when NULL is present in ``keys``.
+
+        reference: pigpen.join/filter-by (join.clj:403-441); dup-key
+        semantics per functional/join_test.clj:655-668 (a key appearing
+        twice in ``keys`` duplicates matching rows) — hence an INNER join
+        against the (non-deduped) key column, not left_semi.  NULL keys use
+        the sentinel → null-safe equality here (join.clj:37-45).
+        """
+        kcol = _gensym("fbk")
+        keys_df = keys.df.select(_to_col(keys_col if keys_col is not None else keys.df.columns[0]).alias(kcol))
+        if broadcast_keys:
+            keys_df = F.broadcast(keys_df)
+        lk = _gensym("lk")
+        ldf = self.df.withColumn(lk, _to_col(key))
+        out = ldf.join(keys_df, on=ldf[lk].eqNullSafe(keys_df[kcol]), how="inner")
+        return self._with(out.drop(lk, kcol))
+
+    def remove_by(self, key: ColumnLike, keys: "Relation", keys_col: ColumnLike | None = None) -> "Relation":
+        """Anti-join (reference: join.clj:443-483): drop rows whose key
+        appears in ``keys``; NULL-safe so a NULL in ``keys`` removes
+        NULL-key rows."""
+        kcol = _gensym("rbk")
+        keys_df = keys.df.select(_to_col(keys_col if keys_col is not None else keys.df.columns[0]).alias(kcol))
+        lk = _gensym("lk")
+        ldf = self.df.withColumn(lk, _to_col(key))
+        out = ldf.join(keys_df, on=ldf[lk].eqNullSafe(keys_df[kcol]), how="left_anti")
+        return self._with(out.drop(lk))
+
+    def group_by(self, *keys: ColumnLike, **named_keys: ColumnLike) -> "GroupedRelation":
+        """reference: pigpen.join/group-by (join.clj:195-223)."""
+        exprs = [_to_col(k) for k in keys] + [_to_col(v).alias(n) for n, v in named_keys.items()]
+        return GroupedRelation(self, exprs)
+
+    def cogroup(
+        self,
+        others: Sequence[tuple["Relation", ColumnLike]],
+        on: ColumnLike,
+        required: Sequence[bool] | None = None,
+        bag_col: str = "bag",
+    ) -> "Relation":
+        """N-ary cogroup: key → one collected bag per input; empty bag → NULL.
+
+        reference: pigpen.join/cogroup (join.clj:82-117); local spec
+        local.clj:366-399.  ``required[i]`` = the reference's ``:required``
+        tag — keys absent from a required input are dropped (inner side).
+        NULL keys group with NULL (Spark groupBy treats NULL as a key, same
+        as Clojure group-by nil key) but never *join* across inputs unless
+        they do here via null-safe join — matching group$ :group-nils.
+
+        Implementation: per-input groupBy(collect_list) then null-safe full
+        outer join on key — each input aggregates map-side (partial
+        collect_list) before one shuffle each; no driver involvement.
+        """
+        inputs: list[tuple[Relation, ColumnLike]] = [(self, on)] + list(others)
+        req = list(required or [True] * len(inputs))
+        grouped: list[DataFrame] = []
+        for i, (rel, keyexpr) in enumerate(inputs):
+            df = rel.df
+            value_cols = list(df.columns)
+            ki = f"__ppk_{i}"
+            df = df.withColumn(ki, _to_col(keyexpr))
+            bag = F.collect_list(F.struct(*[F.col(c) for c in value_cols])).alias(f"{bag_col}_{i}")
+            grouped.append(df.groupBy(ki).agg(bag))
+        out = grouped[0]
+        for i in range(1, len(grouped)):
+            g = grouped[i]
+            out = out.join(g, on=F.col("__ppk_0").eqNullSafe(F.col(f"__ppk_{i}")), how="full")
+            out = out.withColumn("__ppk_0", F.coalesce(F.col("__ppk_0"), F.col(f"__ppk_{i}"))).drop(f"__ppk_{i}")
+        for i, r in enumerate(req):
+            if r:
+                out = out.filter(F.col(f"{bag_col}_{i}").isNotNull())
+        return self._with(out.withColumnRenamed("__ppk_0", "key"))
+
+    # -- whole-relation aggregation (§2.3-2.4) ------------------------------
+
+    def reduce_rel(self, *folds: "Fold | Column", **named: "Fold | Column") -> "Relation":
+        """Whole-relation aggregation; EMPTY INPUT → EMPTY OUTPUT.
+
+        reference: pigpen.join/reduce + fold (join.clj:119-156): "If a
+        relation is empty, no output is produced" (join.clj:262-268) — Spark
+        global agg instead returns one all-null row, so we guard with a
+        cheap ``limit(1)`` existence probe (broadcast cross join; no extra
+        full scan of the aggregated side at scale).
+        """
+        aggs = [Fold.to_column(f) for f in folds] + [Fold.to_column(f).alias(n) for n, f in named.items()]
+        agg = self.df.agg(*aggs)
+        marker = self.df.limit(1).select(F.lit(1).alias(_gensym("nonempty")))
+        guarded = agg.crossJoin(F.broadcast(marker)).drop(marker.columns[0])
+        return self._with(guarded)
+
+    fold_rel = reduce_rel
+
+    # -- I/O & actions (§2.1, §2.9) ----------------------------------------
+
+    def store_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+        """reference: store-parquet (pigpen-parquet/src/main/clojure/pigpen/
+        parquet.clj:126-147)."""
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def store_json(self, path: str, mode: str = "overwrite") -> None:
+        """reference: store-json (io.clj:159-246)."""
+        self.df.write.mode(mode).json(path)
+
+    def store_csv(self, path: str, sep: str = ",", header: bool = False, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+    def store_tsv(self, path: str, mode: str = "overwrite") -> None:
+        self.store_csv(path, sep="\t", mode=mode)
+
+    def store_text(self, path: str, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).text(path)
+
+    def store_many(self, *writers: Callable[["Relation"], None]) -> None:
+        """Multiple sinks over shared lineage (reference: store-many$,
+        raw.clj:144-158).  The reference's dedupe rewrite shares subplans;
+        Spark won't cache across actions by itself (SURVEY §4.5.4), so we
+        persist, run all writes, then unpersist."""
+        df = self.df.persist()
+        try:
+            rel = self._with(df)
+            for w in writers:
+                w(rel)
+        finally:
+            df.unpersist()
+
+    def cache(self) -> "Relation":
+        return self._with(self.df.cache())
+
+    def dump(self) -> list:
+        """Local collect (reference: pigpen.local dump, local.clj:151-188)."""
+        return [r.asDict(recursive=True) for r in self.df.collect()]
+
+    def dump_lazy(self):
+        """Lazy iterator (reference: pigpen.rx/dump — backpressured local
+        evaluation, pigpen-rx/src/main/clojure/pigpen/rx.clj:30-65)."""
+        return self.df.toLocalIterator()
+
+    def collect(self):
+        return self.df.collect()
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def show_plan(self, mode: str = "formatted") -> None:
+        """reference: pigpen-viz show/show+ — we surface the optimized
+        physical plan instead of the pre-bake DAG."""
+        self.df.explain(mode)
+
+    def explain_str(self, mode: str = "formatted") -> str:
+        return self.df._jdf.queryExecution().explainString(  # noqa: SLF001
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
+    # -- misc ---------------------------------------------------------------
+
+    def repartition(self, num: int | None = None, *cols: ColumnLike) -> "Relation":
+        """{:parallel n} / {:partition-by f} analog (reference:
+        script.clj:229-231 PARALLEL; PigPenPartitioner.java)."""
+        args = ([num] if num else []) + [_to_col(c) for c in cols]
+        return self._with(self.df.repartition(*args))
+
+
+# ---------------------------------------------------------------------------
+# Grouped relation
+# ---------------------------------------------------------------------------
+
+
+class GroupedRelation:
+    """Result of :meth:`Relation.group_by` — holds key exprs, offers fold /
+    collect / arbitrary per-group Python."""
+
+    def __init__(self, rel: Relation, keys: list[Column]):
+        self._rel = rel
+        self._keys = keys
+
+    def fold(self, *folds: "Fold | Column", **named: "Fold | Column") -> Relation:
+        """Per-key aggregation — every native fold compiles into ONE
+        ``.agg(...)`` (reference: fold-in-cogroup, join.clj:140-156; juxt
+        runs N folds in one pass, fold.clj:262-296 — same property here).
+
+        Scale: native aggregates get map-side partial aggregation
+        (HashAggregate partial/final) exactly like the reference's Pig
+        Algebraic path (PigPenFnAlgebraic.java:40-151).
+        """
+        aggs = [Fold.to_column(f) for f in folds] + [Fold.to_column(f).alias(n) for n, f in named.items()]
+        return self._rel._with(self._rel.df.groupBy(*self._keys).agg(*aggs))
+
+    agg = fold
+
+    def collect_bags(self, value: Column | str | None = None, bag_col: str = "bag", sort: bool = False) -> Relation:
+        """key → bag of values (reference: group-by → MapEntry[k, seq],
+        join.clj:195-223).  ``sort=True`` makes bag content deterministic."""
+        v = _to_col(value) if value is not None else F.struct(*[F.col(c) for c in self._rel.df.columns])
+        bag = F.collect_list(v)
+        if sort:
+            bag = F.sort_array(bag)
+        return self._rel._with(self._rel.df.groupBy(*self._keys).agg(bag.alias(bag_col)))
+
+    def apply_py(self, fn, schema) -> Relation:
+        """Arbitrary per-group Python via applyInPandas (Arrow-batched).
+
+        reference: reduce-side user fn over lazy bags (pig/runtime.clj:
+        194-240 Accumulator).  NOTE applyInPandas materializes each group —
+        for huge groups prefer fold/window ops (SURVEY §4.4 risk note)."""
+        return self._rel._with(self._rel.df.groupBy(*self._keys).applyInPandas(fn, schema=schema))
+
+    def fold_py(self, zero, seq_op, comb_op, finish=None, key_names: Sequence[str] | None = None,
+                out_col: str = "value", out_type: str = "string"):
+        """Python fold with MAP-SIDE PARTIALS via RDD aggregateByKey.
+
+        The reference executes arbitrary folds as Pig Algebraic 3-phase
+        (partial + final); Spark's pandas GROUPED_AGG UDF has no partial
+        phase, so for arbitrary Python folds we drop to aggregateByKey which
+        does (SURVEY §4.3 note).  Returns key columns + ``out_col``.
+        """
+        import json
+
+        rel = self._rel
+        knames = list(key_names or [f"k{i}" for i in range(len(self._keys))])
+        kcols = [k.alias(n) for k, n in zip(self._keys, knames)]
+        df = rel.df.select(*kcols, F.struct(*[F.col(c) for c in rel.df.columns]).alias("__v"))
+        nk = len(knames)
+        rdd = df.rdd.map(lambda r: (tuple(r[:nk]), r["__v"].asDict(recursive=True)))
+        agged = rdd.aggregateByKey(zero, seq_op, comb_op)
+        fin = finish or (lambda x: x)
+        out = agged.map(lambda kv: tuple(kv[0]) + (fin(kv[1]),))
+        schema = ", ".join(
+            [f"{n} {t}" for n, t in zip(knames, self._key_types(df, knames))] + [f"{out_col} {out_type}"]
+        )
+        return rel._with(rel.spark.createDataFrame(out, schema=schema))
+
+    @staticmethod
+    def _key_types(df: DataFrame, knames: list[str]) -> list[str]:
+        m = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+        return [m[n] for n in knames]
+
+
+# ---------------------------------------------------------------------------
+# Constructors (reference: io.clj load-* / return, SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+
+def load_parquet(spark: SparkSession, path: str) -> Relation:
+    """reference: load-parquet (pigpen-parquet/.../parquet.clj:105-124) —
+    schema comes from the parquet footer (strictly more capable than the
+    reference's explicit message-schema requirement)."""
+    return Relation(spark.read.parquet(path))
+
+
+def return_(spark: SparkSession, rows: list, schema=None) -> Relation:
+    """Literal in-plan data (reference: return/constantly, io.clj:265-300)."""
+    return Relation(spark.createDataFrame(rows, schema=schema))

@@ -1,0 +1,100 @@
+"""Sources & sinks (reference: SURVEY §2.1, pigpen/io.clj).
+
+Every loader returns a :class:`Relation`.  Gzip transparency, which the
+reference implements by hand (local.clj:199-209 ``.gz`` sniffing), is native
+in Spark's text/csv/json readers (Hadoop codec discovery) — nothing to do.
+
+Storage-edge typing: the reference's explicit parquet/avro message schemas
+(parquet.clj:71-77) map to optional ``schema=`` arguments; by default we use
+Spark's footer/inference, which is strictly more capable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from pigpen_spark.relation import Relation
+
+
+def load_string(spark: SparkSession, path: str) -> Relation:
+    """One string per line (reference: load-string, io.clj:59-70;
+    gz-aware reader local.clj:230-242)."""
+    return Relation(spark.read.text(path).withColumnRenamed("value", "value"))
+
+
+def load_tsv(spark: SparkSession, path: str, delimiter: str = "\t",
+             schema=None) -> Relation:
+    """Line split by delimiter (reference: load-tsv, io.clj:72-86).
+
+    With a schema → typed csv read (predicate pushdown capable); without →
+    a single ``value: array<string>`` column like the reference's
+    vector-of-strings rows."""
+    if schema is not None:
+        return Relation(spark.read.option("sep", delimiter).schema(schema).csv(path))
+    df = spark.read.text(path)
+    return Relation(df.select(F.split(F.col("value"), delimiter).alias("value")))
+
+
+def load_csv(spark: SparkSession, path: str, delimiter: str = ",", quote: str = '"',
+             schema=None, header: bool = False) -> Relation:
+    """RFC-4180 per line (reference: load-csv, io.clj:88-104).  Spark's csv
+    reader additionally handles embedded newlines (multiLine) — the
+    reference explicitly cannot (io.clj:97-99 'no newlines')."""
+    # escape=quote → RFC-4180 doubled-quote escaping ("" inside quoted field)
+    r = (
+        spark.read.option("sep", delimiter).option("quote", quote)
+        .option("escape", quote).option("header", header)
+    )
+    if schema is not None:
+        r = r.schema(schema)
+    return Relation(r.csv(path))
+
+
+def load_json(spark: SparkSession, path: str, schema=None) -> Relation:
+    """JSON per line (reference: load-json, io.clj:122-138)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return Relation(r.json(path))
+
+
+def load_lazy(spark: SparkSession, path: str, delimiter: str = "\t") -> Relation:
+    """reference: load-lazy (io.clj:140-149) — laziness is inherent in
+    Spark's scan; identical to load_tsv here."""
+    return load_tsv(spark, path, delimiter)
+
+
+def load_parquet(spark: SparkSession, path: str, schema=None) -> Relation:
+    """reference: load-parquet (pigpen-parquet/.../parquet.clj:105-124)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return Relation(r.parquet(path))
+
+
+def load_binary(spark: SparkSession, path: str) -> Relation:
+    """reference: load-binary — PigPen's internal nippy rows (io.clj:30-35).
+    Our internal format IS parquet."""
+    return load_parquet(spark, path)
+
+
+def load_avro(spark: SparkSession, path: str, schema=None) -> Relation:
+    """reference: load-avro (pigpen-avro/.../avro.clj:46-86).  Requires the
+    spark-avro package on the classpath; raises a clear error otherwise."""
+    try:
+        r = spark.read.format("avro")
+        if schema is not None:
+            r = r.schema(schema)
+        return Relation(r.load(path))
+    except Exception as e:  # pragma: no cover - env without spark-avro
+        raise RuntimeError(
+            "avro source requires the spark-avro package (org.apache.spark:spark-avro)"
+        ) from e
+
+
+def store_many(rel: Relation, *writers: Callable[[Relation], None]) -> None:
+    """Module-level alias of :meth:`Relation.store_many`."""
+    rel.store_many(*writers)

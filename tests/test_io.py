@@ -1,0 +1,94 @@
+"""I/O round-trips — io_test.clj:26-236 analog (FIXTURES.md §5)."""
+
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from pigpen_spark.relation import return_
+from pigpen_spark.sources import io as pio
+
+
+class TestLoad:
+    def test_load_string(self, spark, tmp_path):
+        p = tmp_path / "t.txt"
+        p.write_text("The quick brown fox\njumps over the lazy dog\n")
+        out = pio.load_string(spark, str(p))
+        assert sorted(r["value"] for r in out.df.collect()) == [
+            "The quick brown fox", "jumps over the lazy dog"]
+
+    def test_load_tsv(self, spark, tmp_path):
+        p = tmp_path / "t.tsv"
+        p.write_text("a\tb\tc\n1\t2\t3\n")
+        out = pio.load_tsv(spark, str(p))
+        assert sorted(r["value"] for r in out.df.collect()) == [["1", "2", "3"], ["a", "b", "c"]]
+
+    def test_load_tsv_wrong_delimiter(self, spark, tmp_path):
+        # io_test: wrong delimiter → single-element rows
+        p = tmp_path / "t.tsv"
+        p.write_text("a\tb\tc\n")
+        out = pio.load_tsv(spark, str(p), delimiter=",")
+        assert [r["value"] for r in out.df.collect()] == [["a\tb\tc"]]
+
+    def test_load_csv_quoted(self, spark, tmp_path):
+        # io_test.clj quoting edge cases incl. escaped quotes
+        p = tmp_path / "t.csv"
+        p.write_text('"a string",123,5.0\n"a ""complex"" string",-532,23.7\n')
+        out = pio.load_csv(spark, str(p))
+        rows = sorted(tuple(r) for r in out.df.collect())
+        assert rows == [("a \"complex\" string", "-532", "23.7"), ("a string", "123", "5.0")]
+
+    def test_load_json(self, spark, tmp_path):
+        p = tmp_path / "t.json"
+        p.write_text('{"a": 1, "b": "foo"}\n{"a": 2, "b": "bar"}\n')
+        out = pio.load_json(spark, str(p))
+        assert sorted((r["a"], r["b"]) for r in out.df.collect()) == [(1, "foo"), (2, "bar")]
+
+    def test_load_json_gzip(self, spark, tmp_path):
+        # io_test.clj:122-134 — gzip transparency
+        p = tmp_path / "t.json.gz"
+        with gzip.open(p, "wt") as f:
+            f.write('{"a": 1}\n{"a": 2}\n')
+        out = pio.load_json(spark, str(p))
+        assert sorted(r["a"] for r in out.df.collect()) == [1, 2]
+
+
+class TestStore:
+    def test_store_json_roundtrip(self, spark, tmp_path):
+        r = return_(spark, [(1, "foo"), (2, "bar")], "a long, b string")
+        d = str(tmp_path / "out_json")
+        r.store_json(d)
+        back = pio.load_json(spark, d)
+        assert sorted((x["a"], x["b"]) for x in back.df.collect()) == [(1, "foo"), (2, "bar")]
+
+    def test_store_tsv_content(self, spark, tmp_path):
+        r = return_(spark, [(1, "x")], "a long, b string")
+        d = str(tmp_path / "out_tsv")
+        r.store_tsv(d)
+        lines = []
+        for f in (tmp_path / "out_tsv").glob("part-*"):
+            lines += f.read_text().splitlines()
+        assert lines == ["1\tx"]
+
+    def test_store_parquet_roundtrip(self, spark, tmp_path):
+        r = return_(spark, [(1, "foo")], "a long, b string")
+        d = str(tmp_path / "out_pq")
+        r.store_parquet(d)
+        back = pio.load_parquet(spark, d)
+        assert [tuple(x) for x in back.df.collect()] == [(1, "foo")]
+
+    def test_store_many_shared_lineage(self, spark, tmp_path):
+        # store-many$ (raw.clj:144-158): one lineage, several sinks
+        r = return_(spark, [(i,) for i in range(5)], "x long").map(y=F.col("x") * 2)
+        d1, d2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+        r.store_many(
+            lambda rel: rel.store_parquet(d1),
+            lambda rel: rel.filter(F.col("y") > 4).store_parquet(d2),
+        )
+        assert pio.load_parquet(spark, d1).count() == 5
+        assert pio.load_parquet(spark, d2).count() == 2
+
+    def test_return_literal(self, spark):
+        # return/constantly (io.clj:265-300)
+        r = return_(spark, [(1,), (2,)], "x long")
+        assert sorted(x["x"] for x in r.df.collect()) == [1, 2]
