@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pigpen_spark import catalog  # noqa: E402
+from pigpen_spark import catalog_ext  # noqa: E402,F401 — registers extension queries
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,308 @@
+"""Extension-operator queries: dedup, similarity search, text analysis,
+multimodal plumbing (BASELINE.json north star — first-class components).
+
+Registered into the same registry as the core catalog; oracle SQL uses
+only md5 + list comprehensions so DuckDB reproduces every hash exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pigpen_spark.catalog import register, tables
+from pigpen_spark.functions import dedup as D
+from pigpen_spark.functions import multimodal as M
+from pigpen_spark.functions import similarity as S
+from pigpen_spark.functions import text as T
+
+_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_text_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKS})::BIGINT AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens,
+           list_sum([len(t) for t in {_TOKS}])::DOUBLE / len({_TOKS}) AS mean_token_len,
+           len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / len(text) AS punct_ratio,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), length stats,
+    content fingerprint — all JVM-side HOFs, zero UDFs."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.map(
+        "doc_id",
+        n_tokens=T.token_count("text"),
+        bpe_tokens=T.bpe_token_count("text"),
+        mean_token_len=T.mean_token_len("text"),
+        punct_ratio=T.punct_ratio("text"),
+        fingerprint=T.fingerprint("text"),
+    ).df
+
+
+@register(
+    "ext_lang_id",
+    f"""
+    SELECT doc_id, lang, {T.lang_id_sql('text')} AS lang_pred
+    FROM documents
+    """,
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK-heuristic language ID next to the labeled lang."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.map("doc_id", "lang", lang_pred=T.lang_id("text")).df
+
+
+@register(
+    "ext_quality_score",
+    f"""
+    SELECT doc_id,
+           (CASE WHEN len({_TOKS}) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+           + least((len(list_filter({_TOKS},
+                t -> list_contains(['the','of','and','to','in','a','is','that','for','it'], t)))::DOUBLE
+                / len({_TOKS})) * 2, 0.3)
+           + (CASE WHEN len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / len(text) < 0.05
+                   THEN 0.3 ELSE 0.0 END) AS quality
+    FROM documents
+    """,
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length band + stopword density + punct
+    noise) — the cheap pre-filter for training-corpus curation."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.map("doc_id", quality=T.quality_score("text")).df
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_dedup_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, min-id representative."""
+    docs = tables(spark, sf_dir)["documents"]
+    return D.exact_dedup(docs.df, "text", "doc_id")
+
+
+_K, _BANDS, _R = 12, 4, 3
+
+
+@register(
+    "ext_dedup_minhash",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id AS id, ({D.minhash_signature_sql('text', _K, 3)}) AS sig FROM documents
+    ),
+    banded AS (
+      SELECT id, sig, b.range AS band,
+             md5(array_to_string(sig[(b.range * {_R} + 1) : (b.range * {_R} + {_R})], '|')) AS bhash
+      FROM sigs, range({_BANDS}) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id
+    )
+    SELECT p.id_a, p.id_b,
+           len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, {_K} + 1)], m -> m))::DOUBLE / {_K} AS est_jaccard
+    FROM pairs p JOIN sigs sa ON p.id_a = sa.id JOIN sigs sb ON p.id_b = sb.id
+    """,
+)
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 12-slot signature →
+    4 bands → band-hash equi-join (shuffle keyed by band hash — no n²)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return D.minhash_candidates(docs.df, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=3)
+
+
+@register(
+    "ext_dedup_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct({T.shingles_sql('text', 3)})) AS sh FROM documents
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+    FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.2
+    """,
+)
+def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard pairs (≥0.2) — explode/equi-join formulation;
+    the verify stage to run after LSH blocking at scale."""
+    docs = tables(spark, sf_dir)["documents"]
+    return D.ngram_jaccard_pairs(docs.df, "doc_id", "text", shingle_n=3, threshold=0.2)
+
+
+@register(
+    "ext_dedup_simhash",
+    f"""
+    SELECT doc_id, ({D.simhash_sql('text', 32)}) AS simhash
+    FROM documents WHERE len({_TOKS}) > 0
+    """,
+)
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash fingerprint (md5 hex-digit voting)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        docs.filter(T.token_count("text") > 0)
+        .map("doc_id", simhash=D.simhash("text", 32))
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_embed_near_dup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({S.cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({S.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+    """,
+)
+def ext_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (float64, portable association
+    order; ≥0.45 on this corpus)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.embedding_near_dup_pairs(emb.df, threshold=0.45)
+
+
+@register(
+    "ext_ann_brute",
+    f"""
+    SELECT q_id, n_id, score, rank FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round({S.cosine_sql('q.embedding', 'c.embedding')}, 6) AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({S.cosine_sql('q.embedding', 'c.embedding')}, 6) DESC, c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def ext_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the exact ANN
+    baseline; query side broadcast."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb.df, q.df, k=5)
+
+
+_PLANES, _DIM = 6, 64
+
+
+@register(
+    "ext_ann_lsh",
+    f"""
+    WITH tagged AS (
+      SELECT vec_id AS id, embedding AS vec,
+             ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bucket
+      FROM embeddings
+    )
+    SELECT q_id, n_id, score, rank FROM (
+      SELECT a.id AS q_id, b.id AS n_id,
+             round({S.cosine_sql('a.vec', 'b.vec')}, 6) AS score,
+             row_number() OVER (
+               PARTITION BY a.id
+               ORDER BY round({S.cosine_sql('a.vec', 'b.vec')}, 6) DESC, b.id
+             ) AS rank
+      FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.id <> b.id
+    ) WHERE rank <= 5
+    """,
+)
+def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5: random-hyperplane sign buckets
+    (md5-derived planes), candidates share a bucket — the scale path."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.lsh_topk(emb.df, k=5, n_planes=_PLANES, dim=_DIM)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+_B0 = "(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1"
+_B1 = "(strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1"
+_B2 = "(strpos('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(text), 6, 1)) - 1"
+
+
+@register(
+    "ext_multimodal_decode",
+    f"""
+    SELECT doc_id AS id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS digest,
+           (64 + ({_B0}) % 192)::INT AS width,
+           (64 + ({_B1}) % 192)::INT AS height,
+           ['png', 'jpeg', 'webp'][({_B2}) % 3 + 1] AS format
+    FROM documents
+    """,
+)
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: utf-8 payload → Arrow-batched
+    mapInPandas "decoder" (deterministic stub; real codec wire-in point
+    documented in functions/multimodal.py)."""
+    docs = tables(spark, sf_dir)["documents"]
+    with_payload = M.attach_binary_payload(docs.df, "text")
+    return M.decode_image_meta(with_payload, "doc_id")
+
+
+@register(
+    "ext_frame_sample",
+    """
+    SELECT doc_id AS id, unnest(range(0, octet_length(encode(text)) % 100 + 1, 10))::BIGINT AS frame_index
+    FROM documents
+    """,
+)
+def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: every-10th frame index per payload."""
+    docs = tables(spark, sf_dir)["documents"]
+    with_payload = M.attach_binary_payload(docs.df, "text")
+    out = M.frame_sample(with_payload, "doc_id", every_n=10)
+    return out.select("id", F.col("frame_index").cast("long").alias("frame_index"))
+
+
+@register(
+    "ext_audio_features",
+    """
+    SELECT doc_id AS id,
+           octet_length(encode(text))::DOUBLE / 16000.0 AS duration_sec,
+           16000 AS sample_rate
+    FROM documents
+    """,
+)
+def ext_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature plumbing (stubbed codec, real schema/batching)."""
+    docs = tables(spark, sf_dir)["documents"]
+    with_payload = M.attach_binary_payload(docs.df, "text")
+    return M.audio_features(with_payload, "doc_id")

@@ -1,0 +1,241 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Core training-data-pipeline components (BASELINE.json north star).  Design
+for 100 TB:
+
+- **exact**: hash-groupBy on md5(content) — one shuffle keyed by digest,
+  perfectly parallel; never a driver-side set.
+- **MinHash+LSH**: signature computation is per-row (embarrassingly
+  parallel, pure Catalyst HOFs, no UDF); candidate generation is an
+  equi-join on (band_id, band_hash) — Spark's bread-and-butter shuffle
+  join; verification runs only on candidates.  Data volume after banding
+  is O(near-dups), not O(n²).
+- **SimHash**: per-row fingerprint; candidates via chunk-equality
+  equi-join (pigeonhole: hamming ≤ d ⇒ some chunk of d+1 equal chunks
+  matches), then hamming verification on the candidate set.
+- **n-gram Jaccard**: exact verify step — explode shingles, equi-join on
+  shingle, per-pair overlap counts.  Quadratic only within identical
+  shingles, so use after blocking/LSH at scale.
+
+All hashing is md5 (engine-portable) so each operator carries an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pigpen_spark.functions.text import shingles, shingles_sql, tokens
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact content digest.
+
+    Returns (digest, keep_id, n_copies) — join back on keep_id for rows.
+    """
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("digest"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signature(col, k: int = 12, shingle_n: int = 3) -> Column:
+    """k-permutation MinHash over word shingles.
+
+    Permutation s is simulated by min over shingles of ``md5(s || '|' ||
+    shingle)`` — md5 is the portable random oracle; lexicographic min of
+    hex strings is a valid uniform min-hash."""
+    sh = shingles(col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda s: F.array_min(
+            F.transform(sh, lambda x: F.md5(F.concat(s.cast("string"), F.lit("|"), x)))
+        ),
+    )
+
+
+def minhash_signature_sql(col: str, k: int = 12, shingle_n: int = 3) -> str:
+    """DuckDB equivalent of :func:`minhash_signature`."""
+    return f"""
+      [list_min([md5(s::varchar || '|' || sh) for sh in ({shingles_sql(col, shingle_n)})])
+       for s in range({k})]
+    """
+
+
+def lsh_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: band b's key is md5 of its ``rows_per_band``
+    signature slots.  array of (band_id, band_hash) structs."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.array_join(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), "|")).alias("bhash"),
+        ),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame, id_col: str, content_col: str,
+    k: int = 12, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) with estimated Jaccard =
+    fraction of matching signature slots.
+
+    Plan shape: per-row signature (narrow) → explode bands (k/r rows per
+    doc) → self-equi-join on (band, bhash) → distinct pairs → estimate on
+    the two signatures.  The join key (band, bhash) is high-cardinality ⇒
+    well-distributed shuffle; no cross product anywhere."""
+    r = k // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(content_col), k, shingle_n).alias("sig"),
+    )
+    banded = sigs.select("id", "sig", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bh.band") == F.col("b.bh.band"))
+            & (F.col("a.bh.bhash") == F.col("b.bh.bhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        .cast("double") / F.lit(float(k))
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+# -- n-gram Jaccard (exact verify) ------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, content_col: str,
+    shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for every pair sharing ≥1 shingle.
+
+    |A∩B| via explode+equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
+    Shuffle is keyed by shingle — at corpus scale drop ultra-common
+    shingles (stop-shingles) first or run on LSH candidates only."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(content_col), shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash(col, bits: int = 32) -> Column:
+    """32-bit SimHash as a '0'/'1' string.
+
+    Bit i is the sign of Σ_tokens (hexdigit_i(md5(token)) − 7.5): documents
+    sharing most tokens land within small hamming distance.  Uses md5's 32
+    hex digits as 32 independent 4-bit hash values — portable everywhere."""
+    toks = tokens(col)
+    n = F.size(toks)
+    def bit(i: Column) -> Column:
+        s = F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.conv(F.substring(F.md5(t), i, 1), 16, 10).cast("bigint"),
+        )
+        return F.when(s * 2 >= n.cast("bigint") * 15, F.lit("1")).otherwise(F.lit("0"))
+    return F.array_join(F.transform(F.sequence(F.lit(1), F.lit(bits)), bit), "")
+
+
+def simhash_sql(col: str, bits: int = 32) -> str:
+    """DuckDB equivalent of :func:`simhash`."""
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    return f"""
+      array_to_string([
+        CASE WHEN list_sum([strpos('{_HEX}', substr(md5(t), i, 1)) - 1 for t in ({toks})]) * 2
+                  >= len({toks}) * 15
+             THEN '1' ELSE '0' END
+        for i in range(1, {bits + 1})], '')
+    """
+
+
+def hamming(a: Column, b: Column, bits: int = 32) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        F.lit(0),
+        lambda acc, i: acc + F.when(F.substring(a, i, 1) == F.substring(b, i, 1), 0).otherwise(1),
+    )
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, content_col: str,
+    bits: int = 32, chunks: int = 4, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on any equal ``bits/chunks``-bit
+    chunk (pigeonhole guarantees recall for hamming ≤ chunks−1), verify
+    hamming ≤ ``max_hamming`` on candidates only."""
+    w = bits // chunks
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(content_col), bits).alias("sh"))
+    chunked = sh.select(
+        "id", "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(chunks - 1)),
+                lambda c: F.struct(c.alias("c"), F.substring("sh", c * w + 1, w).alias("piece")),
+            )
+        ).alias("ch"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ch.c") == F.col("b.ch.c"))
+            & (F.col("a.ch.piece") == F.col("b.ch.piece"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("dist", hamming(F.col("sh_a"), F.col("sh_b"), bits))
+        .filter(F.col("dist") <= max_hamming)
+        .select("id_a", "id_b", "dist")
+    )

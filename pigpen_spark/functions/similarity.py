@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extension surface (BASELINE.json north star).  Two paths:
+
+- **brute-force cosine top-k** — the exact baseline: query×corpus join,
+  JVM-side zip_with/aggregate dot products, per-query window top-k.  At
+  100 TB this is the pattern for small query sets against a broadcastable
+  query side; the corpus is never collected.
+- **random-hyperplane LSH** — the scale path: per-row bucket signature
+  (sign pattern of dot products with deterministic md5-derived
+  hyperplanes), candidates restricted to equal buckets.  Bucket compute is
+  per-row Catalyst HOFs; candidate generation an equi-join on the bucket
+  key.
+
+Scores are computed in float64 with identical association order in the
+DuckDB oracles; ranking ties broken by id so top-k is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def to_double(vec) -> Column:
+    return F.transform(_c(vec), lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Σ a[i]·b[i] in float64, left-to-right (portable association order)."""
+    return F.aggregate(
+        F.zip_with(to_double(a), to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_sql(a: str, b: str) -> str:
+    """DuckDB equivalent of :func:`dot` (list_sum is sequential like our
+    left-fold)."""
+    return f"list_sum([({a})[i]::DOUBLE * ({b})[i]::DOUBLE for i in range(1, len({a}) + 1)])"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)}) / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (self excluded).
+
+    The queries side is broadcast — corpus-side scan stays fully parallel
+    and shuffle-free until the tiny per-query top-k window."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# -- random-hyperplane LSH --------------------------------------------------
+
+
+def hyperplane(plane: Column | int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d of plane p is
+    ``hexdigit_1(md5(p || '_' || d)) − 7.5`` — a fixed, engine-portable
+    surrogate for a gaussian draw."""
+    p = F.lit(plane) if isinstance(plane, int) else plane
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.conv(F.substring(F.md5(F.concat(p.cast("string"), F.lit("_"), d.cast("string"))), 1, 1), 16, 10).cast("double") - 7.5,
+    )
+
+
+def lsh_bucket(vec, n_planes: int, dim: int) -> Column:
+    """Sign-pattern bucket id: one char per hyperplane."""
+    v = to_double(vec)
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(v, hyperplane(p, dim), lambda x, h: x * h),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ) >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
+def lsh_bucket_sql(vec: str, n_planes: int, dim: int) -> str:
+    """DuckDB equivalent of :func:`lsh_bucket`."""
+    plane = (f"[(strpos('0123456789abcdef', substr(md5(p::varchar || '_' || (d - 1)::varchar), 1, 1)) - 1)::DOUBLE - 7.5 "
+             f"for d in range(1, {dim} + 1)]")
+    return f"""
+      array_to_string([
+        CASE WHEN list_sum([({vec})[i]::DOUBLE * ({plane})[i] for i in range(1, {dim} + 1)]) >= 0
+             THEN '1' ELSE '0' END
+        for p in range({n_planes})], '')
+    """
+
+
+def lsh_topk(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_planes: int = 6, dim: int = 64,
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates share an LSH bucket.
+
+    Bucket cardinality ≈ n/2^planes keeps per-bucket work bounded; at
+    scale add multiple hash tables (union of several plane sets) for
+    recall."""
+    tagged = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    scored = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.col("a.id").alias("q_id"), F.col("b.id").alias("n_id"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold (brute all-pairs form;
+    at scale run on LSH-bucketed candidates instead)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )

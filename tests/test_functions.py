@@ -1,0 +1,147 @@
+"""Extension operators: dedup, similarity, text analysis, multimodal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pigpen_spark.functions import dedup as D
+from pigpen_spark.functions import multimodal as M
+from pigpen_spark.functions import similarity as S
+from pigpen_spark.functions import text as T
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+            (3, "completely different text in here right now"),
+            (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+            (5, "le chat est sur la table et le chien dort"),     # fr
+            (6, "这 是 中文 文本 测试"),                              # zh
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestText:
+    def test_token_counts(self, docs):
+        rows = {r["doc_id"]: r["n"] for r in docs.select("doc_id", T.token_count("text").alias("n")).collect()}
+        assert rows[1] == 9 and rows[6] == 5
+
+    def test_bpe_count_splits_punct(self, spark):
+        df = spark.createDataFrame([(1, "don't stop, 42 now!")], "id long, text string")
+        [r] = df.select(T.bpe_token_count("text").alias("n")).collect()
+        # don | ' | t | stop | , | 4 | 2 | now | ! → 9
+        assert r["n"] == 9
+
+    def test_lang_id(self, docs):
+        rows = {r["doc_id"]: r["p"] for r in docs.select("doc_id", T.lang_id("text").alias("p")).collect()}
+        assert rows[1] == "en" and rows[5] == "fr" and rows[6] == "zh"
+
+    def test_fingerprint_order_insensitive(self, spark):
+        df = spark.createDataFrame([(1, "b a c"), (2, "c b a a")], "id long, text string")
+        fps = [r["fp"] for r in df.select(T.fingerprint("text").alias("fp")).collect()]
+        assert fps[0] == fps[1]
+
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+        [r] = df.select(T.shingles("text", 3).alias("sh")).collect()
+        assert r["sh"] == ["a b c", "b c d"]
+
+    def test_shingles_short_doc(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "id long, text string")
+        [r] = df.select(T.shingles("text", 3).alias("sh")).collect()
+        assert r["sh"] == ["a b"]
+
+    def test_quality_score_range(self, docs):
+        for r in docs.select(T.quality_score("text").alias("q")).collect():
+            assert 0.0 <= r["q"] <= 1.0
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = {r["keep_id"]: r["n_copies"] for r in D.exact_dedup(docs, "text", "doc_id").collect()}
+        assert out[1] == 2  # docs 1 and 4 identical
+        assert len(out) == 5
+
+    def test_minhash_finds_exact_dup(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+                 for r in D.minhash_candidates(docs, "doc_id", "text", k=12, bands=6).collect()}
+        assert pairs[(1, 4)] == 1.0
+
+    def test_jaccard_pairs(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3).collect()}
+        assert pairs[(1, 4)] == 1.0
+        assert 0.5 < pairs[(1, 2)] < 1.0
+
+    def test_simhash_close_for_neardups(self, docs):
+        sh = {r["doc_id"]: r["s"] for r in docs.select("doc_id", D.simhash("text").alias("s")).collect()}
+        ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+        assert sh[1] == sh[4]
+        assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+    def test_simhash_candidates(self, docs):
+        out = {(r["id_a"], r["id_b"]): r["dist"] for r in D.simhash_candidates(docs, "doc_id", "text").collect()}
+        assert out[(1, 4)] == 0
+
+
+class TestSimilarity:
+    def test_cosine_exact(self, spark):
+        df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+                                   "a array<float>, b array<float>")
+        scores = [r["c"] for r in df.select(S.cosine("a", "b").alias("c")).collect()]
+        assert scores[0] == pytest.approx(0.0)
+        assert scores[1] == pytest.approx(1.0)
+
+    def test_brute_topk(self, spark):
+        vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        vecs.append((4, [1.0, 0.1, 0.0, 0.0]))  # near vec 0
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = S.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=1).collect()
+        assert [(r["q_id"], r["n_id"]) for r in out] == [(0, 4)]
+        assert out[0]["rank"] == 1
+
+    def test_lsh_bucket_groups_similar(self, spark):
+        base = [0.5] * 8
+        near = [0.5] * 7 + [0.51]
+        far = [-0.5] * 8
+        df = spark.createDataFrame(
+            [(0, base), (1, near), (2, far)], "vec_id long, embedding array<float>")
+        out = df.select("vec_id", S.lsh_bucket("embedding", 4, 8).alias("b")).collect()
+        b = {r["vec_id"]: r["b"] for r in out}
+        assert b[0] == b[1] and b[0] != b[2]
+
+    def test_near_dup_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<float>")
+        pairs = [(r["id_a"], r["id_b"]) for r in S.embedding_near_dup_pairs(df, threshold=0.95).collect()]
+        assert pairs == [(0, 1)]
+
+
+class TestMultimodal:
+    def test_decode_pipeline(self, docs):
+        out = M.decode_image_meta(M.attach_binary_payload(docs, "text"), "doc_id")
+        rows = {r["id"]: r for r in out.collect()}
+        assert len(rows) == 6
+        r1 = rows[1]
+        assert r1["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+        assert 64 <= r1["width"] < 256 and 64 <= r1["height"] < 256
+        assert r1["format"] in ("png", "jpeg", "webp")
+        assert rows[1]["digest"] == rows[4]["digest"]  # exact dups share digest
+
+    def test_frame_sample(self, docs):
+        out = M.frame_sample(M.attach_binary_payload(docs, "text"), "doc_id", every_n=10)
+        per_doc = out.groupBy("id").count().collect()
+        n = {r["id"]: r["count"] for r in per_doc}
+        # doc 1: 43 bytes → 44 frames → ceil(44/10)=5 sampled
+        assert n[1] == 5
+
+    def test_audio_features(self, docs):
+        out = M.audio_features(M.attach_binary_payload(docs, "text"), "doc_id")
+        [r] = out.filter(F.col("id") == 1).collect()
+        assert math.isclose(r["duration_sec"], 43 / 16000.0)
