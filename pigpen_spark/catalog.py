@@ -271,10 +271,17 @@ def q_mapcat_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / map-indexed (raw.clj:357-371; map.clj:113-162): 0-based dense
-    index over a total order."""
+    index over a total order.
+
+    index<100 ≡ rank of the top-100: sort+limit compiles to TakeOrdered
+    (per-partition heaps, no total sort), then ranking 100 rows in one
+    tiny partition is free — the scale-safe plan for rank-then-head.
+    Full-relation ranks use the two-phase ranked(scale_safe=True)."""
     o = tables(spark, sf_dir)["orders"]
-    out = ranked(o.df, [F.col("o_totalprice").desc(), F.col("o_orderkey")], index_col="index")
-    return out.filter(F.col("index") < 100).select("o_orderkey", "index")
+    top = o.sort(F.col("o_totalprice").desc(), "o_orderkey").take(100)
+    out = ranked(top.df, [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+                 index_col="index", scale_safe=False)
+    return out.select("o_orderkey", "index")
 
 
 @register(

@@ -18,17 +18,46 @@ def _c(x) -> Column:
 
 
 def ranked(df: DataFrame, order_by: Sequence, index_col: str = "index",
-           partition_by: Sequence = (), dense: bool = True) -> DataFrame:
+           partition_by: Sequence = (), dense: bool = True,
+           scale_safe: bool = True) -> DataFrame:
     """0-based rank (reference: rank$, raw.clj:357-371; Pig 1-based RANK is
     decremented by a rewrite, pig/oven.clj:133-154 — we emit 0-based
-    directly).  Unpartitioned total rank is a single exchange
-    (row_number over global order); partitioned rank parallelizes fully —
-    prefer partitioned at scale."""
-    w = Window.orderBy(*[_c(c) for c in order_by])
+    directly).
+
+    Partitioned rank parallelizes natively.  GLOBAL rank with a naive
+    ``row_number() over (order by …)`` funnels everything through ONE
+    partition — fatal at scale — so ``scale_safe=True`` uses the two-phase
+    form: range-repartition on the sort key, count rows per partition
+    (a tiny driver-side vector, one value per partition — the same shape
+    Pig's RANK uses), then rank within each partition in parallel and add
+    the partition's global offset.
+    """
+    orders = [_c(c) for c in order_by]
     if partition_by:
-        w = Window.partitionBy(*[_c(c) for c in partition_by]).orderBy(*[_c(c) for c in order_by])
-    fn = F.row_number() if dense else F.rank()
-    return df.withColumn(index_col, (fn.over(w) - F.lit(1)).cast("long"))
+        w = Window.partitionBy(*[_c(c) for c in partition_by]).orderBy(*orders)
+        fn = F.row_number() if dense else F.rank()
+        return df.withColumn(index_col, (fn.over(w) - F.lit(1)).cast("long"))
+
+    if not scale_safe:
+        w = Window.orderBy(*orders)
+        fn = F.row_number() if dense else F.rank()
+        return df.withColumn(index_col, (fn.over(w) - F.lit(1)).cast("long"))
+
+    pid = "__pp_pid"
+    ranged = df.repartitionByRange(*orders).withColumn(pid, F.spark_partition_id())
+    ranged = ranged.persist()
+    counts = {r[pid]: r["cnt"] for r in ranged.groupBy(pid).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col(pid),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy(pid).orderBy(*orders)
+    out = ranged.withColumn(index_col, (F.row_number().over(w) - 1 + off).cast("long")).drop(pid)
+    return out
 
 
 def top_n_per_group(df: DataFrame, partition_by: Sequence, order_by: Sequence,

@@ -450,10 +450,11 @@ class Relation:
         full scan of the aggregated side at scale).
         """
         aggs = [Fold.to_column(f) for f in folds] + [Fold.to_column(f).alias(n) for n, f in named.items()]
-        agg = self.df.agg(*aggs)
-        marker = self.df.limit(1).select(F.lit(1).alias(_gensym("nonempty")))
-        guarded = agg.crossJoin(F.broadcast(marker)).drop(marker.columns[0])
-        return self._with(guarded)
+        guard = _gensym("n")
+        # single pass: piggyback a count(*) on the same aggregation and
+        # filter on it — no second scan, no cross join.
+        agg = self.df.agg(*aggs, F.count(F.lit(1)).alias(guard))
+        return self._with(agg.filter(F.col(guard) > 0).drop(guard))
 
     fold_rel = reduce_rel
 

