@@ -48,8 +48,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = catalog.queries()
-    # warm up the JVM + parquet footer caches with a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm-up: run every headline query once at the smallest SF.  This
+    # compiles the generated code for each plan shape (JIT + whole-stage
+    # codegen + parquet reader setup) — one-time costs that amortize to
+    # zero on a long-running cluster; the measurement below is steady-state
+    # throughput at the target SF.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+        except Exception as e:  # pragma: no cover
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -698,6 +698,103 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.df.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_cust"))
 
 
+@register(
+    "q_into",
+    """
+    SELECT string_agg(r_name, ',' ORDER BY r_name) AS value
+    FROM region HAVING count(*) > 0
+    """,
+)
+def q_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """into — whole-relation collect into one record (join.clj:225-244);
+    emitted as a sorted joined string for the oracle."""
+    r = tables(spark, sf_dir)["region"]
+    return (
+        r.map("r_name")
+        .into(F.col("r_name"))
+        .map(value=F.array_join(F.col("value"), ","))
+        .df
+    )
+
+
+@register(
+    "q_map_py",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity * 2 + 1 AS qty2,
+           CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS disc_band
+    FROM lineitem WHERE l_partkey % 50 = 0
+    """,
+)
+def q_map_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPAQUE python path (map->bind + filter->bind fused into one
+    mapInPandas, runtime.clj:32-86 + oven.clj:189-248) — the python fns are
+    deterministic arithmetic so the SQL oracle can replicate them."""
+    li = tables(spark, sf_dir)["lineitem"]
+    rel = Relation(li.df.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_discount"))
+    out = (
+        rel.filter_py(lambda r: r["l_partkey"] % 50 == 0)
+        .map_py(
+            lambda r: {
+                "l_orderkey": r["l_orderkey"],
+                "l_linenumber": r["l_linenumber"],
+                "qty2": r["l_quantity"] * 2 + 1,
+                "disc_band": "hi" if r["l_discount"] > 0.05 else "lo",
+            },
+            schema="l_orderkey long, l_linenumber int, qty2 double, disc_band string",
+        )
+    )
+    return out.df
+
+
+@register(
+    "q_cogroup3",
+    """
+    SELECT coalesce(c.k, o.k, s.k) AS key,
+           coalesce(c.n, 0) AS n_cust, coalesce(o.n, 0) AS n_orders, coalesce(s.n, 0) AS n_supp
+    FROM      (SELECT c_nationkey::BIGINT AS k, count(*) AS n FROM customer GROUP BY 1) c
+    FULL JOIN (SELECT o_custkey % 30 AS k, count(*) AS n FROM orders GROUP BY 1) o ON c.k IS NOT DISTINCT FROM o.k
+    FULL JOIN (SELECT s_nationkey::BIGINT AS k, count(*) AS n FROM supplier GROUP BY 1) s ON coalesce(c.k, o.k) IS NOT DISTINCT FROM s.k
+    """,
+)
+def q_cogroup3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way N-ary cogroup (group$ is N-ary in the IR, raw.clj:489-524) —
+    bag sizes per input, all-optional (full outer)."""
+    t = tables(spark, sf_dir)
+    cg = t["customer"].cogroup(
+        [(t["orders"], F.col("o_custkey") % 30), (t["supplier"], F.col("s_nationkey").cast("bigint"))],
+        on=F.col("c_nationkey").cast("bigint"),
+        required=[False, False, False],
+    )
+    return cg.map(
+        key=F.col("key"),
+        n_cust=F.coalesce(F.size("bag_0"), F.lit(0)).cast("long"),
+        n_orders=F.coalesce(F.size("bag_1"), F.lit(0)).cast("long"),
+        n_supp=F.coalesce(F.size("bag_2"), F.lit(0)).cast("long"),
+    ).df
+
+
+@register(
+    "q_join_multi",
+    """
+    SELECT n_name, count(*) AS n
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-ary join in ONE call with per-input required tags (the reference's
+    join signature, join.clj:360-401) — compiled to a left-deep chain."""
+    t = tables(spark, sf_dir)
+    nation = t["nation"].join(t["region"], on="n_regionkey", right_on="r_regionkey", broadcast_other=True)
+    joined = t["supplier"].join_multi(
+        [(nation, F.col("n_nationkey"))], on=F.col("s_nationkey"), required=[True, True]
+    )
+    return joined.group_by("n_name").fold(n=fold.count()).df
+
+
 # ---------------------------------------------------------------------------
 # sample (statistical check only — nondeterministic, no oracle)
 # ---------------------------------------------------------------------------

@@ -458,6 +458,74 @@ class Relation:
 
     fold_rel = reduce_rel
 
+    def into(self, col: ColumnLike | None = None, sort: bool = True, out_col: str = "value") -> "Relation":
+        """Collect the whole relation into one array record (reference:
+        pigpen.join/into, join.clj:225-244 — reduce with clojure.core/into).
+        Empty input → empty output, like reduce."""
+        c = _to_col(col) if col is not None else F.struct(*[F.col(x) for x in self.df.columns])
+        bag = F.collect_list(c)
+        if sort:
+            bag = F.sort_array(bag)
+        return self.reduce_rel(**{out_col: Fold(bag)})
+
+    def reduce_py(self, zero, seq_op, comb_op, finish=None, out_col: str = "value",
+                  out_type: str = "string") -> "Relation":
+        """Whole-relation fold with arbitrary Python fns and map-side
+        partials via treeAggregate (reference: pigpen.join/fold parallel
+        tree aggregation, join.clj:140-156, 280-314).  Empty → empty."""
+        df = self.df
+        if df.isEmpty():
+            return self._with(self.spark.createDataFrame([], schema=f"{out_col} {out_type}"))
+        rows = df.rdd.map(lambda r: r.asDict(recursive=True))
+        acc = rows.treeAggregate(zero, seq_op, comb_op)
+        fin = finish or (lambda x: x)
+        return self._with(self.spark.createDataFrame([(fin(acc),)], schema=f"{out_col} {out_type}"))
+
+    def join_multi(
+        self,
+        inputs: Sequence[tuple["Relation", ColumnLike]],
+        on: ColumnLike,
+        required: Sequence[bool] | None = None,
+        join_nils: bool = False,
+    ) -> "Relation":
+        """N-ary join in one call (reference signature: ``(join [(r1 :on f1)
+        (r2 :on f2) …] f)``, join.clj:360-401): each input tagged required
+        (inner side) / optional (outer side).  Compiles to a left-deep
+        chain of binary equi-joins — Catalyst/AQE reorders and picks
+        broadcast sides."""
+        rels: list[tuple[Relation, ColumnLike]] = [(self, on)] + list(inputs)
+        req = list(required or [True] * len(rels))
+        if len(req) != len(rels):
+            raise ValueError(
+                f"join_multi: required has {len(req)} entries for {len(rels)} inputs "
+                "(self counts as the first input)"
+            )
+        how_matrix = {
+            (True, True): "inner", (True, False): "left",
+            (False, True): "right", (False, False): "full",
+        }
+        out, out_req = rels[0][0], req[0]
+        out_key = rels[0][1]
+        for i in range(1, len(rels)):
+            rel_i, key_i = rels[i]
+            how = how_matrix[(out_req, req[i])]
+            out = out.join(rel_i, on=out_key, right_on=key_i, how=how, join_nils=join_nils)
+            out_req = out_req and req[i]
+        return out
+
+    def debug_tee(self, path: str, name: str) -> "Relation":
+        """Debug mode: persist this intermediate to a store and pass it
+        through (reference: oven.clj:163-184 ``debug`` rewrite teeing every
+        op to a store)."""
+        self.df.write.mode("overwrite").parquet(f"{path.rstrip('/')}/{name}")
+        return self._with(self.spark.read.parquet(f"{path.rstrip('/')}/{name}"))
+
+    def as_view(self, name: str) -> "Relation":
+        """Register as a temp view for spark.sql() interop (extension —
+        the reference has no SQL surface)."""
+        self.df.createOrReplaceTempView(name)
+        return self
+
     # -- I/O & actions (§2.1, §2.9) ----------------------------------------
 
     def store_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
@@ -467,6 +535,21 @@ class Relation:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+
+    def store_bucketed(self, table: str, bucket_by: Sequence[str], num_buckets: int,
+                       sort_by: Sequence[str] = (), mode: str = "overwrite",
+                       path: str | None = None) -> None:
+        """Bucketed table sink: pre-shuffles once at write time so future
+        equi-joins/aggs on ``bucket_by`` are EXCHANGE-FREE (the 100 TB
+        co-located-join strategy; the reference delegates this to Pig's
+        'merge' join strategy passthrough, script.clj:315-319).
+        ``path`` makes it an external table (data at an explicit location)."""
+        w = self.df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        if path:
+            w = w.option("path", path)
+        w.saveAsTable(table)
 
     def store_json(self, path: str, mode: str = "overwrite") -> None:
         """reference: store-json (io.clj:159-246)."""

@@ -95,6 +95,24 @@ def load_avro(spark: SparkSession, path: str, schema=None) -> Relation:
         ) from e
 
 
+def load_hadoop(
+    spark: SparkSession,
+    path: str,
+    input_format: str = "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+    key_class: str = "org.apache.hadoop.io.LongWritable",
+    value_class: str = "org.apache.hadoop.io.Text",
+) -> Relation:
+    """Arbitrary Hadoop InputFormat bridge (reference: InputFormatLoader,
+    pigpen-hadoop/src/main/clojure/pigpen/hadoop.clj:62-90) via
+    ``newAPIHadoopFile``.  Returns (key string, value string) rows."""
+    rdd = spark.sparkContext.newAPIHadoopFile(path, input_format, key_class, value_class)
+    return Relation(
+        spark.createDataFrame(
+            rdd.map(lambda kv: (str(kv[0]), str(kv[1]))), schema="key string, value string"
+        )
+    )
+
+
 def store_many(rel: Relation, *writers: Callable[[Relation], None]) -> None:
     """Module-level alias of :meth:`Relation.store_many`."""
     rel.store_many(*writers)
