@@ -699,6 +699,35 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cogroup_fold",
+    """
+    SELECT coalesce(c.k, o.k) AS key,
+           c.n AS n_cust,
+           round(o.total, 2) AS order_total
+    FROM (SELECT c_nationkey::BIGINT AS k, count(*) AS n FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT o_custkey % 40 AS k, sum(o_totalprice) AS total FROM orders GROUP BY 1) o
+      ON c.k IS NOT DISTINCT FROM o.k
+    """,
+)
+def q_cogroup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup with per-input :fold aggregation (join.clj:82-117;
+    fold-in-cogroup, join_test.clj:361-419): the fold replaces the bag and
+    runs with map-side partials — never materializing per-key bags."""
+    t = tables(spark, sf_dir)
+    cg = t["customer"].cogroup(
+        [(t["orders"], F.col("o_custkey") % 40)],
+        on=F.col("c_nationkey").cast("bigint"),
+        required=[False, False],
+        folds={0: fold.count(), 1: fold.sum_("o_totalprice")},
+    )
+    return cg.map(
+        key=F.col("key"),
+        n_cust=F.col("bag_0"),
+        order_total=F.round(F.col("bag_1"), 2),
+    ).df
+
+
+@register(
     "q_into",
     """
     SELECT string_agg(r_name, ',' ORDER BY r_name) AS value

@@ -398,12 +398,24 @@ class Relation:
         exprs = [_to_col(k) for k in keys] + [_to_col(v).alias(n) for n, v in named_keys.items()]
         return GroupedRelation(self, exprs)
 
+    def flatten_struct(self, col: str, drop: bool = True) -> "Relation":
+        """Expand a struct column into top-level columns (reference:
+        keyword-field-selector->bind, runtime.clj:107-128 — map values →
+        N native columns, used around store-parquet)."""
+        dt = self.df.schema[col].dataType
+        if not hasattr(dt, "fields"):
+            raise TypeError(f"flatten_struct: column {col!r} is {dt.simpleString()}, not a struct")
+        fields = [F.col(f"{col}.{f.name}").alias(f.name) for f in dt.fields]
+        keep = [c for c in self.df.columns if not (drop and c == col)]
+        return self._with(self.df.select(*keep, *fields))
+
     def cogroup(
         self,
         others: Sequence[tuple["Relation", ColumnLike]],
         on: ColumnLike,
         required: Sequence[bool] | None = None,
         bag_col: str = "bag",
+        folds: dict[int, "Fold"] | None = None,
     ) -> "Relation":
         """N-ary cogroup: key → one collected bag per input; empty bag → NULL.
 
@@ -417,16 +429,28 @@ class Relation:
         Implementation: per-input groupBy(collect_list) then null-safe full
         outer join on key — each input aggregates map-side (partial
         collect_list) before one shuffle each; no driver involvement.
+
+        ``folds[i]`` replaces input i's bag with an aggregate — the
+        reference's per-input ``:fold`` option (join.clj:82-117,
+        fold-in-cogroup tests join_test.clj:361-419): the fold runs WITH
+        map-side partials instead of materializing the bag.
         """
         inputs: list[tuple[Relation, ColumnLike]] = [(self, on)] + list(others)
         req = list(required or [True] * len(inputs))
+        folds = folds or {}
+        bad = [i for i in folds if not 0 <= i < len(inputs)]
+        if bad:
+            raise ValueError(f"cogroup: fold indexes {bad} out of range for {len(inputs)} inputs")
         grouped: list[DataFrame] = []
         for i, (rel, keyexpr) in enumerate(inputs):
             df = rel.df
             value_cols = list(df.columns)
             ki = f"__ppk_{i}"
             df = df.withColumn(ki, _to_col(keyexpr))
-            bag = F.collect_list(F.struct(*[F.col(c) for c in value_cols])).alias(f"{bag_col}_{i}")
+            if i in folds:
+                bag = Fold.to_column(folds[i]).alias(f"{bag_col}_{i}")
+            else:
+                bag = F.collect_list(F.struct(*[F.col(c) for c in value_cols])).alias(f"{bag_col}_{i}")
             grouped.append(df.groupBy(ki).agg(bag))
         out = grouped[0]
         for i in range(1, len(grouped)):

@@ -95,6 +95,23 @@ def load_avro(spark: SparkSession, path: str, schema=None) -> Relation:
         ) from e
 
 
+def load_pickle(spark: SparkSession, path: str, schema=None) -> Relation:
+    """Pickled-row binary files — the Python-idiomatic analog of the
+    reference's nippy BinStorage (load-binary, io.clj:30-35): arbitrary
+    Python values serialized per record.  Reads SequenceFiles written by
+    :func:`store_pickle`."""
+    rdd = spark.sparkContext.pickleFile(path)
+    if schema is not None:
+        return Relation(spark.createDataFrame(rdd, schema=schema))
+    return Relation(spark.createDataFrame(rdd))
+
+
+def store_pickle(rel: Relation, path: str) -> None:
+    """Write rows as pickled Python dicts (nippy-rows analog).  Use for
+    debug/interchange only — parquet is the real internal format."""
+    rel.df.rdd.map(lambda r: r.asDict(recursive=True)).saveAsPickleFile(path)
+
+
 def load_hadoop(
     spark: SparkSession,
     path: str,
