@@ -824,6 +824,84 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.group_by("n_name").fold(n=fold.count()).df
 
 
+@register(
+    "q_asof_join",
+    """
+    WITH r AS (
+      SELECT user_id, date_trunc('second', ts) AS s,
+             arg_max(event_id, event_id) AS pid,
+             arg_max(value, event_id) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_id, user_id, date_trunc('second', ts) AS s
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT l.event_id, l.user_id, r.pid, r.pval
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.s >= r.s
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension — absent from the reference, SURVEY §2.3):
+    for each click, the latest purchase by the same user at-or-before it.
+    Union+window formulation — one shuffle on the key, no range blowup.
+    Timestamps truncated to seconds on both sides (the events table is
+    nanosecond-precision, which the two engines truncate differently)."""
+    from pigpen_spark.operators.joins import as_of_join
+
+    ev = tables(spark, sf_dir)["events"].df.withColumn("s", F.date_trunc("second", F.col("ts")))
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "s")
+        .agg(F.max_by("event_id", "event_id").alias("pid"), F.max_by("value", "event_id").alias("pval"))
+    )
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "s")
+    out = as_of_join(left, right, on="user_id", left_ts="s", right_ts="s", payload=["pid", "pval"])
+    return out.select("event_id", "user_id", "pid", "pval")
+
+
+@register(
+    "q_salted_join",
+    """
+    SELECT o.o_orderkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew-join (extension; the reference passes skew handling to
+    Pig's 'skewed' strategy).  The oracle is the PLAIN join — salting must
+    be row-identical to the unsalted join, just differently partitioned."""
+    from pigpen_spark.operators.joins import salted_join
+
+    t = tables(spark, sf_dir)
+    out = salted_join(t["orders"].df, t["customer"].df, on="o_custkey", right_on="c_custkey", salt=8)
+    return out.select("o_orderkey", "c_mktsegment")
+
+
+@register(
+    "q_quantiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice::DOUBLE, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice::DOUBLE, 0.95), 2) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (extension; percentile ≡
+    quantile_cont definition)."""
+    o = tables(spark, sf_dir)["orders"]
+    q = fold.quantiles("o_totalprice", [0.5, 0.95])
+    return (
+        o.group_by("o_orderpriority")
+        .fold(
+            p50=q.post(lambda c: F.round(F.element_at(c, 1), 2)),
+            p95=fold.quantiles("o_totalprice", [0.5, 0.95]).post(lambda c: F.round(F.element_at(c, 2), 2)),
+        )
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # sample (statistical check only — nondeterministic, no oracle)
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ Composition combinators mirror fold.clj:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from typing import Any
 
 from pyspark.sql import Column
@@ -140,6 +141,20 @@ def approx_count_distinct(col: Any, rsd: float = 0.05) -> Fold:
     """Extension beyond the reference (SURVEY §2.4: no approximate
     aggregates there) — HLL sketch, mergeable map-side."""
     return Fold(F.approx_count_distinct(_c(col), rsd), "approx_count_distinct")
+
+
+def quantiles(col: Any, probs: Sequence[float]) -> Fold:
+    """Exact interpolated quantiles (extension; SURVEY §2.4 notes the
+    reference has none).  Spark ``percentile`` and ANSI ``quantile_cont``
+    share the (n−1)·p linear-interpolation definition, so results are
+    engine-portable.  For 100 TB use approx_percentile instead (sketch,
+    mergeable map-side) — exact percentile shuffles the full column."""
+    return Fold(F.percentile(_c(col), F.array(*[F.lit(p) for p in probs])), "quantiles")
+
+
+def approx_quantiles(col: Any, probs: Sequence[float], accuracy: int = 10000) -> Fold:
+    """KLL/GK-sketch quantiles — the scale path (mergeable partials)."""
+    return Fold(F.percentile_approx(_c(col), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)), "approx_quantiles")
 
 
 def juxt(*folds: Fold) -> list[Fold]:

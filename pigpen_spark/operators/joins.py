@@ -1,0 +1,109 @@
+"""Join extensions beyond the reference: as-of joins and skew salting.
+
+The reference has no theta/range/as-of joins and delegates skew handling to
+Pig's ``skewed`` strategy passthrough (SURVEY §2.3 note; script.clj:315-319).
+These are first-class here because both are daily needs of large-scale
+event/training pipelines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: Sequence[str] = (),
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for every left row, attach the payload of the
+    LATEST right row with ``right_ts <= left_ts`` for the same key (the
+    time-series point-in-time lookup; DuckDB/kdb ``ASOF JOIN``).
+
+    Implementation is the union+window formulation — one shuffle on the
+    key, no range cross-product, state linear in rows:
+
+    1. union both sides tagged left/right, right payload as a struct;
+    2. running ``last(payload, ignorenulls)`` over (key, ts, right-first)
+       — each left row sees the most recent right payload at-or-before it;
+    3. keep left rows; optionally null the match beyond ``tolerance``.
+
+    Ties (equal ts) match, like ASOF's ``>=``.  For determinism when the
+    right side has several rows at the same (key, ts), pre-aggregate it
+    (e.g. keep max-id per key+ts) before calling.
+    """
+    pay_struct = F.struct(
+        _c(right_ts).cast("double").alias("__rts"),
+        *[F.col(p) for p in payload],
+    )
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    l_tagged = left.select(
+        _c(on).alias("__k"),
+        _c(left_ts).cast("double").alias("__ts"),
+        F.lit(0).alias("__r"),
+        lrow.alias("__lrow"),
+        F.lit(None).cast(
+            right.select(pay_struct.alias("p")).schema["p"].dataType.simpleString()
+        ).alias("__pay"),
+    )
+    r_tagged = right.select(
+        _c(on).alias("__k"),
+        _c(right_ts).cast("double").alias("__ts"),
+        F.lit(1).alias("__r"),
+        F.lit(None).cast(
+            left.select(lrow.alias("l")).schema["l"].dataType.simpleString()
+        ).alias("__lrow"),
+        pay_struct.alias("__pay"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__pay", ignorenulls=True).over(w)).filter(F.col("__r") == 0)
+    if tolerance_seconds is not None:
+        matched = matched.withColumn(
+            "__m",
+            F.when(F.col("__ts") - F.col("__m.__rts") <= tolerance_seconds, F.col("__m")),
+        )
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"__m.{p}").alias(p) for p in payload]
+    return matched.select(*out_cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str | None = None,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: left rows get a per-row salt bucket, the right
+    side is replicated ``salt``× — a hot key's rows spread over ``salt``
+    reducers instead of one straggler.
+
+    Use when one side has pathological key skew AND the small side fits
+    ``salt``-fold replication (right side should be the smaller one).
+    AQE's skew-join split handles moderate skew automatically; salting is
+    the explicit big-hammer for extreme single-key skew.  Result is
+    row-identical to the unsalted join (oracle-verified: q_salted_join).
+    """
+    right_on = right_on or on
+    lsalt = F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+    l = left.withColumn("__lsalt", lsalt)
+    r = right.withColumn("__rsalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    cond = (l["__lsalt"] == r["__rsalt"]) & (l[on] == r[right_on])
+    return l.join(r, on=cond, how=how).drop("__lsalt", "__rsalt")

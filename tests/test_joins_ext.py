@@ -1,0 +1,63 @@
+"""As-of join and salted skew-join (operators/joins.py)."""
+
+from pyspark.sql import functions as F
+
+from pigpen_spark.operators.joins import as_of_join, salted_join
+from pigpen_spark.relation import return_
+
+
+def ts(sec):
+    import datetime
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec)
+
+
+class TestAsOf:
+    def test_backward_match(self, spark):
+        left = return_(spark, [(1, ts(10), "l1"), (1, ts(25), "l2"), (2, ts(5), "l3")],
+                       "k long, ts timestamp, lid string").df
+        right = return_(spark, [(1, ts(5), "r1"), (1, ts(20), "r2"), (2, ts(50), "r3")],
+                        "k long, ts timestamp, rid string").df
+        out = as_of_join(left, right, on="k", payload=["rid"])
+        got = {r["lid"]: r["rid"] for r in out.collect()}
+        # l1@10 → r1@5; l2@25 → r2@20; l3@5 → nothing (r3@50 is later)
+        assert got == {"l1": "r1", "l2": "r2", "l3": None}
+
+    def test_equal_ts_matches(self, spark):
+        left = return_(spark, [(1, ts(10), "l1")], "k long, ts timestamp, lid string").df
+        right = return_(spark, [(1, ts(10), "r1")], "k long, ts timestamp, rid string").df
+        out = as_of_join(left, right, on="k", payload=["rid"])
+        assert out.collect()[0]["rid"] == "r1"  # >= semantics: ties match
+
+    def test_tolerance(self, spark):
+        left = return_(spark, [(1, ts(100), "l1")], "k long, ts timestamp, lid string").df
+        right = return_(spark, [(1, ts(10), "r1")], "k long, ts timestamp, rid string").df
+        out = as_of_join(left, right, on="k", payload=["rid"], tolerance_seconds=30)
+        assert out.collect()[0]["rid"] is None  # 90s gap > 30s tolerance
+        out2 = as_of_join(left, right, on="k", payload=["rid"], tolerance_seconds=120)
+        assert out2.collect()[0]["rid"] == "r1"
+
+
+class TestSalted:
+    def test_result_matches_plain_join(self, spark):
+        # heavy skew: 900 of 1000 left rows share key 7
+        left_rows = [(7 if i < 900 else i % 50, i) for i in range(1000)]
+        left = return_(spark, left_rows, "k long, lid long").df
+        right = return_(spark, [(i, f"v{i}") for i in range(50)], "rk long, v string").df
+        salted = salted_join(left, right, on="k", right_on="rk", salt=8)
+        plain = left.join(right, left["k"] == right["rk"])
+        assert salted.count() == plain.count()
+        s = {(r["lid"], r["v"]) for r in salted.collect()}
+        p = {(r["lid"], r["v"]) for r in plain.collect()}
+        assert s == p
+
+    def test_salt_spreads_hot_key(self, spark):
+        left = return_(spark, [(7, i) for i in range(800)], "k long, lid long").df
+        right = return_(spark, [(7, "x")], "rk long, v string").df
+        salted = salted_join(left, right, on="k", right_on="rk", salt=8)
+        # the hot key's rows hash to 8 distinct (salt, key) shuffle keys
+        n_buckets = (
+            left.withColumn("s", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+            .select("s").distinct().count()
+        )
+        assert n_buckets > 1
+        assert salted.count() == 800
