@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pigpen_spark.session import get_spark  # noqa: E402
 from pigpen_spark import catalog  # noqa: E402
+from pigpen_spark import catalog_ext  # noqa: E402,F401 — registers ext_* queries
 
 #: Headline queries — the scale-sensitive subset (full catalog runs in the
 #: correctness gate; bench focuses on shuffles/joins/aggs that dominate at
@@ -38,6 +39,12 @@ HEADLINE = [
     "q_intersection_multiset",
     "q_difference_multiset",
     "q_rank",
+    # extension operators (training-data pipeline)
+    "q_asof_join",
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_ann_brute",
+    "ext_text_stats",
 ]
 
 

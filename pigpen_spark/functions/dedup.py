@@ -49,19 +49,28 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # -- MinHash + LSH ----------------------------------------------------------
 
 
-def minhash_signature(col, k: int = 12, shingle_n: int = 3) -> Column:
-    """k-permutation MinHash over word shingles.
-
-    Permutation s is simulated by min over shingles of ``md5(s || '|' ||
-    shingle)`` — md5 is the portable random oracle; lexicographic min of
-    hex strings is a valid uniform min-hash."""
-    sh = shingles(col, shingle_n)
+def minhash_from_shingles(sh: Column, k: int = 12) -> Column:
+    """MinHash signature from an ALREADY-MATERIALIZED shingle array column.
+    Keep shingle construction in its own projection — expressions passed
+    into lambda bodies are re-evaluated once per outer element (k× here)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda s: F.array_min(
             F.transform(sh, lambda x: F.md5(F.concat(s.cast("string"), F.lit("|"), x)))
         ),
     )
+
+
+def minhash_signature(col, k: int = 12, shingle_n: int = 3) -> Column:
+    """k-permutation MinHash over word shingles.
+
+    Permutation s is simulated by min over shingles of ``md5(s || '|' ||
+    shingle)`` — md5 is the portable random oracle; lexicographic min of
+    hex strings is a valid uniform min-hash.
+
+    NOTE: single-expression form (shingle construction inlined k×); for
+    the efficient two-step form see :func:`minhash_candidates`."""
+    return minhash_from_shingles(shingles(col, shingle_n), k)
 
 
 def minhash_signature_sql(col: str, k: int = 12, shingle_n: int = 3) -> str:
@@ -96,10 +105,25 @@ def minhash_candidates(
     the two signatures.  The join key (band, bhash) is high-cardinality ⇒
     well-distributed shuffle; no cross product anywhere."""
     r = k // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(content_col), k, shingle_n).alias("sig"),
+    # Two-step materialization, then persist:
+    # 1. shingles as a real column (else the split/slice tree re-evaluates
+    #    inside each of the k seed lambdas — k× blowup);
+    # 2. signatures persisted (else recomputed in every band-explode row
+    #    and BOTH sides of the self-join — another 2(bands)× blowup).
+    # At cluster scale the persisted set is (n_docs × k hashes) — tiny
+    # next to the corpus; spill-to-disk safe.
+    # Both steps persisted: without the first persist, Catalyst's
+    # ProjectCollapsing merges the selects and re-inlines the shingle tree
+    # into each of the k seed lambdas anyway.
+    # repartition first: signature compute is CPU-bound, and a small doc
+    # corpus can sit in one scan partition — spread it across all cores.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh_df = (
+        df.repartition(par)
+        .select(F.col(id_col).alias("id"), shingles(F.col(content_col), shingle_n).alias("__sh"))
+        .persist()
     )
+    sigs = sh_df.select("id", minhash_from_shingles(F.col("__sh"), k).alias("sig")).persist()
     banded = sigs.select("id", "sig", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -163,22 +187,43 @@ def ngram_jaccard_pairs(
 _HEX = "0123456789abcdef"
 
 
+def simhash_from_tokens(toks: Column, bits: int = 32) -> Column:
+    """SimHash from an already-materialized token array column (see
+    :func:`minhash_from_shingles` for why materialization matters: the
+    token expression would otherwise re-evaluate in each bit lambda).
+
+    Bits beyond 32 draw from a second digest ``md5(token || '#2')`` (and
+    so on every 32 bits) since one md5 has only 32 hex digits."""
+    n = F.size(toks)
+
+    def hexdigit(t: Column, i: Column) -> Column:
+        # digest index = (i-1) // 32, position within digest = (i-1) % 32 + 1
+        digest = F.md5(
+            F.concat(t, F.when((i - 1) / 32 < 1, F.lit("")).otherwise(
+                F.concat(F.lit("#"), F.floor((i - 1) / 32).cast("string"))
+            ))
+        )
+        pos = ((i - 1) % 32) + 1
+        return F.conv(F.substring(digest, pos, 1), 16, 10).cast("bigint")
+
+    def bit(i: Column) -> Column:
+        s = F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + hexdigit(t, i),
+        )
+        return F.when(s * 2 >= n.cast("bigint") * 15, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.array_join(F.transform(F.sequence(F.lit(1), F.lit(bits)), bit), "")
+
+
 def simhash(col, bits: int = 32) -> Column:
     """32-bit SimHash as a '0'/'1' string.
 
     Bit i is the sign of Σ_tokens (hexdigit_i(md5(token)) − 7.5): documents
     sharing most tokens land within small hamming distance.  Uses md5's 32
     hex digits as 32 independent 4-bit hash values — portable everywhere."""
-    toks = tokens(col)
-    n = F.size(toks)
-    def bit(i: Column) -> Column:
-        s = F.aggregate(
-            toks,
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + F.conv(F.substring(F.md5(t), i, 1), 16, 10).cast("bigint"),
-        )
-        return F.when(s * 2 >= n.cast("bigint") * 15, F.lit("1")).otherwise(F.lit("0"))
-    return F.array_join(F.transform(F.sequence(F.lit(1), F.lit(bits)), bit), "")
+    return simhash_from_tokens(tokens(col), bits)
 
 
 def simhash_sql(col: str, bits: int = 32) -> str:
@@ -204,13 +249,23 @@ def hamming(a: Column, b: Column, bits: int = 32) -> Column:
 
 def simhash_candidates(
     df: DataFrame, id_col: str, content_col: str,
-    bits: int = 32, chunks: int = 4, max_hamming: int = 3,
+    bits: int = 64, chunks: int = 4, max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on any equal ``bits/chunks``-bit
     chunk (pigeonhole guarantees recall for hamming ≤ chunks−1), verify
-    hamming ≤ ``max_hamming`` on candidates only."""
+    hamming ≤ ``max_hamming`` on candidates only.
+
+    Default 64 bits: 32-bit fingerprints collide heavily on
+    shared-vocabulary corpora (observed 187k candidate pairs on 5k
+    synthetic docs at 32-bit)."""
     w = bits // chunks
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(content_col), bits).alias("sh"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok_df = (
+        df.repartition(par)
+        .select(F.col(id_col).alias("id"), tokens(F.col(content_col)).alias("__t"))
+        .persist()
+    )
+    sh = tok_df.select("id", simhash_from_tokens(F.col("__t"), bits).alias("sh")).persist()
     chunked = sh.select(
         "id", "sh",
         F.explode(

@@ -135,10 +135,12 @@ def lsh_topk(
     Bucket cardinality ≈ n/2^planes keeps per-bucket work bounded; at
     scale add multiple hash tables (union of several plane sets) for
     recall."""
+    # persist: bucket expressions would otherwise recompute on both sides
+    # of the self-join (each bucket is n_planes × dim md5-derived ops)
     tagged = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
+    ).persist()
     a, b = tagged.alias("a"), tagged.alias("b")
     scored = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")))
