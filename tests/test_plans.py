@@ -1,0 +1,85 @@
+"""Physical-plan regression tests — the scale guarantees, asserted.
+
+A correctness-green query can still be a scale regression (lost broadcast,
+lost pushdown, lost partial aggregation).  These tests pin the plan
+properties that matter at 100 TB, on the real catalog queries.
+"""
+
+import pytest
+
+from pigpen_spark import catalog, catalog_ext  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = catalog.queries()
+
+    def get(name: str) -> str:
+        df = qs[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return get
+
+
+def test_q1_partial_aggregation(plans):
+    # map-side combine: two HashAggregates (partial + final) around ONE exchange
+    p = plans("q1_groupby_fold")
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in p
+
+
+def test_q1_filter_pushdown(plans):
+    p = plans("q1_groupby_fold")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_q1_column_pruning(plans):
+    # only the 6 referenced columns reach the scan, not all 11
+    p = plans("q1_groupby_fold")
+    assert "l_comment" not in p
+    assert "l_orderkey" not in p  # unused by q1
+    assert "l_quantity" in p
+
+
+def test_q5_broadcasts_dimensions(plans):
+    p = plans("q5_multi_join")
+    assert p.count("BroadcastHashJoin") >= 3  # supplier/customer/nation/region sides
+
+
+def test_q3_broadcast_join(plans):
+    assert "BroadcastHashJoin" in plans("q3_join_agg")
+
+
+def test_semi_join_broadcasts_keys(plans):
+    assert "BroadcastHashJoin" in plans("q_semi_filter_by")
+
+
+def test_sort_take_is_take_ordered(plans):
+    # orderBy.limit must compile to TakeOrderedAndProject — never a total sort
+    p = plans("q_sort_take")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_map_py_single_arrow_crossing(plans):
+    # the fused python chain crosses the Arrow boundary exactly once
+    p = plans("q_map_py")
+    assert p.count("MapInPandas") == 1
+
+
+def test_events_window_partial_agg(plans):
+    assert plans("q_events_window").count("HashAggregate") >= 2
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    # no catalog query may degrade to a cartesian/broadcast nested loop,
+    # except the deliberate all-pairs extensions (brute-force similarity)
+    allowed = {"ext_embed_near_dup", "ext_ann_brute", "q_sample"}
+    qs = catalog.queries()
+    offenders = []
+    for name, fn in qs.items():
+        if name in allowed:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []

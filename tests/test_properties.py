@@ -1,0 +1,141 @@
+"""Property-based differential tests (hypothesis).
+
+The reference achieves semantic confidence by running one test corpus on
+four backends (SURVEY §5.1).  Our analog: random inputs, engine results
+checked against a pure-Python model of the reference's documented
+semantics (multiset algebra, fold algebra, null-key joins).
+
+The reference itself has NO property-based tests (SURVEY §5.2) — this is
+an extension of its strategy.
+"""
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pigpen_spark.relation import return_
+
+SET_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+small_ints = st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=12)
+
+
+def rel_of(spark, xs):
+    if not xs:
+        return return_(spark, [], "x long")
+    return return_(spark, [(int(v),) for v in xs], "x long")
+
+
+def multiset(rel):
+    return Counter(r["x"] for r in rel.df.collect())
+
+
+@pytest.mark.usefixtures("spark")
+class TestMultisetAlgebra:
+    """set_test.clj:25-122 semantics under random multisets."""
+
+    @given(a=small_ints, b=small_ints)
+    @settings(**SET_SETTINGS)
+    def test_concat(self, spark, a, b):
+        assert multiset(rel_of(spark, a).concat(rel_of(spark, b))) == Counter(a) + Counter(b)
+
+    @given(a=small_ints, b=small_ints)
+    @settings(**SET_SETTINGS)
+    def test_intersection_multiset(self, spark, a, b):
+        got = multiset(rel_of(spark, a).intersection_multiset(rel_of(spark, b)))
+        assert got == Counter(a) & Counter(b)
+
+    @given(a=small_ints, b=small_ints)
+    @settings(**SET_SETTINGS)
+    def test_difference_multiset(self, spark, a, b):
+        got = multiset(rel_of(spark, a).difference_multiset(rel_of(spark, b)))
+        assert got == Counter(a) - Counter(b)
+
+    @given(a=small_ints, b=small_ints)
+    @settings(**SET_SETTINGS)
+    def test_difference_set_semantics(self, spark, a, b):
+        got = set(multiset(rel_of(spark, a).difference(rel_of(spark, b))))
+        assert got == set(a) - set(b)
+
+    @given(a=small_ints, b=small_ints)
+    @settings(**SET_SETTINGS)
+    def test_union_distinct(self, spark, a, b):
+        got = multiset(rel_of(spark, a).union(rel_of(spark, b)))
+        assert got == Counter(set(a) | set(b))
+
+
+kv_lists = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 3)), st.integers(0, 50)),
+    min_size=0, max_size=10,
+)
+
+
+def kv_rel(spark, rows, vname="v"):
+    return return_(spark, [(k, int(v)) for k, v in rows], f"k int, {vname} long")
+
+
+@pytest.mark.usefixtures("spark")
+class TestJoinSemantics:
+    """join_test.clj nil-key matrix under random nullable-key tables."""
+
+    @given(a=kv_lists, b=kv_lists)
+    @settings(**SET_SETTINGS)
+    def test_inner_join_null_keys_never_match(self, spark, a, b):
+        j = kv_rel(spark, a).join(kv_rel(spark, b, "w").map(k2=F.col("k"), w=F.col("w")),
+                                  on="k", right_on="k2")
+        got = Counter((r["v"], r["w"]) for r in j.df.collect())
+        want = Counter(
+            (va, vb) for ka, va in a for kb, vb in b
+            if ka is not None and ka == kb
+        )
+        assert got == want
+
+    @given(a=kv_lists, b=kv_lists)
+    @settings(**SET_SETTINGS)
+    def test_join_nils_null_keys_match(self, spark, a, b):
+        j = kv_rel(spark, a).join(kv_rel(spark, b, "w").map(k2=F.col("k"), w=F.col("w")),
+                                  on="k", right_on="k2", join_nils=True)
+        got = Counter((r["v"], r["w"]) for r in j.df.collect())
+        want = Counter((va, vb) for ka, va in a for kb, vb in b if ka == kb)
+        assert got == want
+
+    @given(a=kv_lists, keys=st.lists(st.one_of(st.none(), st.integers(0, 3)), max_size=6))
+    @settings(**SET_SETTINGS)
+    def test_filter_by_multiplicities(self, spark, a, keys):
+        krel = return_(spark, [(k,) for k in keys], "kk int")
+        out = kv_rel(spark, a).filter_by("k", krel)
+        got = Counter(r["v"] for r in out.df.collect())
+        want = Counter(v for k, v in a for kk in keys if k == kk or (k is None and kk is None))
+        assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+class TestFoldProperties:
+    @given(rows=kv_lists)
+    @settings(**SET_SETTINGS)
+    def test_group_fold_sum_count(self, spark, rows):
+        from pigpen_spark import fold
+        out = kv_rel(spark, rows).group_by("k").fold(s=fold.sum_("v"), n=fold.count())
+        got = {r["k"]: (r["s"], r["n"]) for r in out.df.collect()}
+        want: dict = {}
+        for k, v in rows:
+            s, n = want.get(k, (0, 0))
+            want[k] = (s + v, n + 1)
+        assert got == want
+
+    @given(rows=small_ints)
+    @settings(**SET_SETTINGS)
+    def test_reduce_empty_iff_input_empty(self, spark, rows):
+        from pigpen_spark import fold
+        out = rel_of(spark, rows).reduce_rel(s=fold.sum_("x")).df.collect()
+        if rows:
+            assert len(out) == 1 and out[0]["s"] == sum(rows)
+        else:
+            assert out == []
