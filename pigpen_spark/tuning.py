@@ -1,0 +1,61 @@
+"""Scale-aware configuration helpers.
+
+The reference exposes ``{:parallel n}`` hints and delegates everything else
+to Pig/Hadoop (SURVEY §4.4).  On Spark the equivalent knobs are shuffle
+width, scan split size, and broadcast threshold; this module centralizes
+the arithmetic so pipelines can self-configure from their input size
+instead of hard-coding cluster lore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Target size of one shuffle partition's input.  100-200 MiB keeps a
+#: partition comfortably in executor memory (with 2-4× expansion during
+#: sort/agg) while amortizing task overhead.
+TARGET_SHUFFLE_PARTITION_BYTES = 150 * 1024 * 1024
+
+#: Don't let shuffle width drop below total cores (idle executors) or
+#: explode past this cap (scheduler pressure; AQE coalesces downward).
+MAX_SHUFFLE_PARTITIONS = 20000
+
+
+def estimate_shuffle_partitions(input_bytes: int, cores: int) -> int:
+    """Shuffle width for a job over ``input_bytes`` of (compressed) input.
+
+    At 100 TB: 100e12 / 150 MiB ≈ 670k → capped to 20k initial partitions
+    and AQE splits skewed ones; in practice a 100 TB join keys its shuffle
+    on far less than the raw scan (column pruning + pushdown), so the cap
+    rarely binds.
+    """
+    by_size = input_bytes // TARGET_SHUFFLE_PARTITION_BYTES + 1
+    return int(max(cores, min(by_size, MAX_SHUFFLE_PARTITIONS)))
+
+
+def input_size_bytes(df: DataFrame) -> int:
+    """Optimizer's estimate of the plan's input size (parquet footer
+    statistics — free, no scan)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
+
+
+def configure_for_input(spark: SparkSession, input_bytes: int) -> dict[str, str]:
+    """Set session knobs proportional to the input scale; returns what was
+    set.  Call once per job with the dominant table's size."""
+    cores = spark.sparkContext.defaultParallelism
+    conf = {
+        "spark.sql.shuffle.partitions": str(estimate_shuffle_partitions(input_bytes, cores)),
+        # scans: default 128 MiB splits; small local inputs benefit from
+        # parallelism more than split efficiency
+        "spark.sql.files.maxPartitionBytes": str(
+            128 * 1024 * 1024 if input_bytes > 4 * 1024**3 else 8 * 1024 * 1024
+        ),
+    }
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    return conf
+
+
+def auto_configure(spark: SparkSession, df: DataFrame) -> dict[str, str]:
+    """``configure_for_input`` driven by the plan's own statistics."""
+    return configure_for_input(spark, input_size_bytes(df))

@@ -93,6 +93,31 @@ class TestSortTakeSample:
         assert [(row["x"], row["index"]) for row in out.df.collect()] == [(1, 0), (2, 1), (3, 2)]
 
 
+class TestClosureCapture:
+    """reference: functional/code_test.clj:26-56 — user fns capture local
+    bindings; PigPen inlines them via `trap`, we get it from cloudpickle."""
+
+    def test_map_py_captures_locals(self, spark):
+        factor = 7
+        offset = [100]  # mutable capture
+        r = return_(spark, [(1,), (2,)], "x long")
+        out = r.map_py(lambda row: {"x": row["x"] * factor + offset[0]})
+        assert sorted(x["x"] for x in out.df.collect()) == [107, 114]
+
+    def test_filter_py_captures_set(self, spark):
+        keep = {2, 4}
+        r = return_(spark, [(i,) for i in range(6)], "x long")
+        out = r.filter_py(lambda row: row["x"] in keep)
+        assert sorted(x["x"] for x in out.df.collect()) == [2, 4]
+
+    def test_nested_function_capture(self, spark):
+        def make_adder(n):
+            return lambda row: {"x": row["x"] + n}
+        r = return_(spark, [(1,)], "x long")
+        out = r.map_py(make_adder(41))
+        assert out.df.collect()[0]["x"] == 42
+
+
 class TestSetOps:
     # set_test.clj:25-122 semantics (FIXTURES.md §3)
     def setup_rels(self, spark):
