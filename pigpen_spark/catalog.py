@@ -902,6 +902,61 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (extension): status columns per priority.  Spark's pivot with
+    explicit values avoids the extra distinct-values scan — always pass
+    values at scale."""
+    o = tables(spark, sf_dir)["orders"]
+    out = (
+        o.df.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "q_window_analytics",
+    """
+    SELECT event_id, user_id,
+           round(value - coalesce(lag(value) OVER w, value), 2) AS delta,
+           round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (extension — SURVEY §2.5: the reference
+    has only rank): lag-delta and a 3-row moving average per user.  One
+    shuffle on user_id serves both window frames."""
+    from pyspark.sql import Window
+
+    e = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return e.df.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")), 2).alias("delta"),
+        F.round(F.avg("value").over(wf), 4).alias("moving_avg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sample (statistical check only — nondeterministic, no oracle)
 # ---------------------------------------------------------------------------
