@@ -68,9 +68,9 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            (CASE WHEN len({_TOKS}) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
-           + least((len(list_filter({_TOKS},
+           + least(coalesce(len(list_filter({_TOKS},
                 t -> list_contains(['the','of','and','to','in','a','is','that','for','it'], t)))::DOUBLE
-                / len({_TOKS})) * 2, 0.3)
+                / nullif(len({_TOKS}), 0), 0.0) * 2, 0.3)
            + (CASE WHEN len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / len(text) < 0.05
                    THEN 0.3 ELSE 0.0 END) AS quality
     FROM documents

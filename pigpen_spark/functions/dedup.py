@@ -19,6 +19,12 @@ for 100 TB:
 
 All hashing is md5 (engine-portable) so each operator carries an exact
 DuckDB oracle.
+
+Persist lifetime: the candidate-pair operators persist their hash columns
+(required — Catalyst would re-inline the expression trees into every
+lambda/join branch otherwise).  Caches are session-lived; loops over many
+corpora should call :func:`pigpen_spark.tuning.clear_engine_caches`
+between iterations.
 """
 
 from __future__ import annotations

@@ -44,7 +44,8 @@ def norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: NULL (not an ANSI error) for zero-norm vectors
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def dot_sql(a: str, b: str) -> str:

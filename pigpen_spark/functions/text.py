@@ -94,33 +94,38 @@ def lang_id_sql(col: str) -> str:
 def punct_ratio(col) -> Column:
     """Fraction of non-alphanumeric/space characters."""
     n = F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit("[^a-z0-9 ]"), 0))
-    return n.cast("double") / F.length(_c(col)).cast("double")
+    # try_divide: Spark 4 is ANSI by default — a plain / THROWS on empty docs
+    return F.try_divide(n.cast("double"), F.length(_c(col)).cast("double"))
 
 
 def digit_ratio(col) -> Column:
     n = F.size(F.regexp_extract_all(_c(col), F.lit("[0-9]"), 0))
-    return n.cast("double") / F.length(_c(col)).cast("double")
+    return F.try_divide(n.cast("double"), F.length(_c(col)).cast("double"))
 
 
 def stopword_ratio(col) -> Column:
     """English stopword density — the classic fast quality signal."""
-    return stopword_count(col, "en").cast("double") / token_count(col).cast("double")
+    return F.try_divide(stopword_count(col, "en").cast("double"), token_count(col).cast("double"))
 
 
 def mean_token_len(col) -> Column:
-    return (
-        F.aggregate(tokens(col), F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
-        .cast("double") / token_count(col).cast("double")
+    return F.try_divide(
+        F.aggregate(tokens(col), F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).cast("double"),
+        token_count(col).cast("double"),
     )
 
 
 def quality_score(col) -> Column:
     """Composite document-quality score ∈ [0,1]: length band + stopword
-    density + low punctuation noise.  Deterministic arithmetic only."""
+    density + low punctuation noise.  Deterministic arithmetic only.
+
+    Zero-token documents score 0: the stopword ratio is 0/0 = NULL there,
+    and ``F.least`` SKIPS nulls (would award full credit) — hence the
+    coalesce."""
     ntok = token_count(col)
     return (
         F.when((ntok >= 10) & (ntok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.least(stopword_ratio(col) * 2, F.lit(0.3))
+        + F.least(F.coalesce(stopword_ratio(col), F.lit(0.0)) * 2, F.lit(0.3))
         + F.when(punct_ratio(col) < 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
     )
 

@@ -102,6 +102,12 @@ def salted_join(
     row-identical to the unsalted join (oracle-verified: q_salted_join).
     """
     right_on = right_on or on
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the right side is replicated "
+            f"{salt}x, so right/full outer joins would emit {salt} null-padded "
+            "copies of unmatched right rows; salt the other side instead"
+        )
     lsalt = F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
     l = left.withColumn("__lsalt", lsalt)
     r = right.withColumn("__rsalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))

@@ -218,14 +218,18 @@ class Relation:
         if order_by:
             w = Window.orderBy(*[_to_col(c) for c in order_by])
             idx = (F.row_number().over(w) - F.lit(1)).cast("long")
-        elif dense:
-            # zipWithIndex semantics without ordering: partition-offset trick
-            # would need two passes; monotonically_increasing_id is the
-            # scale-safe default for "some unique index".
-            idx = F.monotonically_increasing_id()
-        else:
-            idx = F.monotonically_increasing_id()
-        return self._with(self.df.withColumn(index_col, idx))
+            return self._with(self.df.withColumn(index_col, idx))
+        if dense:
+            # zipWithIndex semantics (0..n-1, arbitrary but stable order):
+            # RDD zipWithIndex = one count pass + per-partition offsets —
+            # scale-safe, but leaves the columnar path; use dense=False
+            # (monotonically_increasing_id) when only uniqueness matters.
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(list(self.df.schema.fields) + [StructField(index_col, LongType())])
+            rdd = self.df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+            return self._with(self.spark.createDataFrame(rdd, schema=schema))
+        return self._with(self.df.withColumn(index_col, F.monotonically_increasing_id()))
 
     # -- sort / limit / sample (§2.5) --------------------------------------
 
@@ -625,9 +629,9 @@ class Relation:
         self.df.explain(mode)
 
     def explain_str(self, mode: str = "formatted") -> str:
-        return self.df._jdf.queryExecution().explainString(  # noqa: SLF001
-            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-        )
+        from pigpen_spark.plans.viz import explain_str as _explain
+
+        return _explain(self.df, mode)
 
     # -- misc ---------------------------------------------------------------
 

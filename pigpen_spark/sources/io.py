@@ -22,7 +22,7 @@ from pigpen_spark.relation import Relation
 def load_string(spark: SparkSession, path: str) -> Relation:
     """One string per line (reference: load-string, io.clj:59-70;
     gz-aware reader local.clj:230-242)."""
-    return Relation(spark.read.text(path).withColumnRenamed("value", "value"))
+    return Relation(spark.read.text(path))
 
 
 def load_tsv(spark: SparkSession, path: str, delimiter: str = "\t",

@@ -87,9 +87,12 @@ def sessionize_stream(
 
 
 def dedup_stream(df: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "10 minutes") -> DataFrame:
-    """Streaming exact dedup: first occurrence per key wins; watermark
-    bounds the seen-keys state (the streaming form of exact_dedup)."""
-    return df.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+    """Streaming exact dedup: first occurrence PER KEY wins within the
+    watermark horizon; seen-keys state is evicted past the watermark
+    (``dropDuplicatesWithinWatermark`` — the streaming form of
+    exact_dedup).  A duplicate delivered later than the watermark delay
+    can re-emit — the standard at-least-once dedup tradeoff."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
 def running_totals(
@@ -98,11 +101,17 @@ def running_totals(
     value_col: str,
     ts_col: str,
     watermark: str = "10 minutes",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-key running
     (count, sum) across micro-batches — the reference's closest analog is
     reduce-side accumulation (pig/runtime.clj:194-240), here with explicit
-    keyed state and timeout-based eviction."""
+    keyed state.
+
+    ``idle_timeout_ms``: evict a key's state after that long without new
+    data (ProcessingTimeTimeout) — REQUIRED for unbounded key spaces, or
+    state grows forever.  None keeps totals for the stream's lifetime
+    (only safe for small, fixed key sets like event types)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = f"{key_col} string, n bigint, total double"
@@ -111,19 +120,27 @@ def running_totals(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf[value_col].sum())
         state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(key_col)
-        .applyInPandasWithState(
-            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
-        )
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
     )
 
 

@@ -59,3 +59,15 @@ def configure_for_input(spark: SparkSession, input_bytes: int) -> dict[str, str]
 def auto_configure(spark: SparkSession, df: DataFrame) -> dict[str, str]:
     """``configure_for_input`` driven by the plan's own statistics."""
     return configure_for_input(spark, input_size_bytes(df))
+
+
+def clear_engine_caches(spark: SparkSession) -> None:
+    """Release every DataFrame the engine has persisted.
+
+    Operators that self-join derived hash columns (minhash_candidates,
+    simhash_candidates, lsh_topk) and the two-phase global rank persist
+    intermediates so Catalyst can't re-inline their expression trees; the
+    caches live until session end (Spark evicts LRU under pressure).  In
+    a long-running driver that loops over many inputs, call this between
+    iterations."""
+    spark.catalog.clearCache()

@@ -64,7 +64,7 @@ def test_dedup_stream(spark, tmp_path):
     src = tmp_path / "in2"
     write_batch(src, [
         {"user": "a", "v": 1.0, "ts": "2024-01-01 00:00:00"},
-        {"user": "a", "v": 9.0, "ts": "2024-01-01 00:00:00"},  # dup key+ts
+        {"user": "a", "v": 9.0, "ts": "2024-01-01 00:00:30"},  # retry 30s later: same key
         {"user": "b", "v": 2.0, "ts": "2024-01-01 00:01:00"},
     ], "b0")
     rel = st.read_stream_json(spark, str(src), SCHEMA)
