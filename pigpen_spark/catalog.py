@@ -957,6 +957,50 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_json_extract",
+    """
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column access (the reference parses JSON only
+    at load time, io.clj:122-138; we also expose per-row path extraction)
+    — get_json_object stays JVM-side, no UDF.  try_cast: a malformed
+    value must yield NULL, not an ANSI cast error."""
+    e = tables(spark, sf_dir)["events"]
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint") % 10
+    return (
+        e.group_by(k_bucket=k)
+        .fold(n=fold.count(), total=fold.sum_("value").post(lambda c: F.round(c, 2)))
+        .df
+    )
+
+
+@register(
+    "q_cube",
+    """
+    SELECT r_name, n_name, count(*) AS n_supp
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE(r_name, n_name)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (extension; reference has none, SURVEY §2.4)."""
+    t = tables(spark, sf_dir)
+    joined = (
+        t["supplier"]
+        .join(t["nation"], on="s_nationkey", right_on="n_nationkey", broadcast_other=True)
+        .join(t["region"], on="n_regionkey", right_on="r_regionkey", broadcast_other=True)
+    )
+    return joined.df.cube("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_supp"))
+
+
 # ---------------------------------------------------------------------------
 # sample (statistical check only — nondeterministic, no oracle)
 # ---------------------------------------------------------------------------

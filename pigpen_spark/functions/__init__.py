@@ -6,3 +6,7 @@ directly; this package adds the large-scale training-data-pipeline
 operators the reference lacks: dedup, similarity search, text analysis,
 multimodal column plumbing.
 """
+
+from pigpen_spark.functions import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]
