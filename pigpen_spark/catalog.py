@@ -57,7 +57,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> Relation:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer DIV, not float /: current-era nanos (~1.7e18) exceed a
+        # double's 53-bit mantissa, so float division shifts ~12% of
+        # timestamps by 1µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return Relation(df)
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pigpen_spark.functions.text import shingles, shingles_sql, tokens
+from pigpen_spark.relation import spread
 
 
 # -- exact ------------------------------------------------------------------
@@ -121,11 +122,10 @@ def minhash_candidates(
     # Both steps persisted: without the first persist, Catalyst's
     # ProjectCollapsing merges the selects and re-inlines the shingle tree
     # into each of the k seed lambdas anyway.
-    # repartition first: signature compute is CPU-bound, and a small doc
-    # corpus can sit in one scan partition — spread it across all cores.
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # spread first: signature compute is CPU-bound, and a small doc
+    # corpus can sit in one scan partition (no-op on well-partitioned input).
     sh_df = (
-        df.repartition(par)
+        spread(df)
         .select(F.col(id_col).alias("id"), shingles(F.col(content_col), shingle_n).alias("__sh"))
         .persist()
     )
@@ -198,8 +198,9 @@ def simhash_from_tokens(toks: Column, bits: int = 32) -> Column:
     :func:`minhash_from_shingles` for why materialization matters: the
     token expression would otherwise re-evaluate in each bit lambda).
 
-    Bits beyond 32 draw from a second digest ``md5(token || '#2')`` (and
-    so on every 32 bits) since one md5 has only 32 hex digits."""
+    Bits beyond 32 draw from extended digests ``md5(token || '#1')``,
+    ``md5(token || '#2')``, … every 32 bits, since one md5 has only 32
+    hex digits."""
     n = F.size(toks)
 
     def hexdigit(t: Column, i: Column) -> Column:
@@ -233,11 +234,18 @@ def simhash(col, bits: int = 32) -> Column:
 
 
 def simhash_sql(col: str, bits: int = 32) -> str:
-    """DuckDB equivalent of :func:`simhash`."""
+    """DuckDB equivalent of :func:`simhash` — including the >32-bit
+    extended-digest scheme and the empty-token-list case (Spark's
+    aggregate over an empty array returns the 0 accumulator → all-'1'
+    fingerprint; DuckDB list_sum([]) is NULL, hence the coalesce)."""
     toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    digest = ("md5(t || CASE WHEN (i - 1) // 32 = 0 THEN '' "
+              "ELSE '#' || ((i - 1) // 32)::varchar END)")
+    pos = "((i - 1) % 32) + 1"
     return f"""
       array_to_string([
-        CASE WHEN list_sum([strpos('{_HEX}', substr(md5(t), i, 1)) - 1 for t in ({toks})]) * 2
+        CASE WHEN coalesce(list_sum([strpos('{_HEX}', substr({digest}, {pos}, 1)) - 1
+                                     for t in ({toks})]), 0) * 2
                   >= len({toks}) * 15
              THEN '1' ELSE '0' END
         for i in range(1, {bits + 1})], '')
@@ -265,9 +273,8 @@ def simhash_candidates(
     shared-vocabulary corpora (observed 187k candidate pairs on 5k
     synthetic docs at 32-bit)."""
     w = bits // chunks
-    par = df.sparkSession.sparkContext.defaultParallelism
     tok_df = (
-        df.repartition(par)
+        spread(df)
         .select(F.col(id_col).alias("id"), tokens(F.col(content_col)).alias("__t"))
         .persist()
     )

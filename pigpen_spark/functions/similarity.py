@@ -21,9 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _c(x) -> Column:
-    return x if isinstance(x, Column) else F.col(x)
+from pigpen_spark.relation import _to_col as _c
+from pigpen_spark.relation import spread
 
 
 def to_double(vec) -> Column:
@@ -71,11 +70,10 @@ def brute_force_topk(
         to_double(F.col(vec_col)).alias("q_vec"),
     ).withColumn("q_nrm", norm(F.col("q_vec")))
     # scoring is CPU-bound; small single-file corpora arrive in one scan
-    # partition — spread across cores (harmless at cluster scale).  Norms
-    # precomputed once per vector, not per pair.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # partition — spread() widens only when needed.  Norms precomputed
+    # once per vector, not per pair.
     c = (
-        corpus.repartition(par)
+        spread(corpus)
         .select(F.col(id_col).alias("n_id"), to_double(F.col(vec_col)).alias("n_vec"))
         .withColumn("n_nrm", norm(F.col("n_vec")))
     )
@@ -150,9 +148,8 @@ def lsh_topk(
     # persist: bucket expressions would otherwise recompute on both sides
     # of the self-join (each bucket is n_planes × dim md5-derived ops);
     # norms precomputed once per vector
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     tagged = (
-        corpus.repartition(par)
+        spread(corpus)
         .select(
             F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"),
             lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
@@ -186,9 +183,8 @@ def embedding_near_dup_pairs(
     Norms are computed ONCE per vector (persisted) — computing them per
     pair would triple the per-pair flops and was the dominant cost
     (107s → ~35s at 2000 vectors)."""
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     base = (
-        corpus.repartition(par)
+        spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
         .withColumn("nrm", norm(F.col("vec")))
         .persist()

@@ -32,8 +32,7 @@ _CJK_PATTERN = "[一-鿿]"
 BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 
 
-def _c(x) -> Column:
-    return x if isinstance(x, Column) else F.col(x)
+from pigpen_spark.relation import _to_col as _c  # noqa: E402 — shared coercion
 
 
 def tokens(col) -> Column:

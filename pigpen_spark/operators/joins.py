@@ -14,8 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _c(x) -> Column:
-    return x if isinstance(x, Column) else F.col(x)
+from pigpen_spark.relation import _to_col as _c  # noqa: E402 — shared coercion
 
 
 def as_of_join(

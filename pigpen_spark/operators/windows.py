@@ -13,8 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _c(x) -> Column:
-    return x if isinstance(x, Column) else F.col(x)
+from pigpen_spark.relation import _to_col as _c  # noqa: E402 — shared coercion
 
 
 def ranked(df: DataFrame, order_by: Sequence, index_col: str = "index",
@@ -38,7 +37,10 @@ def ranked(df: DataFrame, order_by: Sequence, index_col: str = "index",
         fn = F.row_number() if dense else F.rank()
         return df.withColumn(index_col, (fn.over(w) - F.lit(1)).cast("long"))
 
-    if not scale_safe:
+    if not scale_safe or not dense:
+        # tie-sharing rank (dense=False) needs tie-aware offsets that the
+        # two-phase path doesn't compute — fall back to the global window
+        # rather than silently emitting row_number for tied rows
         w = Window.orderBy(*orders)
         fn = F.row_number() if dense else F.rank()
         return df.withColumn(index_col, (fn.over(w) - F.lit(1)).cast("long"))

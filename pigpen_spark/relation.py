@@ -45,7 +45,22 @@ def _gensym(prefix: str) -> str:
 
 
 def _to_col(c: Any) -> Column:
+    """Canonical column coercion — import this rather than redefining it
+    (operators/functions modules share it)."""
     return c if isinstance(c, Column) else F.col(c)
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the frame has fewer partitions than cores.
+
+    CPU-bound stages (hash signatures, pairwise scores) on a small
+    single-file input arrive in one scan partition and serialize on one
+    core; but an unconditional repartition would be a full extra exchange
+    of an already-well-partitioned 100 TB input.  This is the guard."""
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
 
 
 ColumnLike = "Column | str"
@@ -278,15 +293,17 @@ class Relation:
         return self.concat(*others).distinct()
 
     def distinct(self, partition_by: ColumnLike | None = None, parallel: int | None = None) -> "Relation":
-        """reference: set.clj:104-125; {:partition-by f} → repartition first
-        (custom partitioner, PigPenPartitioner.java), {:parallel n} →
-        shuffle-width hint."""
-        df = self.df
+        """reference: set.clj:104-125.  The hints control the OUTPUT
+        partitioning (the reference's {:partition-by f} routed keys to
+        chosen reducers for downstream locality): Spark's distinct always
+        shuffles on all columns internally, so a pre-repartition would be
+        a wasted extra exchange — the hints apply after."""
+        df = self.df.distinct()
         if partition_by is not None:
-            df = df.repartition(*( [parallel] if parallel else [] ), _to_col(partition_by))
+            df = df.repartition(*([parallel] if parallel else []), _to_col(partition_by))
         elif parallel:
             df = df.repartition(parallel)
-        return self._with(df.distinct())
+        return self._with(df)
 
     def intersection(self, *others: "Relation") -> "Relation":
         """Distinct ∩, N-ary (reference: set.clj:199-221)."""
@@ -364,6 +381,21 @@ class Relation:
         for c in conds[1:]:
             cond = cond & c
         joined = ldf.join(rdf, on=cond, how=how).drop(*lkeys, *rkeys)
+        # same-named string keys must yield ONE key column regardless of
+        # join_nils (the USING-style fast path above returns one; leaving
+        # two here would make the schema depend on the join_nils flag and
+        # poison downstream F.col(name) with AMBIGUOUS_REFERENCE)
+        same_named = [
+            str(a) for a, b in zip(lk, rk)
+            if isinstance(a, str) and isinstance(b, str) and a == b
+        ]
+        for name in same_named:
+            joined = (
+                joined.withColumn(f"__ppmerge_{name}", F.coalesce(ldf[name], rdf[name]))
+                .drop(ldf[name])
+                .drop(rdf[name])
+                .withColumnRenamed(f"__ppmerge_{name}", name)
+            )
         return self._with(joined)
 
     def filter_by(self, key: ColumnLike, keys: "Relation", keys_col: ColumnLike | None = None,
@@ -452,10 +484,15 @@ class Relation:
             ki = f"__ppk_{i}"
             df = df.withColumn(ki, _to_col(keyexpr))
             if i in folds:
+                # a fold can legitimately be NULL for present keys (e.g.
+                # sum over all-NULL values) — carry an explicit presence
+                # count so the required-filter below doesn't drop them
                 bag = Fold.to_column(folds[i]).alias(f"{bag_col}_{i}")
+                cnt = F.count(F.lit(1)).alias(f"__ppcnt_{i}")
+                grouped.append(df.groupBy(ki).agg(bag, cnt))
             else:
                 bag = F.collect_list(F.struct(*[F.col(c) for c in value_cols])).alias(f"{bag_col}_{i}")
-            grouped.append(df.groupBy(ki).agg(bag))
+                grouped.append(df.groupBy(ki).agg(bag))
         out = grouped[0]
         for i in range(1, len(grouped)):
             g = grouped[i]
@@ -463,7 +500,9 @@ class Relation:
             out = out.withColumn("__ppk_0", F.coalesce(F.col("__ppk_0"), F.col(f"__ppk_{i}"))).drop(f"__ppk_{i}")
         for i, r in enumerate(req):
             if r:
-                out = out.filter(F.col(f"{bag_col}_{i}").isNotNull())
+                presence = F.col(f"__ppcnt_{i}") if i in folds else F.col(f"{bag_col}_{i}")
+                out = out.filter(presence.isNotNull())
+        out = out.drop(*[f"__ppcnt_{i}" for i in folds])
         return self._with(out.withColumnRenamed("__ppk_0", "key"))
 
     # -- whole-relation aggregation (§2.3-2.4) ------------------------------
@@ -528,17 +567,30 @@ class Relation:
                 f"join_multi: required has {len(req)} entries for {len(rels)} inputs "
                 "(self counts as the first input)"
             )
-        how_matrix = {
-            (True, True): "inner", (True, False): "left",
-            (False, True): "right", (False, False): "full",
-        }
-        out, out_req = rels[0][0], req[0]
-        out_key = rels[0][1]
-        for i in range(1, len(rels)):
-            rel_i, key_i = rels[i]
-            how = how_matrix[(out_req, req[i])]
-            out = out.join(rel_i, on=out_key, right_on=key_i, how=how, join_nils=join_nils)
-            out_req = out_req and req[i]
+        # Join order: ALL required inputs first (inner chain — a key must
+        # exist in every required input), THEN each optional input as a
+        # left join.  A naive left-deep fold in listed order gets this
+        # wrong: once an optional input downgrades the running side, a
+        # later required input would become a right/full join and keep
+        # rows that violate earlier required constraints.
+        required_ins = [rels[i] for i in range(len(rels)) if req[i]]
+        optional_ins = [rels[i] for i in range(len(rels)) if not req[i]]
+        if not required_ins:
+            if len(rels) == 2:
+                return rels[0][0].join(
+                    rels[1][0], on=rels[0][1], right_on=rels[1][1],
+                    how="full", join_nils=join_nils,
+                )
+            raise NotImplementedError(
+                "join_multi with every input optional and >2 inputs: use "
+                "cogroup(required=[False,...]) + per-bag flatten — an N-ary "
+                "full-outer flattened join needs key coalescing across inputs"
+            )
+        out, out_key = required_ins[0]
+        for rel_i, key_i in required_ins[1:]:
+            out = out.join(rel_i, on=out_key, right_on=key_i, how="inner", join_nils=join_nils)
+        for rel_i, key_i in optional_ins:
+            out = out.join(rel_i, on=out_key, right_on=key_i, how="left", join_nils=join_nils)
         return out
 
     def debug_tee(self, path: str, name: str) -> "Relation":

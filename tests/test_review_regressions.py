@@ -1,0 +1,89 @@
+"""Regression tests for the high-effort review findings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pigpen_spark import fold
+from pigpen_spark.relation import return_
+
+
+def test_join_multi_required_after_optional(spark):
+    # A(required), B(optional), C(required): keys absent from A must NOT
+    # appear even if C has them (was emitting them via a right join).
+    a = return_(spark, [("k1", 1)], "k string, a long")
+    b = return_(spark, [("k1", 10), ("k9", 90)], "kb string, b long")
+    c = return_(spark, [("k1", 100), ("k9", 900)], "kc string, c long")
+    out = a.join_multi(
+        [(b, F.col("kb")), (c, F.col("kc"))],
+        on=F.col("k"),
+        required=[True, False, True],
+    )
+    rows = [(r["a"], r["b"], r["c"]) for r in out.df.collect()]
+    assert rows == [(1, 10, 100)]  # no ('k9', ...) row
+
+
+def test_join_multi_all_optional_two_inputs(spark):
+    a = return_(spark, [("k1", 1)], "k string, a long")
+    b = return_(spark, [("k2", 20)], "kb string, b long")
+    out = a.join_multi([(b, F.col("kb"))], on=F.col("k"), required=[False, False])
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted(((r["a"], r["b"]) for r in out.df.collect()), key=key)
+    assert got == sorted([(1, None), (None, 20)], key=key)
+
+
+def test_join_multi_all_optional_many_raises(spark):
+    a = return_(spark, [("k1", 1)], "k string, a long")
+    b = return_(spark, [("k2", 2)], "kb string, b long")
+    c = return_(spark, [("k3", 3)], "kc string, c long")
+    with pytest.raises(NotImplementedError, match="cogroup"):
+        a.join_multi([(b, F.col("kb")), (c, F.col("kc"))],
+                     on=F.col("k"), required=[False, False, False])
+
+
+def test_cogroup_required_with_null_fold(spark):
+    # a key present in a required input whose fold is NULL (sum of NULLs)
+    # must stay in the output with a NULL fold value
+    left = return_(spark, [("k1", 1)], "k string, v long")
+    right = return_(spark, [("k1", None), ("k2", 5)], "k2 string, w long")
+    cg = left.cogroup(
+        [(right, F.col("k2"))], on=F.col("k"),
+        required=[False, True],
+        folds={1: fold.sum_("w")},
+    )
+    rows = {r["key"]: r["bag_1"] for r in cg.df.collect()}
+    assert rows == {"k1": None, "k2": 5}  # k1 kept despite NULL sum
+
+
+def test_join_nils_same_name_single_key_column(spark):
+    # schema must not depend on the join_nils flag: one merged 'k' column
+    a = return_(spark, [("x", 1), (None, 2)], "k string, va long")
+    b = return_(spark, [("x", 10), (None, 20)], "k string, vb long")
+    out = a.join(b, on="k", join_nils=True)
+    assert out.columns.count("k") == 1
+    rows = {(r["k"], r["va"], r["vb"]) for r in out.df.collect()}
+    assert rows == {("x", 1, 10), (None, 2, 20)}
+    # and downstream column references work (the old schema was ambiguous)
+    assert out.filter(F.col("k").isNull()).count() == 1
+
+
+def test_simhash_sql_64bit_parity(spark):
+    # simhash_sql must match simhash for bits>32 (extended digests)
+    import duckdb
+
+    from pigpen_spark.functions.dedup import simhash, simhash_sql
+    texts = ["the quick brown fox", "完全 另一个 文本", "one"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got_spark = {r["id"]: r["s"] for r in df.select("id", simhash("text", 64).alias("s")).collect()}
+    con = duckdb.connect()
+    sql = f"SELECT id, ({simhash_sql('text', 64)}) AS s FROM df"
+    con.register("df", __import__("pandas").DataFrame({"id": range(len(texts)), "text": texts}))
+    got_duck = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    assert got_spark == got_duck
+
+
+def test_ranked_dense_false_ties_share_rank(spark):
+    from pigpen_spark.operators.windows import ranked
+    df = return_(spark, [(10,), (10,), (20,)], "x long").df
+    out = ranked(df, ["x"], dense=False)
+    idx = sorted(r["index"] for r in out.collect())
+    assert idx == [0, 0, 2]  # F.rank semantics, not row_number
