@@ -247,6 +247,47 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb.df, k=5, n_planes=_PLANES, dim=_DIM)
 
 
+_IVF_C, _IVF_P = 16, 2
+_COS_AB = S.cosine_sql("a.embedding", "b.embedding")
+
+
+@register(
+    "ext_ann_ivf",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+      ORDER BY vec_id LIMIT {_IVF_C}
+    ),
+    cells AS (
+      SELECT e.vec_id AS id, e.embedding AS vec, c.cent_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ({S.cosine_sql('e.embedding', 'c.cent_vec')}) DESC, c.cent_id
+             ) AS crank
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (SELECT id, vec, cent_id AS cell FROM cells WHERE crank = 1),
+    probes   AS (SELECT id AS q_id, vec AS q_vec, cent_id AS cell FROM cells WHERE crank <= {_IVF_P}),
+    cand AS (
+      SELECT DISTINCT p.q_id, a.id AS n_id,
+             round({S.cosine_sql('p.q_vec', 'a.vec')}, 6) AS score
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.q_id <> a.id
+    )
+    SELECT q_id, n_id, score, rank FROM (
+      SELECT q_id, n_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-centroid cells + probed search — candidate
+    work ~n·(n_probe/n_centroids) instead of n² (the third ANN path next
+    to brute-force and hyperplane LSH)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.ivf_topk(emb.df, k=5, n_centroids=_IVF_C, n_probe=_IVF_P)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

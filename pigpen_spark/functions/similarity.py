@@ -173,6 +173,66 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_centroids: int = 16, n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantization + probed search.
+
+    A full IVF trains centroids with k-means; at pipeline scale a single
+    assignment pass against FIXED coarse centroids captures the plan
+    shape (this implementation uses the first ``n_centroids`` corpus
+    vectors by id — deterministic, broadcastable).  Each vector indexes
+    into its nearest centroid's cell; a query probes its ``n_probe``
+    nearest cells and ranks only those vectors — candidate work is
+    ~n·(n_probe/n_centroids) instead of n².
+
+    Plan: centroid table broadcast twice (cell assignment + probe
+    assignment), candidates joined on cell id — one shuffle keyed by
+    cell.  Swap the centroid source for real k-means output (e.g.
+    pyspark.ml KMeans) without touching the plan.
+    """
+    base = (
+        spread(corpus)
+        .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
+        .withColumn("nrm", norm(F.col("vec")))
+        .persist()
+    )
+    cents = (
+        base.orderBy("id").limit(n_centroids)
+        .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"), F.col("nrm").alias("cent_nrm"))
+    )
+    sim_to_cent = F.try_divide(
+        dot(F.col("vec"), F.col("cent_vec")), F.col("nrm") * F.col("cent_nrm")
+    )
+    scored_cells = base.crossJoin(F.broadcast(cents)).select(
+        "id", "vec", "nrm", "cent_id", sim_to_cent.alias("csim")
+    )
+    w_cell = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    # persist: assigned and probes both consume this — without a barrier
+    # the centroid-similarity cross join recomputes on each side
+    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(w_cell)).persist()
+    assigned = ranked_cells.filter(F.col("crank") == 1).select(
+        "id", "vec", "nrm", F.col("cent_id").alias("cell"))
+    probes = ranked_cells.filter(F.col("crank") <= n_probe).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"), F.col("cent_id").alias("cell"))
+    score = F.round(
+        F.try_divide(dot(F.col("q_vec"), F.col("vec")), F.col("q_nrm") * F.col("nrm")), 6)
+    cand = (
+        probes.join(assigned, on="cell")
+        .filter(F.col("q_id") != F.col("id"))
+        .select("q_id", F.col("id").alias("n_id"), score.alias("score"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95,

@@ -357,6 +357,11 @@ class Relation:
         Scale: equi-join → Catalyst picks broadcast/sort-merge/shuffled-hash
         via AQE; ``broadcast_other`` forces the hint for known-small dims.
         """
+        valid_how = {"inner", "left", "left_outer", "right", "right_outer",
+                     "full", "full_outer", "outer", "cross", "left_semi",
+                     "semi", "left_anti", "anti"}
+        if how not in valid_how:
+            raise ValueError(f"join: how={how!r} not one of {sorted(valid_how)}")
         lk = [on] if isinstance(on, (str, Column)) else list(on or [])
         rk = [right_on] if isinstance(right_on, (str, Column)) else list(right_on or lk)
         ldf, rdf = self.df, other.df

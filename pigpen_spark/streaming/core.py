@@ -144,6 +144,20 @@ def running_totals(
     )
 
 
+def stream_static_join(stream: DataFrame, static: DataFrame, on: str,
+                       right_on: str | None = None, how: str = "inner") -> DataFrame:
+    """Enrich a stream against a static dimension (the standard streaming
+    lookup-join): the static side is broadcast per micro-batch, no state.
+
+    For stream-stream joins use plain ``Relation.join`` on two watermarked
+    streams — Spark handles the state; both sides need watermarks."""
+    from pyspark.sql import functions as F
+
+    right_on = right_on or on
+    cond = stream[on] == static[right_on]
+    return stream.join(F.broadcast(static), on=cond, how=how)
+
+
 def write_stream_parquet(df: DataFrame, path: str, checkpoint: str, available_now: bool = False):
     """Streaming sink with exactly-once file output."""
     w = df.writeStream.format("parquet").option("path", path).option("checkpointLocation", checkpoint)

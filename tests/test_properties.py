@@ -116,6 +116,46 @@ class TestJoinSemantics:
         assert got == want
 
 
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=0, max_size=8)
+
+
+@pytest.mark.usefixtures("spark")
+class TestAsOfJoinProperty:
+    @given(left=asof_rows, right=asof_rows)
+    @settings(**SET_SETTINGS)
+    def test_asof_matches_bruteforce_model(self, spark, left, right):
+        import datetime
+
+        from pigpen_spark.operators.joins import as_of_join
+
+        def ts(s):
+            return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+        # dedupe right per (k, ts): keep max payload id (documented contract)
+        rmap: dict = {}
+        for i, (k, s) in enumerate(right):
+            key = (k, s)
+            rmap[key] = max(rmap.get(key, -1), i)
+        rrows = [(k, ts(s), rid) for (k, s), rid in rmap.items()]
+        lrows = [(i, k, ts(s)) for i, (k, s) in enumerate(left)]
+        if not lrows:
+            return
+        ldf = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+        rdf = (spark.createDataFrame(rrows, "k long, ts timestamp, rid long")
+               if rrows else spark.createDataFrame([], "k long, ts timestamp, rid long"))
+        out = as_of_join(ldf, rdf, on="k", payload=["rid"])
+        got = {r["lid"]: r["rid"] for r in out.collect()}
+        want = {}
+        for lid, k, lts in lrows:
+            best = None
+            for rk, rts, rid in rrows:
+                if rk == k and rts <= lts and (best is None or rts > best[0] or (rts == best[0] and rid > best[1])):
+                    best = (rts, rid)
+            want[lid] = best[1] if best else None
+        assert got == want
+
+
 @pytest.mark.usefixtures("spark")
 class TestFoldProperties:
     @given(rows=kv_lists)
