@@ -248,7 +248,6 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_C, _IVF_P = 16, 2
-_COS_AB = S.cosine_sql("a.embedding", "b.embedding")
 
 
 @register(

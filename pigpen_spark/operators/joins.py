@@ -111,4 +111,9 @@ def salted_join(
     l = left.withColumn("__lsalt", lsalt)
     r = right.withColumn("__rsalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     cond = (l["__lsalt"] == r["__rsalt"]) & (l[on] == r[right_on])
-    return l.join(r, on=cond, how=how).drop("__lsalt", "__rsalt")
+    joined = l.join(r, on=cond, how=how).drop("__lsalt", "__rsalt")
+    if on == right_on and how in ("inner", "left", "left_outer"):
+        # same-named keys: keep only the left copy so downstream by-name
+        # references aren't ambiguous (parity with Relation.join)
+        joined = joined.drop(r[right_on])
+    return joined

@@ -257,6 +257,8 @@ class Relation:
         exprs = [_to_col(c) for c in cols]
         if ascending is not None:
             asc = [ascending] * len(exprs) if isinstance(ascending, bool) else list(ascending)
+            if len(asc) != len(exprs):
+                raise ValueError(f"sort: {len(asc)} ascending flags for {len(exprs)} columns")
             exprs = [e.asc() if a else e.desc() for e, a in zip(exprs, asc)]
         return self._with(self.df.orderBy(*exprs))
 
@@ -367,6 +369,13 @@ class Relation:
         ldf, rdf = self.df, other.df
         rdf = F.broadcast(rdf) if broadcast_other else rdf
 
+        if not lk:
+            if how == "cross":
+                return self._with(ldf.crossJoin(rdf))
+            raise ValueError(f"join: no keys given and how={how!r} is not 'cross'")
+        if how == "cross":
+            raise ValueError("join: how='cross' takes no keys (omit on=)")
+
         if all(isinstance(c, str) for c in lk) and [str(c) for c in lk] == [str(c) for c in rk] and not join_nils:
             # same-named string keys: use USING-style join → output has ONE
             # key column, no ambiguity, and Catalyst prunes the duplicate.
@@ -389,8 +398,9 @@ class Relation:
         # same-named string keys must yield ONE key column regardless of
         # join_nils (the USING-style fast path above returns one; leaving
         # two here would make the schema depend on the join_nils flag and
-        # poison downstream F.col(name) with AMBIGUOUS_REFERENCE)
-        same_named = [
+        # poison downstream F.col(name) with AMBIGUOUS_REFERENCE).
+        # Semi/anti outputs carry only left columns — nothing to merge.
+        same_named = [] if how in ("left_semi", "semi", "left_anti", "anti") else [
             str(a) for a, b in zip(lk, rk)
             if isinstance(a, str) and isinstance(b, str) and a == b
         ]
@@ -478,6 +488,11 @@ class Relation:
         """
         inputs: list[tuple[Relation, ColumnLike]] = [(self, on)] + list(others)
         req = list(required or [True] * len(inputs))
+        if len(req) != len(inputs):
+            raise ValueError(
+                f"cogroup: required has {len(req)} entries for {len(inputs)} inputs "
+                "(self counts as the first input)"
+            )
         folds = folds or {}
         bad = [i for i in folds if not 0 <= i < len(inputs)]
         if bad:
@@ -752,8 +767,6 @@ class GroupedRelation:
         phase, so for arbitrary Python folds we drop to aggregateByKey which
         does (SURVEY §4.3 note).  Returns key columns + ``out_col``.
         """
-        import json
-
         rel = self._rel
         knames = list(key_names or [f"k{i}" for i in range(len(self._keys))])
         kcols = [k.alias(n) for k, n in zip(self._keys, knames)]

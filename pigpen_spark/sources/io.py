@@ -90,9 +90,12 @@ def load_avro(spark: SparkSession, path: str, schema=None) -> Relation:
             r = r.schema(schema)
         return Relation(r.load(path))
     except Exception as e:  # pragma: no cover - env without spark-avro
-        raise RuntimeError(
-            "avro source requires the spark-avro package (org.apache.spark:spark-avro)"
-        ) from e
+        msg = str(e)
+        if "Failed to find" in msg or "ClassNotFound" in msg or "DATA_SOURCE_NOT_FOUND" in msg:
+            raise RuntimeError(
+                "avro source requires the spark-avro package (org.apache.spark:spark-avro)"
+            ) from e
+        raise  # real errors (bad path, corrupt file) surface unchanged
 
 
 def load_pickle(spark: SparkSession, path: str, schema=None) -> Relation:

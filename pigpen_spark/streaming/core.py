@@ -151,11 +151,13 @@ def stream_static_join(stream: DataFrame, static: DataFrame, on: str,
 
     For stream-stream joins use plain ``Relation.join`` on two watermarked
     streams — Spark handles the state; both sides need watermarks."""
-    from pyspark.sql import functions as F
-
     right_on = right_on or on
     cond = stream[on] == static[right_on]
-    return stream.join(F.broadcast(static), on=cond, how=how)
+    joined = stream.join(F.broadcast(static), on=cond, how=how)
+    if on == right_on:
+        # same-named key: keep the stream-side copy only (no ambiguity)
+        joined = joined.drop(static[right_on])
+    return joined
 
 
 def write_stream_parquet(df: DataFrame, path: str, checkpoint: str, available_now: bool = False):

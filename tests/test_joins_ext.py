@@ -54,10 +54,15 @@ class TestSalted:
         left = return_(spark, [(7, i) for i in range(800)], "k long, lid long").df
         right = return_(spark, [(7, "x")], "rk long, v string").df
         salted = salted_join(left, right, on="k", right_on="rk", salt=8)
-        # the hot key's rows hash to 8 distinct (salt, key) shuffle keys
-        n_buckets = (
-            left.withColumn("s", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
-            .select("s").distinct().count()
-        )
-        assert n_buckets > 1
+        # the salt column must actually be part of the join condition —
+        # assert on the physical plan, not a recomputed stand-in
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "__lsalt" in plan and "__rsalt" in plan
         assert salted.count() == 800
+
+    def test_salted_same_name_key_single_column(self, spark):
+        left = return_(spark, [(1, 10)], "k long, v long").df
+        right = return_(spark, [(1, "x")], "k long, w string").df
+        out = salted_join(left, right, on="k", salt=4)
+        assert out.columns.count("k") == 1
+        assert out.select("k").collect()[0]["k"] == 1  # no AMBIGUOUS_REFERENCE

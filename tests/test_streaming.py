@@ -17,20 +17,6 @@ def write_batch(path, rows, name):
             f.write(json.dumps(r) + "\n")
 
 
-def run_available_now(df, tmp_path, name):
-    """Drain a bounded stream into a memory sink, return the rows."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append" if name.startswith("ap_") else "complete")
-        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return q
-
-
 def test_windowed_agg_stream(spark, tmp_path):
     src = tmp_path / "in1"
     write_batch(src, [

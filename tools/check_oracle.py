@@ -17,12 +17,8 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from pigpen_spark.catalog import TABLES  # noqa: E402
 from pigpen_spark.session import get_spark  # noqa: E402
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 def norm_cell(v) -> str:
