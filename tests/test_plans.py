@@ -70,6 +70,18 @@ def test_events_window_partial_agg(plans):
     assert plans("q_events_window").count("HashAggregate") >= 2
 
 
+def test_partitioned_store_prunes_partitions(spark, sf_dir, tmp_path):
+    # hive-partitioned store → reads with a partition predicate must show
+    # PartitionFilters at the scan (zero I/O for pruned partitions)
+    from pigpen_spark.relation import load_parquet
+
+    rel = load_parquet(spark, f"{sf_dir}/orders.parquet")
+    rel.store_parquet(str(tmp_path / "part_orders"), partition_by=["o_orderstatus"])
+    back = spark.read.parquet(str(tmp_path / "part_orders")).filter("o_orderstatus = 'F'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     # no catalog query may degrade to a cartesian/broadcast nested loop,
     # except the deliberate all-pairs extensions (brute-force similarity)
