@@ -695,6 +695,15 @@ class Relation:
     def count(self) -> int:
         return self.df.count()
 
+    def show(self, n: int = 20, truncate: bool = True) -> None:
+        """Pretty-print rows (DataFrame.show passthrough)."""
+        self.df.show(n, truncate)
+
+    def __repr__(self) -> str:
+        cols = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in self._df.schema.fields)
+        pend = f" (+{len(self._pending)} fused python ops)" if self._pending else ""
+        return f"Relation[{cols}]{pend}"
+
     def show_plan(self, mode: str = "formatted") -> None:
         """reference: pigpen-viz show/show+ — we surface the optimized
         physical plan instead of the pre-bake DAG."""

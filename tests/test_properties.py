@@ -157,6 +157,40 @@ class TestAsOfJoinProperty:
 
 
 @pytest.mark.usefixtures("spark")
+class TestCogroupProperty:
+    @given(a=kv_lists, b=kv_lists, req_a=st.booleans(), req_b=st.booleans())
+    @settings(**SET_SETTINGS)
+    def test_cogroup_bags_match_model(self, spark, a, b, req_a, req_b):
+        from pyspark.sql import functions as F
+
+        if not a:
+            return  # cogroup needs a non-empty self side schema; rows may still be few
+        left = kv_rel(spark, a)
+        right = kv_rel(spark, b, "w").map(k2=F.col("k"), w=F.col("w"))
+        cg = left.cogroup([(right, F.col("k2"))], on=F.col("k"), required=[req_a, req_b])
+        got = {
+            r["key"]: (
+                sorted(x["v"] for x in (r["bag_0"] or [])),
+                sorted(x["w"] for x in (r["bag_1"] or [])),
+            )
+            for r in cg.df.collect()
+        }
+        # model: keys group null-safe across inputs; required side must
+        # have rows at the key
+        keys = {k for k, _ in a} | {k for k, _ in b}
+        want = {}
+        for k in keys:
+            la = sorted(v for kk, v in a if kk == k)
+            lb = sorted(v for kk, v in b if kk == k)
+            if req_a and not la:
+                continue
+            if req_b and not lb:
+                continue
+            want[k] = (la, lb)
+        assert got == want
+
+
+@pytest.mark.usefixtures("spark")
 class TestFoldProperties:
     @given(rows=kv_lists)
     @settings(**SET_SETTINGS)
