@@ -51,8 +51,8 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.0
+    matches = re.findall(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    sf = float(matches[-1]) if matches else 0.0
     spark = get_spark("pigpen-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -57,10 +57,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> Relation:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
-        # integer DIV, not float /: current-era nanos (~1.7e18) exceed a
-        # double's 53-bit mantissa, so float division shifts ~12% of
-        # timestamps by 1µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # integer floor-division, not float /: current-era nanos (~1.7e18)
+        # exceed a double's 53-bit mantissa (float div shifts ~12% of
+        # timestamps by 1µs), and DIV truncates toward zero which would
+        # round pre-epoch values the wrong way — subtract pmod first.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000")))
     return Relation(df)
 
 

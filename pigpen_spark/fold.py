@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 
 def _c(x) -> Column:
+    # deliberate local copy of relation._to_col: relation.py imports this
+    # module (Fold), so importing back would be a circular import
     return x if isinstance(x, Column) else F.col(x)
 
 

@@ -27,58 +27,37 @@ as KEYS since their pickle bytes aren't canonical).
 from __future__ import annotations
 
 import pickle
-from collections.abc import Callable, Iterable, Iterator
+from collections.abc import Callable, Iterable
 from typing import Any
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-from pigpen_spark.relation import Relation
+# the fused-chain machinery is payload-agnostic — share it with the typed
+# *_py path rather than maintaining a second copy
+from pigpen_spark.relation import Relation, _compile_chain, _PyOp
 
 _OBJ_SCHEMA = "value binary"
 _KV_SCHEMA = "key binary, value binary"
-
-
-class _ObjOp:
-    __slots__ = ("kind", "fn")
-
-    def __init__(self, kind: str, fn: Callable):
-        self.kind = kind
-        self.fn = fn
-
-
-def _run_chain(ops: tuple[_ObjOp, ...], obj: Any) -> Iterator[Any]:
-    batch = [obj]
-    for op in ops:
-        if op.kind == "map":
-            batch = [op.fn(o) for o in batch]
-        elif op.kind == "filter":
-            batch = [o for o in batch if op.fn(o)]
-        else:  # mapcat
-            batch = [x for o in batch for x in op.fn(o)]
-        if not batch:
-            return iter(())
-    return iter(batch)
 
 
 class PyObjRelation:
     """A bag of arbitrary pickled Python values (single binary column),
     with fused map/filter/mapcat chains."""
 
-    def __init__(self, df: DataFrame, _pending: tuple[_ObjOp, ...] = ()):
+    def __init__(self, df: DataFrame, _pending: tuple[_PyOp, ...] = ()):
         self._df = df
         self._pending = _pending
 
     # -- fused ops ----------------------------------------------------------
 
     def map_obj(self, fn: Callable[[Any], Any]) -> "PyObjRelation":
-        return PyObjRelation(self._df, self._pending + (_ObjOp("map", fn),))
+        return PyObjRelation(self._df, self._pending + (_PyOp("map", fn),))
 
     def filter_obj(self, fn: Callable[[Any], bool]) -> "PyObjRelation":
-        return PyObjRelation(self._df, self._pending + (_ObjOp("filter", fn),))
+        return PyObjRelation(self._df, self._pending + (_PyOp("filter", fn),))
 
     def mapcat_obj(self, fn: Callable[[Any], Iterable[Any]]) -> "PyObjRelation":
-        return PyObjRelation(self._df, self._pending + (_ObjOp("mapcat", fn),))
+        return PyObjRelation(self._df, self._pending + (_PyOp("mapcat", fn),))
 
     # -- materialization ----------------------------------------------------
 
@@ -87,7 +66,7 @@ class PyObjRelation:
         """Compile pending ops into ONE mapInPandas over pickled values."""
         if not self._pending:
             return self._df
-        ops = self._pending
+        chain = _compile_chain(self._pending)
 
         def run(batches):
             import pandas as pd
@@ -96,7 +75,7 @@ class PyObjRelation:
                 out = [
                     pickle.dumps(result)
                     for blob in pdf["value"]
-                    for result in _run_chain(ops, pickle.loads(bytes(blob)))
+                    for result in chain(pickle.loads(bytes(blob)))
                 ]
                 if out:
                     yield pd.DataFrame({"value": out})
@@ -128,9 +107,9 @@ class PyObjRelation:
             for pdf in batches:
                 keys, vals = [], []
                 for blob in pdf["value"]:
-                    obj = pickle.loads(bytes(blob))
-                    keys.append(pickle.dumps(key_fn(obj)))
-                    vals.append(pickle.dumps(obj))
+                    raw = bytes(blob)
+                    keys.append(pickle.dumps(key_fn(pickle.loads(raw))))
+                    vals.append(raw)  # value bytes pass through unchanged
                 if keys:
                     yield pd.DataFrame({"key": keys, "value": vals})
 

@@ -50,15 +50,28 @@ def _to_col(c: Any) -> Column:
     return c if isinstance(c, Column) else F.col(c)
 
 
-def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition ONLY when the frame has fewer partitions than cores.
+#: spread() repartitions inputs estimated smaller than this — small enough
+#: that the extra exchange is trivially cheap, large enough to cover the
+#: single-row-group local files that otherwise serialize on one core.
+_SPREAD_MAX_BYTES = 256 * 1024 * 1024
 
-    CPU-bound stages (hash signatures, pairwise scores) on a small
-    single-file input arrive in one scan partition and serialize on one
-    core; but an unconditional repartition would be a full extra exchange
-    of an already-well-partitioned 100 TB input.  This is the guard."""
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition SMALL inputs across cores before a CPU-bound stage.
+
+    Small single-file inputs arrive in one scan partition and serialize on
+    one core; an unconditional repartition would instead add a full extra
+    exchange on an already-well-partitioned 100 TB input.  The guard uses
+    the optimizer's size ESTIMATE (plan statistics — no execution): small
+    estimate → repartition, large/unknown estimate → leave alone.  (Never
+    ``df.rdd.getNumPartitions()`` here — under AQE that finalizes the plan
+    and eagerly runs the upstream stages just to read a number.)"""
     par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
+    except Exception:
+        return df
+    if 0 <= est <= _SPREAD_MAX_BYTES:
         return df.repartition(par)
     return df
 
@@ -359,13 +372,16 @@ class Relation:
         Scale: equi-join → Catalyst picks broadcast/sort-merge/shuffled-hash
         via AQE; ``broadcast_other`` forces the hint for known-small dims.
         """
-        valid_how = {"inner", "left", "left_outer", "right", "right_outer",
-                     "full", "full_outer", "outer", "cross", "left_semi",
-                     "semi", "left_anti", "anti"}
+        valid_how = {"inner", "left", "left_outer", "leftouter", "right",
+                     "right_outer", "rightouter", "full", "full_outer",
+                     "fullouter", "outer", "cross", "left_semi", "leftsemi",
+                     "semi", "left_anti", "leftanti", "anti"}
         if how not in valid_how:
             raise ValueError(f"join: how={how!r} not one of {sorted(valid_how)}")
         lk = [on] if isinstance(on, (str, Column)) else list(on or [])
         rk = [right_on] if isinstance(right_on, (str, Column)) else list(right_on or lk)
+        if len(lk) != len(rk):
+            raise ValueError(f"join: {len(lk)} left keys vs {len(rk)} right keys")
         ldf, rdf = self.df, other.df
         rdf = F.broadcast(rdf) if broadcast_other else rdf
 
@@ -400,7 +416,7 @@ class Relation:
         # two here would make the schema depend on the join_nils flag and
         # poison downstream F.col(name) with AMBIGUOUS_REFERENCE).
         # Semi/anti outputs carry only left columns — nothing to merge.
-        same_named = [] if how in ("left_semi", "semi", "left_anti", "anti") else [
+        same_named = [] if how in ("left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti") else [
             str(a) for a, b in zip(lk, rk)
             if isinstance(a, str) and isinstance(b, str) and a == b
         ]
