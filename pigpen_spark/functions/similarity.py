@@ -206,17 +206,31 @@ def ivf_topk(
         dot(F.col("vec"), F.col("cent_vec")), F.col("nrm") * F.col("cent_nrm")
     )
     scored_cells = base.crossJoin(F.broadcast(cents)).select(
-        "id", "vec", "nrm", "cent_id", sim_to_cent.alias("csim")
+        "id", "cent_id", sim_to_cent.alias("csim")
     )
     w_cell = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cent_id"))
     # persist: assigned and probes both consume this — without a barrier
-    # the centroid-similarity cross join recomputes on each side
-    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(w_cell)).persist()
-    assigned = ranked_cells.filter(F.col("crank") == 1).select(
-        "id", "vec", "nrm", F.col("cent_id").alias("cell"))
-    probes = ranked_cells.filter(F.col("crank") <= n_probe).select(
-        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
-        F.col("nrm").alias("q_nrm"), F.col("cent_id").alias("cell"))
+    # the centroid-similarity cross join recomputes on each side.  Keep it
+    # SLIM (ids + rank only): carrying the vectors here would replicate
+    # every embedding n_centroids× in cache (observed GC thrash at 20k×64).
+    ranked_cells = (
+        scored_cells.withColumn("crank", F.row_number().over(w_cell))
+        .select("id", "cent_id", "crank")
+        .persist()
+    )
+    assigned = (
+        ranked_cells.filter(F.col("crank") == 1)
+        .select("id", F.col("cent_id").alias("cell"))
+        .join(base, "id")
+        .select("id", "vec", "nrm", "cell")
+    )
+    probes = (
+        ranked_cells.filter(F.col("crank") <= n_probe)
+        .select("id", F.col("cent_id").alias("cell"))
+        .join(base, "id")
+        .select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
+                F.col("nrm").alias("q_nrm"), "cell")
+    )
     score = F.round(
         F.try_divide(dot(F.col("q_vec"), F.col("vec")), F.col("q_nrm") * F.col("nrm")), 6)
     cand = (

@@ -59,6 +59,10 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")
     conf = dict(DEFAULT_CONF)
+    # local mode: the single JVM is driver AND executors — Spark's 1g
+    # default heap GC-thrashes with 32 concurrent tasks; must be set
+    # before JVM start, hence here and not in DEFAULT_CONF runtime sets.
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions if shuffle_partitions is not None else min(int(cpus) * 2, 64)
     )

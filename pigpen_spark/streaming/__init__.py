@@ -13,6 +13,7 @@ from pigpen_spark.streaming.core import (
     read_stream_rate,
     running_totals,
     sessionize_stream,
+    stream_static_join,
     windowed_agg,
     write_stream_parquet,
 )
@@ -20,5 +21,5 @@ from pigpen_spark.streaming.core import (
 __all__ = [
     "read_stream_parquet", "read_stream_json", "read_stream_rate",
     "windowed_agg", "sessionize_stream", "dedup_stream", "running_totals",
-    "write_stream_parquet", "foreach_batch_many",
+    "stream_static_join", "write_stream_parquet", "foreach_batch_many",
 ]

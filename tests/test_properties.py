@@ -191,6 +191,23 @@ class TestCogroupProperty:
 
 
 @pytest.mark.usefixtures("spark")
+class TestQuantileProperty:
+    @given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                         min_size=1, max_size=30))
+    @settings(**SET_SETTINGS)
+    def test_percentile_matches_numpy_linear(self, spark, vals):
+        import numpy as np
+
+        from pigpen_spark import fold
+        r = return_(spark, [(float(v),) for v in vals], "x double")
+        out = r.reduce_rel(q=fold.quantiles("x", [0.25, 0.5, 0.9])).df.collect()
+        got = out[0]["q"]
+        want = [float(np.percentile(vals, p * 100, method="linear")) for p in (0.25, 0.5, 0.9)]
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-9)
+
+
+@pytest.mark.usefixtures("spark")
 class TestFoldProperties:
     @given(rows=kv_lists)
     @settings(**SET_SETTINGS)
