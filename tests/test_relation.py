@@ -157,6 +157,68 @@ class TestSetOps:
         assert vals(r.distinct()) == [1, 2, 3, 4, 5]
 
 
+class TestSetOpsTernary:
+    """Exact mirrors of the reference's 3-input set tests
+    (set_test.clj:36-122)."""
+
+    def test_concat_3(self, spark):
+        d1, d2, d3 = (return_(spark, [(x,) for x in xs], "x long")
+                      for xs in ([1, 2, 3], [2, 3, 4], [3, 4, 5]))
+        assert vals(d1.concat(d2, d3)) == [1, 2, 2, 3, 3, 3, 4, 4, 5]
+
+    def test_union_3(self, spark):
+        d1, d2, d3 = (return_(spark, [(x,) for x in xs], "x long")
+                      for xs in ([1, 2, 3], [2, 3, 4], [3, 4, 5]))
+        assert vals(d1.union(d2, d3)) == [1, 2, 3, 4, 5]
+
+    def test_intersection_3(self, spark):
+        d1, d2, d3 = (return_(spark, [(x,) for x in xs], "x long")
+                      for xs in ([1, 2, 3, 3], [3, 2, 3, 4, 3], [3, 4, 3, 5, 2]))
+        assert vals(d1.intersection(d2, d3)) == [2, 3]
+
+    def test_intersection_multiset_3(self, spark):
+        d1, d2, d3 = (return_(spark, [(x,) for x in xs], "x long")
+                      for xs in ([1, 2, 3, 3], [3, 2, 3, 4, 3], [3, 4, 3, 5, 2]))
+        assert vals(d1.intersection_multiset(d2, d3)) == [2, 3, 3]
+
+    def test_difference_3(self, spark):
+        d1, d2, d3 = (return_(spark, [(x,) for x in xs], "x long")
+                      for xs in ([1, 2, 3, 3, 3, 4, 5], [1, 2], [4, 5]))
+        assert vals(d1.difference(d2, d3)) == [3]
+
+    def test_difference_multiset_3(self, spark):
+        d1, d2, d3 = (return_(spark, [(x,) for x in xs], "x long")
+                      for xs in ([1, 2, 3, 3, 3, 4, 5], [1, 2, 3], [3, 4, 5]))
+        assert vals(d1.difference_multiset(d2, d3)) == [3]
+
+
+class TestFoldPipelines:
+    """fold pre/post stage composition (fold_test.clj:26-130): pre-stages
+    are column expressions, post-stages wrap the aggregate."""
+
+    def test_premap_sum_of_squares(self, spark):
+        r = return_(spark, [(1,), (2,), (3,)], "x long")
+        out = r.reduce_rel(ss=fold.Fold(F.sum(F.col("x") * F.col("x"))))
+        assert out.df.collect()[0]["ss"] == 14
+
+    def test_prefilter_then_count(self, spark):
+        r = return_(spark, [(i,) for i in range(10)], "x long")
+        out = r.reduce_rel(n=fold.Fold(F.count(F.when(F.col("x") % 2 == 0, 1))))
+        assert out.df.collect()[0]["n"] == 5
+
+    def test_sort_take_post(self, spark):
+        # (->> (fold/sort) (fold/take 3)) — sorted bag then slice
+        r = return_(spark, [(x,) for x in [5, 3, 1, 4, 2]], "x long")
+        out = r.reduce_rel(t=fold.vec("x", sort=True).post(lambda c: F.slice(c, 1, 3)))
+        assert out.df.collect()[0]["t"] == [1, 2, 3]
+
+    def test_first_last_folds(self, spark):
+        r = return_(spark, [(x,) for x in [5, 3, 1]], "x long")
+        out = r.reduce_rel(f=fold.first("x"), l=fold.last("x"))
+        [row] = out.df.collect()
+        assert (row["f"], row["l"]) == (1, 5)
+
+
 class TestFolds:
     def test_reduce_empty_is_empty(self, spark):
         # join.clj:262-268 — empty input → empty output
