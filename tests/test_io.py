@@ -38,6 +38,14 @@ class TestLoad:
         rows = sorted(tuple(r) for r in out.df.collect())
         assert rows == [("a \"complex\" string", "-532", "23.7"), ("a string", "123", "5.0")]
 
+    def test_load_csv_semicolon_single_quote(self, spark, tmp_path):
+        # io_test.clj:99-110 — non-comma separator, single-quote quoting
+        p = tmp_path / "t2.csv"
+        p.write_text("'a string';123;5.0\n'another string';-532;23.7\n")
+        out = pio.load_csv(spark, str(p), delimiter=";", quote="'")
+        rows = sorted(tuple(r) for r in out.df.collect())
+        assert rows == [("a string", "123", "5.0"), ("another string", "-532", "23.7")]
+
     def test_load_json(self, spark, tmp_path):
         p = tmp_path / "t.json"
         p.write_text('{"a": 1, "b": "foo"}\n{"a": 2, "b": "bar"}\n')

@@ -117,6 +117,16 @@ class TestClosureCapture:
         out = r.map_py(make_adder(41))
         assert out.df.collect()[0]["x"] == 42
 
+    def test_loop_var_capture_in_comprehension(self, spark):
+        # code_test.clj:45-56 test-for — relations built in a loop with a
+        # captured loop var, then concat'd.  Python's late-binding lambda
+        # trap applies here: bind the loop var per-iteration (factory or
+        # default arg), exactly as any Python closure over a loop requires.
+        base = return_(spark, [(1,), (2,), (3,)], "x long")
+        rels = [base.map_py(lambda row, x=x: {"x": x + row["x"]}) for x in [1, 2, 3]]
+        out = rels[0].concat(*rels[1:])
+        assert sorted(r["x"] for r in out.df.collect()) == [2, 3, 3, 4, 4, 4, 5, 5, 6]
+
 
 class TestSetOps:
     # set_test.clj:25-122 semantics (FIXTURES.md §3)
