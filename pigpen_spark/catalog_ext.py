@@ -107,9 +107,7 @@ _K, _BANDS, _R = 12, 4, 3
 @register(
     "ext_dedup_minhash",
     f"""
-    WITH sigs AS (
-      SELECT doc_id AS id, ({D.minhash_signature_sql('text', _K, 3)}) AS sig FROM documents
-    ),
+    WITH {D.minhash_sigs_cte_sql('documents', 'doc_id', 'text', _K, 3)},
     banded AS (
       SELECT id, sig, b.range AS band,
              md5(array_to_string(sig[(b.range * {_R} + 1) : (b.range * {_R} + {_R})], '|')) AS bhash

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pigpen_spark.functions.text import shingles, shingles_sql, tokens
+from pigpen_spark.functions.text import shingles, tokens
 from pigpen_spark.relation import spread
 
 
@@ -55,36 +55,122 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 # -- MinHash + LSH ----------------------------------------------------------
 
+#: Prime just above 2^32 — the universal-hash modulus.  Every hash value
+#: stays < _P (< 2^33) and every multiplier stays < 2^30, so products are
+#: < 2^62: safe in signed 64-bit on BOTH engines (Spark 4 ANSI mode throws
+#: on bigint overflow, so this bound is load-bearing, not cosmetic).
+_P = 4294967311
 
-def minhash_from_shingles(sh: Column, k: int = 12) -> Column:
-    """MinHash signature from an ALREADY-MATERIALIZED shingle array column.
-    Keep shingle construction in its own projection — expressions passed
-    into lambda bodies are re-evaluated once per outer element (k× here)."""
+
+def _hconst(tag: str, i: int) -> int:
+    """Deterministic pseudorandom multiplier/offset < 2^30 (never 0),
+    derived from md5 so Spark exprs and generated oracle SQL bake in the
+    same literals."""
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}-{i}".encode()).hexdigest()[:8], 16) % (1 << 30) or 1
+
+
+def token_hashes(col) -> Column:
+    """Each whitespace token hashed ONCE to a 32-bit int (first 8 hex
+    digits of md5).  The only md5-per-token work in the MinHash pipeline —
+    everything downstream is modular arithmetic.  The tokens expression
+    sits in the transform's COLLECTION slot (evaluated once per row), not
+    in a lambda body (evaluated once per element)."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda s: F.array_min(
-            F.transform(sh, lambda x: F.md5(F.concat(s.cast("string"), F.lit("|"), x)))
-        ),
+        tokens(col), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
     )
 
 
+def shingle_hashes(th: Column, n: int = 3) -> Column:
+    """Word-n-gram shingle hashes from an ALREADY-MATERIALIZED token-hash
+    array column: shingle i ≡ (Σ_j C_j·th[i+j]) mod P — order-sensitive
+    positional combine, no string building.  Docs with fewer than n tokens
+    yield one whole-doc hash (md5 of the joined token-hash list), matching
+    :func:`pigpen_spark.functions.text.shingles` semantics.
+
+    ``th`` must be a plain column reference: expressions referenced inside
+    transform lambdas re-evaluate once per element (the classic HOF
+    blowup — see module docstring)."""
+    cs = [_hconst("shingle", j) for j in range(n)]
+
+    def comb(i: Column) -> Column:
+        acc = None
+        for j, c in enumerate(cs):
+            term = F.lit(c) * F.element_at(th, i + j) % F.lit(_P)
+            acc = term if acc is None else acc + term
+        return acc % F.lit(_P)
+
+    whole = F.conv(
+        F.substring(F.md5(F.array_join(F.transform(th, lambda h: h.cast("string")), "|")), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    sz = F.size(th)
+    return F.when(
+        sz >= n, F.transform(F.sequence(F.lit(1), sz - n + 1), comb)
+    ).otherwise(F.array(whole))
+
+
+def minhash_from_hashes(hs: Column, k: int = 12) -> Column:
+    """k-slot MinHash signature from a shingle-hash array: slot s is
+    min over shingles of the universal hash (A_s·h + B_s) mod P.  Pure
+    arithmetic — ~k·|shingles| multiply-adds per row, no md5."""
+    def perm(s: int):
+        a, b = _hconst("perm-a", s), _hconst("perm-b", s)
+        # one-param lambda, constants bound at build time — a two-param
+        # `lambda h, s=s` would make transform pass (element, index) and
+        # silently shadow s with the index column
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P)
+
+    return F.array(*[F.array_min(F.transform(hs, perm(s))) for s in range(k)])
+
+
 def minhash_signature(col, k: int = 12, shingle_n: int = 3) -> Column:
-    """k-permutation MinHash over word shingles.
+    """k-permutation MinHash over word shingles, as ONE expression.
 
-    Permutation s is simulated by min over shingles of ``md5(s || '|' ||
-    shingle)`` — md5 is the portable random oracle; lexicographic min of
-    hex strings is a valid uniform min-hash.
-
-    NOTE: single-expression form (shingle construction inlined k×); for
-    the efficient two-step form see :func:`minhash_candidates`."""
-    return minhash_from_shingles(shingles(col, shingle_n), k)
+    Convenience/compat form: the shingle-hash subtree re-evaluates inside
+    each of the k permutation lambdas (cheap arithmetic, but still k×).
+    For the production two-step plan see :func:`minhash_candidates`."""
+    return minhash_from_hashes(shingle_hashes(token_hashes(col), shingle_n), k)
 
 
-def minhash_signature_sql(col: str, k: int = 12, shingle_n: int = 3) -> str:
-    """DuckDB equivalent of :func:`minhash_signature`."""
+def token_hashes_sql(col: str) -> str:
+    """DuckDB equivalent of :func:`token_hashes`."""
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    return f"[('0x' || substring(md5(t), 1, 8))::BIGINT for t in ({toks})]"
+
+
+def shingle_hashes_sql(th: str, n: int = 3) -> str:
+    """DuckDB equivalent of :func:`shingle_hashes` (``th`` a column name)."""
+    cs = [_hconst("shingle", j) for j in range(n)]
+    comb = " + ".join(f"{c} * {th}[i + {j}] % {_P}" for j, c in enumerate(cs))
+    whole = (f"('0x' || substring(md5(array_to_string("
+             f"[h::VARCHAR for h in {th}], '|')), 1, 8))::BIGINT")
     return f"""
-      [list_min([md5(s::varchar || '|' || sh) for sh in ({shingles_sql(col, shingle_n)})])
-       for s in range({k})]
+      CASE WHEN len({th}) >= {n}
+           THEN [({comb}) % {_P} for i in range(1, len({th}) - {n} + 2)]
+           ELSE [{whole}] END
+    """
+
+
+def minhash_from_hashes_sql(hs: str, k: int = 12) -> str:
+    """DuckDB equivalent of :func:`minhash_from_hashes` (``hs`` a column
+    name)."""
+    slots = ", ".join(
+        f"list_min([({_hconst('perm-a', s)} * h + {_hconst('perm-b', s)}) % {_P} for h in {hs}])"
+        for s in range(k)
+    )
+    return f"[{slots}]"
+
+
+def minhash_sigs_cte_sql(table: str, id_col: str, content_col: str,
+                         k: int = 12, shingle_n: int = 3) -> str:
+    """DuckDB CTE chain computing (id, sig) per row of ``table`` — the
+    oracle mirror of the first half of :func:`minhash_candidates`."""
+    return f"""
+      __th AS (SELECT {id_col} AS id, {token_hashes_sql(content_col)} AS th FROM {table}),
+      __hs AS (SELECT id, ({shingle_hashes_sql('th', shingle_n)}) AS hs FROM __th),
+      sigs AS (SELECT id, {minhash_from_hashes_sql('hs', k)} AS sig FROM __hs)
     """
 
 
@@ -95,7 +181,15 @@ def lsh_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.md5(F.array_join(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), "|")).alias("bhash"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                )
+            ).alias("bhash"),
         ),
     )
 
@@ -110,26 +204,32 @@ def minhash_candidates(
     Plan shape: per-row signature (narrow) → explode bands (k/r rows per
     doc) → self-equi-join on (band, bhash) → distinct pairs → estimate on
     the two signatures.  The join key (band, bhash) is high-cardinality ⇒
-    well-distributed shuffle; no cross product anywhere."""
+    well-distributed shuffle; no cross product anywhere.
+
+    Cost model: ONE md5 per token (token_hashes) + O(k·shingles)
+    multiply-adds.  The naive form — md5(seed || shingle) per seed per
+    shingle, shingle strings built by slicing the token expression inside
+    a lambda (O(len²)) — measured 3-4× slower at sf0.1.
+
+    Persist lifetime: __th (one barrier — without it ProjectCollapsing
+    re-inlines the tokenize+md5 tree into every downstream lambda) and
+    sigs (read by both sides of the self-join and the final estimate).
+    Persisted state is O(n_docs · tokens) ints — small next to the corpus,
+    spill-to-disk safe at cluster scale."""
     r = k // bands
-    # Two-step materialization, then persist:
-    # 1. shingles as a real column (else the split/slice tree re-evaluates
-    #    inside each of the k seed lambdas — k× blowup);
-    # 2. signatures persisted (else recomputed in every band-explode row
-    #    and BOTH sides of the self-join — another 2(bands)× blowup).
-    # At cluster scale the persisted set is (n_docs × k hashes) — tiny
-    # next to the corpus; spill-to-disk safe.
-    # Both steps persisted: without the first persist, Catalyst's
-    # ProjectCollapsing merges the selects and re-inlines the shingle tree
-    # into each of the k seed lambdas anyway.
-    # spread first: signature compute is CPU-bound, and a small doc
-    # corpus can sit in one scan partition (no-op on well-partitioned input).
-    sh_df = (
+    # spread first: signature compute is CPU-bound, and a small doc corpus
+    # can sit in one scan partition (no-op on well-partitioned input).
+    th_df = (
         spread(df)
-        .select(F.col(id_col).alias("id"), shingles(F.col(content_col), shingle_n).alias("__sh"))
+        .select(F.col(id_col).alias("id"), token_hashes(F.col(content_col)).alias("__th"))
         .persist()
     )
-    sigs = sh_df.select("id", minhash_from_shingles(F.col("__sh"), k).alias("sig")).persist()
+    # shingle_hashes re-evaluates inside each of the k permutation lambdas
+    # below — acceptable (pure arithmetic on a materialized int array);
+    # what the __th barrier prevents is re-running tokenize+md5 there.
+    sigs = th_df.select(
+        "id", minhash_from_hashes(shingle_hashes(F.col("__th"), shingle_n), k).alias("sig")
+    ).persist()
     banded = sigs.select("id", "sig", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -195,7 +295,7 @@ _HEX = "0123456789abcdef"
 
 def simhash_from_tokens(toks: Column, bits: int = 32) -> Column:
     """SimHash from an already-materialized token array column (see
-    :func:`minhash_from_shingles` for why materialization matters: the
+    :func:`shingle_hashes` for why materialization matters: the
     token expression would otherwise re-evaluate in each bit lambda).
 
     Bits beyond 32 draw from extended digests ``md5(token || '#1')``,
