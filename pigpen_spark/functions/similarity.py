@@ -202,6 +202,51 @@ def ivf_topk(
         base.orderBy("id").limit(n_centroids)
         .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"), F.col("nrm").alias("cent_nrm"))
     )
+    return _ivf_search(base, cents, k, n_probe)
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_centroids: int = 16, n_probe: int = 2,
+    train_fraction: float = 1.0, seed: int = 7, max_iter: int = 10,
+) -> DataFrame:
+    """IVF top-k with REAL k-means centroids (pyspark.ml KMeans).
+
+    Same search plan as :func:`ivf_topk` — only the centroid table
+    differs.  Training cost is bounded by ``train_fraction``: at corpus
+    scale fit on a sample (k-means centroids stabilize long before the
+    full pass), then assign every vector in one broadcast pass.  The
+    trained centers live on the driver (n_centroids × dim doubles — tiny)
+    and re-enter the plan as a broadcast literal table, so search remains
+    a single cell-keyed shuffle.
+
+    Non-SQL-expressible (iterative training) — no DuckDB oracle; tests
+    assert recall against :func:`brute_force_topk` instead."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = (
+        spread(corpus)
+        .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
+        .withColumn("nrm", norm(F.col("vec")))
+        .persist()
+    )
+    train = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
+    feats = train.select(array_to_vector(F.col("vec")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"cent_id int, cent_vec array<double>",
+    ).withColumn("cent_nrm", norm(F.col("cent_vec")))
+    return _ivf_search(base, cents, k, n_probe)
+
+
+def _ivf_search(base: DataFrame, cents: DataFrame, k: int, n_probe: int) -> DataFrame:
+    """Shared IVF search: broadcast centroid assignment (data + probes),
+    candidate join keyed by cell, per-query top-k window.  ``base`` must
+    be persisted (id, vec, nrm); ``cents`` must be (cent_id, cent_vec,
+    cent_nrm) and small enough to broadcast."""
     sim_to_cent = F.try_divide(
         dot(F.col("vec"), F.col("cent_vec")), F.col("nrm") * F.col("cent_nrm")
     )

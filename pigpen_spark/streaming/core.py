@@ -144,6 +144,56 @@ def running_totals(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_on: str | None = None,
+    tolerance: str = "5 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with an event-time band.
+
+    Matches rows with equal keys whose right-side event time lies in
+    ``[left_ts − tolerance, left_ts + tolerance]``.  Both sides carry
+    watermarks and the join condition bounds event-time distance — the two
+    things Spark needs to evict buffered state (without them an inner join
+    buffers both streams forever; outer joins are rejected outright).
+    State per key is O(events within watermark+tolerance horizon).
+
+    Left/outer joins emit their null-padded rows only once the watermark
+    passes (late-arrival certainty), so results trail the watermark delay —
+    inherent to the model, not a bug.
+
+    Column naming: output keeps left columns as-is and prefixes right
+    columns with ``r_`` when the name collides (key column included only
+    once, from the left)."""
+    right_on = right_on or on
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    # prefix colliding right-side names (incl. same-named key: keep left's)
+    collide = {c for c in rw.columns if c in set(lw.columns)}
+    renamed = rw.select(
+        *[F.col(c).alias(f"r_{c}") if c in collide else F.col(c) for c in rw.columns]
+    )
+    r_key = f"r_{right_on}" if right_on in collide else right_on
+    r_ts = f"r_{right_ts}" if right_ts in collide else right_ts
+    cond = (
+        (lw[on] == renamed[r_key])
+        & (renamed[r_ts] >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"))
+        & (renamed[r_ts] <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}"))
+    )
+    out = lw.join(renamed, on=cond, how=how)
+    if right_on in collide and how in ("inner", "left", "left_outer", "leftouter"):
+        # right key is redundant here; for right/full outer it must stay
+        # (unmatched right rows carry the only non-null key)
+        out = out.drop(renamed[r_key])
+    return out
+
+
 def stream_static_join(stream: DataFrame, static: DataFrame, on: str,
                        right_on: str | None = None, how: str = "inner") -> DataFrame:
     """Enrich a stream against a static dimension (the standard streaming

@@ -105,6 +105,25 @@ class TestSimilarity:
         assert [(r["q_id"], r["n_id"]) for r in out] == [(0, 4)]
         assert out[0]["rank"] == 1
 
+    def test_ivf_kmeans_recall_beats_or_matches_first_n(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        bf = {(r["q_id"], r["n_id"])
+              for r in S.brute_force_topk(emb, emb, k=3).collect()}
+        km = {(r["q_id"], r["n_id"])
+              for r in S.ivf_topk_kmeans(emb, k=3, n_centroids=8, n_probe=2, seed=7).collect()}
+        fn = {(r["q_id"], r["n_id"])
+              for r in S.ivf_topk(emb, k=3, n_centroids=8, n_probe=2).collect()}
+        km_recall = len(bf & km) / len(bf)
+        fn_recall = len(bf & fn) / len(bf)
+        # trained coarse quantizer should not lose to arbitrary first-N
+        # centroids at the same probe budget (measured 0.58 vs 0.44)
+        assert km_recall >= fn_recall
+        assert km_recall >= 0.5
+        # every query keeps exactly k ranked neighbors
+        import collections
+        per_q = collections.Counter(q for q, _ in km)
+        assert set(per_q.values()) == {3}
+
     def test_lsh_bucket_groups_similar(self, spark):
         base = [0.5] * 8
         near = [0.5] * 7 + [0.51]

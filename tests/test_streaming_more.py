@@ -59,3 +59,64 @@ def test_relation_api_on_stream(spark, tmp_path):
     drain(out.df, tmp_path, "ras", mode="complete")
     rows = {r["user"]: (r["total"], r["n"]) for r in spark.sql("select * from ras").collect()}
     assert rows == {"a": (20.0, 2)}
+
+
+def test_stream_stream_join_inner_band(spark, tmp_path):
+    # clicks join impressions on ad_id within a ±5 minute event-time band
+    imp_src, clk_src = tmp_path / "imp", tmp_path / "clk"
+    write_batch(imp_src, [
+        {"ad_id": "a1", "imp_ts": "2024-01-01 00:00:00", "slot": "top"},
+        {"ad_id": "a2", "imp_ts": "2024-01-01 00:00:30", "slot": "side"},
+        {"ad_id": "a3", "imp_ts": "2024-01-01 00:01:00", "slot": "top"},
+    ], "b0")
+    write_batch(clk_src, [
+        {"ad_id": "a1", "clk_ts": "2024-01-01 00:02:00"},   # in band
+        {"ad_id": "a2", "clk_ts": "2024-01-01 00:30:00"},   # out of band
+        {"ad_id": "a9", "clk_ts": "2024-01-01 00:02:30"},   # no impression
+    ], "b0")
+    imps = st.read_stream_json(spark, str(imp_src), "ad_id string, imp_ts timestamp, slot string").df
+    clks = st.read_stream_json(spark, str(clk_src), "ad_id string, clk_ts timestamp").df
+    joined = st.stream_stream_join(
+        imps, clks, on="ad_id", left_ts="imp_ts", right_ts="clk_ts",
+        tolerance="5 minutes", watermark="10 minutes",
+    )
+    drain(joined.select("ad_id", "slot", "clk_ts"), tmp_path, "ssj_inner")
+    rows = [(r["ad_id"], r["slot"]) for r in spark.sql("select * from ssj_inner").collect()]
+    assert rows == [("a1", "top")]
+
+
+def test_stream_stream_join_left_outer(spark, tmp_path):
+    imp_src, clk_src = tmp_path / "imp2", tmp_path / "clk2"
+    write_batch(imp_src, [
+        {"ad_id": "a1", "imp_ts": "2024-01-01 00:00:00"},
+        {"ad_id": "a2", "imp_ts": "2024-01-01 00:00:30"},
+    ], "b0")
+    write_batch(clk_src, [
+        {"ad_id": "a1", "clk_ts": "2024-01-01 00:01:00"},
+    ], "b0")
+    imps = st.read_stream_json(spark, str(imp_src), "ad_id string, imp_ts timestamp").df
+    clks = st.read_stream_json(spark, str(clk_src), "ad_id string, clk_ts timestamp").df
+    joined = st.stream_stream_join(
+        imps, clks, on="ad_id", left_ts="imp_ts", right_ts="clk_ts",
+        tolerance="2 minutes", watermark="1 minutes", how="left",
+    )
+    out, ck = tmp_path / "ssj_left_out", tmp_path / "ssj_left_ck"
+
+    def drain_to_parquet():
+        q = st.write_stream_parquet(joined, str(out), str(ck), available_now=True)
+        q.awaitTermination(120)
+
+    drain_to_parquet()
+    # a2's null-padded row may only finalize in a batch AFTER the watermark
+    # has moved past imp_ts + tolerance: feed a watermark-advancing event
+    # and run the (checkpoint-resumed) query again.
+    # ...on BOTH sides (the global watermark is the min across inputs),
+    # and run once more: the advance registers at the end of one batch,
+    # eviction+emission happen in the next.
+    write_batch(clk_src, [{"ad_id": "zc", "clk_ts": "2024-01-01 09:00:00"}], "b1")
+    write_batch(imp_src, [{"ad_id": "zi", "imp_ts": "2024-01-01 09:00:00"}], "b1")
+    drain_to_parquet()
+    drain_to_parquet()
+    rows = {r["ad_id"]: r["clk_ts"] for r in spark.read.parquet(str(out)).collect()}
+    assert {"a1", "a2"} <= set(rows)
+    assert rows["a1"] is not None and rows["a2"] is None
