@@ -883,6 +883,37 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_range_join",
+    """
+    SELECT c.c_nationkey, count(*) AS n_matches,
+           round(sum(s.s_acctbal), 2) AS sum_bal
+    FROM customer c JOIN supplier s
+      ON c.c_acctbal >= s.s_acctbal - 5 AND c.c_acctbal <= s.s_acctbal + 5
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned point-in-interval range join (extension; the reference has no
+    theta/range joins — SURVEY §2.3 note).  Spark would execute the bare
+    range predicate as a broadcast-nested-loop O(n·m); range_join rewrites
+    it to an equi-join keyed by (bin), shuffle-parallel.  Oracle is the
+    naive theta join — results must be row-identical."""
+    from pigpen_spark.operators.joins import range_join
+
+    t = tables(spark, sf_dir)
+    bands = t["supplier"].df.select(
+        "s_suppkey", "s_acctbal",
+        (F.col("s_acctbal") - 5).alias("lo"), (F.col("s_acctbal") + 5).alias("hi"),
+    )
+    out = range_join(t["customer"].df, bands, "c_acctbal", "lo", "hi", bin_width=10.0)
+    return (
+        out.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_matches"),
+             F.round(F.sum("s_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+@register(
     "q_quantiles",
     """
     SELECT o_orderpriority,

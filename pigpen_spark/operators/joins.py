@@ -117,3 +117,67 @@ def salted_join(
         # references aren't ambiguous (parity with Relation.join)
         joined = joined.drop(r[right_on])
     return joined
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    on: str | None = None,
+    right_on: str | None = None,
+    bin_width: float | None = None,
+) -> DataFrame:
+    """Point-in-interval range join: left rows matched to every right row
+    whose ``[lo_col, hi_col]`` interval contains ``value_col`` (inclusive
+    both ends), optionally also keyed on an equi-column.
+
+    Spark executes a bare range predicate as a broadcast-nested-loop join —
+    O(n·m) compares and a broadcast requirement, both fatal at scale.  This
+    operator rewrites it to an EQUI-join on value bins: each right interval
+    explodes to the bins it covers, each left value hashes to exactly one
+    bin, the shuffle is keyed by (key, bin), and the exact BETWEEN filter
+    runs only on bin-colocated pairs.  floor() is monotonic, so
+    lo <= v <= hi guarantees bin(lo) <= bin(v) <= bin(hi) — no boundary
+    loss from float division.
+
+    ``bin_width``: bins per interval ≈ width/bin_width + 1, so pick about
+    the typical interval width (replication factor ~2).  None = one tiny
+    aggregate pass computing avg interval width.  Degenerate inputs (all
+    zero-width intervals) fall back to width 1.0.
+
+    Rows with a NULL value or NULL interval endpoint never match (inner
+    join).  Result is row-identical to the naive theta join
+    (oracle-verified: q_range_join).
+    """
+    if bin_width is None:
+        row = right.select(
+            F.avg(_c(hi_col).cast("double") - _c(lo_col).cast("double")).alias("w")
+        ).first()
+        bin_width = float(row["w"] or 0.0) or 1.0
+    if bin_width <= 0:
+        raise ValueError(f"range_join: bin_width must be positive, got {bin_width}")
+    w = F.lit(float(bin_width))
+    lbin = F.floor(_c(value_col).cast("double") / w)
+    r_bins = F.explode(
+        F.sequence(
+            F.floor(_c(lo_col).cast("double") / w).cast("long"),
+            F.floor(_c(hi_col).cast("double") / w).cast("long"),
+        )
+    )
+    l_tag = left.withColumn("__bin", lbin)
+    # inverted intervals can never match, and Spark's sequence(a, b) would
+    # happily generate them DESCENDING — drop them before the explode
+    r_tag = right.filter(
+        _c(lo_col).cast("double") <= _c(hi_col).cast("double")
+    ).withColumn("__bin", r_bins)
+    cond = (l_tag["__bin"] == r_tag["__bin"]) & (
+        l_tag[value_col].cast("double") >= r_tag[lo_col].cast("double")
+    ) & (l_tag[value_col].cast("double") <= r_tag[hi_col].cast("double"))
+    if on is not None:
+        cond = cond & (l_tag[on] == r_tag[right_on or on])
+    joined = l_tag.join(r_tag, on=cond, how="inner").drop(l_tag["__bin"]).drop(r_tag["__bin"])
+    if on is not None and (right_on or on) == on:
+        joined = joined.drop(r_tag[on])
+    return joined

@@ -66,3 +66,65 @@ class TestSalted:
         out = salted_join(left, right, on="k", salt=4)
         assert out.columns.count("k") == 1
         assert out.select("k").collect()[0]["k"] == 1  # no AMBIGUOUS_REFERENCE
+
+
+class TestRangeJoin:
+    def _naive(self, left, right, key=None):
+        cond = (left["v"] >= right["lo"]) & (left["v"] <= right["hi"])
+        if key:
+            cond = cond & (left[key] == right[key])
+        r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
+        cond = (left["v"] >= r["r_lo"]) & (left["v"] <= r["r_hi"])
+        if key:
+            cond = cond & (left[key] == r[f"r_{key}"])
+        return {(x["lid"], x["rid"]) for x in left.join(r, cond).select(
+            left["lid"], F.col("r_rid").alias("rid")).collect()}
+
+    def test_matches_naive_theta_join(self, spark):
+        from pigpen_spark.operators.joins import range_join
+        import random
+        rnd = random.Random(11)
+        lrows = [(i, rnd.uniform(-50, 50)) for i in range(200)]
+        rrows = []
+        for j in range(60):
+            lo = rnd.uniform(-60, 55)
+            rrows.append((j, lo, lo + rnd.uniform(0, 12)))
+        left = spark.createDataFrame(lrows, "lid long, v double")
+        right = spark.createDataFrame(rrows, "rid long, lo double, hi double")
+        got = {(x["lid"], x["rid"])
+               for x in range_join(left, right, "v", "lo", "hi", bin_width=5.0)
+               .select("lid", "rid").collect()}
+        assert got == self._naive(left, right)
+        # auto bin width gives identical rows
+        auto = {(x["lid"], x["rid"])
+                for x in range_join(left, right, "v", "lo", "hi")
+                .select("lid", "rid").collect()}
+        assert auto == got
+
+    def test_inclusive_bounds_and_bin_edges(self, spark):
+        from pigpen_spark.operators.joins import range_join
+        left = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 9.999), (4, 20.001), (5, -10.0)],
+            "lid long, v double")
+        right = spark.createDataFrame(
+            [(7, 10.0, 20.0), (8, -15.0, -10.0)], "rid long, lo double, hi double")
+        got = {(x["lid"], x["rid"])
+               for x in range_join(left, right, "v", "lo", "hi", bin_width=10.0)
+               .select("lid", "rid").collect()}
+        assert got == {(1, 7), (2, 7), (5, 8)}
+
+    def test_keyed_and_degenerate(self, spark):
+        from pigpen_spark.operators.joins import range_join
+        left = spark.createDataFrame(
+            [("a", 1, 5.0), ("b", 2, 5.0)], "k string, lid long, v double")
+        right = spark.createDataFrame(
+            [("a", 7, 0.0, 10.0), ("b", 8, 6.0, 10.0), ("a", 9, 9.0, 3.0)],
+            "k string, rid long, lo double, hi double")
+        out = range_join(left, right, "v", "lo", "hi", on="k", bin_width=2.0)
+        assert {(x["lid"], x["rid"]) for x in out.select("lid", "rid").collect()} == {(1, 7)}
+        # key column appears once
+        assert out.columns.count("k") == 1
+        # zero-width-interval table with auto bin width still works
+        zw = spark.createDataFrame([("a", 7, 5.0, 5.0)], "k string, rid long, lo double, hi double")
+        out2 = range_join(left, zw, "v", "lo", "hi", on="k")
+        assert [x["rid"] for x in out2.collect()] == [7]
