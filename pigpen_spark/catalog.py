@@ -914,6 +914,31 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_interval_overlap",
+    """
+    SELECT c.c_nationkey, count(*) AS n_matches
+    FROM customer c JOIN supplier s
+      ON c.c_acctbal - 3 <= s.s_acctbal + 3 AND s.s_acctbal - 3 <= c.c_acctbal + 3
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via double-sided binning (extension).  Each
+    pair is emitted in exactly one bin (the leftmost bin of the
+    intersection) — no dedup shuffle.  Oracle is the naive overlap theta
+    join."""
+    from pigpen_spark.operators.joins import interval_overlap_join
+
+    t = tables(spark, sf_dir)
+    c = t["customer"].df.select(
+        "c_nationkey", (F.col("c_acctbal") - 3).alias("clo"), (F.col("c_acctbal") + 3).alias("chi"))
+    sup = t["supplier"].df.select(
+        (F.col("s_acctbal") - 3).alias("slo"), (F.col("s_acctbal") + 3).alias("shi"))
+    out = interval_overlap_join(c, sup, "clo", "chi", "slo", "shi", bin_width=6.0)
+    return out.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+@register(
     "q_quantiles",
     """
     SELECT o_orderpriority,

@@ -181,3 +181,69 @@ def range_join(
     if on is not None and (right_on or on) == on:
         joined = joined.drop(r_tag[on])
     return joined
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    on: str | None = None,
+    right_on: str | None = None,
+    bin_width: float | None = None,
+) -> DataFrame:
+    """Interval-overlap join: pairs whose ``[lo, hi]`` ranges intersect
+    (closed ends), optionally also keyed on an equi-column.
+
+    Same binning rewrite as :func:`range_join`, on both sides: each
+    interval explodes to its covered bins and candidates equi-join on
+    (key, bin).  Overlapping intervals share every bin their INTERSECTION
+    covers, so a pair would surface once per shared bin — instead of a
+    dropDuplicates shuffle, a pair is emitted only in the FIRST shared bin
+    (bin == max(first-bin_a, first-bin_b), the leftmost bin of the
+    intersection), which each pair satisfies exactly once.
+
+    ``bin_width`` None = avg of both sides' mean interval widths (two tiny
+    aggregate passes).  Rows with NULL endpoints or inverted intervals
+    never match."""
+    if bin_width is None:
+        ws = []
+        for df_, lo_, hi_ in ((left, left_lo, left_hi), (right, right_lo, right_hi)):
+            row = df_.select(F.avg(_c(hi_).cast("double") - _c(lo_).cast("double")).alias("w")).first()
+            ws.append(float(row["w"] or 0.0))
+        bin_width = (sum(ws) / 2) or 1.0
+    if bin_width <= 0:
+        raise ValueError(f"interval_overlap_join: bin_width must be positive, got {bin_width}")
+    w = F.lit(float(bin_width))
+
+    def tag(df_, lo_, hi_):
+        first = F.floor(_c(lo_).cast("double") / w).cast("long")
+        return (
+            df_.filter(_c(lo_).cast("double") <= _c(hi_).cast("double"))
+            .withColumn("__bin0", first)
+            .withColumn(
+                "__bin",
+                F.explode(F.sequence(first, F.floor(_c(hi_).cast("double") / w).cast("long"))),
+            )
+        )
+
+    l_tag = tag(left, left_lo, left_hi)
+    r_tag = tag(right, right_lo, right_hi)
+    overlap = (
+        (l_tag[left_lo].cast("double") <= r_tag[right_hi].cast("double"))
+        & (r_tag[right_lo].cast("double") <= l_tag[left_hi].cast("double"))
+    )
+    once = l_tag["__bin"] == F.greatest(l_tag["__bin0"], r_tag["__bin0"])
+    cond = (l_tag["__bin"] == r_tag["__bin"]) & overlap & once
+    if on is not None:
+        cond = cond & (l_tag[on] == r_tag[right_on or on])
+    joined = (
+        l_tag.join(r_tag, on=cond, how="inner")
+        .drop(l_tag["__bin"]).drop(r_tag["__bin"])
+        .drop(l_tag["__bin0"]).drop(r_tag["__bin0"])
+    )
+    if on is not None and (right_on or on) == on:
+        joined = joined.drop(r_tag[on])
+    return joined

@@ -128,3 +128,37 @@ class TestRangeJoin:
         zw = spark.createDataFrame([("a", 7, 5.0, 5.0)], "k string, rid long, lo double, hi double")
         out2 = range_join(left, zw, "v", "lo", "hi", on="k")
         assert [x["rid"] for x in out2.collect()] == [7]
+
+
+class TestIntervalOverlap:
+    def test_matches_naive_and_no_dups(self, spark):
+        from pigpen_spark.operators.joins import interval_overlap_join
+        import random
+        rnd = random.Random(23)
+        lrows = [(i, lo := rnd.uniform(-40, 40), lo + rnd.uniform(0, 15)) for i in range(120)]
+        rrows = [(j, lo := rnd.uniform(-45, 40), lo + rnd.uniform(0, 8)) for j in range(80)]
+        left = spark.createDataFrame(lrows, "lid long, llo double, lhi double")
+        right = spark.createDataFrame(rrows, "rid long, rlo double, rhi double")
+        rows = (interval_overlap_join(left, right, "llo", "lhi", "rlo", "rhi", bin_width=6.0)
+                .select("lid", "rid").collect())
+        got = [(x["lid"], x["rid"]) for x in rows]
+        assert len(got) == len(set(got)), "pair emitted more than once"
+        naive = {(x["lid"], x["rid"])
+                 for x in left.join(right, (F.col("llo") <= F.col("rhi")) & (F.col("rlo") <= F.col("lhi")))
+                 .select("lid", "rid").collect()}
+        assert set(got) == naive
+        auto = (interval_overlap_join(left, right, "llo", "lhi", "rlo", "rhi")
+                .select("lid", "rid").collect())
+        assert {(x["lid"], x["rid"]) for x in auto} == naive
+
+    def test_keyed_touching_endpoints(self, spark):
+        from pigpen_spark.operators.joins import interval_overlap_join
+        left = spark.createDataFrame(
+            [("a", 1, 0.0, 5.0), ("b", 2, 0.0, 5.0)], "k string, lid long, llo double, lhi double")
+        right = spark.createDataFrame(
+            [("a", 7, 5.0, 9.0), ("a", 8, 5.1, 9.0), ("b", 9, 7.0, 3.0)],
+            "k string, rid long, rlo double, rhi double")
+        out = interval_overlap_join(left, right, "llo", "lhi", "rlo", "rhi", on="k", bin_width=2.0)
+        # closed intervals: touching at 5.0 overlaps; inverted right row dropped
+        assert {(x["lid"], x["rid"]) for x in out.select("lid", "rid").collect()} == {(1, 7)}
+        assert out.columns.count("k") == 1
