@@ -177,20 +177,44 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# low threshold (this corpus is random 64-dim; max pair cosine ≈0.51, i.e.
+# θ≈60°) → short bands × many tables for recall: 3 planes × 8 tables
+# ≈ 0.93 expected recall at θ=60°
+_ND_TABLES, _ND_PLANES = 8, 3
+_ND_BUCKETS = ", ".join(
+    S.lsh_bucket_sql("vec", _ND_PLANES, 64, plane_offset=t * _ND_PLANES)
+    for t in range(_ND_TABLES)
+)
+
+
 @register(
     "ext_embed_near_dup",
     f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({S.cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round({S.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+    WITH base AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    tagged AS (
+      SELECT id, unnest(range({_ND_TABLES})) AS tbl, unnest([{_ND_BUCKETS}]) AS bucket
+      FROM base
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM tagged a JOIN tagged b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b, round({S.cosine_sql('va.vec', 'vb.vec')}, 6) AS score
+    FROM cand c JOIN base va ON c.id_a = va.id JOIN base vb ON c.id_b = vb.id
+    WHERE round({S.cosine_sql('va.vec', 'vb.vec')}, 6) >= 0.45
     """,
 )
 def ext_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (float64, portable association
-    order; ≥0.45 on this corpus)."""
+    """Embedding-cosine near-dup pairs ≥0.45, blocked on multi-table
+    hyperplane LSH (equi-join on (table, bucket) — no cross/BNL join
+    anywhere; the all-pairs form survives only behind ``exact=True``).
+    Oracle replicates the exact blocking, so the hash check pins both the
+    candidate set and the float64 scores."""
     emb = tables(spark, sf_dir)["embeddings"]
-    return S.embedding_near_dup_pairs(emb.df, threshold=0.45)
+    return S.embedding_near_dup_pairs(
+        emb.df, threshold=0.45, n_tables=_ND_TABLES, n_planes=_ND_PLANES, dim=64
+    )
 
 
 @register(

@@ -216,6 +216,12 @@ def minhash_candidates(
     sigs (read by both sides of the self-join and the final estimate).
     Persisted state is O(n_docs · tokens) ints — small next to the corpus,
     spill-to-disk safe at cluster scale."""
+    if k % bands != 0:
+        raise ValueError(
+            f"minhash_candidates: k ({k}) must be a multiple of bands ({bands}) "
+            "— a remainder would silently drop trailing signature slots and "
+            "weaken LSH recall"
+        )
     r = k // bands
     # spread first: signature compute is CPU-bound, and a small doc corpus
     # can sit in one scan partition (no-op on well-partitioned input).

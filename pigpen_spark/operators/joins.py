@@ -212,7 +212,10 @@ def interval_overlap_join(
         ws = []
         for df_, lo_, hi_ in ((left, left_lo, left_hi), (right, right_lo, right_hi)):
             row = df_.select(F.avg(_c(hi_).cast("double") - _c(lo_).cast("double")).alias("w")).first()
-            ws.append(float(row["w"] or 0.0))
+            # clamp: inverted (lo > hi) rows are filtered out below but would
+            # otherwise drag the mean width negative and defeat the 1.0
+            # fallback with a ValueError instead
+            ws.append(max(float(row["w"] or 0.0), 0.0))
         bin_width = (sum(ws) / 2) or 1.0
     if bin_width <= 0:
         raise ValueError(f"interval_overlap_join: bin_width must be positive, got {bin_width}")

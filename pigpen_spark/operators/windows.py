@@ -30,6 +30,13 @@ def ranked(df: DataFrame, order_by: Sequence, index_col: str = "index",
     (a tiny driver-side vector, one value per partition — the same shape
     Pig's RANK uses), then rank within each partition in parallel and add
     the partition's global offset.
+
+    The scale-safe path persists the range-partitioned input for the
+    session (the partition-id column must be identical between the count
+    pass and the output pass, so the cache is semantically load-bearing,
+    not just a speedup).  Long-lived sessions ranking many relations
+    should call :func:`pigpen_spark.tuning.clear_engine_caches` between
+    corpora — same lifetime contract as the dedup/similarity operators.
     """
     orders = [_c(c) for c in order_by]
     if partition_by:

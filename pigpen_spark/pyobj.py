@@ -96,9 +96,10 @@ class PyObjRelation:
         reduce_fn: Callable[[Any, Any], Any],
     ) -> "PyObjRelation":
         """Shuffle-grouped reduce over arbitrary objects: key bytes are the
-        shuffle key, values combine MAP-SIDE via aggregateByKey (the
-        reference's Algebraic partial+final shape) — emits (key, reduced)
-        pairs as python tuples."""
+        shuffle key, values combine MAP-SIDE via reduceByKey (map-side
+        combine before the shuffle — the reference's Algebraic
+        partial+final shape) — emits (key, reduced) pairs as python
+        tuples."""
         src = self.df
 
         def keyed(batches):

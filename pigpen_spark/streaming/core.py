@@ -204,8 +204,13 @@ def stream_static_join(stream: DataFrame, static: DataFrame, on: str,
     right_on = right_on or on
     cond = stream[on] == static[right_on]
     joined = stream.join(F.broadcast(static), on=cond, how=how)
-    if on == right_on:
-        # same-named key: keep the stream-side copy only (no ambiguity)
+    if on == right_on and how in (
+        "inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti",
+    ):
+        # same-named key: keep the stream-side copy only.  For right/full
+        # outer the static-side key must stay — on unmatched static rows it
+        # is the only non-null key (mirrors stream_stream_join's guard).
         joined = joined.drop(static[right_on])
     return joined
 

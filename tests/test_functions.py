@@ -138,8 +138,30 @@ class TestSimilarity:
         df = spark.createDataFrame(
             [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])],
             "vec_id long, embedding array<float>")
-        pairs = [(r["id_a"], r["id_b"]) for r in S.embedding_near_dup_pairs(df, threshold=0.95).collect()]
+        pairs = [(r["id_a"], r["id_b"]) for r in S.embedding_near_dup_pairs(df, threshold=0.95, dim=2).collect()]
         assert pairs == [(0, 1)]
+        # exact path unchanged behind the flag
+        exact = [(r["id_a"], r["id_b"]) for r in S.embedding_near_dup_pairs(df, threshold=0.95, exact=True).collect()]
+        assert exact == [(0, 1)]
+
+    def test_near_dup_blocked_matches_exact(self, spark):
+        # LSH-blocked candidates at high threshold recover the exact pair
+        # set on a clustered corpus (defaults: 8 planes x 4 tables)
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(30):
+            center = [rng.uniform(-1, 1) for _ in range(16)]
+            rows.append((2 * i, center))
+            rows.append((2 * i + 1, [x + rng.uniform(-0.01, 0.01) for x in center]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        blocked = {(r["id_a"], r["id_b"]) for r in
+                   S.embedding_near_dup_pairs(df, threshold=0.99, dim=16).collect()}
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 S.embedding_near_dup_pairs(df, threshold=0.99, exact=True).collect()}
+        assert exact  # the planted twins are above threshold
+        assert blocked == exact
 
 
 class TestMultimodal:

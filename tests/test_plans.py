@@ -82,10 +82,21 @@ def test_partitioned_store_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
 
 
+def test_embed_near_dup_is_lsh_blocked(spark, sf_dir):
+    # the near-dup component must candidate-generate via the (table,
+    # bucket) equi-join — an all-pairs regression shows up as a cartesian
+    # or broadcast-nested-loop node
+    qs = catalog.queries()
+    p = qs["ext_embed_near_dup"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     # no catalog query may degrade to a cartesian/broadcast nested loop,
     # except the deliberate all-pairs extensions (brute-force similarity)
-    allowed = {"ext_embed_near_dup", "ext_ann_brute", "q_sample"}
+    allowed = {"ext_ann_brute", "q_sample"}
     qs = catalog.queries()
     offenders = []
     for name, fn in qs.items():
