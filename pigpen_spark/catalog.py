@@ -209,6 +209,31 @@ def q_minmax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_minmax_comparator",
+    """
+    SELECT o_orderpriority,
+           min({'k': abs(o_totalprice - 150000.0), 'v': o_totalprice}).v AS closest_price,
+           max({'k': abs(o_totalprice - 150000.0), 'v': o_totalprice}).v AS farthest_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_minmax_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fold/min-max with a CUSTOM comparator (fold.clj:411-495: arbitrary
+    compare fn) — comparator "distance from 150 000" via the struct-
+    ordering trick; one native aggregate, map-side partials intact."""
+    o = tables(spark, sf_dir)["orders"]
+    dist = F.abs(F.col("o_totalprice") - 150000.0)
+    return (
+        o.group_by("o_orderpriority")
+        .fold(
+            closest_price=fold.min_with("o_totalprice", dist),
+            farthest_price=fold.max_with("o_totalprice", dist),
+        )
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-record transforms (SURVEY §2.2)
 # ---------------------------------------------------------------------------
@@ -1066,9 +1091,32 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q_sample", None)
+@register(
+    "q_sample",
+    """
+    SELECT count(*)::BIGINT AS n_total, 0.5 AS p, TRUE AS in_bounds
+    FROM lineitem
+    """,
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample (filter.clj:97-112) — the reference's own test only
-    bounds the count statistically (filter_test.clj:56-64); rows-only check."""
+    """Bernoulli sample (filter.clj:97-112) with a STATISTICAL oracle —
+    the reference's own test only bounds the count (filter_test.clj:56-64
+    asserts 400 < n < 600 for p=0.5 over 1000).  A sample can't hash-match
+    row-for-row, so the check is folded into the output: the sampled count
+    must land within ±6σ binomial bounds of p·n (a ~1e-9 false-failure
+    rate), emitted as a boolean next to the DuckDB-verified total.  The
+    sample itself stays fully distributed — one aggregate over the sampled
+    scan, a second tiny count for the total."""
     li = tables(spark, sf_dir)["lineitem"]
-    return li.sample(0.5, seed=42).map("l_orderkey", "l_linenumber").df
+    p = 0.5
+    sampled_n = li.sample(p, seed=42).df.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "n_sample")
+    total = li.df.agg(F.count(F.lit(1)).alias("n_total"))
+    sigma = F.sqrt(F.col("n_total") * F.lit(p * (1 - p)))
+    in_bounds = (
+        (F.col("n_sample") >= F.col("n_total") * F.lit(p) - 6 * sigma)
+        & (F.col("n_sample") <= F.col("n_total") * F.lit(p) + 6 * sigma)
+    )
+    return (
+        total.crossJoin(sampled_n)  # two 1-row aggregates — trivially safe
+        .select("n_total", F.lit(p).alias("p"), in_bounds.alias("in_bounds"))
+    )

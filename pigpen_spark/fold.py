@@ -98,6 +98,34 @@ def max_key(key: Any, val: Any) -> Fold:
     return Fold(F.max_by(_c(val), _c(key)), "max_key")
 
 
+def min_with(val: Any, *keys: Any) -> Fold:
+    """fold/min with an ARBITRARY comparator (fold.clj:411-452 takes any
+    2-arity compare fn).  The comparator is expressed as one or more
+    ordering KEY expressions compared lexicographically — e.g. "closest to
+    x" is ``min_with(col, F.abs(col - x))``, "shortest then alphabetical"
+    is ``min_with(col, F.length(col), col)``.  Struct ordering keeps it
+    ONE native aggregate with map-side partials; ties after all keys break
+    on the value itself, so the result is deterministic (both engines
+    compare structs field-by-field left to right)."""
+    if not keys:
+        return min_(val)
+    pair = F.struct(
+        *[_c(k).alias(f"k{i}") for i, k in enumerate(keys)], _c(val).alias("v")
+    )
+    return Fold(F.min(pair)["v"], "min_with")
+
+
+def max_with(val: Any, *keys: Any) -> Fold:
+    """fold/max with an arbitrary comparator (fold.clj:453-495) — see
+    :func:`min_with`; largest key tuple wins, ties break on the value."""
+    if not keys:
+        return max_(val)
+    pair = F.struct(
+        *[_c(k).alias(f"k{i}") for i, k in enumerate(keys)], _c(val).alias("v")
+    )
+    return Fold(F.max(pair)["v"], "max_with")
+
+
 def vec(col: Any, sort: bool = False) -> Fold:
     """fold/vec — collect bag (fold.clj:90-105)."""
     e = F.collect_list(_c(col))

@@ -248,15 +248,38 @@ class Relation:
             idx = (F.row_number().over(w) - F.lit(1)).cast("long")
             return self._with(self.df.withColumn(index_col, idx))
         if dense:
-            # zipWithIndex semantics (0..n-1, arbitrary but stable order):
-            # RDD zipWithIndex = one count pass + per-partition offsets —
-            # scale-safe, but leaves the columnar path; use dense=False
-            # (monotonically_increasing_id) when only uniqueness matters.
-            from pyspark.sql.types import LongType, StructField, StructType
-
-            schema = StructType(list(self.df.schema.fields) + [StructField(index_col, LongType())])
-            rdd = self.df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-            return self._with(self.spark.createDataFrame(rdd, schema=schema))
+            # zipWithIndex semantics (0..n-1, arbitrary but stable order),
+            # fully COLUMNAR: monotonically_increasing_id packs the
+            # partition index in the high 31 bits and the per-partition
+            # record number in the low 33 (documented layout), so
+            # dense index = global-offset(partition) + low 33 bits.
+            # One tiny count-per-partition collect (one long per partition
+            # — the same bounded driver-side vector windows.ranked uses)
+            # replaces the RDD zipWithIndex round-trip through Python.
+            # The persist is load-bearing: the id column must be identical
+            # between the count pass and the output pass.
+            mid = _gensym("mid")
+            tagged = self.df.withColumn(mid, F.monotonically_increasing_id()).persist()
+            pid = F.shiftright(F.col(mid), 33).cast("int")
+            counts = {
+                r["p"]: r["cnt"]
+                for r in tagged.groupBy(pid.alias("p")).agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            offsets, acc = {}, 0
+            for p in sorted(counts):
+                offsets[p] = acc
+                acc += counts[p]
+            off = (
+                F.element_at(
+                    F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), pid
+                )
+                if offsets
+                else F.lit(0)
+            )
+            local = F.col(mid).bitwiseAND(F.lit((1 << 33) - 1))
+            return self._with(
+                tagged.withColumn(index_col, (off + local).cast("long")).drop(mid)
+            )
         return self._with(self.df.withColumn(index_col, F.monotonically_increasing_id()))
 
     # -- sort / limit / sample (§2.5) --------------------------------------
@@ -475,6 +498,37 @@ class Relation:
         fields = [F.col(f"{col}.{f.name}").alias(f.name) for f in dt.fields]
         keep = [c for c in self.df.columns if not (drop and c == col)]
         return self._with(self.df.select(*keep, *fields))
+
+    def select_indexed(self, col: str, fields: Sequence[tuple[str, str]],
+                       rest_col: str | None = None, drop: bool = True) -> "Relation":
+        """Positional field selection over a sequence column (reference:
+        indexed-field-selector->bind, runtime.clj:130-148 — a seq value
+        becomes the first n fields BY POSITION, the untyped remainder stays
+        a seq).  ``fields`` is [(name, sql_type), …]; element i of ``col``
+        (1-based in Spark, 0-based here) is cast to sql_type.  Missing
+        elements → NULL (the reference's nth-on-short-seq behavior for
+        optional trailing fields).  ``rest_col`` captures elements beyond
+        the selected prefix as an array<string>.
+
+        Typical use: ``load_tsv`` without a schema yields
+        ``value: array<string>`` rows; this turns the first n positions
+        into typed named columns — the untyped-load → typed-projection
+        split the reference models (io_test.clj load-tsv cases)."""
+        n = len(fields)
+        src = _to_col(col)
+        # try_element_at: ANSI-safe NULL past the end (element_at THROWS on
+        # short rows under Spark 4's default ANSI mode)
+        typed = [
+            F.try_element_at(src, F.lit(i + 1)).cast(t).alias(name)
+            for i, (name, t) in enumerate(fields)
+        ]
+        keep = [c for c in self.df.columns if not (drop and c == col)]
+        out = [*keep, *typed]
+        if rest_col is not None:
+            rest = F.when(F.size(src) > n, F.slice(src, n + 1, F.size(src) - n)) \
+                    .otherwise(F.array().cast("array<string>"))
+            out.append(rest.alias(rest_col))
+        return self._with(self.df.select(*out))
 
     def cogroup(
         self,

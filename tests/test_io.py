@@ -23,6 +23,23 @@ class TestLoad:
         out = pio.load_tsv(spark, str(p))
         assert sorted(r["value"] for r in out.df.collect()) == [["1", "2", "3"], ["a", "b", "c"]]
 
+    def test_load_tsv_select_indexed(self, spark, tmp_path):
+        # runtime.clj:130-148 indexed-field-selector: untyped tsv rows →
+        # first-n typed positional columns + untyped rest; short rows → NULL
+        p = tmp_path / "t.tsv"
+        p.write_text("1\tfoo\t2.5\textra1\textra2\n2\tbar\t3.5\n3\tbaz\n")
+        out = pio.load_tsv(spark, str(p)).select_indexed(
+            "value", [("id", "long"), ("name", "string"), ("score", "double")],
+            rest_col="rest",
+        )
+        rows = {r["id"]: (r["name"], r["score"], r["rest"]) for r in out.df.collect()}
+        assert rows == {
+            1: ("foo", 2.5, ["extra1", "extra2"]),
+            2: ("bar", 3.5, []),
+            3: ("baz", None, []),
+        }
+        assert [f.name for f in out.df.schema.fields] == ["id", "name", "score", "rest"]
+
     def test_load_tsv_wrong_delimiter(self, spark, tmp_path):
         # io_test: wrong delimiter → single-element rows
         p = tmp_path / "t.tsv"

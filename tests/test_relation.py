@@ -92,6 +92,22 @@ class TestSortTakeSample:
         out = r.map_indexed(order_by=["x"])
         assert [(row["x"], row["index"]) for row in out.df.collect()] == [(1, 0), (2, 1), (3, 2)]
 
+    def test_map_indexed_dense_unordered(self, spark):
+        # unordered dense: a 0..n-1 permutation across many partitions,
+        # produced columnar (no RDD round-trip through Python)
+        from pigpen_spark.relation import Relation
+
+        r = Relation(spark.range(100).select(F.col("id").alias("x")).repartition(7))
+        out = r.map_indexed()
+        assert "ExistingRDD" not in out.df._jdf.queryExecution().executedPlan().toString()
+        rows = out.df.collect()
+        assert sorted(row["index"] for row in rows) == list(range(100))
+        assert len({row["x"] for row in rows}) == 100
+
+    def test_map_indexed_dense_empty(self, spark):
+        r = return_(spark, [], "x long")
+        assert r.map_indexed().df.collect() == []
+
 
 class TestClosureCapture:
     """reference: functional/code_test.clj:26-56 — user fns capture local
@@ -261,6 +277,20 @@ class TestFolds:
         out = r.group_by("k").fold(mk=fold.max_key("w", "v"), nk=fold.min_key("w", "v"))
         rows = {row["k"]: (row["mk"], row["nk"]) for row in out.df.collect()}
         assert rows == {"a": (50, 10), "b": (20, 20)}
+
+    def test_min_max_with_comparator(self, spark):
+        # fold_test.clj comparator cases: min/max under a custom compare fn
+        # — here "by string length, then alphabetical"
+        r = return_(spark, [("a", "ccc"), ("a", "bb"), ("a", "dd"), ("b", "e")], "k string, v string")
+        out = r.group_by("k").fold(
+            shortest=fold.min_with("v", F.length(F.col("v")), F.col("v")),
+            longest=fold.max_with("v", F.length(F.col("v")), F.col("v")),
+        )
+        rows = {row["k"]: (row["shortest"], row["longest"]) for row in out.df.collect()}
+        assert rows == {"a": ("bb", "ccc"), "b": ("e", "e")}
+        # no keys → degenerates to the natural-ordering fold
+        nat = r.group_by("k").fold(m=fold.min_with("v"))
+        assert {row["k"]: row["m"] for row in nat.df.collect()} == {"a": "bb", "b": "e"}
 
     def test_vec_distinct_folds(self, spark):
         r = return_(spark, [("a", 3), ("a", 1), ("a", 3)], "k string, v long")
