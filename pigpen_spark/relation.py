@@ -626,17 +626,58 @@ class Relation:
         return self.reduce_rel(**{out_col: Fold(bag)})
 
     def reduce_py(self, zero, seq_op, comb_op, finish=None, out_col: str = "value",
-                  out_type: str = "string") -> "Relation":
+                  out_type: str = "string", arrow: bool = True) -> "Relation":
         """Whole-relation fold with arbitrary Python fns and map-side
-        partials via treeAggregate (reference: pigpen.join/fold parallel
-        tree aggregation, join.clj:140-156, 280-314).  Empty → empty."""
-        df = self.df
-        if df.isEmpty():
-            return self._with(self.spark.createDataFrame([], schema=f"{out_col} {out_type}"))
-        rows = df.rdd.map(lambda r: r.asDict(recursive=True))
-        acc = rows.treeAggregate(zero, seq_op, comb_op)
+        partials (reference: pigpen.join/fold parallel tree aggregation,
+        join.clj:140-156, 280-314).  Empty → empty.
+
+        ``arrow=True`` (default): Arrow-batched mapInPandas folds each
+        partition to ONE pickled partial row; the partials (one per
+        non-empty partition) merge in a single final group — the
+        distributed work stays batched, only #partitions tiny rows
+        shuffle, and empty input naturally produces no partials (no extra
+        isEmpty probe job).  Rows reach ``seq_op`` as dicts with
+        Arrow-converted scalar values (numpy types for numerics).
+
+        ``arrow=False``: the original RDD treeAggregate formulation with
+        plain-Python row dicts."""
         fin = finish or (lambda x: x)
-        return self._with(self.spark.createDataFrame([(fin(acc),)], schema=f"{out_col} {out_type}"))
+        if not arrow:
+            df = self.df
+            if df.isEmpty():
+                return self._with(self.spark.createDataFrame([], schema=f"{out_col} {out_type}"))
+            rows = df.rdd.map(lambda r: r.asDict(recursive=True))
+            acc = rows.treeAggregate(zero, seq_op, comb_op)
+            return self._with(self.spark.createDataFrame([(fin(acc),)], schema=f"{out_col} {out_type}"))
+
+        import copy
+        import pickle
+
+        src = self.df.select(F.struct(*[F.col(c) for c in self.df.columns]).alias("__v"))
+
+        def partials(batches):
+            import pandas as pd
+
+            acc, seen = copy.deepcopy(zero), False
+            for pdf in batches:
+                for v in pdf["__v"]:
+                    acc = seq_op(acc, v)
+                    seen = True
+            if seen:
+                yield pd.DataFrame({"__partial": [pickle.dumps(acc)]})
+
+        def combine(pdf):
+            import pandas as pd
+
+            acc = None
+            for blob in pdf["__partial"]:
+                p = pickle.loads(bytes(blob))
+                acc = p if acc is None else comb_op(acc, p)
+            return pd.DataFrame([{out_col: fin(acc)}])
+
+        part = src.mapInPandas(partials, schema="__partial binary")
+        grouped = part.groupBy(F.lit(1).alias("__g"))
+        return self._with(grouped.applyInPandas(combine, schema=f"{out_col} {out_type}"))
 
     def join_multi(
         self,
@@ -838,27 +879,84 @@ class GroupedRelation:
         return self._rel._with(self._rel.df.groupBy(*self._keys).applyInPandas(fn, schema=schema))
 
     def fold_py(self, zero, seq_op, comb_op, finish=None, key_names: Sequence[str] | None = None,
-                out_col: str = "value", out_type: str = "string"):
-        """Python fold with MAP-SIDE PARTIALS via RDD aggregateByKey.
+                out_col: str = "value", out_type: str = "string", arrow: bool = True):
+        """Python fold with MAP-SIDE PARTIALS — Pig Algebraic 3-phase
+        (partial + final), the reference's arbitrary-fold execution shape.
+        Spark's pandas GROUPED_AGG UDF has no partial phase (SURVEY §4.3
+        note), so we build it:
 
-        The reference executes arbitrary folds as Pig Algebraic 3-phase
-        (partial + final); Spark's pandas GROUPED_AGG UDF has no partial
-        phase, so for arbitrary Python folds we drop to aggregateByKey which
-        does (SURVEY §4.3 note).  Returns key columns + ``out_col``.
+        ``arrow=True`` (default): stage 1 is an Arrow-batched mapInPandas
+        that folds each partition into per-key PARTIAL accumulators (one
+        output row per key per partition — the map-side combine); stage 2
+        shuffles only the pickled partials and merges them per key with
+        ``comb_op`` in applyInPandas.  ~10× the row-at-a-time path on wide
+        rows (see SCALE.md).  Rows reach ``seq_op`` as dicts whose values
+        are Arrow-converted scalars (numpy types for numerics).
+
+        ``arrow=False``: the original RDD aggregateByKey formulation —
+        row-at-a-time pickling, plain-Python values; keep as the fallback
+        for fns that are sensitive to numpy scalar types.
+
+        Returns key columns + ``out_col``.
         """
         rel = self._rel
         knames = list(key_names or [f"k{i}" for i in range(len(self._keys))])
         kcols = [k.alias(n) for k, n in zip(self._keys, knames)]
         df = rel.df.select(*kcols, F.struct(*[F.col(c) for c in rel.df.columns]).alias("__v"))
-        nk = len(knames)
-        rdd = df.rdd.map(lambda r: (tuple(r[:nk]), r["__v"].asDict(recursive=True)))
-        agged = rdd.aggregateByKey(zero, seq_op, comb_op)
+        ktypes = self._key_types(df, knames)
         fin = finish or (lambda x: x)
-        out = agged.map(lambda kv: tuple(kv[0]) + (fin(kv[1]),))
-        schema = ", ".join(
-            [f"{n} {t}" for n, t in zip(knames, self._key_types(df, knames))] + [f"{out_col} {out_type}"]
+        out_schema = ", ".join(
+            [f"{n} {t}" for n, t in zip(knames, ktypes)] + [f"{out_col} {out_type}"]
         )
-        return rel._with(rel.spark.createDataFrame(out, schema=schema))
+        if not arrow:
+            nk = len(knames)
+            rdd = df.rdd.map(lambda r: (tuple(r[:nk]), r["__v"].asDict(recursive=True)))
+            agged = rdd.aggregateByKey(zero, seq_op, comb_op)
+            out = agged.map(lambda kv: tuple(kv[0]) + (fin(kv[1]),))
+            return rel._with(rel.spark.createDataFrame(out, schema=out_schema))
+
+        import copy
+        import pickle
+
+        part_schema = ", ".join(
+            [f"{n} {t}" for n, t in zip(knames, ktypes)] + ["__partial binary"]
+        )
+
+        def partials(batches):
+            import pandas as pd
+
+            accs = {}
+            for pdf in batches:
+                rows = pdf["__v"]
+                keys = zip(*[pdf[n] for n in knames])
+                for kt, v in zip(keys, rows):
+                    kt = tuple(kt)
+                    acc = accs.get(kt)
+                    if acc is None:
+                        acc = copy.deepcopy(zero)
+                    accs[kt] = seq_op(acc, v)
+            if accs:
+                yield pd.DataFrame(
+                    [
+                        {**dict(zip(knames, kt)), "__partial": pickle.dumps(a)}
+                        for kt, a in accs.items()
+                    ]
+                )
+
+        def combine(pdf):
+            import pandas as pd
+
+            acc = None
+            for blob in pdf["__partial"]:
+                p = pickle.loads(bytes(blob))
+                acc = p if acc is None else comb_op(acc, p)
+            row = {n: pdf[n].iloc[0] for n in knames}
+            row[out_col] = fin(acc)
+            return pd.DataFrame([row])
+
+        part = df.mapInPandas(partials, schema=part_schema)
+        grouped = part.groupBy(*[F.col(n) for n in knames])
+        return rel._with(grouped.applyInPandas(combine, schema=out_schema))
 
     @staticmethod
     def _key_types(df: DataFrame, knames: list[str]) -> list[str]:

@@ -4,6 +4,7 @@ Mirrors the reference's map_test.clj / filter_test.clj / set_test.clj /
 fold_test.clj corpora (FIXTURES.md §2-4).
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from pigpen_spark import fold
@@ -298,8 +299,10 @@ class TestFolds:
         [row] = out.df.collect()
         assert row["bag"] == [1, 3, 3] and row["ds"] == [1, 3]
 
-    def test_fold_py_partial_agg(self, spark):
-        # arbitrary python fold with map-side partials (aggregateByKey)
+    @pytest.mark.parametrize("arrow", [True, False])
+    def test_fold_py_partial_agg(self, spark, arrow):
+        # arbitrary python fold with map-side partials, on both paths:
+        # Arrow-batched mapInPandas partials (default) and RDD aggregateByKey
         r = return_(spark, [("a", 1), ("a", 2), ("b", 3)], "k string, v long")
         out = r.group_by("k").fold_py(
             zero=0,
@@ -307,6 +310,29 @@ class TestFolds:
             comb_op=lambda a, b: a + b,
             finish=str,
             key_names=["k"],
+            arrow=arrow,
         )
         rows = {row["k"]: row["value"] for row in out.df.collect()}
         assert rows == {"a": "5", "b": "9"}
+
+    def test_fold_py_arrow_mutable_zero(self, spark):
+        # the shared zero must be deep-copied per key (mutable accumulators)
+        r = return_(spark, [("a", 1), ("a", 2), ("b", 3)], "k string, v long")
+
+        def seq(acc, row):
+            acc.append(int(row["v"]))
+            return acc
+
+        out = r.group_by("k").fold_py(
+            zero=[], seq_op=seq, comb_op=lambda a, b: sorted(a + b),
+            finish=lambda a: ",".join(map(str, sorted(a))), key_names=["k"],
+        )
+        rows = {row["k"]: row["value"] for row in out.df.collect()}
+        assert rows == {"a": "1,2", "b": "3"}
+
+    def test_fold_py_empty_input(self, spark):
+        r = return_(spark, [("a", 1)], "k string, v long").filter(F.lit(False))
+        out = r.group_by("k").fold_py(
+            zero=0, seq_op=lambda a, row: a, comb_op=lambda a, b: a, key_names=["k"],
+        )
+        assert out.df.collect() == []

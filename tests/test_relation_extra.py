@@ -1,5 +1,6 @@
 """into / reduce_py / join_multi / debug_tee / bucketed storage / hadoop bridge."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from pigpen_spark.relation import return_
@@ -17,21 +18,24 @@ def test_into_empty_is_empty(spark):
     assert r.into(F.col("x")).df.collect() == []
 
 
-def test_reduce_py_tree_aggregate(spark):
+@pytest.mark.parametrize("arrow", [True, False])
+def test_reduce_py_tree_aggregate(spark, arrow):
     r = return_(spark, [(i,) for i in range(1, 101)], "x long")
     out = r.reduce_py(
         zero=0,
         seq_op=lambda acc, row: acc + row["x"],
         comb_op=lambda a, b: a + b,
         finish=str,
+        arrow=arrow,
     )
     [row] = out.df.collect()
     assert row["value"] == "5050"
 
 
-def test_reduce_py_empty(spark):
+@pytest.mark.parametrize("arrow", [True, False])
+def test_reduce_py_empty(spark, arrow):
     r = return_(spark, [(1,)], "x long").filter(F.lit(False))
-    assert r.reduce_py(0, lambda a, r_: a, lambda a, b: a).df.collect() == []
+    assert r.reduce_py(0, lambda a, r_: a, lambda a, b: a, arrow=arrow).df.collect() == []
 
 
 def test_join_multi_required_optional(spark):
@@ -72,6 +76,17 @@ def test_store_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_big")
         spark.sql("DROP TABLE IF EXISTS t_dim")
+
+
+def test_q5_bucketed_fact_join_no_exchange(spark, sf_dir):
+    # q5 shape over pre-bucketed facts: the lineitem-orders join must read
+    # co-located buckets — the only hash exchange left in the whole plan is
+    # the tiny post-partial-agg one
+    from pigpen_spark import catalog
+
+    df = catalog.queries()["q5_multi_join_bucketed"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_load_hadoop_text(spark, tmp_path):
