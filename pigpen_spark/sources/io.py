@@ -82,20 +82,57 @@ def load_binary(spark: SparkSession, path: str) -> Relation:
 
 
 def load_avro(spark: SparkSession, path: str, schema=None) -> Relation:
-    """reference: load-avro (pigpen-avro/.../avro.clj:46-86).  Requires the
-    spark-avro package on the classpath; raises a clear error otherwise."""
+    """reference: load-avro (pigpen-avro/.../avro.clj:46-86, incl. nested
+    records and [null, T] unions).
+
+    Preferred path: the JVM ``avro`` datasource (columnar, the production
+    classpath ships org.apache.spark:spark-avro).  When the jar is absent
+    this falls back to a DISTRIBUTED pure-Python decode: binaryFile scan →
+    Arrow-batched mapInPandas running :mod:`pigpen_spark.sources.avro_py`
+    (public Avro container spec) on each executor — one task per file, the
+    right parallelism for many-file Avro lakes; nothing decodes on the
+    driver except one schema probe of the first file."""
     try:
         r = spark.read.format("avro")
         if schema is not None:
             r = r.schema(schema)
-        return Relation(r.load(path))
-    except Exception as e:  # pragma: no cover - env without spark-avro
+        df = r.load(path)
+        df.schema  # force analysis so a missing datasource surfaces here
+        return Relation(df)
+    except Exception as e:
         msg = str(e)
-        if "Failed to find" in msg or "ClassNotFound" in msg or "DATA_SOURCE_NOT_FOUND" in msg:
-            raise RuntimeError(
-                "avro source requires the spark-avro package (org.apache.spark:spark-avro)"
-            ) from e
-        raise  # real errors (bad path, corrupt file) surface unchanged
+        if not ("Failed to find" in msg or "ClassNotFound" in msg or "DATA_SOURCE_NOT_FOUND" in msg):
+            raise  # real errors (bad path, corrupt file) surface unchanged
+        return _load_avro_python(spark, path, schema)
+
+
+def _load_avro_python(spark: SparkSession, path: str, schema=None) -> Relation:
+    """Fallback Avro reader on the pure-Python container codec."""
+    from pigpen_spark.sources import avro_py
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
+    if schema is None:
+        # one driver-side schema probe of the smallest file; data decode
+        # stays on the executors
+        probe = files.select("content").orderBy(F.col("length")).first()
+        if probe is None:
+            raise FileNotFoundError(f"no .avro files under {path}")
+        writer_schema, _ = avro_py.read_container(bytes(probe["content"]))
+        # full struct DDL (pyspark accepts "struct<a: bigint, …>" directly)
+        schema = avro_py.to_spark_type(writer_schema)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                _, records = avro_py.read_container(bytes(blob))
+                rows.extend(records)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return Relation(files.select("content").mapInPandas(decode, schema=schema))
 
 
 def load_pickle(spark: SparkSession, path: str, schema=None) -> Relation:

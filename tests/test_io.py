@@ -63,6 +63,63 @@ class TestLoad:
         rows = sorted(tuple(r) for r in out.df.collect())
         assert rows == [("a string", "123", "5.0"), ("another string", "-532", "23.7")]
 
+    def test_avro_container_roundtrip(self):
+        # pure-python codec: nested record + [null,T] union + array + map +
+        # enum + double, null and deflate codecs (avro/core.clj:52-87 shapes)
+        from pigpen_spark.sources import avro_py
+
+        schema = {
+            "type": "record", "name": "Doc", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "score", "type": "double"},
+                {"name": "label", "type": ["null", "string"]},
+                {"name": "tags", "type": {"type": "array", "items": "string"}},
+                {"name": "props", "type": {"type": "map", "values": "int"}},
+                {"name": "kind", "type": {"type": "enum", "name": "K", "symbols": ["A", "B"]}},
+                {"name": "loc", "type": {"type": "record", "name": "Loc", "fields": [
+                    {"name": "lat", "type": "double"}, {"name": "lon", "type": "double"}]}},
+            ],
+        }
+        rows = [
+            {"id": 1, "score": 2.5, "label": "x", "tags": ["a", "b"], "props": {"n": 3},
+             "kind": "A", "loc": {"lat": 1.0, "lon": -2.0}},
+            {"id": 2, "score": -0.5, "label": None, "tags": [], "props": {},
+             "kind": "B", "loc": {"lat": 0.0, "lon": 0.0}},
+        ]
+        for codec in ("null", "deflate"):
+            blob = avro_py.write_container(schema, rows, codec=codec)
+            got_schema, got = avro_py.read_container(blob)
+            assert got == rows
+            assert got_schema["name"] == "Doc"
+        assert avro_py.to_spark_type(schema) == (
+            "struct<id: bigint, score: double, label: string, tags: array<string>, "
+            "props: map<string, int>, kind: string, loc: struct<lat: double, lon: double>>"
+        )
+
+    def test_load_avro_distributed_fallback(self, spark, tmp_path):
+        # no spark-avro jar in this container → load_avro must fall back to
+        # the binaryFile + mapInPandas decode and still return typed rows
+        from pigpen_spark.sources import avro_py
+
+        schema = {
+            "type": "record", "name": "Ev", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"]},
+                {"name": "vals", "type": {"type": "array", "items": "double"}},
+            ],
+        }
+        d = tmp_path / "avro"
+        d.mkdir()
+        (d / "part-0.avro").write_bytes(avro_py.write_container(
+            schema, [{"id": 1, "name": "a", "vals": [1.0, 2.0]},
+                     {"id": 2, "name": None, "vals": []}]))
+        (d / "part-1.avro").write_bytes(avro_py.write_container(
+            schema, [{"id": 3, "name": "c", "vals": [3.5]}], codec="deflate"))
+        out = pio.load_avro(spark, str(d))
+        rows = {r["id"]: (r["name"], r["vals"]) for r in out.df.collect()}
+        assert rows == {1: ("a", [1.0, 2.0]), 2: (None, []), 3: ("c", [3.5])}
+        assert dict(out.df.dtypes) == {"id": "bigint", "name": "string", "vals": "array<double>"}
+
     def test_load_json(self, spark, tmp_path):
         p = tmp_path / "t.json"
         p.write_text('{"a": 1, "b": "foo"}\n{"a": 2, "b": "bar"}\n')
