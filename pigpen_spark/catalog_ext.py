@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pigpen_spark.catalog import register, tables
 from pigpen_spark.functions import dedup as D
 from pigpen_spark.functions import multimodal as M
+from pigpen_spark.functions import pipeline as P
 from pigpen_spark.functions import similarity as S
 from pigpen_spark.functions import text as T
 
@@ -378,3 +379,126 @@ def ext_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     with_payload = M.attach_binary_payload(docs.df, "text")
     return M.audio_features(with_payload, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus pipeline: clusters / splits / packing / shuffle / stratified sample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_dedup_clusters",
+    f"""
+    WITH RECURSIVE {D.minhash_sigs_cte_sql('documents', 'doc_id', 'text', _K, 3)},
+    banded AS (
+      SELECT id, b.range AS band,
+             md5(array_to_string(sig[(b.range * {_R} + 1) : (b.range * {_R} + {_R})], '|')) AS bhash
+      FROM sigs, range({_BANDS}) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id, min(r)::BIGINT AS cluster FROM reach GROUP BY id
+    """,
+)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labeling: MinHash LSH candidate pairs → connected
+    components (iterative min-label propagation, one shuffle per round) →
+    every member labeled with its cluster's min id.  The canonical-
+    representative step after candidate generation; oracle is the exact
+    recursive-CTE transitive closure."""
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_candidates(docs.df, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=3)
+    return D.dedup_clusters(pairs)
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "ext_split_hash",
+    f"""
+    SELECT doc_id, {P.split_by_hash_sql('doc_id', _SPLITS)} AS split
+    FROM documents
+    """,
+)
+def ext_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by salted id-hash — a pure
+    projection (no shuffle, no sampler state); a document's split never
+    changes as the corpus grows."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.split_by_hash(docs.df.select("doc_id"), "doc_id", _SPLITS)
+
+
+_STRATA = {"en": 0.5, "zh": 0.9, "de": 0.2}
+
+
+@register(
+    "ext_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {P.stratified_sample_by_hash_sql('lang', _STRATA, 'doc_id', default=0.1)}
+    """,
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates applied
+    as a salted-hash FILTER — reproducible row-for-row, pushdown-friendly,
+    no sampler state.  Unlisted languages fall back to the default rate."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.stratified_sample_by_hash(
+        docs.df.select("doc_id", "lang"), "lang", _STRATA, "doc_id", default=0.1
+    )
+
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "ext_pack_chunks",
+    f"""
+    SELECT doc_id, lang,
+           floor(coalesce(sum(len({_TOKS})) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / {_PACK_BUDGET})::BIGINT AS chunk_id
+    FROM documents
+    """,
+)
+def ext_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in deterministic order
+    are cut into {budget}-token training chunks (exclusive cumulative sum
+    → floor-div) — sharded per language so the window parallelizes."""
+    docs = tables(spark, sf_dir)["documents"]
+    out = P.pack_chunks(
+        docs.df.select("doc_id", "lang", T.token_count("text").alias("__nt")),
+        "__nt", order_by=["doc_id"], budget=_PACK_BUDGET, partition_by=["lang"],
+    )
+    return out.select("doc_id", "lang", "chunk_id")
+
+
+@register(
+    "ext_shuffle_det",
+    """
+    SELECT doc_id,
+           (row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '|epoch0'), doc_id) - 1)::BIGINT AS pos
+    FROM documents
+    """,
+)
+def ext_shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle: total order by salted id-hash with the
+    0-based position materialized via the scale-safe two-phase rank (range
+    repartition + per-partition offsets — no single-reducer window)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.shuffle_deterministic(docs.df.select("doc_id"), "doc_id", salt="epoch0", pos_col="pos")

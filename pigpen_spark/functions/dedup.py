@@ -413,3 +413,66 @@ def simhash_candidates(
         .filter(F.col("dist") <= max_hamming)
         .select("id_a", "id_b", "dist")
     )
+
+
+# -- duplicate clusters (connected components) -------------------------------
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20) -> DataFrame:
+    """Duplicate-CLUSTER labeling over candidate pairs: treats the pairs
+    as an undirected graph and gives every member the MIN id of its
+    connected component — the canonical-representative step real dedup
+    pipelines run after LSH/SimHash candidate generation (keep one doc per
+    cluster, drop the rest).
+
+    Algorithm: iterative min-label propagation (the DataFrame form of
+    small-star WCC).  Labels start as each node's own id; every round each
+    node takes the min of its label and its neighbors' labels — ONE
+    shuffle per round (union + groupBy node).  Convergence needs
+    O(component diameter) rounds, and near-dup clusters are
+    small-diameter by construction (every member collided with a shared
+    band hash), so the default bound is generous; a graph that has not
+    converged by ``max_iter`` raises rather than returning wrong labels.
+    Each round persists its label table and unpersists the previous one,
+    so lineage and cache stay O(1) across rounds.
+
+    Returns (id, cluster) for every id appearing in ≥1 pair; cluster is
+    the component's min id (rows with id == cluster are the keepers).
+
+    Non-SQL-expressible in one query? No — the DuckDB oracle mirrors this
+    exactly with a recursive CTE (transitive reachability → min reachable
+    id), so the catalog query is fully hash-checked.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct() \
+                  .withColumn("label", F.col("id")).persist()
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels.withColumnRenamed("id", "src"), on="src")
+            .select(F.col("dst").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("id", "label").union(msgs)
+            .groupBy("id").agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "__old"), on="id")
+            .filter(F.col("label") != F.col("__old"))
+        )
+        done = changed.isEmpty()
+        labels.unpersist()
+        labels = new_labels
+        if done:
+            edges.unpersist()
+            return labels.select("id", F.col("label").alias("cluster"))
+    raise RuntimeError(
+        f"dedup_clusters: not converged after {max_iter} rounds — component "
+        "diameter exceeds the bound; raise max_iter"
+    )
