@@ -502,3 +502,58 @@ def ext_shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition + per-partition offsets — no single-reducer window)."""
     docs = tables(spark, sf_dir)["documents"]
     return P.shuffle_deterministic(docs.df.select("doc_id"), "doc_id", salt="epoch0", pos_col="pos")
+
+
+# ---------------------------------------------------------------------------
+# corpus quality gates: repetition / boilerplate / PII scrub
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_repetition_stats",
+    f"""
+    SELECT doc_id,
+           {T.dup_ngram_fraction_sql('text', 2)} AS dup_bigram_frac,
+           {T.top_ngram_fraction_sql('text', 2)} AS top_bigram_frac,
+           {T.alpha_token_fraction_sql('text')} AS alpha_frac,
+           {T.repeated_line_fraction_sql('text')} AS rep_line_frac,
+           {T.gopher_pass_sql('text')} AS gopher_pass
+    FROM documents
+    """,
+)
+def ext_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition + boilerplate signals and the composite
+    keep/drop gate.  Per-row HOF arithmetic only — no shuffle, no UDF, no
+    state: the whole operator is one codegen'd projection, so it scales
+    with executors and is exactly the shape a 100 TB quality pass wants."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.map(
+        "doc_id",
+        dup_bigram_frac=T.dup_ngram_fraction("text", 2),
+        top_bigram_frac=T.top_ngram_fraction("text", 2),
+        alpha_frac=T.alpha_token_fraction("text"),
+        rep_line_frac=T.repeated_line_fraction("text"),
+        gopher_pass=T.gopher_pass("text"),
+    ).df
+
+
+@register(
+    "ext_redact",
+    f"""
+    SELECT doc_id,
+           md5({T.redact_sql('text')}) AS scrubbed_digest,
+           (length(text) - length({T.redact_sql('text')}))::BIGINT AS chars_removed
+    FROM documents
+    """,
+)
+def ext_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish scrub (emails / IPv4s / long digit runs → typed
+    placeholders): regexp_replace chain, verified end-to-end by digesting
+    the scrubbed text in both engines."""
+    docs = tables(spark, sf_dir)["documents"]
+    scrubbed = T.redact("text")
+    return docs.map(
+        "doc_id",
+        scrubbed_digest=F.md5(scrubbed),
+        chars_removed=(F.length("text") - F.length(scrubbed)).cast("bigint"),
+    ).df

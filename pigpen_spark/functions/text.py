@@ -164,3 +164,208 @@ def shingle_fingerprint(col, n: int = 3) -> Column:
     """Min-hash-of-shingles rolling fingerprint (winnowing-lite): the
     lexicographic min of md5(shingle) — robust to local edits."""
     return F.array_min(F.transform(shingles(col, n), F.md5))
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate signals (Gopher & C4-style corpus gates).
+#
+# All per-document HOF arithmetic: cost is bounded by doc length, rows are
+# independent, so the operators scale embarrassingly-parallel with executors
+# — no shuffle, no state, codegen throughout.  Division uses try_divide,
+# whose divide-by-zero → NULL matches DuckDB float division exactly, so
+# every signal carries an exact SQL oracle (the ``*_sql`` builders).
+# ---------------------------------------------------------------------------
+
+
+def _ngrams(col, n: int) -> Column:
+    """Word n-grams as arrays; empty array when the doc has < n tokens
+    (unlike :func:`shingles`, which pads for the dedup use-case —
+    repetition metrics must NOT count a short doc as one big n-gram)."""
+    toks = tokens(col)
+    k = F.size(toks)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _ngrams_sql(col: str, n: int) -> str:
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    return f"""
+      CASE WHEN len({toks}) >= {n}
+           THEN [array_to_string(({toks})[i : i + {n - 1}], ' ')
+                 for i in range(1, len({toks}) - {n} + 2)]
+           ELSE []::VARCHAR[] END
+    """
+
+
+def dup_ngram_fraction(col, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram:
+    ``1 - distinct/total`` (Gopher's duplicate-n-gram gate).  NULL when
+    the doc has fewer than ``n`` tokens."""
+    grams = _ngrams(col, n)
+    return F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(grams)).cast("double"), F.size(grams)
+    )
+
+
+def dup_ngram_fraction_sql(col: str, n: int = 2) -> str:
+    g = _ngrams_sql(col, n)
+    return (
+        f"1.0 - len(list_distinct({g}))::DOUBLE"
+        f" / nullif(len({g}), 0)"
+    )
+
+
+def top_ngram_fraction(col, n: int = 2) -> Column:
+    """Fraction of the doc's tokens covered by occurrences of its single
+    most frequent n-gram (Gopher's top-n-gram gate): ``max_count * n /
+    n_tokens``.  NULL when the doc has fewer than ``n`` tokens.
+
+    Per-row cost is O(tokens · distinct n-grams) — bounded by document
+    length, so linear over the corpus."""
+    grams = _ngrams(col, n)
+    max_count = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda d: F.size(F.filter(grams, lambda x: x == d)),
+        )
+    )
+    return F.try_divide((max_count * n).cast("double"), token_count(col))
+
+
+def top_ngram_fraction_sql(col: str, n: int = 2) -> str:
+    g = _ngrams_sql(col, n)
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    return (
+        f"(list_max([len(list_filter({g}, x -> x = d))"
+        f" for d in list_distinct({g})]) * {n})::DOUBLE"
+        f" / nullif(len({toks}), 0)"
+    )
+
+
+def lines(col) -> Column:
+    """Non-empty trimmed lines."""
+    return F.filter(
+        F.transform(F.split(_c(col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def _lines_sql(col: str) -> str:
+    return f"list_filter([trim(l) for l in string_split({col}, chr(10))], l -> l <> '')"
+
+
+def repeated_line_fraction(col) -> Column:
+    """Fraction of lines that are exact repeats of an earlier line
+    (C4/Gopher boilerplate gate).  NULL for whitespace-only docs."""
+    ls = lines(col)
+    return F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(ls)).cast("double"), F.size(ls)
+    )
+
+
+def repeated_line_fraction_sql(col: str) -> str:
+    ls = _lines_sql(col)
+    return f"1.0 - len(list_distinct({ls}))::DOUBLE / nullif(len({ls}), 0)"
+
+
+def repeated_line_char_fraction(col) -> Column:
+    """Fraction of line-characters inside duplicate lines: for each
+    distinct line, ``(count - 1) * len`` summed, over total line chars.
+    Catches the short-doc case where one long boilerplate line dominates
+    even though the line *count* fraction looks small."""
+    ls = lines(col)
+    dup_chars = F.aggregate(
+        F.array_distinct(ls),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc
+        + (F.size(F.filter(ls, lambda x: x == d)) - 1) * F.length(d),
+    )
+    total = F.aggregate(
+        ls, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
+    )
+    return F.try_divide(dup_chars.cast("double"), total)
+
+
+def repeated_line_char_fraction_sql(col: str) -> str:
+    ls = _lines_sql(col)
+    return (
+        f"list_sum([(len(list_filter({ls}, x -> x = d)) - 1) * len(d)"
+        f" for d in list_distinct({ls})])::DOUBLE"
+        f" / nullif(list_sum([len(l) for l in {ls}]), 0)"
+    )
+
+
+def alpha_token_fraction(col) -> Column:
+    """Fraction of tokens containing at least one alphabetic character
+    (Gopher's 80%-alpha gate).  NULL for token-less docs."""
+    toks = tokens(col)
+    return F.try_divide(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double"),
+        F.size(toks),
+    )
+
+
+def alpha_token_fraction_sql(col: str) -> str:
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    return (
+        f"len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))::DOUBLE"
+        f" / nullif(len({toks}), 0)"
+    )
+
+
+def gopher_pass(col) -> Column:
+    """Composite Gopher-style keep/drop gate: token count in [8, 50000],
+    mean token length in [2, 12], ≥ 70% alphabetic tokens, duplicate-
+    bigram fraction ≤ 0.6, top-bigram coverage ≤ 0.5.  NULL-safe: a
+    missing signal (short doc) never disqualifies on that signal."""
+    ntok = token_count(col)
+    return (
+        (ntok >= 8)
+        & (ntok <= 50000)
+        & F.coalesce(mean_token_len(col).between(2.0, 12.0), F.lit(False))
+        & (F.coalesce(alpha_token_fraction(col), F.lit(1.0)) >= 0.7)
+        & (F.coalesce(dup_ngram_fraction(col, 2), F.lit(0.0)) <= 0.6)
+        & (F.coalesce(top_ngram_fraction(col, 2), F.lit(0.0)) <= 0.5)
+    )
+
+
+def gopher_pass_sql(col: str) -> str:
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    mean_len = f"list_sum([len(t) for t in {toks}])::DOUBLE / nullif(len({toks}), 0)"
+    return (
+        f"len({toks}) >= 8 AND len({toks}) <= 50000"
+        f" AND coalesce({mean_len} BETWEEN 2.0 AND 12.0, FALSE)"
+        f" AND coalesce({alpha_token_fraction_sql(col)}, 1.0) >= 0.7"
+        f" AND coalesce({dup_ngram_fraction_sql(col, 2)}, 0.0) <= 0.6"
+        f" AND coalesce({top_ngram_fraction_sql(col, 2)}, 0.0) <= 0.5"
+    )
+
+
+#: PII-ish scrub patterns (kept RE2-compatible so Spark's Java regex and
+#: DuckDB's RE2 agree): email, IPv4, long digit runs (phone/card-ish).
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    ("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\b\\d{7,}\\b", "<NUM>"),
+]
+
+
+def redact(col) -> Column:
+    """Scrub PII-ish spans (emails, IPv4s, long digit runs) with typed
+    placeholder tokens.  Pure regexp_replace chain — codegen, no UDF."""
+    out = _c(col)
+    for pat, repl in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_sql(col: str) -> str:
+    out = col
+    for pat, repl in REDACT_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out

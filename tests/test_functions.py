@@ -186,3 +186,71 @@ class TestMultimodal:
         out = M.audio_features(M.attach_binary_payload(docs, "text"), "doc_id")
         [r] = out.filter(F.col("id") == 1).collect()
         assert math.isclose(r["duration_sec"], 43 / 16000.0)
+
+
+class TestRepetition:
+    """Gopher/C4 repetition gates — including the degenerate inputs the
+    synthetic corpus never produces (empty docs, multi-line boilerplate,
+    PII spans)."""
+
+    @pytest.fixture()
+    def rep_docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a b a b a b a b"),                      # pure repetition
+                (2, "one two three four five six seven"),     # no repeats
+                (3, ""),                                      # empty
+                (4, "hello\nworld\nhello\nhello\n  \n"),      # dup lines
+                (5, "1 2 3 4 5 6 7 8 9"),                     # no alpha
+            ],
+            "doc_id long, text string",
+        )
+
+    def _one(self, df, doc_id, col):
+        return df.filter(F.col("doc_id") == doc_id).select(col.alias("v")).collect()[0]["v"]
+
+    def test_dup_ngram_fraction(self, rep_docs):
+        # doc1 bigrams: ab,ba,ab,ba,ab,ba,ab -> 7 total, 2 distinct
+        v = self._one(rep_docs, 1, T.dup_ngram_fraction("text", 2))
+        assert math.isclose(v, 1 - 2 / 7)
+        assert self._one(rep_docs, 2, T.dup_ngram_fraction("text", 2)) == 0.0
+        assert self._one(rep_docs, 3, T.dup_ngram_fraction("text", 2)) is None
+
+    def test_top_ngram_fraction(self, rep_docs):
+        # doc1: top bigram "a b" appears 4 times -> 4*2/8 tokens = 1.0
+        assert self._one(rep_docs, 1, T.top_ngram_fraction("text", 2)) == 1.0
+        v = self._one(rep_docs, 2, T.top_ngram_fraction("text", 2))
+        assert math.isclose(v, 2 / 7)
+        assert self._one(rep_docs, 3, T.top_ngram_fraction("text", 2)) is None
+
+    def test_repeated_lines(self, rep_docs):
+        # doc4: lines hello,world,hello,hello -> 4 total, 2 distinct
+        assert math.isclose(self._one(rep_docs, 4, T.repeated_line_fraction("text")), 0.5)
+        # dup chars: hello appears 3x -> 2 extra * 5 chars / 20 total
+        assert math.isclose(self._one(rep_docs, 4, T.repeated_line_char_fraction("text")), 0.5)
+        assert self._one(rep_docs, 1, T.repeated_line_fraction("text")) == 0.0
+        assert self._one(rep_docs, 3, T.repeated_line_fraction("text")) is None
+
+    def test_alpha_fraction_and_gopher(self, rep_docs):
+        assert self._one(rep_docs, 5, T.alpha_token_fraction("text")) == 0.0
+        assert self._one(rep_docs, 3, T.alpha_token_fraction("text")) is None
+        flags = {r["doc_id"]: r["g"] for r in rep_docs.select(
+            "doc_id", T.gopher_pass("text").alias("g")).collect()}
+        assert flags[1] is False          # dup-bigram + top-bigram violations
+        assert flags[3] is False          # empty: fails token band
+        assert flags[5] is False          # all-digit tokens fail alpha gate
+
+    def test_gopher_pass_accepts_normal_prose(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat and then walked to the door quietly")],
+            "doc_id long, text string",
+        )
+        assert df.select(T.gopher_pass("text").alias("g")).collect()[0]["g"] is True
+
+    def test_redact(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail bob@example.com from 10.0.0.1 card 4111111111111111 ok x42")],
+            "doc_id long, text string",
+        )
+        out = df.select(T.redact("text").alias("t")).collect()[0]["t"]
+        assert out == "mail <EMAIL> from <IP> card <NUM> ok x42"
