@@ -557,3 +557,54 @@ def ext_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrubbed_digest=F.md5(scrubbed),
         chars_removed=(F.length("text") - F.length(scrubbed)).cast("bigint"),
     ).df
+
+
+# ---------------------------------------------------------------------------
+# event analytics: funnels / cohort retention
+# ---------------------------------------------------------------------------
+
+from pigpen_spark.operators import analytics as A  # noqa: E402
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@register("ext_funnel", A.funnel_sql(_FUNNEL_STEPS))
+def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step view→click→purchase funnel: per-step user counts in ONE
+    shuffle (min-over-filtered-bags), vs the oracle's k−1 self-joins."""
+    e = tables(spark, sf_dir)["events"]
+    return A.funnel(e.df, _FUNNEL_STEPS)
+
+
+@register("ext_cohort_retention", A.cohort_retention_sql())
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: first-seen cohort week × activity
+    week offset × user count; both aggs co-partitioned on user_id."""
+    e = tables(spark, sf_dir)["events"]
+    return A.cohort_retention(e.df)
+
+
+# ---------------------------------------------------------------------------
+# text retrieval: BM25 / heavy-hitter vocabulary
+# ---------------------------------------------------------------------------
+
+from pigpen_spark.functions import ranking as R  # noqa: E402
+
+_BM25_TERMS = ["spark", "query", "window"]
+
+
+@register("ext_bm25", R.bm25_search_sql(_BM25_TERMS))
+def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 search over the corpus: explode → early term
+    filter → broadcast df/corpus-stats joins — no collect, two real
+    shuffles ((doc,term) and doc)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return R.bm25_search(docs.df, _BM25_TERMS)
+
+
+@register("ext_top_terms", R.top_terms_per_group_sql("source"))
+def ext_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy-hitter vocabulary (top-5 tokens): explode →
+    map-side-combined count → per-group window top-k."""
+    docs = tables(spark, sf_dir)["documents"]
+    return R.top_terms_per_group(docs.df, "source")

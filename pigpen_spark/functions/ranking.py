@@ -1,0 +1,154 @@
+"""Text retrieval / corpus-vocabulary operators: BM25 search, per-group
+heavy-hitter terms.
+
+Extension surface (the reference has no text-retrieval story): the ops a
+training-data pipeline runs to *query* a corpus it just curated.
+
+100 TB shapes:
+
+- **bm25_search** — tokenize+explode is narrow; candidate terms are
+  filtered immediately after the explode (rows drop from Σdl to query
+  matches only); the per-term document frequencies and the (N, avgdl)
+  corpus scalars are single-row / |query|-row aggregates that join back
+  via broadcast; the only real shuffles key on (doc, term) and doc.  No
+  driver-side collect anywhere — scalars travel as broadcast crossJoin.
+- **top_terms_per_group** — explode → (group, term) count →
+  per-group window top-k.  The window partitions on the group key, so
+  it parallelizes; skewed vocabularies are pre-aggregated map-side by
+  the count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pigpen_spark.functions.text import token_count, tokens
+
+
+def bm25_search(docs: DataFrame, query_terms: Sequence[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75,
+                topk: int = 20) -> DataFrame:
+    """Okapi BM25 scores for ``query_terms``, top-``topk`` docs.
+
+    Returns ``(id_col, score double)`` ordered by (score desc, id) with
+    the score rounded to 6 dp (sum-over-terms is order-sensitive float
+    addition; rounding makes the result engine-stable).
+    idf = ln(1 + (N − df + ½)/(df + ½)) — the standard "plus one"
+    Robertson–Spärck Jones form, never negative.
+    """
+    if not query_terms:
+        raise ValueError("bm25_search needs at least one query term")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("__term"),
+        token_count(text_col).alias("__dl"),
+    )
+    tf = (
+        toks.filter(F.col("__term").isin(*query_terms))
+        .groupBy(id_col, "__term", "__dl")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count("*").alias("__df"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg(token_count(text_col)).alias("__avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (
+        F.col("__tf") * (k1 + 1)
+        / (
+            F.col("__tf")
+            + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(topk)
+    )
+
+
+def bm25_search_sql(query_terms: Sequence[str], id_col: str = "doc_id",
+                    text_col: str = "text", k1: float = 1.2,
+                    b: float = 0.75, topk: int = 20,
+                    table: str = "documents") -> str:
+    """DuckDB oracle for :func:`bm25_search`."""
+    toks = (
+        f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    )
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, unnest({toks}) AS term, len({toks}) AS dl
+      FROM {table}
+    ),
+    tf AS (
+      SELECT {id_col}, term, dl, count(*) AS tf
+      FROM toks WHERE term IN ({terms}) GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n, avg(len({toks})) AS avgdl
+      FROM {table}
+    )
+    SELECT {id_col},
+           round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                     * tf * ({k1} + 1)
+                     / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))), 6)
+             AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY {id_col}
+    ORDER BY score DESC, {id_col}
+    LIMIT {topk}
+    """
+
+
+def top_terms_per_group(docs: DataFrame, group_col: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        topk: int = 5) -> DataFrame:
+    """Per-group heavy-hitter vocabulary: the ``topk`` most frequent
+    tokens per ``group_col`` — ``(group_col, term, n bigint, pos)`` with
+    ``pos`` the 1-based rank (count desc, term asc for determinism)."""
+    counts = (
+        docs.select(F.col(group_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n").desc(), F.col("term")
+    )
+    return (
+        counts.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= topk)
+    )
+
+
+def top_terms_per_group_sql(group_col: str, text_col: str = "text",
+                            topk: int = 5, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`top_terms_per_group`."""
+    toks = (
+        f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    )
+    return f"""
+    WITH counts AS (
+      SELECT {group_col}, unnest({toks}) AS term FROM {table}
+    ),
+    agg AS (
+      SELECT {group_col}, term, count(*) AS n
+      FROM counts GROUP BY 1, 2
+    )
+    SELECT {group_col}, term, n,
+           row_number() OVER (PARTITION BY {group_col}
+                              ORDER BY n DESC, term) AS pos
+    FROM agg QUALIFY pos <= {topk}
+    """

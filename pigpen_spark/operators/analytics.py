@@ -1,0 +1,173 @@
+"""Event-analytics operators: multi-step funnels and cohort retention.
+
+Extension surface beyond the reference (which stops at group/cogroup —
+SURVEY §2.3): the two queries every product-analytics workload runs over
+an events table.  Both are built to the single-pass shapes that survive
+100 TB:
+
+- **funnel** — ONE shuffle on the user key.  Per-user, each step's
+  timestamp is the min event-time of that step's type at-or-after the
+  previous step's timestamp (``min over filtered collected bags``) —
+  exactly the nested ``min(ts) WHERE ts >= prev`` semantics of the SQL
+  formulation, but without its k−1 self-joins/shuffles.  Per-user state
+  is the user's own event times only, and heavy users can be pre-capped
+  upstream with ``filter_by``.
+- **cohort_retention** — two aggregations co-partitioned on the user key
+  (first-seen cohort week, then distinct activity weeks), joined
+  user-to-user so AQE plans a co-located join; one final small
+  aggregation on (cohort, offset).
+
+Timestamps stay TimestampType end-to-end; outputs are epoch bigints +
+counts, so the DuckDB oracle is exact (no float discipline needed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_users(events: DataFrame, steps: Sequence[str],
+                 type_col: str = "event_type", user_col: str = "user_id",
+                 ts_col: str = "ts") -> DataFrame:
+    """Per-user funnel progression: one row per user with ``step_1 ..
+    step_k`` timestamp columns (NULL once the user falls out of the
+    funnel).  ``steps`` is the ordered list of event types.
+
+    Single groupBy on ``user_col``: each step's candidate times are
+    collected as a bag, and step i's timestamp is
+    ``array_min(filter(bag_i, t >= step_{i-1}))`` — evaluated after the
+    aggregation, so the whole funnel is one shuffle regardless of k.
+    Ties (a step-i event at exactly step-{i-1}'s timestamp) count as
+    conversions, matching the SQL ``ts >= prev`` convention.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    # collect_list drops the NULLs the when() produces for other types,
+    # so each bag holds exactly that step's event times (unsorted —
+    # array_min doesn't need order)
+    bags = events.groupBy(user_col).agg(
+        *[
+            F.collect_list(
+                F.when(F.col(type_col) == s, F.col(ts_col))
+            ).alias(f"__bag_{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # NB: capture prev via a factory, NOT a `p=prev` default arg — a
+    # second lambda parameter makes PySpark bind the (element, index)
+    # two-arg filter form and `p` becomes the integer index
+    def _at_or_after(p):
+        return lambda x: x >= p
+
+    prev = None
+    out_cols = [F.col(user_col)]
+    for i in range(len(steps)):
+        bag = F.col(f"__bag_{i}")
+        if prev is None:
+            t = F.array_min(bag)
+        else:
+            t = F.array_min(F.filter(bag, _at_or_after(prev)))
+        t_named = t.alias(f"step_{i + 1}")
+        out_cols.append(t_named)
+        prev = t
+    return bags.select(*out_cols)
+
+
+def funnel(events: DataFrame, steps: Sequence[str],
+           type_col: str = "event_type", user_col: str = "user_id",
+           ts_col: str = "ts") -> DataFrame:
+    """Funnel summary: one row per step with the number of users who
+    reached it — ``(step bigint 1-based, step_name, n_users)``."""
+    users = funnel_users(events, steps, type_col, user_col, ts_col)
+    counts = users.agg(
+        *[
+            F.count(f"step_{i + 1}").alias(f"__n_{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack = ", ".join(
+        f"{i + 1}L, '{s}', __n_{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"
+        )
+    )
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week; output
+    ``(cohort_epoch bigint, week_offset bigint, n_users bigint)`` where
+    ``n_users`` counts cohort members active in cohort-week + offset.
+
+    Both aggregations key on ``user_col`` (co-partitioned join), and the
+    final rollup keys on the tiny (cohort, offset) pair.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    cohorts = events.groupBy(user_col).agg(
+        F.min(week).alias("__cohort")
+    )
+    activity = events.select(
+        F.col(user_col), week.alias("__week")
+    ).distinct()
+    return (
+        activity.join(cohorts, user_col)
+        .groupBy(
+            F.unix_timestamp("__cohort").cast("bigint").alias("cohort_epoch"),
+            (F.datediff(F.col("__week"), F.col("__cohort")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def funnel_sql(steps: Sequence[str], type_col: str = "event_type",
+               user_col: str = "user_id", ts_col: str = "ts",
+               table: str = "events") -> str:
+    """DuckDB oracle for :func:`funnel`: the classic nested
+    ``min(ts) .. WHERE ts >= prev`` CTE chain."""
+    ctes = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT {user_col}, min({ts_col}) AS t FROM {table}"
+                f" WHERE {type_col} = '{s}' GROUP BY {user_col})"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.{user_col}, min(e.{ts_col}) AS t"
+                f" FROM {table} e JOIN s{i - 1} p USING ({user_col})"
+                f" WHERE e.{type_col} = '{s}' AND e.{ts_col} >= p.t"
+                f" GROUP BY e.{user_col})"
+            )
+    selects = [
+        f"SELECT {i + 1}::BIGINT AS step, '{s}' AS step_name,"
+        f" (SELECT count(*) FROM s{i})::BIGINT AS n_users"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def cohort_retention_sql(user_col: str = "user_id", ts_col: str = "ts",
+                         table: str = "events") -> str:
+    """DuckDB oracle for :func:`cohort_retention`."""
+    return f"""
+    WITH cohorts AS (
+      SELECT {user_col}, min(date_trunc('week', {ts_col})) AS cohort
+      FROM {table} GROUP BY {user_col}
+    ),
+    activity AS (
+      SELECT DISTINCT {user_col}, date_trunc('week', {ts_col}) AS week
+      FROM {table}
+    )
+    SELECT epoch(c.cohort)::BIGINT AS cohort_epoch,
+           (date_diff('day', c.cohort, a.week) // 7)::BIGINT AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM activity a JOIN cohorts c USING ({user_col})
+    GROUP BY 1, 2
+    """
