@@ -71,6 +71,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 def register(name: str, sql: str | None):
     def deco(fn):
+        if name in _REGISTRY:  # last-wins would silently shadow a query
+            raise ValueError(f"duplicate catalog query name: {name}")
         _REGISTRY[name] = (fn, sql)
         return fn
     return deco
@@ -401,9 +403,15 @@ def prepare_bucketed_facts(spark: SparkSession, sf_dir: str, num_buckets: int = 
     Pre-repartitioning on the bucket key gives one file per bucket, so the
     sorted-bucket metadata also elides the join sort.  Idempotent per
     session+SF (skips when both tables are already registered)."""
+    import hashlib as _hashlib
     import re as _re
 
-    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+    # tag on basename + full-path digest: two datasets whose directories
+    # share a basename (e.g. /data/a/sf1 and /data/b/sf1) must NOT reuse
+    # each other's bucketed tables
+    base = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+    digest = _hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    tag = f"{base}_{digest}"
     li_name, od_name = f"pp_lineitem_bkt_{tag}", f"pp_orders_bkt_{tag}"
     if not (spark.catalog.tableExists(li_name) and spark.catalog.tableExists(od_name)):
         # a fresh session's in-memory catalog doesn't know about managed-
@@ -797,7 +805,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["nation"], on="c_nationkey", right_on="n_nationkey", broadcast_other=True)
         .join(t["region"], on="n_regionkey", right_on="r_regionkey", broadcast_other=True)
     )
-    return joined.df.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_cust"))
+    return joined.rollup("r_name", "n_name").fold(n_cust=fold.count()).df
 
 
 @register(
@@ -1076,9 +1084,10 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     values at scale."""
     o = tables(spark, sf_dir)["orders"]
     out = (
-        o.df.groupBy("o_orderpriority")
+        o.group_by("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count(F.lit(1)))
+        .fold(fold.count())
+        .df
     )
     return out.select(
         "o_orderpriority",
@@ -1156,7 +1165,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["nation"], on="s_nationkey", right_on="n_nationkey", broadcast_other=True)
         .join(t["region"], on="n_regionkey", right_on="r_regionkey", broadcast_other=True)
     )
-    return joined.df.cube("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_supp"))
+    return joined.cube("r_name", "n_name").fold(n_supp=fold.count()).df
 
 
 # ---------------------------------------------------------------------------

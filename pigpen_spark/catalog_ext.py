@@ -608,3 +608,32 @@ def ext_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined count → per-group window top-k."""
     docs = tables(spark, sf_dir)["documents"]
     return R.top_terms_per_group(docs.df, "source")
+
+
+# ---------------------------------------------------------------------------
+# OLAP analytics surface: cube / rollup / pivot / sliding windows
+# ---------------------------------------------------------------------------
+
+from pigpen_spark import fold as _fold  # noqa: E402
+from pigpen_spark.operators import windows as W  # noqa: E402
+
+
+@register(
+    "q_moving_avg",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+             AS mov
+    FROM events
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 4-event moving average: the window partitions on user, so
+    it parallelizes; event_id tie-break keeps the frame deterministic."""
+    e = tables(spark, sf_dir)["events"]
+    out = W.moving_agg(
+        e.df, ["user_id"], [F.col("ts"), F.col("event_id")], "value",
+        fn=F.avg, preceding=3,
+    )
+    return out.select("user_id", "event_id", F.round("mov", 6).alias("mov"))

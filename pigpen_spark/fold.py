@@ -112,7 +112,12 @@ def min_with(val: Any, *keys: Any) -> Fold:
     pair = F.struct(
         *[_c(k).alias(f"k{i}") for i, k in enumerate(keys)], _c(val).alias("v")
     )
-    return Fold(F.min(pair)["v"], "min_with")
+    # NULL-key rows must be ignored (min_key/min_by semantics) — struct
+    # ordering sorts NULL fields FIRST, so a bare F.min would pick them
+    cond = _c(keys[0]).isNotNull()
+    for k in keys[1:]:
+        cond = cond & _c(k).isNotNull()
+    return Fold(F.min(F.when(cond, pair))["v"], "min_with")
 
 
 def max_with(val: Any, *keys: Any) -> Fold:
@@ -123,7 +128,12 @@ def max_with(val: Any, *keys: Any) -> Fold:
     pair = F.struct(
         *[_c(k).alias(f"k{i}") for i, k in enumerate(keys)], _c(val).alias("v")
     )
-    return Fold(F.max(pair)["v"], "max_with")
+    # symmetric NULL-key guard (max is only safe by accident of NULLS
+    # FIRST ordering; be explicit so both folds share the contract)
+    cond = _c(keys[0]).isNotNull()
+    for k in keys[1:]:
+        cond = cond & _c(k).isNotNull()
+    return Fold(F.max(F.when(cond, pair))["v"], "max_with")
 
 
 def vec(col: Any, sort: bool = False) -> Fold:

@@ -452,27 +452,34 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     )
     labels = edges.select(F.col("src").alias("id")).distinct() \
                   .withColumn("label", F.col("id")).persist()
-    for _ in range(max_iter):
-        msgs = (
-            edges.join(labels.withColumnRenamed("id", "src"), on="src")
-            .select(F.col("dst").alias("id"), F.col("label"))
+    done = False
+    try:
+        for _ in range(max_iter):
+            msgs = (
+                edges.join(labels.withColumnRenamed("id", "src"), on="src")
+                .select(F.col("dst").alias("id"), F.col("label"))
+            )
+            new_labels = (
+                labels.select("id", "label").union(msgs)
+                .groupBy("id").agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "__old"), on="id")
+                .filter(F.col("label") != F.col("__old"))
+            )
+            done = changed.isEmpty()
+            labels.unpersist()
+            labels = new_labels
+            if done:
+                # materialize before releasing the cache the result reads
+                out = labels.select("id", F.col("label").alias("cluster"))
+                return out
+        raise RuntimeError(
+            f"dedup_clusters: not converged after {max_iter} rounds — "
+            "component diameter exceeds the bound; raise max_iter"
         )
-        new_labels = (
-            labels.select("id", "label").union(msgs)
-            .groupBy("id").agg(F.min("label").alias("label"))
-            .persist()
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "__old"), on="id")
-            .filter(F.col("label") != F.col("__old"))
-        )
-        done = changed.isEmpty()
-        labels.unpersist()
-        labels = new_labels
-        if done:
-            edges.unpersist()
-            return labels.select("id", F.col("label").alias("cluster"))
-    raise RuntimeError(
-        f"dedup_clusters: not converged after {max_iter} rounds — component "
-        "diameter exceeds the bound; raise max_iter"
-    )
+    finally:
+        edges.unpersist()
+        if not done:
+            labels.unpersist()

@@ -85,6 +85,10 @@ def split_by_hash_sql(id_col: str, splits: Mapping[str, float],
                       salt: str = "split") -> str:
     """DuckDB CASE expression equivalent of :func:`split_by_hash`."""
     fracs = list(splits.items())
+    if not fracs:
+        raise ValueError("split_by_hash_sql: need at least one split")
+    if len(fracs) == 1:  # zero-WHEN CASE is a SQL syntax error
+        return f"'{fracs[0][0]}'"
     u = hash_unit_sql(id_col, salt)
     cases, cum = [], 0.0
     for name, frac in fracs[:-1]:
@@ -114,6 +118,8 @@ def stratified_sample_by_hash_sql(strata_col: str, fractions: Mapping[str, float
                                   salt: str = "strata") -> str:
     """DuckDB WHERE-clause equivalent of :func:`stratified_sample_by_hash`."""
     u = hash_unit_sql(id_col, salt)
+    if not fractions:  # zero-WHEN CASE is a SQL syntax error
+        return f"{u} < {float(default)!r}"
     cases = " ".join(
         f"WHEN {strata_col} = '{n}' THEN {float(f)!r}" for n, f in fractions.items()
     )
@@ -131,6 +137,8 @@ def pack_chunks(df: DataFrame, size_col, order_by: Sequence, budget: int,
     One window computation; ``partition_by`` shards it (chunk ids are
     per-shard).  At scale ALWAYS pass a shard key — an unpartitioned
     window is a single-reducer funnel."""
+    if budget <= 0:  # ANSI mode would raise DIVIDE_BY_ZERO mid-job for 0
+        raise ValueError(f"pack_chunks: budget must be positive, got {budget}")
     w = Window.orderBy(*[_c(c) for c in order_by])
     if partition_by:
         w = Window.partitionBy(*[_c(c) for c in partition_by]).orderBy(*[_c(c) for c in order_by])

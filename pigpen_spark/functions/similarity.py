@@ -126,7 +126,19 @@ def lsh_bucket(vec, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
             F.lit(0.0), lambda acc, x: acc + x,
         )
         chars.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*chars)
+    # guard the silent failure modes: dim > len(vec) zero-pads every
+    # bucket (zip_with NULLs -> one giant bucket -> the O(n²) blowup this
+    # operator exists to prevent); dim < len(vec) hashes only a prefix
+    return F.when(
+        F.size(v) == dim, F.concat(*chars)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_bucket: dim={dim} != vector length "),
+                F.size(v).cast("string"),
+            )
+        )
+    )
 
 
 def lsh_bucket_sql(vec: str, n_planes: int, dim: int, plane_offset: int = 0) -> str:
@@ -142,15 +154,30 @@ def lsh_bucket_sql(vec: str, n_planes: int, dim: int, plane_offset: int = 0) -> 
     return "(" + " || ".join(parts) + ")"
 
 
+def infer_dim(df: DataFrame, vec_col) -> int:
+    """Vector dimensionality from one driver-side probe row (`F.size` of
+    the first non-null vector).  Callers that know the dim should pass it
+    explicitly and skip the probe job; an empty input infers 1 — every
+    downstream plan is empty anyway, it just has to build."""
+    row = (
+        df.select(F.size(to_double(F.col(vec_col) if isinstance(vec_col, str) else vec_col)).alias("d"))
+        .filter(F.col("d") > 0)
+        .first()
+    )
+    return int(row["d"]) if row is not None else 1
+
+
 def lsh_topk(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    k: int = 5, n_planes: int = 6, dim: int = 64,
+    k: int = 5, n_planes: int = 6, dim: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share an LSH bucket.
 
     Bucket cardinality ≈ n/2^planes keeps per-bucket work bounded; at
     scale add multiple hash tables (union of several plane sets) for
     recall."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
     # persist: bucket expressions would otherwise recompute on both sides
     # of the self-join (each bucket is n_planes × dim md5-derived ops);
     # norms precomputed once per vector
@@ -301,7 +328,7 @@ def _ivf_search(base: DataFrame, cents: DataFrame, k: int, n_probe: int) -> Data
 def embedding_near_dup_pairs(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_tables: int = 4, n_planes: int = 8,
-    dim: int = 64, exact: bool = False,
+    dim: int | None = None, exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, blocked on multi-table
     hyperplane LSH — NEVER all-pairs unless ``exact=True`` is forced.
@@ -338,6 +365,8 @@ def embedding_near_dup_pairs(
             .select("id_a", "id_b", score.alias("score"))
             .filter(F.col("score") >= threshold)
         )
+    if dim is None:
+        dim = infer_dim(base, F.col("vec"))
     # slim candidate index: ids + buckets only — carrying vectors through
     # the explode would replicate every embedding n_tables× in the shuffle
     buckets = F.array(*[

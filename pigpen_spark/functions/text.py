@@ -226,7 +226,9 @@ def top_ngram_fraction(col, n: int = 2) -> Column:
     n_tokens``.  NULL when the doc has fewer than ``n`` tokens.
 
     Per-row cost is O(tokens · distinct n-grams) — bounded by document
-    length, so linear over the corpus."""
+    length, so linear over the corpus.  Overlapping occurrences can push
+    ``count × n`` past the token count ("a a a a"), so the coverage is
+    clamped to 1.0 — it is a [0,1] fraction by contract."""
     grams = _ngrams(col, n)
     max_count = F.array_max(
         F.transform(
@@ -234,17 +236,22 @@ def top_ngram_fraction(col, n: int = 2) -> Column:
             lambda d: F.size(F.filter(grams, lambda x: x == d)),
         )
     )
-    return F.try_divide((max_count * n).cast("double"), token_count(col))
+    frac = F.try_divide((max_count * n).cast("double"), token_count(col))
+    # NOT F.least: least/greatest SKIP nulls, which would turn the
+    # empty-doc NULL into 1.0; when() propagates it
+    return F.when(frac > 1.0, F.lit(1.0)).otherwise(frac)
 
 
 def top_ngram_fraction_sql(col: str, n: int = 2) -> str:
     g = _ngrams_sql(col, n)
     toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
-    return (
+    frac = (
         f"(list_max([len(list_filter({g}, x -> x = d))"
         f" for d in list_distinct({g})]) * {n})::DOUBLE"
         f" / nullif(len({toks}), 0)"
     )
+    # CASE, not least(): least skips NULLs (empty doc would become 1.0)
+    return f"(CASE WHEN ({frac}) > 1.0 THEN 1.0 ELSE ({frac}) END)"
 
 
 def lines(col) -> Column:

@@ -88,14 +88,20 @@ def funnel(events: DataFrame, steps: Sequence[str],
             for i in range(len(steps))
         ]
     )
-    stack = ", ".join(
-        f"{i + 1}L, '{s}', __n_{i}" for i, s in enumerate(steps)
+    # inline(array(struct…)) with F.lit step names — step names are
+    # caller DATA; interpolating them into an expr/stack string would
+    # break (or inject) on quotes
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"__n_{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
     )
-    return counts.select(
-        F.expr(
-            f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"
-        )
-    )
+    return counts.select(F.inline(rows))
 
 
 def cohort_retention(events: DataFrame, user_col: str = "user_id",
@@ -131,6 +137,7 @@ def funnel_sql(steps: Sequence[str], type_col: str = "event_type",
                table: str = "events") -> str:
     """DuckDB oracle for :func:`funnel`: the classic nested
     ``min(ts) .. WHERE ts >= prev`` CTE chain."""
+    steps = [s.replace("'", "''") for s in steps]  # step names are data
     ctes = []
     for i, s in enumerate(steps):
         if i == 0:

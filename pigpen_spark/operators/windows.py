@@ -55,18 +55,35 @@ def ranked(df: DataFrame, order_by: Sequence, index_col: str = "index",
     pid = "__pp_pid"
     ranged = df.repartitionByRange(*orders).withColumn(pid, F.spark_partition_id())
     ranged = ranged.persist()
-    counts = {r[pid]: r["cnt"] for r in ranged.groupBy(pid).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    off = partition_offsets(ranged, F.col(pid))
+    w = Window.partitionBy(pid).orderBy(*orders)
+    out = ranged.withColumn(index_col, (F.row_number().over(w) - 1 + off).cast("long")).drop(pid)
+    return out
+
+
+def partition_offsets(tagged: DataFrame, pid: Column) -> Column:
+    """Global cumulative row offset per partition id — the shared core of
+    the two-phase rank (:func:`ranked`) and the columnar dense
+    ``map_indexed``: count rows per partition id (a bounded driver-side
+    vector, ONE long per partition — the same shape Pig RANK collects),
+    accumulate offsets in pid order, and return a create_map/element_at
+    lookup column.
+
+    The caller MUST have persisted ``tagged`` already: the pid column has
+    to evaluate identically in the count pass and the output pass."""
+    counts = {
+        r["p"]: r["cnt"]
+        for r in tagged.groupBy(pid.alias("p")).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
     offsets, acc = {}, 0
     for p in sorted(counts):
         offsets[p] = acc
         acc += counts[p]
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col(pid),
-    ) if offsets else F.lit(0)
-    w = Window.partitionBy(pid).orderBy(*orders)
-    out = ranged.withColumn(index_col, (F.row_number().over(w) - 1 + off).cast("long")).drop(pid)
-    return out
+    if not offsets:
+        return F.lit(0)
+    return F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), pid
+    )
 
 
 def top_n_per_group(df: DataFrame, partition_by: Sequence, order_by: Sequence,
@@ -96,3 +113,24 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str, gap_seconds: int,
     ).cast("long")
     sess_n = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return df.withColumn(session_col, F.concat_ws("-", F.col(user_col).cast("string"), sess_n.cast("string")))
+
+
+def moving_agg(df: DataFrame, partition_by: Sequence, order_by: Sequence,
+               value, fn=F.avg, preceding: int = 3, following: int = 0,
+               out_col: str = "mov") -> DataFrame:
+    """Sliding-frame aggregate (moving average & friends): ``fn(value)``
+    over ROWS BETWEEN preceding AND following per partition.
+
+    The window partitions on ``partition_by``, so it parallelizes across
+    groups; an empty ``partition_by`` is rejected — an unpartitioned
+    ordered frame is a single-reducer funnel at scale (use
+    :func:`ranked`'s two-phase trick or a range-partitioned sort-merge
+    formulation instead)."""
+    if not partition_by:
+        raise ValueError("moving_agg: partition_by must be non-empty at scale")
+    w = (
+        Window.partitionBy(*[_c(c) for c in partition_by])
+        .orderBy(*[_c(c) for c in order_by])
+        .rowsBetween(-preceding, following)
+    )
+    return df.withColumn(out_col, fn(_c(value)).over(w))

@@ -258,24 +258,12 @@ class Relation:
             # replaces the RDD zipWithIndex round-trip through Python.
             # The persist is load-bearing: the id column must be identical
             # between the count pass and the output pass.
+            from pigpen_spark.operators.windows import partition_offsets
+
             mid = _gensym("mid")
             tagged = self.df.withColumn(mid, F.monotonically_increasing_id()).persist()
             pid = F.shiftright(F.col(mid), 33).cast("int")
-            counts = {
-                r["p"]: r["cnt"]
-                for r in tagged.groupBy(pid.alias("p")).agg(F.count(F.lit(1)).alias("cnt")).collect()
-            }
-            offsets, acc = {}, 0
-            for p in sorted(counts):
-                offsets[p] = acc
-                acc += counts[p]
-            off = (
-                F.element_at(
-                    F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), pid
-                )
-                if offsets
-                else F.lit(0)
-            )
+            off = partition_offsets(tagged, pid)
             local = F.col(mid).bitwiseAND(F.lit((1 << 33) - 1))
             return self._with(
                 tagged.withColumn(index_col, (off + local).cast("long")).drop(mid)
@@ -487,6 +475,20 @@ class Relation:
         """reference: pigpen.join/group-by (join.clj:195-223)."""
         exprs = [_to_col(k) for k in keys] + [_to_col(v).alias(n) for n, v in named_keys.items()]
         return GroupedRelation(self, exprs)
+
+    def cube(self, *keys: ColumnLike, **named_keys: ColumnLike) -> "GroupedRelation":
+        """Multi-dimensional aggregation over ALL key subsets (extension
+        beyond the reference — Catalyst expands the grouping sets in one
+        pass, no per-subset rescans).  Rolled-up dimensions are NULL in
+        the output, matching SQL CUBE."""
+        exprs = [_to_col(k) for k in keys] + [_to_col(v).alias(n) for n, v in named_keys.items()]
+        return GroupedRelation(self, exprs, mode="cube")
+
+    def rollup(self, *keys: ColumnLike, **named_keys: ColumnLike) -> "GroupedRelation":
+        """Hierarchical aggregation over key PREFIXES (extension beyond
+        the reference) — SQL ROLLUP semantics, one pass."""
+        exprs = [_to_col(k) for k in keys] + [_to_col(v).alias(n) for n, v in named_keys.items()]
+        return GroupedRelation(self, exprs, mode="rollup")
 
     def flatten_struct(self, col: str, drop: bool = True) -> "Relation":
         """Expand a struct column into top-level columns (reference:
@@ -843,9 +845,33 @@ class GroupedRelation:
     """Result of :meth:`Relation.group_by` — holds key exprs, offers fold /
     collect / arbitrary per-group Python."""
 
-    def __init__(self, rel: Relation, keys: list[Column]):
+    def __init__(self, rel: Relation, keys: list[Column], mode: str = "groupby"):
         self._rel = rel
         self._keys = keys
+        self._mode = mode  # groupby | cube | rollup
+        self._pivot: tuple[str, list] | None = None
+
+    def pivot(self, col: str, values: Sequence) -> "GroupedRelation":
+        """Pivot ``col``'s values into output columns (extension beyond
+        the reference).  ``values`` is REQUIRED: an explicit list keeps
+        the output schema static and skips Spark's extra distinct-scan
+        of the pivot column — the only scale-safe form."""
+        if self._mode != "groupby":
+            raise ValueError("pivot composes with group_by only")
+        out = GroupedRelation(self._rel, self._keys, self._mode)
+        out._pivot = (col, list(values))
+        return out
+
+    def _grouped(self):
+        df = self._rel.df
+        g = {
+            "groupby": df.groupBy,
+            "cube": df.cube,
+            "rollup": df.rollup,
+        }[self._mode](*self._keys)
+        if self._pivot is not None:
+            g = g.pivot(*self._pivot)
+        return g
 
     def fold(self, *folds: "Fold | Column", **named: "Fold | Column") -> Relation:
         """Per-key aggregation — every native fold compiles into ONE
@@ -857,7 +883,7 @@ class GroupedRelation:
         Algebraic path (PigPenFnAlgebraic.java:40-151).
         """
         aggs = [Fold.to_column(f) for f in folds] + [Fold.to_column(f).alias(n) for n, f in named.items()]
-        return self._rel._with(self._rel.df.groupBy(*self._keys).agg(*aggs))
+        return self._rel._with(self._grouped().agg(*aggs))
 
     agg = fold
 
@@ -868,7 +894,7 @@ class GroupedRelation:
         bag = F.collect_list(v)
         if sort:
             bag = F.sort_array(bag)
-        return self._rel._with(self._rel.df.groupBy(*self._keys).agg(bag.alias(bag_col)))
+        return self._rel._with(self._grouped().agg(bag.alias(bag_col)))
 
     def apply_py(self, fn, schema) -> Relation:
         """Arbitrary per-group Python via applyInPandas (Arrow-batched).
@@ -876,6 +902,8 @@ class GroupedRelation:
         reference: reduce-side user fn over lazy bags (pig/runtime.clj:
         194-240 Accumulator).  NOTE applyInPandas materializes each group —
         for huge groups prefer fold/window ops (SURVEY §4.4 risk note)."""
+        if self._mode != "groupby" or self._pivot is not None:
+            raise ValueError("apply_py requires a plain group_by (no cube/rollup/pivot)")
         return self._rel._with(self._rel.df.groupBy(*self._keys).applyInPandas(fn, schema=schema))
 
     def fold_py(self, zero, seq_op, comb_op, finish=None, key_names: Sequence[str] | None = None,
@@ -899,6 +927,8 @@ class GroupedRelation:
 
         Returns key columns + ``out_col``.
         """
+        if self._mode != "groupby" or self._pivot is not None:
+            raise ValueError("fold_py requires a plain group_by (no cube/rollup/pivot)")
         rel = self._rel
         knames = list(key_names or [f"k{i}" for i in range(len(self._keys))])
         kcols = [k.alias(n) for k, n in zip(self._keys, knames)]

@@ -107,19 +107,37 @@ def load_avro(spark: SparkSession, path: str, schema=None) -> Relation:
 
 
 def _load_avro_python(spark: SparkSession, path: str, schema=None) -> Relation:
-    """Fallback Avro reader on the pure-Python container codec."""
+    """Fallback Avro reader on the pure-Python container codec.
+
+    Files are recognized by the container MAGIC (``Obj\\x01``), not by
+    extension — extensionless part files (common from other writers) are
+    read, and sidecars like ``_SUCCESS`` are skipped.  Each file decodes
+    per its OWN embedded writer schema; records align to the target
+    schema by field NAME (evolved/reordered writers coerce correctly,
+    fields the writer lacks become NULL)."""
     from pigpen_spark.sources import avro_py
 
-    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
+    magic = F.lit(avro_py.MAGIC)
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .filter(F.substring("content", 1, len(avro_py.MAGIC)) == magic)
+    )
     if schema is None:
         # one driver-side schema probe of the smallest file; data decode
         # stays on the executors
         probe = files.select("content").orderBy(F.col("length")).first()
         if probe is None:
-            raise FileNotFoundError(f"no .avro files under {path}")
+            raise FileNotFoundError(f"no Avro container files under {path}")
         writer_schema, _ = avro_py.read_container(bytes(probe["content"]))
         # full struct DDL (pyspark accepts "struct<a: bigint, …>" directly)
         schema = avro_py.to_spark_type(writer_schema)
+
+    from pyspark.sql.types import StructType
+
+    fields = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    ).fieldNames()
 
     def decode(batches):
         import pandas as pd
@@ -130,7 +148,10 @@ def _load_avro_python(spark: SparkSession, path: str, schema=None) -> Relation:
                 _, records = avro_py.read_container(bytes(blob))
                 rows.extend(records)
             if rows:
-                yield pd.DataFrame(rows)
+                # align by name to the target schema: dict keys follow
+                # each file's writer schema, which may be a reordered or
+                # evolved superset/subset of the probe file's
+                yield pd.DataFrame(rows).reindex(columns=fields)
 
     return Relation(files.select("content").mapInPandas(decode, schema=schema))
 

@@ -87,3 +87,94 @@ def test_ranked_dense_false_ties_share_rank(spark):
     out = ranked(df, ["x"], dense=False)
     idx = sorted(r["index"] for r in out.collect())
     assert idx == [0, 0, 2]  # F.rank semantics, not row_number
+
+
+def test_min_with_ignores_null_keys(spark):
+    """Round-2 review: struct ordering sorts NULL fields FIRST, so a bare
+    F.min(struct(key, v)) returned the NULL-key row's value."""
+    from pigpen_spark import fold
+    from pigpen_spark.relation import Relation
+
+    df = spark.createDataFrame(
+        [(10.0, 5.0), (99.0, None), (20.0, 1.0)], "v double, k double"
+    )
+    r = Relation(df).group_by(g=F.lit(1)).fold(
+        lo=fold.min_with("v", F.col("k")),
+        hi=fold.max_with("v", (F.col("k") * -1)),
+    ).df.collect()[0]
+    assert r["lo"] == 20.0   # k=1 smallest non-null key
+    assert r["hi"] == 20.0   # -k largest at k=1
+
+
+def test_min_with_all_null_keys_returns_null(spark):
+    from pigpen_spark import fold
+    from pigpen_spark.relation import Relation
+
+    df = spark.createDataFrame([(1.0, None), (2.0, None)], "v double, k double")
+    r = Relation(df).group_by(g=F.lit(1)).fold(
+        lo=fold.min_with("v", F.col("k"))
+    ).df.collect()[0]
+    assert r["lo"] is None
+
+
+def test_lsh_bucket_dim_mismatch_raises(spark):
+    """Round-2 review: dim > len(vec) silently put every vector in one
+    all-zeros bucket — collapsing blocked near-dup back to O(n^2)."""
+    import pytest as _pytest
+
+    from pigpen_spark.functions import similarity as S
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, emb array<double>")
+    with _pytest.raises(Exception, match="lsh_bucket"):
+        df.select(S.lsh_bucket(F.col("emb"), 4, dim=8)).collect()
+
+
+def test_split_sql_single_split_and_empty_fractions():
+    import duckdb
+
+    from pigpen_spark.functions import pipeline as P
+
+    con = duckdb.connect()
+    sql = P.split_by_hash_sql("x", {"only": 1.0})
+    assert con.execute(f"SELECT {sql} FROM (SELECT 1 AS x)").fetchone()[0] == "only"
+    where = P.stratified_sample_by_hash_sql("s", {}, "x", default=1.0)
+    assert con.execute(f"SELECT count(*) FROM (SELECT 1 AS x, 'a' AS s) WHERE {where}").fetchone()[0] == 1
+
+
+def test_pack_chunks_rejects_nonpositive_budget(spark):
+    import pytest as _pytest
+
+    from pigpen_spark.functions import pipeline as P
+
+    df = spark.createDataFrame([(1, 10)], "id long, n long")
+    with _pytest.raises(ValueError, match="budget"):
+        P.pack_chunks(df, "n", order_by=["id"], budget=0)
+
+
+def test_funnel_step_name_with_quote(spark):
+    import datetime as dt
+
+    from pigpen_spark.operators import analytics as A
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "o'clock"), (1, dt.datetime(2024, 1, 2), "buy")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {r["step_name"]: r["n_users"] for r in A.funnel(df, ["o'clock", "buy"]).collect()}
+    assert out == {"o'clock": 1, "buy": 1}
+    # oracle builder must also survive the quote
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events AS SELECT 1::BIGINT user_id, TIMESTAMP '2024-01-01' ts, 'o''clock' event_type")
+    rows = con.execute(A.funnel_sql(["o'clock"])).fetchall()
+    assert rows[0][2] == 1
+
+
+def test_top_ngram_fraction_clamped(spark):
+    from pigpen_spark.functions import text as T
+
+    df = spark.createDataFrame([(1, "a a a a a"), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", T.top_ngram_fraction("text", 2).alias("f")).collect()}
+    assert rows[1] == 1.0       # overlapping 'a a' would be 1.6 unclamped
+    assert rows[2] is None      # empty doc stays NULL (least() would give 1.0)
