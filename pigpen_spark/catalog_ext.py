@@ -637,3 +637,135 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn=F.avg, preceding=3,
     )
     return out.select("user_id", "event_id", F.round("mov", 6).alias("mov"))
+
+
+# ---------------------------------------------------------------------------
+# round 2: end-to-end dedup keep, decontamination, per-group sampling,
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+from pigpen_spark.functions.text import _ngrams_sql as _ngrams_sql  # noqa: E402
+from pigpen_spark.operators import layout as L  # noqa: E402
+
+_DECON_SPLITS = {"train": 0.9, "test": 0.1}
+
+
+@register(
+    "ext_dedup_keep",
+    f"""
+    WITH RECURSIVE {D.minhash_sigs_cte_sql('documents', 'doc_id', 'text', _K, 3)},
+    banded AS (
+      SELECT id, b.range AS band,
+             md5(array_to_string(sig[(b.range * {_R} + 1) : (b.range * {_R} + {_R})], '|')) AS bhash
+      FROM sigs, range({_BANDS}) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    clusters AS (SELECT id, min(r)::BIGINT AS cluster FROM reach GROUP BY id)
+    SELECT d.doc_id, coalesce(c.cluster, d.doc_id)::BIGINT AS cluster,
+           coalesce(c.cluster, d.doc_id) = d.doc_id AS kept
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+    """,
+)
+def ext_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup decision over the whole corpus: MinHash
+    LSH candidates → WCC clusters → keep min-id per cluster, one row per
+    doc with (cluster, kept).  The cluster table is O(docs in pairs) and
+    broadcast back onto the corpus — the corpus itself never shuffles."""
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_candidates(docs.df, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=3)
+    return D.dedup_keep(docs.df.select("doc_id"), pairs, "doc_id")
+
+
+@register(
+    "ext_decontaminate",
+    f"""
+    WITH lab AS (
+      SELECT doc_id, text,
+             {P.split_by_hash_sql('doc_id', _DECON_SPLITS, salt='decon')} AS split
+      FROM documents
+    ),
+    tg AS (
+      SELECT DISTINCT unnest(list_distinct({_ngrams_sql('text', 5)})) AS gram
+      FROM lab WHERE split = 'test'
+    ),
+    trg AS (
+      SELECT doc_id, unnest(list_distinct({_ngrams_sql('text', 5)})) AS gram
+      FROM lab WHERE split = 'train'
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n_shared FROM trg JOIN tg USING (gram) GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+           coalesce(h.n_shared, 0) >= 1 AS contaminated
+    FROM lab d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.split = 'train'
+    """,
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: hash-split the corpus into train/test,
+    flag train docs sharing ≥1 distinct 5-gram with the test set.  The
+    gram equi-join is the only shuffle; the test gram set is distinct'd
+    first so fan-out is bounded by real collisions."""
+    docs = tables(spark, sf_dir)["documents"]
+    lab = P.split_by_hash(docs.df.select("doc_id", "text"), "doc_id",
+                          _DECON_SPLITS, salt="decon")
+    train = lab.filter(F.col("split") == "train").drop("split")
+    test = lab.filter(F.col("split") == "test").drop("split")
+    return D.decontaminate(train, test, "doc_id", "text", n=5, threshold=1)
+
+
+@register(
+    "ext_sample_per_group",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(doc_id::VARCHAR || '|persample'), doc_id
+      ) AS __rn FROM documents
+    ) WHERE __rn <= 20
+    """,
+)
+def ext_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample (per-stratum caps for corpus
+    balancing).  Spark rewrites the rank≤k window into a map-side partial
+    top-k (WindowGroupLimit) — no whole-group shuffle."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.sample_per_group(
+        docs.df.select("doc_id", "lang"), "lang", "doc_id", k=20
+    )
+
+
+@register(
+    "ext_zorder_key",
+    f"""
+    SELECT o_orderkey,
+           {L.zorder_key_sql(['o_custkey', "datediff('day', DATE '1970-01-01', o_orderdate::DATE)"], 16)}::BIGINT
+             AS zkey
+    FROM orders
+    """,
+)
+def ext_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (custkey, order epoch-day) —
+    the sort key behind OPTIMIZE ZORDER BY: bit-interleaving gives BOTH
+    columns partial min/max file pruning after a range-partitioned write.
+    Pure shift/and/or Catalyst expressions, fully codegen'd."""
+    o = tables(spark, sf_dir)["orders"]
+    epoch_day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    return o.df.select(
+        "o_orderkey",
+        L.zorder_key([F.col("o_custkey"), epoch_day], 16).alias("zkey"),
+    )

@@ -483,3 +483,78 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         edges.unpersist()
         if not done:
             labels.unpersist()
+
+
+def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str,
+               cluster_col: str = "cluster", keep_col: str = "kept") -> DataFrame:
+    """End-to-end dedup decision: label every row of ``df`` with its
+    duplicate-cluster id and whether it is the KEPT canonical copy.
+
+    Composes :func:`dedup_clusters` (min-label WCC over candidate
+    ``pairs``) with one broadcast-friendly left join back to the corpus:
+    the cluster table is O(docs that appear in ≥1 pair) — tiny next to
+    the corpus, since near-dup rates are single-digit percent at 100 TB —
+    so Catalyst broadcasts it and the corpus is never shuffled.  Rows in
+    no pair keep their own id as cluster.  The keep rule is
+    ``id == cluster`` (the component's min id survives), the same
+    convention as :func:`exact_dedup`.
+
+    Returns ``df``'s rows + (cluster, kept); filter ``kept`` for the
+    surviving corpus, negate for the removal list.
+    """
+    clusters = dedup_clusters(pairs).select(
+        F.col("id").alias(id_col), F.col("cluster").alias("__pp_cl")
+    )
+    joined = df.join(F.broadcast(clusters), on=id_col, how="left")
+    cluster = F.coalesce(F.col("__pp_cl"), F.col(id_col))
+    return (
+        joined.withColumn(cluster_col, cluster)
+        .withColumn(keep_col, F.col(cluster_col) == F.col(id_col))
+        .drop("__pp_cl")
+    )
+
+
+# -- benchmark decontamination ---------------------------------------------
+
+
+def decontaminate(train: DataFrame, test: DataFrame, id_col: str,
+                  content_col: str, n: int = 5, threshold: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag train docs sharing ≥ ``threshold``
+    distinct word ``n``-grams with ANY test/eval doc (the standard
+    n-gram-collision rule used to scrub eval sets out of pretraining
+    corpora).
+
+    Plan shape at 100 TB: both sides explode to DISTINCT n-grams
+    (per-row HOFs, linear); the join is an equi-join keyed on the gram
+    string — high-cardinality, well-distributed shuffle; the per-doc
+    overlap count partial-aggregates map-side.  The test side is
+    deduplicated to one row per gram first, so join fan-out is bounded by
+    real collisions, and an eval-sized test set (≪ train) broadcasts
+    under AQE.  Docs shorter than ``n`` tokens have no n-grams and are
+    never flagged.
+
+    Returns (id, n_shared, contaminated) for every train row.
+    """
+    from pigpen_spark.functions.text import _ngrams
+
+    test_grams = (
+        test.select(F.explode(F.array_distinct(_ngrams(F.col(content_col), n))).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_ngrams(F.col(content_col), n))).alias("gram"),
+    )
+    hits = (
+        train_grams.join(test_grams, on="gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        train.join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= threshold).alias("contaminated"),
+        )
+    )

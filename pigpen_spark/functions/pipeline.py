@@ -164,3 +164,44 @@ def shuffle_deterministic(df: DataFrame, id_col: str, salt: str = "epoch0",
     tagged = df.withColumn("__sh", h)
     out = ranked(tagged, order_by=[F.col("__sh"), _c(id_col)], index_col=pos_col)
     return out.drop("__sh")
+
+
+def sample_per_group(df: DataFrame, strata_col, id_col, k: int,
+                     salt: str = "persample", rank_col: str | None = None) -> DataFrame:
+    """Deterministic k-per-stratum sample: within each stratum keep the
+    ``k`` rows with the smallest salted id-hash (a reproducible
+    "random" k, unlike :func:`stratified_sample_by_hash`'s rate filter —
+    use this when each group needs an exact COUNT, e.g. per-language
+    caps or per-source eval slices).
+
+    Scale shape: rank ≤ k over a window is rewritten by Spark's
+    WindowGroupLimit rule into a map-side partial top-k per task BEFORE
+    the shuffle — so a billion-row stratum moves only ~k rows per task,
+    not the whole group, and a handful of huge strata don't funnel into
+    single reducers.  Determinism: the order key is md5(id || salt) with
+    an id tie-break; same salt → byte-identical sample across reruns and
+    engines.
+    """
+    if k <= 0:
+        raise ValueError(f"sample_per_group: k must be positive, got {k}")
+    w = Window.partitionBy(_c(strata_col)).orderBy(
+        F.md5(F.concat(_c(id_col).cast("string"), F.lit("|" + salt))), _c(id_col)
+    )
+    rn = F.row_number().over(w)
+    if rank_col is not None:
+        return df.withColumn(rank_col, rn.cast("long")).filter(F.col(rank_col) <= k)
+    tmp = "__pp_rn"
+    return df.withColumn(tmp, rn).filter(F.col(tmp) <= k).drop(tmp)
+
+
+def sample_per_group_sql(table: str, strata_col: str, id_col: str, k: int,
+                         salt: str = "persample") -> str:
+    """DuckDB oracle for :func:`sample_per_group` (same md5 order key)."""
+    return f"""
+    SELECT * EXCLUDE (__rn) FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {strata_col}
+        ORDER BY md5({id_col}::VARCHAR || '|{salt}'), {id_col}
+      ) AS __rn FROM {table}
+    ) WHERE __rn <= {k}
+    """

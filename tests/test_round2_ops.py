@@ -1,0 +1,141 @@
+"""Round-2 operators: dedup_keep, decontaminate, sample_per_group, Z-order."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pigpen_spark.functions import dedup as D
+from pigpen_spark.functions import pipeline as P
+from pigpen_spark.operators import layout as L
+
+
+# -- dedup_keep -------------------------------------------------------------
+
+
+def test_dedup_keep_labels_whole_corpus(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # components: {0,1,2} (chained), {4,5}; 3 untouched
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: (r["cluster"], r["kept"])
+           for r in D.dedup_keep(docs, pairs, "doc_id").collect()}
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (4, True), 5: (4, False),
+    }
+
+
+def test_dedup_keep_no_pairs(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = D.dedup_keep(docs, pairs, "doc_id").collect()
+    assert all(r["kept"] and r["cluster"] == r["doc_id"] for r in out)
+
+
+# -- decontaminate ----------------------------------------------------------
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated text about something else entirely here"),
+            (3, "short doc"),  # < n tokens: no n-grams, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(9, "xx quick brown fox jumps over yy")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["n_shared"], r["contaminated"])
+           for r in D.decontaminate(train, test, "doc_id", "text", n=5).collect()}
+    assert out[1][1] is True and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+
+
+def test_decontaminate_threshold(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    # shares exactly one distinct 5-gram ("a b c d e")
+    out = D.decontaminate(train, test, "doc_id", "text", n=5, threshold=2).collect()
+    assert out[0]["n_shared"] == 1 and out[0]["contaminated"] is False
+
+
+# -- sample_per_group -------------------------------------------------------
+
+
+def test_sample_per_group_exact_counts_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(100)], "id long, g string"
+    )
+    a = P.sample_per_group(df, "g", "id", k=5)
+    counts = {r["g"]: r["n"] for r in a.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    # same salt → identical sample; different salt → (almost surely) different
+    ids_a = sorted(r["id"] for r in a.collect())
+    ids_b = sorted(r["id"] for r in P.sample_per_group(df, "g", "id", k=5).collect())
+    ids_c = sorted(r["id"] for r in P.sample_per_group(df, "g", "id", k=5, salt="other").collect())
+    assert ids_a == ids_b
+    assert ids_a != ids_c
+
+
+def test_sample_per_group_small_group_keeps_all(spark):
+    df = spark.createDataFrame([(1, "g"), (2, "g")], "id long, g string")
+    assert P.sample_per_group(df, "g", "id", k=10).count() == 2
+    with pytest.raises(ValueError, match="positive"):
+        P.sample_per_group(df, "g", "id", k=0)
+
+
+def test_sample_per_group_plan_has_window_group_limit(spark):
+    """rank<=k must compile to WindowGroupLimit (map-side partial top-k),
+    not a full per-group sort+filter — the property that makes the
+    operator scale-safe on billion-row strata."""
+    df = spark.createDataFrame([(i, "g%d" % (i % 3)) for i in range(100)], "id long, g string")
+    plan = P.sample_per_group(df, "g", "id", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+# -- Z-order ----------------------------------------------------------------
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame(
+        [(0b101, 0b011)], "x long, y long"
+    )
+    # x bits at even positions, y bits at odd: x=101, y=011
+    # bits LSB-up: x0=1,y0=1,x1=0,y1=1,x2=1,y2=0 -> 0b011011 = 27
+    out = df.select(L.zorder_key(["x", "y"], bits=3).alias("z")).collect()[0]["z"]
+    assert out == 0b011011
+    # cross-engine identity with the SQL builder
+    import duckdb
+    sql = L.zorder_key_sql(["x", "y"], bits=3)
+    assert duckdb.sql(f"SELECT {sql} FROM (SELECT 5 AS x, 3 AS y)").fetchone()[0] == out
+
+
+def test_zorder_key_validates(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        L.zorder_key([], bits=8)
+    with pytest.raises(ValueError, match="exceeds"):
+        L.zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_cluster_by_zorder_orders_partitions(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    out = L.cluster_by_zorder(df, ["x", "y"], bits=4, num_partitions=4)
+    assert sorted((r["x"], r["y"]) for r in out.collect()) == sorted(
+        (x, y) for x in range(16) for y in range(16)
+    )
+    # rows within each partition are sorted by the (recomputed) key
+    rows = out.withColumn("pid", F.spark_partition_id()).withColumn(
+        "z", L.zorder_key(["x", "y"], bits=4)
+    ).collect()
+    by_pid = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["z"])
+    for zs in by_pid.values():
+        assert zs == sorted(zs)
