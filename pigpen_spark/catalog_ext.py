@@ -769,3 +769,68 @@ def ext_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         L.zorder_key([F.col("o_custkey"), epoch_day], 16).alias("zkey"),
     )
+
+
+@register(
+    "ext_approx_distinct",
+    """
+    SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_exact,
+           TRUE AS est_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch with an ACCURACY-BOUND oracle
+    (same pattern as q_sample's statistical oracle): the estimate can't
+    hash-match another engine, so the check is folded into the output —
+    per group, the HLL++ estimate must land within 4×rsd of the exact
+    count (deterministic for fixed data: Spark's HLL hashing has no
+    seed), emitted as a boolean next to the DuckDB-verified exact count.
+
+    At 100 TB the sketch path is the one that matters: a fixed-size
+    (~KB) sketch per group partial-aggregates map-side and merges
+    associatively — no exact-distinct shuffle of every key.  The exact
+    count rides along here only to make the bound checkable."""
+    li = tables(spark, sf_dir)["lineitem"]
+    rsd = 0.05
+    est = F.approx_count_distinct("l_orderkey", rsd)
+    exact = F.count_distinct(F.col("l_orderkey"))
+    return (
+        li.df.groupBy("l_returnflag")
+        .agg(exact.alias("n_exact"), est.alias("__est"))
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (F.abs(F.col("__est") - F.col("n_exact"))
+             <= F.lit(4 * rsd) * F.col("n_exact")).alias("est_ok"),
+        )
+    )
+
+
+@register(
+    "ext_hll_merge",
+    """
+    SELECT count(DISTINCT l_orderkey)::BIGINT AS n_exact, TRUE AS merged_ok
+    FROM lineitem
+    """,
+)
+def ext_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-group Datasketches HLL sketches
+    (``hll_sketch_agg``) union into a global estimate
+    (``hll_union_agg`` → ``hll_sketch_estimate``) — the two-level
+    pattern that lets a 1000-executor job estimate global cardinality
+    with one tiny all-to-one merge instead of a full distinct shuffle.
+    Bound-checked against the exact count like :func:`ext_approx_distinct`."""
+    li = tables(spark, sf_dir)["lineitem"]
+    per_group = li.df.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+    )
+    exact = li.df.agg(F.count_distinct(F.col("l_orderkey")).alias("n_exact"))
+    return exact.crossJoin(merged).select(
+        "n_exact",
+        (F.abs(F.col("__est") - F.col("n_exact"))
+         <= F.lit(0.05) * F.col("n_exact")).alias("merged_ok"),
+    )
