@@ -50,6 +50,10 @@ HEADLINE = [
     "ext_ann_brute",
     "ext_ann_lsh",
     "ext_text_stats",
+    # round-2 additions: gram-join decontamination (shuffle-heavy) and
+    # end-to-end dedup keep (iterative WCC + broadcast label join)
+    "ext_decontaminate",
+    "ext_dedup_keep",
 ]
 
 

@@ -139,3 +139,19 @@ def test_cluster_by_zorder_orders_partitions(spark):
         by_pid.setdefault(r["pid"], []).append(r["z"])
     for zs in by_pid.values():
         assert zs == sorted(zs)
+
+
+def test_dedup_clusters_local_matches_distributed(spark):
+    """The threshold-gated driver-side union-find must produce byte-identical
+    labels to the distributed min-label loop."""
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    local = {(r["id"], r["cluster"])
+             for r in D.dedup_clusters(pairs).collect()}
+    dist = {(r["id"], r["cluster"])
+            for r in D.dedup_clusters(pairs, local_threshold=0).collect()}
+    assert local == dist and len(local) > 0
