@@ -40,6 +40,21 @@ def tokens(col) -> Column:
     return F.filter(F.split(F.lower(_c(col)), " "), lambda t: t != "")
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for HOF expressions: evaluate ``value`` ONCE per row and
+    pass it to ``body`` as a lambda variable.
+
+    Catalyst re-evaluates any expression referenced inside a higher-order-
+    function lambda once PER ELEMENT (subexpression elimination does not
+    reach into lambda bodies), so ``transform(sequence(...), i ->
+    slice(split(text), i, n))`` re-tokenizes the document for every gram —
+    O(tokens²).  Wrapping the tokens in a single-element array and
+    binding them through ``transform`` makes the lambda reference a
+    variable, not the expression: O(tokens).  Measured 3-4× on the n-gram
+    operators at sf0.1."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def token_count(col) -> Column:
     """Whitespace token count."""
     return F.size(tokens(col)).cast("long")
@@ -138,15 +153,13 @@ def fingerprint(col) -> Column:
 def shingles(col, n: int = 3) -> Column:
     """Word n-gram shingles (the dedup primitive).  Docs with fewer than
     ``n`` tokens yield a single shingle of the whole text."""
-    toks = tokens(col)
-    k = F.size(toks)
-    return F.when(
-        k >= n,
+    return _let(tokens(col), lambda toks: F.when(
+        F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(1), k - n + 1),
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    ).otherwise(F.array(F.array_join(toks, " "))))
 
 
 def shingles_sql(col: str, n: int = 3) -> str:
@@ -181,15 +194,13 @@ def _ngrams(col, n: int) -> Column:
     """Word n-grams as arrays; empty array when the doc has < n tokens
     (unlike :func:`shingles`, which pads for the dedup use-case —
     repetition metrics must NOT count a short doc as one big n-gram)."""
-    toks = tokens(col)
-    k = F.size(toks)
-    return F.when(
-        k >= n,
+    return _let(tokens(col), lambda toks: F.when(
+        F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(1), k - n + 1),
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<string>")))
 
 
 def _ngrams_sql(col: str, n: int) -> str:

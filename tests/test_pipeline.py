@@ -107,4 +107,6 @@ class TestDedupClusters:
     def test_unconverged_raises(self, spark):
         pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "id_a long, id_b long")
         with pytest.raises(RuntimeError):
-            D.dedup_clusters(pairs, max_iter=1)
+            # local_threshold=0 forces the distributed loop: the driver-side
+            # union-find path is exact and never hits the iteration bound
+            D.dedup_clusters(pairs, max_iter=1, local_threshold=0)
