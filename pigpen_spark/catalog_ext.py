@@ -834,3 +834,18 @@ def ext_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("__est") - F.col("n_exact"))
          <= F.lit(0.05) * F.col("n_exact")).alias("merged_ok"),
     )
+
+
+@register(
+    "ext_dedup_spans",
+    P.dedup_spans_sql("documents", "doc_id", "text", chunk=3),
+)
+def ext_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact span dedup with reassembly (C4/RefinedWeb
+    drop-duplicate-lines gate on 3-token chunks): a span survives only at
+    its global first occurrence; documents are rebuilt from surviving
+    spans.  Winner selection is a map-side-combining min-struct agg, NOT
+    a window — mega-duplicated boilerplate spans never funnel through one
+    reducer."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.dedup_spans(docs.df, "doc_id", "text", chunk=3)

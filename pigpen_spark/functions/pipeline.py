@@ -205,3 +205,126 @@ def sample_per_group_sql(table: str, strata_col: str, id_col: str, k: int,
       ) AS __rn FROM {table}
     ) WHERE __rn <= {k}
     """
+
+
+def token_chunks(col, chunk: int) -> Column:
+    """Consecutive ``chunk``-token blocks of a document, each re-joined
+    with single spaces; the trailing partial block is kept.  The span
+    unit for :func:`dedup_spans` — the fixed-width analog of the
+    line/paragraph split C4-style pipelines use (this corpus has no
+    newlines, so the chunk width is the configurable unit).
+
+    Token array is let-bound (text._let) so tokenization runs once per
+    row, not once per chunk."""
+    from pigpen_spark.functions.text import _let, tokens
+
+    if chunk <= 0:
+        raise ValueError(f"token_chunks: chunk must be positive, got {chunk}")
+    return _let(tokens(col), lambda toks: F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks) / F.lit(float(chunk))).cast("int") - 1,
+            ),
+            lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>")))
+
+
+def token_chunks_sql(col: str, chunk: int) -> str:
+    """DuckDB equivalent of :func:`token_chunks`."""
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    return f"""
+      CASE WHEN len({toks}) > 0
+           THEN [array_to_string(({toks})[(i * {chunk}) + 1 : (i + 1) * {chunk}], ' ')
+                 for i in range(0, cast(ceil(len({toks}) / {float(chunk)}) as int))]
+           ELSE []::VARCHAR[] END
+    """
+
+
+def dedup_spans(df: DataFrame, id_col: str, text_col: str, chunk: int = 3,
+                out_col: str = "clean_text") -> DataFrame:
+    """Corpus-level exact span dedup with document reassembly (the
+    C4/RefinedWeb "drop duplicate lines/paragraphs across the corpus,
+    keep the first occurrence" gate, on fixed token chunks).
+
+    Every document is split into ``chunk``-token spans; a span that
+    appears at multiple (doc, position) sites survives only at its
+    GLOBAL first occurrence — min (id, pos) — and is removed everywhere
+    else; each document is then reassembled from its surviving spans in
+    original order.  Docs whose every span was dropped come back with an
+    empty string (they remain governable rows, mirroring the reference's
+    empty-relation semantics, pigpen-core filter handling).
+
+    Plan shape at 100 TB: explode is linear; the winner is a
+    groupBy(span).min(struct(id, pos)) — partial map-side min, so a
+    boilerplate span duplicated 10^9 times combines to one row per map
+    task BEFORE the shuffle (a row_number window over the span key would
+    funnel exactly those mega-dup keys through single reducers — the
+    skew-safe agg+join form is deliberate).  Reassembly is one
+    groupBy(id) collect+sort, bounded by document length.
+    """
+    src = df.select(_c(id_col).alias("__id"),
+                    token_chunks(_c(text_col), chunk).alias("__chunks"))
+    ex = src.select("__id", F.posexplode("__chunks").alias("__pos", "__chunk"))
+    winners = (
+        ex.groupBy("__chunk")
+        .agg(F.min(F.struct("__id", "__pos")).alias("__w"))
+        .select("__chunk", F.col("__w.__id").alias("__wid"),
+                F.col("__w.__pos").alias("__wpos"))
+    )
+    keep = (
+        ex.join(winners, on="__chunk")
+        .filter((F.col("__id") == F.col("__wid")) & (F.col("__pos") == F.col("__wpos")))
+    )
+    re = keep.groupBy("__id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("__pos", "__chunk"))),
+                        lambda s: s["__chunk"]),
+            " ",
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    base = src.select("__id", F.size("__chunks").alias("__total"))
+    return (
+        base.join(re, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias(out_col),
+            (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def dedup_spans_sql(table: str, id_col: str, text_col: str, chunk: int = 3,
+                    out_col: str = "clean_text") -> str:
+    """DuckDB oracle for :func:`dedup_spans` (row_number form — the oracle
+    runs at sf0.01, where reducer skew is irrelevant)."""
+    return f"""
+    WITH ch AS (
+      SELECT {id_col} AS id,
+             generate_subscripts(chunks, 1) - 1 AS pos,
+             unnest(chunks) AS chunk
+      FROM (SELECT {id_col}, {token_chunks_sql(text_col, chunk)} AS chunks
+            FROM {table})
+    ),
+    keep AS (
+      SELECT id, pos, chunk FROM (
+        SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY id, pos) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    ),
+    re AS (
+      SELECT id, string_agg(chunk, ' ' ORDER BY pos) AS clean, count(*) AS kept
+      FROM keep GROUP BY id
+    ),
+    tot AS (
+      SELECT {id_col} AS id, len({token_chunks_sql(text_col, chunk)}) AS total
+      FROM {table}
+    )
+    SELECT t.id AS {id_col}, coalesce(re.clean, '') AS {out_col},
+           (t.total - coalesce(re.kept, 0))::BIGINT AS n_dropped
+    FROM tot t LEFT JOIN re USING (id)
+    """

@@ -155,3 +155,65 @@ def test_dedup_clusters_local_matches_distributed(spark):
     dist = {(r["id"], r["cluster"])
             for r in D.dedup_clusters(pairs, local_threshold=0).collect()}
     assert local == dist and len(local) > 0
+
+
+# -- dedup_spans ------------------------------------------------------------
+
+
+def test_token_chunks_shapes(spark):
+    df = spark.createDataFrame(
+        [("a b c d e",), ("a b",), ("",), ("  ",)], "text string"
+    )
+    out = [r["c"] for r in df.select(P.token_chunks("text", 2).alias("c")).collect()]
+    assert out == [["a b", "c d", "e"], ["a b"], [], []]
+
+
+def test_dedup_spans_first_occurrence_wins(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "x y z a b c"),       # owns chunks "x y" "z a" "b c"
+            (1, "x y q q b c"),       # "x y" and "b c" dups of doc0 -> dropped
+            (2, "x y"),               # whole doc is a dup -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["clean_text"], r["n_dropped"])
+           for r in P.dedup_spans(docs, "doc_id", "text", chunk=2).collect()}
+    assert out[0] == ("x y z a b c", 0)
+    assert out[1] == ("q q", 2)
+    assert out[2] == ("", 1)
+
+
+def test_dedup_spans_within_doc_repeats(spark):
+    # repeated span INSIDE one doc: first position wins, later dropped
+    docs = spark.createDataFrame([(7, "p q r s p q")], "doc_id long, text string")
+    out = P.dedup_spans(docs, "doc_id", "text", chunk=2).collect()[0]
+    assert out["clean_text"] == "p q r s" and out["n_dropped"] == 1
+
+
+def test_dedup_spans_plan_has_no_window(spark):
+    """Winner selection must stay the skew-safe partial-agg form — a
+    row_number window over the span key would funnel mega-dup spans
+    through single reducers."""
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = P.dedup_spans(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+# -- n-gram let-binding (O(tokens) tokenization) ----------------------------
+
+
+def test_ngram_exprs_tokenize_once(spark):
+    """The token-array split must appear exactly once in the optimized
+    n-gram expression: referencing it inside the per-index lambda makes
+    Catalyst re-tokenize per gram (O(tokens^2) — the bug the _let binding
+    fixes)."""
+    from pigpen_spark.functions.text import _ngrams, shingles
+
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    for expr in (_ngrams(F.col("text"), 3), shingles("text", 3),
+                 P.token_chunks("text", 3)):
+        plan = df.select(expr.alias("g"))._jdf.queryExecution() \
+                 .optimizedPlan().toString()
+        assert plan.count("split(") == 1, plan
