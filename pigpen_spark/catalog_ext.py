@@ -849,3 +849,47 @@ def ext_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer."""
     docs = tables(spark, sf_dir)["documents"]
     return P.dedup_spans(docs.df, "doc_id", "text", chunk=3)
+
+
+def _mh_sigs_cte(prefix: str, pred: str) -> str:
+    """Suffixed MinHash signature CTE chain (two corpora in one query)."""
+    return f"""
+    {prefix}_th AS (SELECT doc_id AS id, {D.token_hashes_sql('text')} AS th
+                    FROM documents WHERE {pred}),
+    {prefix}_hs AS (SELECT id, ({D.shingle_hashes_sql('th', 3)}) AS hs FROM {prefix}_th),
+    {prefix}_sigs AS (SELECT id, {D.minhash_from_hashes_sql('hs', _K)} AS sig FROM {prefix}_hs),
+    {prefix}_b AS (
+      SELECT id, sig, b.range AS band,
+             md5(array_to_string(sig[(b.range * {_R} + 1) : (b.range * {_R} + {_R})], '|')) AS bhash
+      FROM {prefix}_sigs, range({_BANDS}) b
+    )"""
+
+
+@register(
+    "ext_dedup_incremental",
+    f"""
+    WITH {_mh_sigs_cte('corpus', 'doc_id % 2 = 0')},
+    {_mh_sigs_cte('newb', 'doc_id % 2 = 1')},
+    pairs AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+      FROM newb_b a JOIN corpus_b b ON a.band = b.band AND a.bhash = b.bhash
+    )
+    SELECT p.new_id, p.corpus_id,
+           len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, {_K} + 1)], m -> m))::DOUBLE / {_K} AS est_jaccard
+    FROM pairs p JOIN newb_sigs sa ON p.new_id = sa.id
+                 JOIN corpus_sigs sb ON p.corpus_id = sb.id
+    """,
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: flag NEW-batch docs (odd doc_id) near-duplicating
+    an existing corpus INDEX (even doc_id) — cross-corpus band-hash
+    equi-join against stored k-int signatures; the corpus text is never
+    re-read.  The production shape for deduping each fresh crawl against
+    a 100 TB corpus."""
+    docs = tables(spark, sf_dir)["documents"]
+    corpus = docs.df.filter(F.col("doc_id") % 2 == 0)
+    new_batch = docs.df.filter(F.col("doc_id") % 2 == 1)
+    index = D.minhash_index(corpus, "doc_id", "text", k=_K, shingle_n=3)
+    return D.minhash_candidates_against(
+        new_batch, index, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=3
+    )

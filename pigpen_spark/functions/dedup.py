@@ -90,32 +90,44 @@ def shingle_hashes(th: Column, n: int = 3) -> Column:
     yield one whole-doc hash (md5 of the joined token-hash list), matching
     :func:`pigpen_spark.functions.text.shingles` semantics.
 
-    ``th`` must be a plain column reference: expressions referenced inside
-    transform lambdas re-evaluate once per element (the classic HOF
-    blowup — see module docstring)."""
+    ``th`` is let-bound (text._let), so it may be an arbitrary expression:
+    it evaluates once per row even though the comb lambda references it
+    per shingle position (the classic HOF blowup — see module
+    docstring)."""
+    from pigpen_spark.functions.text import _let
+
     cs = [_hconst("shingle", j) for j in range(n)]
 
-    def comb(i: Column) -> Column:
-        acc = None
-        for j, c in enumerate(cs):
-            term = F.lit(c) * F.element_at(th, i + j) % F.lit(_P)
-            acc = term if acc is None else acc + term
-        return acc % F.lit(_P)
+    def body(t: Column) -> Column:
+        def comb(i: Column) -> Column:
+            acc = None
+            for j, c in enumerate(cs):
+                term = F.lit(c) * F.element_at(t, i + j) % F.lit(_P)
+                acc = term if acc is None else acc + term
+            return acc % F.lit(_P)
 
-    whole = F.conv(
-        F.substring(F.md5(F.array_join(F.transform(th, lambda h: h.cast("string")), "|")), 1, 8),
-        16, 10,
-    ).cast("bigint")
-    sz = F.size(th)
-    return F.when(
-        sz >= n, F.transform(F.sequence(F.lit(1), sz - n + 1), comb)
-    ).otherwise(F.array(whole))
+        whole = F.conv(
+            F.substring(F.md5(F.array_join(F.transform(t, lambda h: h.cast("string")), "|")), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        sz = F.size(t)
+        return F.when(
+            sz >= n, F.transform(F.sequence(F.lit(1), sz - n + 1), comb)
+        ).otherwise(F.array(whole))
+
+    return _let(th, body)
 
 
 def minhash_from_hashes(hs: Column, k: int = 12) -> Column:
     """k-slot MinHash signature from a shingle-hash array: slot s is
     min over shingles of the universal hash (A_s·h + B_s) mod P.  Pure
-    arithmetic — ~k·|shingles| multiply-adds per row, no md5."""
+    arithmetic — ~k·|shingles| multiply-adds per row, no md5.
+
+    ``hs`` is let-bound: the k per-slot transforms each reference it, so
+    an unbound expression would evaluate k× per row (and its own token
+    md5 subtree with it)."""
+    from pigpen_spark.functions.text import _let
+
     def perm(s: int):
         a, b = _hconst("perm-a", s), _hconst("perm-b", s)
         # one-param lambda, constants bound at build time — a two-param
@@ -123,15 +135,17 @@ def minhash_from_hashes(hs: Column, k: int = 12) -> Column:
         # silently shadow s with the index column
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P)
 
-    return F.array(*[F.array_min(F.transform(hs, perm(s))) for s in range(k)])
+    return _let(hs, lambda h: F.array(
+        *[F.array_min(F.transform(h, perm(s))) for s in range(k)]
+    ))
 
 
 def minhash_signature(col, k: int = 12, shingle_n: int = 3) -> Column:
     """k-permutation MinHash over word shingles, as ONE expression.
 
-    Convenience/compat form: the shingle-hash subtree re-evaluates inside
-    each of the k permutation lambdas (cheap arithmetic, but still k×).
-    For the production two-step plan see :func:`minhash_candidates`."""
+    Every stage let-binds its input, so tokenize+md5 → shingle combine →
+    k permutations each evaluate exactly once per row — no persist
+    barrier needed anywhere in the signature pipeline."""
     return minhash_from_hashes(shingle_hashes(token_hashes(col), shingle_n), k)
 
 
@@ -212,10 +226,13 @@ def minhash_candidates(
     shingle, shingle strings built by slicing the token expression inside
     a lambda (O(len²)) — measured 3-4× slower at sf0.1.
 
-    Persist lifetime: __th (one barrier — without it ProjectCollapsing
-    re-inlines the tokenize+md5 tree into every downstream lambda) and
-    sigs (read by both sides of the self-join and the final estimate).
-    Persisted state is O(n_docs · tokens) ints — small next to the corpus,
+    Persist lifetime: __th and sigs (sigs is read by both sides of the
+    self-join and the final estimate).  The let-bound one-expression form
+    (:func:`minhash_signature`) is semantically identical but measured
+    ~35% slower here — the _let wrappers keep correctness without a
+    cache, the persisted two-step keeps the tokenize+md5 stage in its own
+    fully-codegen'd pass; both are retained deliberately.  Persisted
+    state is O(n_docs · tokens) ints — small next to the corpus,
     spill-to-disk safe at cluster scale."""
     if k % bands != 0:
         raise ValueError(
@@ -231,9 +248,6 @@ def minhash_candidates(
         .select(F.col(id_col).alias("id"), token_hashes(F.col(content_col)).alias("__th"))
         .persist()
     )
-    # shingle_hashes re-evaluates inside each of the k permutation lambdas
-    # below — acceptable (pure arithmetic on a materialized int array);
-    # what the __th barrier prevents is re-running tokenize+md5 there.
     sigs = th_df.select(
         "id", minhash_from_hashes(shingle_hashes(F.col("__th"), shingle_n), k).alias("sig")
     ).persist()
@@ -260,6 +274,66 @@ def minhash_candidates(
         .cast("double") / F.lit(float(k))
     )
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def minhash_index(df: DataFrame, id_col: str, content_col: str,
+                  k: int = 12, shingle_n: int = 3) -> DataFrame:
+    """(id, sig) MinHash signature INDEX of a corpus — the write-once
+    artifact incremental dedup joins future batches against (store with
+    ``Relation.store_parquet``; ``k``/``shingle_n`` must match at query
+    time).  One linear pass over the text, k ints per document out; no
+    persist (single consumer — typically a parquet write)."""
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(content_col), k, shingle_n).alias("sig"),
+    )
+
+
+def minhash_candidates_against(
+    new_df: DataFrame, index: DataFrame, id_col: str, content_col: str,
+    k: int = 12, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidates between a NEW batch and an existing signature
+    index — the incremental form of :func:`minhash_candidates`: dedup a
+    fresh crawl against a 100 TB corpus WITHOUT re-reading the corpus
+    text (only its k-int signatures, ~50 bytes/doc).
+
+    Plan shape: batch signatures computed in one pass; both sides explode
+    to (band, bhash) keys; cross-corpus equi-join (no self-join, no
+    ``id <`` ordering — the sides are distinct corpora; ids common to
+    both sides will pair with themselves, callers filter if unwanted).
+    The index side is pure stored-column arithmetic, and an eval-sized
+    batch broadcasts under AQE.
+
+    ``index`` must be (id, sig) as produced by :func:`minhash_index` with
+    the same k/shingle_n.  Returns (new_id, corpus_id, est_jaccard).
+    """
+    if k % bands != 0:
+        raise ValueError(
+            f"minhash_candidates_against: k ({k}) must be a multiple of "
+            f"bands ({bands})"
+        )
+    r = k // bands
+    new_sigs = minhash_index(new_df, id_col, content_col, k, shingle_n).persist()
+    nb = new_sigs.select("id", "sig", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bh"))
+    ib = index.select("id", "sig", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bh"))
+    pairs = (
+        nb.alias("a").join(
+            ib.alias("b"),
+            (F.col("a.bh.band") == F.col("b.bh.band"))
+            & (F.col("a.bh.bhash") == F.col("b.bh.bhash")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id"),
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        .cast("double") / F.lit(float(k))
+    )
+    return pairs.select("new_id", "corpus_id", est.alias("est_jaccard"))
 
 
 # -- n-gram Jaccard (exact verify) ------------------------------------------

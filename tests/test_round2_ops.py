@@ -217,3 +217,64 @@ def test_ngram_exprs_tokenize_once(spark):
         plan = df.select(expr.alias("g"))._jdf.queryExecution() \
                  .optimizedPlan().toString()
         assert plan.count("split(") == 1, plan
+
+
+# -- incremental dedup (signature index) ------------------------------------
+
+
+def test_minhash_index_roundtrip_and_candidates_against(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    new_batch = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog today"),  # dup of 0
+            (13, "nothing like anything in the corpus whatsoever ok"),
+        ],
+        "doc_id long, text string",
+    )
+    # index survives a parquet round-trip (the production artifact)
+    idx_path = str(tmp_path / "mh_index")
+    D.minhash_index(corpus, "doc_id", "text").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    out = {(r["new_id"], r["corpus_id"]): r["est_jaccard"]
+           for r in D.minhash_candidates_against(
+               new_batch, index, "doc_id", "text").collect()}
+    assert (11, 0) in out and out[(11, 0)] == 1.0
+    assert all(nid != 13 for nid, _ in out)
+
+
+def test_candidates_against_matches_self_join_form(spark):
+    """Cross-corpus candidates over a split corpus must agree with the
+    self-join form restricted to cross-split pairs."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "one two three four five six seven eight nine"),
+            (4, "totally different words in this particular document"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    newb = docs.filter(F.col("doc_id") % 2 == 1)
+    index = D.minhash_index(corpus, "doc_id", "text")
+    inc = {(r["new_id"], r["corpus_id"]) for r in
+           D.minhash_candidates_against(newb, index, "doc_id", "text").collect()}
+    full = D.minhash_candidates(docs, "doc_id", "text").collect()
+    cross = {(max(r["id_a"], r["id_b"]) if r["id_a"] % 2 == 0 else r["id_a"],
+              r["id_a"] if r["id_a"] % 2 == 0 else r["id_b"])
+             for r in full if (r["id_a"] % 2) != (r["id_b"] % 2)}
+    cross = {(n if n % 2 == 1 else c, c if n % 2 == 1 else n) for n, c in cross}
+    assert inc == cross
+
+
+def test_candidates_against_k_bands_validation(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.minhash_candidates_against(docs, docs, "doc_id", "text", k=10, bands=4)
