@@ -893,3 +893,27 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidates_against(
         new_batch, index, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=3
     )
+
+
+@register(
+    "ext_quality_prune",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             percent_rank() OVER (
+               PARTITION BY lang ORDER BY ({T.quality_score_sql('text')}) DESC, doc_id
+             ) AS __pr
+      FROM documents
+    ) WHERE __pr <= 0.3
+    """,
+)
+def ext_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the best 30% of documents per language by composite quality
+    score — the curation gate after scoring.  Exact percent_rank form
+    (oracle-mirrored); prune_by_quantile(exact=False) is the no-window
+    approx-threshold path for few huge groups at corpus scale."""
+    docs = tables(spark, sf_dir)["documents"]
+    scored = docs.df.select("doc_id", "lang", T.quality_score("text").alias("__q"))
+    return P.prune_by_quantile(
+        scored, "__q", 0.3, partition_by=["lang"], tiebreak="doc_id"
+    ).select("doc_id", "lang")

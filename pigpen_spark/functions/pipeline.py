@@ -328,3 +328,44 @@ def dedup_spans_sql(table: str, id_col: str, text_col: str, chunk: int = 3,
            (t.total - coalesce(re.kept, 0))::BIGINT AS n_dropped
     FROM tot t LEFT JOIN re USING (id)
     """
+
+
+def prune_by_quantile(df: DataFrame, score_col, keep_frac: float,
+                      partition_by: Sequence = (), tiebreak=None,
+                      exact: bool = True) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows by score, optionally per group —
+    the corpus-curation gate behind "train on the best 30% by quality,
+    balanced per language".
+
+    ``exact=True`` (default): percent_rank window ordered by (score DESC,
+    tiebreak) — exactly reproducible, and the form the DuckDB oracle
+    mirrors.  Fine whenever each group fits a reducer's sort.
+
+    ``exact=False`` is the 100 TB path for FEW huge groups (the window
+    would funnel each group through one reducer): per-group
+    ``percentile_approx`` thresholds — one partial-aggregating pass —
+    broadcast back and applied as a filter; two linear scans, no window,
+    boundary rows resolved inclusively (keeps ≥ keep_frac of rows).
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"prune_by_quantile: keep_frac must be in (0, 1], got {keep_frac}")
+    score = _c(score_col)
+    parts = [_c(p) for p in partition_by]
+    if exact:
+        order = [score.desc()] + ([_c(tiebreak)] if tiebreak is not None else [])
+        w = (Window.partitionBy(*parts) if parts else Window.partitionBy()).orderBy(*order)
+        tmp = "__pp_pr"
+        return (
+            df.withColumn(tmp, F.percent_rank().over(w))
+            .filter(F.col(tmp) <= keep_frac)
+            .drop(tmp)
+        )
+    thr = (
+        df.groupBy(*parts)
+        .agg(F.percentile_approx(score, 1.0 - keep_frac).alias("__pp_thr"))
+    )
+    if parts:
+        joined = df.join(F.broadcast(thr), on=[p for p in partition_by], how="inner")
+    else:
+        joined = df.crossJoin(F.broadcast(thr))
+    return joined.filter(score >= F.col("__pp_thr")).drop("__pp_thr")

@@ -144,6 +144,20 @@ def quality_score(col) -> Column:
     )
 
 
+def quality_score_sql(col: str) -> str:
+    """DuckDB equivalent of :func:`quality_score` (oracle)."""
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+      (CASE WHEN len({toks}) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+      + least(coalesce(len(list_filter({toks},
+           t -> list_contains([{stops}], t)))::DOUBLE
+           / nullif(len({toks}), 0), 0.0) * 2, 0.3)
+      + (CASE WHEN len(regexp_extract_all(lower({col}), '[^a-z0-9 ]'))::DOUBLE / len({col}) < 0.05
+              THEN 0.3 ELSE 0.0 END)
+    """
+
+
 def fingerprint(col) -> Column:
     """Canonical content fingerprint: md5 of the sorted distinct token set
     (order/duplication-insensitive — catches shuffled near-copies)."""

@@ -278,3 +278,41 @@ def test_candidates_against_k_bands_validation(spark):
     docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         D.minhash_candidates_against(docs, docs, "doc_id", "text", k=10, bands=4)
+
+
+# -- prune_by_quantile ------------------------------------------------------
+
+
+def test_prune_by_quantile_exact_per_group(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(20)],
+        "id long, g string, score double",
+    )
+    out = P.prune_by_quantile(df, "score", 0.3, partition_by=["g"], tiebreak="id")
+    by_g = {}
+    for r in out.collect():
+        by_g.setdefault(r["g"], []).append(r["id"])
+    # top ~30% by score desc in each 10-row group: percent_rank <= 0.3
+    # keeps ranks 1..3 of 10 ((rank-1)/9 <= 0.3 -> rank <= 3.7 -> 3 rows)
+    assert sorted(by_g["g0"]) == [14, 16, 18]
+    assert sorted(by_g["g1"]) == [15, 17, 19]
+
+
+def test_prune_by_quantile_approx_no_window(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(200)],
+        "id long, g string, score double",
+    )
+    out = P.prune_by_quantile(df, "score", 0.3, partition_by=["g"], exact=False)
+    n = out.count()
+    assert 50 <= n <= 80  # ~30% of 200, boundary-inclusive
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # the whole point of the approx path
+
+
+def test_prune_by_quantile_global_and_validation(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, s double")
+    top = P.prune_by_quantile(df, "s", 0.2, tiebreak="id")
+    assert sorted(r["id"] for r in top.collect()) == [8, 9]
+    with pytest.raises(ValueError, match="keep_frac"):
+        P.prune_by_quantile(df, "s", 0.0)
