@@ -917,3 +917,26 @@ def ext_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.prune_by_quantile(
         scored, "__q", 0.3, partition_by=["lang"], tiebreak="doc_id"
     ).select("doc_id", "lang")
+
+
+@register(
+    "ext_embed_centroids",
+    f"""
+    SELECT label,
+           {', '.join(f"round(avg(embedding[{i + 1}]::DOUBLE) * 1e6)::BIGINT AS c{i}"
+                      for i in range(_DIM))}
+    FROM embeddings GROUP BY label
+    """,
+)
+def ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid — one groupBy with 64 column-wise avg
+    aggregates (codegen, map-side partials, one shuffle; no posexplode,
+    no UDF).  Elements are emitted as micro-unit BIGINTs (round(avg*1e6))
+    so the float aggregate survives cross-engine sum-order differences."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    cent = S.group_centroids(emb.df, "label", "embedding", dim=_DIM)
+    return cent.select(
+        "label",
+        *[F.round(F.element_at("centroid", i + 1) * 1e6).cast("long").alias(f"c{i}")
+          for i in range(_DIM)],
+    )

@@ -390,3 +390,26 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def group_centroids(df: DataFrame, group_col, vec_col, dim: int) -> DataFrame:
+    """Per-group centroid (element-wise mean) of a fixed-``dim`` vector
+    column — cluster summaries, class prototypes, IVF seeding.
+
+    One groupBy with ``dim`` column-wise ``avg`` aggregates: fully
+    whole-stage-codegen, partial map-side combine, ONE shuffle of
+    (groups × dim) doubles — no posexplode (which would shuffle
+    dim× the rows) and no UDF.  The fixed-dim unrolling is the same
+    contract as :func:`lsh_bucket`; use :func:`infer_dim` when unknown."""
+    vec = to_double(_c(vec_col))
+    aggs = [
+        F.avg(F.element_at(vec, i + 1)).alias(f"__c{i}") for i in range(dim)
+    ]
+    return (
+        df.groupBy(_c(group_col))
+        .agg(*aggs)
+        .select(
+            _c(group_col),
+            F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("centroid"),
+        )
+    )

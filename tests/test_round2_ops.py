@@ -316,3 +316,18 @@ def test_prune_by_quantile_global_and_validation(spark):
     assert sorted(r["id"] for r in top.collect()) == [8, 9]
     with pytest.raises(ValueError, match="keep_frac"):
         P.prune_by_quantile(df, "s", 0.0)
+
+
+# -- group_centroids --------------------------------------------------------
+
+
+def test_group_centroids_elementwise_mean(spark):
+    from pigpen_spark.functions import similarity as S
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
+        "label int, embedding array<float>",
+    )
+    out = {r["label"]: r["centroid"]
+           for r in S.group_centroids(df, "label", "embedding", dim=2).collect()}
+    assert out[0] == [2.0, 3.0]
+    assert out[1] == [10.0, 20.0]
