@@ -940,3 +940,83 @@ def ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.element_at("centroid", i + 1) * 1e6).cast("long").alias(f"c{i}")
           for i in range(_DIM)],
     )
+
+
+_CP_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_CP_JACCARD = 0.5
+
+
+@register(
+    "ext_corpus_pipeline",
+    f"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, text, ({T.quality_score_sql('text')}) AS q FROM documents
+    ),
+    gated AS (SELECT doc_id, text FROM scored WHERE q >= 0.5),
+    eh AS (SELECT doc_id, text, md5(text) AS h FROM gated),
+    ew AS (SELECT h, min(doc_id) AS doc_id FROM eh GROUP BY h),
+    s1 AS (SELECT eh.doc_id, eh.text FROM eh
+           JOIN ew ON eh.h = ew.h AND eh.doc_id = ew.doc_id),
+    {D.minhash_sigs_cte_sql('s1', 'doc_id', 'text', _K, 3)},
+    banded AS (
+      SELECT id, sig, b.range AS band,
+             md5(array_to_string(sig[(b.range * {_R} + 1) : (b.range * {_R} + {_R})], '|')) AS bhash
+      FROM sigs, range({_BANDS}) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sigs sa ON cand.id_a = sa.id JOIN sigs sb ON cand.id_b = sb.id
+      WHERE len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, {_K} + 1)], m -> m))::DOUBLE / {_K} >= {_CP_JACCARD}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    clusters AS (SELECT id, min(r)::BIGINT AS cluster FROM reach GROUP BY id),
+    final AS (
+      SELECT s1.doc_id, s1.text FROM s1 LEFT JOIN clusters c ON s1.doc_id = c.id
+      WHERE coalesce(c.cluster, s1.doc_id) = s1.doc_id
+    ),
+    lab AS (
+      SELECT doc_id, text,
+             {P.split_by_hash_sql('doc_id', _CP_SPLITS, salt='cp')} AS split
+      FROM final
+    )
+    SELECT split, count(*)::BIGINT AS n_docs,
+           sum(len(list_filter(string_split(lower(text), ' '), t -> t <> '')))::BIGINT AS n_tokens
+    FROM lab GROUP BY split
+    """,
+)
+def ext_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation in one DAG — the composability flagship:
+    quality gate (score >= 0.5) → exact dedup (md5 groupBy, keep min id)
+    → MinHash near-dup keep (band candidates, est Jaccard >= 0.5, WCC
+    min-label) → deterministic hash split → per-split doc/token stats.
+    Every stage is the registered operator, not a re-implementation;
+    one recursive-CTE DuckDB oracle checks the whole composition."""
+    docs = tables(spark, sf_dir)["documents"]
+    scored = docs.df.select("doc_id", "text", T.quality_score("text").alias("__q"))
+    gated = scored.filter(F.col("__q") >= 0.5).drop("__q")
+    eh = gated.withColumn("__h", F.md5("text"))
+    ew = eh.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    s1 = eh.join(ew, on=["__h", "doc_id"]).drop("__h")
+    pairs = D.minhash_candidates(s1, "doc_id", "text", k=_K, bands=_BANDS,
+                                 shingle_n=3).filter(
+        F.col("est_jaccard") >= _CP_JACCARD)
+    final = D.dedup_keep(s1, pairs, "doc_id").filter(F.col("kept"))
+    lab = P.split_by_hash(final.select("doc_id", "text"), "doc_id",
+                          _CP_SPLITS, salt="cp")
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("n_tokens"),
+    )
