@@ -54,6 +54,9 @@ HEADLINE = [
     # end-to-end dedup keep (iterative WCC + broadcast label join)
     "ext_decontaminate",
     "ext_dedup_keep",
+    # flagship composition: quality gate -> exact dedup -> minhash keep ->
+    # hash split -> per-split stats, one DAG
+    "ext_corpus_pipeline",
 ]
 
 

@@ -230,3 +230,59 @@ class TestFoldProperties:
             assert len(out) == 1 and out[0]["s"] == sum(rows)
         else:
             assert out == []
+
+
+# -- dedup_spans differential model -----------------------------------------
+
+word = st.sampled_from(["aa", "bb", "cc", "dd"])
+doc_text = st.lists(word, min_size=0, max_size=10).map(" ".join)
+
+
+def _model_dedup_spans(docs: dict, chunk: int):
+    """Pure-Python model: first (id, pos) occurrence of each chunk wins."""
+    chunks = {}
+    for i in sorted(docs):
+        toks = [t for t in docs[i].lower().split(" ") if t]
+        chunks[i] = [" ".join(toks[j:j + chunk]) for j in range(0, len(toks), chunk)]
+    seen = {}
+    for i in sorted(chunks):
+        for p, c in enumerate(chunks[i]):
+            seen.setdefault(c, (i, p))
+    out = {}
+    for i in sorted(chunks):
+        keep = [c for p, c in enumerate(chunks[i]) if seen[c] == (i, p)]
+        out[i] = (" ".join(keep), len(chunks[i]) - len(keep))
+    return out
+
+
+class TestDedupSpansProperties:
+    @given(texts=st.lists(doc_text, min_size=0, max_size=6), chunk=st.integers(1, 3))
+    @settings(**SET_SETTINGS)
+    def test_matches_python_model(self, spark, texts, chunk):
+        from pigpen_spark.functions import pipeline as P
+
+        docs = {i: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(
+            [(i, t) for i, t in docs.items()] or [(0, "")][:0],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["clean_text"], r["n_dropped"])
+               for r in P.dedup_spans(df, "doc_id", "text", chunk=chunk).collect()}
+        assert got == _model_dedup_spans(docs, chunk)
+
+    @given(texts=st.lists(doc_text, min_size=1, max_size=5))
+    @settings(**SET_SETTINGS)
+    def test_idempotent(self, spark, texts):
+        from pigpen_spark.functions import pipeline as P
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        once = P.dedup_spans(df, "doc_id", "text", chunk=2)
+        twice = P.dedup_spans(
+            once.select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id", "text", chunk=2,
+        )
+        a = {r["doc_id"]: r["clean_text"] for r in once.collect()}
+        b = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
+        assert a == b  # deduped corpus contains no cross-doc repeats
