@@ -245,3 +245,36 @@ def foreach_batch_many(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def curate_stream(df: DataFrame, id_col: str, content_col: str, ts_col: str,
+                  splits=None, min_quality: float = 0.5,
+                  watermark: str = "10 minutes") -> DataFrame:
+    """Streaming corpus curation — the readStream form of
+    ext_corpus_pipeline's per-row stages: quality gate (composite score
+    >= ``min_quality``) → exact content dedup within the watermark
+    horizon (md5 digest keyed, first occurrence wins, state evicted past
+    the watermark) → deterministic hash-split labeling.
+
+    All gates are stateless per-row expressions except the dedup, whose
+    state is one digest per surviving doc inside the horizon — bounded by
+    arrival rate × watermark, not corpus size.  Cross-batch NEAR-dup
+    (MinHash) intentionally stays a batch job against the stored
+    signature index (dedup.minhash_candidates_against): LSH banding needs
+    a self-join Structured Streaming can't express incrementally; the
+    production topology is stream-curate → micro-batch index join.
+
+    Returns the stream with (quality, __digest dropped, split) attached —
+    writeStream-ready in append mode.
+    """
+    from pigpen_spark.functions.pipeline import split_by_hash
+    from pigpen_spark.functions.text import quality_score
+
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    gated = (
+        df.withColumn("quality", quality_score(F.col(content_col)))
+        .filter(F.col("quality") >= min_quality)
+        .withColumn("__digest", F.md5(F.col(content_col)))
+    )
+    deduped = dedup_stream(gated, ["__digest"], ts_col, watermark).drop("__digest")
+    return split_by_hash(deduped, id_col, splits, salt="cp")

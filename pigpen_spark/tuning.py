@@ -71,3 +71,38 @@ def clear_engine_caches(spark: SparkSession) -> None:
     a long-running driver that loops over many inputs, call this between
     iterations."""
     spark.catalog.clearCache()
+
+
+def skew_report(df: DataFrame, *key_cols, top: int = 10,
+                target_rows_per_partition: int = 5_000_000) -> dict:
+    """Pre-flight skew diagnostic for a prospective join/agg key: ONE
+    aggregation job (count + per-key counts, map-side combining) returning
+    the top-``top`` hottest keys, their share of all rows, and the salt
+    factor :func:`pigpen_spark.operators.joins.salted_join` would need so
+    the hottest key fits ``target_rows_per_partition``.
+
+    Driver-side state is ``top`` rows — safe at any scale.  Run it on a
+    SAMPLE for quick iteration (shares of a uniform sample estimate shares
+    of the full data); run it full for exact counts before a big job.
+    """
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    hot = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy(F.col("rows").desc(), *[F.col(c) for c in key_cols])
+        .limit(top)
+        .collect()
+    )
+    hottest = hot[0]["rows"] if hot else 0
+    return {
+        "total_rows": n,
+        "top_keys": [
+            {"key": tuple(r[c] for c in key_cols), "rows": r["rows"],
+             "share": (r["rows"] / n) if n else 0.0}
+            for r in hot
+        ],
+        "hottest_rows": hottest,
+        "suggested_salt": max(1, -(-hottest // target_rows_per_partition)),
+    }

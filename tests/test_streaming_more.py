@@ -120,3 +120,47 @@ def test_stream_stream_join_left_outer(spark, tmp_path):
     rows = {r["ad_id"]: r["clk_ts"] for r in spark.read.parquet(str(out)).collect()}
     assert {"a1", "a2"} <= set(rows)
     assert rows["a1"] is not None and rows["a2"] is None
+
+
+def test_curate_stream_end_to_end(spark, tmp_path):
+    """Streaming corpus curation: quality gate drops junk, watermarked
+    exact dedup keeps first occurrence, split labels are the same
+    deterministic hash assignment the batch pipeline uses."""
+    import json as _json
+
+    from pigpen_spark.functions.pipeline import split_by_hash
+    from pigpen_spark.streaming import core as stc
+
+    good = "the quick brown fox jumps of the lazy dog and it runs to town today"
+    src = tmp_path / "cin"
+    src.mkdir(parents=True, exist_ok=True)
+    rows = [
+        {"doc_id": 1, "text": good, "ts": "2024-01-01 00:00:01"},
+        {"doc_id": 2, "text": good, "ts": "2024-01-01 00:00:02"},  # exact dup
+        {"doc_id": 3, "text": "!!", "ts": "2024-01-01 00:00:03"},  # junk
+        {"doc_id": 4, "text": good + " extra words here make it differ",
+         "ts": "2024-01-01 00:00:04"},
+    ]
+    with open(src / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    rel = stc.read_stream_json(
+        spark, str(src), "doc_id long, text string, ts timestamp"
+    )
+    out = stc.curate_stream(rel.df, "doc_id", "text", "ts")
+    q = (
+        out.writeStream.format("memory").queryName("curated")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["split"] for r in spark.sql("select * from curated").collect()}
+    assert set(got) == {1, 4}  # dup 2 and junk 3 dropped
+    # split labels match the batch assignment exactly
+    batch = split_by_hash(
+        spark.createDataFrame([(1,), (4,)], "doc_id long"), "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05}, salt="cp",
+    )
+    expect = {r["doc_id"]: r["split"] for r in batch.collect()}
+    assert got == expect

@@ -36,3 +36,18 @@ def test_auto_configure_roundtrip(spark):
         assert int(out["spark.sql.shuffle.partitions"]) >= 1
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_skew_report_finds_hot_key(spark):
+    from pigpen_spark.tuning import skew_report
+
+    rows = [(0, "hot")] * 80 + [(i, "k%d" % i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    rep = skew_report(df, "k", top=3, target_rows_per_partition=25)
+    assert rep["total_rows"] == 100
+    assert rep["top_keys"][0]["key"] == ("hot",)
+    assert rep["top_keys"][0]["rows"] == 80
+    assert abs(rep["top_keys"][0]["share"] - 0.8) < 1e-9
+    assert rep["suggested_salt"] == 4  # ceil(80 / 25)
+    empty = skew_report(df.filter("id < 0"), "k")
+    assert empty["total_rows"] == 0 and empty["suggested_salt"] == 1
