@@ -342,17 +342,34 @@ def minhash_candidates_against(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, content_col: str,
     shingle_n: int = 3, threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for every pair sharing ≥1 shingle.
 
-    |A∩B| via explode+equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
-    Shuffle is keyed by shingle — at corpus scale drop ultra-common
-    shingles (stop-shingles) first or run on LSH candidates only."""
+    |A∩B| via explode+equi-join on shingle, |A∪B| = |A|+|B|−|A∪B|'s
+    complement = |A|+|B|−|A∩B|.  Shuffle is keyed by shingle — at corpus
+    scale either run on LSH candidates only (the intended composition) or
+    pass ``max_df``: shingles appearing in more than ``max_df`` documents
+    (stop-shingles — boilerplate, headers) are dropped from the JOIN side
+    before the pair explosion, capping per-key fan-out at max_df² while
+    |A| / |B| still count every shingle, so Jaccard stays a true LOWER
+    bound (a stop-shingle-only near-dup pair can fall below ``threshold``
+    — that's the documented recall trade for killing the hottest keys).
+    The doc-frequency pass is one map-side-combining count over the same
+    exploded frame."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(content_col), shingle_n))).alias("sh"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        if max_df < 1:
+            raise ValueError(f"ngram_jaccard_pairs: max_df must be >= 1, got {max_df}")
+        keep = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df).select("sh")
+        )
+        sh = sh.join(keep, on="sh")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))

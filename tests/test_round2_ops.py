@@ -331,3 +331,34 @@ def test_group_centroids_elementwise_mean(spark):
            for r in S.group_centroids(df, "label", "embedding", dim=2).collect()}
     assert out[0] == [2.0, 3.0]
     assert out[1] == [10.0, 20.0]
+
+
+# -- stop-shingle pruning ---------------------------------------------------
+
+
+def test_jaccard_max_df_prunes_stop_shingles(spark):
+    boiler = "copyright header all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " alpha beta gamma delta"),
+            (1, boiler + " epsilon zeta eta theta"),
+            (2, boiler + " one two three four"),
+            (3, boiler + " five six seven eight"),
+            # true near-dups sharing rare shingles
+            (4, "unique matching content here exactly twin"),
+            (5, "unique matching content here exactly twin"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.1).collect()}
+    pruned = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.1, max_df=3).collect()}
+    # boilerplate-only pairs vanish (their shared shingles have df=4);
+    # the genuine twin pair survives pruning
+    assert (4, 5) in pruned
+    boiler_pairs = {(a, b) for a, b in pruned if a < 4 and b < 4}
+    assert boiler_pairs == set()
+    assert len(pruned) < len(full)
+    with pytest.raises(ValueError, match="max_df"):
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", max_df=0)
