@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 
 from pigpen_spark.relation import _to_col as _c  # noqa: E402 — shared coercion
+from pigpen_spark.typeutil import epoch_seconds
 
 
 def as_of_join(
@@ -43,13 +44,13 @@ def as_of_join(
     (e.g. keep max-id per key+ts) before calling.
     """
     pay_struct = F.struct(
-        _c(right_ts).cast("double").alias("__rts"),
+        epoch_seconds(right, right_ts).alias("__rts"),
         *[F.col(p) for p in payload],
     )
     lrow = F.struct(*[F.col(c) for c in left.columns])
     l_tagged = left.select(
         _c(on).alias("__k"),
-        _c(left_ts).cast("double").alias("__ts"),
+        epoch_seconds(left, left_ts).alias("__ts"),
         F.lit(0).alias("__r"),
         lrow.alias("__lrow"),
         F.lit(None).cast(
@@ -58,7 +59,7 @@ def as_of_join(
     )
     r_tagged = right.select(
         _c(on).alias("__k"),
-        _c(right_ts).cast("double").alias("__ts"),
+        epoch_seconds(right, right_ts).alias("__ts"),
         F.lit(1).alias("__r"),
         F.lit(None).cast(
             left.select(lrow.alias("l")).schema["l"].dataType.simpleString()

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 
 from pigpen_spark.relation import _to_col as _c  # noqa: E402 — shared coercion
+from pigpen_spark.typeutil import epoch_seconds
 
 
 def ranked(df: DataFrame, order_by: Sequence, index_col: str = "index",
@@ -105,11 +106,11 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str, gap_seconds: int,
     previous event of the same user exceeds ``gap_seconds``.  One shuffle on
     ``user_col`` — the window partitioning — and skew-safe under AQE.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    prev = F.lag(F.col(ts_col)).over(w)
+    ts_num = epoch_seconds(df, ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_num)
+    prev = F.lag(ts_num).over(w)
     new_sess = (
-        prev.isNull()
-        | (F.col(ts_col).cast("double") - prev.cast("double") > F.lit(gap_seconds))
+        prev.isNull() | (ts_num - prev > F.lit(gap_seconds))
     ).cast("long")
     sess_n = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return df.withColumn(session_col, F.concat_ws("-", F.col(user_col).cast("string"), sess_n.cast("string")))
