@@ -1007,9 +1007,12 @@ def ext_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     scored = docs.df.select("doc_id", "text", T.quality_score("text").alias("__q"))
     gated = scored.filter(F.col("__q") >= 0.5).drop("__q")
-    eh = gated.withColumn("__h", F.md5("text"))
-    ew = eh.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
-    s1 = eh.join(ew, on=["__h", "doc_id"]).drop("__h")
+    # exact_keep = ONE digest shuffle (WindowGroupLimit) vs groupBy +
+    # join-back (two shuffles of the full text); persist the survivor set
+    # because three consumers read it (signature path, cluster join-back,
+    # split/stats) — without the barrier the scan + quality gate + window
+    # re-run per consumer.  Session-lived cache (clear_engine_caches).
+    s1 = D.exact_keep(gated, "text", "doc_id").persist()
     pairs = D.minhash_candidates(s1, "doc_id", "text", k=_K, bands=_BANDS,
                                  shingle_n=3).filter(
         F.col("est_jaccard") >= _CP_JACCARD)

@@ -54,6 +54,25 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def exact_keep(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Surviving ROWS after exact dedup: the min-``id_col`` row per
+    md5(content) digest, with all original columns.
+
+    Unlike :func:`exact_dedup` (digest summary table, groupBy) this keeps
+    whole rows in ONE shuffle: rank-1-per-digest compiles to Spark's
+    WindowGroupLimit, which drops all but the best row per digest
+    map-side BEFORE the exchange — the full text column never shuffles
+    twice the way a groupBy + join-back formulation would."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__pp_rn", F.row_number().over(w))
+        .filter(F.col("__pp_rn") == 1)
+        .drop("__pp_rn")
+    )
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 
 #: Prime just above 2^32 — the universal-hash modulus.  Every hash value

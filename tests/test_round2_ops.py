@@ -32,6 +32,27 @@ def test_dedup_keep_no_pairs(spark):
     assert all(r["kept"] and r["cluster"] == r["doc_id"] for r in out)
 
 
+# -- exact_keep -------------------------------------------------------------
+
+
+def test_exact_keep_min_id_per_digest(spark):
+    docs = spark.createDataFrame(
+        [(3, "dup"), (1, "dup"), (2, "uniq"), (5, "dup2"), (4, "dup2")],
+        "doc_id long, text string",
+    )
+    out = sorted(r["doc_id"] for r in D.exact_keep(docs, "text", "doc_id").collect())
+    assert out == [1, 2, 4]
+
+
+def test_exact_keep_plan_has_window_group_limit(spark):
+    """The keep-one-row-per-digest must compile to WindowGroupLimit
+    (map-side partial top-1) so the text column shuffles at most once —
+    the property that distinguishes it from groupBy + join-back."""
+    docs = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, text string")
+    plan = D.exact_keep(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 # -- decontaminate ----------------------------------------------------------
 
 

@@ -1,0 +1,44 @@
+"""Time individual catalog queries on the tuned session (min of N passes).
+
+    python tools/time_query.py [--sf DIR] [--n N] query [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pigpen_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entry  # noqa: E402
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    n = 2
+    names = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf":
+            sf_dir = argv[i + 1]; i += 2
+        elif argv[i] == "--n":
+            n = int(argv[i + 1]); i += 2
+        else:
+            names.append(argv[i]); i += 1
+    spark = get_spark()
+    qs = entry.queries()
+    for name in names:
+        times = []
+        for _ in range(n):
+            from pigpen_spark.tuning import clear_engine_caches
+            clear_engine_caches(spark)
+            t0 = time.time()
+            cnt = qs[name](spark, sf_dir).count()
+            times.append(time.time() - t0)
+        print(f"{name}: min {min(times):.3f}s  (runs {['%.3f' % t for t in times]}, {cnt} rows)")
+
+
+if __name__ == "__main__":
+    main()
