@@ -49,6 +49,9 @@ HEADLINE = [
     "ext_dedup_minhash",
     "ext_ann_brute",
     "ext_ann_lsh",
+    # multi-probe variant: distance-1 bucket probing, ~2-tables recall at
+    # one table's hashing cost
+    "ext_ann_lsh_mp",
     "ext_text_stats",
     # round-2 additions: gram-join decontamination (shuffle-heavy) and
     # end-to-end dedup keep (iterative WCC + broadcast label join)

@@ -270,6 +270,38 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb.df, k=5, n_planes=_PLANES, dim=_DIM)
 
 
+@register(
+    "ext_ann_lsh_mp",
+    f"""
+    WITH tagged AS (
+      SELECT vec_id AS id, embedding AS vec,
+             ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT id, vec, unnest({S.probe_buckets_sql('bucket', _PLANES)}) AS bucket
+      FROM tagged
+    )
+    SELECT q_id, n_id, score, rank FROM (
+      SELECT a.id AS q_id, b.id AS n_id,
+             round({S.cosine_sql('a.vec', 'b.vec')}, 6) AS score,
+             row_number() OVER (
+               PARTITION BY a.id
+               ORDER BY round({S.cosine_sql('a.vec', 'b.vec')}, 6) DESC, b.id
+             ) AS rank
+      FROM probes a JOIN tagged b ON a.bucket = b.bucket AND a.id <> b.id
+    ) WHERE rank <= 5
+    """,
+)
+def ext_ann_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: same sign buckets as ext_ann_lsh, but each
+    vector also probes the n_planes Hamming-distance-1 buckets — the
+    recall of ~2 extra hash tables for zero extra hashing (probe variants
+    are string edits of the one materialized bucket column)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.lsh_topk(emb.df, k=5, n_planes=_PLANES, dim=_DIM, multi_probe=True)
+
+
 _IVF_C, _IVF_P = 16, 2
 
 

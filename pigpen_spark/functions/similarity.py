@@ -154,6 +154,37 @@ def lsh_bucket_sql(vec: str, n_planes: int, dim: int, plane_offset: int = 0) -> 
     return "(" + " || ".join(parts) + ")"
 
 
+def probe_buckets(bucket: Column, n_planes: int) -> Column:
+    """Multi-probe sequence for a sign-pattern bucket: the home bucket
+    plus every 1-bit-flip variant (the distance-1 perturbation set of
+    Lv et al.'s multi-probe LSH, specialized to hyperplane signs where
+    every bit is equally likely to be the misclassified one).
+
+    ``bucket`` must be a MATERIALIZED column (not an expression) — the
+    n_planes+1 array slots each reference it."""
+    def flip(i: int) -> Column:
+        ch = F.substring(bucket, i, 1)
+        flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+        return F.concat(
+            F.substring(bucket, 1, i - 1), flipped,
+            F.substring(bucket, i + 1, n_planes - i),
+        )
+
+    return F.array(bucket, *[flip(i) for i in range(1, n_planes + 1)])
+
+
+def probe_buckets_sql(bucket: str, n_planes: int) -> str:
+    """DuckDB equivalent of :func:`probe_buckets`."""
+    parts = [bucket]
+    for i in range(1, n_planes + 1):
+        parts.append(
+            f"substr({bucket}, 1, {i - 1}) || "
+            f"(CASE WHEN substr({bucket}, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substr({bucket}, {i + 1}, {n_planes - i})"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
 def infer_dim(df: DataFrame, vec_col) -> int:
     """Vector dimensionality from one driver-side probe row (`F.size` of
     the first non-null vector).  Callers that know the dim should pass it
@@ -170,12 +201,22 @@ def infer_dim(df: DataFrame, vec_col) -> int:
 def lsh_topk(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, n_planes: int = 6, dim: int | None = None,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share an LSH bucket.
 
-    Bucket cardinality ≈ n/2^planes keeps per-bucket work bounded; at
-    scale add multiple hash tables (union of several plane sets) for
-    recall."""
+    Bucket cardinality ≈ n/2^planes keeps per-bucket work bounded.  Two
+    recall levers at scale: multiple hash tables (union of several plane
+    sets — pays a full extra bucket compute + shuffle volume per table)
+    or ``multi_probe=True``, which ALSO probes the n_planes buckets at
+    Hamming distance 1 from each vector's home bucket — candidates become
+    pairs whose sign patterns differ in ≤1 plane.  Multi-probe reuses the
+    ONE computed bucket (the probe variants are string edits of the
+    materialized column), so it costs (n_planes+1)× exploded join-key
+    rows but zero extra hashing — the classic trade of probes for tables.
+
+    Each (q, n) candidate arises from exactly one probe slot (the flip
+    positions are distinct), so the probe join needs no dedup shuffle."""
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     # persist: bucket expressions would otherwise recompute on both sides
@@ -190,7 +231,14 @@ def lsh_topk(
         .withColumn("nrm", norm(F.col("vec")))
         .persist()
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
+    if multi_probe:
+        a = tagged.select(
+            "id", "vec", "nrm",
+            F.explode(probe_buckets(F.col("bucket"), n_planes)).alias("bucket"),
+        ).alias("a")
+    else:
+        a = tagged.alias("a")
+    b = tagged.alias("b")
     score = F.round(
         F.try_divide(dot(F.col("a.vec"), F.col("b.vec")), F.col("a.nrm") * F.col("b.nrm")), 6
     )

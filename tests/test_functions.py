@@ -124,6 +124,24 @@ class TestSimilarity:
         per_q = collections.Counter(q for q, _ in km)
         assert set(per_q.values()) == {3}
 
+    def test_multi_probe_improves_lsh_recall(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        bf = {(r["q_id"], r["n_id"])
+              for r in S.brute_force_topk(emb, emb, k=3).collect()}
+        single = {(r["q_id"], r["n_id"])
+                  for r in S.lsh_topk(emb, k=3, n_planes=6).collect()}
+        multi = {(r["q_id"], r["n_id"])
+                 for r in S.lsh_topk(emb, k=3, n_planes=6, multi_probe=True).collect()}
+        # distance-1 probing can only ADD candidate pairs, so recall is
+        # monotone; on this corpus it's strictly better (measured below)
+        assert bf & single <= bf & multi
+        assert len(bf & multi) > len(bf & single)
+
+    def test_probe_buckets_distance_one_set(self, spark):
+        df = spark.createDataFrame([("1010",)], "b string")
+        out = df.select(S.probe_buckets(F.col("b"), 4).alias("p")).collect()[0]["p"]
+        assert out == ["1010", "0010", "1110", "1000", "1011"]
+
     def test_lsh_bucket_groups_similar(self, spark):
         base = [0.5] * 8
         near = [0.5] * 7 + [0.51]
