@@ -219,6 +219,50 @@ def ext_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_semdedup",
+    f"""
+    WITH RECURSIVE base AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    cents AS (SELECT id AS cent_id, vec AS cent_vec FROM base ORDER BY id LIMIT 16),
+    cells AS (
+      SELECT b.id, b.vec, c.cent_id,
+             row_number() OVER (
+               PARTITION BY b.id
+               ORDER BY ({S.cosine_sql('b.vec', 'c.cent_vec')}) DESC, c.cent_id
+             ) AS crank
+      FROM base b CROSS JOIN cents c
+    ),
+    assigned AS (SELECT id, vec, cent_id AS cell FROM cells WHERE crank = 1),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+      WHERE round({S.cosine_sql('a.vec', 'b.vec')}, 6) >= 0.45
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    clusters AS (SELECT id, min(r)::BIGINT AS cluster FROM reach GROUP BY id)
+    SELECT a.id AS vec_id, a.cell::BIGINT AS cell,
+           coalesce(c.cluster, a.id)::BIGINT AS cluster,
+           coalesce(c.cluster, a.id) = a.id AS kept
+    FROM assigned a LEFT JOIN clusters c ON a.id = c.id
+    """,
+)
+def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse-cluster embeddings (broadcast
+    centroid assignment), cosine ≥0.45 pairs WITHIN a cell only, WCC
+    min-label keep — pair work is Σ|cell|², never n².  The recursive-CTE
+    oracle pins assignment, pairing, and cluster labels end to end."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.semantic_dedup(emb.df, threshold=0.45, n_centroids=16)
+
+
+@register(
     "ext_ann_brute",
     f"""
     SELECT q_id, n_id, score, rank FROM (

@@ -440,6 +440,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings, compare pairs ONLY
+    within a cluster, and keep one representative per group of
+    semantically near-identical documents.
+
+    Plan shape: broadcast centroid assignment (the IVF coarse-quantizer
+    pass — here the deterministic first-``n_centroids``-by-id table, swap
+    in k-means output without touching the plan) → within-cell self-join
+    (cosine ≥ threshold) → WCC min-label via :func:`dedup_clusters` →
+    broadcast keep/drop labels back onto the corpus.  Pair work is
+    Σ|cell|² instead of n²; at scale ``n_centroids`` grows with the
+    corpus so cells stay bounded (SemDeDup's own posture — 50k clusters
+    for LAION-scale), and the cell self-join key is the cell id, a
+    well-distributed shuffle.
+
+    Returns one row per corpus vector: (id, cell, cluster, kept) — the
+    min-id member of each near-dup component survives, like
+    :func:`~pigpen_spark.functions.dedup.dedup_keep`."""
+    from pigpen_spark.functions.dedup import dedup_keep
+
+    base = (
+        spread(corpus)
+        .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
+        .withColumn("nrm", norm(F.col("vec")))
+        .persist()
+    )
+    cents = (
+        base.orderBy("id").limit(n_centroids)
+        .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"),
+                F.col("nrm").alias("cent_nrm"))
+    )
+    csim = F.try_divide(
+        dot(F.col("vec"), F.col("cent_vec")), F.col("nrm") * F.col("cent_nrm")
+    )
+    w_cell = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select("id", "cent_id", csim.alias("csim"))
+        .withColumn("crank", F.row_number().over(w_cell))
+        .filter(F.col("crank") == 1)
+        .select("id", F.col("cent_id").alias("cell"))
+        .join(base, "id")
+        .persist()
+    )
+    score = F.round(
+        F.try_divide(dot(F.col("a.vec"), F.col("b.vec")), F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    pairs = (
+        assigned.alias("a").join(
+            assigned.alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+    labeled = dedup_keep(assigned.select("id", "cell"), pairs, "id")
+    return labeled.select(
+        F.col("id").alias(id_col), "cell", "cluster", "kept"
+    )
+
+
 def group_centroids(df: DataFrame, group_col, vec_col, dim: int) -> DataFrame:
     """Per-group centroid (element-wise mean) of a fixed-``dim`` vector
     column — cluster summaries, class prototypes, IVF seeding.

@@ -137,6 +137,25 @@ class TestSimilarity:
         assert bf & single <= bf & multi
         assert len(bf & multi) > len(bf & single)
 
+    def test_semantic_dedup_keeps_one_per_near_dup_group(self, spark):
+        # ids 0/1 become the two centroids (first-N-by-id quantizer), so
+        # the near-dup pair (0, 2) shares cell 0 rather than straddling a
+        # cell boundary
+        vecs = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),     # distinct direction
+            (2, [1.0, 0.001, 0.0]),   # near-dup of 0
+            (3, [-1.0, 0.0, 0.0]),    # anti-parallel: NOT a near-dup
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: (r["cluster"], r["kept"])
+               for r in S.semantic_dedup(df, threshold=0.99, n_centroids=2).collect()}
+        assert out[0] == (0, True)
+        assert out[2] == (0, False)
+        assert out[1][1] is True
+        assert out[3][1] is True
+        assert len(out) == 4
+
     def test_probe_buckets_distance_one_set(self, spark):
         df = spark.createDataFrame([("1010",)], "b string")
         out = df.select(S.probe_buckets(F.col("b"), 4).alias("p")).collect()[0]["p"]
