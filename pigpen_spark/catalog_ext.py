@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pigpen_spark.catalog import register, tables
+from pigpen_spark.functions import classify as C
 from pigpen_spark.functions import dedup as D
 from pigpen_spark.functions import multimodal as M
 from pigpen_spark.functions import pipeline as P
@@ -82,6 +83,45 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise) — the cheap pre-filter for training-corpus curation."""
     docs = tables(spark, sf_dir)["documents"]
     return docs.map("doc_id", quality=T.quality_score("text")).df
+
+
+@register(
+    "ext_quality_classifier",
+    f"""
+    SELECT doc_id,
+           {C.hashed_linear_score_sql('text')} AS margin,
+           coalesce({C.hashed_linear_score_sql('text')} >= 0, FALSE) AS keep
+    FROM documents
+    """,
+)
+def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: fasttext-shaped hashed bag-of-words
+    linear classifier (md5 feature hashing → broadcast weight-array
+    lookup → mean-pool margin), thresholded at 0.  Pure codegen'd HOFs,
+    zero shuffles; trained weights swap in as data (see classify.py)."""
+    docs = tables(spark, sf_dir)["documents"]
+    margin = C.hashed_linear_score("text")
+    return docs.df.select(
+        "doc_id", margin.alias("margin"),
+        F.coalesce(margin >= 0, F.lit(False)).alias("keep"),
+    )
+
+
+@register(
+    "ext_lm_filter",
+    f"""
+    SELECT doc_id,
+           {C.bigram_lm_score_sql('text')} AS lm_score
+    FROM documents
+    """,
+)
+def ext_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-shaped fluency filter: mean per-bigram pseudo-log-prob over
+    each document (bigram HOF + hash lookup + mean fold — a real LM swaps
+    in as a weight-table join or Arrow mapInPandas).  NULL for docs with
+    <2 tokens — the degenerate-doc gate is the caller's policy."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.df.select("doc_id", C.bigram_lm_score("text").alias("lm_score"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,145 @@
+"""Model-based corpus filtering: hashed linear text classifier
+(fasttext-style) and an n-gram LM fluency scorer (KenLM-style).
+
+Real training pipelines gate documents on learned models — a fasttext
+quality/language classifier and a KenLM perplexity filter are the standard
+pair (both public: Joulin et al. 2016 arXiv:1607.01759; CCNet,
+arXiv:1911.00359).  The SPARK-SIDE shape of both is identical regardless of
+where the weights come from: per-row feature hashing + a broadcast weight
+table lookup + a linear fold — pure Catalyst HOFs, whole-stage codegen,
+zero shuffles, linear in tokens.
+
+This module implements that shape with DETERMINISTIC md5-derived stand-in
+weights so every operator carries an exact DuckDB oracle.  Swapping in
+real trained weights is a data change, not a plan change:
+
+- ``hashed_linear_score(col, weights=...)`` accepts any Python list of
+  per-bucket weights (e.g. exported from a trained fasttext model); the
+  list enters the plan as an array literal — broadcast once, O(1) lookup
+  per token.
+- For models too big for a literal (millions of buckets), join the
+  token-bucket explosion against a weight TABLE instead — same math, one
+  extra equi-join; or run the real binary model in an Arrow-batched
+  ``mapInPandas`` (the multimodal module shows that plumbing).
+
+All arithmetic is +/*/÷ in float64 with left-fold association — bit-exact
+across Spark and DuckDB — so scores are NOT rounded.  The sigmoid is
+deliberately omitted: it is monotone, so thresholding the linear margin is
+the same decision, and exp() is not guaranteed bit-identical across
+engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pigpen_spark.functions.text import _let, tokens
+
+
+def _pseudo_weight(tag: str, i: int) -> float:
+    """Deterministic stand-in weight in [-0.498, 0.5): derived from md5 so
+    Spark literals and generated oracle SQL agree digit-for-digit.  The
+    value is (k − 127.5)/256 with k the first md5 byte — a multiple of
+    2^-9, exactly representable in float64 AND in its shortest decimal
+    repr, so the literal round-trips through SQL text losslessly."""
+    k = int(hashlib.md5(f"{tag}-{i}".encode()).hexdigest()[:2], 16)
+    return (k - 127.5) / 256
+
+
+def default_weights(n_buckets: int, tag: str = "qcls") -> list[float]:
+    return [_pseudo_weight(tag, b) for b in range(n_buckets)]
+
+
+def _bucket(tok: Column, n_buckets: int) -> Column:
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint") % n_buckets
+
+
+def hashed_linear_score(
+    col, n_buckets: int = 256, weights: list[float] | None = None,
+    bias: float = 0.0, tag: str = "qcls",
+) -> Column:
+    """Linear margin of a hashed bag-of-words classifier: bias + mean over
+    tokens of W[bucket(token)], bucket = md5(token) mod n_buckets.
+
+    This is fasttext's inference shape (unigram features, mean pooling,
+    linear head) minus the softmax — threshold the margin directly.
+    NULL for token-less documents (no features → no decision)."""
+    w = weights if weights is not None else default_weights(n_buckets, tag)
+    if len(w) != n_buckets:
+        raise ValueError(
+            f"hashed_linear_score: {len(w)} weights for {n_buckets} buckets"
+        )
+    warr = F.array(*[F.lit(float(x)) for x in w])
+    return _let(tokens(col), lambda toks: F.lit(float(bias)) + F.try_divide(
+        F.aggregate(
+            toks, F.lit(0.0),
+            lambda acc, t: acc + F.element_at(warr, _bucket(t, n_buckets).cast("int") + 1),
+        ),
+        F.size(toks).cast("double"),
+    ))
+
+
+def hashed_linear_score_sql(
+    col: str, n_buckets: int = 256, weights: list[float] | None = None,
+    bias: float = 0.0, tag: str = "qcls",
+) -> str:
+    """DuckDB equivalent of :func:`hashed_linear_score`."""
+    w = weights if weights is not None else default_weights(n_buckets, tag)
+    lits = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    return f"""
+      ({float(bias)!r} + list_sum([
+          ({lits})[(('0x' || substring(md5(t), 1, 8))::BIGINT % {n_buckets}) + 1]
+          for t in ({toks})]) / len({toks}))
+    """
+
+
+def bigram_lm_score(col, tag: str = "lm", scale: int = 1 << 24) -> Column:
+    """Mean per-bigram pseudo-log-probability in (−1, 0]: bigram (t₁,t₂)
+    scores −(md5(t₁‖' '‖t₂) mod scale)/scale.  The md5-derived value
+    stands in for a trained bigram LM's log P(t₂|t₁) — the Spark-side
+    shape (per-row bigram HOF + table-free lookup + mean fold) is exactly
+    a KenLM-lite fluency filter; a REAL LM swaps in as a weight-table
+    join or an Arrow-batched ``mapInPandas``, not a plan change.
+
+    Single-token and empty documents have no bigrams → NULL (callers
+    decide the gate for degenerate docs).  Division by a power of two and
+    a left-fold mean keep the score bit-exact across engines."""
+    def body(toks: Column) -> Column:
+        n_bi = F.size(toks) - 1
+        lp = F.aggregate(
+            F.sequence(F.lit(1), n_bi),
+            F.lit(0.0),
+            lambda acc, i: acc - (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.element_at(toks, i), F.lit(" "),
+                                       F.element_at(toks, i + 1), F.lit("#"), F.lit(tag))),
+                        1, 8,
+                    ), 16, 10,
+                ).cast("bigint") % scale
+            ).cast("double") / F.lit(float(scale)),
+        )
+        return F.when(n_bi >= 1, F.try_divide(lp, n_bi.cast("double")))
+
+    return _let(tokens(col), body)
+
+
+def bigram_lm_score_sql(col: str, tag: str = "lm", scale: int = 1 << 24) -> str:
+    """DuckDB equivalent of :func:`bigram_lm_score`.  The token list is
+    let-bound via a single-element list comprehension (``[expr for t in
+    [toks]][1]``) — DuckDB's analog of text._let, evaluating the
+    tokenizer once instead of once per reference."""
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    h = (f"('0x' || substring(md5(t[i] || ' ' || t[i + 1] || '#' || '{tag}'), 1, 8))"
+         f"::BIGINT % {scale}")
+    return f"""
+      ([CASE WHEN len(t) >= 2
+             THEN list_sum([-({h})::DOUBLE / {float(scale)!r}
+                            for i in range(1, len(t))]) / (len(t) - 1)
+             END
+        for t in [({toks})]])[1]
+    """

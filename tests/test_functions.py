@@ -5,6 +5,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from pigpen_spark.functions import classify as C
 from pigpen_spark.functions import dedup as D
 from pigpen_spark.functions import multimodal as M
 from pigpen_spark.functions import similarity as S
@@ -199,6 +200,53 @@ class TestSimilarity:
                  S.embedding_near_dup_pairs(df, threshold=0.99, exact=True).collect()}
         assert exact  # the planted twins are above threshold
         assert blocked == exact
+
+
+class TestClassify:
+    def test_margin_deterministic_and_bounded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "lorem ipsum dolor")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["m"]
+               for r in df.select("doc_id", C.hashed_linear_score("text").alias("m")).collect()}
+        assert out[1] == out[2]              # pure function of text
+        assert out[1] != out[3]
+        assert -0.5 <= out[1] <= 0.5         # mean of per-bucket weights
+
+    def test_custom_weights_override(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        up = df.select(C.hashed_linear_score("text", n_buckets=4, weights=[1.0] * 4).alias("m"))
+        assert up.collect()[0]["m"] == 1.0   # all-ones weights -> mean 1
+        with pytest.raises(ValueError, match="weights"):
+            C.hashed_linear_score("text", n_buckets=8, weights=[1.0] * 4)
+
+    def test_degenerate_docs_null_not_error(self, spark):
+        # empty string / whitespace / single token: no features or no
+        # bigrams -> NULL, never an ANSI division/index error
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "single"), (4, "two tokens")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: (r["m"], r["lm"]) for r in df.select(
+            "doc_id",
+            C.hashed_linear_score("text").alias("m"),
+            C.bigram_lm_score("text").alias("lm"),
+        ).collect()}
+        assert rows[1] == (None, None)
+        assert rows[2] == (None, None)
+        assert rows[3][0] is not None and rows[3][1] is None
+        assert rows[4][0] is not None and rows[4][1] is not None
+
+    def test_lm_score_range_and_order_sensitivity(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "d c b a")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["lm"]
+               for r in df.select("doc_id", C.bigram_lm_score("text").alias("lm")).collect()}
+        for v in out.values():
+            assert -1.0 <= v <= 0.0
+        assert out[1] != out[2]              # bigrams are order-sensitive
 
 
 class TestMultimodal:
