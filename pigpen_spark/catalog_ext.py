@@ -221,6 +221,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # low threshold (this corpus is random 64-dim; max pair cosine ≈0.51, i.e.
 # θ≈60°) → short bands × many tables for recall: 3 planes × 8 tables
 # ≈ 0.93 expected recall at θ=60°
+_PLANES, _DIM = 6, 64
 _ND_TABLES, _ND_PLANES = 8, 3
 _ND_BUCKETS = ", ".join(
     S.lsh_bucket_sql("vec", _ND_PLANES, 64, plane_offset=t * _ND_PLANES)
@@ -256,6 +257,48 @@ def ext_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(
         emb.df, threshold=0.45, n_tables=_ND_TABLES, n_planes=_ND_PLANES, dim=64
     )
+
+
+@register(
+    "ext_knn_label",
+    f"""
+    WITH tagged AS (
+      SELECT vec_id AS id, embedding AS vec, label,
+             ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT id, vec, unnest({S.probe_buckets_sql('bucket', _PLANES)}) AS bucket
+      FROM tagged
+    ),
+    nn AS (
+      SELECT q_id, n_id FROM (
+        SELECT a.id AS q_id, b.id AS n_id,
+               row_number() OVER (
+                 PARTITION BY a.id
+                 ORDER BY round({S.cosine_sql('a.vec', 'b.vec')}, 6) DESC, b.id
+               ) AS rank
+        FROM probes a JOIN tagged b ON a.bucket = b.bucket AND a.id <> b.id
+      ) WHERE rank <= 5
+    ),
+    v AS (
+      SELECT nn.q_id, t.label AS nl, count(*)::BIGINT AS votes
+      FROM nn JOIN tagged t ON nn.n_id = t.id
+      GROUP BY nn.q_id, t.label
+    )
+    SELECT q_id AS vec_id, nl AS pred_label, votes FROM (
+      SELECT q_id, nl, votes,
+             row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, nl) AS r
+      FROM v
+    ) WHERE r = 1
+    """,
+)
+def ext_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation over multi-probe LSH neighbors: majority
+    label of each vector's approximate top-5 — auto-labeling without an
+    n² scan.  Deterministic tie-break (count desc, label asc)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.knn_label(emb.df, k=5, n_planes=_PLANES, dim=_DIM)
 
 
 @register(
@@ -325,7 +368,6 @@ def ext_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb.df, q.df, k=5)
 
 
-_PLANES, _DIM = 6, 64
 
 
 @register(

@@ -440,6 +440,43 @@ def embedding_near_dup_pairs(
     )
 
 
+def knn_label(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label", k: int = 5, n_planes: int = 6,
+    dim: int | None = None, multi_probe: bool = True,
+) -> DataFrame:
+    """kNN label propagation: every vector takes the majority label of its
+    approximate k nearest neighbors — the standard semi-supervised
+    auto-labeling / label-noise-audit pass over an embedded corpus.
+
+    Neighbors come from :func:`lsh_topk` (multi-probe by default), so the
+    whole operator is LSH-candidate work + one broadcast-sized label join
+    + a per-query vote — never an n² scan.  Ties break deterministically
+    (higher count, then smaller label).  Vectors whose buckets yield no
+    neighbors are absent from the output (no evidence → no prediction).
+
+    Returns (id, pred_label, votes) with ``votes`` = neighbors carrying
+    the winning label."""
+    nn = lsh_topk(corpus, id_col, vec_col, k=k, n_planes=n_planes, dim=dim,
+                  multi_probe=multi_probe)
+    labs = corpus.select(F.col(id_col).alias("n_id"), F.col(label_col).alias("__nl"))
+    votes = (
+        nn.join(labs, "n_id")
+        .groupBy("q_id", "__nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("__nl"))
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("q_id").alias(id_col),
+            F.col("__nl").alias("pred_label"),
+            F.col("votes"),
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_centroids: int = 16,

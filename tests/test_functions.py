@@ -157,6 +157,21 @@ class TestSimilarity:
         assert out[3][1] is True
         assert len(out) == 4
 
+    def test_knn_label_majority_vote(self, spark):
+        # two tight direction groups with one "unknown" member each; the
+        # majority of each vector's neighbors shares its group label
+        vecs = [
+            (0, [1.0, 0.0], 7), (1, [1.0, 0.01], 7), (2, [1.0, 0.02], 7),
+            (3, [0.0, 1.0], 9), (4, [0.01, 1.0], 9), (5, [0.02, 1.0], 9),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+        out = {r["vec_id"]: r["pred_label"]
+               for r in S.knn_label(df, k=2, n_planes=4, dim=2).collect()}
+        for i in (0, 1, 2):
+            assert out.get(i) == 7
+        for i in (3, 4, 5):
+            assert out.get(i) == 9
+
     def test_probe_buckets_distance_one_set(self, spark):
         df = spark.createDataFrame([("1010",)], "b string")
         out = df.select(S.probe_buckets(F.col("b"), 4).alias("p")).collect()[0]["p"]
