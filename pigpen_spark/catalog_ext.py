@@ -907,6 +907,29 @@ def ext_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+
+
+@register(
+    "ext_source_mix",
+    f"""
+    SELECT doc_id, source,
+           unnest({P.mix_by_weight_sql('source', 'doc_id', _MIX_WEIGHTS)}) AS copy
+    FROM documents
+    """,
+)
+def ext_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-source epoch weights (2.5× upsample src0, keep
+    a quarter of src1, drop src2, pass the rest) via deterministic
+    hash-fractional replication — no RNG, no shuffle, stable under
+    corpus growth.  The copy index keeps replicas distinguishable for
+    downstream packing/shuffling."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.mix_by_weight(
+        docs.df.select("doc_id", "source"), "source", "doc_id", _MIX_WEIGHTS
+    )
+
+
 @register(
     "ext_zorder_key",
     f"""

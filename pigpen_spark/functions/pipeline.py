@@ -126,6 +126,64 @@ def stratified_sample_by_hash_sql(strata_col: str, fractions: Mapping[str, float
     return f"{u} < (CASE {cases} ELSE {float(default)!r} END)"
 
 
+def mix_by_weight(df: DataFrame, group_col: str, id_col: str,
+                  weights: Mapping[str, float], default: float = 1.0,
+                  salt: str = "mix", copy_col: str = "copy") -> DataFrame:
+    """Domain/source reweighting with FRACTIONAL up- and down-sampling —
+    the corpus-mixing step (Pile/Dolma-style source weights) that turns
+    per-domain epoch counts like {"books": 2.5, "web": 0.3} into rows.
+
+    Weight w emits ⌊w⌋ guaranteed copies of each row plus one more with
+    probability frac(w), decided by the salted id-hash — deterministic,
+    reproducible, and stable under corpus growth exactly like
+    :func:`split_by_hash` (a doc's copy count never changes when other
+    docs arrive).  Pure per-row expressions: build the candidate copy
+    list, filter it, explode — no shuffle, no state, no sampler RNG.
+    Groups absent from ``weights`` get ``default`` (1.0 = pass-through,
+    0.0 = drop).  Output adds ``copy_col`` (0-based copy index) so
+    downstream shuffles/packing can keep replicas apart."""
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"mix_by_weight: negative weight {w} for {g!r}")
+    if default < 0:
+        raise ValueError(f"mix_by_weight: negative default weight {default}")
+
+    def cases(f) -> Column:
+        expr = F.lit(f(default))
+        for g, w in weights.items():
+            expr = F.when(_c(group_col) == g, F.lit(f(w))).otherwise(expr)
+        return expr
+
+    nf = cases(lambda w: int(w))            # guaranteed copies
+    frac = cases(lambda w: float(w) - int(w))
+    u = hash_unit(_c(id_col), salt)
+    kept = F.filter(
+        F.sequence(F.lit(0), nf),
+        lambda c: (c < nf) | (u < frac),
+    )
+    return df.withColumn(copy_col, F.explode(kept))
+
+
+def mix_by_weight_sql(group_col: str, id_col: str,
+                      weights: Mapping[str, float], default: float = 1.0,
+                      salt: str = "mix") -> str:
+    """DuckDB equivalent of :func:`mix_by_weight`'s kept-copy LIST (the
+    caller unnests it as the copy column)."""
+    def case(f) -> str:
+        arms = " ".join(
+            f"WHEN {group_col} = '{g}' THEN {f(w)!r}" for g, w in weights.items()
+        )
+        return f"(CASE {arms} ELSE {f(default)!r} END)"
+
+    nf = case(lambda w: int(w))
+    frac = case(lambda w: float(w) - int(w))
+    u = hash_unit_sql(id_col, salt)
+    return (
+        f"[c for c in range(0, {nf} + 1) "
+        f"if c < {nf} or {u} < {frac}]"
+    )
+
+
 def pack_chunks(df: DataFrame, size_col, order_by: Sequence, budget: int,
                 partition_by: Sequence = (), chunk_col: str = "chunk_id") -> DataFrame:
     """Concat-and-chunk sequence packing: rows are laid out in

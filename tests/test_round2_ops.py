@@ -85,6 +85,43 @@ def test_decontaminate_threshold(spark):
     assert out[0]["n_shared"] == 1 and out[0]["contaminated"] is False
 
 
+# -- mix_by_weight ----------------------------------------------------------
+
+
+def test_mix_by_weight_integer_weights_exact(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b") for i in range(20)], "id long, g string"
+    )
+    out = P.mix_by_weight(df, "g", "id", {"a": 2.0, "b": 0.0})
+    rows = out.collect()
+    # every 'a' row exactly twice (copies 0,1); every 'b' row dropped
+    assert len(rows) == 20
+    assert {r["copy"] for r in rows} == {0, 1}
+    assert all(r["g"] == "a" for r in rows)
+
+
+def test_mix_by_weight_fractional_and_default(spark):
+    df = spark.createDataFrame([(i, "a") for i in range(400)], "id long, g string")
+    n = P.mix_by_weight(df, "g", "id", {"a": 1.5}).count()
+    # 400 guaranteed + Binomial(400, 0.5) extras: 6-sigma bounds
+    assert 540 <= n <= 660
+    # unknown group passes through once by default
+    other = spark.createDataFrame([(1, "z")], "id long, g string")
+    assert P.mix_by_weight(other, "g", "id", {"a": 0.0}).count() == 1
+    assert P.mix_by_weight(other, "g", "id", {"a": 0.0}, default=0.0).count() == 0
+
+
+def test_mix_by_weight_deterministic_and_validated(spark):
+    df = spark.createDataFrame([(i, "a") for i in range(100)], "id long, g string")
+    ids1 = sorted((r["id"], r["copy"]) for r in P.mix_by_weight(df, "g", "id", {"a": 0.3}).collect())
+    ids2 = sorted((r["id"], r["copy"]) for r in P.mix_by_weight(df, "g", "id", {"a": 0.3}).collect())
+    ids3 = sorted((r["id"], r["copy"]) for r in P.mix_by_weight(df, "g", "id", {"a": 0.3}, salt="s2").collect())
+    assert ids1 == ids2
+    assert ids1 != ids3
+    with pytest.raises(ValueError, match="negative"):
+        P.mix_by_weight(df, "g", "id", {"a": -1.0})
+
+
 # -- sample_per_group -------------------------------------------------------
 
 
