@@ -1032,6 +1032,21 @@ def ext_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.dedup_spans(docs.df, "doc_id", "text", chunk=3)
 
 
+@register(
+    "ext_dedup_substr",
+    P.dedup_substrings_sql("documents", "doc_id", "text", n=4),
+)
+def ext_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window substring dedup (ExactSubstr-style, 4-token
+    windows): duplicated passages are caught at EVERY alignment, not
+    just chunk boundaries — the finer-grained sibling of
+    ext_dedup_spans.  Token removal is a per-row exists() over each
+    doc's collected duplicate-window starts; the token stream itself is
+    never exploded or shuffled."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.dedup_substrings(docs.df, "doc_id", "text", n=4)
+
+
 def _mh_sigs_cte(prefix: str, pred: str) -> str:
     """Suffixed MinHash signature CTE chain (two corpora in one query)."""
     return f"""

@@ -388,6 +388,115 @@ def dedup_spans_sql(table: str, id_col: str, text_col: str, chunk: int = 3,
     """
 
 
+def dedup_substrings(df: DataFrame, id_col: str, text_col: str, n: int = 4,
+                     out_col: str = "clean_text") -> DataFrame:
+    """Sliding-window exact substring dedup — the finer-grained sibling of
+    :func:`dedup_spans` and the distributed approximation of ExactSubstr
+    dedup (Lee et al. 2021, arXiv:2107.06499, which removes repeated
+    ≥50-token substrings via suffix arrays; here the unit is any ``n``-token
+    window, so duplicated passages are caught at EVERY alignment, not just
+    chunk boundaries).
+
+    Any ``n``-token window whose text occurred earlier in the corpus
+    (global (id, pos) order, min-wins) marks its token range [pos, pos+n)
+    for removal; overlapping duplicated windows merge naturally because
+    coverage is evaluated per token.  The first occurrence keeps its
+    tokens; within-doc repeats lose every site but the first.
+
+    Plan shape: sliding grams are a per-row HOF explode (linear, ~1 row
+    per token); the winner table is groupBy(gram).min(struct(id, pos)) —
+    partial map-side min, so boilerplate repeated 10⁹× combines before
+    the shuffle; the duplicated-window starts come back to each doc as
+    ONE collected array (bounded by doc length), and token filtering is
+    a per-row exists() over that array — the corpus token stream itself
+    is never exploded or shuffled."""
+    from pigpen_spark.functions.text import _let, tokens
+
+    if n <= 0:
+        raise ValueError(f"dedup_substrings: n must be positive, got {n}")
+    src = df.select(_c(id_col).alias("__id"),
+                    tokens(_c(text_col)).alias("__toks")).persist()
+    grams = src.select(
+        "__id",
+        F.posexplode(
+            F.when(
+                F.size("__toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - n + 1),
+                    lambda i: F.array_join(F.slice("__toks", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__pos", "__gram"),
+    )
+    winners = (
+        grams.groupBy("__gram")
+        .agg(F.min(F.struct("__id", "__pos")).alias("__w"))
+        .select("__gram", F.col("__w.__id").alias("__wid"),
+                F.col("__w.__pos").alias("__wpos"))
+    )
+    dup_starts = (
+        grams.join(winners, on="__gram")
+        .filter((F.col("__id") != F.col("__wid")) | (F.col("__pos") != F.col("__wpos")))
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("__pos")).alias("__starts"))
+    )
+    covered = lambda i, starts: F.exists(  # noqa: E731
+        starts, lambda s: (s <= i) & (i < s + n)
+    )
+    clean_toks = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~covered(i, F.coalesce(F.col("__starts"), F.array().cast("array<int>"))),
+    )
+    return (
+        src.join(dup_starts, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(clean_toks, " ").alias(out_col),
+            (F.size("__toks") - F.size(clean_toks)).cast("long").alias("n_dropped_tokens"),
+        )
+    )
+
+
+def dedup_substrings_sql(table: str, id_col: str, text_col: str, n: int = 4,
+                         out_col: str = "clean_text") -> str:
+    """DuckDB oracle for :func:`dedup_substrings` (row_number winner form;
+    0-based token index i maps to the 1-based list index i+1)."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    return f"""
+    WITH tk AS (SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+    grams AS (
+      SELECT id, unnest(generate_series(0, len(toks) - {n})) AS pos,
+             unnest([array_to_string(toks[i + 1 : i + {n}], ' ')
+                     for i in range(0, len(toks) - {n} + 1)]) AS gram
+      FROM tk WHERE len(toks) >= {n}
+    ),
+    winners AS (
+      SELECT gram, id AS wid, pos AS wpos FROM (
+        SELECT *, row_number() OVER (PARTITION BY gram ORDER BY id, pos) AS rn
+        FROM grams
+      ) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT g.id, list_sort(list(g.pos)) AS starts
+      FROM grams g JOIN winners w ON g.gram = w.gram
+      WHERE g.id <> w.wid OR g.pos <> w.wpos
+      GROUP BY g.id
+    )
+    SELECT tk.id AS {id_col},
+           coalesce(array_to_string(
+             [tk.toks[i + 1] for i in range(0, len(tk.toks))
+              if len(list_filter(coalesce(d.starts, []),
+                                 s -> s <= i AND i < s + {n})) = 0],
+             ' '), '') AS {out_col},
+           (len(tk.toks) - len(
+             [tk.toks[i + 1] for i in range(0, len(tk.toks))
+              if len(list_filter(coalesce(d.starts, []),
+                                 s -> s <= i AND i < s + {n})) = 0]
+           ))::BIGINT AS n_dropped_tokens
+    FROM tk LEFT JOIN dups d ON tk.id = d.id
+    """
+
+
 def prune_by_quantile(df: DataFrame, score_col, keep_frac: float,
                       partition_by: Sequence = (), tiebreak=None,
                       exact: bool = True) -> DataFrame:

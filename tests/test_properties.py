@@ -286,3 +286,57 @@ class TestDedupSpansProperties:
         a = {r["doc_id"]: r["clean_text"] for r in once.collect()}
         b = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
         assert a == b  # deduped corpus contains no cross-doc repeats
+
+
+def _model_dedup_substrings(docs: dict, n: int):
+    """Pure-Python model of dedup_substrings: any n-token window seen at
+    an earlier (id, pos) marks [pos, pos+n) for removal at later sites."""
+    toks = {i: [t for t in docs[i].lower().split(" ") if t] for i in docs}
+    first = {}
+    for i in sorted(toks):
+        for p in range(len(toks[i]) - n + 1):
+            first.setdefault(" ".join(toks[i][p:p + n]), (i, p))
+    out = {}
+    for i in sorted(toks):
+        covered = set()
+        for p in range(len(toks[i]) - n + 1):
+            if first[" ".join(toks[i][p:p + n])] != (i, p):
+                covered.update(range(p, p + n))
+        keep = [t for j, t in enumerate(toks[i]) if j not in covered]
+        out[i] = (" ".join(keep), len(toks[i]) - len(keep))
+    return out
+
+
+class TestDedupSubstringsProperties:
+    @given(texts=st.lists(doc_text, min_size=0, max_size=6), n=st.integers(1, 3))
+    @settings(**SET_SETTINGS)
+    def test_matches_python_model(self, spark, texts, n):
+        from pigpen_spark.functions import pipeline as P
+
+        docs = {i: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(
+            [(i, t) for i, t in docs.items()] or [(0, "")][:0],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["clean_text"], r["n_dropped_tokens"])
+               for r in P.dedup_substrings(df, "doc_id", "text", n=n).collect()}
+        assert got == _model_dedup_substrings(docs, n)
+
+    def test_catches_unaligned_duplicates(self, spark):
+        # the duplicated passage starts at offset 1 in doc 1 — invisible
+        # to chunk-aligned span dedup with chunk=4, caught by the sliding
+        # window at every alignment
+        df = spark.createDataFrame(
+            [(0, "p q r s t"), (1, "x p q r s y")],
+            "doc_id long, text string",
+        )
+        sub = {r["doc_id"]: r["clean_text"]
+               for r in P_dedup_substrings_helper(df).collect()}
+        assert sub[0] == "p q r s t"
+        assert sub[1] == "x y"
+
+
+def P_dedup_substrings_helper(df):
+    from pigpen_spark.functions import pipeline as P
+
+    return P.dedup_substrings(df, "doc_id", "text", n=4)
