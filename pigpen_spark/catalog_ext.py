@@ -302,6 +302,19 @@ def ext_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_embed_quantize",
+    S.scalar_quantize_sql("embeddings", "vec_id", "embedding", dim=64),
+)
+def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (FAISS-SQ8
+    shape): per-dimension [min,max] codebook from one global aggregate,
+    broadcast back as a 1-row frame; codes + per-vector dequantization
+    error out.  4× storage cut for ANN indexes; zero corpus shuffles."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.scalar_quantize(emb.df, dim=64).withColumnRenamed("id", "vec_id")
+
+
+@register(
     "ext_semdedup",
     f"""
     WITH RECURSIVE base AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

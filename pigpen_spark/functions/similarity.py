@@ -542,6 +542,94 @@ def semantic_dedup(
     )
 
 
+def scalar_quantize(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, bits: int = 8,
+) -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column to
+    ``bits``-bit integer codes — the storage-scale path for vector search
+    (an int8 code stream is 4× smaller than float32; FAISS's SQ8 and
+    every hosted vector index do exactly this before IVF/HNSW).
+
+    Codebook: per-dimension [min, max] from ONE global aggregate (2·dim
+    doubles — broadcast back as literals via a cross join with the
+    1-row stats frame, which Catalyst turns into a broadcast nested loop
+    over a single row: no shuffle of the corpus).  Code c of value x is
+    ⌊(x − min)·(2^bits − 1)/(max − min)⌋ clamped to [0, 2^bits − 1];
+    degenerate dimensions (max == min) code to 0.
+
+    Returns (id, qvec array<int>, dequantization error per vector as
+    max_abs_err) — the error column makes the recall/compression trade
+    inspectable with one agg.  Keep the stats frame for query-time
+    quantization; codes are comparable only under the same codebook."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    levels = (1 << bits) - 1
+    base = spread(corpus).select(
+        F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec")
+    )
+    stats = base.agg(
+        F.array(*[F.min(F.element_at("vec", i + 1)) for i in range(dim)]).alias("__lo"),
+        F.array(*[F.max(F.element_at("vec", i + 1)) for i in range(dim)]).alias("__hi"),
+    )
+    quantized = base.crossJoin(F.broadcast(stats))
+    span = lambda i: F.element_at("__hi", i) - F.element_at("__lo", i)  # noqa: E731
+    code = lambda i: F.when(  # noqa: E731
+        span(i) > 0,
+        F.least(
+            F.lit(levels),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.element_at("vec", i) - F.element_at("__lo", i))
+                    * F.lit(float(levels)) / span(i)
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    deq = lambda i: F.element_at("__lo", i) + F.when(  # noqa: E731
+        span(i) > 0, code(i).cast("double") * span(i) / F.lit(float(levels))
+    ).otherwise(F.lit(0.0))
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    return quantized.select(
+        "id",
+        F.transform(idx, code).alias("qvec"),
+        F.array_max(
+            F.transform(idx, lambda i: F.abs(F.element_at("vec", i) - deq(i)))
+        ).alias("max_abs_err"),
+    )
+
+
+def scalar_quantize_sql(table: str, id_col: str, vec_col: str,
+                        dim: int, bits: int = 8) -> str:
+    """DuckDB equivalent of :func:`scalar_quantize` — identical float64
+    operation order so codes AND dequantization errors hash-match."""
+    levels = (1 << bits) - 1
+    span = "(hi[i] - lo[i])"
+    code = (f"(CASE WHEN {span} > 0 THEN least({levels}, greatest(0, "
+            f"cast(floor((vec[i] - lo[i]) * {float(levels)!r} / {span}) AS INT)"
+            f")) ELSE 0 END)")
+    deq = (f"(lo[i] + (CASE WHEN {span} > 0 "
+           f"THEN {code}::DOUBLE * {span} / {float(levels)!r} ELSE 0.0 END))")
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, [x::DOUBLE for x in {vec_col}] AS vec FROM {table}
+    ),
+    stats AS (
+      SELECT list(mn ORDER BY d) AS lo, list(mx ORDER BY d) AS hi FROM (
+        SELECT d, min(v) AS mn, max(v) AS mx FROM (
+          SELECT generate_subscripts(vec, 1) AS d, unnest(vec) AS v FROM base
+        ) GROUP BY d
+      )
+    )
+    SELECT id AS {id_col},
+           [{code} for i in range(1, {dim + 1})] AS qvec,
+           list_max([abs(vec[i] - {deq}) for i in range(1, {dim + 1})])
+             AS max_abs_err
+    FROM base, stats
+    """
+
+
 def group_centroids(df: DataFrame, group_col, vec_col, dim: int) -> DataFrame:
     """Per-group centroid (element-wise mean) of a fixed-``dim`` vector
     column — cluster summaries, class prototypes, IVF seeding.

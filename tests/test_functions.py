@@ -157,6 +157,24 @@ class TestSimilarity:
         assert out[3][1] is True
         assert len(out) == 4
 
+    def test_scalar_quantize_codes_and_error_bound(self, spark):
+        vecs = [
+            (0, [0.0, 5.0, 1.0]),
+            (1, [1.0, 5.0, 3.0]),
+            (2, [0.5, 5.0, 2.0]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = {r["id"]: (r["qvec"], r["max_abs_err"])
+               for r in S.scalar_quantize(df, dim=3).collect()}
+        # extremes hit the code range ends; constant dim codes 0 everywhere
+        assert out[0][0][0] == 0 and out[1][0][0] == 255
+        assert out[0][0][2] == 0 and out[1][0][2] == 255
+        assert all(q[1] == 0 for q, _ in out.values())
+        # floor quantization error is at most one step (span/255) over
+        # the widest dimension (span 2.0)
+        for _, err in out.values():
+            assert 0.0 <= err <= 2.0 / 255 + 1e-12
+
     def test_knn_label_majority_vote(self, spark):
         # two tight direction groups with one "unknown" member each; the
         # majority of each vector's neighbors shares its group label
