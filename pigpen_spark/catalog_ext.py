@@ -108,6 +108,36 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_quality_classifier_tbl",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             ((('0x' || substring(md5(t), 1, 8))::BIGINT % 256))::INT AS bucket
+      FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+    ),
+    sums AS (
+      SELECT doc_id, sum(w512)::BIGINT AS s, count(*)::BIGINT AS n
+      FROM toks JOIN {C.weight_table_sql()} ON toks.bucket = w.bucket
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, s::DOUBLE / (512.0 * n::DOUBLE) AS margin
+    FROM documents d LEFT JOIN sums USING (doc_id)
+    """,
+)
+def ext_quality_classifier_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-TABLE form of the hashed linear classifier — the scale
+    posture for vocabularies too large for an array literal: token
+    explode → bucket equi-join (broadcast while the model fits) →
+    integer-scaled per-doc sum (order-independent, exact) → one
+    division.  Agrees with ext_quality_classifier's margins bit-for-bit
+    on shared docs."""
+    docs = tables(spark, sf_dir)["documents"]
+    return C.hashed_linear_score_join(
+        docs.df, "doc_id", "text", C.weight_table(spark)
+    )
+
+
+@register(
     "ext_lm_filter",
     f"""
     SELECT doc_id,

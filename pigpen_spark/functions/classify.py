@@ -97,6 +97,71 @@ def hashed_linear_score_sql(
     """
 
 
+#: Fixed-point scale for table-form weights: stand-in weights are
+#: multiples of 2^-9, so ×512 makes them exact integers — the distributed
+#: SUM is then order-independent (bigint), unlike a float sum whose
+#: association order varies per shuffle.  One final division restores the
+#: float margin.
+WEIGHT_SCALE = 512
+
+
+def weight_table(spark, n_buckets: int = 256, tag: str = "qcls"):
+    """(bucket, w512) weight TABLE for :func:`hashed_linear_score_join` —
+    the stand-in for a trained model's exported weights.  Real weights
+    load the same shape from parquet (quantize to the fixed-point scale
+    on export)."""
+    return spark.createDataFrame(
+        [(b, int(_pseudo_weight(tag, b) * WEIGHT_SCALE)) for b in range(n_buckets)],
+        "bucket int, w512 long",
+    )
+
+
+def hashed_linear_score_join(
+    df, id_col: str, text_col: str, weights_df, n_buckets: int = 256,
+):
+    """Table-form hashed linear classifier: same margin as
+    :func:`hashed_linear_score`, but the weights come from a (bucket,
+    w512) DataFrame — the posture for vocabularies too large for an
+    array literal (a 10M-bucket fasttext model is an 80 MB parquet, not
+    an expression tree).
+
+    Plan shape: explode tokens → bucket key → equi-join the weight table
+    (Catalyst broadcasts it while it fits, falls back to shuffle join
+    beyond that) → per-doc SUM of integer-scaled weights + token count →
+    one division.  The integer sum keeps the result EXACT under any
+    aggregation order, so the table form and the literal form agree to
+    the last bit.  Token-less docs come back with NULL margin via the
+    left join, matching the literal form."""
+    from pyspark.sql import functions as _F
+
+    toks = df.select(
+        _F.col(id_col).alias("__id"),
+        _F.explode(tokens(_F.col(text_col))).alias("__tok"),
+    ).select("__id", _bucket(_F.col("__tok"), n_buckets).cast("int").alias("bucket"))
+    sums = (
+        toks.join(_F.broadcast(weights_df), "bucket")
+        .groupBy("__id")
+        .agg(_F.sum("w512").alias("__s"), _F.count(_F.lit(1)).alias("__n"))
+    )
+    margin = _F.col("__s").cast("double") / (
+        _F.lit(float(WEIGHT_SCALE)) * _F.col("__n").cast("double")
+    )
+    return (
+        df.select(_F.col(id_col).alias("__id")).distinct()
+        .join(sums, "__id", "left")
+        .select(_F.col("__id").alias(id_col), margin.alias("margin"))
+    )
+
+
+def weight_table_sql(n_buckets: int = 256, tag: str = "qcls") -> str:
+    """DuckDB CTE body generating the same (bucket, w512) weight table
+    from the md5 derivation — no literal list needed."""
+    rows = ", ".join(
+        f"({b}, {int(_pseudo_weight(tag, b) * WEIGHT_SCALE)})" for b in range(n_buckets)
+    )
+    return f"(VALUES {rows}) AS w(bucket, w512)"
+
+
 def bigram_lm_score(col, tag: str = "lm", scale: int = 1 << 24) -> Column:
     """Mean per-bigram pseudo-log-probability in (−1, 0]: bigram (t₁,t₂)
     scores −(md5(t₁‖' '‖t₂) mod scale)/scale.  The md5-derived value

@@ -254,6 +254,19 @@ class TestClassify:
         with pytest.raises(ValueError, match="weights"):
             C.hashed_linear_score("text", n_buckets=8, weights=[1.0] * 4)
 
+    def test_table_form_matches_literal_form_bitwise(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "lorem ipsum"), (3, ""), (4, "one")],
+            "doc_id long, text string",
+        )
+        lit_m = {r["doc_id"]: r["m"] for r in df.select(
+            "doc_id", C.hashed_linear_score("text").alias("m")).collect()}
+        tbl_m = {r["doc_id"]: r["margin"] for r in C.hashed_linear_score_join(
+            df, "doc_id", "text", C.weight_table(spark)).collect()}
+        # integer-scaled sum makes the table form exact under any
+        # aggregation order, so the two forms agree to the last bit
+        assert lit_m == tbl_m
+
     def test_degenerate_docs_null_not_error(self, spark):
         # empty string / whitespace / single token: no features or no
         # bigrams -> NULL, never an ANSI division/index error
