@@ -950,6 +950,35 @@ def ext_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_vocab",
+    f"""
+    WITH {P.build_vocab_sql('documents', 'text', min_count=2)}
+    SELECT token, n, token_id FROM vocab
+    """,
+)
+def ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked token vocabulary (count >= 2): the induction step
+    before id-mapping; one map-side-combining groupBy + a rank window
+    over token TYPES (bounded), not tokens."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.build_vocab(docs.df, "text", min_count=2)
+
+
+@register(
+    "ext_tokenize_pack",
+    P.tokenize_pack_sql("documents", "doc_id", "text", seq_len=32, shards=8),
+)
+def ext_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-mile training prep: token→id mapping (self-built vocab,
+    broadcast) + fixed-32-token sequence packing of each shard's
+    concatenated id stream.  Sharding (id-hash mod 8) keeps every
+    cumsum/window/groupBy partitioned — no global single-reducer stage;
+    at 100 TB raise shards until a shard fits a task."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.tokenize_pack(docs.df, "doc_id", "text", seq_len=32, shards=8)
+
+
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
 
 

@@ -497,6 +497,145 @@ def dedup_substrings_sql(table: str, id_col: str, text_col: str, n: int = 4,
     """
 
 
+def build_vocab(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame:
+    """Frequency-ranked token vocabulary: (token, n, token_id) with ids
+    dense from 1 by (count DESC, token ASC) — the induction step before
+    id-mapping a corpus (word-level here; a trained BPE vocab loads the
+    same (token, token_id) shape from parquet).
+
+    One groupBy(token) with map-side partials; the ranking window is
+    GLOBAL but over the vocabulary (token types, not tokens — millions of
+    rows, not trillions), which is the standard single-pass posture.
+    ``min_count`` prunes the long tail before the rank."""
+    from pigpen_spark.functions.text import tokens
+
+    counts = (
+        df.select(F.explode(tokens(_c(text_col))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+
+
+def build_vocab_sql(table: str, text_col: str, min_count: int = 1) -> str:
+    """DuckDB equivalent of :func:`build_vocab` (CTE body named vocab)."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    return f"""
+      vocab AS (
+        SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS token_id
+        FROM (
+          SELECT t AS token, count(*)::BIGINT AS n
+          FROM (SELECT unnest({toks}) AS t FROM {table})
+          GROUP BY t
+        ) WHERE n >= {min_count}
+      )
+    """
+
+
+def tokenize_pack(df: DataFrame, id_col: str, text_col: str,
+                  seq_len: int, shards: int = 8,
+                  vocab: DataFrame | None = None) -> DataFrame:
+    """Last-mile training prep: map every token to its vocabulary id and
+    pack the id stream into fixed-``seq_len`` sequences (context-window
+    filling) — the step that turns a curated corpus into model-ready
+    rows.
+
+    Documents are deterministically sharded (id-hash mod ``shards``) and
+    concatenated in id order WITHIN each shard; sequence s of a shard is
+    tokens [s·L, (s+1)·L) of that shard's stream (trailing partial kept,
+    its length visible in n_tokens).  Sharding is what makes this scale:
+    the doc-offset cumsum and the per-sequence grouping partition by
+    shard, so no global single-reducer window exists anywhere — at 100 TB
+    raise ``shards`` until a shard's docs fit a task (the same posture as
+    pack_chunks, which packs whole docs; this packs the token stream).
+
+    ``vocab`` defaults to :func:`build_vocab` of the input (broadcast at
+    query time; a trained vocab passes in as any (token, token_id)
+    frame).  Returns (shard, seq_no, token_ids, n_tokens)."""
+    from pigpen_spark.functions.text import tokens
+
+    if seq_len <= 0:
+        raise ValueError(f"tokenize_pack: seq_len must be positive, got {seq_len}")
+    if vocab is None:
+        vocab = build_vocab(df, text_col)
+    base = df.select(
+        _c(id_col).alias("__id"),
+        (F.conv(F.substring(F.md5(_c(id_col).cast("string")), 1, 8), 16, 10)
+         .cast("bigint") % shards).alias("__shard"),
+        tokens(_c(text_col)).alias("__toks"),
+    )
+    doclen = base.select("__id", "__shard", F.size("__toks").alias("__len"))
+    w_off = (
+        Window.partitionBy("__shard").orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = doclen.withColumn("__off", F.sum("__len").over(w_off) - F.col("__len"))
+    tok = base.select(
+        "__id", "__shard",
+        F.posexplode("__toks").alias("__pos", "__tok"),
+    )
+    ids = (
+        tok.join(F.broadcast(vocab.select(F.col("token").alias("__tok"),
+                                          F.col("token_id").alias("__tid"))),
+                 on="__tok", how="left")
+        .select("__id", "__shard", "__pos", F.coalesce("__tid", F.lit(0)).alias("__tid"))
+    )
+    placed = (
+        ids.join(offsets.select("__id", "__off"), on="__id")
+        .withColumn("__gpos", F.col("__off") + F.col("__pos"))
+        .withColumn("__seq", F.floor(F.col("__gpos") / seq_len).cast("long"))
+    )
+    return (
+        placed.groupBy(F.col("__shard").alias("shard"), F.col("__seq").alias("seq_no"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__gpos", "__tid"))),
+                lambda s: s["__tid"],
+            ).alias("token_ids"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def tokenize_pack_sql(table: str, id_col: str, text_col: str,
+                      seq_len: int, shards: int = 8) -> str:
+    """DuckDB oracle for :func:`tokenize_pack` with the default
+    self-built vocabulary."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    return f"""
+    WITH {build_vocab_sql(table, text_col)},
+    base AS (
+      SELECT {id_col} AS id,
+             ('0x' || substring(md5({id_col}::VARCHAR), 1, 8))::BIGINT % {shards} AS shard,
+             {toks} AS toks
+      FROM {table}
+    ),
+    offsets AS (
+      SELECT id, shard,
+             sum(len(toks)) OVER (PARTITION BY shard ORDER BY id
+                                  ROWS UNBOUNDED PRECEDING) - len(toks) AS off
+      FROM base
+    ),
+    tok AS (
+      SELECT id, shard, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS t
+      FROM base
+    ),
+    placed AS (
+      SELECT tok.shard, o.off + tok.pos AS gpos,
+             coalesce(v.token_id, 0) AS tid,
+             (o.off + tok.pos) // {seq_len} AS seq
+      FROM tok
+      JOIN offsets o ON tok.id = o.id
+      LEFT JOIN vocab v ON tok.t = v.token
+    )
+    SELECT shard, seq AS seq_no,
+           list(tid ORDER BY gpos) AS token_ids,
+           count(*)::BIGINT AS n_tokens
+    FROM placed GROUP BY shard, seq
+    """
+
+
 def prune_by_quantile(df: DataFrame, score_col, keep_frac: float,
                       partition_by: Sequence = (), tiebreak=None,
                       exact: bool = True) -> DataFrame:

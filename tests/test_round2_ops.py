@@ -122,6 +122,51 @@ def test_mix_by_weight_deterministic_and_validated(spark):
         P.mix_by_weight(df, "g", "id", {"a": -1.0})
 
 
+# -- build_vocab / tokenize_pack --------------------------------------------
+
+
+def test_build_vocab_rank_and_min_count(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a c")], "doc_id long, text string"
+    )
+    v = {r["token"]: (r["n"], r["token_id"]) for r in P.build_vocab(df, "text").collect()}
+    assert v["a"] == (3, 1)
+    assert v["b"] == (2, 2)
+    assert v["c"] == (1, 3)
+    assert set(P.build_vocab(df, "text", min_count=2).toPandas()["token"]) == {"a", "b"}
+
+
+def test_tokenize_pack_reconstructs_shard_streams(spark):
+    df = spark.createDataFrame(
+        [(i, "t%d u%d v%d" % (i, i, i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = P.tokenize_pack(df, "doc_id", "text", seq_len=4, shards=2).collect()
+    vocab = {r["token"]: r["token_id"] for r in P.build_vocab(df, "text").collect()}
+    import hashlib
+    streams = {}
+    for i in sorted(range(6)):
+        sh = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2
+        streams.setdefault(sh, []).extend(
+            vocab[t] for t in ("t%d" % i, "u%d" % i, "v%d" % i)
+        )
+    for r in sorted(out, key=lambda r: (r["shard"], r["seq_no"])):
+        expect = streams[r["shard"]][r["seq_no"] * 4:(r["seq_no"] + 1) * 4]
+        assert r["token_ids"] == expect
+        assert r["n_tokens"] == len(expect)
+    # trailing partials exist (9 tokens per shard, seq_len 4 -> last has 1)
+    assert {r["n_tokens"] for r in out} == {4, 1}
+
+
+def test_tokenize_pack_external_vocab_oov_zero(spark):
+    df = spark.createDataFrame([(1, "a b zzz")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a", 5), ("b", 9)], "token string, token_id long")
+    out = P.tokenize_pack(df, "doc_id", "text", seq_len=8, shards=1, vocab=vocab).collect()
+    assert out[0]["token_ids"] == [5, 9, 0]
+    with pytest.raises(ValueError, match="positive"):
+        P.tokenize_pack(df, "doc_id", "text", seq_len=0)
+
+
 # -- sample_per_group -------------------------------------------------------
 
 
