@@ -60,6 +60,9 @@ HEADLINE = [
     # flagship composition: quality gate -> exact dedup -> minhash keep ->
     # hash split -> per-split stats, one DAG
     "ext_corpus_pipeline",
+    # last-mile prep: vocab id-mapping + fixed-length sequence packing
+    # (token explode + broadcast join + sharded cumsum window + groupBy)
+    "ext_tokenize_pack",
 ]
 
 
