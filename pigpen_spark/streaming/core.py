@@ -249,12 +249,17 @@ def foreach_batch_many(
 
 def curate_stream(df: DataFrame, id_col: str, content_col: str, ts_col: str,
                   splits=None, min_quality: float = 0.5,
-                  watermark: str = "10 minutes") -> DataFrame:
+                  watermark: str = "10 minutes",
+                  min_margin: float | None = None,
+                  min_lm: float | None = None) -> DataFrame:
     """Streaming corpus curation — the readStream form of
     ext_corpus_pipeline's per-row stages: quality gate (composite score
-    >= ``min_quality``) → exact content dedup within the watermark
-    horizon (md5 digest keyed, first occurrence wins, state evicted past
-    the watermark) → deterministic hash-split labeling.
+    >= ``min_quality``) → optional model gates (hashed linear classifier
+    margin >= ``min_margin``, bigram LM score >= ``min_lm`` — both pure
+    per-row expressions, so they stream with zero state) → exact content
+    dedup within the watermark horizon (md5 digest keyed, first
+    occurrence wins, state evicted past the watermark) → deterministic
+    hash-split labeling.
 
     All gates are stateless per-row expressions except the dedup, whose
     state is one digest per surviving doc inside the horizon — bounded by
@@ -264,9 +269,14 @@ def curate_stream(df: DataFrame, id_col: str, content_col: str, ts_col: str,
     a self-join Structured Streaming can't express incrementally; the
     production topology is stream-curate → micro-batch index join.
 
+    Model-gated rows with NULL scores (token-less / single-token docs)
+    are dropped by the >= comparison — a degenerate doc carries no
+    evidence of quality.
+
     Returns the stream with (quality, __digest dropped, split) attached —
     writeStream-ready in append mode.
     """
+    from pigpen_spark.functions.classify import bigram_lm_score, hashed_linear_score
     from pigpen_spark.functions.pipeline import split_by_hash
     from pigpen_spark.functions.text import quality_score
 
@@ -274,7 +284,13 @@ def curate_stream(df: DataFrame, id_col: str, content_col: str, ts_col: str,
     gated = (
         df.withColumn("quality", quality_score(F.col(content_col)))
         .filter(F.col("quality") >= min_quality)
-        .withColumn("__digest", F.md5(F.col(content_col)))
     )
+    if min_margin is not None:
+        gated = gated.filter(
+            hashed_linear_score(F.col(content_col)) >= min_margin
+        )
+    if min_lm is not None:
+        gated = gated.filter(bigram_lm_score(F.col(content_col)) >= min_lm)
+    gated = gated.withColumn("__digest", F.md5(F.col(content_col)))
     deduped = dedup_stream(gated, ["__digest"], ts_col, watermark).drop("__digest")
     return split_by_hash(deduped, id_col, splits, salt="cp")

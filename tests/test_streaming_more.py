@@ -164,3 +164,45 @@ def test_curate_stream_end_to_end(spark, tmp_path):
     )
     expect = {r["doc_id"]: r["split"] for r in batch.collect()}
     assert got == expect
+
+
+def test_curate_stream_model_gates(spark, tmp_path):
+    """Classifier/LM gates are stateless per-row expressions, so they
+    compose into the stream unchanged; an impossible margin threshold
+    drops everything, and batch scores predict exactly who survives a
+    real threshold."""
+    import json as _json
+
+    from pigpen_spark.functions.classify import hashed_linear_score
+    from pigpen_spark.streaming import core as stc
+
+    good = "the quick brown fox jumps of the lazy dog and it runs to town today"
+    other = "a completely different sentence with many plain common words in it"
+    src = tmp_path / "min"
+    src.mkdir(parents=True, exist_ok=True)
+    rows = [
+        {"doc_id": 1, "text": good, "ts": "2024-01-01 00:00:01"},
+        {"doc_id": 2, "text": other, "ts": "2024-01-01 00:00:02"},
+    ]
+    with open(src / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    margins = {r["doc_id"]: r["m"] for r in spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    ).select("doc_id", hashed_linear_score("text").alias("m")).collect()}
+    cut = sorted(margins.values())[1]  # keeps exactly the higher-margin doc
+    rel = stc.read_stream_json(
+        spark, str(src), "doc_id long, text string, ts timestamp"
+    )
+    out = stc.curate_stream(rel.df, "doc_id", "text", "ts",
+                            min_quality=0.0, min_margin=cut)
+    q = (
+        out.writeStream.format("memory").queryName("gated")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("select * from gated").collect()}
+    assert got == {d for d, m in margins.items() if m >= cut}
+    assert len(got) == 1
