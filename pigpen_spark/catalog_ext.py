@@ -345,6 +345,20 @@ def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_embed_pq",
+    S.product_quantize_sql("embeddings", "vec_id", "embedding", dim=64),
+)
+def ext_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (8 subspaces × 16 codes = 64 bits/vector vs
+    2048 for float32): per-subspace argmin against a driver-side
+    codebook injected as literals — pure per-row coding, zero shuffles;
+    mse column prices the compression.  Oracle recomputes the identical
+    codebook in SQL."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.product_quantize(emb.df, dim=64).withColumnRenamed("id", "vec_id")
+
+
+@register(
     "ext_semdedup",
     f"""
     WITH RECURSIVE base AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

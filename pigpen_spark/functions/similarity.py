@@ -630,6 +630,104 @@ def scalar_quantize_sql(table: str, id_col: str, vec_col: str,
     """
 
 
+def product_quantize(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, m: int = 8, n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """Product quantization (PQ, Jégou et al. 2011): split each vector
+    into ``m`` subvectors and code each against an ``n_codes``-entry
+    per-subspace codebook — log2(n_codes)·m bits per vector (64 bits at
+    the defaults vs 2048 for a 64-dim float32), the compression behind
+    IVF-PQ indexes.
+
+    The codebook is a DRIVER ARTIFACT (n_codes full-dim vectors —
+    k-means output in a trained system; default: the first n_codes
+    corpus vectors by id, one tiny collect, same deterministic-quantizer
+    posture as :func:`ivf_topk`).  Its values re-enter the plan as
+    literals, so coding is a pure per-row expression — zero shuffles,
+    zero joins; assignment work is m·n_codes·(dim/m) multiply-adds/row.
+
+    Ties in the argmin break to the FIRST minimal code (array_position
+    semantics).  Returns (id, codes array of m ints, mse = per-vector
+    mean squared reconstruction error — the subspace-min distances
+    summed, free because they're already computed).  Vectors shorter
+    than ``dim`` raise under ANSI element_at, same contract as
+    :func:`scalar_quantize`."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"product_quantize: m ({m}) must divide dim ({dim})")
+    d = dim // m
+    base = spread(corpus).select(
+        F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec")
+    )
+    if codebook is None:
+        rows = (
+            corpus.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
+            .orderBy("id").limit(n_codes).collect()
+        )
+        codebook = [[float(x) for x in r["v"]] for r in rows]
+    if any(len(c) != dim for c in codebook):
+        raise ValueError("product_quantize: codebook entries must have length dim")
+
+    def dist2(j: int, cent: list[float]) -> Column:
+        acc = None
+        for i in range(j * d + 1, (j + 1) * d + 1):
+            t = (F.element_at("vec", i) - F.lit(cent[i - 1])) * (
+                F.element_at("vec", i) - F.lit(cent[i - 1])
+            )
+            acc = t if acc is None else acc + t
+        return acc
+
+    dists = [F.array(*[dist2(j, c) for c in codebook]) for j in range(m)]
+    codes = F.array(*[
+        (F.array_position(dj, F.array_min(dj)) - 1).cast("int") for dj in dists
+    ])
+    sse = None
+    for dj in dists:
+        t = F.array_min(dj)
+        sse = t if sse is None else sse + t
+    return base.select(
+        "id", codes.alias("codes"), (sse / F.lit(float(dim))).alias("mse")
+    )
+
+
+def product_quantize_sql(table: str, id_col: str, vec_col: str,
+                         dim: int, m: int = 8, n_codes: int = 16) -> str:
+    """DuckDB oracle for :func:`product_quantize` with the default
+    first-``n_codes``-by-id codebook, recomputed in SQL (identical
+    float64 values and operation order as the collected literals)."""
+    d = dim // m
+
+    def dists(j: int) -> str:
+        lo = j * d + 1
+        return (
+            "[list_sum([(vec[i] - c[i]) * (vec[i] - c[i]) "
+            f"for i in range({lo}, {lo + d})]) for c in cbs]"
+        )
+
+    code = ", ".join(
+        f"(list_position({dists(j)}, list_min({dists(j)})) - 1)::INT"
+        for j in range(m)
+    )
+    sse = " + ".join(f"list_min({dists(j)})" for j in range(m))
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, [x::DOUBLE for x in {vec_col}] AS vec FROM {table}
+    ),
+    cb AS (
+      SELECT list(vec ORDER BY id) AS cbs FROM (
+        SELECT id, vec FROM base ORDER BY id LIMIT {n_codes}
+      )
+    )
+    SELECT id AS {id_col},
+           [{code}] AS codes,
+           ({sse}) / {float(dim)!r} AS mse
+    FROM base, cb
+    """
+
+
 def group_centroids(df: DataFrame, group_col, vec_col, dim: int) -> DataFrame:
     """Per-group centroid (element-wise mean) of a fixed-``dim`` vector
     column — cluster summaries, class prototypes, IVF seeding.

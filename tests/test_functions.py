@@ -175,6 +175,25 @@ class TestSimilarity:
         for _, err in out.values():
             assert 0.0 <= err <= 2.0 / 255 + 1e-12
 
+    def test_product_quantize_codes_and_mse(self, spark):
+        vecs = [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 1.0, 1.0, 1.0]),
+            (2, [1.0, 1.0, 0.0, 0.0]),   # first half near 1, second near 0
+            (3, [0.9, 0.9, 0.1, 0.1]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = {r["id"]: (r["codes"], r["mse"])
+               for r in S.product_quantize(df, dim=4, m=2, n_codes=2).collect()}
+        # codebook = vectors 0 and 1; members reconstruct exactly
+        assert out[0] == ([0, 0], 0.0)
+        assert out[1] == ([1, 1], 0.0)
+        # vector 2 mixes subspaces: first half -> code 1, second -> code 0
+        assert out[2] == ([1, 0], 0.0)
+        assert out[3][0] == [1, 0] and 0 < out[3][1] < 0.05
+        with pytest.raises(ValueError, match="divide"):
+            S.product_quantize(df, dim=4, m=3)
+
     def test_knn_label_majority_vote(self, spark):
         # two tight direction groups with one "unknown" member each; the
         # majority of each vector's neighbors shares its group label
