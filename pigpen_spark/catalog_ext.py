@@ -359,6 +359,22 @@ def ext_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_ann_pq",
+    S.pq_adc_topk_sql("embeddings", "vec_id", "embedding", dim=64,
+                      query_pred="id < 10"),
+)
+def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + asymmetric-distance top-5 for 10 queries: the corpus is 8
+    int codes/vector, each query broadcasts its 8×16 subspace distance
+    table, and scoring is 8 lookups per pair — no corpus-side float
+    math.  The IVF-PQ search half; oracle recomputes codebook, codes,
+    tables, and ranks."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.pq_adc_topk(emb.df, q.df, k=5, dim=64)
+
+
+@register(
     "ext_semdedup",
     f"""
     WITH RECURSIVE base AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

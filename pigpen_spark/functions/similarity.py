@@ -728,6 +728,119 @@ def product_quantize_sql(table: str, id_col: str, vec_col: str,
     """
 
 
+def pq_adc_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5, dim: int | None = None,
+    m: int = 8, n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the search half of an
+    IVF-PQ index: the corpus is its :func:`product_quantize` codes (m
+    small ints/vector), each query precomputes an m×n_codes table of
+    exact subspace distances to every codebook entry, and a candidate's
+    approximate distance is just m table lookups summed:
+    Σⱼ table[j][code_j].
+
+    Plan shape: corpus codes are per-row expressions (zero shuffles, as
+    in product_quantize); the query side carries its distance tables as
+    array columns and BROADCASTS (queries ≪ corpus); scoring is m
+    element_at lookups per (query, candidate) — no float dot products on
+    the corpus side at all, which is the point: at 10^10 vectors the
+    scan reads 8 bytes of codes instead of 256+ bytes of floats.
+
+    Returns (q_id, n_id, adist, rank) ranked by ascending approximate
+    distance (ties by n_id); self-matches excluded."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"pq_adc_topk: m ({m}) must divide dim ({dim})")
+    d = dim // m
+    if codebook is None:
+        rows = (
+            corpus.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
+            .orderBy("id").limit(n_codes).collect()
+        )
+        codebook = [[float(x) for x in r["v"]] for r in rows]
+    coded = product_quantize(
+        corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, codebook=codebook
+    ).select("id", "codes")
+
+    def qdist(j: int, cent: list[float]) -> Column:
+        acc = None
+        for i in range(j * d + 1, (j + 1) * d + 1):
+            t = (F.element_at("q_vec", i) - F.lit(cent[i - 1])) * (
+                F.element_at("q_vec", i) - F.lit(cent[i - 1])
+            )
+            acc = t if acc is None else acc + t
+        return acc
+
+    tables = [
+        F.array(*[qdist(j, c) for c in codebook]).alias(f"__t{j}")
+        for j in range(m)
+    ]
+    q = queries.select(
+        F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("q_vec")
+    ).select("q_id", *tables)
+    adist = None
+    for j in range(m):
+        t = F.element_at(F.col(f"__t{j}"), F.element_at("codes", j + 1) + 1)
+        adist = t if adist is None else adist + t
+    scored = (
+        coded.join(F.broadcast(q), F.col("id") != F.col("q_id"))
+        .select("q_id", F.col("id").alias("n_id"), F.round(adist, 6).alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pq_adc_topk_sql(table: str, id_col: str, vec_col: str, dim: int,
+                    k: int = 5, m: int = 8, n_codes: int = 16,
+                    query_pred: str = "id < 10") -> str:
+    """DuckDB oracle for :func:`pq_adc_topk` with the default codebook
+    and a query side selected by ``query_pred`` over the aliased id."""
+    d = dim // m
+
+    def dists(vec: str, j: int) -> str:
+        lo = j * d + 1
+        return (
+            f"[list_sum([({vec}[i] - c[i]) * ({vec}[i] - c[i]) "
+            f"for i in range({lo}, {lo + d})]) for c in cbs]"
+        )
+
+    code = ", ".join(
+        f"(list_position({dists('vec', j)}, list_min({dists('vec', j)})) - 1)::INT"
+        for j in range(m)
+    )
+    adist = " + ".join(
+        f"({dists('q.vec', j)})[codes[{j + 1}] + 1]" for j in range(m)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, [x::DOUBLE for x in {vec_col}] AS vec FROM {table}
+    ),
+    cb AS (
+      SELECT list(vec ORDER BY id) AS cbs FROM (
+        SELECT id, vec FROM base ORDER BY id LIMIT {n_codes}
+      )
+    ),
+    coded AS (SELECT id, [{code}] AS codes FROM base, cb),
+    q AS (SELECT id AS q_id, vec FROM base WHERE {query_pred})
+    SELECT q_id, n_id, adist, rank FROM (
+      SELECT q.q_id, coded.id AS n_id,
+             round({adist}, 6) AS adist,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round({adist}, 6) ASC, coded.id
+             ) AS rank
+      FROM coded, cb, q WHERE coded.id <> q.q_id
+    ) WHERE rank <= {k}
+    """
+
+
 def group_centroids(df: DataFrame, group_col, vec_col, dim: int) -> DataFrame:
     """Per-group centroid (element-wise mean) of a fixed-``dim`` vector
     column — cluster summaries, class prototypes, IVF seeding.

@@ -194,6 +194,20 @@ class TestSimilarity:
         with pytest.raises(ValueError, match="divide"):
             S.product_quantize(df, dim=4, m=3)
 
+    def test_pq_adc_finds_exact_duplicates_first(self, spark):
+        # corpus with an exact duplicate pair: ADC distance between a
+        # vector and its duplicate is 0 (identical codes), so each must
+        # rank the other first
+        import random
+        rng = random.Random(3)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+        vecs.append((30, list(vecs[25][1])))
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id").isin(25, 30))
+        out = {r["q_id"]: r["n_id"]
+               for r in S.pq_adc_topk(df, q, k=1, dim=8, m=4, n_codes=8).collect()}
+        assert out == {25: 30, 30: 25}
+
     def test_knn_label_majority_vote(self, spark):
         # two tight direction groups with one "unknown" member each; the
         # majority of each vector's neighbors shares its group label
