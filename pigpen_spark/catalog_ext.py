@@ -116,8 +116,8 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
     ),
     sums AS (
-      SELECT doc_id, sum(w512)::BIGINT AS s, count(*)::BIGINT AS n
-      FROM toks JOIN {C.weight_table_sql()} ON toks.bucket = w.bucket
+      SELECT doc_id, sum(coalesce(w512, 0))::BIGINT AS s, count(*)::BIGINT AS n
+      FROM toks LEFT JOIN {C.weight_table_sql()} ON toks.bucket = w.bucket
       GROUP BY doc_id
     )
     SELECT d.doc_id, s::DOUBLE / (512.0 * n::DOUBLE) AS margin
@@ -314,6 +314,7 @@ def ext_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (
       SELECT nn.q_id, t.label AS nl, count(*)::BIGINT AS votes
       FROM nn JOIN tagged t ON nn.n_id = t.id
+      WHERE t.label IS NOT NULL
       GROUP BY nn.q_id, t.label
     )
     SELECT q_id AS vec_id, nl AS pred_label, votes FROM (

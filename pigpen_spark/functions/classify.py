@@ -125,13 +125,17 @@ def hashed_linear_score_join(
     array literal (a 10M-bucket fasttext model is an 80 MB parquet, not
     an expression tree).
 
-    Plan shape: explode tokens → bucket key → equi-join the weight table
+    Plan shape: explode tokens → bucket key → LEFT-join the weight table
     (Catalyst broadcasts it while it fits, falls back to shuffle join
     beyond that) → per-doc SUM of integer-scaled weights + token count →
-    one division.  The integer sum keeps the result EXACT under any
-    aggregation order, so the table form and the literal form agree to
-    the last bit.  Token-less docs come back with NULL margin via the
-    left join, matching the literal form."""
+    one division.  The join is LEFT with a 0 default because exported
+    models are SPARSE — a bucket with no learned feature means weight 0,
+    and the mean still divides by ALL tokens (fasttext mean-pool
+    semantics); an inner join would silently rescale the margin to the
+    matched-token mean.  The integer sum keeps the result EXACT under
+    any aggregation order, so the table form and the literal form agree
+    to the last bit on dense tables.  Token-less docs come back with
+    NULL margin via the outer join, matching the literal form."""
     from pyspark.sql import functions as _F
 
     toks = df.select(
@@ -139,9 +143,12 @@ def hashed_linear_score_join(
         _F.explode(tokens(_F.col(text_col))).alias("__tok"),
     ).select("__id", _bucket(_F.col("__tok"), n_buckets).cast("int").alias("bucket"))
     sums = (
-        toks.join(_F.broadcast(weights_df), "bucket")
+        toks.join(_F.broadcast(weights_df), "bucket", "left")
         .groupBy("__id")
-        .agg(_F.sum("w512").alias("__s"), _F.count(_F.lit(1)).alias("__n"))
+        .agg(
+            _F.sum(_F.coalesce(_F.col("w512"), _F.lit(0))).alias("__s"),
+            _F.count(_F.lit(1)).alias("__n"),
+        )
     )
     margin = _F.col("__s").cast("double") / (
         _F.lit(float(WEIGHT_SCALE)) * _F.col("__n").cast("double")

@@ -416,6 +416,11 @@ def dedup_substrings(df: DataFrame, id_col: str, text_col: str, n: int = 4,
         raise ValueError(f"dedup_substrings: n must be positive, got {n}")
     src = df.select(_c(id_col).alias("__id"),
                     tokens(_c(text_col)).alias("__toks")).persist()
+    # grams persists too: both the winner aggregate AND the dup-site join
+    # read it, and the per-token slice+array_join string build is the
+    # dominant map-side cost of the whole operator — without the barrier
+    # it executes twice (lesson: persist at the fan-out point, not one
+    # level above it).
     grams = src.select(
         "__id",
         F.posexplode(
@@ -427,7 +432,7 @@ def dedup_substrings(df: DataFrame, id_col: str, text_col: str, n: int = 4,
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("__pos", "__gram"),
-    )
+    ).persist()
     winners = (
         grams.groupBy("__gram")
         .agg(F.min(F.struct("__id", "__pos")).alias("__w"))

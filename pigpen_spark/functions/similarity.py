@@ -452,14 +452,20 @@ def knn_label(
     Neighbors come from :func:`lsh_topk` (multi-probe by default), so the
     whole operator is LSH-candidate work + one broadcast-sized label join
     + a per-query vote — never an n² scan.  Ties break deterministically
-    (higher count, then smaller label).  Vectors whose buckets yield no
-    neighbors are absent from the output (no evidence → no prediction).
+    (higher count, then smaller label).  UNLABELED neighbors (NULL label)
+    contribute no votes — this is semi-supervised propagation, and a
+    NULL-majority must not out-vote real evidence (it would also diverge
+    between engines: Spark sorts NULL first ascending, DuckDB last).
+    Vectors whose buckets yield no neighbors, or only unlabeled ones,
+    are absent from the output (no evidence → no prediction).
 
     Returns (id, pred_label, votes) with ``votes`` = neighbors carrying
     the winning label."""
     nn = lsh_topk(corpus, id_col, vec_col, k=k, n_planes=n_planes, dim=dim,
                   multi_probe=multi_probe)
-    labs = corpus.select(F.col(id_col).alias("n_id"), F.col(label_col).alias("__nl"))
+    labs = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(label_col).alias("__nl")
+    ).filter(F.col("__nl").isNotNull())
     votes = (
         nn.join(labs, "n_id")
         .groupBy("q_id", "__nl")

@@ -223,6 +223,26 @@ class TestSimilarity:
         for i in (3, 4, 5):
             assert out.get(i) == 9
 
+    def test_knn_label_ignores_unlabeled_neighbors(self, spark):
+        # 0's nearest neighbors are mostly unlabeled; the single labeled
+        # one must decide the vote (a NULL majority is not evidence)
+        vecs = [
+            (0, [1.0, 0.0], None), (1, [1.0, 0.01], None),
+            (2, [1.0, 0.02], None), (3, [1.0, 0.03], 7),
+        ]
+        from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                       LongType, StructField, StructType)
+        schema = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ])
+        df = spark.createDataFrame(vecs, schema)
+        out = {r["vec_id"]: (r["pred_label"], r["votes"])
+               for r in S.knn_label(df, k=3, n_planes=3, dim=2).collect()}
+        assert out[0] == (7, 1)
+        assert out[1] == (7, 1)
+
     def test_probe_buckets_distance_one_set(self, spark):
         df = spark.createDataFrame([("1010",)], "b string")
         out = df.select(S.probe_buckets(F.col("b"), 4).alias("p")).collect()[0]["p"]
@@ -299,6 +319,21 @@ class TestClassify:
         # integer-scaled sum makes the table form exact under any
         # aggregation order, so the two forms agree to the last bit
         assert lit_m == tbl_m
+
+    def test_sparse_weight_table_means_over_all_tokens(self, spark):
+        # exported models are sparse: a missing bucket means weight 0,
+        # and the mean still divides by ALL tokens — an inner join would
+        # rescale to the matched-token mean (1.0 here instead of 1/3)
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        buckets = {r["b"]: r["t"] for r in df.selectExpr(
+            "explode(split(text, ' ')) t"
+        ).selectExpr("t", "cast(conv(substring(md5(t), 1, 8), 16, 10) % 256 as int) b").collect()}
+        one_bucket = next(iter(buckets))
+        sparse = spark.createDataFrame(
+            [(one_bucket, C.WEIGHT_SCALE)], "bucket int, w512 long"
+        )
+        out = C.hashed_linear_score_join(df, "doc_id", "text", sparse).collect()
+        assert out[0]["margin"] == pytest.approx(1.0 / 3.0)
 
     def test_degenerate_docs_null_not_error(self, spark):
         # empty string / whitespace / single token: no features or no
