@@ -288,6 +288,85 @@ class TestDedupSpansProperties:
         assert a == b  # deduped corpus contains no cross-doc repeats
 
 
+def _model_mix_by_weight(ids: list, groups: list, weights: dict, default: float, salt: str):
+    """Pure-Python model of mix_by_weight's hash-fractional replication."""
+    import hashlib
+
+    out = []
+    for i, g in zip(ids, groups):
+        w = weights.get(g, default)
+        nf, frac = int(w), float(w) - int(w)
+        u = int(hashlib.md5(f"{i}|{salt}".encode()).hexdigest()[:8], 16) / float(1 << 32)
+        for c in range(nf + 1):
+            if c < nf or u < frac:
+                out.append((i, c))
+    return sorted(out)
+
+
+class TestMixByWeightProperties:
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 50), st.sampled_from(["a", "b", "c"])),
+            min_size=0, max_size=20, unique_by=lambda t: t[0],
+        ),
+        wa=st.floats(0.0, 3.0, allow_nan=False),
+        wb=st.floats(0.0, 3.0, allow_nan=False),
+        default=st.floats(0.0, 2.0, allow_nan=False),
+    )
+    @settings(**SET_SETTINGS)
+    def test_matches_python_model(self, spark, rows, wa, wb, default):
+        from pigpen_spark.functions import pipeline as P
+
+        df = spark.createDataFrame(rows or [(0, "a")][:0], "id long, g string")
+        weights = {"a": wa, "b": wb}
+        got = sorted(
+            (r["id"], r["copy"])
+            for r in P.mix_by_weight(df, "g", "id", weights, default=default).collect()
+        )
+        assert got == _model_mix_by_weight(
+            [r[0] for r in rows], [r[1] for r in rows], weights, default, "mix"
+        )
+
+
+class TestTokenizePackProperties:
+    @given(texts=st.lists(doc_text, min_size=0, max_size=6),
+           seq_len=st.integers(1, 5))
+    @settings(**SET_SETTINGS)
+    def test_pack_partitions_each_shard_stream(self, spark, texts, seq_len):
+        """Sequences of a shard, concatenated in seq_no order, must equal
+        the shard's doc-order token-id stream exactly — nothing lost,
+        nothing reordered, every non-final sequence full."""
+        import hashlib
+
+        from pigpen_spark.functions import pipeline as P
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)] or [(0, "")][:0],
+            "doc_id long, text string",
+        )
+        out = P.tokenize_pack(df, "doc_id", "text", seq_len=seq_len, shards=2).collect()
+        vocab = {r["token"]: r["token_id"]
+                 for r in P.build_vocab(df, "text").collect()}
+        streams = {}
+        for i, t in enumerate(texts):
+            sh = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2
+            streams.setdefault(sh, []).extend(
+                vocab[w] for w in t.lower().split(" ") if w
+            )
+        got = {}
+        for r in sorted(out, key=lambda r: (r["shard"], r["seq_no"])):
+            got.setdefault(r["shard"], []).extend(r["token_ids"])
+            assert len(r["token_ids"]) == r["n_tokens"] <= seq_len
+        assert got == {sh: s for sh, s in streams.items() if s}
+        # every sequence except a shard's last is exactly full
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append((r["seq_no"], r["n_tokens"]))
+        for pairs in by_shard.values():
+            pairs.sort()
+            assert all(n == seq_len for _, n in pairs[:-1])
+
+
 def _model_dedup_substrings(docs: dict, n: int):
     """Pure-Python model of dedup_substrings: any n-token window seen at
     an earlier (id, pos) marks [pos, pos+n) for removal at later sites."""
