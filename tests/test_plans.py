@@ -93,6 +93,40 @@ def test_embed_near_dup_is_lsh_blocked(spark, sf_dir):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_pq_coding_is_shuffle_free(spark, sf_dir):
+    # PQ coding must stay a pure per-row expression: the corpus is never
+    # hash-partitioned (the codebook is driver-side literals)
+    qs = catalog.queries()
+    p = qs["ext_embed_pq"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_scalar_quantize_no_corpus_shuffle(spark, sf_dir):
+    # SQ8's only exchange is the 1-row codebook agg (SinglePartition);
+    # the corpus itself must never hash-partition
+    qs = catalog.queries()
+    p = qs["ext_embed_quantize"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_tokenize_pack_vocab_join_broadcasts(spark, sf_dir):
+    # the token-id mapping must be a broadcast join — shuffling the
+    # exploded token stream on the token key would dwarf everything else
+    qs = catalog.queries()
+    p = qs["ext_tokenize_pack"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+
+
+def test_semdedup_pairs_are_cell_equi_join(spark, sf_dir):
+    # within-cell pairing must be an equi-join keyed on the cell id; the
+    # only nested-loop allowed is the broadcast of the tiny centroid table
+    qs = catalog.queries()
+    p = qs["ext_semdedup"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     # no catalog query may degrade to a cartesian/broadcast nested loop,
     # except the deliberate all-pairs extensions (brute-force similarity)
