@@ -376,6 +376,22 @@ def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_ann_ivf_pq",
+    S.ivf_pq_topk_sql("embeddings", "vec_id", "embedding", dim=64,
+                      query_pred="id < 10"),
+)
+def ext_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF-PQ search (FAISS IndexIVFPQ shape): coarse cells
+    bound candidates to each query's 2 probed cells of 16, and PQ+ADC
+    replaces float math on what remains — cell pruning × compressed
+    scoring composed.  Oracle recomputes cells, codebook, codes, tables,
+    and ranks."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_pq_topk(emb.df, q.df, k=5, dim=64)
+
+
+@register(
     "ext_semdedup",
     f"""
     WITH RECURSIVE base AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

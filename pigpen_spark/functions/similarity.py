@@ -847,6 +847,167 @@ def pq_adc_topk_sql(table: str, id_col: str, vec_col: str, dim: int,
     """
 
 
+def ivf_pq_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5, dim: int | None = None,
+    n_centroids: int = 16, n_probe: int = 2, m: int = 8, n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """The FULL IVF-PQ index search: coarse cells bound the candidate set
+    (each query probes its ``n_probe`` nearest cells), PQ codes + ADC
+    tables replace float math on the candidates — the two halves
+    (:func:`ivf_topk`'s cell pruning, :func:`pq_adc_topk`'s compressed
+    scoring) composed the way FAISS IndexIVFPQ does.
+
+    Candidate work is n·(n_probe/n_centroids) pairs scored at m lookups
+    each; the corpus contributes one cell id + m code ints per vector.
+    A (query, candidate) pair arises at most once (a candidate lives in
+    exactly one cell), so no dedup shuffle.  Queries whose probed cells
+    are empty of others return fewer than k rows."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"ivf_pq_topk: m ({m}) must divide dim ({dim})")
+    d = dim // m
+    base = (
+        spread(corpus)
+        .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
+        .withColumn("nrm", norm(F.col("vec")))
+        .persist()
+    )
+    cents = (
+        base.orderBy("id").limit(n_centroids)
+        .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"),
+                F.col("nrm").alias("cent_nrm"))
+    )
+    csim = F.try_divide(
+        dot(F.col("vec"), F.col("cent_vec")), F.col("nrm") * F.col("cent_nrm")
+    )
+    w_cell = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    ranked_cells = (
+        base.crossJoin(F.broadcast(cents))
+        .select("id", "cent_id", csim.alias("csim"))
+        .withColumn("crank", F.row_number().over(w_cell))
+        .select("id", "cent_id", "crank")
+        .persist()
+    )
+    if codebook is None:
+        rows = (
+            corpus.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
+            .orderBy("id").limit(n_codes).collect()
+        )
+        codebook = [[float(x) for x in r["v"]] for r in rows]
+    coded = product_quantize(
+        corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, codebook=codebook
+    ).select("id", "codes")
+    assigned = (
+        ranked_cells.filter(F.col("crank") == 1)
+        .select("id", F.col("cent_id").alias("cell"))
+        .join(coded, "id")
+    )
+
+    def qdist(j: int, cent: list[float]) -> Column:
+        acc = None
+        for i in range(j * d + 1, (j + 1) * d + 1):
+            t = (F.element_at("q_vec", i) - F.lit(cent[i - 1])) * (
+                F.element_at("q_vec", i) - F.lit(cent[i - 1])
+            )
+            acc = t if acc is None else acc + t
+        return acc
+
+    tables = [
+        F.array(*[qdist(j, c) for c in codebook]).alias(f"__t{j}")
+        for j in range(m)
+    ]
+    probes = (
+        queries.select(F.col(id_col).alias("q_id"),
+                       to_double(F.col(vec_col)).alias("q_vec"))
+        .select("q_id", *tables)
+        .join(
+            ranked_cells.filter(F.col("crank") <= n_probe)
+            .select(F.col("id").alias("q_id"), F.col("cent_id").alias("cell")),
+            on="q_id",
+        )
+    )
+    adist = None
+    for j in range(m):
+        t = F.element_at(F.col(f"__t{j}"), F.element_at("codes", j + 1) + 1)
+        adist = t if adist is None else adist + t
+    cand = (
+        probes.join(assigned, on="cell")
+        .filter(F.col("q_id") != F.col("id"))
+        .select("q_id", F.col("id").alias("n_id"), F.round(adist, 6).alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_pq_topk_sql(table: str, id_col: str, vec_col: str, dim: int,
+                    k: int = 5, n_centroids: int = 16, n_probe: int = 2,
+                    m: int = 8, n_codes: int = 16,
+                    query_pred: str = "id < 10") -> str:
+    """DuckDB oracle for :func:`ivf_pq_topk` (default codebook, queries
+    selected by ``query_pred``)."""
+    d = dim // m
+
+    def dists(vec: str, j: int) -> str:
+        lo = j * d + 1
+        return (
+            f"[list_sum([({vec}[i] - c[i]) * ({vec}[i] - c[i]) "
+            f"for i in range({lo}, {lo + d})]) for c in cbs]"
+        )
+
+    code = ", ".join(
+        f"(list_position({dists('vec', j)}, list_min({dists('vec', j)})) - 1)::INT"
+        for j in range(m)
+    )
+    adist = " + ".join(
+        f"({dists('q.q_vec', j)})[codes[{j + 1}] + 1]" for j in range(m)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, [x::DOUBLE for x in {vec_col}] AS vec FROM {table}
+    ),
+    cents AS (SELECT id AS cent_id, vec AS cent_vec FROM base ORDER BY id LIMIT {n_centroids}),
+    cells AS (
+      SELECT b.id, c.cent_id,
+             row_number() OVER (
+               PARTITION BY b.id
+               ORDER BY ({cosine_sql('b.vec', 'c.cent_vec')}) DESC, c.cent_id
+             ) AS crank
+      FROM base b CROSS JOIN cents c
+    ),
+    cb AS (
+      SELECT list(vec ORDER BY id) AS cbs FROM (
+        SELECT id, vec FROM base ORDER BY id LIMIT {n_codes}
+      )
+    ),
+    coded AS (SELECT id, [{code}] AS codes FROM base, cb),
+    assigned AS (
+      SELECT cells.id, cells.cent_id AS cell, coded.codes
+      FROM cells JOIN coded ON cells.id = coded.id WHERE crank = 1
+    ),
+    q AS (
+      SELECT b.id AS q_id, b.vec AS q_vec, cells.cent_id AS cell
+      FROM base b JOIN cells ON b.id = cells.id
+      WHERE cells.crank <= {n_probe} AND ({query_pred.replace('id', 'b.id')})
+    )
+    SELECT q_id, n_id, adist, rank FROM (
+      SELECT q.q_id, a.id AS n_id,
+             round({adist}, 6) AS adist,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round({adist}, 6) ASC, a.id
+             ) AS rank
+      FROM q JOIN assigned a ON q.cell = a.cell AND q.q_id <> a.id, cb
+    ) WHERE rank <= {k}
+    """
+
+
 def group_centroids(df: DataFrame, group_col, vec_col, dim: int) -> DataFrame:
     """Per-group centroid (element-wise mean) of a fixed-``dim`` vector
     column — cluster summaries, class prototypes, IVF seeding.

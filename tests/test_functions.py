@@ -208,6 +208,20 @@ class TestSimilarity:
                for r in S.pq_adc_topk(df, q, k=1, dim=8, m=4, n_codes=8).collect()}
         assert out == {25: 30, 30: 25}
 
+    def test_ivf_pq_finds_duplicate_in_probed_cell(self, spark):
+        # identical vectors share a cell AND codes, so with cell pruning
+        # on, each duplicate still ranks the other first
+        import random
+        rng = random.Random(5)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+        vecs.append((40, list(vecs[33][1])))
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id").isin(33, 40))
+        out = {r["q_id"]: r["n_id"]
+               for r in S.ivf_pq_topk(df, q, k=1, dim=8, n_centroids=4,
+                                      n_probe=2, m=4, n_codes=8).collect()}
+        assert out == {33: 40, 40: 33}
+
     def test_knn_label_majority_vote(self, spark):
         # two tight direction groups with one "unknown" member each; the
         # majority of each vector's neighbors shares its group label
