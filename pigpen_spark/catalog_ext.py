@@ -86,6 +86,26 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_normalize",
+    f"""
+    SELECT doc_id, {T.normalize_text_sql('text')} AS norm_text,
+           ({T.normalize_text_sql('text')} <> text) AS changed
+    FROM documents
+    """,
+)
+def ext_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (control-strip, whitespace-collapse,
+    trim, lowercase) — the pass that runs BEFORE content hashing so
+    formatting noise can't defeat dedup.  Pure regexp chain, zero
+    shuffles."""
+    docs = tables(spark, sf_dir)["documents"]
+    norm = T.normalize_text("text")
+    return docs.df.select(
+        "doc_id", norm.alias("norm_text"), (norm != F.col("text")).alias("changed")
+    )
+
+
+@register(
     "ext_quality_classifier",
     f"""
     SELECT doc_id,

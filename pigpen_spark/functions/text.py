@@ -401,3 +401,24 @@ def redact_sql(col: str) -> str:
     for pat, repl in REDACT_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
     return out
+
+
+def normalize_text(col) -> Column:
+    """Canonical text normalization before hashing/dedup: strip
+    ASCII control characters, collapse every whitespace run to one
+    space, trim, and lowercase — the cleanup pass real pipelines run
+    FIRST so that exact/near dedup hashes are not defeated by
+    formatting noise.  Pure regexp_replace chain — codegen, no UDF;
+    Unicode-confusable folding is a tokenizer-level concern and out of
+    scope (document-level NFKC needs ICU, a mapInPandas batch job in
+    this engine)."""
+    out = F.regexp_replace(_c(col), "[\\x00-\\x1f\\x7f]", " ")
+    out = F.regexp_replace(out, "\\s+", " ")
+    return F.lower(F.trim(out))
+
+
+def normalize_text_sql(col: str) -> str:
+    """DuckDB equivalent of :func:`normalize_text`."""
+    out = f"regexp_replace({col}, '[\\x00-\\x1f\\x7f]', ' ', 'g')"
+    out = f"regexp_replace({out}, '\\s+', ' ', 'g')"
+    return f"lower(trim({out}))"

@@ -62,6 +62,32 @@ class TestText:
             assert 0.0 <= r["q"] <= 1.0
 
 
+class TestNormalize:
+    def test_normalize_text_semantics(self, spark):
+        df = spark.createDataFrame(
+            [(1, "  Hello\t\tWorld\x01  "), (2, "already clean"), (3, ""), (4, "\x00\x1f")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["n"]
+               for r in df.select("doc_id", T.normalize_text("text").alias("n")).collect()}
+        assert out[1] == "hello world"
+        assert out[2] == "already clean"
+        assert out[3] == ""
+        assert out[4] == ""
+
+    def test_normalize_makes_formatting_dups_exact(self, spark):
+        from pigpen_spark.functions import dedup as D
+
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "Same\t text "), (3, "other")],
+            "doc_id long, text string",
+        )
+        norm = df.select("doc_id", T.normalize_text("text").alias("text"))
+        out = {r["keep_id"]: r["n_copies"]
+               for r in D.exact_dedup(norm, "text", "doc_id").collect()}
+        assert out[1] == 2 and out[3] == 1
+
+
 class TestDedup:
     def test_exact(self, docs):
         out = {r["keep_id"]: r["n_copies"] for r in D.exact_dedup(docs, "text", "doc_id").collect()}
