@@ -636,6 +636,47 @@ def scalar_quantize_sql(table: str, id_col: str, vec_col: str,
     """
 
 
+def _default_codebook(corpus: DataFrame, id_col: str, vec_col: str,
+                      n_codes: int) -> list[list[float]]:
+    """The deterministic stand-in codebook shared by the PQ family: the
+    first ``n_codes`` corpus vectors by id, collected driver-side (tiny —
+    n_codes × dim doubles).  K-means output replaces it as data."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
+        .orderBy("id").limit(n_codes).collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _subspace_dist2(vec_name: str, j: int, d: int, cent: list[float]) -> Column:
+    """Squared L2 distance between subspace j of a materialized array
+    column and a codebook entry, as a flat left-associated sum — the one
+    float path every PQ function shares (coding, MSE, ADC tables), so a
+    change here cannot drift between the Spark forms."""
+    acc = None
+    for i in range(j * d + 1, (j + 1) * d + 1):
+        t = (F.element_at(vec_name, i) - F.lit(cent[i - 1])) * (
+            F.element_at(vec_name, i) - F.lit(cent[i - 1])
+        )
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _adc_tables(codebook: list[list[float]], m: int, d: int):
+    """(tables, adist) for ADC scoring: per-subspace distance-table array
+    columns over a materialized ``q_vec``, and the m-lookup sum against a
+    ``codes`` column.  Shared by :func:`pq_adc_topk` / :func:`ivf_pq_topk`."""
+    tables = [
+        F.array(*[_subspace_dist2("q_vec", j, d, c) for c in codebook]).alias(f"__t{j}")
+        for j in range(m)
+    ]
+    adist = None
+    for j in range(m):
+        t = F.element_at(F.col(f"__t{j}"), F.element_at("codes", j + 1) + 1)
+        adist = t if adist is None else adist + t
+    return tables, adist
+
+
 def product_quantize(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int | None = None, m: int = 8, n_codes: int = 16,
@@ -669,24 +710,14 @@ def product_quantize(
         F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec")
     )
     if codebook is None:
-        rows = (
-            corpus.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
-            .orderBy("id").limit(n_codes).collect()
-        )
-        codebook = [[float(x) for x in r["v"]] for r in rows]
+        codebook = _default_codebook(corpus, id_col, vec_col, n_codes)
     if any(len(c) != dim for c in codebook):
         raise ValueError("product_quantize: codebook entries must have length dim")
 
-    def dist2(j: int, cent: list[float]) -> Column:
-        acc = None
-        for i in range(j * d + 1, (j + 1) * d + 1):
-            t = (F.element_at("vec", i) - F.lit(cent[i - 1])) * (
-                F.element_at("vec", i) - F.lit(cent[i - 1])
-            )
-            acc = t if acc is None else acc + t
-        return acc
-
-    dists = [F.array(*[dist2(j, c) for c in codebook]) for j in range(m)]
+    dists = [
+        F.array(*[_subspace_dist2("vec", j, d, c) for c in codebook])
+        for j in range(m)
+    ]
     codes = F.array(*[
         (F.array_position(dj, F.array_min(dj)) - 1).cast("int") for dj in dists
     ])
@@ -762,35 +793,14 @@ def pq_adc_topk(
         raise ValueError(f"pq_adc_topk: m ({m}) must divide dim ({dim})")
     d = dim // m
     if codebook is None:
-        rows = (
-            corpus.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
-            .orderBy("id").limit(n_codes).collect()
-        )
-        codebook = [[float(x) for x in r["v"]] for r in rows]
+        codebook = _default_codebook(corpus, id_col, vec_col, n_codes)
     coded = product_quantize(
         corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, codebook=codebook
     ).select("id", "codes")
-
-    def qdist(j: int, cent: list[float]) -> Column:
-        acc = None
-        for i in range(j * d + 1, (j + 1) * d + 1):
-            t = (F.element_at("q_vec", i) - F.lit(cent[i - 1])) * (
-                F.element_at("q_vec", i) - F.lit(cent[i - 1])
-            )
-            acc = t if acc is None else acc + t
-        return acc
-
-    tables = [
-        F.array(*[qdist(j, c) for c in codebook]).alias(f"__t{j}")
-        for j in range(m)
-    ]
+    tables, adist = _adc_tables(codebook, m, d)
     q = queries.select(
         F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("q_vec")
     ).select("q_id", *tables)
-    adist = None
-    for j in range(m):
-        t = F.element_at(F.col(f"__t{j}"), F.element_at("codes", j + 1) + 1)
-        adist = t if adist is None else adist + t
     scored = (
         coded.join(F.broadcast(q), F.col("id") != F.col("q_id"))
         .select("q_id", F.col("id").alias("n_id"), F.round(adist, 6).alias("adist"))
@@ -862,8 +872,10 @@ def ivf_pq_topk(
     Candidate work is n·(n_probe/n_centroids) pairs scored at m lookups
     each; the corpus contributes one cell id + m code ints per vector.
     A (query, candidate) pair arises at most once (a candidate lives in
-    exactly one cell), so no dedup shuffle.  Queries whose probed cells
-    are empty of others return fewer than k rows."""
+    exactly one cell), so no dedup shuffle.  Queries rank THEIR OWN
+    vector against the broadcast centroid table — arbitrary external
+    query sets work, not just corpus subsets.  Queries whose probed
+    cells are empty of others return fewer than k rows."""
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     if dim % m != 0:
@@ -880,59 +892,38 @@ def ivf_pq_topk(
         .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"),
                 F.col("nrm").alias("cent_nrm"))
     )
-    csim = F.try_divide(
-        dot(F.col("vec"), F.col("cent_vec")), F.col("nrm") * F.col("cent_nrm")
-    )
-    w_cell = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cent_id"))
-    ranked_cells = (
-        base.crossJoin(F.broadcast(cents))
-        .select("id", "cent_id", csim.alias("csim"))
-        .withColumn("crank", F.row_number().over(w_cell))
-        .select("id", "cent_id", "crank")
-        .persist()
-    )
-    if codebook is None:
-        rows = (
-            corpus.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
-            .orderBy("id").limit(n_codes).collect()
+
+    def probe_cells(frame, key: str, vec: str, nrm: str, max_rank: int):
+        csim = F.try_divide(
+            dot(F.col(vec), F.col("cent_vec")), F.col(nrm) * F.col("cent_nrm")
         )
-        codebook = [[float(x) for x in r["v"]] for r in rows]
+        w_cell = Window.partitionBy(key).orderBy(F.col("csim").desc(), F.col("cent_id"))
+        return (
+            frame.crossJoin(F.broadcast(cents))
+            .select(key, "cent_id", csim.alias("csim"))
+            .withColumn("crank", F.row_number().over(w_cell))
+            .filter(F.col("crank") <= max_rank)
+            .select(key, F.col("cent_id").alias("cell"))
+        )
+
+    if codebook is None:
+        codebook = _default_codebook(corpus, id_col, vec_col, n_codes)
     coded = product_quantize(
         corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, codebook=codebook
     ).select("id", "codes")
-    assigned = (
-        ranked_cells.filter(F.col("crank") == 1)
-        .select("id", F.col("cent_id").alias("cell"))
-        .join(coded, "id")
-    )
-
-    def qdist(j: int, cent: list[float]) -> Column:
-        acc = None
-        for i in range(j * d + 1, (j + 1) * d + 1):
-            t = (F.element_at("q_vec", i) - F.lit(cent[i - 1])) * (
-                F.element_at("q_vec", i) - F.lit(cent[i - 1])
-            )
-            acc = t if acc is None else acc + t
-        return acc
-
-    tables = [
-        F.array(*[qdist(j, c) for c in codebook]).alias(f"__t{j}")
-        for j in range(m)
-    ]
-    probes = (
-        queries.select(F.col(id_col).alias("q_id"),
-                       to_double(F.col(vec_col)).alias("q_vec"))
-        .select("q_id", *tables)
-        .join(
-            ranked_cells.filter(F.col("crank") <= n_probe)
-            .select(F.col("id").alias("q_id"), F.col("cent_id").alias("cell")),
-            on="q_id",
+    assigned = probe_cells(base, "id", "vec", "nrm", 1).join(coded, "id")
+    tables, adist = _adc_tables(codebook, m, d)
+    qbase = (
+        queries.select(
+            F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("q_vec")
         )
+        .withColumn("q_nrm", norm(F.col("q_vec")))
+        .persist()
     )
-    adist = None
-    for j in range(m):
-        t = F.element_at(F.col(f"__t{j}"), F.element_at("codes", j + 1) + 1)
-        adist = t if adist is None else adist + t
+    probes = (
+        qbase.select("q_id", *tables)
+        .join(probe_cells(qbase, "q_id", "q_vec", "q_nrm", n_probe), on="q_id")
+    )
     cand = (
         probes.join(assigned, on="cell")
         .filter(F.col("q_id") != F.col("id"))
@@ -950,8 +941,9 @@ def ivf_pq_topk_sql(table: str, id_col: str, vec_col: str, dim: int,
                     k: int = 5, n_centroids: int = 16, n_probe: int = 2,
                     m: int = 8, n_codes: int = 16,
                     query_pred: str = "id < 10") -> str:
-    """DuckDB oracle for :func:`ivf_pq_topk` (default codebook, queries
-    selected by ``query_pred``)."""
+    """DuckDB oracle for :func:`ivf_pq_topk` (default codebook; queries
+    are the base rows satisfying ``query_pred``, a predicate over the
+    unqualified column ``id`` — no string rewriting is applied)."""
     d = dim // m
 
     def dists(vec: str, j: int) -> str:
@@ -991,11 +983,16 @@ def ivf_pq_topk_sql(table: str, id_col: str, vec_col: str, dim: int,
       SELECT cells.id, cells.cent_id AS cell, coded.codes
       FROM cells JOIN coded ON cells.id = coded.id WHERE crank = 1
     ),
-    q AS (
-      SELECT b.id AS q_id, b.vec AS q_vec, cells.cent_id AS cell
-      FROM base b JOIN cells ON b.id = cells.id
-      WHERE cells.crank <= {n_probe} AND ({query_pred.replace('id', 'b.id')})
-    )
+    q0 AS (SELECT id AS q_id, vec AS q_vec FROM base WHERE {query_pred}),
+    qcells AS (
+      SELECT q0.q_id, q0.q_vec, c.cent_id,
+             row_number() OVER (
+               PARTITION BY q0.q_id
+               ORDER BY ({cosine_sql('q0.q_vec', 'c.cent_vec')}) DESC, c.cent_id
+             ) AS crank
+      FROM q0 CROSS JOIN cents c
+    ),
+    q AS (SELECT q_id, q_vec, cent_id AS cell FROM qcells WHERE crank <= {n_probe})
     SELECT q_id, n_id, adist, rank FROM (
       SELECT q.q_id, a.id AS n_id,
              round({adist}, 6) AS adist,

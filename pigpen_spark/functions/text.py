@@ -403,22 +403,33 @@ def redact_sql(col: str) -> str:
     return out
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def normalize_text(col) -> Column:
     """Canonical text normalization before hashing/dedup: strip
     ASCII control characters, collapse every whitespace run to one
-    space, trim, and lowercase — the cleanup pass real pipelines run
-    FIRST so that exact/near dedup hashes are not defeated by
-    formatting noise.  Pure regexp_replace chain — codegen, no UDF;
-    Unicode-confusable folding is a tokenizer-level concern and out of
-    scope (document-level NFKC needs ICU, a mapInPandas batch job in
-    this engine)."""
+    space, trim, and ASCII-casefold — the cleanup pass real pipelines
+    run FIRST so that exact/near dedup hashes are not defeated by
+    formatting noise.  Pure regexp_replace/translate chain — codegen,
+    no UDF.
+
+    Casefolding is deliberately ASCII-ONLY (translate A-Z → a-z, not
+    lower()): engines disagree on one-to-many Unicode case mappings
+    (e.g. U+0130 İ lowers to i+combining-dot in the JVM but plain i in
+    DuckDB), which would make norm_text an engine-dependent dedup key.
+    Full Unicode casefold/NFKC needs ICU — a mapInPandas batch job in
+    this engine, like the other codec-bound steps."""
     out = F.regexp_replace(_c(col), "[\\x00-\\x1f\\x7f]", " ")
     out = F.regexp_replace(out, "\\s+", " ")
-    return F.lower(F.trim(out))
+    return F.translate(F.trim(out), _UPPER, _LOWER)
 
 
 def normalize_text_sql(col: str) -> str:
-    """DuckDB equivalent of :func:`normalize_text`."""
+    """DuckDB equivalent of :func:`normalize_text` — translate-based
+    casefold, exact on any input (lower() is not cross-engine-exact
+    beyond ASCII)."""
     out = f"regexp_replace({col}, '[\\x00-\\x1f\\x7f]', ' ', 'g')"
     out = f"regexp_replace({out}, '\\s+', ' ', 'g')"
-    return f"lower(trim({out}))"
+    return f"translate(trim({out}), '{_UPPER}', '{_LOWER}')"

@@ -248,6 +248,26 @@ class TestSimilarity:
                                       n_probe=2, m=4, n_codes=8).collect()}
         assert out == {33: 40, 40: 33}
 
+    def test_ivf_pq_supports_external_queries(self, spark):
+        # queries NOT drawn from the corpus must still probe cells from
+        # their own vector (regression: probe cells were joined by id,
+        # silently returning nothing for external ids)
+        import random
+        rng = random.Random(7)
+        corpus = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        target = corpus.filter(F.col("vec_id") == 17).collect()[0]["embedding"]
+        q = spark.createDataFrame(
+            [(1000, [float(x) for x in target])],
+            "vec_id long, embedding array<float>",
+        )
+        out = S.ivf_pq_topk(corpus, q, k=1, dim=8, n_centroids=4,
+                            n_probe=2, m=4, n_codes=8).collect()
+        assert len(out) == 1
+        assert out[0]["q_id"] == 1000 and out[0]["n_id"] == 17
+
     def test_knn_label_majority_vote(self, spark):
         # two tight direction groups with one "unknown" member each; the
         # majority of each vector's neighbors shares its group label

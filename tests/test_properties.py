@@ -263,7 +263,7 @@ class TestDedupSpansProperties:
 
         docs = {i: t for i, t in enumerate(texts)}
         df = spark.createDataFrame(
-            [(i, t) for i, t in docs.items()] or [(0, "")][:0],
+            [(i, t) for i, t in docs.items()],
             "doc_id long, text string",
         )
         got = {r["doc_id"]: (r["clean_text"], r["n_dropped"])
@@ -317,7 +317,7 @@ class TestMixByWeightProperties:
     def test_matches_python_model(self, spark, rows, wa, wb, default):
         from pigpen_spark.functions import pipeline as P
 
-        df = spark.createDataFrame(rows or [(0, "a")][:0], "id long, g string")
+        df = spark.createDataFrame(rows, "id long, g string")
         weights = {"a": wa, "b": wb}
         got = sorted(
             (r["id"], r["copy"])
@@ -341,7 +341,7 @@ class TestTokenizePackProperties:
         from pigpen_spark.functions import pipeline as P
 
         df = spark.createDataFrame(
-            [(i, t) for i, t in enumerate(texts)] or [(0, "")][:0],
+            [(i, t) for i, t in enumerate(texts)],
             "doc_id long, text string",
         )
         out = P.tokenize_pack(df, "doc_id", "text", seq_len=seq_len, shards=2).collect()
@@ -394,7 +394,7 @@ class TestDedupSubstringsProperties:
 
         docs = {i: t for i, t in enumerate(texts)}
         df = spark.createDataFrame(
-            [(i, t) for i, t in docs.items()] or [(0, "")][:0],
+            [(i, t) for i, t in docs.items()],
             "doc_id long, text string",
         )
         got = {r["doc_id"]: (r["clean_text"], r["n_dropped_tokens"])
