@@ -1230,6 +1230,50 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEAK_SPLIT = P.split_by_hash_sql("doc_id", _DECON_SPLITS, salt="decon")
+
+
+@register(
+    "ext_split_leakage",
+    f"""
+    WITH {_mh_sigs_cte('tr', f"({_LEAK_SPLIT}) = 'train'")},
+    {_mh_sigs_cte('te', f"({_LEAK_SPLIT}) = 'test'")},
+    pairs AS (
+      SELECT DISTINCT a.id AS test_id, b.id AS train_id
+      FROM te_b a JOIN tr_b b ON a.band = b.band AND a.bhash = b.bhash
+    ),
+    est AS (
+      SELECT p.test_id, p.train_id,
+             len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, {_K} + 1)], m -> m))::DOUBLE / {_K} AS est_jaccard
+      FROM pairs p JOIN te_sigs sa ON p.test_id = sa.id
+                   JOIN tr_sigs sb ON p.train_id = sb.id
+    )
+    SELECT test_id, train_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """,
+)
+def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: eval docs NEAR-DUPLICATING a train doc
+    (MinHash est Jaccard >= 0.5 across the split boundary) — the
+    near-dup complement of n-gram decontamination, run as the same
+    incremental shape (test batch vs train signature index; train text
+    contributes only k-int signatures).  Same deterministic hash split
+    as ext_decontaminate, so the two audits agree on who is train/test."""
+    docs = tables(spark, sf_dir)["documents"]
+    lab = P.split_by_hash(docs.df.select("doc_id", "text"), "doc_id",
+                          _DECON_SPLITS, salt="decon")
+    train = lab.filter(F.col("split") == "train").drop("split")
+    test = lab.filter(F.col("split") == "test").drop("split")
+    index = D.minhash_index(train, "doc_id", "text", k=_K, shingle_n=3)
+    return (
+        D.minhash_candidates_against(
+            test, index, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=3
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(F.col("new_id").alias("test_id"),
+                F.col("corpus_id").alias("train_id"), "est_jaccard")
+    )
+
+
 @register(
     "ext_quality_prune",
     f"""
