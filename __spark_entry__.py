@@ -29,11 +29,88 @@ def entry(spark: SparkSession) -> DataFrame:
     return catalog.q1_groupby_fold(spark, "/root/testdata/sf0.001")
 
 
+# The driver's CORRECTNESS gate samples the FIRST 50 registered queries
+# (VERDICT r2). Rotation policy: queries that have never had a driver row
+# (CORRECTNESS_r01/r02 covered the 47 catalog.py queries + ext_text_stats/
+# ext_lang_id/ext_quality_score; r1 additionally covered ext_dedup_exact/
+# ext_dedup_minhash/ext_ann_brute + q_moving_avg under their round-1 names)
+# are listed here FIRST — new queries at the head, lowest-value checks
+# (multimodal codec stubs, the rows-only ivf_kmeans) at the tail so they
+# rotate out gracefully when new work claims window slots. Everything not
+# listed follows in catalog-registration order, flagship first.
+_DRIVER_PRIORITY: list[str] = [
+    # --- new in round 3 (driver rows wanted this round) ---
+    # (names are appended here as the operators land)
+    # --- round-2 ext surface, never driver-verified ---
+    "ext_corpus_pipeline",
+    "ext_dedup_keep",
+    "ext_dedup_clusters",
+    "ext_dedup_jaccard",
+    "ext_dedup_simhash",
+    "ext_dedup_spans",
+    "ext_dedup_substr",
+    "ext_dedup_incremental",
+    "ext_decontaminate",
+    "ext_split_leakage",
+    "ext_embed_near_dup",
+    "ext_semdedup",
+    "ext_knn_label",
+    "ext_embed_quantize",
+    "ext_embed_pq",
+    "ext_ann_pq",
+    "ext_ann_ivf_pq",
+    "ext_ann_lsh",
+    "ext_ann_lsh_mp",
+    "ext_ann_ivf",
+    "ext_embed_centroids",
+    "ext_normalize",
+    "ext_quality_classifier",
+    "ext_quality_classifier_tbl",
+    "ext_lm_filter",
+    "ext_repetition_stats",
+    "ext_redact",
+    "ext_quality_prune",
+    "ext_split_hash",
+    "ext_stratified_sample",
+    "ext_sample_per_group",
+    "ext_source_mix",
+    "ext_shuffle_det",
+    "ext_pack_chunks",
+    "ext_vocab",
+    "ext_tokenize_pack",
+    "ext_zorder_key",
+    "ext_approx_distinct",
+    "ext_hll_merge",
+    "ext_bm25",
+    "ext_top_terms",
+    "ext_funnel",
+    "ext_cohort_retention",
+    "q_moving_avg",
+    "ext_ann_brute",      # r1 row exists, but anchors the ANN family
+    # --- lowest-value driver checks: rotate out first ---
+    "ext_ann_ivf_kmeans",     # rows-only by design (iterative training)
+    "ext_multimodal_decode",  # deterministic codec stub semantics
+    "ext_frame_sample",
+    "ext_audio_features",
+    # --- flagship: keep one core row in every window ---
+    "q1_groupby_fold",
+]
+
+
+def _ordered(names: list[str]) -> list[str]:
+    prio = [n for n in _DRIVER_PRIORITY if n in set(names)]
+    rest = [n for n in names if n not in set(prio)]
+    return prio + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return catalog.queries()
+    """One entry per implemented operator from SURVEY.md §2,
+    driver-priority ordered (see _DRIVER_PRIORITY)."""
+    q = catalog.queries()
+    return {name: q[name] for name in _ordered(list(q))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted ⇒ rows-only)."""
-    return catalog.oracle_sql()
+    o = catalog.oracle_sql()
+    return {name: o[name] for name in _ordered(list(o)) if name in o}
