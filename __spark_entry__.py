@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # listed follows in catalog-registration order, flagship first.
 _DRIVER_PRIORITY: list[str] = [
     # --- new in round 3 (driver rows wanted this round) ---
-    # (names are appended here as the operators land)
+    "ext_ann_pq_trained",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",

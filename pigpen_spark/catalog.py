@@ -53,8 +53,14 @@ def tables(spark: SparkSession, sf_dir: str) -> _LazyTables:
 def load_events(spark: SparkSession, sf_dir: str) -> Relation:
     """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark's reader rejects by default; read nanos as long (runtime-settable
-    legacy conf) and convert to a microsecond TimestampType column."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    legacy conf) and convert to a microsecond TimestampType column.
+
+    Sessions from :func:`pigpen_spark.session.get_spark` already carry the
+    conf (DEFAULT_CONF); for vanilla sessions (the driver's) it is set
+    here, conditionally, so a tuned session is never mutated at query
+    time."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
         # integer floor-division, not float /: current-era nanos (~1.7e18)

@@ -7,6 +7,7 @@ only md5 + list comprehensions so DuckDB reproduces every hash exactly.
 
 from __future__ import annotations
 
+from pigpen_spark.cache import persisted as _persisted
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -586,6 +587,20 @@ def ext_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sf0.001)."""
     emb = tables(spark, sf_dir)["embeddings"]
     return S.ivf_topk_kmeans(emb.df, k=5, n_centroids=_IVF_C, n_probe=_IVF_P, seed=7)
+
+
+@register("ext_ann_pq_trained", None)  # iterative k-means training: rows-only
+def ext_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-5 with per-subspace k-means-TRAINED codebooks (the
+    FAISS ProductQuantizer.train shape) instead of the deterministic
+    first-N stand-in: m=8 independent KMeans fits on dim/8-wide slices,
+    composed entrywise into the shared n_codes×dim codebook format and
+    passed to pq_adc_topk as plain data.  Recall@k vs brute force is
+    asserted ≥ the first-N baseline in tests/test_round3_ops.py."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    cb = S.train_pq_codebook(emb.df, dim=64, seed=7, train_fraction=1.0)
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.pq_adc_topk(emb.df, q.df, k=5, dim=64, codebook=cb)
 
 
 # ---------------------------------------------------------------------------
@@ -1391,7 +1406,7 @@ def ext_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # because three consumers read it (signature path, cluster join-back,
     # split/stats) — without the barrier the scan + quality gate + window
     # re-run per consumer.  Session-lived cache (clear_engine_caches).
-    s1 = D.exact_keep(gated, "text", "doc_id").persist()
+    s1 = D.exact_keep(gated, "text", "doc_id").transform(_persisted)
     pairs = D.minhash_candidates(s1, "doc_id", "text", k=_K, bands=_BANDS,
                                  shingle_n=3).filter(
         F.col("est_jaccard") >= _CP_JACCARD)

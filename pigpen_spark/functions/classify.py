@@ -135,7 +135,14 @@ def hashed_linear_score_join(
     matched-token mean.  The integer sum keeps the result EXACT under
     any aggregation order, so the table form and the literal form agree
     to the last bit on dense tables.  Token-less docs come back with
-    NULL margin via the outer join, matching the literal form."""
+    NULL margin via the outer join, matching the literal form.
+
+    PRECONDITION: ``id_col`` must be unique per row.  The token pool is
+    keyed by id, so duplicate ids would silently blend their tokens into
+    one margin (the literal form scores each row independently); this
+    form FAILS FAST instead — the id-dedup aggregate doubles as a
+    duplicate detector (same shuffle a plain distinct would cost) and
+    raises mid-job on the first duplicate id."""
     from pyspark.sql import functions as _F
 
     toks = df.select(
@@ -153,9 +160,26 @@ def hashed_linear_score_join(
     margin = _F.col("__s").cast("double") / (
         _F.lit(float(WEIGHT_SCALE)) * _F.col("__n").cast("double")
     )
+    # The guard lives INSIDE the id projection (when→raise_error→otherwise
+    # id) so column pruning can't eliminate it the way a dropped side
+    # column would be.
+    ids = (
+        df.select(_F.col(id_col).alias("__id"))
+        .groupBy("__id")
+        .agg(_F.count(_F.lit(1)).alias("__dup"))
+        .select(
+            _F.when(
+                _F.col("__dup") > 1,
+                _F.raise_error(_F.concat(
+                    _F.lit(f"hashed_linear_score_join: duplicate {id_col}="),
+                    _F.col("__id").cast("string"),
+                    _F.lit(" — margins would blend across rows"),
+                )),
+            ).otherwise(_F.col("__id")).alias("__id"),
+        )
+    )
     return (
-        df.select(_F.col(id_col).alias("__id")).distinct()
-        .join(sums, "__id", "left")
+        ids.join(sums, "__id", "left")
         .select(_F.col("__id").alias(id_col), margin.alias("margin"))
     )
 

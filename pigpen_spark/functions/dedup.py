@@ -29,6 +29,7 @@ between iterations.
 
 from __future__ import annotations
 
+from pigpen_spark.cache import persisted as _persisted
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -265,11 +266,11 @@ def minhash_candidates(
     th_df = (
         spread(df)
         .select(F.col(id_col).alias("id"), token_hashes(F.col(content_col)).alias("__th"))
-        .persist()
+        .transform(_persisted)
     )
     sigs = th_df.select(
         "id", minhash_from_hashes(shingle_hashes(F.col("__th"), shingle_n), k).alias("sig")
-    ).persist()
+    ).transform(_persisted)
     banded = sigs.select("id", "sig", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -333,7 +334,7 @@ def minhash_candidates_against(
             f"bands ({bands})"
         )
     r = k // bands
-    new_sigs = minhash_index(new_df, id_col, content_col, k, shingle_n).persist()
+    new_sigs = minhash_index(new_df, id_col, content_col, k, shingle_n).transform(_persisted)
     nb = new_sigs.select("id", "sig", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bh"))
     ib = index.select("id", "sig", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bh"))
     pairs = (
@@ -493,9 +494,9 @@ def simhash_candidates(
     tok_df = (
         spread(df)
         .select(F.col(id_col).alias("id"), tokens(F.col(content_col)).alias("__t"))
-        .persist()
+        .transform(_persisted)
     )
-    sh = tok_df.select("id", simhash_from_tokens(F.col("__t"), bits).alias("sh")).persist()
+    sh = tok_df.select("id", simhash_from_tokens(F.col("__t"), bits).alias("sh")).transform(_persisted)
     chunked = sh.select(
         "id", "sh",
         F.explode(
@@ -572,7 +573,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     exactly with a recursive CTE (transitive reachability → min reachable
     id), so the catalog query is fully hash-checked.
     """
-    slim = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
+    slim = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).transform(_persisted)
     if local_threshold > 0:
         # limit(n+1).count() bounds the probe itself: it never scans past
         # threshold+1 rows even when the pair set is huge
@@ -586,7 +587,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         slim
         .union(slim.select(F.col("dst"), F.col("src")))
         .distinct()
-        .persist()
+        .transform(_persisted)
     )
     # localCheckpoint per round TRUNCATES THE LINEAGE — with persist alone
     # the analyzed plan doubles every round (union references the previous

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
+from pigpen_spark.cache import persisted as _persisted
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,10 +47,18 @@ def hash_unit(col, salt: str) -> Column:
     )
 
 
+def sql_str(value: str) -> str:
+    """Render a Python string as a single-quoted SQL literal, doubling
+    embedded quotes — group/stratum names are DATA, and an unescaped
+    quote would break (or in principle inject into) the oracle SQL."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
 def hash_unit_sql(col: str, salt: str) -> str:
     """DuckDB equivalent of :func:`hash_unit`."""
     return (
-        f"(('0x' || substring(md5({col}::VARCHAR || '|{salt}'), 1, 8))::BIGINT"
+        f"(('0x' || substring(md5({col}::VARCHAR || "
+        f"{sql_str('|' + salt)}), 1, 8))::BIGINT"
         f" / {_HASH_SPACE!r})"
     )
 
@@ -88,13 +97,13 @@ def split_by_hash_sql(id_col: str, splits: Mapping[str, float],
     if not fracs:
         raise ValueError("split_by_hash_sql: need at least one split")
     if len(fracs) == 1:  # zero-WHEN CASE is a SQL syntax error
-        return f"'{fracs[0][0]}'"
+        return sql_str(fracs[0][0])
     u = hash_unit_sql(id_col, salt)
     cases, cum = [], 0.0
     for name, frac in fracs[:-1]:
         cum += frac
-        cases.append(f"WHEN {u} < {cum!r} THEN '{name}'")
-    return "CASE " + " ".join(cases) + f" ELSE '{fracs[-1][0]}' END"
+        cases.append(f"WHEN {u} < {cum!r} THEN {sql_str(name)}")
+    return "CASE " + " ".join(cases) + f" ELSE {sql_str(fracs[-1][0])} END"
 
 
 def stratified_sample_by_hash(df: DataFrame, strata_col: str,
@@ -121,7 +130,8 @@ def stratified_sample_by_hash_sql(strata_col: str, fractions: Mapping[str, float
     if not fractions:  # zero-WHEN CASE is a SQL syntax error
         return f"{u} < {float(default)!r}"
     cases = " ".join(
-        f"WHEN {strata_col} = '{n}' THEN {float(f)!r}" for n, f in fractions.items()
+        f"WHEN {strata_col} = {sql_str(n)} THEN {float(f)!r}"
+        for n, f in fractions.items()
     )
     return f"{u} < (CASE {cases} ELSE {float(default)!r} END)"
 
@@ -171,7 +181,8 @@ def mix_by_weight_sql(group_col: str, id_col: str,
     caller unnests it as the copy column)."""
     def case(f) -> str:
         arms = " ".join(
-            f"WHEN {group_col} = '{g}' THEN {f(w)!r}" for g, w in weights.items()
+            f"WHEN {group_col} = {sql_str(g)} THEN {f(w)!r}"
+            for g, w in weights.items()
         )
         return f"(CASE {arms} ELSE {f(default)!r} END)"
 
@@ -415,7 +426,7 @@ def dedup_substrings(df: DataFrame, id_col: str, text_col: str, n: int = 4,
     if n <= 0:
         raise ValueError(f"dedup_substrings: n must be positive, got {n}")
     src = df.select(_c(id_col).alias("__id"),
-                    tokens(_c(text_col)).alias("__toks")).persist()
+                    tokens(_c(text_col)).alias("__toks")).transform(_persisted)
     # grams persists too: both the winner aggregate AND the dup-site join
     # read it, and the per-token slice+array_join string build is the
     # dominant map-side cost of the whole operator — without the barrier
@@ -432,7 +443,7 @@ def dedup_substrings(df: DataFrame, id_col: str, text_col: str, n: int = 4,
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("__pos", "__gram"),
-    ).persist()
+    ).transform(_persisted)
     winners = (
         grams.groupBy("__gram")
         .agg(F.min(F.struct("__id", "__pos")).alias("__w"))

@@ -18,6 +18,7 @@ DuckDB oracles; ranking ties broken by id so top-k is deterministic.
 
 from __future__ import annotations
 
+from pigpen_spark.cache import persisted as _persisted
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -229,7 +230,7 @@ def lsh_topk(
             lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
         )
         .withColumn("nrm", norm(F.col("vec")))
-        .persist()
+        .transform(_persisted)
     )
     if multi_probe:
         a = tagged.select(
@@ -277,7 +278,7 @@ def ivf_topk(
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
         .withColumn("nrm", norm(F.col("vec")))
-        .persist()
+        .transform(_persisted)
     )
     cents = (
         base.orderBy("id").limit(n_centroids)
@@ -310,7 +311,7 @@ def ivf_topk_kmeans(
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
         .withColumn("nrm", norm(F.col("vec")))
-        .persist()
+        .transform(_persisted)
     )
     train = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
     feats = train.select(array_to_vector(F.col("vec")).alias("features"))
@@ -342,7 +343,7 @@ def _ivf_search(base: DataFrame, cents: DataFrame, k: int, n_probe: int) -> Data
     ranked_cells = (
         scored_cells.withColumn("crank", F.row_number().over(w_cell))
         .select("id", "cent_id", "crank")
-        .persist()
+        .transform(_persisted)
     )
     assigned = (
         ranked_cells.filter(F.col("crank") == 1)
@@ -402,7 +403,7 @@ def embedding_near_dup_pairs(
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
         .withColumn("nrm", norm(F.col("vec")))
-        .persist()
+        .transform(_persisted)
     )
     score = F.round(F.try_divide(dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a") * F.col("nrm_b")), 6)
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"))
@@ -511,7 +512,7 @@ def semantic_dedup(
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
         .withColumn("nrm", norm(F.col("vec")))
-        .persist()
+        .transform(_persisted)
     )
     cents = (
         base.orderBy("id").limit(n_centroids)
@@ -529,7 +530,7 @@ def semantic_dedup(
         .filter(F.col("crank") == 1)
         .select("id", F.col("cent_id").alias("cell"))
         .join(base, "id")
-        .persist()
+        .transform(_persisted)
     )
     score = F.round(
         F.try_divide(dot(F.col("a.vec"), F.col("b.vec")), F.col("a.nrm") * F.col("b.nrm")), 6
@@ -646,6 +647,59 @@ def _default_codebook(corpus: DataFrame, id_col: str, vec_col: str,
         .orderBy("id").limit(n_codes).collect()
     )
     return [[float(x) for x in r["v"]] for r in rows]
+
+
+def train_pq_codebook(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, m: int = 8, n_codes: int = 16,
+    train_fraction: float = 1.0, seed: int = 7, max_iter: int = 10,
+) -> list[list[float]]:
+    """Train per-subspace PQ codebooks with pyspark.ml KMeans — the
+    FAISS ``ProductQuantizer::train`` shape (ref: faiss
+    ProductQuantizer.cpp trains one independent k-means per subspace):
+    subspace ``j`` of every training vector is clustered into
+    ``n_codes`` centers, independently of the other subspaces.
+
+    Returns the SAME driver-artifact format :func:`_default_codebook`
+    produces (``n_codes`` full-dim vectors): entry ``i`` concatenates
+    center ``i`` of each subspace's codebook, because every consumer
+    (:func:`product_quantize`, :func:`_adc_tables`) slices codebook
+    entries per subspace — so independently-trained subspace codebooks
+    compose entrywise with zero changes downstream, and a trained
+    codebook drops into :func:`pq_adc_topk` / :func:`ivf_pq_topk` as a
+    plain data parameter.
+
+    Training cost: ``m`` KMeans fits over ``train_fraction`` of the
+    corpus (each on dim/m-wide slices).  At corpus scale fit on a
+    sample — PQ centers stabilize long before a full pass, exactly like
+    the coarse quantizer in :func:`ivf_topk_kmeans`.  The result is
+    n_codes × dim doubles on the driver: tiny, broadcast as literals.
+    Degenerate subspaces (fewer distinct points than ``n_codes``) pad
+    with their last center so every codebook is rectangular."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"train_pq_codebook: m ({m}) must divide dim ({dim})")
+    d = dim // m
+    base = corpus.select(to_double(F.col(vec_col)).alias("vec"))
+    train = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
+    train = train.transform(_persisted)  # m fits each scan it once
+    sub_books: list[list[list[float]]] = []
+    for j in range(m):
+        feats = train.select(
+            array_to_vector(F.slice(F.col("vec"), j * d + 1, d)).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter).fit(feats)
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        while len(centers) < n_codes:  # degenerate subspace: pad
+            centers.append(list(centers[-1]))
+        sub_books.append(centers)
+    return [
+        [x for j in range(m) for x in sub_books[j][i]] for i in range(n_codes)
+    ]
 
 
 def _subspace_dist2(vec_name: str, j: int, d: int, cent: list[float]) -> Column:
@@ -770,6 +824,7 @@ def pq_adc_topk(
     vec_col: str = "embedding", k: int = 5, dim: int | None = None,
     m: int = 8, n_codes: int = 16,
     codebook: list[list[float]] | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes — the search half of an
     IVF-PQ index: the corpus is its :func:`product_quantize` codes (m
@@ -786,7 +841,11 @@ def pq_adc_topk(
     scan reads 8 bytes of codes instead of 256+ bytes of floats.
 
     Returns (q_id, n_id, adist, rank) ranked by ascending approximate
-    distance (ties by n_id); self-matches excluded."""
+    distance (ties by n_id).  ``exclude_self=True`` (default) drops the
+    candidate whose id EQUALS the query id — right for corpus-subset
+    queries, but an EXTERNAL query set whose ids coincidentally overlap
+    corpus ids would silently lose that candidate: pass
+    ``exclude_self=False`` when query ids aren't corpus row ids."""
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     if dim % m != 0:
@@ -801,8 +860,9 @@ def pq_adc_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("q_vec")
     ).select("q_id", *tables)
+    pair_cond = F.col("id") != F.col("q_id") if exclude_self else F.lit(True)
     scored = (
-        coded.join(F.broadcast(q), F.col("id") != F.col("q_id"))
+        coded.join(F.broadcast(q), pair_cond)
         .select("q_id", F.col("id").alias("n_id"), F.round(adist, 6).alias("adist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
@@ -817,7 +877,10 @@ def pq_adc_topk_sql(table: str, id_col: str, vec_col: str, dim: int,
                     k: int = 5, m: int = 8, n_codes: int = 16,
                     query_pred: str = "id < 10") -> str:
     """DuckDB oracle for :func:`pq_adc_topk` with the default codebook
-    and a query side selected by ``query_pred`` over the aliased id."""
+    and a query side selected by ``query_pred`` over the aliased id.
+    ``query_pred`` is a RAW SQL fragment spliced verbatim (it is test
+    infrastructure, not a value — string values inside it must already
+    be SQL-escaped, e.g. via :func:`pigpen_spark.functions.pipeline.sql_str`)."""
     d = dim // m
 
     def dists(vec: str, j: int) -> str:
@@ -862,6 +925,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding", k: int = 5, dim: int | None = None,
     n_centroids: int = 16, n_probe: int = 2, m: int = 8, n_codes: int = 16,
     codebook: list[list[float]] | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The FULL IVF-PQ index search: coarse cells bound the candidate set
     (each query probes its ``n_probe`` nearest cells), PQ codes + ADC
@@ -874,8 +938,11 @@ def ivf_pq_topk(
     A (query, candidate) pair arises at most once (a candidate lives in
     exactly one cell), so no dedup shuffle.  Queries rank THEIR OWN
     vector against the broadcast centroid table — arbitrary external
-    query sets work, not just corpus subsets.  Queries whose probed
-    cells are empty of others return fewer than k rows."""
+    query sets work, not just corpus subsets (but pass
+    ``exclude_self=False`` if external query ids can collide with
+    corpus ids, else the colliding candidate is silently dropped).
+    Queries whose probed cells are empty of others return fewer than
+    k rows."""
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     if dim % m != 0:
@@ -885,7 +952,7 @@ def ivf_pq_topk(
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
         .withColumn("nrm", norm(F.col("vec")))
-        .persist()
+        .transform(_persisted)
     )
     cents = (
         base.orderBy("id").limit(n_centroids)
@@ -918,16 +985,17 @@ def ivf_pq_topk(
             F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("q_vec")
         )
         .withColumn("q_nrm", norm(F.col("q_vec")))
-        .persist()
+        .transform(_persisted)
     )
     probes = (
         qbase.select("q_id", *tables)
         .join(probe_cells(qbase, "q_id", "q_vec", "q_nrm", n_probe), on="q_id")
     )
-    cand = (
-        probes.join(assigned, on="cell")
-        .filter(F.col("q_id") != F.col("id"))
-        .select("q_id", F.col("id").alias("n_id"), F.round(adist, 6).alias("adist"))
+    cand = probes.join(assigned, on="cell")
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("id"))
+    cand = cand.select(
+        "q_id", F.col("id").alias("n_id"), F.round(adist, 6).alias("adist")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
     return (

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pigpen_spark.cache import persisted as _persisted
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,7 +56,7 @@ def ranked(df: DataFrame, order_by: Sequence, index_col: str = "index",
 
     pid = "__pp_pid"
     ranged = df.repartitionByRange(*orders).withColumn(pid, F.spark_partition_id())
-    ranged = ranged.persist()
+    ranged = ranged.transform(_persisted)
     off = partition_offsets(ranged, F.col(pid))
     w = Window.partitionBy(pid).orderBy(*orders)
     out = ranged.withColumn(index_col, (F.row_number().over(w) - 1 + off).cast("long")).drop(pid)

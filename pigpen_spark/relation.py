@@ -30,6 +30,7 @@ import itertools
 from collections.abc import Callable, Iterable, Iterator, Sequence
 from typing import Any
 
+from pigpen_spark.cache import persisted as _persisted
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -261,7 +262,7 @@ class Relation:
             from pigpen_spark.operators.windows import partition_offsets
 
             mid = _gensym("mid")
-            tagged = self.df.withColumn(mid, F.monotonically_increasing_id()).persist()
+            tagged = self.df.withColumn(mid, F.monotonically_increasing_id()).transform(_persisted)
             pid = F.shiftright(F.col(mid), 33).cast("int")
             off = partition_offsets(tagged, pid)
             local = F.col(mid).bitwiseAND(F.lit((1 << 33) - 1))
@@ -782,7 +783,7 @@ class Relation:
         raw.clj:144-158).  The reference's dedupe rewrite shares subplans;
         Spark won't cache across actions by itself (SURVEY §4.5.4), so we
         persist, run all writes, then unpersist."""
-        df = self.df.persist()
+        df = self.df.transform(_persisted)
         try:
             rel = self._with(df)
             for w in writers:

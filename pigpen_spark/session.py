@@ -38,6 +38,11 @@ DEFAULT_CONF: dict[str, str] = {
     # Push min/max/count aggregates into the parquet footer scan.
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # events.parquet carries TIMESTAMP(NANOS), which Spark's reader refuses
+    # by default; read nanos as long here so catalog.load_events never has
+    # to mutate a tuned session's conf at query time (it still sets this,
+    # conditionally, for vanilla sessions such as the driver's).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Don't let tiny local test files produce thousands of partitions.
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(64 * 1024 * 1024),
 }

@@ -62,15 +62,19 @@ def auto_configure(spark: SparkSession, df: DataFrame) -> dict[str, str]:
 
 
 def clear_engine_caches(spark: SparkSession) -> None:
-    """Release every DataFrame the engine has persisted.
+    """Release every DataFrame the ENGINE has persisted — and nothing else.
 
     Operators that self-join derived hash columns (minhash_candidates,
     simhash_candidates, lsh_topk) and the two-phase global rank persist
     intermediates so Catalyst can't re-inline their expression trees; the
     caches live until session end (Spark evicts LRU under pressure).  In
     a long-running driver that loops over many inputs, call this between
-    iterations."""
-    spark.catalog.clearCache()
+    iterations.  Engine persists are tracked in
+    :mod:`pigpen_spark.cache`, so the user's own ``df.cache()`` data
+    survives (``spark.catalog.clearCache()`` would evict it too)."""
+    from pigpen_spark import cache
+
+    cache.release()
 
 
 def skew_report(df: DataFrame, *key_cols, top: int = 10,
