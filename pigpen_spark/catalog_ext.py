@@ -106,6 +106,18 @@ def ext_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ext_normalize_unicode", None)  # NFKC/casefold: DuckDB has no NFKC
+def ext_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Unicode normalization (NFKC + casefold) via the Arrow-batched
+    pandas UDF — the non-Latin-corpus path; rows-only check (DuckDB ships
+    NFC only), semantics pinned by property tests."""
+    docs = tables(spark, sf_dir)["documents"]
+    norm = T.normalize_text_unicode("text")
+    return docs.df.select(
+        "doc_id", norm.alias("norm_text"), (norm != F.col("text")).alias("changed")
+    )
+
+
 @register(
     "ext_quality_classifier",
     f"""
@@ -1199,6 +1211,21 @@ def ext_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     never exploded or shuffled."""
     docs = tables(spark, sf_dir)["documents"]
     return P.dedup_substrings(docs.df, "doc_id", "text", n=4)
+
+
+@register(
+    "ext_max_repeats",
+    P.max_repeats_sql("documents", "doc_id", "text", min_len=6),
+)
+def ext_max_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal ≥6-token repeated spans (real ExactSubstr shape): runs of
+    consecutive duplicated 6-token window starts merge into one reported
+    span per site via the gaps-and-islands window (pos − row_number),
+    partitioned per doc — never a global window.  Complements
+    ext_dedup_substr (which removes fixed windows) with the
+    span-extraction half of Lee et al. 2021."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.max_repeats(docs.df, "doc_id", "text", min_len=6)
 
 
 def _mh_sigs_cte(prefix: str, pred: str) -> str:

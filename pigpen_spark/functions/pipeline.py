@@ -691,3 +691,107 @@ def prune_by_quantile(df: DataFrame, score_col, keep_frac: float,
     else:
         joined = df.crossJoin(F.broadcast(thr))
     return joined.filter(score >= F.col("__pp_thr")).drop("__pp_thr")
+
+
+def max_repeats(df: DataFrame, id_col: str, text_col: str,
+                min_len: int = 8) -> DataFrame:
+    """Maximal ≥``min_len``-token repeated spans — the span-extraction
+    half of real ExactSubstr dedup (Lee et al. 2021, arXiv:2107.06499:
+    suffix arrays find maximal repeated substrings of ≥50 tokens;
+    :func:`dedup_substrings` only removes fixed-n windows).
+
+    A window start is DUPLICATED when its ``min_len``-token text occurs
+    at ≥2 (doc, pos) sites corpus-wide; a maximal run of consecutive
+    duplicated starts [s..e] in one document is reported as the repeated
+    span [s, e+min_len) — exactly the region every ``min_len``-window of
+    which repeats, the standard seed-and-extend approximation of a
+    suffix-array maximal repeat.  ALL sites of a repeat are reported
+    (including the first occurrence — reporting, not removal; compose
+    with :func:`dedup_substrings` for keep-first removal semantics).
+
+    Plan shape: sliding grams are a linear per-row HOF explode; the
+    duplicated-gram set is ONE partial-aggregating groupBy (a gram
+    repeated 10⁹× combines map-side before the shuffle); sites come back
+    via a gram equi-join; run-merging is the gaps-and-islands window
+    (pos − row_number) PARTITIONED BY DOC — bounded by document length,
+    never a global window.  The token stream itself is never shuffled;
+    span text is re-sliced from the per-doc token array at the end.
+
+    Returns (id_col, start_tok 0-based, n_tokens, repeat_text)."""
+    from pigpen_spark.functions.text import tokens
+
+    L = min_len
+    if L <= 0:
+        raise ValueError(f"max_repeats: min_len must be positive, got {L}")
+    src = df.select(_c(id_col).alias("__id"),
+                    tokens(_c(text_col)).alias("__toks")).transform(_persisted)
+    grams = src.select(
+        "__id",
+        F.posexplode(
+            F.when(
+                F.size("__toks") >= L,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - L + 1),
+                    lambda i: F.array_join(F.slice("__toks", i, L), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__pos", "__gram"),
+    )
+    dup = (
+        grams.groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("__gram")
+    )
+    sites = grams.join(dup, on="__gram").select("__id", "__pos")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    runs = sites.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+    spans = runs.groupBy("__id", "__grp").agg(
+        F.min("__pos").alias("__start"),
+        (F.max("__pos") - F.min("__pos") + F.lit(L)).alias("__len"),
+    )
+    return (
+        spans.join(src, on="__id")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__start").cast("long").alias("start_tok"),
+            F.col("__len").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice("__toks", F.col("__start") + 1, F.col("__len")), " "
+            ).alias("repeat_text"),
+        )
+    )
+
+
+def max_repeats_sql(table: str, id_col: str, text_col: str,
+                    min_len: int = 8) -> str:
+    """DuckDB oracle for :func:`max_repeats` (same gaps-and-islands
+    pos − row_number grouping; 0-based token index i → 1-based list
+    index i+1)."""
+    L = min_len
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    return f"""
+    WITH tk AS (SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+    grams AS (
+      SELECT id, unnest(generate_series(0, len(toks) - {L})) AS pos,
+             unnest([array_to_string(toks[i + 1 : i + {L}], ' ')
+                     for i in range(0, len(toks) - {L} + 1)]) AS gram
+      FROM tk WHERE len(toks) >= {L}
+    ),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+    sites AS (SELECT g.id, g.pos FROM grams g JOIN dup USING (gram)),
+    runs AS (
+      SELECT id, pos,
+             pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+      FROM sites
+    ),
+    spans AS (
+      SELECT id, min(pos) AS start, max(pos) - min(pos) + {L} AS n_len
+      FROM runs GROUP BY id, grp
+    )
+    SELECT s.id AS {id_col}, s.start::BIGINT AS start_tok,
+           s.n_len::BIGINT AS n_tokens,
+           array_to_string(tk.toks[s.start + 1 : s.start + s.n_len], ' ')
+             AS repeat_text
+    FROM spans s JOIN tk USING (id)
+    """

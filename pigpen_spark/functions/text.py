@@ -433,3 +433,45 @@ def normalize_text_sql(col: str) -> str:
     out = f"regexp_replace({col}, '[\\x00-\\x1f\\x7f]', ' ', 'g')"
     out = f"regexp_replace({out}, '\\s+', ' ', 'g')"
     return f"translate(trim({out}), '{_UPPER}', '{_LOWER}')"
+
+
+def normalize_text_unicode(col) -> Column:
+    """FULL Unicode normalization — the ICU-grade sibling of
+    :func:`normalize_text` for non-Latin corpora: NFKC compatibility
+    normalization (full-width forms, ligatures, compatibility digits all
+    collapse to canonical codepoints), full casefold (İ→i̇, ß→ss, Σ/ς→σ
+    — one-to-many mappings ASCII translate can't express), then the same
+    control-strip / whitespace-collapse / trim.
+
+    This is the documented mapInPandas escape hatch made real: Python's
+    ``unicodedata`` carries the Unicode character database in-process,
+    so the batch path is an Arrow-vectorized pandas UDF (one Python
+    round-trip per ~10k-row batch, NOT per row).  Use it when the corpus
+    is non-Latin; keep :func:`normalize_text` (pure Catalyst codegen,
+    cross-engine-exact) for ASCII-dominant corpora and oracle-checked
+    dedup keys.  No DuckDB oracle — DuckDB ships NFC only (nfc_normalize),
+    not NFKC/casefold, so correctness is pinned by property tests
+    (tests/test_round3_ops.py) instead."""
+    # this module uses future annotations, which stringifies literal type
+    # hints into names pandas_udf could not resolve (pd is not a module
+    # global) — attach REAL class objects as annotations post-def instead
+    import pandas as pd
+
+    def _nfkc_fold(s):
+        import re
+        import unicodedata
+
+        ctrl = re.compile(r"[\x00-\x1f\x7f]")
+        ws = re.compile(r"\s+")
+
+        def one(v):
+            if v is None:
+                return None
+            v = unicodedata.normalize("NFKC", v).casefold()
+            return ws.sub(" ", ctrl.sub(" ", v)).strip()
+
+        return s.map(one)
+
+    _nfkc_fold.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_nfkc_fold, "string")
+    return udf(_c(col))

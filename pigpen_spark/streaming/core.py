@@ -294,3 +294,90 @@ def curate_stream(df: DataFrame, id_col: str, content_col: str, ts_col: str,
     gated = gated.withColumn("__digest", F.md5(F.col(content_col)))
     deduped = dedup_stream(gated, ["__digest"], ts_col, watermark).drop("__digest")
     return split_by_hash(deduped, id_col, splits, salt="cp")
+
+
+def dedup_stream_incremental(
+    stream: DataFrame, index_path: str, out_path: str, checkpoint: str,
+    id_col: str = "doc_id", content_col: str = "text",
+    k: int = 12, bands: int = 4, shingle_n: int = 3,
+    threshold: float = 0.7, available_now: bool = False,
+):
+    """Streaming MinHash near-dup gate against a STORED signature index —
+    the micro-batch topology curate_stream's docstring promises: LSH
+    banding needs a self-join Structured Streaming can't express
+    incrementally, so each micro-batch runs the BATCH operator
+    (:func:`pigpen_spark.functions.dedup.minhash_candidates_against`)
+    against the index, drops batch docs whose estimated Jaccard vs any
+    indexed doc reaches ``threshold``, appends survivors to ``out_path``
+    AND their k-int signatures to ``index_path`` — so batch N+1 is
+    deduped against batch N's survivors, not just the seed corpus.
+
+    Within a batch, near-dup groups keep the smallest id (greedy: a doc
+    survives unless it pairs at ≥threshold with a smaller surviving-or-
+    smaller id — one candidate pass, same keep-min convention as
+    exact_keep).
+
+    State lives in PARQUET (the index), not in streaming state: the
+    operator is restart-safe at any horizon — unlike watermarked exact
+    dedup, which can only remember digests inside the watermark.  At
+    100 TB the index side is ~50 bytes/doc of stored signatures; each
+    micro-batch joins it on (band, bhash) with the batch side broadcast
+    under AQE.
+
+    The index append and survivor append are NOT atomic across the two
+    paths; a crash between them can leave a signature whose text never
+    landed — a false-positive dup for a later copy, never a lost doc —
+    and the checkpoint replays the batch idempotently for the sink.
+
+    Returns the started StreamingQuery."""
+    from pyspark.errors import AnalysisException
+
+    from pigpen_spark.functions.dedup import (
+        minhash_candidates, minhash_candidates_against, minhash_index,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            # drop batch docs near-dup of an INDEXED doc
+            try:
+                index = spark.read.parquet(index_path)
+                has_index = True
+            except AnalysisException:
+                has_index = False
+            survivors = batch_df
+            if has_index:
+                dup_ids = (
+                    minhash_candidates_against(
+                        batch_df, index, id_col, content_col,
+                        k=k, bands=bands, shingle_n=shingle_n,
+                    )
+                    .filter(F.col("est_jaccard") >= threshold)
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
+                survivors = batch_df.join(dup_ids, on=id_col, how="left_anti")
+            # within-batch keep-min over near-dup pairs
+            intra = (
+                minhash_candidates(
+                    survivors, id_col, content_col,
+                    k=k, bands=bands, shingle_n=shingle_n,
+                )
+                .filter(F.col("est_jaccard") >= threshold)
+                .select(F.greatest(F.col("id_a"), F.col("id_b")).alias(id_col))
+                .distinct()
+            )
+            survivors = survivors.join(intra, on=id_col, how="left_anti").persist()
+            survivors.write.mode("append").parquet(out_path)
+            minhash_index(
+                survivors, id_col, content_col, k=k, shingle_n=shingle_n
+            ).write.mode("append").parquet(index_path)
+            survivors.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    w = stream.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

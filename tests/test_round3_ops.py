@@ -75,3 +75,147 @@ class TestTrainedPQCodebook:
         assert len(rows) > 0
         assert {r["q_id"] for r in rows} <= {0, 1, 2, 3, 4}
         assert all(r["rank"] <= 3 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# max_repeats: maximal ≥L-token repeated spans
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from pigpen_spark.functions import pipeline as P  # noqa: E402
+
+_SET = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+_word = st.sampled_from(["a", "b", "c", "d"])
+_doc = st.lists(_word, min_size=0, max_size=10).map(" ".join)
+
+
+def _model_max_repeats(docs: dict, L: int) -> set:
+    """Pure-Python model: duplicated L-window starts merge into maximal
+    runs; run [s..e] reports span (start=s, n_tokens=e-s+L, text)."""
+    from collections import Counter
+
+    toks = {i: [t for t in docs[i].lower().split(" ") if t] for i in docs}
+    cnt = Counter(
+        " ".join(ts[p:p + L])
+        for ts in toks.values() for p in range(len(ts) - L + 1)
+    )
+    out = set()
+    for i, ts in toks.items():
+        dup = [p for p in range(len(ts) - L + 1) if cnt[" ".join(ts[p:p + L])] > 1]
+        run: list[int] = []
+        for p in dup + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                s, e = run[0], run[-1]
+                out.add((i, s, e - s + L, " ".join(ts[s:e + L])))
+                run = []
+            if p is not None:
+                run = run + [p] if run else [p]
+        # trailing run handled by the sentinel above
+    return out
+
+
+class TestMaxRepeats:
+    def test_min_len_must_be_positive(self, spark):
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="positive"):
+            P.max_repeats(df, "doc_id", "text", min_len=0)
+
+    def test_unaligned_repeat_reported_at_both_sites(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c d e f"), (1, "z a b c d e w")],
+            "doc_id long, text string",
+        )
+        got = {(r["doc_id"], r["start_tok"], r["n_tokens"], r["repeat_text"])
+               for r in P.max_repeats(df, "doc_id", "text", min_len=3).collect()}
+        # consecutive duplicated 3-window starts merge into ONE maximal
+        # 5-token span per site, not three overlapping windows
+        assert got == {(0, 0, 5, "a b c d e"), (1, 1, 5, "a b c d e")}
+
+    def test_within_doc_repeat(self, spark):
+        df = spark.createDataFrame(
+            [(0, "x y x y")], "doc_id long, text string"
+        )
+        got = {(r["start_tok"], r["n_tokens"])
+               for r in P.max_repeats(df, "doc_id", "text", min_len=2).collect()}
+        assert got == {(0, 2), (2, 2)}
+
+    def test_no_repeats_empty(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "d e f")], "doc_id long, text string"
+        )
+        assert P.max_repeats(df, "doc_id", "text", min_len=2).count() == 0
+
+    @given(texts=st.lists(_doc, min_size=0, max_size=6), L=st.integers(1, 3))
+    @settings(**_SET)
+    def test_matches_python_model(self, spark, texts, L):
+        docs = {i: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(
+            [(i, t) for i, t in docs.items()], "doc_id long, text string"
+        )
+        got = {(r["doc_id"], r["start_tok"], r["n_tokens"], r["repeat_text"])
+               for r in P.max_repeats(df, "doc_id", "text", min_len=L).collect()}
+        assert got == _model_max_repeats(docs, L)
+
+
+# ---------------------------------------------------------------------------
+# normalize_text_unicode: NFKC + full casefold (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+from pigpen_spark.functions import text as T  # noqa: E402
+
+
+def _norm_u(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i long, text string")
+    out = df.select("i", T.normalize_text_unicode("text").alias("n"))
+    return [r["n"] for r in out.orderBy("i").collect()]
+
+
+class TestNormalizeTextUnicode:
+    def test_nfkc_compatibility_forms(self, spark):
+        got = _norm_u(spark, ["ﬁle", "Ｆｕｌｌｗｉｄｔｈ", "①②", "ｶﾀｶﾅ"])
+        assert got[0] == "file"          # ligature fi decomposes
+        assert got[1] == "fullwidth"     # full-width latin → ascii + casefold
+        assert got[2] == "12"            # circled digits → digits
+        assert got[3] == "カタカナ"       # half-width katakana → full-width
+
+    def test_full_casefold_one_to_many(self, spark):
+        got = _norm_u(spark, ["Straße", "ΣΊΣΥΦΟΣ", "İstanbul"])
+        assert got[0] == "strasse"           # ß → ss
+        assert got[1] == "σίσυφοσ"           # casefold maps final ς and Σ to σ
+        assert got[2] == "i̇stanbul"          # İ → i + combining dot (full fold)
+
+    def test_whitespace_and_controls(self, spark):
+        got = _norm_u(spark, ["a b　c", "x\x00y\t z\r\n", "  lead  "])
+        # NBSP and ideographic space are NFKC/\s whitespace → collapsed
+        assert got[0] == "a b c"
+        assert got[1] == "x y z"
+        assert got[2] == "lead"
+
+    def test_null_passthrough_and_idempotence(self, spark):
+        df = spark.createDataFrame([(0, None), (1, "MIXED  Case")],
+                                   "i long, text string")
+        out = df.select("i", T.normalize_text_unicode("text").alias("n"))
+        rows = {r["i"]: r["n"] for r in out.collect()}
+        assert rows[0] is None
+        assert rows[1] == "mixed case"
+        twice = df.select(
+            T.normalize_text_unicode(T.normalize_text_unicode("text")).alias("n")
+        ).collect()
+        assert {r["n"] for r in twice} == {None, "mixed case"}
+
+    def test_agrees_with_ascii_normalize_on_ascii(self, spark):
+        vals = ["Hello,  World!", "A\tB\x7fC", "  x  Y z  "]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                   "i long, text string")
+        out = df.select(
+            T.normalize_text("text").alias("a"),
+            T.normalize_text_unicode("text").alias("u"),
+        ).collect()
+        assert all(r["a"] == r["u"] for r in out)

@@ -206,3 +206,68 @@ def test_curate_stream_model_gates(spark, tmp_path):
     got = {r["doc_id"] for r in spark.sql("select * from gated").collect()}
     assert got == {d for d, m in margins.items() if m >= cut}
     assert len(got) == 1
+
+
+def test_dedup_stream_incremental(spark, tmp_path):
+    """Micro-batch MinHash dedup against a stored signature index:
+    batch docs near-dup of the seed corpus are gated on estimated
+    Jaccard; survivors' signatures append to the index, so a later
+    batch is deduped against an earlier batch's survivors; within a
+    batch the smallest id of a near-dup pair wins."""
+    import json as _json
+
+    from pigpen_spark.functions.dedup import minhash_index
+    from pigpen_spark.streaming import core as stc
+
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "falls on the quiet green hills of the northern valley today")
+    novel = ("completely different subject matter entirely about compilers "
+             "and register allocation strategies in modern optimizing backends")
+    novel2 = ("a third topic again unrelated to anything prior namely deep "
+              "sea biology and the bioluminescent creatures of the abyss")
+
+    # seed index: corpus doc 100 = base text
+    corpus = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    idx = tmp_path / "index"
+    minhash_index(corpus, "doc_id", "text").write.parquet(str(idx))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch b0: 1 ≈ corpus dup; 2 novel; 3 ≈ 2 (within-batch pair → keep 2)
+    with open(src / "b0.json", "w") as f:
+        for r in [
+            {"doc_id": 1, "text": base + " extra"},
+            {"doc_id": 2, "text": novel},
+            {"doc_id": 3, "text": novel + " ok"},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    # batch b1: 4 ≈ batch-0 survivor 2 (cross-batch!); 5 novel
+    with open(src / "b1.json", "w") as f:
+        for r in [
+            {"doc_id": 4, "text": novel + " tweaked"},
+            {"doc_id": 5, "text": novel2},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    # the file source orders ties by modification time — pin b0 first
+    import os
+
+    os.utime(src / "b0.json", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b1.json", (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = tmp_path / "out"
+    q = stc.dedup_stream_incremental(
+        stream, str(idx), str(out), str(tmp_path / "ck"),
+        threshold=0.5, available_now=True,
+    )
+    q.awaitTermination(180)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {2, 5}
+    # the index grew by exactly the survivors
+    idx_ids = {r["id"] for r in spark.read.parquet(str(idx)).collect()}
+    assert idx_ids == {100, 2, 5}

@@ -110,7 +110,8 @@ def main() -> int:
             failures += 1
         else:
             print(f"ok   {name}: {len(srows)} rows match")
-    print(f"\n{len(qs) - failures}/{len(qs)} ok")
+    checked = len([n for n in qs if not only or n in only])
+    print(f"\n{checked - failures}/{checked} ok")
     return 1 if failures else 0
 
 
