@@ -199,10 +199,37 @@ def infer_dim(df: DataFrame, vec_col) -> int:
     return int(row["d"]) if row is not None else 1
 
 
+def _arrow_cosine() -> "Column":
+    """Arrow-batched cosine scorer: numpy dot over whole candidate
+    batches instead of the interpreted zip_with/aggregate fold.  NOT
+    hash-exact vs the expression path (numpy sums pairwise/SIMD-order;
+    the HOF fold is strictly left-associated) — callers that need the
+    DuckDB oracle keep the expression path; this exists as the measured
+    alternative for the re-ranking hot loop."""
+    import numpy as np
+    import pandas as pd
+
+    def _score(va, vb, na, nb):
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.asarray(va.tolist(), dtype=np.float64)
+        B = np.asarray(vb.tolist(), dtype=np.float64)
+        denom = na.to_numpy(dtype=np.float64) * nb.to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(denom != 0.0, (A * B).sum(axis=1) / denom, np.nan)
+        return pd.Series(np.round(s, 6))
+
+    _score.__annotations__ = {
+        "va": pd.Series, "vb": pd.Series, "na": pd.Series, "nb": pd.Series,
+        "return": pd.Series,
+    }
+    return F.pandas_udf(_score, "double")
+
+
 def lsh_topk(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, n_planes: int = 6, dim: int | None = None,
-    multi_probe: bool = False,
+    multi_probe: bool = False, score_mode: str = "expr",
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share an LSH bucket.
 
@@ -217,7 +244,14 @@ def lsh_topk(
     rows but zero extra hashing — the classic trade of probes for tables.
 
     Each (q, n) candidate arises from exactly one probe slot (the flip
-    positions are distinct), so the probe join needs no dedup shuffle."""
+    positions are distinct), so the probe join needs no dedup shuffle.
+
+    ``score_mode="arrow"`` swaps the interpreted HOF cosine for an
+    Arrow-batched numpy scorer (:func:`_arrow_cosine`) — same candidate
+    plan, different float path; results can differ in the last ulp
+    (numpy sum order), so oracle-checked callers keep ``"expr"``."""
+    if score_mode not in ("expr", "arrow"):
+        raise ValueError(f"lsh_topk: unknown score_mode {score_mode!r}")
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     # persist: bucket expressions would otherwise recompute on both sides
@@ -240,9 +274,14 @@ def lsh_topk(
     else:
         a = tagged.alias("a")
     b = tagged.alias("b")
-    score = F.round(
-        F.try_divide(dot(F.col("a.vec"), F.col("b.vec")), F.col("a.nrm") * F.col("b.nrm")), 6
-    )
+    if score_mode == "arrow":
+        score = _arrow_cosine()(
+            F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+        )
+    else:
+        score = F.round(
+            F.try_divide(dot(F.col("a.vec"), F.col("b.vec")), F.col("a.nrm") * F.col("b.nrm")), 6
+        )
     scored = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")))
         .select(F.col("a.id").alias("q_id"), F.col("b.id").alias("n_id"), score.alias("score"))

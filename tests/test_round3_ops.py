@@ -219,3 +219,25 @@ class TestNormalizeTextUnicode:
             T.normalize_text_unicode("text").alias("u"),
         ).collect()
         assert all(r["a"] == r["u"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# lsh_topk score_mode="arrow": same candidates, tolerance-equal scores
+# ---------------------------------------------------------------------------
+
+
+class TestArrowScoreMode:
+    def test_matches_expr_within_tolerance(self, spark, emb):
+        ex = S.lsh_topk(emb, k=5, n_planes=6, dim=64).collect()
+        ar = S.lsh_topk(emb, k=5, n_planes=6, dim=64, score_mode="arrow").collect()
+        exd = {(r["q_id"], r["n_id"]): r["score"] for r in ex}
+        ard = {(r["q_id"], r["n_id"]): r["score"] for r in ar}
+        # same candidate plan → same pair set (ranks can swap only if two
+        # scores differ in the last ulp AND straddle the k boundary —
+        # compare the pair sets and the scores, not the ranks)
+        assert set(exd) == set(ard)
+        assert all(abs(exd[p] - ard[p]) <= 1e-6 for p in exd)
+
+    def test_unknown_mode_raises(self, spark, emb):
+        with pytest.raises(ValueError, match="score_mode"):
+            S.lsh_topk(emb, k=5, score_mode="numpy")
