@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # --- new in round 3 (driver rows wanted this round) ---
     "ext_ann_pq_trained",
+    "ext_ann_ivf_pq_trained",
     "ext_max_repeats",
     "ext_normalize_unicode",
     # --- round-2 ext surface, never driver-verified ---

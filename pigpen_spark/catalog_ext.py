@@ -601,6 +601,23 @@ def ext_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_kmeans(emb.df, k=5, n_centroids=_IVF_C, n_probe=_IVF_P, seed=7)
 
 
+@register("ext_ann_ivf_pq_trained", None)  # iterative k-means training: rows-only
+def ext_ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL trained IVF-PQ (FAISS IndexIVFPQ with both quantizers
+    real): k-means coarse centroids bound each query's candidate cells
+    AND per-subspace k-means PQ codebooks drive the ADC scoring — the
+    completion of ext_ann_ivf_pq, whose quantizers are deterministic
+    first-N stand-ins.  Both trained artifacts are driver-side literal
+    tables; the search plan (cell equi-join, m-lookup ADC, per-query
+    top-k window) is byte-identical to the untrained form."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    cb = S.train_pq_codebook(emb.df, dim=64, seed=7)
+    cents = S.train_coarse_centroids(emb.df, n_centroids=16, seed=7)
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_pq_topk(emb.df, q.df, k=5, dim=64, codebook=cb,
+                         coarse_centroids=cents)
+
+
 @register("ext_ann_pq_trained", None)  # iterative k-means training: rows-only
 def ext_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-5 with per-subspace k-means-TRAINED codebooks (the

@@ -358,9 +358,29 @@ def ivf_topk_kmeans(
     spark = corpus.sparkSession
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        f"cent_id int, cent_vec array<double>",
+        "cent_id int, cent_vec array<double>",
     ).withColumn("cent_nrm", norm(F.col("cent_vec")))
     return _ivf_search(base, cents, k, n_probe)
+
+
+def train_coarse_centroids(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = 16, train_fraction: float = 1.0, seed: int = 7,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """K-means coarse-quantizer centroids as a driver artifact
+    (n_centroids × dim doubles) — the trained counterpart of the first-N
+    centroid tables, shaped for :func:`ivf_pq_topk`'s
+    ``coarse_centroids`` parameter.  Same train-on-a-sample posture as
+    :func:`ivf_topk_kmeans`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = spread(corpus).select(to_double(F.col(vec_col)).alias("vec"))
+    train = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
+    feats = train.select(array_to_vector(F.col("vec")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def _ivf_search(base: DataFrame, cents: DataFrame, k: int, n_probe: int) -> DataFrame:
@@ -965,6 +985,7 @@ def ivf_pq_topk(
     n_centroids: int = 16, n_probe: int = 2, m: int = 8, n_codes: int = 16,
     codebook: list[list[float]] | None = None,
     exclude_self: bool = True,
+    coarse_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """The FULL IVF-PQ index search: coarse cells bound the candidate set
     (each query probes its ``n_probe`` nearest cells), PQ codes + ADC
@@ -993,11 +1014,19 @@ def ivf_pq_topk(
         .withColumn("nrm", norm(F.col("vec")))
         .transform(_persisted)
     )
-    cents = (
-        base.orderBy("id").limit(n_centroids)
-        .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"),
-                F.col("nrm").alias("cent_nrm"))
-    )
+    if coarse_centroids is not None:
+        # trained coarse quantizer (k-means output) as a literal table —
+        # the full FAISS IndexIVFPQ posture, same as ivf_topk_kmeans
+        cents = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(coarse_centroids)],
+            "cent_id int, cent_vec array<double>",
+        ).withColumn("cent_nrm", norm(F.col("cent_vec")))
+    else:
+        cents = (
+            base.orderBy("id").limit(n_centroids)
+            .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"),
+                    F.col("nrm").alias("cent_nrm"))
+        )
 
     def probe_cells(frame, key: str, vec: str, nrm: str, max_rank: int):
         csim = F.try_divide(

@@ -241,3 +241,40 @@ class TestArrowScoreMode:
     def test_unknown_mode_raises(self, spark, emb):
         with pytest.raises(ValueError, match="score_mode"):
             S.lsh_topk(emb, k=5, score_mode="numpy")
+
+
+class TestTrainedIvfPq:
+    def test_full_trained_ivf_pq_recall(self, emb, spark):
+        """Both quantizers trained (coarse k-means + per-subspace PQ):
+        candidate cells from real centroids must not lose to first-N at
+        the same probe budget, measured against exact L2 ground truth."""
+        import numpy as np
+
+        rows = sorted((r["vec_id"], r["embedding"]) for r in emb.collect())
+        ids = [i for i, _ in rows]
+        mat = np.array([v for _, v in rows], dtype=np.float64)
+        k, nq = 5, 100
+        bf = set()
+        for qi in range(nq):
+            qpos = ids.index(qi)
+            d2 = ((mat - mat[qpos]) ** 2).sum(axis=1)
+            order = [ids[p] for p in np.argsort(d2, kind="stable") if ids[p] != qi]
+            bf |= {(qi, n) for n in order[:k]}
+
+        q = emb.filter(F.col("vec_id") < nq)
+        cb = S.train_pq_codebook(emb, dim=64, seed=7)
+        cents = S.train_coarse_centroids(emb, n_centroids=16, seed=7)
+        tr = {(r["q_id"], r["n_id"])
+              for r in S.ivf_pq_topk(emb, q, k=k, dim=64, codebook=cb,
+                                     coarse_centroids=cents).collect()}
+        fn = {(r["q_id"], r["n_id"])
+              for r in S.ivf_pq_topk(emb, q, k=k, dim=64).collect()}
+        tr_recall = len(bf & tr) / len(bf)
+        fn_recall = len(bf & fn) / len(bf)
+        assert tr_recall >= fn_recall
+        assert tr_recall > 0.0
+
+    def test_centroid_count_and_shape(self, emb):
+        cents = S.train_coarse_centroids(emb, n_centroids=8, seed=7)
+        assert len(cents) == 8
+        assert all(len(c) == 64 for c in cents)
