@@ -40,6 +40,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # listed follows in catalog-registration order, flagship first.
 _DRIVER_PRIORITY: list[str] = [
     # --- new in round 3 (driver rows wanted this round) ---
+    "ext_heavy_hitters",
+    "ext_chunk_overlap",
+    "ext_embed_near_dup_mp",
+    "ext_embed_rr_pq",
     "ext_ann_pq_trained",
     "ext_ann_ivf_pq_trained",
     "ext_max_repeats",
@@ -88,15 +92,19 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_top_terms",
     "ext_funnel",
     "ext_cohort_retention",
+    # --- below here: outside the 50-query window this round ---
+    # r1 driver rows exist for q_moving_avg / ext_ann_brute; the trained /
+    # rows-only / codec-stub checks are the weakest driver signal and the
+    # round-3 rows-only variants are covered by pytest + the local replica
     "q_moving_avg",
-    "ext_ann_brute",      # r1 row exists, but anchors the ANN family
-    # --- lowest-value driver checks: rotate out first ---
+    "ext_ann_brute",
+    "ext_semdedup_trained",   # rows-only (iterative k-means cells)
+    "ext_ann_opq_trained",    # rows-only (PCA train + BLAS rotation)
     "ext_ann_ivf_kmeans",     # rows-only by design (iterative training)
     "ext_multimodal_decode",  # deterministic codec stub semantics
     "ext_frame_sample",
     "ext_audio_features",
-    # --- flagship: keep one core row in every window ---
-    "q1_groupby_fold",
+    "q1_groupby_fold",        # r1+r2 driver rows both green
 ]
 
 

@@ -63,6 +63,13 @@ HEADLINE = [
     # last-mile prep: vocab id-mapping + fixed-length sequence packing
     # (token explode + broadcast join + sharded cumsum window + groupBy)
     "ext_tokenize_pack",
+    # round-3 additions: mergeable Count-Min sketch (map-side-combining
+    # sketch build + broadcast point estimates), shuffle-free overlapping
+    # chunker (pure HOF expression throughput), and multi-probe near-dup
+    # blocking (probe-explode equi-join — shuffle volume vs table count)
+    "ext_heavy_hitters",
+    "ext_chunk_overlap",
+    "ext_embed_near_dup_mp",
 ]
 
 

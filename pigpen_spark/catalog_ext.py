@@ -1461,3 +1461,143 @@ def ext_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(T.token_count("text")).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: sketches, chunking, probe/rotation variants, trained cells
+# ---------------------------------------------------------------------------
+
+from pigpen_spark.functions import sketch as K  # noqa: E402
+
+
+@register(
+    "ext_heavy_hitters",
+    K.heavy_hitters_sql("documents", "text", depth=4, width=256, min_est=20),
+)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the corpus token stream: a
+    depth×width integer sketch built in ONE map-side-combining groupBy
+    (each executor's partial IS its local sketch; the reduce is the
+    sketch merge — the mergeable-summary posture of ext_hll_merge),
+    then point-estimates for candidate terms against the BROADCAST
+    sketch.  All integer md5-derived arithmetic → hash-exact oracle."""
+    docs = tables(spark, sf_dir)["documents"]
+    return K.heavy_hitters(docs.df, "text", depth=4, width=256, min_est=20)
+
+
+@register(
+    "ext_chunk_overlap",
+    P.chunk_overlap_sql("documents", "doc_id", "text", size=24, stride=16),
+)
+def ext_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (24-token windows, stride 16
+    ⇒ 8 shared context tokens between neighbors) — the RAG/long-context
+    prep primitive.  Pure let-bound HOF expression, zero shuffles."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.chunk_overlap(docs.df, "doc_id", "text", size=24, stride=16)
+
+
+# longer bands × fewer tables is multi-probe's sweet spot: 6-plane bands
+# pass ~11% of random pairs per table at Hamming≤1 (vs 31% for 4-plane
+# bands), and the distance-1 probes claw the per-table recall back to
+# ≈what 2-3 home-only tables of the same length would give — at HALF the
+# bucket hashing.  (Blocking at cosine 0.45 — this corpus's max-pair
+# regime — is intrinsically leaky; real near-dup thresholds ≥0.9 make
+# long bands dramatically more selective.)
+_MP_TABLES, _MP_PLANES = 2, 6
+_MP_BUCKETS = ", ".join(
+    S.lsh_bucket_sql("vec", _MP_PLANES, 64, plane_offset=t * _MP_PLANES)
+    for t in range(_MP_TABLES)
+)
+
+
+@register(
+    "ext_embed_near_dup_mp",
+    f"""
+    WITH base AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    home AS (
+      SELECT id, unnest(range({_MP_TABLES})) AS tbl, unnest([{_MP_BUCKETS}]) AS bucket
+      FROM base
+    ),
+    probes AS (
+      SELECT id, tbl, unnest({S.probe_buckets_sql('bucket', _MP_PLANES)}) AS bucket
+      FROM home
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM probes a JOIN home b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b, round({S.cosine_sql('va.vec', 'vb.vec')}, 6) AS score
+    FROM cand c JOIN base va ON c.id_a = va.id JOIN base vb ON c.id_b = vb.id
+    WHERE round({S.cosine_sql('va.vec', 'vb.vec')}, 6) >= 0.45
+    """,
+)
+def ext_embed_near_dup_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with MULTI-PROBE blocking: 4 tables × 4
+    planes, one side additionally probing the Hamming-distance-1 buckets
+    — candidate pairs differ in ≤1 plane of some table.  Probes trade
+    shuffle volume for hash tables (vs ext_embed_near_dup's 8×3
+    home-only blocking); Hamming-≤1 symmetry means probing ONE join side
+    finds every such pair.  Oracle replicates blocking + probing."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.embedding_near_dup_pairs(
+        emb.df, threshold=0.45, n_tables=_MP_TABLES, n_planes=_MP_PLANES,
+        dim=64, multi_probe=True,
+    )
+
+
+_RR_PERM, _RR_SIGNS = S.sign_permutation(64, seed=3)
+
+
+@register(
+    "ext_embed_rr_pq",
+    S.product_quantize_sql(
+        f"(SELECT vec_id, {S.sign_permute_sql('embedding', _RR_PERM, _RR_SIGNS)}"
+        " AS embedding FROM embeddings) rot",
+        "vec_id", "embedding", dim=64,
+    ),
+)
+def ext_embed_rr_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ behind a deterministic SIGNED-PERMUTATION pre-rotation (the
+    O(dim) structured member of the orthogonal-transform family FAISS
+    applies before PQ; ±1 multiplies are float-exact so the whole
+    pipeline stays hash-exact).  Permutation re-deals dimensions across
+    subspaces — the cheap version of OPQ's balanced allocation."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    rot = emb.df.select(
+        "vec_id",
+        S.sign_permute(F.col("embedding"), _RR_PERM, _RR_SIGNS).alias("embedding"),
+    )
+    return S.product_quantize(rot, dim=64).withColumnRenamed("id", "vec_id")
+
+
+@register("ext_semdedup_trained", None)  # iterative k-means training: rows-only
+def ext_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TRAINED k-means cells (the paper's own clustering)
+    instead of the deterministic first-16 stand-in: trained centroids
+    track the data distribution, so near-identical vectors co-locate in
+    a cell far more reliably and cell sizes stay balanced — which is
+    what bounds the Σ|cell|² pair work at scale.  Search plan is
+    byte-identical to ext_semdedup; only the centroid literals differ."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    cents = S.train_coarse_centroids(emb.df, n_centroids=16, seed=7)
+    return S.semantic_dedup(emb.df, threshold=0.45, centroids=cents)
+
+
+@register("ext_ann_opq_trained", None)  # PCA training + BLAS rotation: rows-only
+def ext_ann_opq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated trained PQ search (Ge et al. 2013 parametric OPQ):
+    PCA eigenbasis + eigenvalue allocation trained on a bounded
+    driver-side sample, applied as an Arrow-batched numpy GEMM
+    (rotations are orthogonal ⇒ distances are preserved, so ADC ranks
+    in rotated space are valid in the original space), then k-means PQ
+    codebooks and ADC top-5 — the full FAISS ``OPQMatrix +
+    IndexPQ`` stack.  BLAS float order ⇒ rows-only oracle; recon-MSE
+    improvement vs identity is asserted in tests on anisotropic data."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    R = S.train_opq_rotation(emb.df, dim=64, m=8)
+    rot = S.rotate_vectors(emb.df, "vec_id", "embedding", R).transform(_persisted)
+    cb = S.train_pq_codebook(rot, dim=64, seed=7)
+    q = rot.filter(F.col("vec_id") < 10)
+    return S.pq_adc_topk(rot, q, k=5, dim=64, codebook=cb)

@@ -795,3 +795,69 @@ def max_repeats_sql(table: str, id_col: str, text_col: str,
              AS repeat_text
     FROM spans s JOIN tk USING (id)
     """
+
+
+def chunk_overlap(df: DataFrame, id_col: str, text_col: str,
+                  size: int = 64, stride: int = 48) -> DataFrame:
+    """Sliding-window document chunking WITH OVERLAP — the RAG /
+    long-context training-prep primitive (split every document into
+    ``size``-token windows advancing by ``stride`` tokens, so adjacent
+    chunks share ``size − stride`` tokens of context; cf. the
+    fixed-stride chunkers in every retrieval stack).
+
+    Per-row HOF expression only: tokens are let-bound (ONE tokenize per
+    document), windows are a transform over a precomputed chunk-count
+    sequence, and the result explodes to (id, chunk_id, chunk, n_tokens)
+    rows.  No shuffle at all — embarrassingly parallel over documents,
+    the right shape at any corpus size.  Chunk count is
+    1 + ceil((len − size)/stride) clamped to ≥1 (every doc yields at
+    least one chunk; trailing windows shorter than ``size`` keep their
+    actual token count).
+
+    Returns (id, chunk_id, chunk, n_tokens); hash-exact DuckDB oracle in
+    :func:`chunk_overlap_sql`."""
+    from pigpen_spark.functions.text import _let, tokens
+
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"chunk_overlap: size ({size}) and stride ({stride}) "
+                         "must be positive")
+    chunks = _let(tokens(_c(text_col)), lambda toks: F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.lit(0),
+                    F.ceil((F.size(toks) - F.lit(size)) / F.lit(float(stride))).cast("int"),
+                ),
+            ),
+            lambda i: F.struct(
+                F.array_join(F.slice(toks, i * stride + 1, size), " ").alias("chunk"),
+                F.least(F.lit(size), F.size(toks) - i * stride).cast("long").alias("n_tokens"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk:string,n_tokens:bigint>>")))
+    return (
+        df.select(_c(id_col).alias("id"), F.posexplode(chunks).alias("chunk_id", "c"))
+        .select("id", F.col("chunk_id").cast("long").alias("chunk_id"),
+                "c.chunk", "c.n_tokens")
+    )
+
+
+def chunk_overlap_sql(table: str, id_col: str, text_col: str,
+                      size: int = 64, stride: int = 48) -> str:
+    """DuckDB oracle for :func:`chunk_overlap` (same window arithmetic)."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    return f"""
+    WITH t AS (SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+    w AS (
+      SELECT id, toks,
+             unnest(range(0, 1 + greatest(0,
+               cast(ceil((len(toks) - {size}) / {float(stride)}) AS int)))) AS chunk_id
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT id, chunk_id::BIGINT AS chunk_id,
+           array_to_string(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {size}], ' ') AS chunk,
+           least({size}, len(toks) - chunk_id * {stride})::BIGINT AS n_tokens
+    FROM w
+    """

@@ -436,7 +436,7 @@ def _ivf_search(base: DataFrame, cents: DataFrame, k: int, n_probe: int) -> Data
 def embedding_near_dup_pairs(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_tables: int = 4, n_planes: int = 8,
-    dim: int | None = None, exact: bool = False,
+    dim: int | None = None, exact: bool = False, multi_probe: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, blocked on multi-table
     hyperplane LSH — NEVER all-pairs unless ``exact=True`` is forced.
@@ -454,6 +454,16 @@ def embedding_near_dup_pairs(
     cosine 0.95 while passing only ≈6% of random pairs; for LOW thresholds
     (exploratory near-dup at cosine ≈0.5, θ≈60°) use shorter bands and
     more tables (e.g. ``n_planes=3, n_tables=8`` → ≈0.93 recall).
+
+    ``multi_probe=True`` additionally probes, per table, the n_planes
+    buckets at Hamming distance 1 from the vector's home bucket —
+    candidates become pairs whose sign patterns differ in ≤1 plane of
+    SOME table.  Hamming-≤1 is symmetric, so probing only ONE join side
+    (against home buckets on the other) already finds every such pair:
+    the probe explode costs (n_planes+1)× join-key rows on one side and
+    ZERO extra hashing, trading shuffle volume for tables exactly like
+    :func:`lsh_topk`'s multi-probe.  Use longer bands × fewer tables at
+    the same recall (fewer bucket computations per vector).
 
     ``exact=True`` keeps the previous brute all-pairs form for small
     corpora / recall audits; norms are still computed once per vector
@@ -482,7 +492,14 @@ def embedding_near_dup_pairs(
         for t in range(n_tables)
     ])
     tagged = base.select("id", F.posexplode(buckets).alias("tbl", "bucket"))
-    a, b = tagged.alias("a"), tagged.alias("b")
+    if multi_probe:
+        a = tagged.select(
+            "id", "tbl",
+            F.explode(probe_buckets(F.col("bucket"), n_planes)).alias("bucket"),
+        ).alias("a")
+    else:
+        a = tagged.alias("a")
+    b = tagged.alias("b")
     cand = (
         a.join(
             b,
@@ -546,6 +563,7 @@ def knn_label(
 def semantic_dedup(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embeddings, compare pairs ONLY
@@ -564,7 +582,15 @@ def semantic_dedup(
 
     Returns one row per corpus vector: (id, cell, cluster, kept) — the
     min-id member of each near-dup component survives, like
-    :func:`~pigpen_spark.functions.dedup.dedup_keep`."""
+    :func:`~pigpen_spark.functions.dedup.dedup_keep`.
+
+    ``centroids`` (n×dim driver literals, e.g. from
+    :func:`train_coarse_centroids`) swaps the deterministic first-N cell
+    table for TRAINED cells without touching the plan — trained cells
+    track the data distribution, so near-dup pairs land in the same cell
+    far more reliably (the SemDeDup paper clusters with k-means for
+    exactly this reason) and cell sizes stay balanced, which is what
+    bounds the Σ|cell|² pair work at scale."""
     from pigpen_spark.functions.dedup import dedup_keep
 
     base = (
@@ -573,11 +599,17 @@ def semantic_dedup(
         .withColumn("nrm", norm(F.col("vec")))
         .transform(_persisted)
     )
-    cents = (
-        base.orderBy("id").limit(n_centroids)
-        .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"),
-                F.col("nrm").alias("cent_nrm"))
-    )
+    if centroids is not None:
+        cents = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cent_id int, cent_vec array<double>",
+        ).withColumn("cent_nrm", norm(F.col("cent_vec")))
+    else:
+        cents = (
+            base.orderBy("id").limit(n_centroids)
+            .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"),
+                    F.col("nrm").alias("cent_nrm"))
+        )
     csim = F.try_divide(
         dot(F.col("vec"), F.col("cent_vec")), F.col("nrm") * F.col("cent_nrm")
     )
@@ -1162,3 +1194,135 @@ def group_centroids(df: DataFrame, group_col, vec_col, dim: int) -> DataFrame:
             F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("centroid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rotation pre-transforms for PQ (the OPQ family)
+# ---------------------------------------------------------------------------
+
+
+def sign_permutation(dim: int, seed: int = 0) -> tuple[list[int], list[float]]:
+    """Deterministic signed permutation — the cheapest member of the
+    orthogonal pre-transform family PQ indexes use to decorrelate /
+    re-balance subspaces (FAISS ships the dense cousin as
+    ``RandomRotationMatrix``; a signed permutation is the O(dim)
+    structured case, the ``P·D`` factor of fast Johnson-Lindenstrauss
+    ``H·D`` transforms).  Fisher-Yates driven by md5 draws, so both
+    engines bake in identical literals (same trick as
+    :func:`plane_values`).
+
+    Returns ``(perm, signs)``: output dim ``i`` takes input dim
+    ``perm[i]`` times ``signs[i] ∈ {−1.0, 1.0}`` — multiplication by ±1
+    is float-exact, so a permuted pipeline stays hash-exact against its
+    DuckDB oracle."""
+    import hashlib
+
+    perm = list(range(dim))
+    for i in range(dim - 1, 0, -1):
+        j = int(hashlib.md5(f"sp-{seed}-{i}".encode()).hexdigest()[:8], 16) % (i + 1)
+        perm[i], perm[j] = perm[j], perm[i]
+    signs = [
+        1.0 if int(hashlib.md5(f"sg-{seed}-{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+    return perm, signs
+
+
+def sign_permute(vec, perm: list[int], signs: list[float]) -> Column:
+    """Apply :func:`sign_permutation` as a pure projection —
+    ``out[i] = vec[perm[i]] · signs[i]``, dim element_at's, no shuffle,
+    no UDF.  ``vec`` should be a materialized column (each slot
+    references it once)."""
+    v = to_double(vec)
+    return F.array(*[
+        F.element_at(v, perm[i] + 1) * F.lit(signs[i]) for i in range(len(perm))
+    ])
+
+
+def sign_permute_sql(vec: str, perm: list[int], signs: list[float]) -> str:
+    """DuckDB equivalent of :func:`sign_permute` (same literals)."""
+    parts = ", ".join(
+        f"({vec})[{p + 1}]::DOUBLE * {s!r}" for p, s in zip(perm, signs)
+    )
+    return f"[{parts}]"
+
+
+def train_opq_rotation(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, m: int = 8, sample_size: int = 4096,
+) -> list[list[float]]:
+    """Parametric OPQ rotation (Ge et al., CVPR 2013, "Optimized Product
+    Quantization", the non-iterative OPQ_P solution): PCA eigenbasis +
+    eigenvalue allocation — principal directions are dealt to the ``m``
+    subspaces so each subspace gets a balanced eigenvalue product
+    (balanced information ⇒ balanced per-subspace quantization error),
+    greedily assigning each eigenvalue (descending) to the unfilled
+    subspace with the smallest log-product so far.
+
+    Trained DRIVER-SIDE on a bounded deterministic sample (first
+    ``sample_size`` rows by id — FAISS ``OPQMatrix::train`` subsamples
+    too); the result is a dim×dim float64 matrix on the driver, tiny,
+    re-entering the plan as a literal/broadcast.  Rotated PQ never does
+    worse than identity-PQ on anisotropic data; on isotropic data it is
+    a no-op in expectation."""
+    import numpy as np
+
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"train_opq_rotation: m ({m}) must divide dim ({dim})")
+    rows = (
+        spread(corpus)
+        .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
+        .orderBy("id").limit(sample_size).collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if X.size == 0:
+        return [[1.0 if i == j else 0.0 for j in range(dim)] for i in range(dim)]
+    Xc = X - X.mean(axis=0)
+    cov = (Xc.T @ Xc) / max(len(X) - 1, 1)
+    w, V = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    d = dim // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = [0.0] * m
+    for i in range(dim):
+        b = min(
+            (b for b in range(m) if len(buckets[b]) < d),
+            key=lambda b: (logs[b], b),
+        )
+        buckets[b].append(i)
+        logs[b] += float(np.log(max(float(w[i]), 1e-12)))
+    cols = [i for b in buckets for i in b]
+    R = V[:, cols].T  # rotated = R @ x; row i is the eigvec feeding out-dim i
+    return [[float(x) for x in row] for row in R]
+
+
+def rotate_vectors(
+    df: DataFrame, id_col: str, vec_col: str, rotation: list[list[float]],
+) -> DataFrame:
+    """Apply a driver-side dense rotation-matrix literal to a vector
+    column with an Arrow-batched numpy matmul — the production path for
+    dense orthogonal transforms: dim² FLOPs per vector are SIMD batch
+    work (one BLAS GEMM per Arrow batch), not expression-tree work.
+
+    NOT hash-exact across engines (BLAS sum order ≠ the left-fold), so
+    trained-OPQ consumers carry rows-only oracles; the hash-exact
+    structured alternative is :func:`sign_permute`."""
+    import numpy as np
+    import pandas as pd
+
+    R = np.asarray(rotation, dtype=np.float64)
+
+    def _rot(batch):
+        if len(batch) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray(batch.tolist(), dtype=np.float64)
+        Y = X @ R.T
+        return pd.Series(list(Y))
+
+    _rot.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_rot, "array<double>")
+    return df.withColumn(vec_col, udf(to_double(F.col(vec_col))))

@@ -1,0 +1,147 @@
+"""Mergeable frequency sketches: Count-Min heavy hitters.
+
+Extension surface (BASELINE.json north star — corpus-analysis ops a
+training-data pipeline needs).  The reference's analytics layer stops at
+exact grouped counts (pigpen-core join/fold, e.g. pigpen.core/group-by +
+count); at 100 TB an exact term-frequency table is itself a giant
+dataset, so the scale tool is a *mergeable sketch*: fixed-size partial
+sketches combine associatively across partitions/executors — the same
+two-level posture as the HLL queries (``ext_hll_merge``).
+
+Count-Min (Cormode & Muthukrishnan 2005): depth×width integer counters;
+``est(x) = min_r counter[r][h_r(x)]`` overestimates by at most
+ε·N with probability 1−δ (ε = e/width, δ = e^−depth).  Everything here
+is integer arithmetic over md5-derived token hashes — the exact
+portable-hash discipline of :mod:`pigpen_spark.functions.dedup` — so the
+DuckDB oracle reproduces every counter and estimate hash-exactly.
+
+Plan shape (see ``heavy_hitters``): one token explode → ONE groupBy
+(r, bucket) with map-side partial aggregation builds the sketch
+(≤ depth·width rows — broadcastable by construction); estimation joins
+candidate terms against the BROADCAST sketch and takes a min over depth
+rows.  No all-terms exact count table ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pigpen_spark.functions.dedup import _P, _hconst, token_hashes, token_hashes_sql
+from pigpen_spark.functions.text import tokens
+
+
+def cms_bucket(h: Column, r: int, width: int) -> Column:
+    """Row-``r`` counter index for a 32-bit token hash: universal hash
+    ``(A_r·h + B_r) mod P mod width`` — pure modular arithmetic, one
+    md5 per token TOTAL (in :func:`token_hashes`), not per row."""
+    a, b = _hconst("cms-a", r), _hconst("cms-b", r)
+    return ((F.lit(a) * h + F.lit(b)) % F.lit(_P)) % F.lit(width)
+
+
+def cms_bucket_sql(h: str, r: int, width: int) -> str:
+    """DuckDB equivalent of :func:`cms_bucket` (same literals)."""
+    a, b = _hconst("cms-a", r), _hconst("cms-b", r)
+    return f"(({a} * {h} + {b}) % {_P}) % {width}"
+
+
+def cms_sketch(df: DataFrame, text_col: str, depth: int = 4,
+               width: int = 512) -> DataFrame:
+    """Build the Count-Min sketch of the corpus token stream as a
+    (r, bucket, cnt) DataFrame with ≤ depth·width rows.
+
+    ONE shuffle: explode tokens → per-token 32-bit hash → explode the
+    ``depth`` (r, bucket) coordinates → groupBy(r, bucket).count() with
+    map-side partial aggregation — each executor's partial IS its local
+    sketch and the reduce is the sketch merge, which is what makes this
+    the 1000-executor pattern (counters add; no per-term state)."""
+    toks = df.select(F.explode(token_hashes(F.col(text_col))).alias("h"))
+    coords = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    cms_bucket(F.col("h"), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("c")
+    ).select("c.r", "c.bucket")
+    return coords.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def heavy_hitters(df: DataFrame, text_col: str, depth: int = 4,
+                  width: int = 512, min_est: int = 10) -> DataFrame:
+    """Heavy hitters by Count-Min estimate: every distinct token whose
+    sketch estimate is ≥ ``min_est``, with the estimate.
+
+    Candidate terms are the corpus's distinct tokens (at true scale:
+    distinct tokens of a SAMPLE, or a known vocabulary — any candidate
+    superset works because the sketch answers point queries); each term
+    recomputes its ``depth`` buckets and takes ``min(cnt)`` over a
+    BROADCAST join against the ≤ depth·width-row sketch.  The estimate
+    can only overestimate, so recall of true heavy hitters is exact.
+
+    Returns (term, est) — integer estimates, hash-exact vs the DuckDB
+    oracle (:func:`heavy_hitters_sql`)."""
+    sketch = cms_sketch(df, text_col, depth=depth, width=width)
+    terms = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .distinct()
+        .withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
+        )
+    )
+    probes = terms.select(
+        "term",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    cms_bucket(F.col("h"), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("c"),
+    ).select("term", "c.r", "c.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.filter(F.col("est") >= min_est)
+
+
+def heavy_hitters_sql(table: str, text_col: str, depth: int = 4,
+                      width: int = 512, min_est: int = 10) -> str:
+    """DuckDB oracle for :func:`heavy_hitters` — identical md5 token
+    hashes, identical universal-hash literals, identical integer
+    counters."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    coord_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, {cms_bucket_sql('h', r, width)} AS bucket FROM th"
+        for r in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT term, {r} AS r, {cms_bucket_sql('h', r, width)} AS bucket FROM terms"
+        for r in range(depth)
+    )
+    return f"""
+    WITH th AS (
+      SELECT unnest({token_hashes_sql(text_col)}) AS h FROM {table}
+    ),
+    coords AS ({coord_rows}),
+    sketch AS (
+      SELECT r, bucket, count(*)::BIGINT AS cnt FROM coords GROUP BY r, bucket
+    ),
+    terms AS (
+      SELECT DISTINCT t AS term,
+             ('0x' || substring(md5(t), 1, 8))::BIGINT AS h
+      FROM (SELECT unnest({toks}) AS t FROM {table})
+    ),
+    probes AS ({probe_rows})
+    SELECT p.term, min(s.cnt) AS est
+    FROM probes p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+    GROUP BY p.term
+    HAVING min(s.cnt) >= {min_est}
+    """

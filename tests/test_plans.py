@@ -140,3 +140,43 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_heavy_hitters_sketch_is_partial_agg_and_broadcast_probe(spark, sf_dir):
+    # the sketch build must partial-aggregate map-side (executor partials
+    # ARE local sketches) and the point estimates must probe a BROADCAST
+    # sketch — shuffling terms against a shuffled sketch would defeat the
+    # mergeable-summary design
+    qs = catalog.queries()
+    p = qs["ext_heavy_hitters"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
+    # overlapping chunking is a pure per-row HOF + explode: any exchange
+    # is a regression
+    qs = catalog.queries()
+    p = qs["ext_chunk_overlap"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+
+
+def test_near_dup_mp_stays_equi_join(spark, sf_dir):
+    # multi-probe blocking must keep the (table, bucket) equi-join shape —
+    # the probe explode must not degrade candidate generation to an
+    # all-pairs nested loop
+    qs = catalog.queries()
+    p = qs["ext_embed_near_dup_mp"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_rr_pq_coding_is_shuffle_free(spark, sf_dir):
+    # the signed-permutation rotation is a projection; rotated PQ coding
+    # must stay per-row like the unrotated form
+    qs = catalog.queries()
+    p = qs["ext_embed_rr_pq"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p
+    assert "SortMergeJoin" not in p
