@@ -1601,3 +1601,53 @@ def ext_ann_opq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = S.train_pq_codebook(rot, dim=64, seed=7)
     q = rot.filter(F.col("vec_id") < 10)
     return S.pq_adc_topk(rot, q, k=5, dim=64, codebook=cb)
+
+
+from pigpen_spark.functions import bpe as B  # noqa: E402
+from pigpen_spark.tuning import key_skew_profile  # noqa: E402
+
+
+@register("ext_bpe_encode", None)  # iterative merge training: rows-only
+def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer trained on the corpus and applied back to it —
+    subword tokenization, the real thing behind ext_text_stats's BPE-ish
+    regex proxy.  Counting is the only corpus-sized pass (one groupBy
+    histogram); merge learning runs driver-side over the vocab-sized
+    histogram (Sennrich BPE, deterministic tie-breaks), exactly the
+    split production tokenizer trainers use; encoding is an
+    Arrow-batched pandas_udf with a per-batch word cache.  Iterative
+    training ⇒ rows-only; the algorithm is pinned by a pure-Python
+    differential test."""
+    docs = tables(spark, sf_dir)["documents"]
+    merges = B.train_bpe(docs.df, "text", n_merges=80)
+    enc = B.bpe_encode(docs.df, "doc_id", "text", merges)
+    # stable driver schema: arrays leave as joined strings (hash contract)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.array_join("pieces", " ").alias("pieces"),
+        "n_pieces",
+    )
+
+
+@register(
+    "ext_skew_profile",
+    """
+    WITH c AS (
+      SELECT l_suppkey AS key, count(*)::BIGINT AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT sum(cnt)::BIGINT AS total FROM c)
+    SELECT key, cnt, (cnt * 1000000) // total AS share_ppm
+    FROM c, t
+    ORDER BY cnt DESC, key
+    LIMIT 20
+    """,
+)
+def ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew profile as a relation: top-20 hottest keys with
+    integer ppm share — the pre-flight for salted_join salt factors and
+    AQE skew thresholds.  One map-side-combining agg + 1-row broadcast
+    total + TakeOrderedAndProject; integer share math keeps it
+    bit-identical across engines."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return key_skew_profile(li.df, "l_suppkey", top_n=20)

@@ -110,3 +110,32 @@ def skew_report(df: DataFrame, *key_cols, top: int = 10,
         "hottest_rows": hottest,
         "suggested_salt": max(1, -(-hottest // target_rows_per_partition)),
     }
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """DataFrame form of :func:`skew_report` — the top-``top_n`` hottest
+    keys with integer parts-per-million share, as a relation (so it can
+    be stored, joined against block-lists, or oracle-checked).
+
+    ONE map-side-combining aggregation for the per-key counts; the global
+    total is a 1-row aggregate broadcast back (scalar crossJoin — the
+    BM25 doc-stats pattern); top-N compiles to TakeOrderedAndProject.
+    ``share_ppm`` is integer math (cnt·10⁶ div total) so the result is
+    bit-identical across engines — no float division in a shuffled agg.
+    """
+    from pyspark.sql import functions as F
+
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key", "cnt",
+            F.expr("(cnt * 1000000) div __total").alias("share_ppm"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(top_n)
+    )
