@@ -47,7 +47,11 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_ann_pq_trained",
     "ext_ann_ivf_pq_trained",
     "ext_max_repeats",
-    "ext_normalize_unicode",
+    "ext_dedup_clusters_star",
+    "ext_snapshot_diff",
+    "ext_perplexity_buckets",
+    "ext_quantile_sketch",
+    "ext_dedup_events_window",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
@@ -73,15 +77,11 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_normalize",
     "ext_quality_classifier",
     "ext_quality_classifier_tbl",
-    "ext_lm_filter",
     "ext_repetition_stats",
     "ext_redact",
     "ext_quality_prune",
     "ext_split_hash",
     "ext_stratified_sample",
-    "ext_sample_per_group",
-    "ext_source_mix",
-    "ext_shuffle_det",
     "ext_pack_chunks",
     "ext_vocab",
     "ext_tokenize_pack",
@@ -89,10 +89,21 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_approx_distinct",
     "ext_hll_merge",
     "ext_bm25",
-    "ext_top_terms",
     "ext_funnel",
     "ext_cohort_retention",
     # --- below here: outside the 50-query window this round ---
+    # ext_normalize_unicode is rows-only (DuckDB lacks ICU NFKC): moved
+    # below the window so its slot goes to a hash-exact check; it keeps
+    # pytest + property coverage and the local-replica rows-only check.
+    "ext_normalize_unicode",
+    # same-family siblings demoted to make room (family keeps ≥1 in-window
+    # rep: split_hash/stratified_sample for det-hash sampling, bm25 for
+    # ranking, perplexity_buckets embeds the lm score):
+    "ext_sample_per_group",
+    "ext_source_mix",
+    "ext_shuffle_det",
+    "ext_top_terms",
+    "ext_lm_filter",
     # r1 driver rows exist for q_moving_avg / ext_ann_brute; the trained /
     # rows-only / codec-stub checks are the weakest driver signal and the
     # round-3 rows-only variants are covered by pytest + the local replica

@@ -1651,3 +1651,146 @@ def ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines."""
     li = tables(spark, sf_dir)["lineitem"]
     return key_skew_profile(li.df, "l_suppkey", top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# round-3 third pass: star WCC, CDC diff, CCNet buckets, quantile sketch,
+# windowed event dedup
+# ---------------------------------------------------------------------------
+
+from pigpen_spark.functions import sketch as K  # noqa: E402
+from pigpen_spark.functions.classify import (  # noqa: E402
+    perplexity_buckets, perplexity_buckets_sql,
+)
+from pigpen_spark.operators.analytics import (  # noqa: E402
+    snapshot_diff, snapshot_diff_sql,
+)
+from pigpen_spark.operators.windows import (  # noqa: E402
+    dedup_keyed_window, dedup_keyed_window_sql,
+)
+
+
+@register(
+    "ext_dedup_clusters_star",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b
+        ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id, min(r)::BIGINT AS cluster FROM reach GROUP BY id
+    """,
+)
+def ext_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al. 2014) on a HIGH-DIAMETER duplicate graph — chains of
+    consecutive same-language documents (the crawl-snapshot-revision
+    shape).  min-label propagation needs O(chain length) shuffles here;
+    star converges in O(log n) rounds.  Labels are byte-identical to
+    :func:`pigpen_spark.functions.dedup.dedup_clusters` (property-tested)
+    and the oracle is the exact recursive-CTE transitive closure."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id", "lang")
+    nxt = docs.select((F.col("doc_id") + 1).alias("doc_id"),
+                      F.col("lang"), F.col("doc_id").alias("prev_id"))
+    pairs = docs.join(nxt, on=["doc_id", "lang"]).select(
+        F.col("prev_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    return D.dedup_clusters_star(pairs)
+
+
+_SNAP_OLD = """
+  SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 2) AS total
+  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id
+"""
+_SNAP_NEW = """
+  SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 2) AS total
+  FROM events WHERE ts >= TIMESTAMP '2024-01-08' GROUP BY user_id
+"""
+
+
+@register(
+    "ext_snapshot_diff",
+    snapshot_diff_sql(_SNAP_OLD, _SNAP_NEW, ["user_id"], ["n_events", "total"]),
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data capture between two keyed snapshots: per-user rollups
+    over two overlapping time windows, diffed into added / removed /
+    changed / unchanged in ONE co-partitioned full-outer join — the diff
+    plan that compares two 100 TB snapshot tables without materializing
+    either.  (``hash_compare=True`` is the wide-table variant: xxhash64
+    per side before the join; pytest-covered.)"""
+    ev = tables(spark, sf_dir)["events"].df
+    def snap(pred):
+        return ev.where(pred).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    old = snap(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    new = snap(F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+    return snapshot_diff(old, new, keys=["user_id"], compare=["n_events", "total"])
+
+
+@register(
+    "ext_perplexity_buckets",
+    perplexity_buckets_sql("documents", "doc_id", "text", "lang", n_buckets=3),
+)
+def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (head/middle/tail,
+    Wenzek et al. 2020): bigram-LM fluency score + exact per-language
+    tercile via integer rank math.  The production/scale form (trained
+    cutoff literals, no window — the shape CCNet actually deploys) is the
+    ``thresholds=`` parameter, pytest-covered."""
+    docs = tables(spark, sf_dir)["documents"]
+    return perplexity_buckets(docs.df, "doc_id", "text", "lang", n_buckets=3)
+
+
+@register(
+    "ext_quantile_sketch",
+    K.histogram_quantiles_sql(
+        "lineitem", "round(l_extendedprice * 100)::BIGINT",
+        lo=0, hi=11_000_000, n_bins=256,
+    ),
+)
+def ext_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles (p50/p90/p99 of extended
+    price in integer cents): per-shard partial histograms (sharded by
+    return flag — the explicit two-level rollup) merge by counter
+    addition, the same 1000-executor posture as ``ext_hll_merge`` but
+    DETERMINISTIC — unlike ``approx_percentile``, the estimate is
+    identical under any partitioning, so the oracle is hash-exact, not
+    bound-checked.  Error ≤ one bin width by construction
+    (pytest-asserted against the exact quantile)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    return K.histogram_quantiles(
+        li.df, cents, lo=0, hi=11_000_000, n_bins=256,
+        shard_col=F.col("l_returnflag"),
+    )
+
+
+@register(
+    "ext_dedup_events_window",
+    dedup_keyed_window_sql(
+        ["user_id", "event_type"], "ts", 600, tiebreak=["event_id"],
+        table="events",
+        cols="event_id, ts, user_id, event_type, value, props",
+    ),
+)
+def ext_dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, event type, 10-min tumbling window) —
+    the batch twin of streaming ``dropDuplicatesWithinWatermark`` (backfill
+    and live paths MUST share one duplicate definition).  Integer
+    microsecond window ids; ONE shuffle; WindowGroupLimit prunes to one
+    row per window before the exchange."""
+    ev = tables(spark, sf_dir)["events"].df
+    return dedup_keyed_window(
+        ev, ["user_id", "event_type"], "ts", 600, tiebreak=["event_id"])

@@ -239,3 +239,88 @@ def bigram_lm_score_sql(col: str, tag: str = "lm", scale: int = 1 << 24) -> str:
              END
         for t in [({toks})]])[1]
     """
+
+
+def perplexity_buckets(df, id_col: str, text_col: str, lang_col: str,
+                       n_buckets: int = 3, tag: str = "lm",
+                       thresholds: dict[str, list[float]] | None = None):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the bigram-LM fluency score and assign a per-language
+    head/middle/tail bucket (0 = most fluent).
+
+    Two forms, one semantics:
+
+    - ``thresholds=None`` (exact form, the oracle-checked catalog query):
+      bucket = ``((rank-1)·n) div count`` over a PARTITION BY language
+      window ordered by (score DESC, id) — integer math, bit-exact across
+      engines.  The per-language window is the honest cost of *exact*
+      terciles; languages parallelize across each other.
+    - ``thresholds={lang: [cut1, cut2, ...]}`` (the production/scale
+      form): bucket = number of descending score cutoffs the document
+      falls below — a pure broadcast-literal comparison with NO window
+      and no shuffle beyond the scan, exactly how CCNet deploys (cutoffs
+      are trained once on a sample, then applied to the full crawl).
+
+    Documents with no bigrams (≤1 token) score NULL and land in a NULL
+    bucket — callers gate degenerate docs explicitly.
+
+    Returns (id, lang, lm_score, bucket)."""
+    from pyspark.sql import Window
+
+    score = bigram_lm_score(F.col(text_col), tag=tag)
+    scored = df.select(F.col(id_col), F.col(lang_col), score.alias("lm_score"))
+    if thresholds is not None:
+        def _lang_bucket(cuts: list[float]) -> Column:
+            b = F.lit(0).cast("bigint")
+            for c in cuts:  # descending cutoffs: below a cut ⇒ next bucket
+                b = b + F.when(F.col("lm_score") < F.lit(float(c)), 1).otherwise(0)
+            return b
+        bucket = F.lit(None).cast("bigint")
+        for lang, cuts in sorted(thresholds.items(), reverse=True):
+            bucket = F.when(F.col(lang_col) == F.lit(lang), _lang_bucket(list(cuts))) \
+                      .otherwise(bucket)
+        return scored.select(
+            F.col(id_col), F.col(lang_col), F.col("lm_score"),
+            F.when(F.col("lm_score").isNotNull(), bucket).alias("bucket"),
+        )
+    w = Window.partitionBy(lang_col).orderBy(F.col("lm_score").desc(), F.col(id_col))
+    ranked = scored.where(F.col("lm_score").isNotNull()).select(
+        "*",
+        F.row_number().over(w).cast("bigint").alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(lang_col)).alias("__cnt"),
+    )
+    bucketed = ranked.select(
+        F.col(id_col), F.col(lang_col), F.col("lm_score"),
+        F.floor((F.col("__rn") - 1) * n_buckets / F.col("__cnt")).cast("bigint").alias("bucket"),
+    )
+    nulls = scored.where(F.col("lm_score").isNull()).select(
+        F.col(id_col), F.col(lang_col), F.col("lm_score"),
+        F.lit(None).cast("bigint").alias("bucket"),
+    )
+    return bucketed.unionByName(nulls)
+
+
+def perplexity_buckets_sql(table: str, id_col: str, text_col: str,
+                           lang_col: str, n_buckets: int = 3,
+                           tag: str = "lm") -> str:
+    """DuckDB oracle for the exact (windowed) form of
+    :func:`perplexity_buckets` — same integer bucket math."""
+    lm = bigram_lm_score_sql(text_col, tag=tag)
+    return f"""
+    WITH s AS (
+      SELECT {id_col}, {lang_col}, ({lm}) AS lm_score FROM {table}
+    ),
+    r AS (
+      SELECT {id_col}, {lang_col}, lm_score,
+             row_number() OVER (PARTITION BY {lang_col}
+                                ORDER BY lm_score DESC, {id_col}) AS rn,
+             count(*) OVER (PARTITION BY {lang_col}) AS cnt
+      FROM s WHERE lm_score IS NOT NULL
+    )
+    SELECT {id_col}, {lang_col}, lm_score,
+           ((rn - 1) * {n_buckets} // cnt)::BIGINT AS bucket
+    FROM r
+    UNION ALL
+    SELECT {id_col}, {lang_col}, lm_score, NULL::BIGINT AS bucket
+    FROM s WHERE lm_score IS NULL
+    """

@@ -664,6 +664,108 @@ def _union_find_local(edges: DataFrame, id_type) -> DataFrame:
     return spark.createDataFrame(out, schema)
 
 
+def dedup_clusters_star(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                        max_iter: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round sibling of :func:`dedup_clusters`'s
+    min-label propagation, which needs O(component diameter) rounds.
+
+    LSH near-dup clusters are small-diameter, so min-label is the right
+    default THERE; this variant is for high-diameter duplicate graphs —
+    chained paraphrase edits, crawl-snapshot chains, span-overlap graphs —
+    where a 10⁴-long path costs min-label 10⁴ shuffles but star ~log₂
+    rounds (each round halves attachment depth by pointer doubling).
+
+    Per round, both stars are pure relational ops with NO neighbor-list
+    collection (high-degree nodes never materialize a bag — the min over
+    neighbors partial-aggregates map-side, and the emit is a join back on
+    the grouping key, which AQE skew-splits for celebrity nodes):
+
+    - **large-star**: every node's strictly-larger neighbors re-attach to
+      its minimum neighbor (or itself) — ``m(u) = min(u, min N(u))``;
+      emit (v, m(u)) for v ∈ N(u), v > u.
+    - **small-star**: in the resulting parent-pointing graph, every
+      node's parents collapse onto the minimum — emit (u, m(u)) and
+      (v, m(u)) for the non-min parents v.
+
+    Fixpoint = the directed edge set is STABLE (exact set equality via
+    exceptAll + count probes, not a checksum); at fixpoint the graph is a
+    disjoint union of stars rooted at each component's min id, so labels
+    are byte-identical to :func:`dedup_clusters` (property-tested).
+    ``localCheckpoint`` per round truncates lineage exactly as the
+    min-label loop does.
+
+    Returns (id, cluster) with the same contract as :func:`dedup_clusters`.
+    """
+    slim = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # drop self-loops; bidirectional edges for the first large-star
+    edges = (
+        slim.where(F.col("src") != F.col("dst"))
+        .union(slim.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                   .where(F.col("src") != F.col("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    isolated = slim.where(F.col("src") == F.col("dst")).select("src").distinct()
+
+    def _mins(d: DataFrame) -> DataFrame:
+        # m(u) = min(u, min over N(u)) — partial-aggregating, no bags
+        return d.groupBy("src").agg(
+            F.least(F.min("dst"), F.col("src")).alias("m")
+        )
+
+    def large_star(d: DataFrame) -> DataFrame:
+        # large-star consumes the UNDIRECTED neighborhood: symmetrize the
+        # (by then parent-pointing) edge set first — without the reverse
+        # edges a parent chain is a false fixpoint (no pointer doubling).
+        d = d.union(d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+        m = _mins(d)
+        out = (
+            d.join(m, on="src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        # keep u→m(u) so roots stay reachable even when u has no larger nbr
+        return out.union(m.select(F.col("src"), F.col("m").alias("dst"))) \
+                  .where(F.col("src") != F.col("dst")).distinct()
+
+    def small_star(d: DataFrame) -> DataFrame:
+        m = _mins(d)
+        reattach = (
+            d.join(m, on="src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        out = reattach.union(m.select(F.col("src"), F.col("m").alias("dst")))
+        return out.where(F.col("src") != F.col("dst")).distinct()
+
+    prev = edges
+    for _ in range(max_iter):
+        nxt = small_star(large_star(prev)).localCheckpoint(eager=True)
+        # exact set-equality fixpoint: counts equal AND no row differs
+        if (nxt.count() == prev.count()
+                and nxt.exceptAll(prev).limit(1).count() == 0):
+            prev = nxt
+            break
+        prev = nxt
+    else:
+        raise RuntimeError(
+            f"dedup_clusters_star: not converged after {max_iter} rounds"
+        )
+    # stars point child → root(min); roots + isolated nodes label themselves
+    members = prev.select(F.col("src").alias("id"), F.col("dst").alias("cluster"))
+    ids_seen = members.select("id")
+    roots = (
+        prev.select(F.col("dst").alias("id"))
+        .union(isolated.select(F.col("src").alias("id")))
+        .distinct()
+        .join(ids_seen, on="id", how="left_anti")
+        .select("id", F.col("id").alias("cluster"))
+    )
+    return members.union(roots)
+
+
 def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str,
                cluster_col: str = "cluster", keep_col: str = "kept") -> DataFrame:
     """End-to-end dedup decision: label every row of ``df`` with its

@@ -24,7 +24,7 @@ rows.  No all-terms exact count table ever materializes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pigpen_spark.functions.dedup import _P, _hconst, token_hashes, token_hashes_sql
@@ -144,4 +144,100 @@ def heavy_hitters_sql(table: str, text_col: str, depth: int = 4,
     FROM probes p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
     GROUP BY p.term
     HAVING min(s.cnt) >= {min_est}
+    """
+
+
+def histogram_sketch(df: DataFrame, value: Column, lo: int, hi: int,
+                     n_bins: int = 256, shard_col: Column | None = None) -> DataFrame:
+    """Fixed-bin integer histogram of ``value`` (caller supplies INTEGER
+    units — cents, micros — so binning is exact integer math): the
+    quantile-sketch sibling of :func:`cms_sketch` / ``ext_hll_merge``.
+
+    ``bin = clamp((x - lo) div w, 0, n_bins-1)`` with ``w = ceil((hi-lo)/
+    n_bins)``; out-of-range values clamp into the edge bins.  ONE groupBy
+    with map-side partial aggregation — each executor's partial counts ARE
+    its local sketch, the reduce is the merge (counters add), and the
+    result is ≤ ``n_bins`` rows regardless of input size.  When
+    ``shard_col`` is given, per-shard sketches materialize first and merge
+    in a second ≤ shards·n_bins-row agg — the explicit two-level rollup a
+    1000-executor fleet or a day-partitioned lake would run.
+
+    Returns (bin, cnt)."""
+    w = max(1, -((lo - hi) // n_bins))  # ceil((hi-lo)/n_bins), integer
+    x = value.cast("bigint")
+    b = F.floor((x - F.lit(lo)) / F.lit(w)).cast("bigint")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b)).alias("bin")
+    if shard_col is not None:
+        per_shard = (
+            df.select(shard_col.alias("shard"), bin_)
+            .groupBy("shard", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return per_shard.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    return df.select(bin_).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def histogram_quantiles(df: DataFrame, value: Column, lo: int, hi: int,
+                        n_bins: int = 256,
+                        ps_permille: tuple[int, ...] = (500, 900, 990),
+                        shard_col: Column | None = None) -> DataFrame:
+    """Quantile estimates from the mergeable histogram sketch: for each
+    requested permille ``p``, the lower bound of the first bin whose
+    cumulative count reaches ``p``/1000 of the total.
+
+    Error bound: one bin width ``w`` (≤ (hi-lo)/n_bins) for in-range
+    data — the estimate is deterministic, integer-exact, and identical
+    under any partitioning (counters are order-independent), unlike
+    ``approx_percentile`` whose merge is neither portable nor
+    engine-stable.  The cumulative pass runs over the ≤ n_bins-row sketch
+    (a bounded single-partition window — n_bins rows, not data rows).
+
+    Returns (p_permille, est, n_total) where ``est`` is in the caller's
+    integer units."""
+    w = max(1, -((lo - hi) // n_bins))
+    hist = histogram_sketch(df, value, lo, hi, n_bins, shard_col=shard_col)
+    cum = hist.select(
+        "bin", "cnt",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    ps = F.explode(F.array(*[F.lit(int(p)) for p in ps_permille])).alias("p_permille")
+    return (
+        cum.select(ps, "bin", "cum", "total")
+        .where(F.col("cum") * 1000 >= F.col("p_permille") * F.col("total"))
+        .groupBy("p_permille")
+        .agg(
+            (F.lit(lo) + F.min("bin") * F.lit(w)).alias("est"),
+            F.max("total").alias("n_total"),
+        )
+    )
+
+
+def histogram_quantiles_sql(table: str, value_sql: str, lo: int, hi: int,
+                            n_bins: int = 256,
+                            ps_permille: tuple[int, ...] = (500, 900, 990),
+                            ) -> str:
+    """DuckDB oracle for :func:`histogram_quantiles` — same integer bin,
+    cumulative, and selection math (sharding is merge-invariant, so the
+    unsharded oracle checks the sharded query too)."""
+    w = max(1, -((lo - hi) // n_bins))
+    plist = ", ".join(str(int(p)) for p in ps_permille)
+    return f"""
+    WITH hist AS (
+      SELECT least({n_bins - 1}, greatest(0, ({value_sql} - {lo}) // {w})) AS bin,
+             count(*)::BIGINT AS cnt
+      FROM {table} GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum,
+             sum(cnt) OVER ()::BIGINT AS total
+      FROM hist
+    )
+    SELECT p.p_permille, ({lo} + min(c.bin) * {w})::BIGINT AS est,
+           max(c.total)::BIGINT AS n_total
+    FROM (SELECT unnest([{plist}]) AS p_permille) p
+    JOIN cum c ON c.cum * 1000 >= p.p_permille * c.total
+    GROUP BY p.p_permille
     """

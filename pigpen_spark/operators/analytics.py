@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pigpen_spark.relation import _to_col as _c
+
 
 def funnel_users(events: DataFrame, steps: Sequence[str],
                  type_col: str = "event_type", user_col: str = "user_id",
@@ -177,4 +179,77 @@ def cohort_retention_sql(user_col: str = "user_id", ts_col: str = "ts",
            count(*)::BIGINT AS n_users
     FROM activity a JOIN cohorts c USING ({user_col})
     GROUP BY 1, 2
+    """
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+                  compare: Sequence[str] | None = None,
+                  hash_compare: bool = False,
+                  status_col: str = "status") -> DataFrame:
+    """Change-data capture between two snapshots of a keyed table:
+    every key is labeled ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, ≥1 compared column differs, null-safe), or
+    ``unchanged``.
+
+    ONE co-partitioned full-outer sort-merge join on ``keys`` — the plan
+    that diffs two 100 TB snapshots without ever materializing either.
+    ``compare`` defaults to all common non-key columns; output carries
+    them as ``old_<c>`` / ``new_<c>`` pairs next to the status.
+
+    ``hash_compare=True`` is the wide-table variant: each side reduces its
+    compared columns to one ``xxhash64`` BEFORE the join, so the shuffle
+    carries keys + 8 bytes per side instead of the full row width (the
+    right trade when the table has hundreds of columns and the caller only
+    wants the change log, not the values)."""
+    if compare is None:
+        kset = set(keys)
+        common = [c for c in old.columns if c in set(new.columns) and c not in kset]
+        compare = common
+    if not compare:
+        raise ValueError("snapshot_diff: no columns to compare")
+    if hash_compare:
+        o = old.select(*keys, F.xxhash64(*[_c(c) for c in compare]).alias("old_hash"))
+        n = new.select(*keys, F.xxhash64(*[_c(c) for c in compare]).alias("new_hash"))
+        differs = ~F.col("old_hash").eqNullSafe(F.col("new_hash"))
+        in_old, in_new = F.col("old_hash"), F.col("new_hash")
+    else:
+        o = old.select(*keys, F.lit(True).alias("__in_old"),
+                       *[_c(c).alias(f"old_{c}") for c in compare])
+        n = new.select(*keys, F.lit(True).alias("__in_new"),
+                       *[_c(c).alias(f"new_{c}") for c in compare])
+        differs = None
+        for c in compare:
+            d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            differs = d if differs is None else (differs | d)
+        in_old, in_new = F.col("__in_old"), F.col("__in_new")
+    j = o.join(n, on=list(keys), how="full_outer")
+    status = (
+        F.when(in_old.isNull(), F.lit("added"))
+        .when(in_new.isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.withColumn(status_col, status).drop("__in_old", "__in_new")
+
+
+def snapshot_diff_sql(old_sql: str, new_sql: str, keys: Sequence[str],
+                      compare: Sequence[str],
+                      status_col: str = "status") -> str:
+    """DuckDB oracle for :func:`snapshot_diff` (value-compare form):
+    ``old_sql``/``new_sql`` are subqueries producing keys + compared
+    columns."""
+    keycols = ", ".join(f"coalesce(o.{k}, n.{k}) AS {k}" for k in keys)
+    on = " AND ".join(f"o.{k} = n.{k}" for k in keys)
+    olds = ", ".join(f"o.{c} AS old_{c}" for c in compare)
+    news = ", ".join(f"n.{c} AS new_{c}" for c in compare)
+    differs = " OR ".join(f"o.{c} IS DISTINCT FROM n.{c}" for c in compare)
+    first_old = f"o.{keys[0]}"
+    first_new = f"n.{keys[0]}"
+    return f"""
+    SELECT {keycols}, {olds}, {news},
+           CASE WHEN {first_old} IS NULL THEN 'added'
+                WHEN {first_new} IS NULL THEN 'removed'
+                WHEN {differs} THEN 'changed'
+                ELSE 'unchanged' END AS {status_col}
+    FROM ({old_sql}) o FULL OUTER JOIN ({new_sql}) n ON {on}
     """

@@ -136,3 +136,54 @@ def moving_agg(df: DataFrame, partition_by: Sequence, order_by: Sequence,
         .rowsBetween(-preceding, following)
     )
     return df.withColumn(out_col, fn(_c(value)).over(w))
+
+
+def dedup_keyed_window(df: DataFrame, key_cols: Sequence, ts_col: str,
+                       window_seconds: int, tiebreak: Sequence = (),
+                       window_col: str = "window_id") -> DataFrame:
+    """Keep-first dedup per (key, tumbling time window) — the batch twin
+    of Structured Streaming's ``dropDuplicatesWithinWatermark`` (the
+    historical-backfill job MUST agree with the streaming job, so both
+    share one definition of "duplicate": same keys inside the same
+    ``window_seconds`` tumbling bucket).
+
+    The window id is integer microsecond math (``epoch_us div window``) —
+    no float boundary jitter, bit-identical across engines.  ONE shuffle
+    on (keys, window); each window-partition is bounded by per-key event
+    rates, so the row_number window never funnels; Spark rewrites the
+    rn=1 filter to WindowGroupLimit (partial per-map-task top-1 before
+    the exchange), which is the plan that survives dup-storms at 100 TB.
+
+    Returns the surviving rows + ``window_col``."""
+    micros = F.unix_micros(_c(ts_col).cast("timestamp"))
+    win = micros - (micros % F.lit(int(window_seconds) * 1_000_000))
+    keys = [_c(k) for k in key_cols]
+    order = [_c(ts_col).asc()] + [_c(t).asc() for t in tiebreak]
+    w = Window.partitionBy(*keys, win).orderBy(*order)
+    return (
+        df.withColumn(window_col, (win / F.lit(1_000_000)).cast("bigint"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_keyed_window_sql(key_cols: Sequence[str], ts_col: str,
+                           window_seconds: int, tiebreak: Sequence[str] = (),
+                           table: str = "events", cols: str = "*",
+                           window_col: str = "window_id") -> str:
+    """DuckDB oracle for :func:`dedup_keyed_window`."""
+    us = int(window_seconds) * 1_000_000
+    keys = ", ".join(key_cols)
+    order = ", ".join([ts_col] + list(tiebreak))
+    return f"""
+    WITH w AS (
+      SELECT {cols},
+             (epoch_us({ts_col}) - epoch_us({ts_col}) % {us}) // 1000000 AS {window_col},
+             row_number() OVER (
+               PARTITION BY {keys}, epoch_us({ts_col}) // {us}
+               ORDER BY {order}) AS rn
+      FROM {table}
+    )
+    SELECT * EXCLUDE (rn) FROM w WHERE rn = 1
+    """

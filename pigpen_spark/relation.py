@@ -273,26 +273,45 @@ class Relation:
 
     # -- sort / limit / sample (§2.5) --------------------------------------
 
-    def sort(self, *cols: ColumnLike, ascending: bool | Sequence[bool] | None = None) -> "Relation":
+    def sort(self, *cols: ColumnLike, ascending: bool | Sequence[bool] | None = None,
+             parallel: int | None = None) -> "Relation":
         """Total order (reference: pigpen.map/sort, map.clj:164-250).
         Spark range-partitions the sort — no single-reducer bottleneck.
 
         Columns may already be SortOrder expressions (``col.desc()``); they
-        are passed through untouched unless ``ascending`` is given."""
+        are passed through untouched unless ``ascending`` is given.
+
+        ``parallel`` is the reference's ``{:parallel n}`` reducer hint
+        (map.clj:164-250): it pins the number of range partitions instead
+        of ``spark.sql.shuffle.partitions``.  With AQE on, the default
+        path usually picks a good width on its own — the hint exists for
+        parity and for pinning output-file counts."""
         exprs = [_to_col(c) for c in cols]
         if ascending is not None:
             asc = [ascending] * len(exprs) if isinstance(ascending, bool) else list(ascending)
             if len(asc) != len(exprs):
                 raise ValueError(f"sort: {len(asc)} ascending flags for {len(exprs)} columns")
             exprs = [e.asc() if a else e.desc() for e, a in zip(exprs, asc)]
+        if parallel:
+            # repartitionByRange(n, keys) + sortWithinPartitions == a total
+            # order across exactly n range partitions (same plan orderBy
+            # builds, with the width pinned).
+            df = self.df.repartitionByRange(parallel, *exprs).sortWithinPartitions(*exprs)
+            return self._with(df)
         return self._with(self.df.orderBy(*exprs))
 
-    def sort_by(self, key: ColumnLike, ascending: bool = True) -> "Relation":
+    def sort_by(self, key: ColumnLike, ascending: bool = True,
+                parallel: int | None = None) -> "Relation":
         """Sort by a computed key; the key is consumed (not in the output),
-        reproducing the reference's semantics (raw.clj:340-355)."""
+        reproducing the reference's semantics (raw.clj:340-355).
+        ``parallel`` as in :meth:`sort`."""
         k = _gensym("sortkey")
         df = self.df.withColumn(k, _to_col(key))
-        df = df.orderBy(F.col(k).asc() if ascending else F.col(k).desc())
+        order = F.col(k).asc() if ascending else F.col(k).desc()
+        if parallel:
+            df = df.repartitionByRange(parallel, order).sortWithinPartitions(order)
+        else:
+            df = df.orderBy(order)
         return self._with(df.drop(k))
 
     def take(self, n: int) -> "Relation":
@@ -764,6 +783,13 @@ class Relation:
         if path:
             w = w.option("path", path)
         w.saveAsTable(table)
+
+    def store_orc(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+        """ORC sink — see :func:`pigpen_spark.sources.io.load_orc`."""
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(path)
 
     def store_json(self, path: str, mode: str = "overwrite") -> None:
         """reference: store-json (io.clj:159-246)."""

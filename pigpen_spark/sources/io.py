@@ -75,6 +75,16 @@ def load_parquet(spark: SparkSession, path: str, schema=None) -> Relation:
     return Relation(r.parquet(path))
 
 
+def load_orc(spark: SparkSession, path: str, schema=None) -> Relation:
+    """ORC scan (format extension beyond the reference's parquet/avro pair
+    — same columnar-lake role; Spark's native ``orc`` datasource, with full
+    predicate pushdown / column pruning like parquet)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return Relation(r.orc(path))
+
+
 def load_binary(spark: SparkSession, path: str) -> Relation:
     """reference: load-binary — PigPen's internal nippy rows (io.clj:30-35).
     Our internal format IS parquet."""

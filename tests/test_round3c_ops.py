@@ -1,0 +1,220 @@
+"""Round-3 third-pass additions: ORC I/O, sort {:parallel} parity,
+snapshot diff, perplexity buckets, mergeable histogram quantiles,
+windowed event dedup, large-star/small-star WCC."""
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pigpen_spark.relation import Relation, return_  # noqa: E402
+from pigpen_spark.sources import io as pio  # noqa: E402
+
+
+class TestOrc:
+    def test_store_load_roundtrip(self, spark, tmp_path):
+        r = return_(spark, [(1, "foo"), (2, "bar")], "a long, b string")
+        d = str(tmp_path / "out_orc")
+        r.store_orc(d)
+        back = pio.load_orc(spark, d)
+        assert sorted(tuple(x) for x in back.df.collect()) == [(1, "foo"), (2, "bar")]
+
+    def test_partitioned_write(self, spark, tmp_path):
+        r = return_(spark, [(1, "x"), (2, "x"), (3, "y")], "a long, k string")
+        d = str(tmp_path / "out_orc_p")
+        r.store_orc(d, partition_by=["k"])
+        assert (tmp_path / "out_orc_p" / "k=x").exists()
+        assert pio.load_orc(spark, d).count() == 3
+
+    def test_pushdown_reaches_scan(self, spark, tmp_path):
+        # ORC scans must push filters + prune columns exactly like parquet.
+        d = str(tmp_path / "orc_push")
+        return_(spark, [(i, f"s{i}", i * 2) for i in range(100)],
+                "a long, s string, b long").store_orc(d)
+        df = pio.load_orc(spark, d).filter(F.col("a") > 50).df.select("s")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(a), GreaterThan(a,50)]" in plan
+        assert "ReadSchema: struct<a:bigint,s:string>" in plan
+
+
+class TestSortParallel:
+    def test_parallel_pins_partition_count(self, spark):
+        r = return_(spark, [(i,) for i in range(1000)], "x long")
+        s = r.sort(F.col("x"), parallel=3)
+        assert s.df.rdd.getNumPartitions() == 3
+        vals = [row.x for row in s.df.collect()]
+        assert vals == sorted(vals)
+
+    def test_parallel_descending(self, spark):
+        r = return_(spark, [(i,) for i in range(100)], "x long")
+        s = r.sort(F.col("x").desc(), parallel=2)
+        vals = [row.x for row in s.df.collect()]
+        assert vals == sorted(vals, reverse=True)
+
+    def test_sort_by_parallel_consumes_key(self, spark):
+        r = return_(spark, [(3,), (1,), (2,)], "x long")
+        s = r.sort_by(F.col("x") * -1, parallel=2)
+        assert s.df.columns == ["x"]
+        assert [row.x for row in s.df.collect()] == [3, 2, 1]
+
+
+from pigpen_spark.functions import dedup as D  # noqa: E402
+from pigpen_spark.functions import sketch as K  # noqa: E402
+from pigpen_spark.functions.classify import perplexity_buckets  # noqa: E402
+from pigpen_spark.operators.analytics import snapshot_diff  # noqa: E402
+from pigpen_spark.operators.windows import dedup_keyed_window  # noqa: E402
+
+
+class TestStarWCC:
+    def _check(self, spark, edges):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = sorted(tuple(r) for r in D.dedup_clusters_star(pairs).collect())
+        label = sorted(tuple(r) for r in
+                       D.dedup_clusters(pairs, local_threshold=0).collect())
+        assert star == label
+
+    def test_path_graph(self, spark):
+        # diameter-8 chain: the case min-label needs 8 rounds for and
+        # star needs ~log; labels must agree exactly
+        self._check(spark, [(i, i + 1) for i in range(8)])
+
+    def test_random_graphs_match_min_label(self, spark):
+        import random
+        for seed in (1, 7, 42):
+            rng = random.Random(seed)
+            edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(25)]
+            self._check(spark, edges)
+
+    def test_star_and_isolated(self, spark):
+        # hub star + self-loop-only node + 2-cycle
+        self._check(spark, [(5, i) for i in range(5)] + [(9, 9), (7, 8), (8, 7)])
+
+
+class TestSnapshotDiff:
+    def _frames(self, spark):
+        old = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "k long, v long, s string")
+        new = spark.createDataFrame(
+            [(2, 20, "b"), (3, 31, "c"), (4, 40, "d")], "k long, v long, s string")
+        return old, new
+
+    def test_statuses(self, spark):
+        old, new = self._frames(spark)
+        out = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    def test_values_carried(self, spark):
+        old, new = self._frames(spark)
+        row = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}[3]
+        assert (row.old_v, row.new_v) == (30, 31)
+
+    def test_null_safe_compare(self, spark):
+        old = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+        new = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+        out = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert out == {1: "unchanged", 2: "changed"}
+
+    def test_hash_compare_same_statuses(self, spark):
+        old, new = self._frames(spark)
+        a = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+        b = {r.k: r.status for r in
+             snapshot_diff(old, new, ["k"], hash_compare=True).collect()}
+        assert a == b
+
+    def test_no_compare_columns_raises(self, spark):
+        old = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError):
+            snapshot_diff(old, old, ["k"])
+
+
+class TestHistogramQuantiles:
+    def test_error_bounded_by_bin_width(self, spark):
+        vals = [(i * 37 % 10_000,) for i in range(5000)]
+        df = spark.createDataFrame(vals, "x long")
+        n_bins = 100
+        w = 10_000 // n_bins
+        out = {r.p_permille: r.est for r in K.histogram_quantiles(
+            df, F.col("x"), lo=0, hi=10_000, n_bins=n_bins).collect()}
+        xs = sorted(v for (v,) in vals)
+        for p in (500, 900, 990):
+            exact = xs[max(0, -(-p * len(xs) // 1000) - 1)]
+            assert abs(out[p] - exact) <= w, (p, out[p], exact)
+
+    def test_sharded_equals_unsharded(self, spark):
+        df = spark.createDataFrame(
+            [(i % 1000, f"s{i % 7}") for i in range(3000)], "x long, shard string")
+        a = sorted(tuple(r) for r in K.histogram_quantiles(
+            df, F.col("x"), 0, 1000, 64).collect())
+        b = sorted(tuple(r) for r in K.histogram_quantiles(
+            df, F.col("x"), 0, 1000, 64, shard_col=F.col("shard")).collect())
+        assert a == b
+
+    def test_out_of_range_clamps(self, spark):
+        df = spark.createDataFrame([(-50,), (50,), (99999,)], "x long")
+        hist = {r.bin: r.cnt for r in K.histogram_sketch(
+            df, F.col("x"), lo=0, hi=100, n_bins=10).collect()}
+        assert hist == {0: 1, 5: 1, 9: 1}
+
+
+class TestPerplexityBuckets:
+    def test_exact_form_balanced(self, spark):
+        rows = [(i, f"w{i} x{i} y{i} z{i} q{i} r{i}", "en") for i in range(9)]
+        df = spark.createDataFrame(rows, "id long, text string, lang string")
+        out = [r.bucket for r in perplexity_buckets(df, "id", "text", "lang").collect()]
+        assert sorted(out) == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+
+    def test_degenerate_doc_null_bucket(self, spark):
+        df = spark.createDataFrame(
+            [(1, "single", "en"), (2, "two words here", "en")],
+            "id long, text string, lang string")
+        out = {r.id: r.bucket for r in
+               perplexity_buckets(df, "id", "text", "lang").collect()}
+        assert out[1] is None and out[2] is not None
+
+    def test_threshold_form_no_window(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "en"), (2, "d e f", "en"), (3, "", "en")],
+            "id long, text string, lang string")
+        out = perplexity_buckets(df, "id", "text", "lang",
+                                 thresholds={"en": [-0.2, -0.6]})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # the scale form is windowless
+        got = {r.id: r.bucket for r in out.collect()}
+        assert got[3] is None
+        assert all(v in (0, 1, 2) for k, v in got.items() if k != 3)
+
+
+class TestDedupKeyedWindow:
+    def test_keeps_first_per_window(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:05", 100, "click"),
+            (2, "2024-01-01 00:03:00", 100, "click"),   # same 10-min window: drop
+            (3, "2024-01-01 00:12:00", 100, "click"),   # next window: keep
+            (4, "2024-01-01 00:04:00", 100, "view"),    # other type: keep
+            (5, "2024-01-01 00:04:00", 200, "click"),   # other user: keep
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string") \
+                  .withColumn("ts", F.col("ts").cast("timestamp"))
+        out = dedup_keyed_window(df, ["user_id", "event_type"], "ts", 600,
+                                 tiebreak=["event_id"])
+        assert sorted(r.event_id for r in out.collect()) == [1, 3, 4, 5]
+
+    def test_tiebreak_deterministic(self, spark):
+        rows = [(9, "2024-01-01 00:00:05", 1, "c"), (2, "2024-01-01 00:00:05", 1, "c")]
+        df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string") \
+                  .withColumn("ts", F.col("ts").cast("timestamp"))
+        out = dedup_keyed_window(df, ["user_id", "event_type"], "ts", 600,
+                                 tiebreak=["event_id"])
+        assert [r.event_id for r in out.collect()] == [2]
+
+    def test_window_group_limit_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:05", 1, "c")],
+            "event_id long, ts string, user_id long, event_type string") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        out = dedup_keyed_window(df, ["user_id", "event_type"], "ts", 600)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
