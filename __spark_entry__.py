@@ -52,6 +52,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_perplexity_buckets",
     "ext_quantile_sketch",
     "ext_dedup_events_window",
+    "ext_bloom_decontaminate",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
@@ -86,7 +87,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_vocab",
     "ext_tokenize_pack",
     "ext_zorder_key",
-    "ext_approx_distinct",
     "ext_hll_merge",
     "ext_bm25",
     "ext_funnel",
@@ -99,6 +99,7 @@ _DRIVER_PRIORITY: list[str] = [
     # same-family siblings demoted to make room (family keeps ≥1 in-window
     # rep: split_hash/stratified_sample for det-hash sampling, bm25 for
     # ranking, perplexity_buckets embeds the lm score):
+    "ext_approx_distinct",  # family rep in-window: ext_hll_merge
     "ext_sample_per_group",
     "ext_source_mix",
     "ext_shuffle_det",

@@ -1794,3 +1794,101 @@ def ext_dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables(spark, sf_dir)["events"].df
     return dedup_keyed_window(
         ev, ["user_id", "event_type"], "ts", 600, tiebreak=["event_id"])
+
+
+_BLOOM_M, _BLOOM_K = 1 << 16, 3
+
+
+def _bloom_shingle_cte(tag: str, split_pred: str) -> str:
+    """(id, hs) shingle-hash CTEs for one split side — oracle helper."""
+    return (
+        f"{tag}_th AS (SELECT doc_id AS id, {D.token_hashes_sql('text')} AS th"
+        f"  FROM lab WHERE {split_pred}),"
+        f"{tag}_hs AS (SELECT id, ({D.shingle_hashes_sql('th', 3)}) AS hs FROM {tag}_th)"
+    )
+
+
+def _bloom_pos_rows(src: str, cols: str) -> str:
+    from pigpen_spark.functions.sketch import _bloom_pos_sql
+    return " UNION ALL ".join(
+        f"SELECT {cols}, {_bloom_pos_sql('h', r, _BLOOM_M)} AS p FROM {src}"
+        for r in range(_BLOOM_K)
+    )
+
+
+@register(
+    "ext_bloom_decontaminate",
+    f"""
+    WITH lab AS (
+      SELECT doc_id, text,
+             {P.split_by_hash_sql('doc_id', _DECON_SPLITS, salt='decon')} AS split
+      FROM documents
+    ),
+    {_bloom_shingle_cte('te', "split = 'test'")},
+    teh AS (SELECT unnest(hs) AS h FROM te_hs),
+    pos AS ({_bloom_pos_rows('teh', '1 AS one')}),
+    sketch AS (
+      SELECT p // 62 AS word, bit_or(1::BIGINT << (p % 62)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    {_bloom_shingle_cte('tr', "split = 'train'")},
+    trg AS (SELECT id, unnest(list_distinct(hs)) AS h FROM tr_hs),
+    dg AS (SELECT DISTINCT h FROM trg),
+    probes AS ({_bloom_pos_rows('dg', 'h')}),
+    flags AS (
+      SELECT p.h,
+             (sum(CASE WHEN coalesce(s.bits, 0) & (1::BIGINT << (p.p % 62)) <> 0
+                       THEN 1 ELSE 0 END) = {_BLOOM_K}) AS maybe
+      FROM probes p LEFT JOIN sketch s ON s.word = p.p // 62
+      GROUP BY p.h
+    ),
+    hits AS (
+      SELECT g.id, sum(CASE WHEN f.maybe THEN 1 ELSE 0 END)::BIGINT AS n_maybe
+      FROM trg g JOIN flags f USING (h) GROUP BY g.id
+    )
+    SELECT l.doc_id, coalesce(h.n_maybe, 0)::BIGINT AS n_maybe,
+           coalesce(h.n_maybe, 0) >= 1 AS flagged
+    FROM lab l LEFT JOIN hits h ON l.doc_id = h.id
+    WHERE l.split = 'train'
+    """,
+)
+def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a BLOOM FILTER instead of a gram equi-join
+    (the sketch sibling of ``ext_decontaminate``): the whole test set
+    compresses into a ≤ m/62-row bit table that BROADCASTS, so the train
+    corpus is probed map-side — no shuffle carries test-set data at all.
+    At 100 TB this is the difference between shipping every train gram
+    into a join against the benchmark grams and shipping a fixed 8 KB
+    filter to every executor.  No false negatives (recall of true
+    contamination is exact); false positives are bounded (~(1-e^{-kn/m})^k)
+    and DETERMINISTIC — the md5 double-hash discipline makes Spark and
+    DuckDB agree on every collision, so the oracle is hash-exact."""
+    from pigpen_spark.functions.sketch import bloom_build, bloom_maybe_contains
+
+    docs = tables(spark, sf_dir)["documents"]
+    lab = P.split_by_hash(docs.df.select("doc_id", "text"), "doc_id",
+                          _DECON_SPLITS, salt="decon").transform(_persisted)
+    sh = D.shingle_hashes(D.token_hashes(F.col("text")), 3)
+    te_h = lab.filter(F.col("split") == "test").select(F.explode(sh).alias("h"))
+    sketch = bloom_build(te_h, m_bits=_BLOOM_M, k=_BLOOM_K)
+    tr_g = (
+        lab.filter(F.col("split") == "train")
+        .select(F.col("doc_id"), F.explode(F.array_distinct(sh)).alias("h"))
+        .transform(_persisted)
+    )
+    flags = bloom_maybe_contains(
+        tr_g.select("h").distinct(), sketch, m_bits=_BLOOM_M, k=_BLOOM_K)
+    hits = (
+        tr_g.join(flags, on="h")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("maybe").cast("bigint")).alias("n_maybe"))
+    )
+    return (
+        lab.filter(F.col("split") == "train").select("doc_id")
+        .join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_maybe"), F.lit(0)).alias("n_maybe"),
+            (F.coalesce(F.col("n_maybe"), F.lit(0)) >= 1).alias("flagged"),
+        )
+    )

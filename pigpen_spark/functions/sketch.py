@@ -241,3 +241,79 @@ def histogram_quantiles_sql(table: str, value_sql: str, lo: int, hi: int,
     JOIN cum c ON c.cum * 1000 >= p.p_permille * c.total
     GROUP BY p.p_permille
     """
+
+
+# -- Bloom filter ----------------------------------------------------------
+
+#: Bits per sketch word.  62, not 64: bit 63 is the sign and ``1 << 63``
+#: overflows DuckDB's BIGINT shift, so staying ≤ 2^61 keeps every word a
+#: positive int64 in BOTH engines (bit_or/& are then portable bit math).
+_BLOOM_WORD = 62
+
+
+def _bloom_pos(h: Column, r: int, m_bits: int) -> Column:
+    a, b = _hconst("bloom-a", r), _hconst("bloom-b", r)
+    return ((F.lit(a) * h + F.lit(b)) % F.lit(_P)) % F.lit(m_bits)
+
+
+def _bloom_pos_sql(h: str, r: int, m_bits: int) -> str:
+    a, b = _hconst("bloom-a", r), _hconst("bloom-b", r)
+    return f"(({a} * {h} + {b}) % {_P}) % {m_bits}"
+
+
+def bloom_build(items: DataFrame, hash_col: str = "h", m_bits: int = 8192,
+                k: int = 3) -> DataFrame:
+    """Build a Bloom filter over pre-hashed items as a (word, bits)
+    DataFrame with ≤ ceil(m_bits/62) rows — the third mergeable sketch
+    next to HLL and Count-Min: per-partition partial ``bit_or`` IS the
+    local filter and the reduce is the union (bit-or is associative,
+    commutative, idempotent), so 1000 executors build one filter with a
+    single tiny shuffle and two filters over different corpora union by
+    the same aggregate.
+
+    Deterministic md5-derived double hashing (same ``_hconst`` universal-
+    hash discipline as Count-Min) makes the words hash-exact across
+    engines — false positives exist (classic Bloom ~(1-e^{-kn/m})^k) but
+    are the SAME false positives in Spark and DuckDB, so oracle checks
+    are exact, not bound-checked."""
+    coords = items.select(
+        F.explode(F.array(*[
+            _bloom_pos(F.col(hash_col), r, m_bits).alias("p") for r in range(k)
+        ])).alias("p")
+    )
+    return coords.select(
+        (F.col("p") / F.lit(_BLOOM_WORD)).cast("bigint").alias("word"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))").alias("bit"),
+    ).groupBy("word").agg(F.bit_or("bit").alias("bits"))
+
+
+def bloom_maybe_contains(probes: DataFrame, sketch: DataFrame,
+                         hash_col: str = "h", m_bits: int = 8192,
+                         k: int = 3, out_col: str = "maybe") -> DataFrame:
+    """Membership test against a built filter: ``out_col`` is true iff
+    ALL k probe bits are set (no false negatives; bounded deterministic
+    false positives).  The sketch is ≤ m_bits/62 rows — ALWAYS broadcast —
+    so probing a 100 TB corpus is a map-only stage: explode k coords,
+    broadcast-join the words, count matched bits per row.  No shuffle of
+    the probed data beyond the per-row groupBy(key) reassembly, and even
+    that partial-aggregates map-side."""
+    key = "__bloom_id"
+    with_key = probes.withColumn(key, F.monotonically_increasing_id())
+    coords = with_key.select(
+        key,
+        F.explode(F.array(*[
+            _bloom_pos(F.col(hash_col), r, m_bits).alias("p") for r in range(k)
+        ])).alias("p"),
+    ).select(
+        key,
+        (F.col("p") / F.lit(_BLOOM_WORD)).cast("bigint").alias("word"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))").alias("bit"),
+    )
+    hits = (
+        coords.join(F.broadcast(sketch), on="word", how="left")
+        .select(key, (F.coalesce(F.col("bits"), F.lit(0).cast("bigint"))
+                      .bitwiseAND(F.col("bit")) != 0)
+                .cast("int").alias("ok"))
+        .groupBy(key).agg((F.sum("ok") == F.lit(k)).alias(out_col))
+    )
+    return with_key.join(hits, on=key).drop(key)

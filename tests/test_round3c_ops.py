@@ -218,3 +218,57 @@ class TestDedupKeyedWindow:
         out = dedup_keyed_window(df, ["user_id", "event_type"], "ts", 600)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestBloom:
+    def _items(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "h long")
+
+    def test_no_false_negatives(self, spark):
+        ins = list(range(0, 2000, 7))
+        sk = K.bloom_build(self._items(spark, ins), m_bits=4096, k=3)
+        out = K.bloom_maybe_contains(self._items(spark, ins), sk, m_bits=4096, k=3)
+        assert all(r.maybe for r in out.collect())
+
+    def test_false_positives_bounded(self, spark):
+        ins = list(range(0, 500))
+        sk = K.bloom_build(self._items(spark, ins), m_bits=1 << 14, k=3)
+        probe = list(range(10_000, 12_000))
+        out = K.bloom_maybe_contains(self._items(spark, probe), sk,
+                                     m_bits=1 << 14, k=3)
+        fp = sum(1 for r in out.collect() if r.maybe)
+        # theoretical ~ (1-e^{-3*500/16384})^3 ≈ 6e-4 → expect ~1 of 2000
+        assert fp <= 20
+
+    def test_merge_is_bit_or(self, spark):
+        a, b = list(range(100)), list(range(50, 150))
+        ska = K.bloom_build(self._items(spark, a), m_bits=2048, k=3)
+        skb = K.bloom_build(self._items(spark, b), m_bits=2048, k=3)
+        merged = ska.unionByName(skb).groupBy("word").agg(
+            F.bit_or("bits").alias("bits"))
+        direct = K.bloom_build(self._items(spark, a + b), m_bits=2048, k=3)
+        assert sorted(tuple(r) for r in merged.collect()) == \
+               sorted(tuple(r) for r in direct.collect())
+
+    def test_decontaminate_superset_of_exact(self, spark, sf_dir):
+        # bloom flags ⊇ exact contamination (no false negatives end-to-end)
+        from pigpen_spark.catalog_ext import (
+            ext_bloom_decontaminate, ext_decontaminate)
+        bloom = {r.doc_id for r in
+                 ext_bloom_decontaminate(spark, sf_dir).collect() if r.flagged}
+        # exact decontaminate shares ≥1 distinct 5-gram; bloom uses
+        # 3-shingles, so compare against a 3-gram exact reference instead
+        from pigpen_spark.catalog import tables as _tables
+        from pigpen_spark.functions import dedup as _D
+        from pigpen_spark.functions import pipeline as _P
+        docs = _tables(spark, sf_dir)["documents"]
+        lab = _P.split_by_hash(docs.df.select("doc_id", "text"), "doc_id",
+                               {"train": 0.9, "test": 0.1}, salt="decon")
+        sh = _D.shingle_hashes(_D.token_hashes(F.col("text")), 3)
+        te = lab.filter(F.col("split") == "test").select(
+            F.explode(sh).alias("h")).distinct()
+        tr = lab.filter(F.col("split") == "train").select(
+            "doc_id", F.explode(F.array_distinct(sh)).alias("h"))
+        exact = {r.doc_id for r in
+                 tr.join(te, on="h").select("doc_id").distinct().collect()}
+        assert exact <= bloom
