@@ -100,6 +100,7 @@ _DRIVER_PRIORITY: list[str] = [
     # rep: split_hash/stratified_sample for det-hash sampling, bm25 for
     # ranking, perplexity_buckets embeds the lm score):
     "ext_approx_distinct",  # family rep in-window: ext_hll_merge
+    "ext_quantiles_by_lang",  # family rep in-window: ext_quantile_sketch
     "ext_sample_per_group",
     "ext_source_mix",
     "ext_shuffle_det",

@@ -70,6 +70,14 @@ HEADLINE = [
     "ext_heavy_hitters",
     "ext_chunk_overlap",
     "ext_embed_near_dup_mp",
+    # round-3 third pass: CDC full-outer diff (one co-partitioned
+    # sort-merge join), keyed tumbling-window dedup (WindowGroupLimit),
+    # mergeable histogram quantiles (two-level counter merge), and
+    # broadcast Bloom decontamination (no shuffle of the probed corpus)
+    "ext_snapshot_diff",
+    "ext_dedup_events_window",
+    "ext_quantile_sketch",
+    "ext_bloom_decontaminate",
 ]
 
 

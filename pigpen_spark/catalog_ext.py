@@ -1892,3 +1892,22 @@ def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_maybe"), F.lit(0)) >= 1).alias("flagged"),
         )
     )
+
+
+@register(
+    "ext_quantiles_by_lang",
+    K.histogram_quantiles_by_sql(
+        "documents", "n_chars", "lang", lo=0, hi=4096, n_bins=128,
+    ),
+)
+def ext_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles (p50/p90/p99) from the
+    grouped histogram sketch — the per-group form of ext_quantile_sketch.
+    One partial-aggregating pass builds every language's histogram; each
+    cumulative window spans ≤ n_bins sketch rows, so no window ever sees
+    data-sized input and groups parallelize."""
+    docs = tables(spark, sf_dir)["documents"]
+    return K.histogram_quantiles(
+        docs.df, F.col("n_chars"), lo=0, hi=4096, n_bins=128,
+        group_cols=["lang"],
+    )

@@ -148,7 +148,8 @@ def heavy_hitters_sql(table: str, text_col: str, depth: int = 4,
 
 
 def histogram_sketch(df: DataFrame, value: Column, lo: int, hi: int,
-                     n_bins: int = 256, shard_col: Column | None = None) -> DataFrame:
+                     n_bins: int = 256, shard_col: Column | None = None,
+                     group_cols: list[str] | None = None) -> DataFrame:
     """Fixed-bin integer histogram of ``value`` (caller supplies INTEGER
     units — cents, micros — so binning is exact integer math): the
     quantile-sketch sibling of :func:`cms_sketch` / ``ext_hll_merge``.
@@ -162,24 +163,31 @@ def histogram_sketch(df: DataFrame, value: Column, lo: int, hi: int,
     in a second ≤ shards·n_bins-row agg — the explicit two-level rollup a
     1000-executor fleet or a day-partitioned lake would run.
 
-    Returns (bin, cnt)."""
+    ``group_cols`` produces one independent histogram per group key
+    (≤ groups·n_bins rows) — per-language length stats, per-source score
+    distributions — in the SAME single partial-aggregating pass.
+
+    Returns (group_cols..., bin, cnt)."""
     w = max(1, -((lo - hi) // n_bins))  # ceil((hi-lo)/n_bins), integer
+    groups = list(group_cols or [])
     x = value.cast("bigint")
     b = F.floor((x - F.lit(lo)) / F.lit(w)).cast("bigint")
     bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b)).alias("bin")
     if shard_col is not None:
         per_shard = (
-            df.select(shard_col.alias("shard"), bin_)
-            .groupBy("shard", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+            df.select(*groups, shard_col.alias("shard"), bin_)
+            .groupBy(*groups, "shard", "bin").agg(F.count(F.lit(1)).alias("cnt"))
         )
-        return per_shard.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
-    return df.select(bin_).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+        return per_shard.groupBy(*groups, "bin").agg(F.sum("cnt").alias("cnt"))
+    return df.select(*groups, bin_).groupBy(*groups, "bin").agg(
+        F.count(F.lit(1)).alias("cnt"))
 
 
 def histogram_quantiles(df: DataFrame, value: Column, lo: int, hi: int,
                         n_bins: int = 256,
                         ps_permille: tuple[int, ...] = (500, 900, 990),
-                        shard_col: Column | None = None) -> DataFrame:
+                        shard_col: Column | None = None,
+                        group_cols: list[str] | None = None) -> DataFrame:
     """Quantile estimates from the mergeable histogram sketch: for each
     requested permille ``p``, the lower bound of the first bin whose
     cumulative count reaches ``p``/1000 of the total.
@@ -191,22 +199,30 @@ def histogram_quantiles(df: DataFrame, value: Column, lo: int, hi: int,
     engine-stable.  The cumulative pass runs over the ≤ n_bins-row sketch
     (a bounded single-partition window — n_bins rows, not data rows).
 
-    Returns (p_permille, est, n_total) where ``est`` is in the caller's
-    integer units."""
+    ``group_cols`` yields independent per-group quantiles (per-language
+    length stats etc.); each group's cumulative window spans its own
+    ≤ n_bins sketch rows, so groups parallelize and no window ever sees
+    more than n_bins rows.
+
+    Returns (group_cols..., p_permille, est, n_total) where ``est`` is in
+    the caller's integer units."""
     w = max(1, -((lo - hi) // n_bins))
-    hist = histogram_sketch(df, value, lo, hi, n_bins, shard_col=shard_col)
+    groups = list(group_cols or [])
+    hist = histogram_sketch(df, value, lo, hi, n_bins, shard_col=shard_col,
+                            group_cols=groups)
+    cum_w = (Window.partitionBy(*groups) if groups else Window.partitionBy())
     cum = hist.select(
-        "bin", "cnt",
+        *groups, "bin", "cnt",
         F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            cum_w.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
         ).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+        F.sum("cnt").over(cum_w).alias("total"),
     )
     ps = F.explode(F.array(*[F.lit(int(p)) for p in ps_permille])).alias("p_permille")
     return (
-        cum.select(ps, "bin", "cum", "total")
+        cum.select(*groups, ps, "bin", "cum", "total")
         .where(F.col("cum") * 1000 >= F.col("p_permille") * F.col("total"))
-        .groupBy("p_permille")
+        .groupBy(*groups, "p_permille")
         .agg(
             (F.lit(lo) + F.min("bin") * F.lit(w)).alias("est"),
             F.max("total").alias("n_total"),
@@ -317,3 +333,31 @@ def bloom_maybe_contains(probes: DataFrame, sketch: DataFrame,
         .groupBy(key).agg((F.sum("ok") == F.lit(k)).alias(out_col))
     )
     return with_key.join(hits, on=key).drop(key)
+
+
+def histogram_quantiles_by_sql(table: str, value_sql: str, group_col: str,
+                               lo: int, hi: int, n_bins: int = 256,
+                               ps_permille: tuple[int, ...] = (500, 900, 990),
+                               ) -> str:
+    """DuckDB oracle for the grouped form of :func:`histogram_quantiles`."""
+    w = max(1, -((lo - hi) // n_bins))
+    plist = ", ".join(str(int(p)) for p in ps_permille)
+    return f"""
+    WITH hist AS (
+      SELECT {group_col},
+             least({n_bins - 1}, greatest(0, ({value_sql} - {lo}) // {w})) AS bin,
+             count(*)::BIGINT AS cnt
+      FROM {table} GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT {group_col}, bin, cnt,
+             sum(cnt) OVER (PARTITION BY {group_col} ORDER BY bin)::BIGINT AS cum,
+             sum(cnt) OVER (PARTITION BY {group_col})::BIGINT AS total
+      FROM hist
+    )
+    SELECT c.{group_col}, p.p_permille, ({lo} + min(c.bin) * {w})::BIGINT AS est,
+           max(c.total)::BIGINT AS n_total
+    FROM (SELECT unnest([{plist}]) AS p_permille) p
+    JOIN cum c ON c.cum * 1000 >= p.p_permille * c.total
+    GROUP BY 1, 2
+    """

@@ -272,3 +272,20 @@ class TestBloom:
         exact = {r.doc_id for r in
                  tr.join(te, on="h").select("doc_id").distinct().collect()}
         assert exact <= bloom
+
+
+class TestGroupedQuantiles:
+    def test_per_group_matches_solo(self, spark):
+        df = spark.createDataFrame(
+            [(i % 500 + (100 if g == "b" else 0), g)
+             for i in range(2000) for g in ("a", "b")], "x long, g string")
+        grouped = K.histogram_quantiles(df, F.col("x"), 0, 1000, 50,
+                                        group_cols=["g"])
+        for g in ("a", "b"):
+            solo = sorted(
+                (r.p_permille, r.est, r.n_total) for r in K.histogram_quantiles(
+                    df.where(F.col("g") == g), F.col("x"), 0, 1000, 50).collect())
+            sub = sorted(
+                (r.p_permille, r.est, r.n_total)
+                for r in grouped.collect() if r.g == g)
+            assert sub == solo
