@@ -289,3 +289,24 @@ class TestGroupedQuantiles:
                 (r.p_permille, r.est, r.n_total)
                 for r in grouped.collect() if r.g == g)
             assert sub == solo
+
+
+class TestNewPlans:
+    def test_snapshot_diff_single_smj(self, spark, sf_dir):
+        from pigpen_spark.catalog_ext import ext_snapshot_diff
+        plan = ext_snapshot_diff(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # the diff is ONE co-partitioned sort-merge join; a broadcast FO
+        # join or a nested-loop here would not survive two 100 TB sides
+        assert plan.count("SortMergeJoin") == 1
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_bloom_probe_joins_broadcast(self, spark, sf_dir):
+        from pigpen_spark.catalog_ext import ext_bloom_decontaminate
+        plan = ext_bloom_decontaminate(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # every join is broadcast (sketch + bounded flag/label sides) —
+        # the probed corpus is never the build side of a shuffle join
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
