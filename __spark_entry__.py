@@ -53,6 +53,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_quantile_sketch",
     "ext_dedup_events_window",
     "ext_bloom_decontaminate",
+    "ext_validate",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
@@ -83,7 +84,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_quality_prune",
     "ext_split_hash",
     "ext_stratified_sample",
-    "ext_pack_chunks",
     "ext_vocab",
     "ext_tokenize_pack",
     "ext_zorder_key",
@@ -101,6 +101,7 @@ _DRIVER_PRIORITY: list[str] = [
     # ranking, perplexity_buckets embeds the lm score):
     "ext_approx_distinct",  # family rep in-window: ext_hll_merge
     "ext_quantiles_by_lang",  # family rep in-window: ext_quantile_sketch
+    "ext_pack_chunks",  # family rep in-window: ext_tokenize_pack (vocab+pack composition)
     "ext_sample_per_group",
     "ext_source_mix",
     "ext_shuffle_det",

@@ -1911,3 +1911,39 @@ def ext_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.df, F.col("n_chars"), lo=0, hi=4096, n_bins=128,
         group_cols=["lang"],
     )
+
+
+from pigpen_spark.functions import validate as V  # noqa: E402
+
+_VALIDATE_RULES_SQL = {
+    "qty_in_range": "l_quantity BETWEEN 1 AND 50",
+    "discount_in_range": "l_discount BETWEEN 0 AND 0.1",
+    "price_positive": "l_extendedprice > 0",
+    "shipdate_present": "l_shipdate IS NOT NULL",
+    "tax_in_range": "l_tax BETWEEN 0 AND 0.08",
+}
+
+
+@register(
+    "ext_validate",
+    V.check_rules_sql("lineitem", _VALIDATE_RULES_SQL)
+    + " UNION ALL "
+    + V.fk_violations_sql("lineitem", "orders", "l_orderkey", "o_orderkey"),
+)
+def ext_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the deequ role): five expression
+    rules audited in ONE aggregate pass over lineitem + a referential-
+    integrity rule (lineitem.l_orderkey → orders) as a LEFT ANTI join
+    against the distinct parent keys.  At 100 TB the whole report costs
+    one scan + one key-set join, independent of rule count."""
+    t = tables(spark, sf_dir)
+    li, orders = t["lineitem"].df, t["orders"].df
+    rules = {
+        "qty_in_range": F.col("l_quantity").between(1, 50),
+        "discount_in_range": F.col("l_discount").between(0, 0.1),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "shipdate_present": F.col("l_shipdate").isNotNull(),
+        "tax_in_range": F.col("l_tax").between(0, 0.08),
+    }
+    return V.check_rules(li, rules).unionByName(
+        V.fk_violations(li, orders, "l_orderkey", "o_orderkey"))

@@ -1,0 +1,136 @@
+"""Declarative data-quality validation: rule checks + referential
+integrity as relations.
+
+Extension surface (the deequ/Great-Expectations role, public shape:
+Schelter et al. 2018, "Automating Large-Scale Data Quality Verification",
+VLDB): a training-data ingest runs completeness/range/set rules and FK
+audits over every drop BEFORE it reaches dedup or tokenization, and at
+100 TB the only affordable form is the one this module uses —
+
+- :func:`check_rules`: ALL expression rules evaluate in ONE aggregate
+  pass over the data (each rule is a ``sum(not coalesce(pred, false))``
+  — map-side partial, a single 1-row result; no per-rule scans).
+  The unpivot to one row per rule happens on that 1-row aggregate.
+- :func:`fk_violations`: referential integrity as a LEFT ANTI join
+  against the distinct parent keys (Catalyst broadcasts the key set
+  while it fits; SQL-standard semantics — NULL child keys pass).
+
+Rules are plain boolean Columns, so anything Catalyst can evaluate is a
+rule; a row VIOLATES when the predicate is not TRUE (NULL counts as a
+violation — deequ's completeness convention — so ``isNotNull`` guards
+belong inside predicates that should tolerate NULLs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violation(pred: Column) -> Column:
+    return (~F.coalesce(pred, F.lit(False))).cast("bigint")
+
+
+def check_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """Evaluate every rule in one aggregate pass.
+
+    Returns (rule, n_rows, n_violations, passed) — one row per rule,
+    deterministic order-free integers, exact in any engine."""
+    if not rules:
+        raise ValueError("check_rules: no rules given")
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(_violation(pred)).alias(f"__v{i}")
+        for i, pred in enumerate(rules.values())
+    ]
+    one = df.agg(*aggs)
+    per_rule = F.explode(F.array(*[
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("n_violations"),
+        )
+        for i, name in enumerate(rules.keys())
+    ])).alias("r")
+    return one.select(per_rule, F.col("__n").alias("n_rows")).select(
+        F.col("r.rule").alias("rule"),
+        F.col("n_rows"),
+        F.col("r.n_violations").alias("n_violations"),
+        (F.col("r.n_violations") == 0).alias("passed"),
+    )
+
+
+def violating_rows(df: DataFrame, rules: Mapping[str, Column],
+                   keep_cols: list[str] | None = None) -> DataFrame:
+    """The row-level complement of :func:`check_rules`: rows failing ≥1
+    rule, tagged with the sorted comma-joined names of the failed rules
+    (a string, not an array — hash-oracle-friendly).  Same single pass —
+    each rule is one expression; no joins, no shuffles."""
+    failed = F.array_compact(F.array(*[
+        F.when(_violation(pred) == 1, F.lit(name))
+        for name, pred in rules.items()
+    ]))
+    cols = keep_cols if keep_cols is not None else df.columns
+    return (
+        df.select(*cols, failed.alias("__f"))
+        .where(F.size("__f") > 0)
+        .withColumn("failed_rules", F.array_join(F.array_sort("__f"), ","))
+        .drop("__f")
+    )
+
+
+def fk_violations(child: DataFrame, parent: DataFrame, child_key: str,
+                  parent_key: str, rule: str | None = None) -> DataFrame:
+    """Referential-integrity audit in :func:`check_rules`'s output shape
+    (rule, n_rows, n_violations, passed): child rows whose non-NULL key
+    has no parent.  LEFT ANTI against the distinct'd parent keys —
+    broadcast while the key set fits, shuffle equi-join beyond; the
+    child side is never collected or re-scanned per rule."""
+    name = rule or f"fk_{child_key}"
+    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    orphans = (
+        child.where(F.col(child_key).isNotNull())
+        .join(keys, on=child_key, how="left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+    return total.crossJoin(orphans).select(
+        F.lit(name).alias("rule"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def check_rules_sql(table: str, rules_sql: Mapping[str, str]) -> str:
+    """DuckDB oracle for :func:`check_rules` (predicates as SQL strings)."""
+    one = ", ".join(
+        f"sum(CASE WHEN NOT coalesce({p}, FALSE) THEN 1 ELSE 0 END)::BIGINT AS v{i}"
+        for i, p in enumerate(rules_sql.values())
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS rule, n_rows, coalesce(v{i}, 0) AS n_violations,"
+        f" coalesce(v{i}, 0) = 0 AS passed FROM one"
+        for i, name in enumerate(rules_sql.keys())
+    )
+    return f"WITH one AS (SELECT count(*)::BIGINT AS n_rows, {one} FROM {table}) {rows}"
+
+
+def fk_violations_sql(child: str, parent: str, child_key: str,
+                      parent_key: str, rule: str | None = None) -> str:
+    """DuckDB oracle for :func:`fk_violations`."""
+    name = rule or f"fk_{child_key}"
+    return f"""
+    SELECT '{name}' AS rule,
+           (SELECT count(*) FROM {child})::BIGINT AS n_rows,
+           (SELECT count(*) FROM {child} c
+             WHERE c.{child_key} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{parent_key} = c.{child_key}))::BIGINT
+             AS n_violations,
+           (SELECT count(*) FROM {child} c
+             WHERE c.{child_key} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{parent_key} = c.{child_key})) = 0
+             AS passed
+    """

@@ -310,3 +310,98 @@ class TestNewPlans:
         assert "SortMergeJoin" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert plan.count("BroadcastHashJoin") >= 2
+
+
+class TestBatchStreamDedupConsistency:
+    def test_windowed_dedup_agrees_with_streaming(self, spark, tmp_path):
+        """Backfill/live consistency: dedup_keyed_window (batch) and the
+        streaming dedup keyed on the SAME integer window id keep the same
+        events when the stream arrives in event-time order."""
+        import json as _json
+        from pigpen_spark.streaming import core as st
+
+        rows = [
+            {"event_id": 1, "ts": "2024-01-01 00:00:05", "user_id": 1, "event_type": "c"},
+            {"event_id": 2, "ts": "2024-01-01 00:03:00", "user_id": 1, "event_type": "c"},
+            {"event_id": 3, "ts": "2024-01-01 00:12:00", "user_id": 1, "event_type": "c"},
+            {"event_id": 4, "ts": "2024-01-01 00:04:00", "user_id": 2, "event_type": "c"},
+        ]
+        src = tmp_path / "bsd"
+        src.mkdir(parents=True, exist_ok=True)
+        with open(src / "b0.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+        schema = "event_id long, ts timestamp, user_id long, event_type string"
+        batch_df = spark.read.schema(schema).json(str(src))
+        batch = dedup_keyed_window(
+            batch_df, ["user_id", "event_type"], "ts", 600, tiebreak=["event_id"])
+        kept_batch = sorted(r.event_id for r in batch.collect())
+
+        stream = st.read_stream_json(spark, str(src), schema).df
+        micros = F.unix_micros(F.col("ts").cast("timestamp"))
+        win = (micros - micros % (600 * 1_000_000)).alias("window_id")
+        dd = st.dedup_stream(
+            stream.withColumn("window_id", win),
+            ["user_id", "event_type", "window_id"], "ts")
+        q = (dd.writeStream.format("memory").queryName("bsd_out")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck_bsd"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        kept_stream = sorted(
+            r.event_id for r in spark.sql("select * from bsd_out").collect())
+        assert kept_batch == kept_stream == [1, 3, 4]
+
+
+from pigpen_spark.functions import validate as V  # noqa: E402
+
+
+class TestValidate:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, 10, "a"), (2, None, "b"), (3, 200, None), (4, 50, "d")],
+            "id long, qty long, name string")
+
+    def test_check_rules_counts(self, spark):
+        out = {r.rule: (r.n_rows, r.n_violations, r.passed)
+               for r in V.check_rules(self._df(spark), {
+                   "qty_range": F.col("qty").between(1, 100),
+                   "name_present": F.col("name").isNotNull(),
+                   "id_positive": F.col("id") > 0,
+               }).collect()}
+        # NULL qty counts as a violation (completeness convention)
+        assert out == {"qty_range": (4, 2, False),
+                       "name_present": (4, 1, False),
+                       "id_positive": (4, 0, True)}
+
+    def test_violating_rows_tags(self, spark):
+        out = {r.id: r.failed_rules for r in V.violating_rows(
+            self._df(spark), {
+                "qty_range": F.col("qty").between(1, 100),
+                "name_present": F.col("name").isNotNull(),
+            }).collect()}
+        assert out == {2: "qty_range", 3: "name_present,qty_range"}
+
+    def test_single_pass_plan(self, spark):
+        df = self._df(spark)
+        plan = V.check_rules(df, {
+            "a": F.col("qty") > 0, "b": F.col("name").isNotNull(),
+            "c": F.col("id") < 100,
+        })._jdf.queryExecution().executedPlan().toString()
+        # all rules in ONE aggregate over ONE scan — no per-rule jobs
+        assert plan.count("Scan ") + plan.count("Scan\n") <= 1 or \
+               plan.count("ExistingRDD") <= 1
+
+    def test_fk_violations(self, spark):
+        child = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long")
+        parent = spark.createDataFrame([(10,), (20,)], "pk long")
+        row = V.fk_violations(child, parent, "fk", "pk").collect()[0]
+        # NULL fk passes (SQL FK semantics); 99 is the only orphan
+        assert (row.rule, row.n_rows, row.n_violations, row.passed) == \
+               ("fk_fk", 4, 1, False)
+
+    def test_empty_rules_raise(self, spark):
+        with pytest.raises(ValueError):
+            V.check_rules(self._df(spark), {})
