@@ -66,3 +66,58 @@ def test_empty_relation_through_operators(spark):
     assert D.minhash_candidates(empty, "doc_id", "text").count() == 0
     out = empty.select(T.quality_score("text").alias("q"))
     assert out.collect() == []
+
+
+class TestRound3cDegenerate:
+    def test_perplexity_buckets_degenerate(self, spark, degenerate_docs):
+        from pigpen_spark.functions.classify import perplexity_buckets
+        df = degenerate_docs.withColumn("lang", F.lit("en"))
+        out = {r.doc_id: r.bucket for r in perplexity_buckets(
+            df, "doc_id", "text", "lang").collect()}
+        assert out[1] is None and out[2] is None and out[3] is None
+        assert out[4] is not None
+
+    def test_histogram_quantiles_empty(self, spark):
+        from pigpen_spark.functions.sketch import histogram_quantiles
+        empty = spark.createDataFrame([], "x long")
+        assert histogram_quantiles(empty, F.col("x"), 0, 100, 10).count() == 0
+
+    def test_bloom_empty_sketch_rejects_all(self, spark):
+        from pigpen_spark.functions.sketch import bloom_build, bloom_maybe_contains
+        empty = spark.createDataFrame([], "h long")
+        sk = bloom_build(empty, m_bits=1024, k=3)
+        probe = spark.createDataFrame([(5,), (7,)], "h long")
+        out = bloom_maybe_contains(probe, sk, m_bits=1024, k=3)
+        assert [r.maybe for r in out.collect()] == [False, False]
+
+    def test_star_wcc_empty_pairs(self, spark):
+        from pigpen_spark.functions.dedup import dedup_clusters_star
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        assert dedup_clusters_star(empty).count() == 0
+
+    def test_snapshot_diff_empty_sides(self, spark):
+        from pigpen_spark.operators.analytics import snapshot_diff
+        empty = spark.createDataFrame([], "k long, v long")
+        full = spark.createDataFrame([(1, 10)], "k long, v long")
+        out = {r.status for r in snapshot_diff(empty, full, ["k"]).collect()}
+        assert out == {"added"}
+        out2 = snapshot_diff(empty, empty, ["k"]).count()
+        assert out2 == 0
+
+    def test_dedup_keyed_window_empty(self, spark):
+        from pigpen_spark.operators.windows import dedup_keyed_window
+        empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long")
+        assert dedup_keyed_window(empty, ["user_id"], "ts", 60).count() == 0
+
+    def test_validate_all_null_column(self, spark):
+        from pigpen_spark.functions import validate as V
+        df = spark.createDataFrame([(None,), (None,)], "x string")
+        row = V.check_rules(df, {"x_present": F.col("x").isNotNull()}).collect()[0]
+        assert (row.n_rows, row.n_violations, row.passed) == (2, 2, False)
+
+    def test_validate_empty_frame(self, spark):
+        from pigpen_spark.functions import validate as V
+        df = spark.createDataFrame([], "x long")
+        row = V.check_rules(df, {"pos": F.col("x") > 0}).collect()[0]
+        # vacuous pass: zero rows, zero violations
+        assert (row.n_rows, row.n_violations, row.passed) == (0, 0, True)
