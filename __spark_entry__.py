@@ -54,11 +54,11 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_events_window",
     "ext_bloom_decontaminate",
     "ext_validate",
+    "ext_incremental_rollup",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
     "ext_dedup_clusters",
-    "ext_dedup_jaccard",
     "ext_dedup_simhash",
     "ext_dedup_spans",
     "ext_dedup_substr",
@@ -102,6 +102,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_approx_distinct",  # family rep in-window: ext_hll_merge
     "ext_quantiles_by_lang",  # family rep in-window: ext_quantile_sketch
     "ext_pack_chunks",  # family rep in-window: ext_tokenize_pack (vocab+pack composition)
+    "ext_dedup_jaccard",  # family reps in-window: minhash/simhash/spans/substr candidates
     "ext_sample_per_group",
     "ext_source_mix",
     "ext_shuffle_det",

@@ -1947,3 +1947,49 @@ def ext_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return V.check_rules(li, rules).unionByName(
         V.fk_violations(li, orders, "l_orderkey", "o_orderkey"))
+
+
+from pigpen_spark.operators.analytics import merge_rollups  # noqa: E402
+
+
+@register(
+    "ext_incremental_rollup",
+    """
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS total,
+           min(epoch_us(ts))::BIGINT AS first_us,
+           max(epoch_us(ts))::BIGINT AS last_us
+    FROM events GROUP BY user_id
+    """,
+)
+def ext_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: per-user aggregates of two
+    DISJOINT time slices merged by re-aggregation (count→sum, sum→sum,
+    min→min, max→max) — the merged table must equal the direct full
+    recompute, which IS the oracle, so the associativity of the merge is
+    what the hash check certifies.  At 100 TB each daily drop aggregates
+    only itself and the rollup updates from day-sized partials instead of
+    re-scanning history (averages ride as (sum,count); quantiles and
+    distincts ride as the mergeable sketches — see ext_quantile_sketch /
+    ext_hll_merge)."""
+    ev = tables(spark, sf_dir)["events"].df
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def part(pred):
+        return ev.where(pred).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total"),
+            F.min(micros).alias("first_us"),
+            F.max(micros).alias("last_us"),
+        )
+    old, new = part(F.col("ts") < cut), part(F.col("ts") >= cut)
+    merged = merge_rollups(
+        [old, new], ["user_id"],
+        {"n_events": "count", "total": "sum", "first_us": "min", "last_us": "max"},
+    )
+    return merged.select(
+        "user_id", "n_events",
+        F.round(F.col("total"), 2).alias("total"),  # round the FINAL sum only
+        "first_us", "last_us",
+    )

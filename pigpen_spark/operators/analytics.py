@@ -23,7 +23,7 @@ counts, so the DuckDB oracle is exact (no float discipline needed).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -253,3 +253,46 @@ def snapshot_diff_sql(old_sql: str, new_sql: str, keys: Sequence[str],
                 ELSE 'unchanged' END AS {status_col}
     FROM ({old_sql}) o FULL OUTER JOIN ({new_sql}) n ON {on}
     """
+
+
+#: re-aggregation functions that are ASSOCIATIVE over partial aggregates —
+#: the only merges that make a rollup incrementally maintainable
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max,
+              "count": F.sum, "bit_or": F.bit_or}
+
+
+def merge_rollups(parts: Sequence[DataFrame], keys: Sequence[str],
+                  merges: Mapping[str, str]) -> DataFrame:
+    """Incremental rollup maintenance: combine per-batch keyed aggregates
+    into the aggregate of the union WITHOUT touching raw history.
+
+    ``parts`` are partial rollups with identical schemas (keys + measure
+    columns); ``merges`` maps each measure to its re-aggregation
+    (``sum``/``min``/``max``/``count``→sum/``bit_or``).  Only measures with
+    an associative merge belong in an incremental rollup — averages must be
+    carried as (sum, count) pairs and divided at read time, and quantiles/
+    distincts as mergeable sketches (``histogram_sketch``, ``hll``,
+    :mod:`pigpen_spark.functions.sketch`), which is exactly why those
+    sketches exist.
+
+    The merge is ONE union + groupBy over rollup-sized inputs (days ×
+    keys, not events × keys): a daily 100 TB drop re-aggregates only its
+    own partition and the merged table updates from the partials — the
+    lambda-architecture batch view without recomputing history.
+    """
+    if not parts:
+        raise ValueError("merge_rollups: no parts")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    aggs = []
+    for col, how in merges.items():
+        try:
+            fn = _MERGE_FNS[how]
+        except KeyError:
+            raise ValueError(
+                f"merge_rollups: non-associative merge {how!r} for {col!r}; "
+                "carry avg as (sum,count), quantiles/distincts as sketches"
+            ) from None
+        aggs.append(fn(col).alias(col))
+    return df.groupBy(*[_c(k) for k in keys]).agg(*aggs)

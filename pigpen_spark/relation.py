@@ -753,6 +753,17 @@ class Relation:
         self.df.write.mode("overwrite").parquet(f"{path.rstrip('/')}/{name}")
         return self._with(self.spark.read.parquet(f"{path.rstrip('/')}/{name}"))
 
+    def unpivot(self, ids: Sequence[str], values: Sequence[str],
+                var_col: str = "variable", value_col: str = "value") -> "Relation":
+        """Melt ``values`` columns into (``var_col``, ``value_col``) rows —
+        the inverse of :meth:`GroupedRelation.pivot` (extension; maps to
+        Spark's native ``unpivot``, a zero-shuffle per-row expansion)."""
+        return self._with(self.df.unpivot(
+            [_to_col(c) for c in ids], [_to_col(c) for c in values],
+            var_col, value_col))
+
+    melt = unpivot
+
     def as_view(self, name: str) -> "Relation":
         """Register as a temp view for spark.sql() interop (extension —
         the reference has no SQL surface)."""

@@ -405,3 +405,40 @@ class TestValidate:
     def test_empty_rules_raise(self, spark):
         with pytest.raises(ValueError):
             V.check_rules(self._df(spark), {})
+
+
+class TestMergeRollups:
+    def test_merge_equals_direct(self, spark):
+        from pigpen_spark.operators.analytics import merge_rollups
+        df = spark.createDataFrame(
+            [(i % 5, i, i * 2) for i in range(100)], "k long, a long, b long")
+        def roll(d):
+            return d.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("a").alias("sa"),
+                F.min("b").alias("mb"), F.max("b").alias("xb"))
+        parts = [roll(df.where(F.col("a") < 30)),
+                 roll(df.where((F.col("a") >= 30) & (F.col("a") < 70))),
+                 roll(df.where(F.col("a") >= 70))]
+        merged = merge_rollups(parts, ["k"],
+                               {"n": "count", "sa": "sum", "mb": "min", "xb": "max"})
+        assert sorted(tuple(r) for r in merged.collect()) == \
+               sorted(tuple(r) for r in roll(df).collect())
+
+    def test_non_associative_merge_rejected(self, spark):
+        from pigpen_spark.operators.analytics import merge_rollups
+        d = spark.createDataFrame([(1, 2.0)], "k long, avg double")
+        with pytest.raises(ValueError, match="non-associative"):
+            merge_rollups([d], ["k"], {"avg": "avg"})
+
+
+class TestUnpivot:
+    def test_melt_roundtrip(self, spark):
+        r = return_(spark, [(1, 10, 20), (2, 30, 40)], "id long, a long, b long")
+        m = r.unpivot(["id"], ["a", "b"])
+        assert m.df.columns == ["id", "variable", "value"]
+        got = sorted(tuple(x) for x in m.df.collect())
+        assert got == [(1, "a", 10), (1, "b", 20), (2, "a", 30), (2, "b", 40)]
+        # pivot back reverses the melt
+        back = (m.group_by("id").pivot("variable", ["a", "b"])
+                 .fold(F.first("value")))
+        assert sorted(tuple(x) for x in back.df.collect()) == [(1, 10, 20), (2, 30, 40)]
