@@ -419,3 +419,75 @@ def P_dedup_substrings_helper(df):
     from pigpen_spark.functions import pipeline as P
 
     return P.dedup_substrings(df, "doc_id", "text", n=4)
+
+
+class TestRound3cDifferentials:
+    """Pure-Python models for the third-pass operators."""
+
+    @given(edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0, max_size=20))
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    def test_star_wcc_matches_union_find(self, spark, edges):
+        from pigpen_spark.functions.dedup import dedup_clusters_star
+
+        # model: min-labeled union-find
+        parent = {}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            parent.setdefault(a, a); parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        expected = sorted((x, find(x)) for x in parent)
+
+        if not edges:
+            df = spark.createDataFrame([], "id_a long, id_b long")
+        else:
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = sorted(tuple(r) for r in dedup_clusters_star(df).collect())
+        assert got == expected
+
+    @given(rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1, max_size=30),
+        cut=st.integers(-50, 50))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    def test_merge_rollups_matches_direct(self, spark, rows, cut):
+        from pigpen_spark.operators.analytics import merge_rollups
+        df = spark.createDataFrame(rows, "k long, v long")
+        def roll(d):
+            return d.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                F.min("v").alias("lo"), F.max("v").alias("hi"))
+        merged = merge_rollups(
+            [roll(df.where(F.col("v") < cut)), roll(df.where(F.col("v") >= cut))],
+            ["k"], {"n": "count", "s": "sum", "lo": "min", "hi": "max"})
+        assert sorted(tuple(r) for r in merged.collect()) == \
+               sorted(tuple(r) for r in roll(df).collect())
+
+    @given(xs=st.lists(st.integers(0, 999), min_size=1, max_size=60),
+           n_bins=st.sampled_from([4, 16, 50]))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    def test_histogram_quantile_error_bound(self, spark, xs, n_bins):
+        from pigpen_spark.functions.sketch import histogram_quantiles
+        df = spark.createDataFrame([(x,) for x in xs], "x long")
+        w = max(1, -((0 - 1000) // n_bins))
+        out = {r.p_permille: r.est for r in histogram_quantiles(
+            df, F.col("x"), 0, 1000, n_bins).collect()}
+        ordered = sorted(xs)
+        for p in (500, 900, 990):
+            exact = ordered[max(0, -(-p * len(xs) // 1000) - 1)]
+            assert abs(out[p] - exact) <= w
