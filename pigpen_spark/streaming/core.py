@@ -15,6 +15,7 @@ micro-batch once for N sinks (the streaming analog of store-many$).
 from __future__ import annotations
 
 from collections.abc import Callable, Sequence
+from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -376,6 +377,62 @@ def dedup_stream_incremental(
             survivors.unpersist()
         finally:
             batch_df.unpersist()
+
+    w = stream.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def rollup_stream(
+    stream: DataFrame, keys: Sequence[str], aggs: dict, merges: dict,
+    rollup_path: str, checkpoint: str, available_now: bool = False,
+):
+    """Streaming incremental rollup maintenance: each micro-batch
+    aggregates ONLY itself (``aggs``: name → aggregate Column over the
+    batch) and merges into the stored rollup by associative
+    re-aggregation (``merges``: name → sum/min/max/count/bit_or —
+    :func:`pigpen_spark.operators.analytics.merge_rollups`).  The
+    lambda-architecture serving view without a full recompute, and the
+    streaming twin of ``ext_incremental_rollup`` — batch backfill and
+    live maintenance share ONE merge definition, so they cannot drift.
+
+    The rollup is stored in versioned parquet subdirectories
+    (``v{batch_id}``, highest version = current) because overwriting the
+    directory a lazy frame was just read from is a correctness trap; a
+    ``MERGE INTO``-capable table format collapses this to one statement.
+    Old versions are pruned after each successful write (best-effort —
+    a crash between write and prune leaves an extra version, never a
+    wrong rollup, and the checkpoint replays idempotently: re-merging
+    batch N onto the v{N} it already produced is prevented by writing
+    v{batch_id} only if it does not exist).
+
+    Returns the started StreamingQuery."""
+    import shutil
+
+    from pigpen_spark.operators.analytics import merge_rollups
+
+    def _versions() -> list[int]:
+        base = Path(rollup_path)
+        if not base.exists():
+            return []
+        return sorted(int(p.name[1:]) for p in base.iterdir()
+                      if p.name.startswith("v") and p.name[1:].isdigit())
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vs = _versions()
+        if batch_id in vs:   # checkpoint replay of an applied batch
+            return
+        part = batch_df.groupBy(*keys).agg(
+            *[c.alias(n) for n, c in aggs.items()])
+        parts = [part]
+        if vs:
+            parts.append(spark.read.parquet(f"{rollup_path}/v{vs[-1]}"))
+        merged = merge_rollups(parts, list(keys), merges)
+        merged.write.mode("errorifexists").parquet(f"{rollup_path}/v{batch_id}")
+        for v in vs:   # best-effort prune of superseded versions
+            shutil.rmtree(f"{rollup_path}/v{v}", ignore_errors=True)
 
     w = stream.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint)
     if available_now:

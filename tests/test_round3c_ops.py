@@ -442,3 +442,42 @@ class TestUnpivot:
         back = (m.group_by("id").pivot("variable", ["a", "b"])
                  .fold(F.first("value")))
         assert sorted(tuple(x) for x in back.df.collect()) == [(1, 10, 20), (2, 30, 40)]
+
+
+class TestRollupStream:
+    def test_incremental_rollup_matches_direct(self, spark, tmp_path):
+        import json as _json
+        from pigpen_spark.streaming import core as st
+
+        src = tmp_path / "rs_src"
+        src.mkdir(parents=True, exist_ok=True)
+        rows0 = [{"k": 1, "v": 5}, {"k": 2, "v": 7}, {"k": 1, "v": 1}]
+        rows1 = [{"k": 1, "v": 9}, {"k": 3, "v": 2}]
+        for name, rows in (("b0", rows0), ("b1", rows1)):
+            with open(src / f"{name}.json", "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+
+        stream = (spark.readStream.schema("k long, v long")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = st.rollup_stream(
+            stream, ["k"],
+            aggs={"n": F.count(F.lit(1)), "s": F.sum("v"),
+                  "lo": F.min("v"), "hi": F.max("v")},
+            merges={"n": "count", "s": "sum", "lo": "min", "hi": "max"},
+            rollup_path=str(tmp_path / "rs_rollup"),
+            checkpoint=str(tmp_path / "rs_ck"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+        import os
+        versions = sorted(os.listdir(tmp_path / "rs_rollup"))
+        assert len([v for v in versions if v.startswith("v")]) == 1  # pruned
+        latest = sorted(int(v[1:]) for v in versions if v.startswith("v"))[-1]
+        got = sorted(tuple(r) for r in spark.read.parquet(
+            str(tmp_path / "rs_rollup" / f"v{latest}")).collect())
+        direct = spark.read.schema("k long, v long").json(str(src)).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"))
+        assert got == sorted(tuple(r) for r in direct.collect())
