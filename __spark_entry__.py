@@ -55,6 +55,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_bloom_decontaminate",
     "ext_validate",
     "ext_incremental_rollup",
+    "ext_dedup_eval",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
@@ -80,7 +81,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_quality_classifier",
     "ext_quality_classifier_tbl",
     "ext_repetition_stats",
-    "ext_redact",
     "ext_quality_prune",
     "ext_split_hash",
     "ext_stratified_sample",
@@ -103,6 +103,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_quantiles_by_lang",  # family rep in-window: ext_quantile_sketch
     "ext_pack_chunks",  # family rep in-window: ext_tokenize_pack (vocab+pack composition)
     "ext_dedup_jaccard",  # family reps in-window: minhash/simhash/spans/substr candidates
+    "ext_redact",  # family reps in-window: normalize/classifier/repetition/prune
     "ext_sample_per_group",
     "ext_source_mix",
     "ext_shuffle_det",

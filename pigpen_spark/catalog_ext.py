@@ -1993,3 +1993,50 @@ def ext_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total"), 2).alias("total"),  # round the FINAL sum only
         "first_us", "last_us",
     )
+
+
+@register(
+    "ext_dedup_eval",
+    f"""
+    WITH {D.minhash_sigs_cte_sql('documents', 'doc_id', 'text', _K, 3)},
+    dh AS (SELECT id, list_distinct(hs) AS hs FROM __hs),
+    truth AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM dh a JOIN dh b ON a.id < b.id
+      WHERE len(list_filter(a.hs, h -> list_contains(b.hs, h))) * 1000
+            >= 500 * (len(a.hs) + len(b.hs)
+                      - len(list_filter(a.hs, h -> list_contains(b.hs, h))))
+    ),
+    banded AS (
+      SELECT id, b.range AS band,
+             md5(array_to_string(sig[(b.range * {_R} + 1) : (b.range * {_R} + {_R})], '|')) AS bhash
+      FROM sigs, range({_BANDS}) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id
+    ),
+    counts AS (
+      SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+             (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+             (SELECT count(*) FROM truth t JOIN cand c
+                USING (id_a, id_b))::BIGINT AS n_hits
+    )
+    SELECT n_true, n_candidates, n_hits,
+           CASE WHEN n_candidates > 0 THEN n_hits * 1000000 // n_candidates END
+             AS precision_ppm,
+           CASE WHEN n_true > 0 THEN n_hits * 1000000 // n_true END AS recall_ppm
+    FROM counts
+    """,
+)
+def ext_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation: MinHash-LSH candidate pairs graded
+    against EXACT all-pairs shingle Jaccard (≥0.5) on the sample corpus —
+    the measure-don't-guess harness for picking (k, bands) before a
+    100 TB run (the all-pairs ground truth is O(n²) by design and only
+    ever runs on eval samples).  Integer ppm precision/recall,
+    division-free thresholding."""
+    docs = tables(spark, sf_dir)["documents"]
+    return D.minhash_eval(docs.df, "doc_id", "text",
+                          threshold_permille=500, k=_K, bands=_BANDS, shingle_n=3)

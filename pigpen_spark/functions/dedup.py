@@ -839,3 +839,63 @@ def decontaminate(train: DataFrame, test: DataFrame, id_col: str,
             (F.coalesce(F.col("n_shared"), F.lit(0)) >= threshold).alias("contaminated"),
         )
     )
+
+
+def exact_jaccard_pairs(df: DataFrame, id_col: str, content_col: str,
+                        threshold_permille: int, shingle_n: int = 3) -> DataFrame:
+    """ALL-PAIRS exact shingle Jaccard at/above a permille threshold —
+    the ground truth for evaluating candidate blocking, O(n²) BY DESIGN:
+    run it on a labeled SAMPLE (eval sets are thousands of docs, not the
+    corpus), never at corpus scale — that is precisely what the LSH
+    operators it grades exist to avoid.
+
+    Integer cross-multiplication (``inter·1000 ≥ thr·union``) instead of
+    a float Jaccard keeps the comparison bit-free of division.
+
+    Returns (id_a, id_b) with id_a < id_b."""
+    hs = F.array_distinct(shingle_hashes(token_hashes(F.col(content_col)), shingle_n))
+    docs = df.select(F.col(id_col).alias("id"), hs.alias("hs")).transform(_persisted)
+    a = docs.select(F.col("id").alias("id_a"), F.col("hs").alias("__ha"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("hs").alias("__hb"))
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    uni = F.size(F.col("__ha")) + F.size(F.col("__hb")) - inter
+    return (
+        a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        .where(inter * 1000 >= F.lit(int(threshold_permille)) * uni)
+        .select("id_a", "id_b")
+    )
+
+
+def minhash_eval(df: DataFrame, id_col: str, content_col: str,
+                 threshold_permille: int = 500, k: int = 12, bands: int = 4,
+                 shingle_n: int = 3) -> DataFrame:
+    """Blocking-quality report: precision/recall of MinHash-LSH candidate
+    pairs against exact Jaccard ground truth on the SAME (sample) corpus
+    — the measure-don't-guess harness for choosing (k, bands) before a
+    100 TB run.  One row: (n_true, n_candidates, n_hits, precision_ppm,
+    recall_ppm) — integer ppm, division-free via bigint ``div``.
+
+    Recall here is recall of the BLOCKING step (does a true pair share a
+    band bucket), the quantity the S-curve 1-(1-s^r)^b predicts; a
+    downstream est-Jaccard filter can only lower precision's numerator
+    and is graded separately (``minhash_candidates`` carries
+    est_jaccard)."""
+    truth = exact_jaccard_pairs(df, id_col, content_col,
+                                threshold_permille, shingle_n).transform(_persisted)
+    cand = (
+        minhash_candidates(df, id_col, content_col, k, bands, shingle_n)
+        .select("id_a", "id_b").distinct().transform(_persisted)
+    )
+    hits = truth.join(cand, on=["id_a", "id_b"])
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return counts.select(
+        "n_true", "n_candidates", "n_hits",
+        F.when(F.col("n_candidates") > 0,
+               F.expr("n_hits * 1000000 DIV n_candidates")).alias("precision_ppm"),
+        F.when(F.col("n_true") > 0,
+               F.expr("n_hits * 1000000 DIV n_true")).alias("recall_ppm"),
+    )

@@ -772,12 +772,22 @@ class Relation:
 
     # -- I/O & actions (§2.1, §2.9) ----------------------------------------
 
-    def store_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+    def store_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = (),
+                      compression: str | None = None,
+                      max_records_per_file: int | None = None) -> None:
         """reference: store-parquet (pigpen-parquet/src/main/clojure/pigpen/
-        parquet.clj:126-147)."""
+        parquet.clj:126-147).  ``compression`` (snappy/zstd/gzip/none) and
+        ``max_records_per_file`` control the file layout — at 100 TB,
+        bounding file size at write time is what keeps later scans and
+        compactions sane (small-file storms and 10 GB monoliths are both
+        read-side pathologies born at write time)."""
         w = self.df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        if compression is not None:
+            w = w.option("compression", compression)
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
         w.parquet(path)
 
     def store_bucketed(self, table: str, bucket_by: Sequence[str], num_buckets: int,
@@ -795,11 +805,18 @@ class Relation:
             w = w.option("path", path)
         w.saveAsTable(table)
 
-    def store_orc(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
-        """ORC sink — see :func:`pigpen_spark.sources.io.load_orc`."""
+    def store_orc(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = (),
+                  compression: str | None = None,
+                  max_records_per_file: int | None = None) -> None:
+        """ORC sink — see :func:`pigpen_spark.sources.io.load_orc`;
+        layout options as in :meth:`store_parquet`."""
         w = self.df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        if compression is not None:
+            w = w.option("compression", compression)
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
         w.orc(path)
 
     def store_json(self, path: str, mode: str = "overwrite") -> None:

@@ -481,3 +481,37 @@ class TestRollupStream:
             F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
             F.min("v").alias("lo"), F.max("v").alias("hi"))
         assert got == sorted(tuple(r) for r in direct.collect())
+
+
+class TestSinkLayout:
+    def test_max_records_per_file_bounds_files(self, spark, tmp_path):
+        r = return_(spark, [(i,) for i in range(100)], "x long")
+        d = tmp_path / "layout_pq"
+        Relation(r.df.coalesce(1)).store_parquet(
+            str(d), max_records_per_file=30, compression="zstd")
+        files = list(d.glob("part-*.parquet"))
+        assert len(files) == 4  # ceil(100/30)
+        assert spark.read.parquet(str(d)).count() == 100
+
+
+class TestMinhashEval:
+    def test_planted_dups_recalled(self, spark):
+        from pigpen_spark.functions.dedup import exact_jaccard_pairs, minhash_eval
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(1, base), (2, base + " tail"), (3, "completely different words here now"),
+                (4, "another unrelated document about spark engines")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        truth = sorted(tuple(r) for r in exact_jaccard_pairs(
+            df, "id", "text", threshold_permille=500).collect())
+        assert truth == [(1, 2)]
+        row = minhash_eval(df, "id", "text", threshold_permille=500).collect()[0]
+        assert row.n_true == 1
+        assert row.n_hits == 1              # near-identical pair is blocked together
+        assert row.recall_ppm == 1_000_000
+
+    def test_empty_corpus(self, spark):
+        from pigpen_spark.functions.dedup import minhash_eval
+        df = spark.createDataFrame([], "id long, text string")
+        row = minhash_eval(df, "id", "text").collect()[0]
+        assert (row.n_true, row.n_candidates, row.n_hits) == (0, 0, 0)
+        assert row.precision_ppm is None and row.recall_ppm is None
