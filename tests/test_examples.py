@@ -17,3 +17,15 @@ def test_curate_pipeline(spark, sf_dir, tmp_path):
     stored = spark.read.parquet(str(tmp_path / "out" / "corpus"))
     assert stored.count() == report["final_docs"]
     assert report["total_tokens"] > 0
+
+
+def test_ops_audit_pipeline(spark, sf_dir):
+    from ops_audit import audit
+    report = audit(spark, sf_dir)
+    assert set(report["violations"]) == {
+        "value_present", "value_positive", "ts_present", "known_type"}
+    assert report["rollup_users"] > 0
+    assert set(report["value_quantiles_micro"]) == {500, 900, 990}
+    # per-user event counts only grow → no 'removed' users in the diff
+    assert "removed" not in report["diff"]
+    assert report["diff"].get("added", 0) >= 0
