@@ -881,12 +881,23 @@ def minhash_eval(df: DataFrame, id_col: str, content_col: str,
     and is graded separately (``minhash_candidates`` carries
     est_jaccard)."""
     truth = exact_jaccard_pairs(df, id_col, content_col,
-                                threshold_permille, shingle_n).transform(_persisted)
-    cand = (
-        minhash_candidates(df, id_col, content_col, k, bands, shingle_n)
-        .select("id_a", "id_b").distinct().transform(_persisted)
-    )
-    hits = truth.join(cand, on=["id_a", "id_b"])
+                                threshold_permille, shingle_n)
+    cand = minhash_candidates(df, id_col, content_col, k, bands, shingle_n)
+    return blocking_eval(truth, cand)
+
+
+def blocking_eval(truth: DataFrame, candidates: DataFrame,
+                  id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Grade ANY candidate-pair generator (MinHash bands, SimHash chunks,
+    hyperplane buckets — anything emitting (id_a, id_b)) against a
+    ground-truth pair set: (n_true, n_candidates, n_hits, precision_ppm,
+    recall_ppm) as one integer row.  Both inputs are distinct'd and
+    persisted here (each feeds two consumers: its count and the hit
+    join); the crossJoins combine three 1-row aggregates — scalar
+    assembly, not data joins."""
+    truth = truth.select(id_a, id_b).distinct().transform(_persisted)
+    cand = candidates.select(id_a, id_b).distinct().transform(_persisted)
+    hits = truth.join(cand, on=[id_a, id_b])
     counts = (
         truth.agg(F.count(F.lit(1)).alias("n_true"))
         .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))

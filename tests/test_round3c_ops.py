@@ -515,3 +515,19 @@ class TestMinhashEval:
         row = minhash_eval(df, "id", "text").collect()[0]
         assert (row.n_true, row.n_candidates, row.n_hits) == (0, 0, 0)
         assert row.precision_ppm is None and row.recall_ppm is None
+
+
+class TestBlockingEvalGeneric:
+    def test_simhash_candidates_gradeable(self, spark):
+        from pigpen_spark.functions.dedup import (
+            blocking_eval, exact_jaccard_pairs, simhash_candidates)
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(1, base), (2, base + " tail"),
+                (3, "completely different words entirely here now"),
+                (4, "spark engines aggregate shuffled partitions nightly")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        truth = exact_jaccard_pairs(df, "id", "text", threshold_permille=500)
+        cand = simhash_candidates(df, "id", "text", chunks=8, max_hamming=12)
+        row = blocking_eval(truth, cand).collect()[0]
+        assert row.n_true == 1 and row.n_hits == 1
+        assert row.recall_ppm == 1_000_000
