@@ -104,6 +104,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_pack_chunks",  # family rep in-window: ext_tokenize_pack (vocab+pack composition)
     "ext_dedup_jaccard",  # family reps in-window: minhash/simhash/spans/substr candidates
     "ext_redact",  # family reps in-window: normalize/classifier/repetition/prune
+    "ext_profile",  # family rep in-window: ext_validate
     "ext_sample_per_group",
     "ext_source_mix",
     "ext_shuffle_det",

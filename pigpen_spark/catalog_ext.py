@@ -2040,3 +2040,20 @@ def ext_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     return D.minhash_eval(docs.df, "doc_id", "text",
                           threshold_permille=500, k=_K, bands=_BANDS, shingle_n=3)
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"]
+
+
+@register(
+    "ext_profile",
+    V.profile_sql("orders", _PROFILE_COLS),
+)
+def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (deequ's metrics layer): per-column row/null/
+    distinct counts in ONE aggregate pass (multi-distinct via a single
+    Expand; the HLL form — exact_distinct=False — is the Expand-free
+    100 TB-width path, pytest-covered)."""
+    orders = tables(spark, sf_dir)["orders"]
+    return V.profile(orders.df, _PROFILE_COLS)

@@ -134,3 +134,48 @@ def fk_violations_sql(child: str, parent: str, child_key: str,
                                WHERE p.{parent_key} = c.{child_key})) = 0
              AS passed
     """
+
+
+def profile(df: DataFrame, columns: list[str] | None = None,
+            exact_distinct: bool = True) -> DataFrame:
+    """Column profile as a relation: (column, n_rows, n_null, n_distinct)
+    per column — the data-profiling half of the deequ role (its metrics
+    layer), feeding rule thresholds and drift checks.
+
+    ONE aggregate over one scan.  ``exact_distinct=True`` uses
+    ``count_distinct`` — Catalyst plans the multi-distinct via one Expand
+    (rows duplicate ×columns before the shuffle): exact and fine for
+    profiling runs, but the cost grows with profiled width.  At 100 TB
+    width, pass ``exact_distinct=False`` for HLL ``approx_count_distinct``
+    — Expand-free, constant-memory, ±2% (and rows-only vs an oracle,
+    which is why the catalog query uses the exact form)."""
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("profile: no columns")
+    nd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    one = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(c).alias(f"__c{i}") for i, c in enumerate(cols)],
+        *[nd(F.col(c)).alias(f"__d{i}") for i, c in enumerate(cols)],
+    )
+    rows = F.explode(F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            (F.col("__n") - F.col(f"__c{i}")).alias("n_null"),
+            F.col(f"__d{i}").cast("bigint").alias("n_distinct"),
+        )
+        for i, c in enumerate(cols)
+    ])).alias("r")
+    return one.select(rows, F.col("__n").alias("n_rows")).select(
+        F.col("r.column").alias("column"), "n_rows", "r.n_null", "r.n_distinct")
+
+
+def profile_sql(table: str, columns: list[str]) -> str:
+    """DuckDB oracle for the exact form of :func:`profile`."""
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, count(*)::BIGINT AS n_rows,"
+        f" (count(*) - count({c}))::BIGINT AS n_null,"
+        f" count(DISTINCT {c})::BIGINT AS n_distinct FROM {table}"
+        for c in columns
+    )
+    return rows

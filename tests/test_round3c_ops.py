@@ -531,3 +531,25 @@ class TestBlockingEvalGeneric:
         row = blocking_eval(truth, cand).collect()[0]
         assert row.n_true == 1 and row.n_hits == 1
         assert row.recall_ppm == 1_000_000
+
+
+class TestProfile:
+    def test_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b"), (None, "b")], "x long, s string")
+        out = {r.column: (r.n_rows, r.n_null, r.n_distinct)
+               for r in V.profile(df).collect()}
+        assert out == {"x": (4, 1, 2), "s": (4, 1, 2)}
+
+    def test_approx_form_no_expand(self, spark):
+        df = spark.createDataFrame([(1, "a")], "x long, s string")
+        exact_plan = V.profile(df)._jdf.queryExecution().executedPlan().toString()
+        approx_plan = V.profile(df, exact_distinct=False) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in exact_plan       # multi-distinct cost, documented
+        assert "Expand" not in approx_plan  # the 100 TB-width path
+
+    def test_no_columns_raise(self, spark):
+        df = spark.createDataFrame([(1,)], "x long")
+        with pytest.raises(ValueError):
+            V.profile(df, columns=[])
