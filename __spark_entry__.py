@@ -56,6 +56,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_validate",
     "ext_incremental_rollup",
     "ext_dedup_eval",
+    "ext_lm_trained",
+    "ext_blocklist",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
@@ -83,8 +85,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_repetition_stats",
     "ext_quality_prune",
     "ext_split_hash",
-    "ext_stratified_sample",
-    "ext_vocab",
     "ext_tokenize_pack",
     "ext_zorder_key",
     "ext_hll_merge",
@@ -105,6 +105,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_jaccard",  # family reps in-window: minhash/simhash/spans/substr candidates
     "ext_redact",  # family reps in-window: normalize/classifier/repetition/prune
     "ext_profile",  # family rep in-window: ext_validate
+    "ext_stratified_sample",  # family rep in-window: ext_split_hash
+    "ext_vocab",  # family rep in-window: ext_tokenize_pack (composes vocab)
     "ext_sample_per_group",
     "ext_source_mix",
     "ext_shuffle_det",

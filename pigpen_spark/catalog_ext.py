@@ -2057,3 +2057,88 @@ def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB-width path, pytest-covered)."""
     orders = tables(spark, sf_dir)["orders"]
     return V.profile(orders.df, _PROFILE_COLS)
+
+
+_BLOCKLIST = ["slow", "error", "spill", "skew"]
+_BL_LITS = ", ".join("'" + w + "'" for w in _BLOCKLIST)
+
+
+@register(
+    "ext_blocklist",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(t, x -> list_contains([{_BL_LITS}], x)))::BIGINT AS n_hits,
+           len(list_filter(t, x -> list_contains([{_BL_LITS}], x))) > 0 AS hit
+    FROM toks
+    """,
+)
+def ext_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist gate (spam/NSFW/boilerplate blocklists): the TABLE form —
+    token explode + broadcast equi-join + partial-aggregating count, the
+    shape that scales to 10⁵+-word lists (the literal `arrays_overlap`
+    form, :func:`pigpen_spark.functions.text.blocklist_hit`, covers small
+    lists as one expression and is pytest-covered)."""
+    docs = tables(spark, sf_dir)["documents"]
+    words = spark.createDataFrame([(w,) for w in _BLOCKLIST], "word string")
+    return T.blocklist_hits_join(docs.df, "doc_id", "text", words)
+
+
+_LM_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+@register(
+    "ext_lm_trained",
+    f"""
+    WITH lab AS (
+      SELECT doc_id, text,
+             {P.split_by_hash_sql('doc_id', _DECON_SPLITS, salt='decon')} AS split
+      FROM documents
+    ),
+    tr_toks AS (SELECT ({_LM_TOKS}) AS t FROM lab WHERE split = 'train'),
+    tb AS (
+      SELECT unnest([t[i] for i in range(1, len(t))]) AS w1,
+             unnest([t[i + 1] for i in range(1, len(t))]) AS w2
+      FROM tr_toks
+    ),
+    counts AS (SELECT w1, w2, count(*)::BIGINT AS c FROM tb GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c)::BIGINT AS c1 FROM counts GROUP BY 1),
+    te_toks AS (SELECT doc_id, ({_LM_TOKS}) AS t FROM lab WHERE split = 'test'),
+    db AS (
+      SELECT doc_id,
+             unnest([t[i] for i in range(1, len(t))]) AS w1,
+             unnest([t[i + 1] for i in range(1, len(t))]) AS w2
+      FROM te_toks
+    ),
+    sc AS (
+      SELECT db.doc_id, coalesce(c.c * 1000000 // x.c1, 0)::BIGINT AS p
+      FROM db LEFT JOIN counts c USING (w1, w2) LEFT JOIN ctx x USING (w1)
+    ),
+    per AS (
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             (sum(p)::BIGINT // count(*))::BIGINT AS mean_p_ppm
+      FROM sc GROUP BY doc_id
+    )
+    SELECT l.doc_id, coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+           per.mean_p_ppm
+    FROM lab l LEFT JOIN per ON l.doc_id = per.doc_id
+    WHERE l.split = 'test'
+    """,
+)
+def ext_lm_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED count-based bigram LM, end to end: count bigrams on the
+    train split (one partial-aggregating groupBy — KenLM's counting
+    pass), score the test split by integer-ppm mean conditional
+    probability p(w2|w1) (ln() is not bit-portable, so the mean-
+    conditional-probability form keeps the gate hash-exact).  The
+    real-statistics completion of the md5 stand-in ext_lm_filter."""
+    docs = tables(spark, sf_dir)["documents"]
+    lab = P.split_by_hash(docs.df.select("doc_id", "text"), "doc_id",
+                          _DECON_SPLITS, salt="decon").transform(_persisted)
+    train = lab.filter(F.col("split") == "train")
+    test = lab.filter(F.col("split") == "test")
+    counts = C.train_bigram_counts(train, "text")
+    return C.bigram_lm_score_counts(test, "doc_id", "text", counts)

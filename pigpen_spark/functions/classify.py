@@ -324,3 +324,77 @@ def perplexity_buckets_sql(table: str, id_col: str, text_col: str,
     SELECT {id_col}, {lang_col}, lm_score, NULL::BIGINT AS bucket
     FROM s WHERE lm_score IS NULL
     """
+
+
+def bigram_pairs(col) -> Column:
+    """Array of (w1, w2) structs for consecutive whitespace tokens —
+    let-bound, tokenizes once per row."""
+    def body(toks: Column) -> Column:
+        n_bi = F.size(toks) - 1
+        return F.when(n_bi >= 1, F.transform(
+            F.sequence(F.lit(1), n_bi),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )).otherwise(F.array())
+    return _let(tokens(col), body)
+
+
+def train_bigram_counts(df, text_col: str):
+    """COUNT-based bigram LM training: the real-statistics sibling of the
+    md5 stand-in :func:`bigram_lm_score` — one partial-aggregating
+    groupBy over the exploded bigram stream (the identical counting split
+    KenLM's first pass runs; the corpus-sized work is this one shuffle).
+    Returns (w1, w2, c) — store it once, score any corpus against it."""
+    return (
+        df.select(F.explode(bigram_pairs(F.col(text_col))).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bigram_lm_score_counts(df, id_col: str, text_col: str, counts):
+    """Score documents against TRAINED bigram counts with integer-exact
+    arithmetic: per bigram, the conditional probability p(w2|w1) =
+    c(w1,w2)/c(w1,·) in ppm (integer ``div`` — unseen bigrams/contexts
+    score 0); per document, the mean over its bigrams.  Mean conditional
+    probability replaces perplexity because ln() is not bit-portable
+    across engines (ROUND_NOTES float discipline) — it is monotone with
+    the same gating decisions for fixed-length docs and hash-exact in
+    the oracle.
+
+    Plan: explode doc bigrams → equi-join the bigram table on (w1,w2) →
+    equi-join the context table on w1 (both corpus-vocab-sized relations;
+    Catalyst broadcasts them while they fit) → one per-doc groupBy.
+    Returns (id, n_bigrams, mean_p_ppm) for EVERY input row (<2-token
+    docs: 0 bigrams, NULL score)."""
+    ctx = counts.groupBy("w1").agg(F.sum("c").alias("c1"))
+    bi = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.explode(bigram_pairs(F.col(text_col))).alias("b"))
+        .select("__id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    scored = (
+        bi.join(counts, on=["w1", "w2"], how="left")
+        .join(ctx, on="w1", how="left")
+        .select(
+            "__id",
+            F.coalesce(
+                F.expr("c * 1000000 DIV c1"), F.lit(0).cast("bigint")
+            ).alias("p_ppm"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(p_ppm) DIV count(1)").alias("mean_p_ppm"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("mean_p_ppm"),
+        )
+    )

@@ -475,3 +475,48 @@ def normalize_text_unicode(col) -> Column:
     _nfkc_fold.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_nfkc_fold, "string")
     return udf(_c(col))
+
+
+def blocklist_hit(col, blocklist: list[str]) -> Column:
+    """True when any whitespace token of ``col`` appears in ``blocklist``
+    (case-insensitive via the shared tokenizer) — the standard wordlist
+    gate (spam/NSFW/boilerplate) as ONE expression: the list rides into
+    the plan as an array literal, `arrays_overlap` short-circuits, no
+    join, no regex backtracking.  For lists too large for a literal
+    (~10⁵+), use :func:`blocklist_hits_join` — same decision, one
+    broadcast equi-join."""
+    lit = F.array(*[F.lit(w.lower()) for w in blocklist])
+    return F.arrays_overlap(tokens(_c(col)), lit)
+
+
+def blocklist_hit_sql(col: str, blocklist: list[str]) -> str:
+    """DuckDB equivalent of :func:`blocklist_hit`."""
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    lits = ", ".join("'" + w.lower().replace("'", "''") + "'" for w in blocklist)
+    return f"len(list_filter(({toks}), t -> list_contains([{lits}], t))) > 0"
+
+
+def blocklist_hits_join(df, id_col: str, text_col: str, words_df,
+                        word_col: str = "word") -> "DataFrame":
+    """Table form of :func:`blocklist_hit` for big lists: explode tokens,
+    broadcast-join the wordlist, count hits per doc.  Returns every input
+    row's (id, n_hits, hit) — rows with no tokens or no hits get 0/False
+    via the left join.  Plan: one explode + one broadcast equi-join + one
+    partial-aggregating groupBy; the wordlist is the build side, never
+    the corpus."""
+    toks = df.select(
+        _c(id_col).alias("__id"), F.explode(tokens(_c(text_col))).alias("__tok"))
+    wl = words_df.select(F.lower(_c(word_col)).alias("__tok")).distinct()
+    hits = (
+        toks.join(F.broadcast(wl), on="__tok")
+        .groupBy("__id").agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        df.select(_c(id_col).alias("__id"))
+        .join(hits, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("hit"),
+        )
+    )

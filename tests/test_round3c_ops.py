@@ -553,3 +553,40 @@ class TestProfile:
         df = spark.createDataFrame([(1,)], "x long")
         with pytest.raises(ValueError):
             V.profile(df, columns=[])
+
+
+class TestBlocklist:
+    def test_literal_and_table_forms_agree(self, spark):
+        from pigpen_spark.functions.text import blocklist_hit, blocklist_hits_join
+        rows = [(1, "a clean doc"), (2, "contains BadWord here"),
+                (3, "badword badword twice"), (4, "")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        bl = ["badword", "otherbad"]
+        lit = {r.id: r.hit for r in df.select(
+            "id", blocklist_hit("text", bl).alias("hit")).collect()}
+        words = spark.createDataFrame([(w,) for w in bl], "word string")
+        tbl = {r.id: (r.hit, r.n_hits) for r in
+               blocklist_hits_join(df, "id", "text", words).collect()}
+        assert lit == {1: False, 2: True, 3: True, 4: False}
+        assert {k: v[0] for k, v in tbl.items()} == lit
+        assert tbl[3][1] == 2  # hit multiplicity only in the table form
+
+
+class TestTrainedLM:
+    def test_fluent_text_outscores_shuffled(self, spark):
+        from pigpen_spark.functions.classify import (
+            bigram_lm_score_counts, train_bigram_counts)
+        corpus = [(i, "the cat sat on the mat and the dog sat too") for i in range(10)]
+        train = spark.createDataFrame(corpus, "id long, text string")
+        counts = train_bigram_counts(train, "text")
+        test = spark.createDataFrame(
+            [(100, "the cat sat on the mat"),       # in-distribution
+             (101, "mat the on sat cat the"),        # shuffled
+             (102, "zebra quantum flux"),            # OOV
+             (103, "single")],                       # degenerate
+            "id long, text string")
+        out = {r.id: (r.n_bigrams, r.mean_p_ppm) for r in
+               bigram_lm_score_counts(test, "id", "text", counts).collect()}
+        assert out[100][1] > out[101][1] >= 0
+        assert out[102][1] == 0
+        assert out[103] == (0, None)
