@@ -2142,3 +2142,44 @@ def ext_lm_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = lab.filter(F.col("split") == "test")
     counts = C.train_bigram_counts(train, "text")
     return C.bigram_lm_score_counts(test, "doc_id", "text", counts)
+
+
+@register(
+    "ext_triangles",
+    f"""
+    WITH RECURSIVE {D.minhash_sigs_cte_sql('documents', 'doc_id', 'text', _K, 3)},
+    banded AS (
+      SELECT id, b.range AS band,
+             md5(array_to_string(sig[(b.range * {_R} + 1) : (b.range * {_R} + {_R})], '|')) AS bhash
+      FROM sigs, range({_BANDS}) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id
+    ),
+    wedges AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM pairs e1 JOIN pairs e2
+        ON e1.id_a = e2.id_a AND e1.id_b < e2.id_b
+    ),
+    tris AS (
+      SELECT w.a, w.b, w.c FROM wedges w
+      JOIN pairs e ON e.id_a = w.b AND e.id_b = w.c
+    ),
+    nodes AS (
+      SELECT a AS id FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+    )
+    SELECT id, count(*)::BIGINT AS n_triangles FROM nodes GROUP BY id
+    """,
+)
+def ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the MinHash-LSH candidate graph
+    (compact-forward, two equi-joins) — the clique-ness diagnostic for
+    near-dup components: duplicate groups are cliques, so members of
+    real groups sit in triangles while chain-shaped candidate spans
+    (borderline matches) do not."""
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_candidates(docs.df, "doc_id", "text",
+                                 k=_K, bands=_BANDS, shingle_n=3)
+    return D.triangle_counts(pairs)

@@ -910,3 +910,40 @@ def blocking_eval(truth: DataFrame, candidates: DataFrame,
         F.when(F.col("n_true") > 0,
                F.expr("n_hits * 1000000 DIV n_true")).alias("recall_ppm"),
     )
+
+
+def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
+                    id_b: str = "id_b") -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph — the
+    compact-forward MapReduce formulation (Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer"): canonicalize
+    edges u<v, self-join on the low endpoint to enumerate wedges
+    (u,v,w with v<w), then one equi-join probes whether the closing edge
+    (v,w) exists.  Two shuffle equi-joins total, never an all-pairs
+    product; the wedge fan-out is Σ deg(u)² ON THE CANONICAL ORIENTATION,
+    which bounds hub blowup by ordering (the curse-of-the-last-reducer
+    fix — a hub's wedges split across its LOWER neighbors).
+
+    For near-dup candidate graphs this is the clique-ness diagnostic:
+    true duplicate groups are cliques (every member pairs with every
+    other), so candidate components with triangle-free spans are chains
+    of borderline matches worth a stricter verify threshold.
+
+    Returns (id, n_triangles) for every node in ≥1 triangle."""
+    e = (
+        pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("u"),
+                     F.greatest(F.col(id_a), F.col(id_b)).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .transform(_persisted)
+    )
+    wedges = (
+        e.alias("e1").join(e.alias("e2"), on=F.col("e1.u") == F.col("e2.u"))
+        .where(F.col("e1.v") < F.col("e2.v"))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"))
+    )
+    tris = wedges.join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")), on=["b", "c"])
+    nodes = tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
+    return nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -590,3 +590,22 @@ class TestTrainedLM:
         assert out[100][1] > out[101][1] >= 0
         assert out[102][1] == 0
         assert out[103] == (0, None)
+
+
+class TestTriangles:
+    def test_known_graph(self, spark):
+        from pigpen_spark.functions.dedup import triangle_counts
+        # K4 on {1,2,3,4} (4 triangles, each node in 3) + chain 5-6-7 (none)
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges += [(5, 6), (6, 7)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_orientation_and_dups_ignored(self, spark):
+        from pigpen_spark.functions.dedup import triangle_counts
+        # same triangle given in mixed orientations + dup edges + self-loop
+        edges = [(2, 1), (1, 3), (3, 2), (1, 2), (1, 1)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
