@@ -59,11 +59,11 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_lm_trained",
     "ext_blocklist",
     "ext_triangles",
+    "ext_exact_kth",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
     "ext_dedup_clusters",
-    "ext_dedup_spans",
     "ext_dedup_substr",
     "ext_dedup_incremental",
     "ext_decontaminate",
@@ -102,7 +102,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_approx_distinct",  # family rep in-window: ext_hll_merge
     "ext_quantiles_by_lang",  # family rep in-window: ext_quantile_sketch
     "ext_pack_chunks",  # family rep in-window: ext_tokenize_pack (vocab+pack composition)
-    "ext_dedup_simhash",  # family reps in-window: minhash/spans/substr; simhash pytest+replica
+    "ext_dedup_simhash",  # family reps in-window: minhash/substr candidates
+    "ext_dedup_spans",  # family rep in-window: ext_dedup_substr (finer-grained sibling)
     "ext_dedup_jaccard",  # family reps in-window: minhash/spans/substr candidates
     "ext_redact",  # family reps in-window: normalize/classifier/repetition/prune
     "ext_profile",  # family rep in-window: ext_validate

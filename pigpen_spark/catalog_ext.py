@@ -2183,3 +2183,30 @@ def ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_candidates(docs.df, "doc_id", "text",
                                  k=_K, bands=_BANDS, shingle_n=3)
     return D.triangle_counts(pairs)
+
+
+@register(
+    "ext_exact_kth",
+    """
+    WITH v AS (SELECT round(l_extendedprice * 100)::BIGINT AS x FROM lineitem),
+    n AS (SELECT count(*)::BIGINT AS n FROM v),
+    r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+    SELECT p AS p_permille,
+           (SELECT x FROM r, n WHERE rn = (p * n.n + 999) // 1000) AS value
+    FROM (SELECT unnest([500, 990]) AS p)
+    """,
+)
+def ext_exact_kth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p99 (integer cents) by iterative histogram narrowing —
+    distributed selection in ~log_bins(domain) map-side-combining passes,
+    no global sort, driver state bounded at n_bins rows/round
+    (`sketch.exact_kth`).  The exact companion of ext_quantile_sketch's
+    one-pass ±bin-width estimate; the oracle ranks the full column."""
+    from pigpen_spark.functions.sketch import exact_kth
+
+    li = tables(spark, sf_dir)["lineitem"].df
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    n = li.count()
+    rows = [(p, exact_kth(li, cents, (p * n + 999) // 1000))
+            for p in (500, 990)]
+    return spark.createDataFrame(rows, "p_permille long, value long")

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pigpen_spark.cache import persisted as _persisted
 from pigpen_spark.functions.dedup import _P, _hconst, token_hashes, token_hashes_sql
 from pigpen_spark.functions.text import tokens
 
@@ -361,3 +362,53 @@ def histogram_quantiles_by_sql(table: str, value_sql: str, group_col: str,
     JOIN cum c ON c.cum * 1000 >= p.p_permille * c.total
     GROUP BY 1, 2
     """
+
+
+def exact_kth(df: DataFrame, value: Column, k: int,
+              n_bins: int = 4096, max_rounds: int = 12) -> int:
+    """EXACT k-th smallest (1-based) of an integer-valued column by
+    iterative histogram narrowing — distributed selection without a
+    global sort: each round histograms the surviving range into
+    ``n_bins`` and descends into the bin containing rank ``k``, so a
+    64-bit domain resolves in ⌈64/log2(n_bins)⌉ ≈ 6 passes over the
+    data regardless of row count.  This is the exact-refinement
+    companion of :func:`histogram_quantiles` (one pass, ±bin-width):
+    same mergeable counters, ~log_bins(domain) passes instead of one.
+
+    Driver state per round is ONE ≤n_bins-row collect + three ints —
+    the bounded-collect pattern; the data is never shuffled at all
+    (every histogram is a map-side-combining aggregate).
+
+    Returns the value as a Python int (an ACTION, like count())."""
+    if k < 1:
+        raise ValueError(f"exact_kth: k must be ≥1, got {k}")
+    x = value.cast("bigint").alias("__x")
+    vals = df.select(x).where(F.col("__x").isNotNull()).transform(_persisted)
+    try:
+        row = vals.agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"),
+                       F.count(F.lit(1)).alias("n")).first()
+        if row["n"] == 0 or k > row["n"]:
+            raise ValueError(f"exact_kth: k={k} out of range (n={row['n']})")
+        lo, hi = int(row["lo"]), int(row["hi"])
+        base = 0  # values strictly below lo
+        for _ in range(max_rounds):
+            if lo == hi:
+                return lo
+            w = max(1, (hi - lo + n_bins) // n_bins)  # ceil((hi-lo+1)/bins)
+            hist = dict(
+                vals.where((F.col("__x") >= lo) & (F.col("__x") <= hi))
+                .groupBy(((F.col("__x") - F.lit(lo)) / F.lit(w))
+                         .cast("bigint").alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            cum = base
+            for b in sorted(hist):
+                if cum + hist[b] >= k:
+                    lo, hi = lo + int(b) * w, min(hi, lo + int(b) * w + w - 1)
+                    base = cum
+                    break
+                cum += hist[b]
+        raise RuntimeError("exact_kth: did not converge — non-integer input?")
+    finally:
+        vals.unpersist()

@@ -609,3 +609,24 @@ class TestTriangles:
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         out = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
         assert out == {1: 1, 2: 1, 3: 1}
+
+
+class TestExactKth:
+    def test_matches_sorted(self, spark):
+        import random
+        rng = random.Random(3)
+        xs = [rng.randrange(-10_000, 10_000) for _ in range(2000)]
+        df = spark.createDataFrame([(x,) for x in xs], "x long")
+        s = sorted(xs)
+        for k in (1, 2, 1000, 1999, 2000):
+            assert K.exact_kth(df, F.col("x"), k, n_bins=16) == s[k - 1]
+
+    def test_duplicates_and_tiny_range(self, spark):
+        df = spark.createDataFrame([(5,)] * 10 + [(7,)] * 3, "x long")
+        assert K.exact_kth(df, F.col("x"), 10) == 5
+        assert K.exact_kth(df, F.col("x"), 11) == 7
+
+    def test_out_of_range_k(self, spark):
+        df = spark.createDataFrame([(1,)], "x long")
+        with pytest.raises(ValueError):
+            K.exact_kth(df, F.col("x"), 2)
