@@ -60,17 +60,17 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_blocklist",
     "ext_triangles",
     "ext_exact_kth",
+    "ext_heavy_exact",
+    "ext_join_cardinality",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
     "ext_dedup_clusters",
     "ext_dedup_substr",
-    "ext_dedup_incremental",
     "ext_decontaminate",
     "ext_split_leakage",
     "ext_embed_near_dup",
     "ext_semdedup",
-    "ext_knn_label",
     "ext_embed_quantize",
     "ext_embed_pq",
     "ext_ann_pq",
@@ -104,6 +104,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_pack_chunks",  # family rep in-window: ext_tokenize_pack (vocab+pack composition)
     "ext_dedup_simhash",  # family reps in-window: minhash/substr candidates
     "ext_dedup_spans",  # family rep in-window: ext_dedup_substr (finer-grained sibling)
+    "ext_dedup_incremental",  # family rep in-window: ext_split_leakage (same index machinery)
+    "ext_knn_label",  # family rep in-window: ext_semdedup / ext_embed_near_dup (LSH neighbors)
     "ext_dedup_jaccard",  # family reps in-window: minhash/spans/substr candidates
     "ext_redact",  # family reps in-window: normalize/classifier/repetition/prune
     "ext_profile",  # family rep in-window: ext_validate

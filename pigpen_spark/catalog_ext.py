@@ -2210,3 +2210,36 @@ def ext_exact_kth(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(p, exact_kth(li, cents, (p * n + 999) // 1000))
             for p in (500, 990)]
     return spark.createDataFrame(rows, "p_permille long, value long")
+
+
+@register(
+    "ext_heavy_exact",
+    K.heavy_hitters_exact_sql("documents", "text", min_count=400),
+)
+def ext_heavy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-then-verify heavy hitters: Count-Min candidate superset →
+    exact counts ONLY for candidates (semi-join-filtered aggregation) —
+    the two-phase pattern that gets exact heavy-hitter counts at 100 TB
+    without ever building the vocabulary-sized term table."""
+    docs = tables(spark, sf_dir)["documents"]
+    return K.heavy_hitters_exact(docs.df, "text", min_count=400)
+
+
+@register(
+    "ext_join_cardinality",
+    """
+    WITH a AS (SELECT l_orderkey AS k, count(*)::BIGINT AS a FROM lineitem GROUP BY 1),
+    b AS (SELECT o_orderkey AS k, count(*)::BIGINT AS b FROM orders GROUP BY 1)
+    SELECT (SELECT count(*) FROM lineitem)::BIGINT AS n_left,
+           (SELECT count(*) FROM orders)::BIGINT AS n_right,
+           coalesce((SELECT sum(a.a * b.b) FROM a JOIN b USING (k)), 0)::BIGINT AS n_join
+    """,
+)
+def ext_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight exact join cardinality Σ a_k·b_k from count tables —
+    the broadcast-vs-salt decision input (tuning.join_cardinality_estimate)."""
+    from pigpen_spark.tuning import join_cardinality_estimate
+
+    t = tables(spark, sf_dir)
+    return join_cardinality_estimate(
+        t["lineitem"].df, t["orders"].df, "l_orderkey", "o_orderkey")

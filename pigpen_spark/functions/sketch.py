@@ -412,3 +412,37 @@ def exact_kth(df: DataFrame, value: Column, k: int,
         raise RuntimeError("exact_kth: did not converge — non-integer input?")
     finally:
         vals.unpersist()
+
+
+def heavy_hitters_exact(df: DataFrame, text_col: str, depth: int = 4,
+                        width: int = 512, min_count: int = 10) -> DataFrame:
+    """Sketch-then-verify heavy hitters: Count-Min proposes a candidate
+    superset (estimates only OVERcount, so no true heavy hitter is
+    missed), then ONE aggregation confined to candidate tokens computes
+    exact counts.  The full-corpus term table never materializes —
+    the exact pass counts only tokens that pass the broadcast candidate
+    filter, which at Zipfian 100 TB is a few thousand terms instead of
+    a vocabulary-sized shuffle.
+
+    Returns (term, cnt) with EXACT counts ≥ min_count."""
+    cands = heavy_hitters(df, text_col, depth=depth, width=width,
+                          min_est=min_count).select("term")
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    return (
+        toks.join(F.broadcast(cands), on="term", how="left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
+def heavy_hitters_exact_sql(table: str, text_col: str,
+                            min_count: int = 10) -> str:
+    """DuckDB oracle for :func:`heavy_hitters_exact` — the sketch stage
+    only ever ADDS candidates, so the exact result equals a plain
+    thresholded term count."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    return f"""
+    SELECT t AS term, count(*)::BIGINT AS cnt
+    FROM (SELECT unnest({toks}) AS t FROM {table})
+    GROUP BY t HAVING count(*) >= {min_count}
+    """

@@ -139,3 +139,27 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "key")
         .limit(top_n)
     )
+
+
+def join_cardinality_estimate(left, right, left_key, right_key):
+    """Pre-flight EXACT join-output cardinality: |A ⋈ B| = Σ_k a_k·b_k
+    over per-key counts — two map-side-combining aggregates + one join of
+    COUNT TABLES (key-cardinality-sized, not data-sized) + one 1-row sum.
+    Run it before a giant equi-join to decide broadcast vs sort-merge vs
+    salting: the same Σ a_k·b_k decomposed per key is exactly what
+    key_skew_profile ranks.
+
+    Returns a 1-row DataFrame (n_left, n_right, n_join)."""
+    from pyspark.sql import functions as F
+
+    a = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__a"))
+    b = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__b"))
+    prod = a.join(b, on="__k").agg(
+        F.sum(F.col("__a") * F.col("__b")).alias("n_join"))
+    na = left.agg(F.count(F.lit(1)).alias("n_left"))
+    nb = right.agg(F.count(F.lit(1)).alias("n_right"))
+    return na.crossJoin(nb).crossJoin(prod).select(
+        "n_left", "n_right",
+        F.coalesce(F.col("n_join"), F.lit(0)).alias("n_join"))

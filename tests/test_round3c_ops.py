@@ -630,3 +630,26 @@ class TestExactKth:
         df = spark.createDataFrame([(1,)], "x long")
         with pytest.raises(ValueError):
             K.exact_kth(df, F.col("x"), 2)
+
+
+class TestHeavyExactAndCardinality:
+    def test_heavy_exact_counts_are_exact(self, spark):
+        rows = [(i, "hot " * 20 + f"rare{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = {r.term: r.cnt for r in K.heavy_hitters_exact(
+            df, "text", min_count=100).collect()}
+        assert out == {"hot": 600}  # exact, not a CMS overestimate
+
+    def test_join_cardinality(self, spark):
+        from pigpen_spark.tuning import join_cardinality_estimate
+        a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+        b = spark.createDataFrame([(1,), (2,), (2,), (9,)], "j long")
+        row = join_cardinality_estimate(a, b, "k", "j").collect()[0]
+        # key 1: 2*1, key 2: 1*2 → 4; keys 3/9 unmatched
+        assert (row.n_left, row.n_right, row.n_join) == (4, 4, 4)
+
+    def test_join_cardinality_disjoint(self, spark):
+        from pigpen_spark.tuning import join_cardinality_estimate
+        a = spark.createDataFrame([(1,)], "k long")
+        b = spark.createDataFrame([(2,)], "j long")
+        assert join_cardinality_estimate(a, b, "k", "j").collect()[0].n_join == 0
