@@ -78,6 +78,10 @@ HEADLINE = [
     "ext_dedup_events_window",
     "ext_quantile_sketch",
     "ext_bloom_decontaminate",
+    # one-pass multi-rule data-quality gate + trained bigram LM
+    # (count tables joined back over the scored split)
+    "ext_validate",
+    "ext_lm_trained",
 ]
 
 
