@@ -365,7 +365,7 @@ def histogram_quantiles_by_sql(table: str, value_sql: str, group_col: str,
 
 
 def exact_kth(df: DataFrame, value: Column, k: int,
-              n_bins: int = 4096, max_rounds: int = 12) -> int:
+              n_bins: int = 4096, max_rounds: int | None = None) -> int:
     """EXACT k-th smallest (1-based) of an integer-valued column by
     iterative histogram narrowing — distributed selection without a
     global sort: each round histograms the surviving range into
@@ -390,15 +390,27 @@ def exact_kth(df: DataFrame, value: Column, k: int,
         if row["n"] == 0 or k > row["n"]:
             raise ValueError(f"exact_kth: k={k} out of range (n={row['n']})")
         lo, hi = int(row["lo"]), int(row["hi"])
+        if hi - lo >= (1 << 62):
+            # (__x - lo) must stay in int64 under ANSI mode; a span this
+            # wide needs a pre-shift/partition of the domain first
+            raise ValueError("exact_kth: value span exceeds 2^62")
         base = 0  # values strictly below lo
+        if max_rounds is None:
+            # ceil(log_bins(span)) + slack: each round divides the span by
+            # ≥ n_bins/2 (ceil'd width), so this always suffices
+            max_rounds, span = 2, hi - lo + 1
+            while span > 1:
+                span = (span + n_bins - 1) // n_bins
+                max_rounds += 1
         for _ in range(max_rounds):
             if lo == hi:
                 return lo
-            w = max(1, (hi - lo + n_bins) // n_bins)  # ceil((hi-lo+1)/bins)
+            w = max(1, (hi - lo + n_bins) // n_bins)  # ceil((hi-lo)+1/bins)
+            # integer DIV, not float /: double division mis-bins values
+            # once the surviving span exceeds 2^53
             hist = dict(
                 vals.where((F.col("__x") >= lo) & (F.col("__x") <= hi))
-                .groupBy(((F.col("__x") - F.lit(lo)) / F.lit(w))
-                         .cast("bigint").alias("b"))
+                .groupBy(F.expr(f"(__x - {lo}) DIV {w}").alias("b"))
                 .agg(F.count(F.lit(1)).alias("c"))
                 .collect()
             )
@@ -409,7 +421,7 @@ def exact_kth(df: DataFrame, value: Column, k: int,
                     base = cum
                     break
                 cum += hist[b]
-        raise RuntimeError("exact_kth: did not converge — non-integer input?")
+        raise RuntimeError("exact_kth: did not converge in max_rounds rounds")
     finally:
         vals.unpersist()
 

@@ -653,3 +653,14 @@ class TestHeavyExactAndCardinality:
         a = spark.createDataFrame([(1,)], "k long")
         b = spark.createDataFrame([(2,)], "j long")
         assert join_cardinality_estimate(a, b, "k", "j").collect()[0].n_join == 0
+
+
+class TestExactKthWideDomain:
+    def test_values_beyond_double_precision(self, spark):
+        # offsets near 2^60: double-division binning would misplace these
+        base = 1 << 60
+        xs = [base + i * 3 for i in range(50)] + [-(base // 2), 0]
+        df = spark.createDataFrame([(x,) for x in xs], "x long")
+        s = sorted(xs)
+        for k in (1, 2, 26, 52):
+            assert K.exact_kth(df, F.col("x"), k, n_bins=8) == s[k - 1]
