@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_exact_kth",
     "ext_heavy_exact",
     "ext_join_cardinality",
+    "ext_histogram_drift",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
@@ -72,7 +73,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_embed_near_dup",
     "ext_semdedup",
     "ext_embed_quantize",
-    "ext_embed_pq",
     "ext_ann_pq",
     "ext_ann_ivf_pq",
     "ext_ann_lsh",
@@ -106,6 +106,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_spans",  # family rep in-window: ext_dedup_substr (finer-grained sibling)
     "ext_dedup_incremental",  # family rep in-window: ext_split_leakage (same index machinery)
     "ext_knn_label",  # family rep in-window: ext_semdedup / ext_embed_near_dup (LSH neighbors)
+    "ext_embed_pq",  # family reps in-window: ext_ann_pq / ext_ann_ivf_pq (compose encode)
     "ext_dedup_jaccard",  # family reps in-window: minhash/spans/substr candidates
     "ext_redact",  # family reps in-window: normalize/classifier/repetition/prune
     "ext_profile",  # family rep in-window: ext_validate

@@ -2243,3 +2243,26 @@ def ext_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     return join_cardinality_estimate(
         t["lineitem"].df, t["orders"].df, "l_orderkey", "o_orderkey")
+
+
+@register(
+    "ext_histogram_drift",
+    K.histogram_drift_sql(
+        "ts < TIMESTAMP '2024-01-15'", "ts >= TIMESTAMP '2024-01-15'",
+        "events", "round(value * 1000000)::BIGINT", lo=0, hi=1_000_000_000,
+        n_bins=128,
+    ),
+)
+def ext_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the value distribution of the first
+    half of January vs the second, as integer-ppm L1/L∞ distance between
+    fixed-bin histogram sketches — two partial-aggregating scans + an
+    outer join of two ≤128-row sketches, the nightly did-the-drop-change-
+    shape gate (thresholding L1 replaces a float KS/χ² alarm with the
+    same decision, hash-exact in the oracle)."""
+    ev = tables(spark, sf_dir)["events"].df
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    micros = F.round(F.col("value") * 1_000_000, 0).cast("bigint")
+    return K.histogram_drift(
+        ev.where(F.col("ts") < cut), ev.where(F.col("ts") >= cut),
+        micros, lo=0, hi=1_000_000_000, n_bins=128)

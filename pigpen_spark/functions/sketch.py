@@ -458,3 +458,73 @@ def heavy_hitters_exact_sql(table: str, text_col: str,
     FROM (SELECT unnest({toks}) AS t FROM {table})
     GROUP BY t HAVING count(*) >= {min_count}
     """
+
+
+def histogram_drift(old: DataFrame, new: DataFrame, value: Column,
+                    lo: int, hi: int, n_bins: int = 256) -> DataFrame:
+    """Distribution drift between two slices of the same measure: both
+    sides reduce to fixed-bin histograms (mergeable counters — each side
+    is ONE partial-aggregating pass), then per-bin shares in ppm are
+    compared.  Returns one row: (n_old, n_new, l1_ppm, linf_ppm,
+    n_bins_changed) where ``l1_ppm`` is Σ|p_old − p_new| in ppm (0 =
+    identical shape, 2 000 000 = disjoint support) — the integer-exact
+    stand-in for a KS/χ² drift alarm: thresholding L1 gives the same
+    monitoring decision without a single float.
+
+    The per-bin compare is an outer join of two ≤ n_bins-row sketches —
+    driver-free, data never co-shuffled.  At 100 TB this is the nightly
+    "did yesterday's drop change shape" gate in two scans."""
+    ho = histogram_sketch(old, value, lo, hi, n_bins) \
+        .select("bin", F.col("cnt").alias("c_old"))
+    hn = histogram_sketch(new, value, lo, hi, n_bins) \
+        .select("bin", F.col("cnt").alias("c_new"))
+    j = ho.join(hn, on="bin", how="full_outer").select(
+        F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
+        F.coalesce(F.col("c_new"), F.lit(0)).alias("c_new"),
+    )
+    tot = j.agg(F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new"))
+    # empty-side guard: a 0-row side has only c=0 bins, so its share is 0
+    # (and ANSI DIV would otherwise throw on the zero total)
+    share_old = "CASE WHEN n_old = 0 THEN 0 ELSE c_old * 1000000 DIV n_old END"
+    share_new = "CASE WHEN n_new = 0 THEN 0 ELSE c_new * 1000000 DIV n_new END"
+    diffs = j.crossJoin(F.broadcast(tot)).select(
+        "n_old", "n_new",
+        F.abs(F.expr(f"{share_old} - {share_new}")).alias("d"),
+        (F.col("c_old") != F.col("c_new")).cast("bigint").alias("chg"),
+    )
+    return diffs.groupBy("n_old", "n_new").agg(
+        F.sum("d").alias("l1_ppm"),
+        F.max("d").alias("linf_ppm"),
+        F.sum("chg").alias("n_bins_changed"),
+    )
+
+
+def histogram_drift_sql(old_pred: str, new_pred: str, table: str,
+                        value_sql: str, lo: int, hi: int,
+                        n_bins: int = 256) -> str:
+    """DuckDB oracle for :func:`histogram_drift`."""
+    w = max(1, -((lo - hi) // n_bins))
+    b = f"least({n_bins - 1}, greatest(0, ({value_sql} - {lo}) // {w}))"
+    return f"""
+    WITH ho AS (
+      SELECT {b} AS bin, count(*)::BIGINT AS c_old FROM {table}
+      WHERE {old_pred} GROUP BY 1
+    ),
+    hn AS (
+      SELECT {b} AS bin, count(*)::BIGINT AS c_new FROM {table}
+      WHERE {new_pred} GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+      FROM ho FULL OUTER JOIN hn USING (bin)
+    ),
+    tot AS (SELECT sum(c_old)::BIGINT AS n_old, sum(c_new)::BIGINT AS n_new FROM j)
+    SELECT n_old, n_new,
+           sum(abs(CASE WHEN n_old = 0 THEN 0 ELSE c_old * 1000000 // n_old END
+                   - CASE WHEN n_new = 0 THEN 0 ELSE c_new * 1000000 // n_new END))::BIGINT AS l1_ppm,
+           max(abs(CASE WHEN n_old = 0 THEN 0 ELSE c_old * 1000000 // n_old END
+                   - CASE WHEN n_new = 0 THEN 0 ELSE c_new * 1000000 // n_new END))::BIGINT AS linf_ppm,
+           sum(CASE WHEN c_old <> c_new THEN 1 ELSE 0 END)::BIGINT AS n_bins_changed
+    FROM j, tot
+    GROUP BY n_old, n_new
+    """

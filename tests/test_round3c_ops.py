@@ -664,3 +664,22 @@ class TestExactKthWideDomain:
         s = sorted(xs)
         for k in (1, 2, 26, 52):
             assert K.exact_kth(df, F.col("x"), k, n_bins=8) == s[k - 1]
+
+
+class TestHistogramDrift:
+    def test_identical_slices_zero_drift(self, spark):
+        df = spark.createDataFrame([(i % 100,) for i in range(1000)], "x long")
+        row = K.histogram_drift(df, df, F.col("x"), 0, 100, 20).collect()[0]
+        assert (row.l1_ppm, row.linf_ppm, row.n_bins_changed) == (0, 0, 0)
+
+    def test_disjoint_slices_max_drift(self, spark):
+        a = spark.createDataFrame([(1,)] * 10, "x long")
+        b = spark.createDataFrame([(99,)] * 10, "x long")
+        row = K.histogram_drift(a, b, F.col("x"), 0, 100, 10).collect()[0]
+        assert row.l1_ppm == 2_000_000 and row.n_bins_changed == 2
+
+    def test_empty_side_survives(self, spark):
+        a = spark.createDataFrame([], "x long")
+        b = spark.createDataFrame([(5,)] * 4, "x long")
+        row = K.histogram_drift(a, b, F.col("x"), 0, 100, 10).collect()[0]
+        assert (row.n_old, row.n_new, row.l1_ppm) == (0, 4, 1_000_000)
