@@ -491,3 +491,58 @@ class TestRound3cDifferentials:
         for p in (500, 900, 990):
             exact = ordered[max(0, -(-p * len(xs) // 1000) - 1)]
             assert abs(out[p] - exact) <= w
+
+
+class TestRound3cDifferentials2:
+    @given(old=st.dictionaries(st.integers(0, 8), st.integers(0, 3), max_size=8),
+           new=st.dictionaries(st.integers(0, 8), st.integers(0, 3), max_size=8))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    def test_snapshot_diff_matches_dict_model(self, spark, old, new):
+        from pigpen_spark.operators.analytics import snapshot_diff
+        def frame(d):
+            if not d:
+                return spark.createDataFrame([], "k long, v long")
+            return spark.createDataFrame(list(d.items()), "k long, v long")
+        if not old and not new:
+            assert snapshot_diff(frame(old), frame(new), ["k"]).count() == 0
+            return
+        got = {r.k: r.status for r in
+               snapshot_diff(frame(old), frame(new), ["k"]).collect()}
+        expected = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                expected[k] = "added"
+            elif k not in new:
+                expected[k] = "removed"
+            elif old[k] != new[k]:
+                expected[k] = "changed"
+            else:
+                expected[k] = "unchanged"
+        assert got == expected
+
+    @given(events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3600), st.integers(0, 99)),
+        min_size=1, max_size=25, unique_by=lambda e: e[2]))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    def test_dedup_keyed_window_matches_model(self, spark, events):
+        from pigpen_spark.operators.windows import dedup_keyed_window
+        # model: first (ts, id) per (user, ts//600)
+        best = {}
+        for u, ts, eid in events:
+            key = (u, ts // 600)
+            if key not in best or (ts, eid) < best[key]:
+                best[key] = (ts, eid)
+        expected = sorted(eid for (_, eid) in best.values())
+
+        rows = [(eid, f"2024-01-01 00:00:00", u, ts) for u, ts, eid in events]
+        df = spark.createDataFrame(rows, "event_id long, base string, user_id long, off long") \
+            .select("event_id", "user_id",
+                    (F.col("base").cast("timestamp") +
+                     F.make_interval(secs=F.col("off"))).alias("ts"))
+        out = dedup_keyed_window(df, ["user_id"], "ts", 600,
+                                 tiebreak=["event_id"])
+        assert sorted(r.event_id for r in out.collect()) == expected

@@ -683,3 +683,16 @@ class TestHistogramDrift:
         b = spark.createDataFrame([(5,)] * 4, "x long")
         row = K.histogram_drift(a, b, F.col("x"), 0, 100, 10).collect()[0]
         assert (row.n_old, row.n_new, row.l1_ppm) == (0, 4, 1_000_000)
+
+
+class TestStarRoundCount:
+    def test_long_path_converges_in_log_rounds(self, spark):
+        # a 64-edge path has diameter 64: min-label needs ~64 rounds,
+        # alternating stars must land in O(log n)
+        from pigpen_spark.functions.dedup import dedup_clusters_star
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                      "id_a long, id_b long")
+        stats = {}
+        out = dedup_clusters_star(pairs, stats=stats)
+        assert all(r.cluster == 0 for r in out.collect())
+        assert stats["rounds"] <= 8, stats
