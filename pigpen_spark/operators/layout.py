@@ -80,3 +80,35 @@ def cluster_by_zorder(df: DataFrame, cols: Sequence, bits: int = 16,
     else:
         out = out.repartitionByRange("__pp_zkey")
     return out.sortWithinPartitions("__pp_zkey").drop("__pp_zkey")
+
+
+def compact_files(spark, path_in: str, path_out: str,
+                  target_records_per_file: int, fmt: str = "parquet",
+                  order_by: Sequence | None = None) -> int:
+    """Small-file compaction: rewrite a directory of too-many-small
+    files into ⌈n / target⌉ right-sized ones — the maintenance job every
+    streaming/append sink eventually needs (a 100 TB lake of 1 MB part
+    files pays per-file open/footer cost on every scan and floods the
+    driver's file index).
+
+    One count + one shuffle: ``repartition(n_files)`` for plain packing,
+    or ``repartitionByRange(order_by)`` to simultaneously re-cluster (the
+    poor man's OPTIMIZE ... ZORDER — compose with
+    :func:`cluster_by_zorder` keys for the multi-column form).
+    ``maxRecordsPerFile`` caps stragglers.  Returns the file count."""
+    reader = getattr(spark.read, fmt)
+    df = reader(path_in)
+    n = df.count()
+    n_files = max(1, -(-n // target_records_per_file))
+    if order_by is not None:
+        keys = [_c(c) for c in order_by]
+        # sortWithinPartitions matters: without it a partition that the
+        # maxRecordsPerFile cap splits would emit interleaved key ranges,
+        # defeating the min/max file statistics this mode exists for
+        df = df.repartitionByRange(n_files, *keys).sortWithinPartitions(*keys)
+    else:
+        df = df.repartition(n_files)
+    (df.write.mode("overwrite")
+       .option("maxRecordsPerFile", target_records_per_file)
+       .format(fmt).save(path_out))
+    return n_files

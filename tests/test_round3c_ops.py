@@ -696,3 +696,33 @@ class TestStarRoundCount:
         out = dedup_clusters_star(pairs, stats=stats)
         assert all(r.cluster == 0 for r in out.collect())
         assert stats["rounds"] <= 8, stats
+
+
+class TestCompaction:
+    def test_small_files_collapse(self, spark, tmp_path):
+        from pigpen_spark.operators.layout import compact_files
+        src = str(tmp_path / "many")
+        spark.range(1000).repartition(40).write.parquet(src)
+        assert len(list((tmp_path / "many").glob("part-*"))) == 40
+        out = str(tmp_path / "few")
+        n_files = compact_files(spark, src, out, target_records_per_file=500)
+        assert n_files == 2
+        parts = list((tmp_path / "few").glob("part-*.parquet"))
+        assert len(parts) == 2
+        assert spark.read.parquet(out).count() == 1000
+
+    def test_ordered_compaction_clusters(self, spark, tmp_path):
+        from pigpen_spark.operators.layout import compact_files
+        src = str(tmp_path / "m2")
+        spark.range(1000).withColumnRenamed("id", "k") \
+            .repartition(20).write.parquet(src)
+        out = str(tmp_path / "f2")
+        compact_files(spark, src, out, 500, order_by=["k"])
+        parts = sorted((tmp_path / "f2").glob("part-*.parquet"))
+        import duckdb
+        ranges = [duckdb.sql(f"select min(k), max(k) from '{p}'").fetchone()
+                  for p in parts]
+        ranges.sort()
+        # range-partitioned: file key ranges must not interleave
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2
