@@ -438,3 +438,60 @@ def rollup_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def drift_monitor_stream(
+    stream: DataFrame, value, lo: int, hi: int, baseline_path: str,
+    alarms_path: str, checkpoint: str, n_bins: int = 128,
+    l1_alarm_ppm: int = 200_000, available_now: bool = False,
+):
+    """Streaming distribution-drift monitor: each micro-batch reduces to
+    a fixed-bin histogram sketch and compares against the STORED baseline
+    histogram (:func:`pigpen_spark.functions.sketch.histogram_drift`
+    semantics); batches whose integer-ppm L1 distance reaches
+    ``l1_alarm_ppm`` append an alarm row (batch_id, n_old, n_new, l1_ppm,
+    linf_ppm) to ``alarms_path``.  The baseline is parquet (≤ n_bins
+    rows), written from the first batch if absent — seed it explicitly
+    from a trusted window for production.
+
+    The live half of ``ext_histogram_drift``: batch backfill and stream
+    share one drift definition, so alarms can't disagree with the nightly
+    job.  Per batch: one partial-aggregating scan of the batch + an outer
+    join of two ≤ n_bins-row sketches — nothing data-sized crosses."""
+    from pigpen_spark.functions.sketch import histogram_sketch
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = histogram_sketch(batch_df, value, lo, hi, n_bins)
+        try:
+            base = spark.read.parquet(baseline_path)
+        except Exception:
+            hist.write.mode("errorifexists").parquet(baseline_path)
+            return
+        j = base.withColumnRenamed("cnt", "c_old").join(
+            hist.withColumnRenamed("cnt", "c_new"), on="bin", how="full_outer"
+        ).select(
+            F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
+            F.coalesce(F.col("c_new"), F.lit(0)).alias("c_new"),
+        )
+        tot = j.agg(F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new"))
+        so = "CASE WHEN n_old = 0 THEN 0 ELSE c_old * 1000000 DIV n_old END"
+        sn = "CASE WHEN n_new = 0 THEN 0 ELSE c_new * 1000000 DIV n_new END"
+        row = (
+            j.crossJoin(F.broadcast(tot))
+            .select("n_old", "n_new", F.abs(F.expr(f"{so} - {sn}")).alias("d"))
+            .groupBy("n_old", "n_new")
+            .agg(F.sum("d").alias("l1_ppm"), F.max("d").alias("linf_ppm"))
+            .first()
+        )
+        if row is not None and row["l1_ppm"] >= l1_alarm_ppm:
+            spark.createDataFrame(
+                [(batch_id, row["n_old"], row["n_new"],
+                  row["l1_ppm"], row["linf_ppm"])],
+                "batch_id long, n_old long, n_new long, l1_ppm long, linf_ppm long",
+            ).write.mode("append").parquet(alarms_path)
+
+    w = stream.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

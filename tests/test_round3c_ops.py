@@ -726,3 +726,35 @@ class TestCompaction:
         # range-partitioned: file key ranges must not interleave
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 <= lo2
+
+
+class TestDriftMonitorStream:
+    def test_alarm_fires_on_shifted_batch(self, spark, tmp_path):
+        import json as _json
+        from pigpen_spark.streaming import core as st
+
+        src = tmp_path / "dm_src"
+        src.mkdir(parents=True, exist_ok=True)
+        # batch files process in order with maxFilesPerTrigger=1:
+        # b0 seeds the baseline, b1 matches it, b2 is shifted
+        batches = {
+            "b0": [{"v": i % 10} for i in range(100)],
+            "b1": [{"v": i % 10} for i in range(100)],
+            "b2": [{"v": 90 + i % 10} for i in range(100)],
+        }
+        for name, rows in batches.items():
+            with open(src / f"{name}.json", "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+        stream = (spark.readStream.schema("v long")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = st.drift_monitor_stream(
+            stream, F.col("v"), lo=0, hi=100,
+            baseline_path=str(tmp_path / "dm_base"),
+            alarms_path=str(tmp_path / "dm_alarms"),
+            checkpoint=str(tmp_path / "dm_ck"),
+            n_bins=10, available_now=True)
+        q.awaitTermination(120)
+        alarms = spark.read.parquet(str(tmp_path / "dm_alarms")).collect()
+        assert len(alarms) == 1          # only the shifted batch alarms
+        assert alarms[0].l1_ppm == 2_000_000  # disjoint support
