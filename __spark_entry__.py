@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_heavy_exact",
     "ext_join_cardinality",
     "ext_histogram_drift",
+    "ext_source_cap",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
@@ -78,7 +79,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_ann_lsh",
     "ext_ann_lsh_mp",
     "ext_ann_ivf",
-    "ext_embed_centroids",
     "ext_normalize",
     "ext_quality_classifier",
     "ext_quality_classifier_tbl",
@@ -107,6 +107,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_incremental",  # family rep in-window: ext_split_leakage (same index machinery)
     "ext_knn_label",  # family rep in-window: ext_semdedup / ext_embed_near_dup (LSH neighbors)
     "ext_embed_pq",  # family reps in-window: ext_ann_pq / ext_ann_ivf_pq (compose encode)
+    "ext_embed_centroids",  # family rep in-window: ext_semdedup (same per-cell agg)
     "ext_dedup_jaccard",  # family reps in-window: minhash/spans/substr candidates
     "ext_redact",  # family reps in-window: normalize/classifier/repetition/prune
     "ext_profile",  # family rep in-window: ext_validate

@@ -2266,3 +2266,34 @@ def ext_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.histogram_drift(
         ev.where(F.col("ts") < cut), ev.where(F.col("ts") >= cut),
         micros, lo=0, hi=1_000_000_000, n_bins=128)
+
+
+from pigpen_spark.operators.windows import top_n_per_group  # noqa: E402
+
+
+@register(
+    "ext_source_cap",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ({T.quality_score_sql('text')}) DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def ext_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota enforcement: keep the 10 highest-quality docs per
+    source (quality score desc, doc_id tiebreak) — the anti-domination
+    stage real curation runs so no single crawl source floods the mix
+    (composition: quality_score × top_n_per_group; WindowGroupLimit
+    prunes each map task to ≤10 rows per source BEFORE the exchange)."""
+    docs = tables(spark, sf_dir)["documents"].df
+    capped = top_n_per_group(
+        docs.select("doc_id", "source", "text"),
+        partition_by=["source"],
+        order_by=[T.quality_score("text").desc(), F.col("doc_id")],
+        n=10,
+    )
+    return capped.select("doc_id", "source")
