@@ -1326,3 +1326,35 @@ def rotate_vectors(
     _rot.__annotations__ = {"batch": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_rot, "array<double>")
     return df.withColumn(vec_col, udf(to_double(F.col(vec_col))))
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame,
+               q_col: str = "q_id", n_col: str = "n_id") -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the measure-don't-guess companion every ANN parameter choice needs
+    (n_tables/n_planes/n_probe/PQ m): per query, |approx ∩ exact| over
+    |exact| in integer ppm, plus one corpus row (q_id NULL) micro-
+    averaging all pairs.  Works with ANY two (q_id, n_id) relations —
+    lsh_topk vs brute_topk, ivf_pq vs brute, trained vs untrained.
+
+    One equi-join on (q, n) + two aggregates; division-free integers."""
+    a = approx.select(F.col(q_col).alias("q_id"), F.col(n_col).alias("n_id")).distinct()
+    e = exact.select(F.col(q_col).alias("q_id"), F.col(n_col).alias("n_id")).distinct()
+    hits = e.join(a, on=["q_id", "n_id"], how="left_semi")
+    per_q = (
+        e.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")),
+              on="q_id", how="left")
+        .select(
+            "q_id", "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.expr("coalesce(n_hit, 0) * 1000000 DIV n_exact").alias("recall_ppm"),
+        )
+    )
+    overall = per_q.agg(
+        F.lit(None).cast(per_q.schema["q_id"].dataType).alias("q_id"),
+        F.sum("n_exact").alias("n_exact"),
+        F.sum("n_hit").alias("n_hit"),
+        F.expr("sum(n_hit) * 1000000 DIV sum(n_exact)").alias("recall_ppm"),
+    )
+    return per_q.unionByName(overall)

@@ -758,3 +758,31 @@ class TestDriftMonitorStream:
         alarms = spark.read.parquet(str(tmp_path / "dm_alarms")).collect()
         assert len(alarms) == 1          # only the shifted batch alarms
         assert alarms[0].l1_ppm == 2_000_000  # disjoint support
+
+
+class TestAnnRecall:
+    def test_lsh_recall_vs_brute(self, spark, sf_dir):
+        from pigpen_spark.functions.similarity import (
+            ann_recall, brute_force_topk, lsh_topk)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 20)
+        exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+        qid = queries.select(F.col("vec_id").alias("q_id"))
+        single = lsh_topk(emb, "vec_id", "embedding", k=5).join(qid, on="q_id")
+        probed = lsh_topk(emb, "vec_id", "embedding", k=5,
+                          multi_probe=True).join(qid, on="q_id")
+        r1 = ann_recall(single, exact).collect()
+        r2 = ann_recall(probed, exact).collect()
+        ov1 = [r for r in r1 if r.q_id is None][0]
+        ov2 = [r for r in r2 if r.q_id is None][0]
+        # multi-probe probes n_planes extra buckets: recall must not drop
+        assert ov2.recall_ppm >= ov1.recall_ppm > 0
+        per_q = [r for r in r1 if r.q_id is not None]
+        assert all(0 <= r.recall_ppm <= 1_000_000 for r in per_q)
+        assert ov1.n_exact == sum(r.n_exact for r in per_q)
+
+    def test_perfect_recall_is_million(self, spark):
+        from pigpen_spark.functions.similarity import ann_recall
+        e = spark.createDataFrame([(1, 2), (1, 3), (2, 1)], "q_id long, n_id long")
+        rows = {r.q_id: r.recall_ppm for r in ann_recall(e, e).collect()}
+        assert rows == {1: 1_000_000, 2: 1_000_000, None: 1_000_000}
