@@ -39,6 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate out gracefully when new work claims window slots. Everything not
 # listed follows in catalog-registration order, flagship first.
 _DRIVER_PRIORITY: list[str] = [
+    # --- newest (round-3 continuation session) ---
+    "ext_fuzzy_join",
+    "ext_strip_markup",
+    "ext_collocations",
+    "ext_ann_index_search",
     # --- new in round 3 (driver rows wanted this round) ---
     "ext_heavy_hitters",
     "ext_chunk_overlap",
@@ -67,7 +72,6 @@ _DRIVER_PRIORITY: list[str] = [
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
-    "ext_dedup_clusters",
     "ext_dedup_substr",
     "ext_decontaminate",
     "ext_split_leakage",
@@ -77,11 +81,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_ann_pq",
     "ext_ann_ivf_pq",
     "ext_ann_lsh",
-    "ext_ann_lsh_mp",
     "ext_ann_ivf",
     "ext_normalize",
     "ext_quality_classifier",
-    "ext_quality_classifier_tbl",
     "ext_repetition_stats",
     "ext_quality_prune",
     "ext_split_hash",
@@ -90,8 +92,13 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_hll_merge",
     "ext_bm25",
     "ext_funnel",
-    "ext_cohort_retention",
     # --- below here: outside the 50-query window this round ---
+    # demoted this session to make room for the 4 newest ops; each keeps an
+    # in-window family rep + pytest coverage:
+    "ext_quality_classifier_tbl",  # rep: ext_quality_classifier (bit-equal forms)
+    "ext_ann_lsh_mp",              # rep: ext_ann_lsh (+ mp pytest pins)
+    "ext_dedup_clusters",          # rep: ext_dedup_clusters_star / ext_dedup_keep
+    "ext_cohort_retention",        # rep: ext_funnel (same analytics family)
     # ext_normalize_unicode is rows-only (DuckDB lacks ICU NFKC): moved
     # below the window so its slot goes to a hash-exact check; it keeps
     # pytest + property coverage and the local-replica rows-only check.

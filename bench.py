@@ -82,6 +82,15 @@ HEADLINE = [
     # (count tables joined back over the scored split)
     "ext_validate",
     "ext_lm_trained",
+    # round-3 continuation: deletion-neighborhood fuzzy join (variant
+    # explode + equi-join + pair distinct), windowed co-occurrence mining
+    # (HOF pair explode + two counts + vocab joins), stored-index ANN batch
+    # search (query-side-only hashing), and the regexp-chain markup strip
+    # (pure per-row codegen throughput)
+    "ext_fuzzy_join",
+    "ext_collocations",
+    "ext_ann_index_search",
+    "ext_strip_markup",
 ]
 
 

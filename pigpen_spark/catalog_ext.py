@@ -2297,3 +2297,107 @@ def ext_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=10,
     )
     return capped.select("doc_id", "source")
+
+
+from pigpen_spark.operators.joins import fuzzy_join  # noqa: E402
+
+
+@register(
+    "ext_fuzzy_join",
+    """
+    SELECT a.s_suppkey AS id_l, b.s_suppkey AS id_r,
+           levenshtein(a.s_name, b.s_name) AS dist
+    FROM supplier a, supplier b
+    WHERE a.s_suppkey < b.s_suppkey
+      AND levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string self-join: supplier-name pairs within edit
+    distance 2, via SymSpell deletion-neighborhood blocking + exact
+    levenshtein verify — record linkage / entity resolution without the
+    cross product (the oracle IS the cross product, which is exactly what
+    this operator avoids at scale: only the variant equi-join shuffles).
+    max_dist=1 — at 2 every TPC-H supplier-name pair qualifies (they share
+    17 of 18 chars), so 1 is the level where the predicate discriminates;
+    the d=2 neighborhood is pinned by the pytest differential."""
+    sup = tables(spark, sf_dir)["supplier"].df.select("s_suppkey", "s_name")
+    pairs = fuzzy_join(sup, sup, "s_suppkey", "s_name", max_dist=1)
+    return pairs.filter(F.col("id_l") < F.col("id_r"))
+
+
+from pigpen_spark.functions import ranking as R  # noqa: E402
+
+_HTML_PRE = '<html><!-- crawl-hdr --><body class="c">'
+_HTML_POST = '</body><script>if(1<2)go();</script></html>'
+
+
+@register(
+    "ext_strip_markup",
+    f"""
+    SELECT doc_id,
+           {T.strip_markup_sql(
+               "('" + _HTML_PRE + "' || replace(text, 'e', '&amp;') || '" + _HTML_POST + "')"
+           )} AS clean
+    FROM documents
+    """,
+)
+def ext_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction: documents wrapped in a deterministic markup
+    envelope (tags + comment + script block + entity-encoded content),
+    then stripped — script/style content must die with its tags, entities
+    must decode, and the payload text must survive byte-exactly (the
+    crawl-to-corpus extraction pass; pure regexp chain, zero shuffles)."""
+    docs = tables(spark, sf_dir)["documents"].df
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.regexp_replace(F.col("text"), "e", "&amp;"),
+        F.lit(_HTML_POST),
+    )
+    return docs.select("doc_id", T.strip_markup(html).alias("clean"))
+
+
+@register(
+    "ext_collocations",
+    R.collocations_sql("text", window=2, min_count=5),
+)
+def ext_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: token pairs within 2 positions, corpus counts,
+    and an exact integer association score (squared-Ochiai ppm) — the
+    co-occurrence statistics leg of phrase detection / embedding prep.
+    Per-doc HOF pair generation (no shuffle), two partial-aggregating
+    counts, vocab joins AQE-broadcast when small."""
+    docs = tables(spark, sf_dir)["documents"].df
+    return R.collocations(docs, "text", window=2, min_count=5)
+
+
+@register(
+    "ext_ann_index_search",
+    f"""
+    WITH idx AS (
+      SELECT vec_id AS id, embedding AS vec,
+             ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT id AS q_id, vec AS q_vec, bucket FROM idx WHERE id < 20)
+    SELECT q_id, n_id, score, rank FROM (
+      SELECT q.q_id, i.id AS n_id,
+             round({S.cosine_sql('q.q_vec', 'i.vec')}, 6) AS score,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round({S.cosine_sql('q.q_vec', 'i.vec')}, 6) DESC, i.id
+             ) AS rank
+      FROM q JOIN idx i ON q.bucket = i.bucket AND q.q_id <> i.id
+    ) WHERE rank <= 5
+    """,
+)
+def ext_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-as-data ANN: hash the corpus ONCE into a stored LSH index,
+    then serve a 20-vector query batch against it — the incremental
+    serving path (the corpus is never re-hashed per batch; only the query
+    side computes buckets, and the join is a plain bucket equi-join that
+    a bucket-partitioned stored index would satisfy shuffle-free)."""
+    emb = tables(spark, sf_dir)["embeddings"].df
+    idx = S.lsh_index(emb, n_planes=_PLANES, dim=_DIM)
+    batch = emb.filter(F.col("vec_id") < 20)
+    return S.lsh_topk_against(idx, batch, k=5, n_planes=_PLANES, dim=_DIM)

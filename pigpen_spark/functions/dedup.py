@@ -743,16 +743,21 @@ def dedup_clusters_star(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
         return out.where(F.col("src") != F.col("dst")).distinct()
 
     prev = edges
+    cnt_prev = edges.count()
     for rounds in range(1, max_iter + 1):
         nxt = small_star(large_star(prev)).localCheckpoint(eager=True)
-        # exact set-equality fixpoint: counts equal AND no row differs
-        if (nxt.count() == prev.count()
+        # exact set-equality fixpoint: counts equal AND no row differs.
+        # prev's count is last round's nxt count — carry it instead of
+        # re-running the job (one count + one exceptAll probe per round).
+        cnt_nxt = nxt.count()
+        if (cnt_nxt == cnt_prev
                 and nxt.exceptAll(prev).limit(1).count() == 0):
             prev = nxt
             if stats is not None:
                 stats["rounds"] = rounds
             break
         prev = nxt
+        cnt_prev = cnt_nxt
     else:
         raise RuntimeError(
             f"dedup_clusters_star: not converged after {max_iter} rounds"

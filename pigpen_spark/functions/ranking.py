@@ -152,3 +152,75 @@ def top_terms_per_group_sql(group_col: str, text_col: str = "text",
                               ORDER BY n DESC, term) AS pos
     FROM agg QUALIFY pos <= {topk}
     """
+
+
+from pigpen_spark.functions.text import cooccurrence_pairs, cooccurrence_pairs_sql  # noqa: E402
+
+
+def collocations(docs: DataFrame, text_col: str = "text", window: int = 2,
+                 min_count: int = 2) -> DataFrame:
+    """Corpus-level collocation mining: unordered token pairs co-occurring
+    within ``window`` positions, with an exact integer association score —
+    the phrase-detection / word-embedding co-occurrence pre-aggregation.
+
+    Returns ``(pair, pair_count, assoc_ppm)`` where ``assoc_ppm`` is the
+    squared Ochiai coefficient in parts-per-million:
+    ``10⁶ · c(xy)² div (c(x)·c(y))`` over corpus token counts — a bounded
+    [0, 10⁶] collocation-strength measure that, unlike log-PMI, is pure
+    integer arithmetic (hash-exact across engines; see ROUND_NOTES lesson:
+    exp/log are not bit-portable).  decimal(38,0) intermediates keep the
+    numerator exact to c(xy) ≈ 10¹⁶.
+
+    Plan: per-doc pair HOF (no shuffle) → explode → one groupBy for pair
+    counts, one for token counts, two equi-joins of the pair table against
+    the (much smaller) vocabulary table — AQE broadcasts the vocab side
+    when it fits.  ``min_count`` prunes the long tail BEFORE the joins.
+    """
+    pairs = docs.select(F.explode(cooccurrence_pairs(text_col, window)).alias("pair"))
+    pc = (
+        pairs.groupBy("pair").agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    wc = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("wc"))
+    )
+    split = F.split(F.col("pair"), " ")
+    keyed = pc.select(
+        "pair", "pair_count",
+        split.getItem(0).alias("__w1"), split.getItem(1).alias("__w2"),
+    )
+    joined = (
+        keyed.join(wc.select(F.col("w").alias("__w1"), F.col("wc").alias("__c1")), "__w1")
+        .join(wc.select(F.col("w").alias("__w2"), F.col("wc").alias("__c2")), "__w2")
+    )
+    assoc = F.expr(
+        "(cast(1000000 as decimal(38,0)) * pair_count * pair_count)"
+        " div (cast(__c1 as decimal(38,0)) * __c2)"
+    )
+    return joined.select("pair", "pair_count", assoc.cast("bigint").alias("assoc_ppm"))
+
+
+def collocations_sql(text_col: str = "text", window: int = 2,
+                     min_count: int = 2, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`collocations`."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    return f"""
+    WITH pairs AS (
+      SELECT unnest({cooccurrence_pairs_sql(text_col, window)}) AS pair FROM {table}
+    ),
+    pc AS (
+      SELECT pair, count(*)::BIGINT AS pair_count FROM pairs
+      GROUP BY pair HAVING count(*) >= {min_count}
+    ),
+    wc AS (
+      SELECT w, count(*)::BIGINT AS wc
+      FROM (SELECT unnest({toks}) AS w FROM {table}) GROUP BY w
+    )
+    SELECT pair, pair_count,
+           ((1000000::HUGEINT * pair_count * pair_count)
+            // (w1.wc::HUGEINT * w2.wc))::BIGINT AS assoc_ppm
+    FROM pc
+    JOIN wc w1 ON string_split(pair, ' ')[1] = w1.w
+    JOIN wc w2 ON string_split(pair, ' ')[2] = w2.w
+    """

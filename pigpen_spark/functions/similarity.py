@@ -1358,3 +1358,80 @@ def ann_recall(approx: DataFrame, exact: DataFrame,
         F.expr("sum(n_hit) * 1000000 DIV sum(n_exact)").alias("recall_ppm"),
     )
     return per_q.unionByName(overall)
+
+
+def lsh_index(corpus: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", n_planes: int = 6,
+              dim: int | None = None) -> DataFrame:
+    """Materializable ANN index: ``(id, vec double[], nrm, bucket)`` —
+    the corpus hashed ONCE.  Store it (parquet, ideally partitioned or
+    bucketed by ``bucket``) and serve every future query batch from
+    :func:`lsh_topk_against` without touching the raw corpus again — the
+    index-as-data seam, same contract as :func:`pigpen_spark.functions.
+    dedup.minhash_index` for near-dup.  At 100 TB the corpus is hashed
+    once per index build, not once per query batch."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            to_double(F.col(vec_col)).alias("vec"),
+            lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        )
+        .withColumn("nrm", norm(F.col("vec")))
+    )
+
+
+def lsh_topk_against(
+    index: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5, n_planes: int = 6,
+    dim: int | None = None, multi_probe: bool = False,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Incremental ANN search: top-``k`` neighbors of a NEW query batch
+    against a STORED :func:`lsh_index` — the batch-serving sibling of
+    :func:`lsh_topk` (which hashes and self-joins the whole corpus).
+
+    The query batch is hashed with the SAME plane set and equi-joins the
+    index on bucket; ``multi_probe`` explodes the QUERY side only (the
+    index stays as stored — probing is free recall at (n_planes+1)×
+    query-side join keys, and each candidate arises from exactly one
+    probe slot, so no dedup shuffle).  Only the batch is hashed per call;
+    the index side shuffles at most once (zero times if the stored index
+    is bucketed on ``bucket``).
+
+    ``exclude_self`` drops candidates whose index id EQUALS the query id —
+    right for re-querying a corpus with its own members (the catalog
+    query's shape).  For external query sets whose ids may coincidentally
+    collide with corpus ids, pass ``exclude_self=False`` or a corpus
+    vector sharing the query's id is silently dropped (same contract note
+    as pq_adc_topk)."""
+    if dim is None:
+        dim = infer_dim(queries, vec_col)
+    qt = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            to_double(F.col(vec_col)).alias("q_vec"),
+            lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        )
+        .withColumn("q_nrm", norm(F.col("q_vec")))
+    )
+    if multi_probe:
+        qt = qt.select(
+            "q_id", "q_vec", "q_nrm",
+            F.explode(probe_buckets(F.col("bucket"), n_planes)).alias("bucket"),
+        )
+    cond = [qt["bucket"] == index["bucket"]]
+    if exclude_self:
+        cond.append(qt["q_id"] != index["id"])
+    score = F.round(
+        F.try_divide(dot(qt["q_vec"], index["vec"]), qt["q_nrm"] * index["nrm"]), 6
+    )
+    scored = qt.join(index, on=cond[0] if len(cond) == 1 else cond[0] & cond[1]) \
+               .select("q_id", index["id"].alias("n_id"), score.alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", F.col("rank").cast("long").alias("rank"))
+    )

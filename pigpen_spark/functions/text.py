@@ -520,3 +520,106 @@ def blocklist_hits_join(df, id_col: str, text_col: str, words_df,
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("hit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence / collocation mining
+# ---------------------------------------------------------------------------
+
+
+def cooccurrence_pairs(col, window: int = 2) -> Column:
+    """Unordered token-pair strings ``"w1 w2"`` (w1 < w2, identical-token
+    pairs dropped) for every pair of tokens at most ``window`` positions
+    apart — the per-document leg of collocation/PMI mining (word-embedding
+    pre-aggregation, phrase detection).
+
+    One HOF chain per offset k ∈ 1..window: zip tokens with their k-shifted
+    selves — O(tokens · window) work, tokens bound ONCE via the `_let`
+    pattern.  Tokens are whitespace-split so the pair string is losslessly
+    splittable on its single space."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        per_offset = [
+            F.when(
+                n > k,
+                F.zip_with(
+                    F.slice(toks, 1, n - k),
+                    F.slice(toks, k + 1, n - k),
+                    lambda a, b: F.when(
+                        a != b,
+                        F.concat_ws(" ", F.least(a, b), F.greatest(a, b)),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            for k in range(1, window + 1)
+        ]
+        arr = per_offset[0] if len(per_offset) == 1 else F.concat(*per_offset)
+        return F.filter(arr, lambda x: x.isNotNull())
+
+    return _let(tokens(col), body)
+
+
+def cooccurrence_pairs_sql(col: str, window: int = 2) -> str:
+    """DuckDB equivalent of :func:`cooccurrence_pairs` (oracle)."""
+    toks = f"list_filter(string_split(lower({col}), ' '), t -> t <> '')"
+    per_offset = []
+    for k in range(1, window + 1):
+        per_offset.append(
+            f"""CASE WHEN len({toks}) > {k}
+                 THEN [CASE WHEN ({toks})[i] <> ({toks})[i + {k}]
+                            THEN concat_ws(' ', least(({toks})[i], ({toks})[i + {k}]),
+                                                greatest(({toks})[i], ({toks})[i + {k}])) END
+                       for i in range(1, len({toks}) - {k} + 1)]
+                 ELSE []::VARCHAR[] END"""
+        )
+    arr = per_offset[0] if len(per_offset) == 1 else "list_concat(" + ", ".join(per_offset) + ")"
+    return f"list_filter({arr}, x -> x IS NOT NULL)"
+
+
+# ---------------------------------------------------------------------------
+# markup stripping (HTML/boilerplate removal)
+# ---------------------------------------------------------------------------
+
+#: Ordered strip chain.  Block elements (script/style/comments) go first so
+#: their CONTENT dies with the tags; generic tags next; entities LAST —
+#: "&amp;lt;" must decode to the literal "&lt;", which only happens when
+#: &amp; is the final pass.  Every pattern is RE2-safe (non-greedy, no
+#: backrefs) so Spark (java.util.regex) and DuckDB (RE2) agree exactly.
+MARKUP_PATTERNS: list[tuple[str, str]] = [
+    (r"(?i)<script[^>]*>[\s\S]*?</script>", " "),
+    (r"(?i)<style[^>]*>[\s\S]*?</style>", " "),
+    (r"<!--[\s\S]*?-->", " "),
+    (r"<[^>]+>", " "),
+    (r"(?i)&lt;", "<"),
+    (r"(?i)&gt;", ">"),
+    (r"(?i)&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"(?i)&nbsp;", " "),
+    (r"(?i)&amp;", "&"),
+]
+
+
+def strip_markup(col) -> Column:
+    """HTML/boilerplate strip: script/style/comment blocks removed with
+    their content, all remaining tags replaced by spaces, the six common
+    entities decoded, whitespace collapsed and trimmed — the crawl-corpus
+    text-extraction pass, as a pure regexp_replace chain (codegen, no UDF,
+    zero shuffles).  Not a full HTML5 parser by design: malformed-tag edge
+    cases degrade to leaving text in place, never to dropping it."""
+    out = _c(col)
+    for pat, repl in MARKUP_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_markup_sql(col: str) -> str:
+    """DuckDB equivalent of :func:`strip_markup` (oracle)."""
+    out = col
+    for pat, repl in MARKUP_PATTERNS:
+        # DuckDB plain string literals keep backslashes verbatim — only
+        # quotes need escaping (redact_sql uses the same convention)
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

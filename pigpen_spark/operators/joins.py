@@ -184,6 +184,87 @@ def range_join(
     return joined
 
 
+def _delete_one(s: Column) -> Column:
+    """All strings formed by deleting exactly one character of ``s``
+    (empty input → empty list; sequence(1,0) would count DOWN in Spark)."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - F.lit(1)),
+            F.substr(s, i + F.lit(1), F.length(s)),
+        ),
+    )
+    return F.when(F.length(s) >= 1, dels).otherwise(F.array().cast("array<string>"))
+
+
+def deletion_neighborhood(s: Column, max_dist: int) -> Column:
+    """SymSpell deletion neighborhood: every string reachable from ``s``
+    by deleting up to ``max_dist`` characters (including ``s`` itself),
+    distinct.  Key property (Garbe's SymSpell): if lev(a, b) <= d then
+    the d-deletion neighborhoods of a and b intersect — so an equi-join
+    on neighborhood members is a NO-FALSE-NEGATIVE candidate generator
+    for edit-distance-bounded matching."""
+    acc = F.array(s)
+    for _ in range(max_dist):
+        acc = F.array_distinct(
+            F.concat(acc, F.flatten(F.transform(acc, _delete_one)))
+        )
+    return acc
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str | None = None,
+    right_col: str | None = None,
+    max_dist: int = 1,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Approximate string join: (id_l, id_r, dist) for every cross pair
+    with Levenshtein distance <= ``max_dist`` — WITHOUT the cross product.
+
+    Candidate generation is SymSpell deletion-neighborhood blocking: each
+    side explodes to its <= ``max_dist``-deletion variants (O(len^d) keys
+    per row — this operator is for SHORT keys: names, titles, SKUs, URLs;
+    near-dup long text belongs to the minhash family in functions/dedup),
+    candidates equi-join on the shared variant, then the exact
+    ``levenshtein`` verifies.  The blocking is lossless (see
+    :func:`deletion_neighborhood`), so the result is row-identical to the
+    naive theta join (oracle-verified: ext_fuzzy_join).
+
+    At scale: the only shuffle is the variant equi-join plus one distinct
+    on candidate pairs; hot variants (short strings collapse to few
+    variants) are ordinary key skew — AQE skew-split applies.  Self-join:
+    pass the same df twice and filter ``id_l < id_r`` downstream.
+    """
+    right_id = right_id or left_id
+    right_col = right_col or left_col
+    if max_dist < 0:
+        raise ValueError(f"fuzzy_join: max_dist must be >= 0, got {max_dist}")
+    lv = left.select(
+        _c(left_id).alias("id_l"),
+        _c(left_col).alias("__sl"),
+        F.explode(deletion_neighborhood(_c(left_col), max_dist)).alias("__v"),
+    )
+    rv = right.select(
+        _c(right_id).alias("id_r"),
+        _c(right_col).alias("__sr"),
+        F.explode(deletion_neighborhood(_c(right_col), max_dist)).alias("__v"),
+    )
+    cand = (
+        lv.join(rv, on="__v")
+        .select("id_l", "id_r", "__sl", "__sr")
+        .distinct()  # a pair can share several variants — emit once
+    )
+    return (
+        cand.withColumn(dist_col, F.levenshtein(F.col("__sl"), F.col("__sr")))
+        .filter(F.col(dist_col) <= max_dist)
+        .drop("__sl", "__sr")
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

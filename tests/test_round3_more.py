@@ -1,0 +1,188 @@
+"""Round-3 continuation operators: fuzzy join, markup strip, collocations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pigpen_spark.functions import ranking as R
+from pigpen_spark.functions import text as T
+from pigpen_spark.operators.joins import fuzzy_join
+
+
+def _lev(a: str, b: str) -> int:
+    # reference Levenshtein (classic DP) for differential checks
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestFuzzyJoin:
+    NAMES = [
+        (1, "kitten"), (2, "sitten"), (3, "sittin"), (4, "sitting"),
+        (5, "kitchen"), (6, "mittens"), (7, "bitten"), (8, "written"),
+        (9, "abc"), (10, "abd"), (11, "xbd"), (12, "zzzz"),
+        (13, ""), (14, "a"), (15, "ab"),
+    ]
+
+    @pytest.mark.parametrize("d", [0, 1, 2])
+    def test_differential_vs_bruteforce(self, spark, d):
+        df = spark.createDataFrame(self.NAMES, ["id", "name"])
+        got = {
+            (r.id_l, r.id_r, r.dist)
+            for r in fuzzy_join(df, df, "id", "name", max_dist=d)
+            .filter(F.col("id_l") < F.col("id_r")).collect()
+        }
+        want = {
+            (i1, i2, _lev(n1, n2))
+            for i1, n1 in self.NAMES for i2, n2 in self.NAMES
+            if i1 < i2 and _lev(n1, n2) <= d
+        }
+        assert got == want
+
+    def test_two_sided(self, spark):
+        left = spark.createDataFrame([(1, "color"), (2, "colour")], ["id", "s"])
+        right = spark.createDataFrame([(10, "colour"), (11, "colours")], ["rid", "s"])
+        got = {
+            (r.id_l, r.id_r, r.dist)
+            for r in fuzzy_join(left, right, "id", "s", right_id="rid",
+                                max_dist=1).collect()
+        }
+        assert got == {(1, 10, 1), (2, 10, 0), (2, 11, 1)}
+
+    def test_negative_dist_raises(self, spark):
+        df = spark.createDataFrame([(1, "x")], ["id", "s"])
+        with pytest.raises(ValueError):
+            fuzzy_join(df, df, "id", "s", max_dist=-1)
+
+
+class TestStripMarkup:
+    CASES = [
+        ("<p>hello world</p>", "hello world"),
+        ("<script>var x = '<p>sneaky</p>';</script>after", "after"),
+        ("<STYLE type=x>.a{color:red}</STYLE>ok", "ok"),
+        ("<!-- a <b> comment -->kept", "kept"),
+        ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; c", "a & b <tag> \"q\" 's' c"),
+        ("&amp;lt;", "&lt;"),  # decode once, not twice
+        ("no markup at all", "no markup at all"),
+        ("  <div> spaced   out </div>  ", "spaced out"),
+        ("", ""),
+    ]
+
+    def test_cases(self, spark):
+        df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(self.CASES)],
+                                   ["i", "s"])
+        got = {r.i: r.c for r in df.select("i", T.strip_markup("s").alias("c")).collect()}
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, f"case {i}"
+
+    def test_sql_matches_spark(self, spark):
+        import duckdb
+
+        df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(self.CASES)],
+                                   ["i", "s"])
+        got = {r.i: r.c for r in df.select("i", T.strip_markup("s").alias("c")).collect()}
+        con = duckdb.connect()
+        for i, (s, _) in enumerate(self.CASES):
+            (sql_out,) = con.execute(
+                "SELECT " + T.strip_markup_sql("?::VARCHAR"), [s]
+            ).fetchone()
+            assert sql_out == got[i], f"case {i}: duckdb={sql_out!r} spark={got[i]!r}"
+
+
+class TestCollocations:
+    def test_pairs_and_assoc(self, spark):
+        # "a b" adjacent twice + one window-2 pair; "b c" once
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b"), (3, "b a")], ["id", "text"]
+        )
+        out = {
+            r.pair: (r.pair_count, r.assoc_ppm)
+            for r in R.collocations(df, "text", window=2, min_count=1).collect()
+        }
+        # token counts: a=3, b=3, c=1
+        # pairs: (a,b) from doc1 off1, doc2 off1, doc3 off1 = 3
+        #        (a,c) doc1 off2 = 1; (b,c) doc1 off1 = 1
+        assert out["a b"] == (3, 1_000_000)  # 1e6*9 // 9
+        assert out["a c"] == (1, 333_333)    # 1e6*1 // 3
+        assert out["b c"] == (1, 333_333)
+        assert len(out) == 3
+
+    def test_identical_token_pairs_dropped(self, spark):
+        df = spark.createDataFrame([(1, "x x x")], ["id", "text"])
+        assert R.collocations(df, "text", window=2, min_count=1).count() == 0
+
+    def test_min_count_prunes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b")], ["id", "text"]
+        )
+        out = {r.pair for r in R.collocations(df, "text", min_count=2).collect()}
+        assert out == {"a b"}
+
+    def test_window_one_is_adjacent_only(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+        out = {r.pair for r in
+               R.collocations(df, "text", window=1, min_count=1).collect()}
+        assert out == {"a b", "b c"}
+
+
+class TestLshIndexSearch:
+    def _emb(self, spark, sf_dir):
+        # filter, not limit: both sides of the differential must see the
+        # exact same row set regardless of scan order
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") < 120
+        )
+
+    def test_matches_self_join_for_in_corpus_batch(self, spark, sf_dir):
+        from pigpen_spark.functions import similarity as S
+
+        emb = self._emb(spark, sf_dir)
+        idx = S.lsh_index(emb, n_planes=4, dim=64)
+        batch = emb.filter(F.col("vec_id") < 15)
+        got = {
+            (r.q_id, r.n_id, r.score, r.rank)
+            for r in S.lsh_topk_against(idx, batch, k=3, n_planes=4, dim=64).collect()
+        }
+        want = {
+            (r.q_id, r.n_id, r.score, r.rank)
+            for r in S.lsh_topk(emb, k=3, n_planes=4, dim=64).collect()
+            if r.q_id < 15
+        }
+        assert got == want and got
+
+    def test_exclude_self_flag(self, spark, sf_dir):
+        from pigpen_spark.functions import similarity as S
+
+        emb = self._emb(spark, sf_dir)
+        idx = S.lsh_index(emb, n_planes=4, dim=64)
+        batch = emb.filter(F.col("vec_id") == 3)
+        hit = (
+            S.lsh_topk_against(idx, batch, k=1, n_planes=4, dim=64,
+                               exclude_self=False)
+            .filter((F.col("n_id") == 3) & (F.col("rank") == 1))
+            .collect()
+        )
+        assert len(hit) == 1 and hit[0].score == 1.0
+        none = (
+            S.lsh_topk_against(idx, batch, k=100, n_planes=4, dim=64)
+            .filter(F.col("n_id") == 3).count()
+        )
+        assert none == 0
+
+    def test_multi_probe_superset(self, spark, sf_dir):
+        from pigpen_spark.functions import similarity as S
+
+        emb = self._emb(spark, sf_dir)
+        idx = S.lsh_index(emb, n_planes=4, dim=64)
+        batch = emb.filter(F.col("vec_id") < 10)
+        base = S.lsh_topk_against(idx, batch, k=1000, n_planes=4, dim=64)
+        mp = S.lsh_topk_against(idx, batch, k=1000, n_planes=4, dim=64,
+                                multi_probe=True)
+        b = {(r.q_id, r.n_id) for r in base.collect()}
+        m = {(r.q_id, r.n_id) for r in mp.collect()}
+        assert b <= m
