@@ -2314,7 +2314,7 @@ from pigpen_spark.operators.joins import fuzzy_join  # noqa: E402
 )
 def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate string self-join: supplier-name pairs within edit
-    distance 2, via SymSpell deletion-neighborhood blocking + exact
+    distance 1, via SymSpell deletion-neighborhood blocking + exact
     levenshtein verify — record linkage / entity resolution without the
     cross product (the oracle IS the cross product, which is exactly what
     this operator avoids at scale: only the variant equi-join shuffles).

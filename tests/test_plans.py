@@ -180,3 +180,30 @@ def test_rr_pq_coding_is_shuffle_free(spark, sf_dir):
     p = qs["ext_embed_rr_pq"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_fuzzy_join_is_variant_equi_join(spark, sf_dir):
+    # deletion-neighborhood blocking must surface as an EQUI-join on the
+    # exploded variant key — never a nested-loop theta join (the cross
+    # product is exactly what the operator exists to avoid)
+    qs = catalog.queries()
+    p = qs["ext_fuzzy_join"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_strip_markup_is_shuffle_free(spark, sf_dir):
+    # regexp chain = pure per-row codegen; any Exchange is a regression
+    qs = catalog.queries()
+    p = qs["ext_strip_markup"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+
+
+def test_ann_index_search_hashes_query_side_only(spark, sf_dir):
+    # the stored-index contract: buckets on the index side come from the
+    # index relation itself; the serving join is a bucket equi-join (no
+    # nested loop), and only ONE side of the join recomputes lsh hashing
+    qs = catalog.queries()
+    p = qs["ext_ann_index_search"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
