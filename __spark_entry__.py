@@ -41,6 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # --- newest (round-3 continuation session) ---
     "ext_fuzzy_join",
+    "ext_boilerplate",
+    "ext_url_normalize",
     "ext_strip_markup",
     "ext_collocations",
     "ext_ann_index_search",
@@ -82,9 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_ann_ivf_pq",
     "ext_ann_lsh",
     "ext_ann_ivf",
-    "ext_normalize",
     "ext_quality_classifier",
-    "ext_repetition_stats",
     "ext_quality_prune",
     "ext_split_hash",
     "ext_tokenize_pack",
@@ -95,6 +95,8 @@ _DRIVER_PRIORITY: list[str] = [
     # --- below here: outside the 50-query window this round ---
     # demoted this session to make room for the 4 newest ops; each keeps an
     # in-window family rep + pytest coverage:
+    "ext_normalize",               # rep: ext_strip_markup (same regexp-chain family)
+    "ext_repetition_stats",        # rep: ext_text_stats (same pure-HOF text family)
     "ext_quality_classifier_tbl",  # rep: ext_quality_classifier (bit-equal forms)
     "ext_ann_lsh_mp",              # rep: ext_ann_lsh (+ mp pytest pins)
     "ext_dedup_clusters",          # rep: ext_dedup_clusters_star / ext_dedup_keep

@@ -91,6 +91,9 @@ HEADLINE = [
     "ext_collocations",
     "ext_ann_index_search",
     "ext_strip_markup",
+    # corpus-wide boilerplate ban (explode-count + broadcast ban-set
+    # reassembly — the corpus is never shuffled for rebuild)
+    "ext_boilerplate",
 ]
 
 

@@ -2401,3 +2401,64 @@ def ext_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = S.lsh_index(emb, n_planes=_PLANES, dim=_DIM)
     batch = emb.filter(F.col("vec_id") < 20)
     return S.lsh_topk_against(idx, batch, k=5, n_planes=_PLANES, dim=_DIM)
+
+
+_PROMO = "promo subscribe to our free daily newsletter now"  # exactly 8 tokens
+
+
+@register(
+    "ext_boilerplate",
+    P.remove_frequent_spans_sql(
+        f"(SELECT doc_id, '{_PROMO} ' || text AS text FROM documents)",
+        "doc_id", "text", chunk=8, min_docs=10, out_col="clean_text",
+    ),
+)
+def ext_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate removal: every doc carries an injected
+    8-token promo line (chunk-aligned), so the frequency gate must strip
+    it from ALL 500 copies — plus any natural 8-token span shared by ≥10
+    docs.  Different contract from ext_dedup_spans (keep-first): no copy
+    of boilerplate survives.  Ban set broadcasts as one array row; the
+    corpus is exploded once for counting and never shuffled for
+    reassembly."""
+    docs = tables(spark, sf_dir)["documents"].df
+    wrapped = docs.select(
+        "doc_id", F.concat(F.lit(_PROMO + " "), F.col("text")).alias("text")
+    )
+    return P.remove_frequent_spans(wrapped, "doc_id", "text",
+                                   chunk=8, min_docs=10)
+
+
+@register(
+    "ext_url_normalize",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             'https://www.' || source || '.example.org:443/docs/' || doc_id::VARCHAR
+               || '?utm_source=feed&ref=' || lang || '&utm_medium=email#sec' AS u
+      FROM documents
+    )
+    SELECT doc_id, {T.url_normalize_sql('u')} AS url,
+           {T.url_host_sql('u')} AS host,
+           {T.url_domain_sql('u')} AS domain
+    FROM raw
+    """,
+)
+def ext_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl curation: strip fragments, utm/click
+    tracking params, separator debris, and default ports; extract host and
+    the www-stripped domain (the per-domain cap / URL-dedup key).  Pure
+    regexp chain, zero shuffles; the synthetic URL exercises every rule."""
+    docs = tables(spark, sf_dir)["documents"].df
+    u = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.org:443/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&ref="), F.col("lang"),
+        F.lit("&utm_medium=email#sec"),
+    )
+    return docs.select(
+        "doc_id",
+        T.url_normalize(u).alias("url"),
+        T.url_host(u).alias("host"),
+        T.url_domain(u).alias("domain"),
+    )

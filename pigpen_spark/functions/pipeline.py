@@ -861,3 +861,70 @@ def chunk_overlap_sql(table: str, id_col: str, text_col: str,
            least({size}, len(toks) - chunk_id * {stride})::BIGINT AS n_tokens
     FROM w
     """
+
+
+def remove_frequent_spans(df: DataFrame, id_col: str, text_col: str,
+                          chunk: int = 8, min_docs: int = 10,
+                          out_col: str = "clean_text") -> DataFrame:
+    """Corpus-wide boilerplate removal: delete EVERY occurrence of any
+    ``chunk``-token span that appears in ≥ ``min_docs`` distinct documents
+    (the MassiveText/C4 "repeated boilerplate lines" gate — cookie
+    banners, subscribe prompts, nav bars).  Different contract from
+    :func:`dedup_spans`, which keeps each duplicated span's global FIRST
+    occurrence: boilerplate is noise in every copy, so no copy survives.
+
+    Plan: one explode of per-doc DISTINCT spans → partial-aggregating
+    count → the banned set (all spans with ≥ min_docs docs) collapses to
+    a single array row that broadcast-crossJoins the corpus, and each doc
+    filters its own span list with an O(|doc|·|ban|) HOF membership test
+    — the corpus is never exploded a second time and never shuffled for
+    reassembly.  The ban set is bounded by total_spans/min_docs (heavy
+    hitters are few by definition); for a LOW threshold over a huge
+    corpus, where the ban set itself is big, use the join form
+    (:func:`dedup_spans`'s shape) instead — docstring contract, not a
+    silent fallback.
+    """
+    if min_docs < 2:
+        raise ValueError(f"remove_frequent_spans: min_docs must be >= 2, got {min_docs}")
+    src = df.select(_c(id_col).alias("__id"),
+                    token_chunks(_c(text_col), chunk).alias("__chunks"))
+    freq = (
+        src.select(F.explode(F.array_distinct("__chunks")).alias("__c"))
+        .groupBy("__c").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_docs)
+    )
+    ban = freq.agg(F.collect_list("__c").alias("__ban"))
+    kept = F.filter(
+        F.col("__chunks"), lambda c: ~F.array_contains(F.col("__ban"), c)
+    )
+    return (
+        src.crossJoin(F.broadcast(ban))
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(kept, " ").alias(out_col),
+            (F.size("__chunks") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def remove_frequent_spans_sql(table: str, id_col: str, text_col: str,
+                              chunk: int = 8, min_docs: int = 10,
+                              out_col: str = "clean_text") -> str:
+    """DuckDB oracle for :func:`remove_frequent_spans`."""
+    return f"""
+    WITH src AS (
+      SELECT {id_col} AS id, {token_chunks_sql(text_col, chunk)} AS chunks
+      FROM {table}
+    ),
+    freq AS (
+      SELECT c FROM (SELECT id, unnest(list_distinct(chunks)) AS c FROM src)
+      GROUP BY c HAVING count(*) >= {min_docs}
+    ),
+    ban AS (SELECT coalesce(list(c), []::VARCHAR[]) AS b FROM freq)
+    SELECT id AS {id_col},
+           coalesce(array_to_string(
+             list_filter(chunks, c -> NOT list_contains(b, c)), ' '), '') AS {out_col},
+           (len(chunks) - len(list_filter(chunks, c -> NOT list_contains(b, c))))::BIGINT
+             AS n_removed
+    FROM src CROSS JOIN ban
+    """

@@ -623,3 +623,68 @@ def strip_markup_sql(col: str) -> str:
         r = repl.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-corpus curation)
+# ---------------------------------------------------------------------------
+
+#: Ordered canonicalization chain.  Replacements use Spark's ``$1`` group
+#: syntax; the SQL twin rewrites them to RE2's ``\1``.  No lookarounds —
+#: DuckDB's RE2 has none, so default-port stripping captures the following
+#: delimiter instead.  Case is NOT normalized (paths are case-sensitive;
+#: hosts in this engine's synthetic corpora are already lowercase).
+URL_NORMALIZE_PATTERNS: list[tuple[str, str]] = [
+    (r"#.*$", ""),                                               # fragment
+    (r"([?&])(?:utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&]*", "$1"),   # tracking params
+    (r"&&+", "&"),                                               # collapsed separators
+    (r"\?&+", "?"),
+    (r"[?&]+$", ""),                                             # dangling separators
+    (r"^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),                 # default ports
+    (r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2"),
+]
+
+_URL_HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+def url_normalize(col) -> Column:
+    """Canonical URL for dedup/per-domain keying: strip the fragment,
+    tracking parameters (utm_*/gclid/fbclid), dangling separators the
+    removal leaves behind, and default ports (http:80 / https:443) — the
+    normalization pass that runs BEFORE URL-keyed dedup so the same page
+    fetched via ten campaign links collapses to one key.  Pure
+    regexp_replace chain, codegen, zero shuffles."""
+    out = _c(col)
+    for pat, repl in URL_NORMALIZE_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def url_normalize_sql(col: str) -> str:
+    """DuckDB equivalent of :func:`url_normalize` (``$n`` → ``\\n``)."""
+    out = col
+    for pat, repl in URL_NORMALIZE_PATTERNS:
+        p = pat.replace("'", "''")
+        r = repl.replace("$", "\\")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out
+
+
+def url_host(col) -> Column:
+    """Host (authority minus port/userinfo suffix handling: port only) of
+    a URL; empty string when the value has no scheme://host shape."""
+    return F.regexp_extract(_c(col), _URL_HOST_PATTERN, 1)
+
+
+def url_host_sql(col: str) -> str:
+    return f"coalesce(regexp_extract({col}, '{_URL_HOST_PATTERN}', 1), '')"
+
+
+def url_domain(col) -> Column:
+    """Host with a leading ``www.`` stripped — the per-domain grouping key
+    for source caps and domain-level dedup."""
+    return F.regexp_replace(url_host(col), r"^www\.", "")
+
+
+def url_domain_sql(col: str) -> str:
+    return f"regexp_replace({url_host_sql(col)}, '^www\\.', '')"

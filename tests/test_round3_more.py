@@ -186,3 +186,102 @@ class TestLshIndexSearch:
         b = {(r.q_id, r.n_id) for r in base.collect()}
         m = {(r.q_id, r.n_id) for r in mp.collect()}
         assert b <= m
+
+
+class TestRemoveFrequentSpans:
+    def test_removes_all_copies_above_threshold(self, spark):
+        from pigpen_spark.functions.pipeline import remove_frequent_spans
+
+        # span "x y" (chunk=2) in 3 docs -> banned at min_docs=3;
+        # "a b" in 2 docs -> kept
+        df = spark.createDataFrame(
+            [(1, "x y a b"), (2, "x y c d"), (3, "x y e f"), (4, "a b g h")],
+            ["id", "text"],
+        )
+        out = {r.id: (r.clean_text, r.n_removed)
+               for r in remove_frequent_spans(df, "id", "text",
+                                              chunk=2, min_docs=3).collect()}
+        assert out[1] == ("a b", 1)
+        assert out[2] == ("c d", 1)
+        assert out[3] == ("e f", 1)
+        assert out[4] == ("a b g h", 0)
+
+    def test_no_ban_is_identity(self, spark):
+        from pigpen_spark.functions.pipeline import remove_frequent_spans
+
+        df = spark.createDataFrame([(1, "p q"), (2, "r s")], ["id", "text"])
+        out = {r.id: r.clean_text
+               for r in remove_frequent_spans(df, "id", "text",
+                                              chunk=2, min_docs=2).collect()}
+        assert out == {1: "p q", 2: "r s"}
+
+    def test_fully_boilerplate_doc_empties(self, spark):
+        from pigpen_spark.functions.pipeline import remove_frequent_spans
+
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "x y"), (3, "x y extra words")], ["id", "text"]
+        )
+        out = {r.id: (r.clean_text, r.n_removed)
+               for r in remove_frequent_spans(df, "id", "text",
+                                              chunk=2, min_docs=3).collect()}
+        assert out[1] == ("", 1) and out[2] == ("", 1)
+        assert out[3] == ("extra words", 1)
+
+    def test_min_docs_guard(self, spark):
+        from pigpen_spark.functions.pipeline import remove_frequent_spans
+
+        df = spark.createDataFrame([(1, "a")], ["id", "text"])
+        with pytest.raises(ValueError):
+            remove_frequent_spans(df, "id", "text", min_docs=1)
+
+    def test_within_doc_repeat_not_banned(self, spark):
+        from pigpen_spark.functions.pipeline import remove_frequent_spans
+
+        # "x y" repeats inside ONE doc: per-doc distinct means doc-count 1
+        df = spark.createDataFrame([(1, "x y x y"), (2, "m n")], ["id", "text"])
+        out = {r.id: r.clean_text
+               for r in remove_frequent_spans(df, "id", "text",
+                                              chunk=2, min_docs=2).collect()}
+        assert out[1] == "x y x y"
+
+
+class TestUrlOps:
+    CASES = [
+        ("https://www.a.com:443/p?utm_source=x&q=1#top", "https://www.a.com/p?q=1"),
+        ("http://b.org:80/", "http://b.org/"),
+        ("http://b.org:8080/x", "http://b.org:8080/x"),  # non-default port kept
+        ("https://c.net/p?utm_a=1&utm_b=2", "https://c.net/p"),
+        ("https://c.net/p?gclid=z&ref=r&fbclid=w", "https://c.net/p?ref=r"),
+        ("https://d.io/p#frag", "https://d.io/p"),
+        ("no-scheme plain text", "no-scheme plain text"),
+        ("", ""),
+    ]
+
+    def test_normalize_cases(self, spark):
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _) in enumerate(self.CASES)], ["i", "u"])
+        got = {r.i: r.n for r in df.select("i", T.url_normalize("u").alias("n")).collect()}
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, f"case {i}: {got[i]!r}"
+
+    def test_sql_matches_spark(self, spark):
+        import duckdb
+
+        con = duckdb.connect()
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _) in enumerate(self.CASES)], ["i", "u"])
+        got = {r.i: r.n for r in df.select("i", T.url_normalize("u").alias("n")).collect()}
+        for i, (s, _) in enumerate(self.CASES):
+            (o,) = con.execute("SELECT " + T.url_normalize_sql("?::VARCHAR"), [s]).fetchone()
+            assert o == got[i], f"case {i}: duckdb={o!r} spark={got[i]!r}"
+
+    def test_host_and_domain(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://www.ex.co.uk:443/a?b=1"), (2, "plain"), (3, "ftp://files.x.org/y")],
+            ["i", "u"],
+        )
+        got = {r.i: (r.h, r.d) for r in df.select(
+            "i", T.url_host("u").alias("h"), T.url_domain("u").alias("d")).collect()}
+        assert got[1] == ("www.ex.co.uk", "ex.co.uk")
+        assert got[2] == ("", "")
+        assert got[3] == ("files.x.org", "files.x.org")
