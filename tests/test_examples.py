@@ -29,3 +29,36 @@ def test_ops_audit_pipeline(spark, sf_dir):
     # per-user event counts only grow → no 'removed' users in the diff
     assert "removed" not in report["diff"]
     assert report["diff"].get("added", 0) >= 0
+
+
+def test_ingest_increment_pipeline(spark, sf_dir, tmp_path):
+    from ingest_increment import run
+
+    work = str(tmp_path / "work")
+    report = run(spark, sf_dir, work)
+    # 100 fresh (markup-wrapped) + 50 exact replays + 20 reversed-token
+    # paraphrases with stored embeddings
+    assert report["arrived"] == 170
+    # replays die at the digest index (markup strip + normalize must make
+    # the wrapped/raw texts hash-identical)
+    assert report["after_exact_dedup"] == report["passed_quality"] - 50
+    # paraphrases survive text dedup but die at the ANN stage
+    assert report["after_near_dedup"] - report["admitted"] == 20
+    # appended survivors + index deltas are readable and consistent
+    corpus = spark.read.parquet(f"{work}/corpus")
+    assert corpus.count() == report["admitted"]
+    digest = spark.read.parquet(f"{work}/digest_index")
+    assert digest.count() == 400 + report["admitted"]
+    mh = spark.read.parquet(f"{work}/minhash_index")
+    assert mh.count() == 400 + report["admitted"]
+
+    # idempotence guarantee of the index loop: re-ingesting the already-
+    # admitted docs admits zero (everything now hits the digest index)
+    from ingest_increment import ingest
+    from pyspark.sql import functions as F
+
+    batch2 = corpus.select("doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    report2 = ingest(spark, batch2,
+                     emb.limit(0).select(F.col("vec_id"), "embedding"), work)
+    assert report2["admitted"] == 0
