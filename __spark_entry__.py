@@ -43,6 +43,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_fuzzy_join",
     "ext_boilerplate",
     "ext_url_normalize",
+    "ext_dedup_keep_best",
+    "ext_token_budget",
     "ext_strip_markup",
     "ext_collocations",
     "ext_ann_index_search",
@@ -68,8 +70,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_triangles",
     "ext_exact_kth",
     "ext_heavy_exact",
-    "ext_join_cardinality",
-    "ext_histogram_drift",
     "ext_source_cap",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
@@ -95,6 +95,8 @@ _DRIVER_PRIORITY: list[str] = [
     # --- below here: outside the 50-query window this round ---
     # demoted this session to make room for the 4 newest ops; each keeps an
     # in-window family rep + pytest coverage:
+    "ext_join_cardinality",        # tuning diagnostic; pytest-pinned estimator
+    "ext_histogram_drift",         # rep: ext_quantile_sketch (same sketch merge)
     "ext_normalize",               # rep: ext_strip_markup (same regexp-chain family)
     "ext_repetition_stats",        # rep: ext_text_stats (same pure-HOF text family)
     "ext_quality_classifier_tbl",  # rep: ext_quality_classifier (bit-equal forms)

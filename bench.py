@@ -94,6 +94,10 @@ HEADLINE = [
     # corpus-wide boilerplate ban (explode-count + broadcast ban-set
     # reassembly — the corpus is never shuffled for rebuild)
     "ext_boilerplate",
+    # quality-ranked dedup keep (bounded winner window over paired docs
+    # only) and token-budgeted selection (two-phase global cumsum)
+    "ext_dedup_keep_best",
+    "ext_token_budget",
 ]
 
 

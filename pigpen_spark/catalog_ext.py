@@ -2462,3 +2462,99 @@ def ext_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.url_host(u).alias("host"),
         T.url_domain(u).alias("domain"),
     )
+
+
+@register(
+    "ext_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {D.minhash_sigs_cte_sql('documents', 'doc_id', 'text', _K, 3)},
+    banded AS (
+      SELECT id, b.range AS band,
+             md5(array_to_string(sig[(b.range * {_R} + 1) : (b.range * {_R} + {_R})], '|')) AS bhash
+      FROM sigs, range({_BANDS}) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    clusters AS (SELECT id, min(r)::BIGINT AS cluster FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id)::BIGINT AS cluster,
+             len({_TOKS}) AS nt
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+    )
+    SELECT doc_id, cluster,
+           doc_id = first_value(doc_id) OVER (
+             PARTITION BY cluster ORDER BY nt DESC, doc_id) AS kept
+    FROM lab
+    """,
+)
+def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup keep: same MinHash-LSH clusters as
+    ext_dedup_keep, but each cluster's LONGEST document survives (token
+    count desc, doc_id tiebreak) — the keep-the-best policy curation
+    stacks prefer over keep-min-id (dropping a long original because a
+    truncated copy had a smaller id is a real corpus-quality bug).  The
+    ranking runs only over docs that appear in a candidate pair; the
+    corpus is never shuffled."""
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_candidates(docs.df, "doc_id", "text",
+                                 k=_K, bands=_BANDS, shingle_n=3)
+    # rank on a precomputed token COUNT, not the text column — the keep
+    # machinery then never moves document bytes (8-byte key + 8-byte size)
+    slim = docs.df.select("doc_id", T.token_count("text").alias("__nt"))
+    out = D.dedup_keep(slim, pairs, "doc_id",
+                       keep_by=[F.col("__nt").desc()])
+    return out.select("doc_id", "cluster", "kept")
+
+
+from pigpen_spark.operators.windows import take_budget  # noqa: E402
+
+
+@register(
+    "ext_token_budget",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
+             ({T.quality_score_sql('text')}) AS q
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )::BIGINT AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM cum
+    WHERE cum_tokens - n_tokens < 20000
+    """,
+)
+def ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection: take documents in quality order
+    (doc_id tiebreak) until 20k tokens are claimed — the budgeted-mix
+    selector (pretraining recipes specify token counts, not doc counts).
+    Global ordered cumsum via the two-phase range-repartition form: the
+    single-partition window the oracle runs is exactly what this operator
+    avoids at scale."""
+    docs = tables(spark, sf_dir)["documents"].df
+    scored = docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("__q"),
+    )
+    out = take_budget(scored, [F.col("__q").desc(), F.col("doc_id")],
+                      "n_tokens", budget=20_000, cum_col="cum_tokens")
+    return out.select("doc_id", "n_tokens", "cum_tokens")

@@ -29,8 +29,10 @@ between iterations.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pigpen_spark.cache import persisted as _persisted
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -776,7 +778,8 @@ def dedup_clusters_star(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 
 
 def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str,
-               cluster_col: str = "cluster", keep_col: str = "kept") -> DataFrame:
+               cluster_col: str = "cluster", keep_col: str = "kept",
+               keep_by: "Sequence | None" = None) -> DataFrame:
     """End-to-end dedup decision: label every row of ``df`` with its
     duplicate-cluster id and whether it is the KEPT canonical copy.
 
@@ -785,9 +788,15 @@ def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str,
     the cluster table is O(docs that appear in ≥1 pair) — tiny next to
     the corpus, since near-dup rates are single-digit percent at 100 TB —
     so Catalyst broadcasts it and the corpus is never shuffled.  Rows in
-    no pair keep their own id as cluster.  The keep rule is
-    ``id == cluster`` (the component's min id survives), the same
-    convention as :func:`exact_dedup`.
+    no pair keep their own id as cluster.
+
+    Keep rule: default ``id == cluster`` (the component's min id, the
+    :func:`exact_dedup` convention).  ``keep_by`` keeps the cluster's
+    best row instead — first under (``keep_by``…, id): pass e.g.
+    ``[token_count("text").desc()]`` for the keep-the-longest policy
+    curation stacks use.  The ranking runs ONLY over rows that appear in
+    a pair (same tiny set as the cluster table) and the winners broadcast
+    back — one bounded extra shuffle, corpus still unshuffled.
 
     Returns ``df``'s rows + (cluster, kept); filter ``kept`` for the
     surviving corpus, negate for the removal list.
@@ -797,10 +806,26 @@ def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str,
     )
     joined = df.join(F.broadcast(clusters), on=id_col, how="left")
     cluster = F.coalesce(F.col("__pp_cl"), F.col(id_col))
+    if not keep_by:
+        return (
+            joined.withColumn(cluster_col, cluster)
+            .withColumn(keep_col, F.col(cluster_col) == F.col(id_col))
+            .drop("__pp_cl")
+        )
+    labeled = joined.withColumn(cluster_col, cluster)
+    slim = labeled.filter(F.col("__pp_cl").isNotNull())
+    w = Window.partitionBy(cluster_col).orderBy(*list(keep_by), F.col(id_col))
+    winners = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(cluster_col), F.col(id_col).alias("__pp_win"))
+    )
     return (
-        joined.withColumn(cluster_col, cluster)
-        .withColumn(keep_col, F.col(cluster_col) == F.col(id_col))
-        .drop("__pp_cl")
+        labeled.join(F.broadcast(winners), on=cluster_col, how="left")
+        .withColumn(
+            keep_col, F.col(id_col) == F.coalesce(F.col("__pp_win"), F.col(id_col))
+        )
+        .drop("__pp_cl", "__pp_win")
     )
 
 

@@ -187,3 +187,61 @@ def dedup_keyed_window_sql(key_cols: Sequence[str], ts_col: str,
     )
     SELECT * EXCLUDE (rn) FROM w WHERE rn = 1
     """
+
+
+def take_budget(df: DataFrame, order_by: Sequence, size, budget: int,
+                cum_col: str = "cum_size") -> DataFrame:
+    """Greedy budgeted selection: walk rows in ``order_by`` order and keep
+    each row whose budget was not already exhausted BEFORE it — the
+    "top documents until N tokens" selector every token-budgeted
+    pretraining mix runs (keep rule: running-sum-exclusive < budget, so
+    the row that crosses the boundary is included and the result is
+    non-empty whenever the input is).
+
+    A naive global ordered cumsum is a ONE-partition window — fatal at
+    scale — so this uses the two-phase :func:`ranked` shape: range-
+    repartition on the sort key, collect ONE partial size-sum per
+    partition (a bounded driver-side vector), then cumsum within each
+    partition in parallel and add the partition's global size offset.
+    ``order_by`` must be a total order (add a unique id tiebreak);
+    ``size`` is any numeric column/expression.
+
+    Returns the selected rows + ``cum_col`` (the inclusive running sum).
+    Persist lifetime: same session-lived cache contract as
+    :func:`ranked` (the range-partitioned input must evaluate identically
+    in the offset pass and the output pass)."""
+    orders = [_c(c) for c in order_by]
+    size_c = _c(size)
+    pid = "__pp_pid"
+    ranged = (
+        df.withColumn("__pp_sz", size_c.cast("bigint"))
+        .repartitionByRange(*orders)
+        .withColumn(pid, F.spark_partition_id())
+        .transform(_persisted)
+    )
+    sums = {
+        r["p"]: r["s"]
+        for r in ranged.groupBy(F.col(pid).alias("p"))
+        .agg(F.coalesce(F.sum("__pp_sz"), F.lit(0)).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p]
+    off = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col(pid),
+        )
+        if offsets else F.lit(0)
+    )
+    w = (
+        Window.partitionBy(pid).orderBy(*orders)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.sum("__pp_sz").over(w) + off).cast("bigint")
+    return (
+        ranged.withColumn(cum_col, cum)
+        .filter((F.col(cum_col) - F.col("__pp_sz")) < budget)
+        .drop("__pp_sz", pid)
+    )

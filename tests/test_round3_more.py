@@ -285,3 +285,95 @@ class TestUrlOps:
         assert got[1] == ("www.ex.co.uk", "ex.co.uk")
         assert got[2] == ("", "")
         assert got[3] == ("files.x.org", "files.x.org")
+
+
+class TestDedupKeepBy:
+    def _fixture(self, spark):
+        # cluster {1,2,3} (chain), singleton 4; doc 2 is the longest
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b c d e"), (3, "a b c"), (4, "zz")],
+            ["id", "text"],
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        return docs, pairs
+
+    def test_default_keeps_min_id(self, spark):
+        from pigpen_spark.functions.dedup import dedup_keep
+
+        docs, pairs = self._fixture(spark)
+        out = {r.id: (r.cluster, r.kept)
+               for r in dedup_keep(docs, pairs, "id").collect()}
+        assert out[1] == (1, True) and out[2] == (1, False)
+        assert out[3] == (1, False) and out[4] == (4, True)
+
+    def test_keep_by_longest(self, spark):
+        from pigpen_spark.functions.dedup import dedup_keep
+        from pigpen_spark.functions.text import token_count
+
+        docs, pairs = self._fixture(spark)
+        out = {r.id: (r.cluster, r.kept)
+               for r in dedup_keep(docs, pairs, "id",
+                                   keep_by=[token_count("text").desc()]).collect()}
+        assert out[2] == (1, True)          # longest wins, not min id
+        assert out[1] == (1, False) and out[3] == (1, False)
+        assert out[4] == (4, True)          # singleton keeps itself
+
+    def test_keep_by_tiebreak_is_min_id(self, spark):
+        from pigpen_spark.functions.dedup import dedup_keep
+        from pigpen_spark.functions.text import token_count
+
+        docs = spark.createDataFrame(
+            [(7, "x y"), (9, "p q")], ["id", "text"])  # equal lengths
+        pairs = spark.createDataFrame([(7, 9)], ["id_a", "id_b"])
+        out = {r.id: r.kept
+               for r in dedup_keep(docs, pairs, "id",
+                                   keep_by=[token_count("text").desc()]).collect()}
+        assert out == {7: True, 9: False}
+
+
+class TestTakeBudget:
+    def test_greedy_prefix_with_boundary_row(self, spark):
+        from pigpen_spark.operators.windows import take_budget
+
+        df = spark.createDataFrame(
+            [(1, 10, 5), (2, 9, 5), (3, 8, 5), (4, 7, 5)],
+            ["id", "score", "sz"],
+        )
+        out = {r.id: r.cum_size for r in take_budget(
+            df, [F.col("score").desc(), F.col("id")], "sz", budget=12).collect()}
+        # 5 + 5 fills 10 < 12; row 3 starts at 10 < 12 so it is included
+        assert out == {1: 5, 2: 10, 3: 15}
+
+    def test_exact_boundary_excludes_next(self, spark):
+        from pigpen_spark.operators.windows import take_budget
+
+        df = spark.createDataFrame(
+            [(1, 2, 6), (2, 1, 6)], ["id", "score", "sz"])
+        out = {r.id for r in take_budget(
+            df, [F.col("score").desc(), F.col("id")], "sz", budget=6).collect()}
+        assert out == {1}  # budget exactly consumed before row 2
+
+    def test_never_empty_and_matches_single_partition_window(self, spark):
+        from pigpen_spark.operators.windows import take_budget
+        from pyspark.sql import Window
+
+        rows = [(i, (i * 37) % 100, 1 + (i * 13) % 50) for i in range(200)]
+        df = spark.createDataFrame(rows, ["id", "score", "sz"]).repartition(8)
+        got = {(r.id, r.cum_size) for r in take_budget(
+            df, [F.col("score").desc(), F.col("id")], "sz", budget=900).collect()}
+        w = (Window.orderBy(F.col("score").desc(), F.col("id"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        want = {
+            (r.id, r.cum)
+            for r in df.withColumn("cum", F.sum("sz").over(w)).collect()
+            if r.cum - r.sz < 900
+        }
+        assert got == want and got
+
+    def test_budget_smaller_than_first_row_keeps_it(self, spark):
+        from pigpen_spark.operators.windows import take_budget
+
+        df = spark.createDataFrame([(1, 1, 500), (2, 0, 10)], ["id", "s", "sz"])
+        out = [r.id for r in take_budget(
+            df, [F.col("s").desc(), F.col("id")], "sz", budget=100).collect()]
+        assert out == [1]
