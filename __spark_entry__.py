@@ -45,6 +45,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_url_normalize",
     "ext_dedup_keep_best",
     "ext_token_budget",
+    "ext_image_decode",
+    "ext_image_thumb",
+    "ext_audio_decode",
     "ext_strip_markup",
     "ext_collocations",
     "ext_ann_index_search",
@@ -67,9 +70,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_eval",
     "ext_lm_trained",
     "ext_blocklist",
-    "ext_triangles",
-    "ext_exact_kth",
-    "ext_heavy_exact",
     "ext_source_cap",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
@@ -95,6 +95,9 @@ _DRIVER_PRIORITY: list[str] = [
     # --- below here: outside the 50-query window this round ---
     # demoted this session to make room for the 4 newest ops; each keeps an
     # in-window family rep + pytest coverage:
+    "ext_exact_kth",               # rep: ext_quantile_sketch (selection family)
+    "ext_heavy_exact",             # rep: ext_heavy_hitters (sketch+verify family)
+    "ext_triangles",               # pair-graph diagnostic; rep: ext_dedup_clusters_star
     "ext_join_cardinality",        # tuning diagnostic; pytest-pinned estimator
     "ext_histogram_drift",         # rep: ext_quantile_sketch (same sketch merge)
     "ext_normalize",               # rep: ext_strip_markup (same regexp-chain family)

@@ -98,6 +98,10 @@ HEADLINE = [
     # only) and token-budgeted selection (two-phase global cumsum)
     "ext_dedup_keep_best",
     "ext_token_budget",
+    # REAL multimodal decode (pure-stdlib PNG/WAV codecs through Arrow
+    # mapInPandas): decode-only and full decode->resize->encode->decode
+    "ext_image_decode",
+    "ext_image_thumb",
 ]
 
 

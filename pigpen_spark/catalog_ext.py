@@ -2558,3 +2558,111 @@ def ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = take_budget(scored, [F.col("__q").desc(), F.col("doc_id")],
                       "n_tokens", budget=20_000, cum_col="cum_tokens")
     return out.select("doc_id", "n_tokens", "cum_tokens")
+
+
+# --- real-codec multimodal queries ----------------------------------------
+# Payloads are generated deterministically (synth_png/synth_wav pixel and
+# sample formulas), so the oracle predicts every decoded statistic in
+# CLOSED FORM without decoding anything — a hash-exact end-to-end check
+# of the real encode→decode pipeline (codecs.py), not of a stub.
+
+_IMG_W = "(8 + doc_id % 16)"
+_IMG_H = "(8 + (doc_id // 3) % 16)"
+_IMG_A = "(doc_id % 200)"
+
+
+@register(
+    "ext_image_decode",
+    f"""
+    SELECT doc_id,
+           {_IMG_W}::INT AS width, {_IMG_H}::INT AS height, 3 AS channels,
+           (3 * {_IMG_A} * {_IMG_W} * {_IMG_H}
+            + 3 * {_IMG_H} * ({_IMG_W} * ({_IMG_W} - 1) // 2)
+            + 3 * {_IMG_W} * ({_IMG_H} * ({_IMG_H} - 1) // 2)
+            + 3 * {_IMG_W} * {_IMG_H})::BIGINT AS px_sum,
+           {_IMG_A}::INT AS px_min,
+           ({_IMG_A} + {_IMG_W} - 1 + {_IMG_H} - 1 + 2)::INT AS px_max
+    FROM documents
+    """,
+)
+def ext_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: synthesize a PNG per document (deterministic
+    pixel ramp, alternating scanline filters), then decode it back with
+    the pure-stdlib codec and emit integer pixel stats.  The oracle
+    computes the same stats in closed form from the generation formula —
+    so a decoder bug (filter math, stride, channel order) breaks the
+    hash.  Arrow-batched mapInPandas both ways; payloads never reach the
+    driver."""
+    # single-partition scan is deliberate: a repartition before synthesis
+    # was MEASURED SLOWER at this scale (1.03 s -> 1.79 s; shuffle + task
+    # overhead beats 1 s of total decode CPU).  Real payload corpora
+    # arrive pre-partitioned from the object-store scan, which is where
+    # decode parallelism comes from at 100 TB.
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    pngs = M.synth_png(docs, "doc_id")
+    return M.image_stats(pngs, "id").select(
+        F.col("id").alias("doc_id"),
+        "width", "height", "channels", "px_sum", "px_min", "px_max",
+    )
+
+
+_TW = f"(({_IMG_W} + 1) // 2)"
+_TH = f"(({_IMG_H} + 1) // 2)"
+
+
+@register(
+    "ext_image_thumb",
+    f"""
+    SELECT doc_id,
+           {_TW}::INT AS t_width, {_TH}::INT AS t_height,
+           (3 * {_IMG_A} * {_TW} * {_TH}
+            + 3 * {_TH} * {_TW} * ({_TW} - 1)
+            + 3 * {_TW} * {_TH} * ({_TH} - 1)
+            + 3 * {_TW} * {_TH})::BIGINT AS t_px_sum
+    FROM documents
+    """,
+)
+def ext_image_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize pipeline: PNG decode → ÷2 nearest-neighbor subsample →
+    PNG re-encode → decode AGAIN for the pixel sum — the full
+    decode/transform/encode loop, verified against the closed-form
+    subsampled-ramp sum (thumbnail pixel (X,Y,c) = a + 2X + 2Y + c)."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    pngs = M.synth_png(docs, "doc_id")
+    thumbs = M.image_thumbnail(pngs, "id", factor=2)
+    # decode the re-encoded thumbnail once more: t_px_sum must survive the
+    # encode→decode round trip byte-exactly
+    verify = M.image_stats(thumbs.select("id", F.col("thumb").alias("payload")), "id")
+    return (
+        thumbs.select("id", "t_width", "t_height")
+        .join(verify.select("id", F.col("px_sum").alias("t_px_sum")), on="id")
+        .select(F.col("id").alias("doc_id"), "t_width", "t_height", "t_px_sum")
+    )
+
+
+@register(
+    "ext_audio_decode",
+    """
+    SELECT doc_id,
+           8000 AS sample_rate, 1 AS n_channels,
+           (100 + doc_id % 50)::BIGINT AS n_samples,
+           ((100 + doc_id % 50) // 8)::BIGINT AS duration_ms,
+           ((100 + doc_id % 50) * ((doc_id % 100) * 10)
+            + 2 * 1225
+            + (doc_id % 50) * ((doc_id % 50) - 1) // 2)::BIGINT AS sample_sum,
+           ((doc_id % 100) * 10 + 49)::INT AS peak
+    FROM documents
+    """,
+)
+def ext_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: synthesize a PCM16 WAV per document (bounded
+    sample ramp), decode it with the pure-stdlib RIFF parser, and emit
+    integer features (exact duration_ms via integer division, sample sum,
+    peak).  Oracle = the closed-form ramp sums."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    wavs = M.synth_wav(docs, "doc_id")
+    return M.audio_features_wav(wavs, "id").select(
+        F.col("id").alias("doc_id"),
+        "sample_rate", "n_channels", "n_samples",
+        "duration_ms", "sample_sum", "peak",
+    )

@@ -1,9 +1,15 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+"""Multimodal columns: image/audio/video as binary columns with REAL
+decode paths for PNG and PCM-WAV.
 
-The Spark-side machinery here is REAL and tested — schemas, Arrow-batched
-``mapInPandas`` decode pipelines, partition sizing — while the actual
-codec calls are stubbed behind import-guards (PIL/librosa/av are not in
-this container; see ``decode_image_meta``'s deterministic fallback).
+The Spark-side machinery — schemas, Arrow-batched ``mapInPandas`` decode
+pipelines, partition sizing — is real and tested, and so are the PNG and
+WAV codecs (:mod:`pigpen_spark.functions.codecs`, pure zlib/struct
+implementations of the public specs): ``image_stats`` /
+``image_thumbnail`` / ``audio_features_wav`` decode actual bytes to
+actual numbers, oracle-checked end to end.  Only JPEG and video decode
+remain import-guarded stubs (those formats genuinely require external
+codecs, which this container does not ship; ``decode_image_meta`` falls
+back to a deterministic fake for non-PNG payloads).
 
 At 100 TB: binary payloads ride in parquet binary columns (or are loaded
 via ``spark.read.format("binaryFile")`` for raw object stores); decode
@@ -68,13 +74,20 @@ def decode_image_meta(df: DataFrame, id_col: str, payload_col: str = "payload") 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from pigpen_spark.functions import codecs as C
+
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
                 data = bytes(payload)
-                if real:  # pragma: no cover
+                if data[:8] == b"\x89PNG\r\n\x1a\n":
+                    # REAL path: pure-stdlib IHDR parse (codecs.png_meta)
+                    w, h, _depth, _color = C.png_meta(data)
+                    fmt = "png"
+                elif real:  # pragma: no cover
                     raise NotImplementedError("PIL decode path: wire Image.open(BytesIO(data))")
-                w, h, fmt = _fake_decode(data)
+                else:
+                    w, h, fmt = _fake_decode(data)
                 rows.append({
                     "id": int(rid),
                     "n_bytes": len(data),
@@ -114,3 +127,169 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str = "payload") -> 
         (F.octet_length(F.col(payload_col)).cast("double") / 16000.0).alias("duration_sec"),
         F.lit(16000).alias("sample_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode paths (pure-stdlib codecs — pigpen_spark.functions.codecs)
+# ---------------------------------------------------------------------------
+#
+# The container has no PIL/librosa/av, but PNG and PCM-WAV are simple
+# enough to decode from spec with zlib + struct (codecs.py), so the image
+# and audio operators below are REAL end-to-end: bytes in, decoded
+# numbers out, Arrow-batched through mapInPandas.  JPEG and video remain
+# import-guarded stubs — those formats genuinely need external codecs.
+
+IMAGE_STATS_SCHEMA = (
+    "id long, width int, height int, channels int, px_sum long, px_min int, px_max int"
+)
+THUMB_SCHEMA = "id long, t_width int, t_height int, t_px_sum long, thumb binary"
+AUDIO_SCHEMA = (
+    "id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms long, sample_sum long, peak int"
+)
+
+
+def synth_png(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame:
+    """Deterministic synthetic PNG payloads (the corpus ships no binary
+    columns): image i is (8 + i%16) × (8 + (i÷3)%16) RGB with pixel
+    (x, y, c) = i%200 + x + y + c — values stay < 256 by construction, so
+    downstream pixel sums have CLOSED FORMS an SQL oracle can compute
+    without decoding.  Alternating scanline filter (None/Up by parity)
+    exercises both encoder paths."""
+    src = df.select(F.col(id_col).alias("id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from pigpen_spark.functions import codecs as C
+
+        for pdf in batches:
+            rows = []
+            for rid in pdf["id"]:
+                i = int(rid)
+                w, h, a = 8 + i % 16, 8 + (i // 3) % 16, i % 200
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                arr = (a + x + y + c).astype(np.uint8)
+                rows.append({"id": i, "payload": C.png_encode(arr, filter_type=2 * (i % 2))})
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(gen, schema="id long, payload binary")
+
+
+def image_stats(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """REAL PNG decode → per-image pixel statistics: (width, height,
+    channels, px_sum, px_min, px_max).  Integer outputs, so results are
+    engine-portable and oracle-checkable; mean = px_sum / (w·h·ch) is one
+    division away for callers.  Arrow batches through mapInPandas — one
+    Python crossing per ~10k rows, numpy per image."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from pigpen_spark.functions import codecs as C
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                arr = C.png_decode(bytes(payload))
+                rows.append({
+                    "id": int(rid),
+                    "width": arr.shape[1], "height": arr.shape[0],
+                    "channels": arr.shape[2],
+                    "px_sum": int(arr.sum(dtype="int64")),
+                    "px_min": int(arr.min()), "px_max": int(arr.max()),
+                })
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(decode, schema=IMAGE_STATS_SCHEMA)
+
+
+def image_thumbnail(df: DataFrame, id_col: str, payload_col: str = "payload",
+                    factor: int = 2) -> DataFrame:
+    """REAL resize pipeline: PNG decode → nearest-neighbor ÷``factor``
+    subsample → PNG re-encode, plus the thumbnail's integer pixel sum so
+    a no-decode oracle can verify the whole decode→resize→encode→decode
+    loop.  The canonical multimodal preprocessing shape: per-row numpy
+    inside Arrow batches, payloads never leave the executor."""
+    if factor < 1:
+        raise ValueError(f"image_thumbnail: factor must be >= 1, got {factor}")
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from pigpen_spark.functions import codecs as C
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                arr = C.png_decode(bytes(payload))[::factor, ::factor]
+                rows.append({
+                    "id": int(rid),
+                    "t_width": arr.shape[1], "t_height": arr.shape[0],
+                    "t_px_sum": int(arr.sum(dtype="int64")),
+                    "thumb": C.png_encode(arr),
+                })
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(work, schema=THUMB_SCHEMA)
+
+
+def synth_wav(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame:
+    """Deterministic synthetic PCM16 WAV payloads: clip i has
+    100 + i%50 mono samples at 8 kHz, sample j = (i%100)·10 + j%50 —
+    bounded far below int16, so sums have closed forms for the oracle."""
+    src = df.select(F.col(id_col).alias("id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from pigpen_spark.functions import codecs as C
+
+        for pdf in batches:
+            rows = []
+            for rid in pdf["id"]:
+                i = int(rid)
+                n = 100 + i % 50
+                s = ((i % 100) * 10 + (np.arange(n) % 50)).astype(np.int16)
+                rows.append({"id": i, "payload": C.wav_encode(s, 8000)})
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(gen, schema="id long, payload binary")
+
+
+def audio_features_wav(df: DataFrame, id_col: str,
+                       payload_col: str = "payload") -> DataFrame:
+    """REAL WAV decode → (sample_rate, n_channels, n_samples,
+    duration_ms, sample_sum, peak).  duration_ms is exact integer
+    division (n·1000 div rate); sample_sum/peak are int64/int32 — all
+    engine-portable.  Supersedes the stub :func:`audio_features` for PCM
+    WAV payloads (the stub remains for unknown formats)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from pigpen_spark.functions import codecs as C
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                rate, samples = C.wav_decode(bytes(payload))
+                n = samples.shape[0]
+                rows.append({
+                    "id": int(rid),
+                    "sample_rate": rate, "n_channels": samples.shape[1],
+                    "n_samples": n,
+                    "duration_ms": n * 1000 // rate,
+                    "sample_sum": int(samples.sum(dtype="int64")),
+                    "peak": int(abs(samples).max()) if n else 0,
+                })
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(decode, schema=AUDIO_SCHEMA)

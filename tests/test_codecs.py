@@ -1,0 +1,137 @@
+"""Pure-stdlib PNG/WAV codecs and the real multimodal decode operators."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pigpen_spark.functions import codecs as C
+
+
+def _manual_png(w, h, color, raw_lines: bytes) -> bytes:
+    """Hand-assembled PNG so decoder tests don't depend on our encoder."""
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, p):
+        b = t + p
+        return struct.pack(">I", len(p)) + b + struct.pack(
+            ">I", zlib.crc32(b) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw_lines)) + chunk(b"IEND", b""))
+
+
+class TestPng:
+    @pytest.mark.parametrize("shape", [(5, 4), (6, 7, 3), (3, 3, 4), (1, 1), (2, 300, 3)])
+    @pytest.mark.parametrize("ft", [0, 2])
+    def test_roundtrip(self, shape, ft):
+        arr = np.random.default_rng(7).integers(0, 256, size=shape, dtype=np.uint8)
+        dec = C.png_decode(C.png_encode(arr, filter_type=ft))
+        ref = arr if arr.ndim == 3 else arr[:, :, None]
+        assert (dec == ref).all()
+
+    def test_meta_without_inflate(self):
+        data = C.png_encode(np.zeros((11, 13, 3), dtype=np.uint8))
+        assert C.png_meta(data) == (13, 11, 8, 2)
+
+    def test_sub_and_average_filters(self):
+        # row0 Sub: [10, 250] -> deltas [10, 240]
+        # row1 Average: [100, 30] -> 100-(0+10)//2=95; 30-(100+250)//2 = -145 & 0xFF = 111
+        raw = bytes([1, 10, 240]) + bytes([3, 95, 111])
+        img = C.png_decode(_manual_png(2, 2, 0, raw))
+        assert img[:, :, 0].tolist() == [[10, 250], [100, 30]]
+
+    def test_paeth_filter(self):
+        # row0 None: [10, 250]; row1 Paeth: [60, 200] -> stored [50, 206]
+        raw = bytes([0, 10, 250]) + bytes([4, 50, 206])
+        img = C.png_decode(_manual_png(2, 2, 0, raw))
+        assert img[:, :, 0].tolist() == [[10, 250], [60, 200]]
+
+    def test_rejects_garbage_and_unsupported(self):
+        with pytest.raises(ValueError):
+            C.png_meta(b"not a png at all")
+        # 16-bit depth PNG header
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        sig = b"\x89PNG\r\n\x1a\n"
+        body = b"IHDR" + ihdr
+        data = (sig + struct.pack(">I", len(ihdr)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+        with pytest.raises(ValueError, match="bit depth"):
+            C.png_decode(data + struct.pack(">I", 0) + b"IEND"
+                         + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF))
+
+
+class TestWav:
+    def test_roundtrip_mono(self):
+        s = np.random.default_rng(3).integers(-3000, 3000, size=120).astype(np.int16)
+        rate, out = C.wav_decode(C.wav_encode(s, 8000))
+        assert rate == 8000 and (out[:, 0] == s).all()
+
+    def test_roundtrip_stereo_and_meta(self):
+        st = np.random.default_rng(4).integers(-100, 100, size=(50, 2)).astype(np.int16)
+        data = C.wav_encode(st, 44100)
+        assert C.wav_meta(data) == (44100, 2, 16, 50)
+        rate, out = C.wav_decode(data)
+        assert rate == 44100 and (out == st).all()
+
+    def test_rejects_non_riff(self):
+        with pytest.raises(ValueError):
+            C.wav_meta(b"RIFX....WAVE")
+
+
+class TestMultimodalReal:
+    def test_image_stats_matches_numpy(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.createDataFrame([(i,) for i in (0, 5, 37, 199, 450)], ["doc_id"])
+        pngs = M.synth_png(ids, "doc_id")
+        got = {r.id: (r.width, r.height, r.px_sum, r.px_min, r.px_max)
+               for r in M.image_stats(pngs, "id").collect()}
+        for i in (0, 5, 37, 199, 450):
+            w, h, a = 8 + i % 16, 8 + (i // 3) % 16, i % 200
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            arr = a + x + y + c
+            assert got[i] == (w, h, int(arr.sum()), a, int(arr.max()))
+
+    def test_decode_image_meta_real_png_path(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.createDataFrame([(3,), (12,)], ["doc_id"])
+        pngs = M.synth_png(ids, "doc_id")
+        got = {r.id: (r.width, r.height, r.format)
+               for r in M.decode_image_meta(pngs, "id").collect()}
+        assert got[3] == (8 + 3 % 16, 8 + 1 % 16, "png")
+        assert got[12] == (8 + 12 % 16, 8 + 4 % 16, "png")
+
+    def test_audio_features_wav(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.createDataFrame([(7,), (104,)], ["doc_id"])
+        wavs = M.synth_wav(ids, "doc_id")
+        got = {r.id: (r.n_samples, r.duration_ms, r.sample_sum, r.peak)
+               for r in M.audio_features_wav(wavs, "id").collect()}
+        for i in (7, 104):
+            n, base, k = 100 + i % 50, (i % 100) * 10, i % 50
+            s = base + (np.arange(n) % 50)
+            assert got[i] == (n, n * 1000 // 8000, int(s.sum()), int(s.max()))
+
+    def test_thumbnail_roundtrip(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.createDataFrame([(9,)], ["doc_id"])
+        pngs = M.synth_png(ids, "doc_id")
+        t = M.image_thumbnail(pngs, "id", factor=2).collect()[0]
+        i = 9
+        w, h, a = 8 + i % 16, 8 + (i // 3) % 16, i % 200
+        full = (a + np.arange(w)[None, :, None] + np.arange(h)[:, None, None]
+                + np.arange(3)[None, None, :])
+        sub = full[::2, ::2]
+        assert (t.t_width, t.t_height, t.t_px_sum) == (
+            sub.shape[1], sub.shape[0], int(sub.sum()))
+        dec = C.png_decode(bytes(t.thumb))
+        assert (dec == sub).all()
