@@ -48,6 +48,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_image_decode",
     "ext_image_thumb",
     "ext_audio_decode",
+    "ext_frame_sample_gif",
     "ext_strip_markup",
     "ext_collocations",
     "ext_ann_index_search",
@@ -55,7 +56,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_heavy_hitters",
     "ext_chunk_overlap",
     "ext_embed_near_dup_mp",
-    "ext_embed_rr_pq",
     "ext_ann_pq_trained",
     "ext_ann_ivf_pq_trained",
     "ext_max_repeats",
@@ -95,6 +95,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- below here: outside the 50-query window this round ---
     # demoted this session to make room for the 4 newest ops; each keeps an
     # in-window family rep + pytest coverage:
+    "ext_embed_rr_pq",             # reps: ext_ann_pq / ext_ann_ivf_pq (+ trained)
     "ext_exact_kth",               # rep: ext_quantile_sketch (selection family)
     "ext_heavy_exact",             # rep: ext_heavy_hitters (sketch+verify family)
     "ext_triangles",               # pair-graph diagnostic; rep: ext_dedup_clusters_star

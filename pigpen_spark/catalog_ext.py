@@ -2666,3 +2666,32 @@ def ext_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate", "n_channels", "n_samples",
         "duration_ms", "sample_sum", "peak",
     )
+
+
+_GIF_W = "(6 + doc_id % 8)"
+_GIF_H = "(6 + (doc_id // 2) % 8)"
+_GIF_A = "(doc_id % 200)"
+_GIF_N = "(1 + doc_id % 5)"
+
+
+@register(
+    "ext_frame_sample_gif",
+    f"""
+    SELECT doc_id, f::INT AS frame_index,
+           (3 * ({_GIF_W} * {_GIF_H} * ({_GIF_A} + f)
+                 + {_GIF_H} * ({_GIF_W} * ({_GIF_W} - 1) // 2)
+                 + {_GIF_W} * ({_GIF_H} * ({_GIF_H} - 1) // 2)))::BIGINT AS f_px_sum
+    FROM documents, range(0, 5) r(f)
+    WHERE f < {_GIF_N} AND f % 2 = 0
+    """,
+)
+def ext_frame_sample_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: synthesize a multi-frame GIF per
+    document, decode it with the pure-stdlib LZW codec, keep every 2nd
+    frame with its pixel sum.  Oracle = the closed-form frame-ramp sums
+    (3× grayscale index sum via the palette), so a broken LZW table,
+    palette lookup, or frame walk breaks the hash."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    gifs = M.synth_gif(docs, "doc_id")
+    return M.frame_sample_gif(gifs, "id", every_n=2).select(
+        F.col("id").alias("doc_id"), "frame_index", "f_px_sum")

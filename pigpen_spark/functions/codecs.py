@@ -204,3 +204,249 @@ def wav_encode(samples: np.ndarray, rate: int) -> bytes:
     return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(body)) + body)
+
+
+# -- GIF (87a/89a, LZW) -----------------------------------------------------
+#
+# Enough of the GIF spec to make video-style FRAME SAMPLING real: header +
+# logical screen descriptor, global/local color tables, full LZW decode
+# with dictionary growth, multi-frame streams.  Deliberately out of scope
+# (ValueError, never silent): interlaced frames; ignored (documented):
+# transparency and frame disposal — frames decode independently against
+# their own palette, which is exact for the full-frame GIFs our encoder
+# writes and the common screencast case.
+
+
+def _gif_color_table(data: bytes, pos: int, flags: int):
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        table = np.frombuffer(
+            data[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        return table, pos + 3 * n
+    return None, pos
+
+
+def _lzw_decode(min_code: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF LZW: variable-width codes LSB-first, dictionary grows to 4096,
+    CLEAR resets, END terminates."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"gif: corrupt LZW code {code}")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+    raise ValueError("gif: LZW stream ended without END code")
+
+
+def gif_decode(data: bytes):
+    """Decode every frame: (width, height, [frame (h, w, 3) uint8 …])."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("gif: bad signature")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gct, pos = _gif_color_table(data, pos, flags)
+    frames = []
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:        # trailer
+            break
+        if block == 0x21:        # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:      # image descriptor
+            fx, fy, fw, fh = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("gif: interlaced frames unsupported")
+            lct, pos = _gif_color_table(data, pos, iflags)
+            palette = lct if lct is not None else gct
+            if palette is None:
+                raise ValueError("gif: frame has no color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                size = data[pos]
+                lzw += data[pos + 1:pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            idx = _lzw_decode(min_code, bytes(lzw), fw * fh)
+            if len(idx) != fw * fh:
+                raise ValueError("gif: short pixel stream")
+            frames.append(palette[idx].reshape(fh, fw, 3))
+        else:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+    return w, h, frames
+
+
+def gif_meta(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) — walks block structure, skips pixel
+    inflate entirely (the cheap corpus-profiling path)."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("gif: bad signature")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    _, pos = _gif_color_table(data, pos, flags)
+    n = 0
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            iflags = data[pos + 9]
+            pos += 10
+            _, pos = _gif_color_table(data, pos, iflags)
+            pos += 1                      # LZW min code size
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            n += 1
+        else:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+    return w, h, n
+
+
+def _lzw_encode(pixels, min_code: int = 8) -> bytes:
+    """Standard GIF LZW compression: greedy longest-match dictionary
+    build, variable code width (grows with the table, capped at 12 bits,
+    CLEAR emitted on table overflow), LSB-first packing — the inverse
+    width schedule of :func:`_lzw_decode`."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << min_code)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, w):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    w = b""
+    for px in pixels:
+        wk = w + bytes([px])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        # width grows when the NEXT code wouldn't fit (decoder mirrors this)
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code == 1 << 12:
+            emit(clear, width)
+            table = fresh()
+            next_code = end + 1
+            width = min_code + 1
+        w = bytes([px])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(frames, palette: np.ndarray | None = None,
+               compress: bool = True) -> bytes:
+    """Minimal multi-frame GIF writer for uint8 (h, w) INDEX arrays into
+    a 256-entry palette (default: grayscale ramp).  ``compress=True``
+    uses real dictionary-building LZW (:func:`_lzw_encode`);
+    ``compress=False`` emits a CLEAR before every pixel code — the
+    classic "uncompressed GIF" trick, kept so tests can exercise the
+    decoder's CLEAR handling densely."""
+    if palette is None:
+        palette = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    if palette.shape != (256, 3):
+        raise ValueError("gif: palette must be (256, 3)")
+    frames = [f if f.ndim == 2 else f[:, :, 0] for f in frames]
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])     # GCT present, 256 entries
+    out += palette.astype(np.uint8).tobytes()
+    min_code = 8
+    clear, end = 256, 257
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("gif: all frames must share the canvas size")
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([min_code])
+        pixels = f.reshape(-1).tolist()
+        if compress:
+            stream = bytearray(_lzw_encode(pixels, min_code))
+        else:
+            # 9-bit codes, LSB-first: CLEAR, pixel, ..., END — width never grows
+            acc = nbits = 0
+            stream = bytearray()
+            codes = []
+            for px in pixels:
+                codes += [clear, px]
+            codes.append(end)
+            for code in codes:
+                acc |= code << nbits
+                nbits += 9
+                while nbits >= 8:
+                    stream.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+            if nbits:
+                stream.append(acc & 0xFF)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)

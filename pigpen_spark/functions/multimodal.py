@@ -101,10 +101,11 @@ def decode_image_meta(df: DataFrame, id_col: str, payload_col: str = "payload") 
 
 def frame_sample(df: DataFrame, id_col: str, payload_col: str = "payload",
                  every_n: int = 10) -> DataFrame:
-    """Video frame sampling — STUB: emits (id, frame_index) rows for the
-    frames a decoder would keep.  Deterministic fake: frame count derived
-    from payload length; real impl would use `av`/ffmpeg in the same
-    mapInPandas shape."""
+    """Video frame sampling — STUB for containers that need external
+    codecs (mp4/webm via `av`/ffmpeg): emits (id, frame_index) rows for
+    the frames a decoder would keep, frame count faked from payload
+    length.  For GIF payloads use :func:`frame_sample_gif`, which REALLY
+    decodes (pure-stdlib LZW) in the same mapInPandas shape."""
     n_frames = (F.octet_length(F.col(payload_col)) % 100 + 1).alias("n_frames")
     src = df.select(F.col(id_col).alias("id"), n_frames)
     return src.select(
@@ -293,3 +294,66 @@ def audio_features_wav(df: DataFrame, id_col: str,
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(decode, schema=AUDIO_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = "id long, frame_index int, f_px_sum long"
+
+
+def synth_gif(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame:
+    """Deterministic synthetic multi-frame GIFs: clip i has 1 + i%5
+    frames on a (6 + i%8) × (6 + (i÷2)%8) canvas, frame f pixel (x, y) =
+    i%200 + f + x + y (grayscale palette; bounded < 256, so per-frame
+    pixel sums have closed forms)."""
+    src = df.select(F.col(id_col).alias("id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from pigpen_spark.functions import codecs as C
+
+        for pdf in batches:
+            rows = []
+            for rid in pdf["id"]:
+                i = int(rid)
+                w, h, a = 6 + i % 8, 6 + (i // 2) % 8, i % 200
+                n = 1 + i % 5
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                frames = [(a + f + x + y).astype(np.uint8) for f in range(n)]
+                rows.append({"id": i, "payload": C.gif_encode(frames)})
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(gen, schema="id long, payload binary")
+
+
+def frame_sample_gif(df: DataFrame, id_col: str, payload_col: str = "payload",
+                     every_n: int = 2) -> DataFrame:
+    """REAL video-style frame sampling: decode a multi-frame GIF with the
+    pure-stdlib LZW codec (:mod:`pigpen_spark.functions.codecs`) and emit
+    every ``every_n``-th frame's index and integer pixel sum — the frame-
+    subsampling stage of a video curation pipeline, on a container format
+    that actually decodes in this environment.  Supersedes the
+    :func:`frame_sample` stub for GIF payloads; other containers
+    (mp4/webm) still need external codecs and keep the stub."""
+    if every_n < 1:
+        raise ValueError(f"frame_sample_gif: every_n must be >= 1, got {every_n}")
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from pigpen_spark.functions import codecs as C
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                _w, _h, frames = C.gif_decode(bytes(payload))
+                for f in range(0, len(frames), every_n):
+                    rows.append({
+                        "id": int(rid), "frame_index": f,
+                        "f_px_sum": int(frames[f].sum(dtype="int64")),
+                    })
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(work, schema=FRAME_STATS_SCHEMA)

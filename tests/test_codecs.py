@@ -135,3 +135,109 @@ class TestMultimodalReal:
             sub.shape[1], sub.shape[0], int(sub.sum()))
         dec = C.png_decode(bytes(t.thumb))
         assert (dec == sub).all()
+
+
+class TestGif:
+    def test_roundtrip_multiframe(self):
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 256, size=(7, 9), dtype=np.uint8) for _ in range(4)]
+        data = C.gif_encode(frames)
+        assert C.gif_meta(data) == (9, 7, 4)
+        w, h, dec = C.gif_decode(data)
+        assert (w, h, len(dec)) == (9, 7, 4)
+        for f, d in zip(frames, dec):
+            assert (d[:, :, 0] == f).all() and (d[:, :, 2] == f).all()
+
+    def test_custom_palette(self):
+        pal = np.zeros((256, 3), dtype=np.uint8)
+        pal[:, 0] = np.arange(256)          # red ramp
+        pal[7] = [1, 2, 3]
+        frames = [np.full((2, 2), 7, dtype=np.uint8)]
+        _, _, dec = C.gif_decode(C.gif_encode(frames, palette=pal))
+        assert dec[0].tolist() == [[[1, 2, 3]] * 2] * 2
+
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            C.gif_meta(b"JIF89a......")
+
+    def test_frame_sample_gif_matches_formula(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.createDataFrame([(i,) for i in (0, 3, 9, 14)], ["doc_id"])
+        gifs = M.synth_gif(ids, "doc_id")
+        got = {(r.id, r.frame_index): r.f_px_sum
+               for r in M.frame_sample_gif(gifs, "id", every_n=2).collect()}
+        want = {}
+        for i in (0, 3, 9, 14):
+            w, h, a, n = 6 + i % 8, 6 + (i // 2) % 8, i % 200, 1 + i % 5
+            for f in range(0, n, 2):
+                frame = (a + f + np.arange(w)[None, :] + np.arange(h)[:, None])
+                want[(i, f)] = 3 * int(frame.sum())
+        assert got == want
+
+    def test_lzw_dictionary_growth_with_real_compressor(self):
+        # our encoder emits CLEAR before every pixel (no dictionary use),
+        # so pin the decoder's growth/width logic against a REFERENCE GIF
+        # LZW compressor building codes the standard way
+        import struct
+
+        def lzw_compress(pixels, min_code=8):
+            clear, end = 1 << min_code, (1 << min_code) + 1
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = end + 1
+            width = min_code + 1
+            codes = [clear]
+            w = b""
+            for px in pixels:
+                wk = w + bytes([px])
+                if wk in table:
+                    w = wk
+                else:
+                    codes.append(table[w])
+                    table[wk] = next_code
+                    next_code += 1
+                    if next_code > (1 << width) and width < 12:
+                        width += 1
+                    w = bytes([px])
+            if w:
+                codes.append(table[w])
+            codes.append(end)
+            # pack LSB-first with the same width schedule the decoder uses
+            acc = nbits = 0
+            out = bytearray()
+            width = min_code + 1
+            n_entries = end + 1
+            for code in codes:
+                acc |= code << nbits
+                nbits += width
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+                if code == clear:
+                    n_entries = end + 1
+                    width = min_code + 1
+                elif code != end:
+                    n_entries += 1
+                    if n_entries == (1 << width) and width < 12:
+                        width += 1
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        rng = np.random.default_rng(11)
+        # repetitive data -> real dictionary reuse (the growth path)
+        pixels = (list(range(10)) * 40 + [5] * 60 + list(rng.integers(0, 4, 100)))
+        w, h = 30, len(pixels) // 30
+        pixels = pixels[: w * h]
+        lzw = lzw_compress(pixels)
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        gif = bytearray(b"GIF89a") + struct.pack("<HH", w, h) + bytes([0x87, 0, 0])
+        gif += pal.tobytes()
+        gif += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes([8])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            gif += bytes([len(chunk)]) + chunk
+        gif += b"\x00\x3B"
+        _, _, frames = C.gif_decode(bytes(gif))
+        assert frames[0][:, :, 0].reshape(-1).tolist() == pixels
