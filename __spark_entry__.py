@@ -49,6 +49,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_image_thumb",
     "ext_audio_decode",
     "ext_frame_sample_gif",
+    "ext_negative_pairs",
+    "ext_hard_negatives",
     "ext_strip_markup",
     "ext_collocations",
     "ext_ann_index_search",
@@ -64,13 +66,11 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_perplexity_buckets",
     "ext_quantile_sketch",
     "ext_dedup_events_window",
-    "ext_bloom_decontaminate",
     "ext_validate",
     "ext_incremental_rollup",
     "ext_dedup_eval",
     "ext_lm_trained",
     "ext_blocklist",
-    "ext_source_cap",
     # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
@@ -95,6 +95,8 @@ _DRIVER_PRIORITY: list[str] = [
     # --- below here: outside the 50-query window this round ---
     # demoted this session to make room for the 4 newest ops; each keeps an
     # in-window family rep + pytest coverage:
+    "ext_source_cap",              # reps: q_top_per_group (r2 row) + ext_token_budget
+    "ext_bloom_decontaminate",     # rep: ext_decontaminate (same gate, gram-join form)
     "ext_embed_rr_pq",             # reps: ext_ann_pq / ext_ann_ivf_pq (+ trained)
     "ext_exact_kth",               # rep: ext_quantile_sketch (selection family)
     "ext_heavy_exact",             # rep: ext_heavy_hitters (sketch+verify family)

@@ -2695,3 +2695,72 @@ def ext_frame_sample_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     gifs = M.synth_gif(docs, "doc_id")
     return M.frame_sample_gif(gifs, "id", every_n=2).select(
         F.col("id").alias("doc_id"), "frame_index", "f_px_sum")
+
+
+@register(
+    "ext_negative_pairs",
+    f"""
+    WITH neg AS (
+      {S.negative_samples_sql('(SELECT vec_id FROM embeddings WHERE vec_id < 50)',
+                              'vec_id', 4, '(SELECT count(*) FROM embeddings)')}
+    )
+    SELECT n.vec_id, n.j, n.neg_id,
+           round({S.cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
+    FROM neg n
+    JOIN embeddings a ON a.vec_id = n.vec_id
+    JOIN embeddings b ON b.vec_id = n.neg_id
+    """,
+)
+def ext_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair generation: 4 deterministic md5-drawn
+    random negatives per anchor (reproducible epochs, engine-portable),
+    payload vectors fetched by equi-join, scored with the shared cosine —
+    sampling itself is a pure per-row expression, never a shuffle."""
+    emb = tables(spark, sf_dir)["embeddings"].df
+    n = emb.count()
+    anchors = emb.filter(F.col("vec_id") < 50).select("vec_id")
+    pairs = S.negative_samples(anchors, "vec_id", k=4, n_total=n)
+    av = emb.select("vec_id", F.col("embedding").alias("__av"))
+    nv = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("__nv"))
+    return (
+        pairs.join(av, "vec_id").join(nv, "neg_id")
+        .select("vec_id", "j", "neg_id",
+                F.round(S.cosine(F.col("__av"), F.col("__nv")), 6).alias("score"))
+    )
+
+
+@register(
+    "ext_hard_negatives",
+    f"""
+    WITH idx AS (
+      SELECT vec_id AS id, embedding AS vec,
+             ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT id AS q_id, vec AS q_vec, bucket FROM idx WHERE id < 30),
+    banded AS (
+      SELECT q.q_id, i.id AS n_id,
+             round({S.cosine_sql('q.q_vec', 'i.vec')}, 6) AS score
+      FROM q JOIN idx i ON q.bucket = i.bucket AND q.q_id <> i.id
+      WHERE round({S.cosine_sql('q.q_vec', 'i.vec')}, 6) >= 0.1
+        AND round({S.cosine_sql('q.q_vec', 'i.vec')}, 6) < 0.4
+    )
+    SELECT q_id, n_id, score, rank FROM (
+      SELECT q_id, n_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      FROM banded
+    ) WHERE rank <= 3
+    """,
+)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining: for each query, the top-3 stored-index
+    neighbors in the [0.1, 0.4) cosine band (calibrated to this corpus's
+    embedding space — real deployments calibrate the window per space) — similar enough to teach a
+    contrastive model, dissimilar enough to not be a duplicate (the
+    FaceNet semi-hard window).  One bucket equi-join; the band filter
+    runs BEFORE the per-query ranking window."""
+    emb = tables(spark, sf_dir)["embeddings"].df
+    idx = S.lsh_index(emb, n_planes=_PLANES, dim=_DIM)
+    batch = emb.filter(F.col("vec_id") < 30)
+    return S.lsh_topk_against(idx, batch, k=3, n_planes=_PLANES, dim=_DIM,
+                              score_min=0.1, score_max=0.4)

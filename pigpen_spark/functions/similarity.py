@@ -1387,6 +1387,7 @@ def lsh_topk_against(
     vec_col: str = "embedding", k: int = 5, n_planes: int = 6,
     dim: int | None = None, multi_probe: bool = False,
     exclude_self: bool = True,
+    score_min: float | None = None, score_max: float | None = None,
 ) -> DataFrame:
     """Incremental ANN search: top-``k`` neighbors of a NEW query batch
     against a STORED :func:`lsh_index` — the batch-serving sibling of
@@ -1429,9 +1430,61 @@ def lsh_topk_against(
     )
     scored = qt.join(index, on=cond[0] if len(cond) == 1 else cond[0] & cond[1]) \
                .select("q_id", index["id"].alias("n_id"), score.alias("score"))
+    # score band BEFORE ranking: [score_min, score_max) — the semi-hard
+    # negative-mining window (close enough to be informative, far enough
+    # to not be a duplicate); rank is then within the band
+    if score_min is not None:
+        scored = scored.filter(F.col("score") >= score_min)
+    if score_max is not None:
+        scored = scored.filter(F.col("score") < score_max)
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def negative_samples(df: DataFrame, id_col: str = "vec_id", k: int = 4,
+                     n_total: int | None = None, salt: str = "neg") -> DataFrame:
+    """Deterministic random negative sampling over a DENSE 0..N-1 id
+    domain: anchor a gets negatives ``md5-hash(a, j, salt) mod N`` for
+    j < k — the contrastive-training pair generator (in-batch negatives
+    don't exist in a batch engine; this is the corpus-wide equivalent).
+
+    Pure per-row expression — no shuffle to SAMPLE (joining payloads for
+    the drawn ids afterwards is one equi-join); md5-derived draws make
+    the epoch reproducible and engine-portable (same formula in any SQL
+    oracle).  A draw that lands on the anchor itself shifts to
+    ``(a+1) mod N`` — cheap, deterministic, bias O(1/N).
+
+    ``n_total`` is the domain size; None = one count() job.  Returns
+    (id_col, j, neg_id).  Non-dense id spaces: attach a dense rank first
+    (:func:`pigpen_spark.operators.windows.ranked`).
+    """
+    if k < 1:
+        raise ValueError(f"negative_samples: k must be >= 1, got {k}")
+    if n_total is None:
+        n_total = df.count()
+    a = _c(id_col)
+    out = df.select(a.alias(id_col), F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"))
+    draw = F.conv(
+        F.substring(F.md5(F.concat_ws("_", F.col(id_col).cast("string"),
+                                      F.col("j").cast("string"), F.lit(salt))), 1, 8),
+        16, 10,
+    ).cast("bigint") % n_total
+    neg = F.when(draw == F.col(id_col), (F.col(id_col) + 1) % n_total).otherwise(draw)
+    return out.withColumn("neg_id", neg)
+
+
+def negative_samples_sql(table: str, id_col: str, k: int, n_total_sql: str,
+                         salt: str = "neg") -> str:
+    """DuckDB oracle for :func:`negative_samples` (same md5 formula)."""
+    draw = (f"(('0x' || substring(md5({id_col}::VARCHAR || '_' || j::VARCHAR || '_{salt}'), 1, 8))::BIGINT"
+            f" % ({n_total_sql}))")
+    return f"""
+    SELECT {id_col}, j::INT AS j,
+           (CASE WHEN {draw} = {id_col} THEN ({id_col} + 1) % ({n_total_sql})
+                 ELSE {draw} END)::BIGINT AS neg_id
+    FROM {table}, range({k}) r(j)
+    """

@@ -252,7 +252,8 @@ def curate_stream(df: DataFrame, id_col: str, content_col: str, ts_col: str,
                   splits=None, min_quality: float = 0.5,
                   watermark: str = "10 minutes",
                   min_margin: float | None = None,
-                  min_lm: float | None = None) -> DataFrame:
+                  min_lm: float | None = None,
+                  extract: bool = False) -> DataFrame:
     """Streaming corpus curation — the readStream form of
     ext_corpus_pipeline's per-row stages: quality gate (composite score
     >= ``min_quality``) → optional model gates (hashed linear classifier
@@ -282,6 +283,13 @@ def curate_stream(df: DataFrame, id_col: str, content_col: str, ts_col: str,
     from pigpen_spark.functions.text import quality_score
 
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if extract:
+        # crawl-drop form: payloads arrive as raw HTML — extraction and
+        # normalization are stateless per-row regexp chains, so they
+        # stream exactly like the gates below
+        from pigpen_spark.functions.text import normalize_text, strip_markup
+
+        df = df.withColumn(content_col, normalize_text(strip_markup(F.col(content_col))))
     gated = (
         df.withColumn("quality", quality_score(F.col(content_col)))
         .filter(F.col("quality") >= min_quality)

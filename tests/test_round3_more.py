@@ -377,3 +377,56 @@ class TestTakeBudget:
         out = [r.id for r in take_budget(
             df, [F.col("s").desc(), F.col("id")], "sz", budget=100).collect()]
         assert out == [1]
+
+
+class TestNegativeSampling:
+    def test_deterministic_and_in_range(self, spark):
+        from pigpen_spark.functions import similarity as S
+
+        df = spark.createDataFrame([(i,) for i in range(20)], ["vec_id"])
+        a = S.negative_samples(df, "vec_id", k=3, n_total=20).collect()
+        b = S.negative_samples(df, "vec_id", k=3, n_total=20).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) == 60
+        for r in a:
+            assert 0 <= r.neg_id < 20 and r.neg_id != r.vec_id
+
+    def test_salt_changes_epoch(self, spark):
+        from pigpen_spark.functions import similarity as S
+
+        df = spark.createDataFrame([(i,) for i in range(50)], ["vec_id"])
+        e0 = {(r.vec_id, r.j): r.neg_id for r in
+              S.negative_samples(df, "vec_id", k=2, n_total=50, salt="e0").collect()}
+        e1 = {(r.vec_id, r.j): r.neg_id for r in
+              S.negative_samples(df, "vec_id", k=2, n_total=50, salt="e1").collect()}
+        assert e0 != e1 and e0.keys() == e1.keys()
+
+    def test_k_guard(self, spark):
+        from pigpen_spark.functions import similarity as S
+
+        df = spark.createDataFrame([(1,)], ["vec_id"])
+        with pytest.raises(ValueError):
+            S.negative_samples(df, "vec_id", k=0, n_total=1)
+
+
+class TestScoreBand:
+    def test_band_filters_before_rank(self, spark, sf_dir):
+        from pigpen_spark.functions import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") < 150)
+        idx = S.lsh_index(emb, n_planes=4, dim=64)
+        batch = emb.filter(F.col("vec_id") < 10)
+        full = S.lsh_topk_against(idx, batch, k=10_000, n_planes=4, dim=64)
+        banded = S.lsh_topk_against(idx, batch, k=10_000, n_planes=4, dim=64,
+                                    score_min=0.0, score_max=0.2)
+        fb = {(r.q_id, r.n_id): r.score for r in full.collect()
+              if 0.0 <= r.score < 0.2}
+        bb = {(r.q_id, r.n_id): r.score for r in banded.collect()}
+        assert fb == bb and bb
+        # ranks are contiguous within the band
+        ranks = {}
+        for r in banded.collect():
+            ranks.setdefault(r.q_id, []).append(r.rank)
+        for q, rs in ranks.items():
+            assert sorted(rs) == list(range(1, len(rs) + 1))

@@ -271,3 +271,38 @@ def test_dedup_stream_incremental(spark, tmp_path):
     # the index grew by exactly the survivors
     idx_ids = {r["id"] for r in spark.read.parquet(str(idx)).collect()}
     assert idx_ids == {100, 2, 5}
+
+
+def test_curate_stream_extract_markup(spark, tmp_path):
+    """extract=True strips crawl markup BEFORE quality/dedup: a wrapped
+    copy of a clean doc must dedup against the bare one (same digest
+    after extraction), and script payloads must not pollute quality."""
+    import json as _json
+
+    from pigpen_spark.streaming import core as stc
+
+    good = "the quick brown fox jumps of the lazy dog and it runs to town today"
+    src = tmp_path / "ein"
+    src.mkdir(parents=True, exist_ok=True)
+    rows = [
+        {"doc_id": 1, "text": good, "ts": "2024-01-01 00:00:01"},
+        {"doc_id": 2, "text": f"<html><body><p>{good}</p></body></html>",
+         "ts": "2024-01-01 00:00:02"},  # wrapped dup -> must dedup vs 1
+        {"doc_id": 3, "text": "<script>junk();</script><b>!!</b>",
+         "ts": "2024-01-01 00:00:03"},  # only junk survives extraction
+    ]
+    with open(src / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    rel = stc.read_stream_json(
+        spark, str(src), "doc_id long, text string, ts timestamp")
+    out = stc.curate_stream(rel.df, "doc_id", "text", "ts", extract=True)
+    q = (
+        out.writeStream.format("memory").queryName("extracted")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "eck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("select * from extracted").collect()}
+    assert got == {1}
