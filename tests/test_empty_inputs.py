@@ -121,3 +121,53 @@ class TestRound3cDegenerate:
         row = V.check_rules(df, {"pos": F.col("x") > 0}).collect()[0]
         # vacuous pass: zero rows, zero violations
         assert (row.n_rows, row.n_violations, row.passed) == (0, 0, True)
+
+
+def test_continuation_exprs_survive_degenerate_docs(spark, degenerate_docs):
+    rows = degenerate_docs.select(
+        "doc_id",
+        T.cooccurrence_pairs("text").alias("pairs"),
+        T.strip_markup("text").alias("clean"),
+        T.url_normalize("text").alias("u"),
+        T.url_host("text").alias("h"),
+        T.url_domain("text").alias("d"),
+    ).collect()
+    assert len(rows) == 4
+    empty = next(r for r in rows if r.doc_id == 1)
+    assert empty.pairs == [] and empty.clean == "" and empty.h == ""
+
+
+def test_continuation_ops_on_degenerate_docs(spark, degenerate_docs):
+    from pigpen_spark.functions.pipeline import remove_frequent_spans
+    from pigpen_spark.functions.ranking import collocations
+    from pigpen_spark.operators.joins import fuzzy_join
+    from pigpen_spark.operators.windows import take_budget
+
+    assert remove_frequent_spans(degenerate_docs, "doc_id", "text",
+                                 chunk=2, min_docs=2).count() == 4
+    collocations(degenerate_docs, "text", min_count=1).collect()
+    fuzzy_join(degenerate_docs, degenerate_docs, "doc_id", "text",
+               max_dist=1).collect()  # includes the empty-string row
+    take_budget(degenerate_docs, [F.col("doc_id")], T.token_count("text"),
+                budget=5).collect()
+
+
+def test_continuation_ops_on_empty_relation(spark):
+    from pigpen_spark.functions.pipeline import remove_frequent_spans
+    from pigpen_spark.functions.ranking import collocations
+    from pigpen_spark.operators.joins import fuzzy_join
+    from pigpen_spark.operators.windows import take_budget
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert remove_frequent_spans(empty, "doc_id", "text").count() == 0
+    assert collocations(empty, "text").count() == 0
+    assert fuzzy_join(empty, empty, "doc_id", "text").count() == 0
+    assert take_budget(empty, [F.col("doc_id")], F.lit(1), budget=5).count() == 0
+
+
+def test_lsh_index_paths_on_empty_relation(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    idx = S.lsh_index(emb, n_planes=3, dim=4)
+    assert idx.count() == 0
+    assert S.lsh_topk_against(idx, emb, k=3, n_planes=3, dim=4).count() == 0
+    assert S.negative_samples(emb, "vec_id", k=2, n_total=1).count() == 0
