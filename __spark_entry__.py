@@ -51,12 +51,12 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_frame_sample_gif",
     "ext_negative_pairs",
     "ext_hard_negatives",
+    "ext_image_decode_jpeg",
     "ext_strip_markup",
     "ext_collocations",
     "ext_ann_index_search",
     # --- new in round 3 (driver rows wanted this round) ---
     "ext_heavy_hitters",
-    "ext_chunk_overlap",
     "ext_embed_near_dup_mp",
     "ext_ann_pq_trained",
     "ext_ann_ivf_pq_trained",
@@ -95,6 +95,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- below here: outside the 50-query window this round ---
     # demoted this session to make room for the 4 newest ops; each keeps an
     # in-window family rep + pytest coverage:
+    "ext_chunk_overlap",           # shuffle-free HOF chunker; reps: ext_tokenize_pack + pytest window-arithmetic pins
     "ext_source_cap",              # reps: q_top_per_group (r2 row) + ext_token_budget
     "ext_bloom_decontaminate",     # rep: ext_decontaminate (same gate, gram-join form)
     "ext_embed_rr_pq",             # reps: ext_ann_pq / ext_ann_ivf_pq (+ trained)

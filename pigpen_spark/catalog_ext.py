@@ -2764,3 +2764,37 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(F.col("vec_id") < 30)
     return S.lsh_topk_against(idx, batch, k=3, n_planes=_PLANES, dim=_DIM,
                               score_min=0.1, score_max=0.4)
+
+
+_JBW = "(1 + doc_id % 3)"
+_JBH = "(1 + (doc_id // 2) % 3)"
+_JA = "(doc_id % 200)"
+
+
+@register(
+    "ext_image_decode_jpeg",
+    f"""
+    SELECT doc_id,
+           (8 * {_JBW})::INT AS width, (8 * {_JBH})::INT AS height,
+           1 AS channels,
+           (64 * ({_JBW} * {_JBH} * {_JA}
+                  + {_JBH} * ({_JBW} * ({_JBW} - 1) // 2)
+                  + {_JBW} * ({_JBH} * ({_JBH} - 1) // 2)))::BIGINT AS px_sum,
+           {_JA}::INT AS px_min,
+           ({_JA} + {_JBW} - 1 + {_JBH} - 1)::INT AS px_max
+    FROM documents
+    """,
+)
+def ext_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode: synthesize a JPEG per document inside
+    the codec's lossless subspace (8x8-block-constant, quant 1), decode
+    it back through the full pipeline — marker parse, Huffman, DC
+    prediction, dequantize, IDCT — and emit integer pixel stats matched
+    against the closed-form block-ramp sums.  A broken Huffman table,
+    zigzag order, or IDCT breaks the hash."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    jpgs = M.synth_jpeg(docs, "doc_id")
+    return M.image_stats(jpgs, "id").select(
+        F.col("id").alias("doc_id"),
+        "width", "height", "channels", "px_sum", "px_min", "px_max",
+    )

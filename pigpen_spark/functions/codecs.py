@@ -450,3 +450,411 @@ def gif_encode(frames, palette: np.ndarray | None = None,
         out += b"\x00"
     out += b"\x3B"
     return bytes(out)
+
+
+# -- JPEG (baseline DCT, JFIF) ----------------------------------------------
+#
+# Baseline sequential JPEG from ITU-T T.81: marker parse, DQT/DHT/SOF0/
+# SOS, Huffman-coded MCUs with DC prediction, dequantize, 8x8 IDCT,
+# chroma upsampling (sampling factors 1-2 per axis: 4:4:4 / 4:2:2 /
+# 4:2:0), YCbCr->RGB.  Restart markers honored.  Out of scope
+# (ValueError): progressive (SOF2), arithmetic coding, 12-bit.
+#
+# Exactness note for tests/oracles: an image whose 8x8 blocks are each
+# CONSTANT has all-zero AC and DC = 8*(v-128); with quant step 1 the
+# round trip is bit-exact (codecs tests + ext_image_decode_jpeg rely on
+# this — lossy-format verification via the lossless subspace).
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Standard Huffman tables (T.81 Annex K.3): (bits[1..16], values)
+_STD_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _idct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    a = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8)
+    a[0, :] = np.sqrt(1.0 / 8)
+    return a
+
+
+_DCT_A = _idct_matrix()
+
+
+def _build_huffman(bits, values):
+    """code -> (length, value) lookup as a dict keyed by (length, code)."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at (and exposes) markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("jpeg: entropy stream truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:   # RSTn handled by caller via sync()
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(f"jpeg: unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def huff(self, table) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("jpeg: invalid Huffman code")
+
+    def sync_restart(self):
+        """Consume an RSTn marker and realign to the byte boundary."""
+        self.acc = 0
+        self.n = 0
+        while self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG to (h, w, channels) uint8 (1 = grayscale,
+    3 = RGB from YCbCr)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None
+    w = h = 0
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seg_len]
+        if marker == 0xDB:                    # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                for i in range(64):
+                    tbl[_ZIGZAG[i]] = seg[p + 1 + i]
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:                  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nval = sum(bits)
+                values = list(seg[p + 17:p + 17 + nval])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(bits, values)
+                p += 17 + nval
+        elif marker == 0xC0:                  # SOF0 baseline
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"jpeg: unsupported SOF marker 0xFF{marker:02X} (baseline only)")
+        elif marker == 0xDD:                  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:                  # SOS — entropy data follows
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["dc_t"], comp["ac_t"] = tables >> 4, tables & 0x0F
+                scan.append(comp)
+            pos += seg_len
+            return _decode_scan(data, pos, w, h, scan, qt, huff_dc, huff_ac,
+                                restart_interval)
+        pos += seg_len
+    raise ValueError("jpeg: no SOS marker")
+
+
+def _decode_scan(data, pos, w, h, comps, qt, huff_dc, huff_ac, restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("jpeg: sampling factors > 2 unsupported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
+        c["pred"] = 0
+    r = _BitReader(data, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.sync_restart()
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        try:
+                            block = _decode_block(r, c, qt, huff_dc, huff_ac)
+                        except _RestartMarker:
+                            raise ValueError("jpeg: unexpected restart marker")
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_count += 1
+    out = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.rint(out[0] + 128), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out[0] + 128, out[1], out[2]
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(r, c, qt, huff_dc, huff_ac):
+    coeffs = np.zeros(64, dtype=np.float64)
+    t = r.huff(huff_dc[c["dc_t"]])
+    diff = _extend(r.bits(t), t) if t else 0
+    c["pred"] += diff
+    coeffs[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = r.huff(huff_ac[c["ac_t"]])
+        rl, sz = rs >> 4, rs & 0x0F
+        if rs == 0x00:          # EOB
+            break
+        if rs == 0xF0:          # ZRL
+            k += 16
+            continue
+        k += rl
+        if k > 63:
+            raise ValueError("jpeg: AC run past block end")
+        coeffs[k] = _extend(r.bits(sz), sz)
+        k += 1
+    dq = np.zeros((8, 8), dtype=np.float64)
+    dq.reshape(-1)[[_ZIGZAG[i] for i in range(64)]] = coeffs
+    dq *= qt[c["tq"]]
+    return _DCT_A.T @ dq @ _DCT_A
+
+
+def jpeg_meta(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from SOF0 — no entropy decode."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        (seg_len,) = struct.unpack(">H", data[pos:pos + 2])
+        if marker == 0xC0:
+            h, w = struct.unpack(">HH", data[pos + 3:pos + 7])
+            return w, h, data[pos + 7]
+        pos += seg_len
+    raise ValueError("jpeg: no SOF0 (baseline) frame header")
+
+
+def _huff_codes(bits, values):
+    """value -> (code, length) encoder map (canonical order)."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[i]] = (code, length)
+            i += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)   # byte stuffing
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+
+def jpeg_encode(arr: np.ndarray, quant: int = 1) -> bytes:
+    """Minimal baseline GRAYSCALE JPEG encoder: flat quant table
+    (``quant`` for every coefficient), standard luminance Huffman tables,
+    no subsampling.  quant=1 makes 8x8-block-constant images round-trip
+    BIT-EXACTLY (AC = 0, DC integer) — the lossless subspace the codec
+    tests and closed-form oracles use; natural images encode fine but
+    lossily, as JPEG always is."""
+    if arr.ndim == 3:
+        if arr.shape[2] != 1:
+            raise ValueError("jpeg: encoder is grayscale-only (pass (h, w) or (h, w, 1))")
+        arr = arr[:, :, 0]
+    h, w = arr.shape
+    qtab = np.full((8, 8), quant, dtype=np.int32)
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    # DQT
+    zz = bytearray(64)
+    for i in range(64):
+        zz[i] = int(qtab.reshape(-1)[_ZIGZAG[i]])
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + bytes(zz)
+    # SOF0: 8-bit, 1 component, no subsampling
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    # DHT (standard DC+AC luminance)
+    for tc, (bits, values) in ((0, _STD_DC_LUM), (0x10, _STD_AC_LUM)):
+        out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(values))
+        out += bytes([tc]) + bytes(bits) + bytes(values)
+    # SOS
+    out += b"\xFF\xDA" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    dc_codes = _huff_codes(*_STD_DC_LUM)
+    ac_codes = _huff_codes(*_STD_AC_LUM)
+    bw = _BitWriter()
+    pred = 0
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = arr
+    padded[h:, :w] = arr[h - 1:h, :]                   # edge-replicate pad
+    padded[:, w:] = padded[:, w - 1:w]
+    padded -= 128.0
+    for y0 in range(0, ph, 8):
+        for x0 in range(0, pw, 8):
+            block = padded[y0:y0 + 8, x0:x0 + 8]
+            coeffs = _DCT_A @ block @ _DCT_A.T
+            q = np.rint(coeffs / qtab).astype(np.int64)
+            zzc = q.reshape(-1)[[_ZIGZAG[i] for i in range(64)]]
+            diff = int(zzc[0]) - pred
+            pred = int(zzc[0])
+            _emit_coeff(bw, dc_codes, diff, dc=True)
+            run = 0
+            last_nz = max([i for i in range(1, 64) if zzc[i]], default=0)
+            for k in range(1, last_nz + 1):
+                v = int(zzc[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.write(*ac_codes[0xF0])
+                    run -= 16
+                _emit_coeff(bw, ac_codes, v, dc=False, run=run)
+                run = 0
+            if last_nz < 63:
+                bw.write(*ac_codes[0x00])              # EOB
+    bw.flush()
+    out += bw.out
+    out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
+
+
+def _emit_coeff(bw, codes, v, dc: bool, run: int = 0):
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    if dc:
+        bw.write(*codes[size])
+    else:
+        bw.write(*codes[(run << 4) | size])
+    if size:
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)

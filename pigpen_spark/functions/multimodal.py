@@ -3,13 +3,14 @@ decode paths for PNG and PCM-WAV.
 
 The Spark-side machinery — schemas, Arrow-batched ``mapInPandas`` decode
 pipelines, partition sizing — is real and tested, and so are the PNG and
-WAV codecs (:mod:`pigpen_spark.functions.codecs`, pure zlib/struct
-implementations of the public specs): ``image_stats`` /
-``image_thumbnail`` / ``audio_features_wav`` decode actual bytes to
-actual numbers, oracle-checked end to end.  Only JPEG and video decode
-remain import-guarded stubs (those formats genuinely require external
-codecs, which this container does not ship; ``decode_image_meta`` falls
-back to a deterministic fake for non-PNG payloads).
+WAV/GIF/baseline-JPEG codecs (:mod:`pigpen_spark.functions.codecs`,
+pure zlib/struct/numpy implementations of the public specs):
+``image_stats`` / ``image_thumbnail`` / ``audio_features_wav`` /
+``frame_sample_gif`` decode actual bytes to actual numbers,
+oracle-checked end to end — JPEG via the lossless block-constant
+subspace (see codecs.jpeg_encode).  Only non-GIF video (mp4/webm) and
+exotic image formats remain import-guarded stubs; ``decode_image_meta``
+falls back to a deterministic fake for unrecognized payloads.
 
 At 100 TB: binary payloads ride in parquet binary columns (or are loaded
 via ``spark.read.format("binaryFile")`` for raw object stores); decode
@@ -84,6 +85,10 @@ def decode_image_meta(df: DataFrame, id_col: str, payload_col: str = "payload") 
                     # REAL path: pure-stdlib IHDR parse (codecs.png_meta)
                     w, h, _depth, _color = C.png_meta(data)
                     fmt = "png"
+                elif data[:2] == b"\xFF\xD8":
+                    # REAL path: SOF0 header parse (codecs.jpeg_meta)
+                    w, h, _nc = C.jpeg_meta(data)
+                    fmt = "jpeg"
                 elif real:  # pragma: no cover
                     raise NotImplementedError("PIL decode path: wire Image.open(BytesIO(data))")
                 else:
@@ -134,11 +139,11 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str = "payload") -> 
 # REAL decode paths (pure-stdlib codecs — pigpen_spark.functions.codecs)
 # ---------------------------------------------------------------------------
 #
-# The container has no PIL/librosa/av, but PNG and PCM-WAV are simple
-# enough to decode from spec with zlib + struct (codecs.py), so the image
-# and audio operators below are REAL end-to-end: bytes in, decoded
-# numbers out, Arrow-batched through mapInPandas.  JPEG and video remain
-# import-guarded stubs — those formats genuinely need external codecs.
+# The container has no PIL/librosa/av, but PNG, baseline JPEG, GIF and
+# PCM-WAV are decodable from spec with zlib/struct/numpy (codecs.py), so
+# the operators below are REAL end-to-end: bytes in, decoded numbers
+# out, Arrow-batched through mapInPandas.  mp4/webm remain stubs — those
+# containers genuinely need external codecs.
 
 IMAGE_STATS_SCHEMA = (
     "id long, width int, height int, channels int, px_sum long, px_min int, px_max int"
@@ -196,7 +201,13 @@ def image_stats(df: DataFrame, id_col: str, payload_col: str = "payload") -> Dat
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
-                arr = C.png_decode(bytes(payload))
+                data = bytes(payload)
+                # format sniff: PNG signature vs JPEG SOI — both REAL
+                # pure-stdlib decoders (codecs.py)
+                if data[:2] == b"\xFF\xD8":
+                    arr = C.jpeg_decode(data)
+                else:
+                    arr = C.png_decode(data)
                 rows.append({
                     "id": int(rid),
                     "width": arr.shape[1], "height": arr.shape[0],
@@ -357,3 +368,30 @@ def frame_sample_gif(df: DataFrame, id_col: str, payload_col: str = "payload",
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(work, schema=FRAME_STATS_SCHEMA)
+
+
+def synth_jpeg(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame:
+    """Deterministic synthetic baseline JPEGs in the codec's LOSSLESS
+    subspace: image i is (1 + i%3) × (1 + (i÷2)%3) BLOCKS of 8x8, block
+    (bx, by) constant at i%200 + bx + by — all-zero AC + integer DC at
+    quant 1, so the lossy format round-trips bit-exactly and pixel sums
+    have closed forms."""
+    src = df.select(F.col(id_col).alias("id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from pigpen_spark.functions import codecs as C
+
+        for pdf in batches:
+            rows = []
+            for rid in pdf["id"]:
+                i = int(rid)
+                bw, bh, a = 1 + i % 3, 1 + (i // 2) % 3, i % 200
+                blocks = a + np.arange(bw)[None, :] + np.arange(bh)[:, None]
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+                rows.append({"id": i, "payload": C.jpeg_encode(img)})
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(gen, schema="id long, payload binary")

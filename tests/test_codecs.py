@@ -241,3 +241,65 @@ class TestGif:
         gif += b"\x00\x3B"
         _, _, frames = C.gif_decode(bytes(gif))
         assert frames[0][:, :, 0].reshape(-1).tolist() == pixels
+
+
+class TestJpeg:
+    def test_block_constant_exact_roundtrip(self):
+        blocks = np.arange(12).reshape(3, 4) * 17 + 30
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+        data = C.jpeg_encode(img)
+        assert C.jpeg_meta(data) == (32, 24, 1)
+        dec = C.jpeg_decode(data)
+        assert (dec[:, :, 0] == img).all()
+
+    def test_gradient_and_noise_near_exact_at_quant1(self):
+        g = (np.arange(64)[None, :] * 2 + np.arange(48)[:, None]).astype(np.uint8)
+        assert np.abs(C.jpeg_decode(C.jpeg_encode(g))[:, :, 0].astype(int)
+                      - g.astype(int)).max() <= 1
+        n = np.random.default_rng(0).integers(0, 256, size=(16, 16), dtype=np.uint8)
+        assert np.abs(C.jpeg_decode(C.jpeg_encode(n))[:, :, 0].astype(int)
+                      - n.astype(int)).max() <= 1
+
+    def test_non_multiple_of_8_dims(self):
+        odd = np.random.default_rng(1).integers(0, 256, size=(10, 13), dtype=np.uint8)
+        dec = C.jpeg_decode(C.jpeg_encode(odd))
+        assert dec.shape == (10, 13, 1)
+        assert np.abs(dec[:, :, 0].astype(int) - odd.astype(int)).max() <= 1
+
+    def test_quantization_actually_quantizes(self):
+        n = np.random.default_rng(2).integers(0, 256, size=(16, 16), dtype=np.uint8)
+        q1 = len(C.jpeg_encode(n, quant=1))
+        q16 = len(C.jpeg_encode(n, quant=16))
+        assert q16 < q1  # coarser quant -> more zero AC -> smaller stream
+        dec = C.jpeg_decode(C.jpeg_encode(n, quant=16))
+        assert dec.shape == (16, 16, 1)  # still decodes
+
+    def test_rejects_progressive_and_garbage(self):
+        with pytest.raises(ValueError):
+            C.jpeg_meta(b"\x00\x00 not a jpeg")
+        # splice an SOF2 (progressive) marker into a valid stream
+        data = bytearray(C.jpeg_encode(np.zeros((8, 8), dtype=np.uint8)))
+        idx = bytes(data).find(b"\xFF\xC0")
+        data[idx + 1] = 0xC2
+        with pytest.raises(ValueError, match="baseline"):
+            C.jpeg_decode(bytes(data))
+
+    def test_image_stats_dispatches_jpeg(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.createDataFrame([(i,) for i in (0, 5, 11)], ["doc_id"])
+        jpgs = M.synth_jpeg(ids, "doc_id")
+        got = {r.id: (r.width, r.height, r.channels, r.px_sum)
+               for r in M.image_stats(jpgs, "id").collect()}
+        for i in (0, 5, 11):
+            bw, bh, a = 1 + i % 3, 1 + (i // 2) % 3, i % 200
+            blocks = a + np.arange(bw)[None, :] + np.arange(bh)[:, None]
+            assert got[i] == (8 * bw, 8 * bh, 1, 64 * int(blocks.sum()))
+
+    def test_decode_image_meta_jpeg_path(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.createDataFrame([(4,)], ["doc_id"])
+        jpgs = M.synth_jpeg(ids, "doc_id")
+        r = M.decode_image_meta(jpgs, "id").collect()[0]
+        assert (r.width, r.height, r.format) == (8 * (1 + 4 % 3), 8 * (1 + 2 % 3), "jpeg")
