@@ -785,65 +785,89 @@ class _BitWriter:
 
 
 def jpeg_encode(arr: np.ndarray, quant: int = 1) -> bytes:
-    """Minimal baseline GRAYSCALE JPEG encoder: flat quant table
-    (``quant`` for every coefficient), standard luminance Huffman tables,
-    no subsampling.  quant=1 makes 8x8-block-constant images round-trip
-    BIT-EXACTLY (AC = 0, DC integer) — the lossless subspace the codec
-    tests and closed-form oracles use; natural images encode fine but
-    lossily, as JPEG always is."""
+    """Minimal baseline JPEG encoder: grayscale (h, w)/(h, w, 1) or RGB
+    (h, w, 3) at 4:4:4 (no subsampling), flat quant table (``quant`` for
+    every coefficient), standard luminance Huffman tables shared by all
+    components.  quant=1 makes 8x8-block-constant GRAYSCALE images
+    round-trip BIT-EXACTLY (AC = 0, DC integer) — the lossless subspace
+    the codec tests and closed-form oracles use; color adds the float
+    YCbCr convert, so color round trips are near-exact (±2), never
+    bit-exact.  Natural images encode fine but lossily, as JPEG always
+    is."""
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        return _jpeg_encode_planes(planes, quant)
     if arr.ndim == 3:
         if arr.shape[2] != 1:
-            raise ValueError("jpeg: encoder is grayscale-only (pass (h, w) or (h, w, 1))")
+            raise ValueError("jpeg: encoder takes (h, w), (h, w, 1) or (h, w, 3)")
         arr = arr[:, :, 0]
     h, w = arr.shape
+    return _jpeg_encode_planes([arr.astype(np.float64) - 128.0], quant)
+
+
+def _jpeg_encode_planes(planes, quant: int) -> bytes:
+    """Shared encoder body: N level-shifted float planes → 4:4:4 baseline
+    stream (one block per component per MCU, shared flat quant + standard
+    luminance Huffman tables)."""
+    h, w = planes[0].shape
+    nc = len(planes)
     qtab = np.full((8, 8), quant, dtype=np.int32)
     out = bytearray(b"\xFF\xD8")                       # SOI
-    # DQT
     zz = bytearray(64)
     for i in range(64):
         zz[i] = int(qtab.reshape(-1)[_ZIGZAG[i]])
     out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + bytes(zz)
-    # SOF0: 8-bit, 1 component, no subsampling
-    out += b"\xFF\xC0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
-    # DHT (standard DC+AC luminance)
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])                # no subsampling, qtab 0
     for tc, (bits, values) in ((0, _STD_DC_LUM), (0x10, _STD_AC_LUM)):
         out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(values))
         out += bytes([tc]) + bytes(bits) + bytes(values)
-    # SOS
-    out += b"\xFF\xDA" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xFF\xDA" + struct.pack(">H", 6 + 2 * nc) + bytes([nc])
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([0, 63, 0])
     dc_codes = _huff_codes(*_STD_DC_LUM)
     ac_codes = _huff_codes(*_STD_AC_LUM)
     bw = _BitWriter()
-    pred = 0
+    preds = [0] * nc
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:h, :w] = arr
-    padded[h:, :w] = arr[h - 1:h, :]                   # edge-replicate pad
-    padded[:, w:] = padded[:, w - 1:w]
-    padded -= 128.0
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw), dtype=np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1:h, :]                     # edge-replicate pad
+        pp[:, w:] = pp[:, w - 1:w]
+        padded.append(pp)
     for y0 in range(0, ph, 8):
         for x0 in range(0, pw, 8):
-            block = padded[y0:y0 + 8, x0:x0 + 8]
-            coeffs = _DCT_A @ block @ _DCT_A.T
-            q = np.rint(coeffs / qtab).astype(np.int64)
-            zzc = q.reshape(-1)[[_ZIGZAG[i] for i in range(64)]]
-            diff = int(zzc[0]) - pred
-            pred = int(zzc[0])
-            _emit_coeff(bw, dc_codes, diff, dc=True)
-            run = 0
-            last_nz = max([i for i in range(1, 64) if zzc[i]], default=0)
-            for k in range(1, last_nz + 1):
-                v = int(zzc[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.write(*ac_codes[0xF0])
-                    run -= 16
-                _emit_coeff(bw, ac_codes, v, dc=False, run=run)
+            for ci in range(nc):                       # 4:4:4 MCU = 1 block/comp
+                block = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                coeffs = _DCT_A @ block @ _DCT_A.T
+                q = np.rint(coeffs / qtab).astype(np.int64)
+                zzc = q.reshape(-1)[[_ZIGZAG[i] for i in range(64)]]
+                diff = int(zzc[0]) - preds[ci]
+                preds[ci] = int(zzc[0])
+                _emit_coeff(bw, dc_codes, diff, dc=True)
                 run = 0
-            if last_nz < 63:
-                bw.write(*ac_codes[0x00])              # EOB
+                last_nz = max([i for i in range(1, 64) if zzc[i]], default=0)
+                for k in range(1, last_nz + 1):
+                    v = int(zzc[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.write(*ac_codes[0xF0])
+                        run -= 16
+                    _emit_coeff(bw, ac_codes, v, dc=False, run=run)
+                    run = 0
+                if last_nz < 63:
+                    bw.write(*ac_codes[0x00])          # EOB (per block)
     bw.flush()
     out += bw.out
     out += b"\xFF\xD9"                                 # EOI

@@ -303,3 +303,66 @@ class TestJpeg:
         jpgs = M.synth_jpeg(ids, "doc_id")
         r = M.decode_image_meta(jpgs, "id").collect()[0]
         assert (r.width, r.height, r.format) == (8 * (1 + 4 % 3), 8 * (1 + 2 % 3), "jpeg")
+
+
+class TestJpegColor:
+    def test_color_constant_and_smooth_roundtrip(self):
+        c = np.zeros((16, 16, 3), dtype=np.uint8)
+        c[:, :, 0], c[:, :, 1], c[:, :, 2] = 200, 50, 120
+        dec = C.jpeg_decode(C.jpeg_encode(c))
+        assert dec.shape == (16, 16, 3)
+        assert np.abs(dec.astype(int) - c.astype(int)).max() <= 1
+        sm = np.stack([(np.arange(24)[None, :] * 3
+                        + np.arange(16)[:, None]).astype(np.uint8)] * 3, axis=2)
+        sm[:, :, 1] = 255 - sm[:, :, 1]
+        assert np.abs(C.jpeg_decode(C.jpeg_encode(sm)).astype(int)
+                      - sm.astype(int)).max() <= 1
+
+    def test_color_noise_within_ycbcr_rounding(self):
+        n = np.random.default_rng(1).integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        assert np.abs(C.jpeg_decode(C.jpeg_encode(n)).astype(int)
+                      - n.astype(int)).max() <= 3
+        assert C.jpeg_meta(C.jpeg_encode(n)) == (16, 16, 3)
+
+    def test_420_subsampled_stream_hand_built(self):
+        # 16x16 constant-color 4:2:0: one MCU = 4 Y blocks (h=v=2) + Cb + Cr.
+        # Exercises the decoder's chroma upsampling (np.repeat path), which
+        # our 4:4:4 encoder never produces.
+        import struct
+
+        y_dc, cb_dc, cr_dc = 40, -15, 25   # quantized DC values (quant 1)
+        out = bytearray(b"\xFF\xD8")
+        zz = bytes([1] * 64)
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + zz
+        out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+        out += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+        for tc, (bits, values) in ((0, C._STD_DC_LUM), (0x10, C._STD_AC_LUM)):
+            out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(values))
+            out += bytes([tc]) + bytes(bits) + bytes(values)
+        out += b"\xFF\xDA" + struct.pack(">H", 12) + bytes([3, 1, 0, 2, 0, 3, 0, 0, 63, 0])
+        bw = C._BitWriter()
+        dc_codes = C._huff_codes(*C._STD_DC_LUM)
+        ac_codes = C._huff_codes(*C._STD_AC_LUM)
+
+        def dc_only(bw_, diff):
+            C._emit_coeff(bw_, dc_codes, diff, dc=True)
+            bw_.write(*ac_codes[0x00])   # EOB
+        # 4 Y blocks: first carries the DC, the rest diff 0
+        dc_only(bw, y_dc)
+        for _ in range(3):
+            dc_only(bw, 0)
+        dc_only(bw, cb_dc)
+        dc_only(bw, cr_dc)
+        bw.flush()
+        out += bw.out + b"\xFF\xD9"
+
+        dec = C.jpeg_decode(bytes(out))
+        assert dec.shape == (16, 16, 3)
+        # expected: constant planes Y = y_dc/8 + 128, Cb/Cr = dc/8
+        y, cb, cr = y_dc / 8 + 128, cb_dc / 8, cr_dc / 8
+        exp = np.clip(np.rint([y + 1.402 * cr,
+                               y - 0.344136 * cb - 0.714136 * cr,
+                               y + 1.772 * cb]), 0, 255).astype(int)
+        assert (dec[:, :, 0] == exp[0]).all()
+        assert (dec[:, :, 1] == exp[1]).all()
+        assert (dec[:, :, 2] == exp[2]).all()
