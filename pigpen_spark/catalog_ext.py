@@ -2798,3 +2798,34 @@ def ext_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "width", "height", "channels", "px_sum", "px_min", "px_max",
     )
+
+
+@register(
+    "ext_audio_downsample",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             (100 + doc_id % 50) AS n,
+             ((doc_id % 100) * 10) AS b
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, b, (n + 1) // 2 AS n_out FROM base
+    )
+    SELECT doc_id, 4000 AS rate_out, n_out::BIGINT AS n_out,
+           (n_out * b
+            + (n_out // 25) * 600
+            + (n_out % 25) * ((n_out % 25) - 1))::BIGINT AS sample_sum_out
+    FROM dims
+    """,
+)
+def ext_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample pipeline: synth WAV → decode → ÷2 decimate →
+    re-encode at 4 kHz → decode again for the stats.  Oracle: the
+    decimated ramp has closed forms (even indices of j%50 cycle with
+    period 25, sum 600 per cycle, partial r(r-1)).  A broken RIFF walk,
+    int16 packing, or decimation off-by-one breaks the hash."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    wavs = M.synth_wav(docs, "doc_id")
+    return M.audio_downsample(wavs, "id", factor=2).select(
+        F.col("id").alias("doc_id"), "rate_out", "n_out", "sample_sum_out")

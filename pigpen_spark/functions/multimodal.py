@@ -395,3 +395,47 @@ def synth_jpeg(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFram
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(gen, schema="id long, payload binary")
+
+
+DOWNSAMPLE_SCHEMA = ("id long, rate_out int, n_out long, sample_sum_out long, "
+                     "wav binary")
+
+
+def audio_downsample(df: DataFrame, id_col: str, payload_col: str = "payload",
+                     factor: int = 2) -> DataFrame:
+    """REAL audio preprocessing pipeline — the WAV twin of
+    :func:`image_thumbnail`: decode PCM16, decimate by ``factor`` (every
+    factor-th frame; channels mixed to mono first with exact integer
+    mean), re-encode at rate/factor, and decode AGAIN for the output
+    stats — so the returned integers verify the full
+    decode→resample→encode→decode loop.  Nearest-frame decimation is the
+    deliberate choice over a float low-pass: integer-exact, engine-
+    portable, and adequate for feature-extraction-grade downsampling
+    (the docstring contract — not an anti-aliased resampler)."""
+    if factor < 1:
+        raise ValueError(f"audio_downsample: factor must be >= 1, got {factor}")
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def work(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from pigpen_spark.functions import codecs as C
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                rate, samples = C.wav_decode(bytes(payload))
+                mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+                dec = mono[::factor].astype(np.int16)
+                wav = C.wav_encode(dec, rate // factor)
+                rate2, rt = C.wav_decode(wav)
+                rows.append({
+                    "id": int(rid), "rate_out": rate2,
+                    "n_out": int(rt.shape[0]),
+                    "sample_sum_out": int(rt.sum(dtype="int64")),
+                    "wav": wav,
+                })
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(work, schema=DOWNSAMPLE_SCHEMA)

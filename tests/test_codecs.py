@@ -366,3 +366,36 @@ class TestJpegColor:
         assert (dec[:, :, 0] == exp[0]).all()
         assert (dec[:, :, 1] == exp[1]).all()
         assert (dec[:, :, 2] == exp[2]).all()
+
+
+class TestAudioDownsample:
+    def test_matches_numpy(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.createDataFrame([(7,), (104,)], ["doc_id"])
+        wavs = M.synth_wav(ids, "doc_id")
+        got = {r.id: (r.rate_out, r.n_out, r.sample_sum_out)
+               for r in M.audio_downsample(wavs, "id", factor=2).collect()}
+        for i in (7, 104):
+            n, base = 100 + i % 50, (i % 100) * 10
+            s = base + (np.arange(n) % 50)
+            d = s[::2]
+            assert got[i] == (4000, len(d), int(d.sum()))
+
+    def test_stereo_mixes_to_exact_integer_mono(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        st = np.stack([np.arange(40), np.arange(40) + 3], axis=1).astype(np.int16)
+        data = C.wav_encode(st, 8000)
+        df = spark.createDataFrame([(1, bytearray(data))], "id long, payload binary")
+        r = M.audio_downsample(df, "id", factor=4).collect()[0]
+        mono = (st.astype(np.int64).sum(axis=1) // 2)[::4]
+        assert (r.rate_out, r.n_out, r.sample_sum_out) == (2000, len(mono), int(mono.sum()))
+
+    def test_factor_guard(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        df = spark.createDataFrame([(1, bytearray(b""))], "id long, payload binary")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            M.audio_downsample(df, "id", factor=0)
