@@ -546,3 +546,81 @@ class TestRound3cDifferentials2:
         out = dedup_keyed_window(df, ["user_id"], "ts", 600,
                                  tiebreak=["event_id"])
         assert sorted(r.event_id for r in out.collect()) == expected
+
+
+# ---------------------------------------------------------------------------
+# codec round-trip properties (no Spark — pure codecs)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _img(draw, max_ch=4):
+    h = draw(st.integers(1, 12))
+    w = draw(st.integers(1, 12))
+    ch = draw(st.sampled_from([1, 3, 4][: max_ch]))
+    data = draw(st.binary(min_size=h * w * ch, max_size=h * w * ch))
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_img(), st.sampled_from([0, 2]))
+def test_png_roundtrip_property(arr, ft):
+    from pigpen_spark.functions import codecs as C
+
+    assert (C.png_decode(C.png_encode(arr, filter_type=ft)) == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 200), st.integers(1, 2), st.integers(1000, 48000),
+       st.binary(min_size=2, max_size=400))
+def test_wav_roundtrip_property(frames, chans, rate, raw):
+    from pigpen_spark.functions import codecs as C
+
+    need = frames * chans * 2
+    buf = (raw * (need // len(raw) + 1))[:need]
+    s = np.frombuffer(buf, dtype="<i2").reshape(frames, chans)
+    r2, out = C.wav_decode(C.wav_encode(s, rate))
+    assert r2 == rate and (out == s).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 8), st.integers(1, 8), st.integers(1, 4),
+       st.booleans(), st.binary(min_size=1, max_size=256))
+def test_gif_roundtrip_property(h, w, nf, compress, raw):
+    from pigpen_spark.functions import codecs as C
+
+    need = h * w * nf
+    buf = (raw * (need // len(raw) + 1))[:need]
+    px = np.frombuffer(buf, dtype=np.uint8).reshape(nf, h, w)
+    data = C.gif_encode(list(px), compress=compress)
+    gw, gh, frames = C.gif_decode(data)
+    assert (gw, gh, len(frames)) == (w, h, nf)
+    for f, d in zip(px, frames):
+        assert (d[:, :, 0] == f).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 199))
+def test_jpeg_block_constant_exact_property(bw, bh, a):
+    from pigpen_spark.functions import codecs as C
+
+    blocks = a + np.arange(bw)[None, :] + np.arange(bh)[:, None]
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+    dec = C.jpeg_decode(C.jpeg_encode(img))
+    assert (dec[:, :, 0] == img).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(2, 20), st.integers(2, 20), st.binary(min_size=4, max_size=64))
+def test_jpeg_quant1_within_one_property(h, w, raw):
+    from pigpen_spark.functions import codecs as C
+
+    need = h * w
+    buf = (raw * (need // len(raw) + 1))[:need]
+    img = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+    dec = C.jpeg_decode(C.jpeg_encode(img))[:, :, 0]
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
