@@ -18,10 +18,31 @@ everything our encoder writes; WAV PCM 16-bit.  Unsupported inputs raise
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
 import numpy as np
+
+
+def _valueerror_contract(fn):
+    """Public decode/meta entry points promise ValueError on ANY malformed
+    input.  Internals index freely, so truncated/garbage bytes would
+    otherwise surface as zlib.error / IndexError / struct.error /
+    ZeroDivisionError — which a quarantine-bad-rows pipeline stage
+    catching ValueError per the documented contract would NOT catch."""
+
+    @functools.wraps(fn)
+    def wrapped(data, *a, **kw):
+        try:
+            return fn(data, *a, **kw)
+        except ValueError:
+            raise
+        except (zlib.error, struct.error, IndexError, ZeroDivisionError,
+                OverflowError) as e:
+            raise ValueError(f"{fn.__name__}: malformed input ({e})") from e
+
+    return wrapped
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -44,6 +65,7 @@ def _chunks(data: bytes):
             break
 
 
+@_valueerror_contract
 def png_meta(data: bytes) -> tuple[int, int, int, int]:
     """(width, height, bit_depth, color_type) from IHDR — a pure header
     parse, no inflate: the cheap path for corpus-scale image profiling."""
@@ -54,6 +76,7 @@ def png_meta(data: bytes) -> tuple[int, int, int, int]:
     raise ValueError("png: no IHDR chunk")
 
 
+@_valueerror_contract
 def png_decode(data: bytes) -> np.ndarray:
     """Decode to a (height, width, channels) uint8 array: concatenate
     IDAT, inflate, undo per-scanline filters 0-4 (None/Sub/Up/Average/
@@ -150,6 +173,7 @@ def png_encode(arr: np.ndarray, filter_type: int = 0) -> bytes:
 # -- WAV (RIFF/WAVE, PCM) ---------------------------------------------------
 
 
+@_valueerror_contract
 def wav_meta(data: bytes) -> tuple[int, int, int, int]:
     """(sample_rate, channels, bits_per_sample, n_samples) from the RIFF
     fmt/data chunks (n_samples = per-channel frame count)."""
@@ -166,15 +190,20 @@ def wav_meta(data: bytes) -> tuple[int, int, int, int]:
             (bits,) = struct.unpack("<H", data[pos + 22:pos + 24])
             if fmt != 1:
                 raise ValueError(f"wav: unsupported format code {fmt} (PCM only)")
-        elif ctype == b"data":
+        elif ctype == b"data" and n_bytes is None:
+            # FIRST data chunk is authoritative — wav_decode reads the
+            # first one too, so meta and decode can never disagree
             n_bytes = length
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if rate is None or n_bytes is None:
         raise ValueError("wav: missing fmt or data chunk")
+    if not chans or not bits or bits < 8:
+        raise ValueError(f"wav: invalid fmt (channels={chans}, bits={bits})")
     n_samples = n_bytes // (chans * bits // 8)
     return rate, chans, bits, n_samples
 
 
+@_valueerror_contract
 def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, samples) — samples shaped (frames, channels) int16."""
     rate, chans, bits, n = wav_meta(data)
@@ -269,6 +298,7 @@ def _lzw_decode(min_code: int, data: bytes, n_pixels: int) -> np.ndarray:
     raise ValueError("gif: LZW stream ended without END code")
 
 
+@_valueerror_contract
 def gif_decode(data: bytes):
     """Decode every frame: (width, height, [frame (h, w, 3) uint8 …])."""
     if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
@@ -314,6 +344,7 @@ def gif_decode(data: bytes):
     return w, h, frames
 
 
+@_valueerror_contract
 def gif_meta(data: bytes) -> tuple[int, int, int]:
     """(width, height, n_frames) — walks block structure, skips pixel
     inflate entirely (the cheap corpus-profiling path)."""
@@ -345,6 +376,23 @@ def gif_meta(data: bytes) -> tuple[int, int, int]:
         else:
             raise ValueError(f"gif: unknown block 0x{block:02x}")
     return w, h, n
+
+
+def _pack_lsb(code_widths) -> bytes:
+    """Pack (code, bit_width) pairs LSB-first into bytes — the one bit
+    packer both GIF encode branches share."""
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in code_widths:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
 
 
 def _lzw_encode(pixels, min_code: int = 8) -> bytes:
@@ -428,22 +476,13 @@ def gif_encode(frames, palette: np.ndarray | None = None,
         if compress:
             stream = bytearray(_lzw_encode(pixels, min_code))
         else:
-            # 9-bit codes, LSB-first: CLEAR, pixel, ..., END — width never grows
-            acc = nbits = 0
-            stream = bytearray()
+            # 9-bit codes, LSB-first: CLEAR, pixel, ..., END — width never
+            # grows, so the fixed-width shared packer applies
             codes = []
             for px in pixels:
                 codes += [clear, px]
             codes.append(end)
-            for code in codes:
-                acc |= code << nbits
-                nbits += 9
-                while nbits >= 8:
-                    stream.append(acc & 0xFF)
-                    acc >>= 8
-                    nbits -= 8
-            if nbits:
-                stream.append(acc & 0xFF)
+            stream = bytearray(_pack_lsb((c, 9) for c in codes))
         for i in range(0, len(stream), 255):
             chunk = stream[i:i + 255]
             out += bytes([len(chunk)]) + chunk
@@ -504,6 +543,7 @@ def _idct_matrix() -> np.ndarray:
 
 
 _DCT_A = _idct_matrix()
+_ZZ = np.array(_ZIGZAG)  # hoisted: the hot loops fancy-index with this
 
 
 def _build_huffman(bits, values):
@@ -583,6 +623,7 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+@_valueerror_contract
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode baseline JPEG to (h, w, channels) uint8 (1 = grayscale,
     3 = RGB from YCbCr)."""
@@ -598,6 +639,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
+        while data[pos + 1] == 0xFF:
+            pos += 1                       # T.81 B.1.1.2: optional fill bytes
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -721,11 +764,12 @@ def _decode_block(r, c, qt, huff_dc, huff_ac):
         coeffs[k] = _extend(r.bits(sz), sz)
         k += 1
     dq = np.zeros((8, 8), dtype=np.float64)
-    dq.reshape(-1)[[_ZIGZAG[i] for i in range(64)]] = coeffs
+    dq.reshape(-1)[_ZZ] = coeffs
     dq *= qt[c["tq"]]
     return _DCT_A.T @ dq @ _DCT_A
 
 
+@_valueerror_contract
 def jpeg_meta(data: bytes) -> tuple[int, int, int]:
     """(width, height, n_components) from SOF0 — no entropy decode."""
     if data[:2] != b"\xFF\xD8":
@@ -734,6 +778,8 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
+        while data[pos + 1] == 0xFF:
+            pos += 1                       # fill bytes before the marker
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -741,11 +787,13 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
         if marker in (0xD9, 0xDA):
             break
         (seg_len,) = struct.unpack(">H", data[pos:pos + 2])
-        if marker == 0xC0:
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            # any SOFn carries the same geometry fields — meta works for
+            # progressive/extended streams jpeg_decode refuses to decode
             h, w = struct.unpack(">HH", data[pos + 3:pos + 7])
             return w, h, data[pos + 7]
         pos += seg_len
-    raise ValueError("jpeg: no SOF0 (baseline) frame header")
+    raise ValueError("jpeg: no SOFn frame header")
 
 
 def _huff_codes(bits, values):
@@ -850,7 +898,7 @@ def _jpeg_encode_planes(planes, quant: int) -> bytes:
                 block = padded[ci][y0:y0 + 8, x0:x0 + 8]
                 coeffs = _DCT_A @ block @ _DCT_A.T
                 q = np.rint(coeffs / qtab).astype(np.int64)
-                zzc = q.reshape(-1)[[_ZIGZAG[i] for i in range(64)]]
+                zzc = q.reshape(-1)[_ZZ]
                 diff = int(zzc[0]) - preds[ci]
                 preds[ci] = int(zzc[0])
                 _emit_coeff(bw, dc_codes, diff, dc=True)

@@ -81,18 +81,25 @@ def decode_image_meta(df: DataFrame, id_col: str, payload_col: str = "payload") 
             rows = []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
                 data = bytes(payload)
-                if data[:8] == b"\x89PNG\r\n\x1a\n":
-                    # REAL path: pure-stdlib IHDR parse (codecs.png_meta)
-                    w, h, _depth, _color = C.png_meta(data)
-                    fmt = "png"
-                elif data[:2] == b"\xFF\xD8":
-                    # REAL path: SOF0 header parse (codecs.jpeg_meta)
-                    w, h, _nc = C.jpeg_meta(data)
-                    fmt = "jpeg"
-                elif real:  # pragma: no cover
-                    raise NotImplementedError("PIL decode path: wire Image.open(BytesIO(data))")
-                else:
-                    w, h, fmt = _fake_decode(data)
+                try:
+                    if data[:8] == b"\x89PNG\r\n\x1a\n":
+                        # REAL path: pure-stdlib IHDR parse (codecs.png_meta)
+                        w, h, _depth, _color = C.png_meta(data)
+                        fmt = "png"
+                    elif data[:2] == b"\xFF\xD8":
+                        # REAL path: SOFn header parse — works for
+                        # progressive streams the full decoder refuses
+                        w, h, _nc = C.jpeg_meta(data)
+                        fmt = "jpeg"
+                    elif real:  # pragma: no cover
+                        raise NotImplementedError(
+                            "PIL decode path: wire Image.open(BytesIO(data))")
+                    else:
+                        w, h, fmt = _fake_decode(data)
+                except ValueError:
+                    # corrupt/truncated payload: metadata profiling must
+                    # quarantine the row, not kill the Arrow batch
+                    w, h, fmt = -1, -1, "corrupt"
                 rows.append({
                     "id": int(rid),
                     "n_bytes": len(data),

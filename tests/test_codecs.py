@@ -399,3 +399,72 @@ class TestAudioDownsample:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             M.audio_downsample(df, "id", factor=0)
+
+
+class TestMalformedInputContract:
+    """Review findings: every public decode/meta raises ValueError (never
+    zlib.error/IndexError/ZeroDivisionError) on malformed bytes."""
+
+    def test_truncated_and_garbage_raise_valueerror(self):
+        png = C.png_encode(np.zeros((4, 4), dtype=np.uint8))
+        gif = C.gif_encode([np.zeros((4, 4), dtype=np.uint8)])
+        jpg = C.jpeg_encode(np.zeros((8, 8), dtype=np.uint8))
+        wav = C.wav_encode(np.zeros(10, dtype=np.int16), 8000)
+        cases = [
+            (C.png_decode, png[:30]),                 # truncated IDAT -> zlib
+            # corrupt the IDAT interior (trailing-garbage-only is tolerated,
+            # like most decoders — CRCs are deliberately not validated)
+            (C.png_decode,
+             png[:png.find(b"IDAT") + 8] + b"\xFF\xEE"
+             + png[png.find(b"IDAT") + 10:]),
+            (C.gif_decode, gif[:20]),                 # truncated -> IndexError
+            (C.gif_meta, gif[:12]),
+            (C.jpeg_decode, jpg[:-4]),                # entropy truncated
+            (C.jpeg_decode, jpg[:40]),
+            (C.jpeg_meta, jpg[:6]),
+            (C.wav_decode, wav[:20]),
+        ]
+        for fn, data in cases:
+            with pytest.raises(ValueError):
+                fn(bytes(data))
+
+    def test_wav_zero_channels_raises_valueerror(self):
+        wav = bytearray(C.wav_encode(np.zeros(10, dtype=np.int16), 8000))
+        # fmt chunk starts at 12+8; channels field at offset 12+8+2
+        wav[22:24] = b"\x00\x00"
+        with pytest.raises(ValueError):
+            C.wav_meta(bytes(wav))
+
+    def test_wav_meta_uses_first_data_chunk_like_decode(self):
+        base = C.wav_encode(np.arange(10, dtype=np.int16), 8000)
+        # append a second bogus data chunk with a different length
+        extra = b"data" + np.int32(4).tobytes() + b"\x00" * 4
+        data = base + extra
+        assert C.wav_meta(data)[3] == 10
+        assert C.wav_decode(data)[1].shape[0] == 10
+
+    def test_jpeg_fill_bytes_before_markers(self):
+        # T.81 B.1.1.2: markers may be preceded by extra 0xFF fill bytes
+        jpg = C.jpeg_encode(np.full((8, 8), 77, dtype=np.uint8))
+        padded = jpg.replace(b"\xFF\xDB", b"\xFF\xFF\xFF\xDB", 1)
+        assert C.jpeg_meta(padded) == (8, 8, 1)
+        assert (C.jpeg_decode(padded)[:, :, 0] == 77).all()
+
+    def test_jpeg_meta_reads_progressive_header(self):
+        jpg = bytearray(C.jpeg_encode(np.zeros((16, 24), dtype=np.uint8)))
+        idx = bytes(jpg).find(b"\xFF\xC0")
+        jpg[idx + 1] = 0xC2                           # SOF2 (progressive)
+        assert C.jpeg_meta(bytes(jpg)) == (24, 16, 1)  # meta works
+        with pytest.raises(ValueError, match="baseline"):
+            C.jpeg_decode(bytes(jpg))                  # full decode refuses
+
+    def test_decode_image_meta_quarantines_corrupt_rows(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        good = C.png_encode(np.zeros((5, 6), dtype=np.uint8))
+        rows = [(1, bytearray(good)), (2, bytearray(good[:25]))]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {r.id: (r.width, r.format) for r in
+               M.decode_image_meta(df, "id").collect()}
+        assert got[1] == (6, "png")
+        assert got[2] == (-1, "corrupt")   # batch survives the bad row
