@@ -468,3 +468,31 @@ class TestMalformedInputContract:
                M.decode_image_meta(df, "id").collect()}
         assert got[1] == (6, "png")
         assert got[2] == (-1, "corrupt")   # batch survives the bad row
+
+
+def test_binaryfile_scan_to_image_stats(spark, tmp_path):
+    """The object-store ingestion path the module docstring promises:
+    raw .png FILES on disk -> spark.read.format('binaryFile') ->
+    image_stats — no parquet staging, payloads decoded where they land."""
+    from pigpen_spark.functions import multimodal as M
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    want = {}
+    for i in (3, 8, 21):
+        w, h, a = 4 + i % 5, 3 + i % 4, i * 7 % 200
+        arr = (a + np.arange(w)[None, :, None] + np.arange(h)[:, None, None]
+               + np.arange(3)[None, None, :]).astype(np.uint8)
+        (d / f"img_{i}.png").write_bytes(C.png_encode(arr))
+        want[f"img_{i}.png"] = (w, h, int(arr.sum()))
+    files = (
+        spark.read.format("binaryFile").load(str(d))
+        .select(F.element_at(F.split("path", "/"), -1).alias("name"),
+                F.col("content").alias("payload"))
+    )
+    got = {r.id: (r.width, r.height, r.px_sum)
+           for r in M.image_stats(
+               files.withColumn("id", F.xxhash64("name")), "id").join(
+               files.select(F.xxhash64("name").alias("id"), "name"), "id")
+           .select(F.col("name").alias("id"), "width", "height", "px_sum").collect()}
+    assert got == want
