@@ -2829,3 +2829,34 @@ def ext_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wavs = M.synth_wav(docs, "doc_id")
     return M.audio_downsample(wavs, "id", factor=2).select(
         F.col("id").alias("doc_id"), "rate_out", "n_out", "sample_sum_out")
+
+
+_VDUR = "(10000 + (doc_id * 37) % 50000)"
+
+
+@register(
+    "ext_video_meta",
+    f"""
+    SELECT doc_id,
+           {_VDUR}::BIGINT AS duration_ms,
+           2 AS n_tracks,
+           (320 + 16 * (doc_id % 20))::INT AS width,
+           (240 + 16 * (doc_id % 10))::INT AS height,
+           (CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END) AS codec,
+           (24 * {_VDUR} // 1000)::BIGINT AS n_frames
+    FROM documents
+    """,
+)
+def ext_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container profiling: synthesize an ISO-BMFF moov
+    skeleton per document, walk its box tree back (mvhd/tkhd/mdhd/hdlr/
+    stsd/stsz) and emit duration, geometry, codec fourcc and frame
+    count — the corpus-triage pass that decides which clips are worth
+    frame-decoding, at header speed with no codec.  Oracle = the
+    generation formulas; a mis-sized box walk or wrong tkhd offset
+    breaks the hash."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    vids = M.synth_mp4(docs, "doc_id")
+    return M.video_meta(vids, "id").select(
+        F.col("id").alias("doc_id"), "duration_ms", "n_tracks",
+        "width", "height", "codec", "n_frames")

@@ -930,3 +930,154 @@ def _emit_coeff(bw, codes, v, dc: bool, run: int = 0):
         bw.write(*codes[(run << 4) | size])
     if size:
         bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+
+
+# -- MP4/ISO-BMFF (container PARSING only) ----------------------------------
+#
+# ISO/IEC 14496-12 box walk: ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/
+# stsd/stsz.  This is deliberately metadata-ONLY — duration, track
+# geometry, sample counts, codec fourcc — which is what corpus-scale
+# video PROFILING needs; frame DECODE genuinely requires external codecs
+# and stays stubbed (multimodal.frame_sample).  64-bit largesize boxes
+# and version-1 (64-bit time) headers handled.
+
+
+def _boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            hdr = 16
+        elif size == 0:                 # box extends to end of enclosing
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"mp4: bad box size {size} at {pos}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find(data, start, end, btype):
+    for t, s, e in _boxes(data, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+@_valueerror_contract
+def mp4_meta(data: bytes) -> dict:
+    """Container metadata from the moov tree:
+    ``{duration_ms, n_tracks, tracks: [{handler, codec, width, height,
+    n_samples, track_duration_ms}, …]}``.  Pure box arithmetic — no
+    entropy decode, no mdat read — so it runs at header speed on
+    arbitrarily large files (at scale: pair with a ranged read of the
+    first/last few MB; moov placement varies)."""
+    if len(data) < 12 or _find(data, 0, len(data), b"ftyp") is None:
+        raise ValueError("mp4: no ftyp box")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    ms, me = moov
+    mvhd = _find(data, ms, me, b"mvhd")
+    if mvhd is None:
+        raise ValueError("mp4: no mvhd box")
+    vs, _ve = mvhd
+    ver = data[vs]
+    if ver == 1:
+        timescale, duration = struct.unpack(">IQ", data[vs + 20:vs + 32])
+    else:
+        timescale, duration = struct.unpack(">II", data[vs + 12:vs + 20])
+    if timescale == 0:
+        raise ValueError("mp4: zero timescale")
+    tracks = []
+    for t, s, e in _boxes(data, ms, me):
+        if t != b"trak":
+            continue
+        info = {"handler": "", "codec": "", "width": 0, "height": 0,
+                "n_samples": 0, "track_duration_ms": 0}
+        tkhd = _find(data, s, e, b"tkhd")
+        if tkhd:
+            ks, _ke = tkhd
+            kver = data[ks]
+            # v0: 4 ver/flags + 4+4 times + 4 id + 4 rsv + 4 dur + 8 rsv
+            #     + 8 layer/alt/vol/rsv + 36 matrix = 76; v1 times/dur 64-bit
+            geo = ks + (88 if kver == 1 else 76)
+            w16, h16 = struct.unpack(">II", data[geo:geo + 8])
+            info["width"], info["height"] = w16 >> 16, h16 >> 16
+        mdia = _find(data, s, e, b"mdia")
+        if mdia:
+            ds, de = mdia
+            mdhd = _find(data, ds, de, b"mdhd")
+            if mdhd:
+                hs, _he = mdhd
+                hver = data[hs]
+                if hver == 1:
+                    tts, tdur = struct.unpack(">IQ", data[hs + 20:hs + 32])
+                else:
+                    tts, tdur = struct.unpack(">II", data[hs + 12:hs + 20])
+                if tts:
+                    info["track_duration_ms"] = int(tdur * 1000 // tts)
+            hdlr = _find(data, ds, de, b"hdlr")
+            if hdlr:
+                hs2, _ = hdlr
+                info["handler"] = data[hs2 + 8:hs2 + 12].decode("ascii", "replace")
+            minf = _find(data, ds, de, b"minf")
+            if minf:
+                stbl = _find(data, *minf, b"stbl")
+                if stbl:
+                    stsd = _find(data, *stbl, b"stsd")
+                    if stsd:
+                        ss, _se = stsd
+                        (n_entries,) = struct.unpack(">I", data[ss + 4:ss + 8])
+                        if n_entries:
+                            info["codec"] = data[ss + 12:ss + 16].decode("ascii", "replace")
+                    stsz = _find(data, *stbl, b"stsz")
+                    if stsz:
+                        zs, _ze = stsz
+                        (info["n_samples"],) = struct.unpack(">I", data[zs + 8:zs + 12])
+        tracks.append(info)
+    return {
+        "duration_ms": int(duration * 1000 // timescale),
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+    }
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def mp4_encode_skeleton(duration_ms: int, tracks) -> bytes:
+    """Minimal moov skeleton writer for parser tests and synthetic
+    profiling corpora: ftyp + mvhd + one trak per spec
+    ``{handler, codec, width, height, n_samples, track_duration_ms}``.
+    Carries NO media data (no mdat) — this is a metadata container, the
+    honest inverse of :func:`mp4_meta`'s profiling scope."""
+    timescale = 1000
+    mvhd = (bytes(4)                          # version 0 + flags
+            + bytes(8)                        # ctime/mtime
+            + struct.pack(">II", timescale, duration_ms)
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + bytes(10) + bytes(36) + bytes(24) + struct.pack(">I", len(tracks) + 1))
+    trak_boxes = b""
+    for t in tracks:
+        tkhd = (bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(4)
+                + struct.pack(">I", t.get("track_duration_ms", 0))
+                + bytes(8) + bytes(8) + bytes(36)
+                + struct.pack(">II", t.get("width", 0) << 16, t.get("height", 0) << 16))
+        mdhd = (bytes(4) + bytes(8)
+                + struct.pack(">II", timescale, t.get("track_duration_ms", 0))
+                + bytes(4))
+        hdlr = bytes(8) + t["handler"].encode("ascii") + bytes(13)
+        entry = _box(t["codec"].encode("ascii"), bytes(70))
+        stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stsz = _box(b"stsz", bytes(4) + struct.pack(">II", 0, t.get("n_samples", 0)))
+        stbl = _box(b"stbl", stsd + stsz)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) + minf)
+        trak_boxes += _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak_boxes)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov

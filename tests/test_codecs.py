@@ -496,3 +496,45 @@ def test_binaryfile_scan_to_image_stats(spark, tmp_path):
                files.select(F.xxhash64("name").alias("id"), "name"), "id")
            .select(F.col("name").alias("id"), "width", "height", "px_sum").collect()}
     assert got == want
+
+
+class TestMp4:
+    TRACKS = [
+        {"handler": "vide", "codec": "avc1", "width": 640, "height": 360,
+         "n_samples": 1572, "track_duration_ms": 65_400},
+        {"handler": "soun", "codec": "mp4a", "width": 0, "height": 0,
+         "n_samples": 3021, "track_duration_ms": 65_500},
+    ]
+
+    def test_skeleton_roundtrip(self):
+        m = C.mp4_meta(C.mp4_encode_skeleton(65_500, self.TRACKS))
+        assert m["duration_ms"] == 65_500 and m["n_tracks"] == 2
+        assert m["tracks"][0] == self.TRACKS[0]
+        assert m["tracks"][1]["codec"] == "mp4a"
+
+    def test_largesize_box(self):
+        data = bytearray(C.mp4_encode_skeleton(1000, self.TRACKS[:1]))
+        # rewrite the ftyp box as a 64-bit largesize box
+        (sz,) = struct.unpack(">I", data[0:4])
+        body = bytes(data[8:sz])
+        large = struct.pack(">I", 1) + b"ftyp" + struct.pack(">Q", 16 + len(body)) + body
+        m = C.mp4_meta(large + bytes(data[sz:]))
+        assert m["duration_ms"] == 1000
+
+    def test_rejects_garbage(self):
+        for bad in (b"", b"\x00\x00\x00\x08free", b"mp4 nope"):
+            with pytest.raises(ValueError):
+                C.mp4_meta(bad)
+        with pytest.raises(ValueError):
+            C.mp4_meta(C.mp4_encode_skeleton(1000, self.TRACKS)[:40])
+
+    def test_video_meta_operator_and_quarantine(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        good = C.mp4_encode_skeleton(2_000, self.TRACKS)
+        rows = [(1, bytearray(good)), (2, bytearray(good[:30]))]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {r.id: (r.duration_ms, r.width, r.codec, r.n_frames)
+               for r in M.video_meta(df, "id").collect()}
+        assert got[1] == (2_000, 640, "avc1", 1572)
+        assert got[2] == (-1, -1, "corrupt", -1)
