@@ -95,6 +95,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- below here: outside the 50-query window this round ---
     "ext_audio_downsample",        # rep: ext_audio_decode (same codec family)
     "ext_video_meta",              # reps: 5 codec queries in-window (image/audio/gif)
+    "ext_audio_downsample_aa",     # rep: ext_audio_decode; DSP props pinned by pytest
     # demoted this session to make room for the 4 newest ops; each keeps an
     # in-window family rep + pytest coverage:
     "ext_chunk_overlap",           # shuffle-free HOF chunker; reps: ext_tokenize_pack + pytest window-arithmetic pins

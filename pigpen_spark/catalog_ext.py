@@ -2860,3 +2860,26 @@ def ext_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_meta(vids, "id").select(
         F.col("id").alias("doc_id"), "duration_ms", "n_tracks",
         "width", "height", "codec", "n_frames")
+
+
+@register(
+    "ext_audio_downsample_aa",
+    """
+    SELECT doc_id, 4000 AS rate_out,
+           ((100 + doc_id % 50 + 1) // 2)::BIGINT AS n_out,
+           (((100 + doc_id % 50 + 1) // 2) * (doc_id % 100) * 10)::BIGINT
+             AS sample_sum_out
+    FROM documents
+    """,
+)
+def ext_audio_downsample_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI-ALIASED audio resample: constant-signal WAVs through the
+    windowed-sinc FIR decimator — unit DC gain + edge-replicate padding
+    mean constants pass EXACTLY, so even the float DSP path gets a
+    hash-exact oracle (n_out · c).  The aliasing-rejection property
+    itself (out-of-band tone attenuated ≥10×, in-band preserved within
+    2%) is pinned by pytest, where float tolerances belong."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    wavs = M.synth_wav(docs, "doc_id", constant=True)
+    return M.audio_downsample(wavs, "id", factor=2, antialias=True).select(
+        F.col("id").alias("doc_id"), "rate_out", "n_out", "sample_sum_out")

@@ -1081,3 +1081,41 @@ def mp4_encode_skeleton(duration_ms: int, tracks) -> bytes:
     moov = _box(b"moov", _box(b"mvhd", mvhd) + trak_boxes)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     return ftyp + moov
+
+
+# -- DSP helpers (audio resampling) -----------------------------------------
+
+
+def design_lowpass(factor: int, taps: int = 33) -> np.ndarray:
+    """Hamming-windowed-sinc FIR low-pass for ÷``factor`` decimation:
+    cutoff at the OUTPUT Nyquist (0.5/factor cycles/sample), odd-length,
+    normalized to unit DC gain — so a constant signal passes through
+    EXACTLY (the property the oracle query leans on) while content above
+    the new Nyquist, which nearest-frame decimation would alias into
+    band, is attenuated by the stopband."""
+    if taps % 2 == 0 or taps < 3:
+        raise ValueError(f"design_lowpass: taps must be odd >= 3, got {taps}")
+    n = np.arange(taps) - (taps - 1) / 2
+    cutoff = 0.5 / factor
+    h = 2 * cutoff * np.sinc(2 * cutoff * n)
+    h *= np.hamming(taps)
+    return h / h.sum()
+
+
+def fir_decimate(samples: np.ndarray, factor: int, taps: int = 33) -> np.ndarray:
+    """Anti-aliased ÷``factor`` decimation: edge-replicate pad, FIR
+    low-pass (:func:`design_lowpass`), keep every ``factor``-th output,
+    round back to int16.  Edge replication keeps constant signals
+    constant to the first/last sample (zero padding would droop the
+    ends and break the constant-signal exactness contract)."""
+    if factor < 1:
+        raise ValueError(f"fir_decimate: factor must be >= 1, got {factor}")
+    if len(samples) == 0:
+        return samples.astype(np.int16)
+    h = design_lowpass(factor, taps)
+    half = (taps - 1) // 2
+    x = samples.astype(np.float64)
+    padded = np.concatenate([np.full(half, x[0]), x, np.full(half, x[-1])])
+    y = np.convolve(padded, h, mode="valid")        # same length as x
+    out = y[::factor]
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)

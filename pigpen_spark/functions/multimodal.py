@@ -258,10 +258,14 @@ def image_thumbnail(df: DataFrame, id_col: str, payload_col: str = "payload",
     return src.mapInPandas(work, schema=THUMB_SCHEMA)
 
 
-def synth_wav(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame:
+def synth_wav(df: DataFrame, id_col: str, out_col: str = "payload",
+              constant: bool = False) -> DataFrame:
     """Deterministic synthetic PCM16 WAV payloads: clip i has
     100 + i%50 mono samples at 8 kHz, sample j = (i%100)·10 + j%50 —
-    bounded far below int16, so sums have closed forms for the oracle."""
+    bounded far below int16, so sums have closed forms for the oracle.
+    ``constant=True`` drops the j%50 ramp (every sample = (i%100)·10) —
+    the signal class the anti-aliased resampler passes EXACTLY, which is
+    what its oracle query needs."""
     src = df.select(F.col(id_col).alias("id"))
 
     def gen(batches: Iterator) -> Iterator:
@@ -275,7 +279,9 @@ def synth_wav(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame
             for rid in pdf["id"]:
                 i = int(rid)
                 n = 100 + i % 50
-                s = ((i % 100) * 10 + (np.arange(n) % 50)).astype(np.int16)
+                base = (i % 100) * 10
+                ramp = 0 if constant else (np.arange(n) % 50)
+                s = (base + ramp + np.zeros(n, dtype=np.int64)).astype(np.int16)
                 rows.append({"id": i, "payload": C.wav_encode(s, 8000)})
             yield pd.DataFrame(rows)
 
@@ -409,16 +415,21 @@ DOWNSAMPLE_SCHEMA = ("id long, rate_out int, n_out long, sample_sum_out long, "
 
 
 def audio_downsample(df: DataFrame, id_col: str, payload_col: str = "payload",
-                     factor: int = 2) -> DataFrame:
+                     factor: int = 2, antialias: bool = False) -> DataFrame:
     """REAL audio preprocessing pipeline — the WAV twin of
     :func:`image_thumbnail`: decode PCM16, decimate by ``factor`` (every
     factor-th frame; channels mixed to mono first with exact integer
     mean), re-encode at rate/factor, and decode AGAIN for the output
     stats — so the returned integers verify the full
-    decode→resample→encode→decode loop.  Nearest-frame decimation is the
-    deliberate choice over a float low-pass: integer-exact, engine-
-    portable, and adequate for feature-extraction-grade downsampling
-    (the docstring contract — not an anti-aliased resampler)."""
+    decode→resample→encode→decode loop.
+
+    ``antialias=False`` (default): nearest-frame decimation — integer-
+    exact, engine-portable, adequate for feature-extraction-grade
+    downsampling.  ``antialias=True``: Hamming-windowed-sinc FIR low-
+    pass before decimation (:func:`pigpen_spark.functions.codecs.
+    fir_decimate`) — content above the new Nyquist is attenuated instead
+    of aliased; constant signals still pass exactly (unit-DC-gain taps +
+    edge-replicate padding), which is what the oracle query checks."""
     if factor < 1:
         raise ValueError(f"audio_downsample: factor must be >= 1, got {factor}")
     src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
@@ -434,7 +445,12 @@ def audio_downsample(df: DataFrame, id_col: str, payload_col: str = "payload",
             for rid, payload in zip(pdf["id"], pdf["payload"]):
                 rate, samples = C.wav_decode(bytes(payload))
                 mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
-                dec = mono[::factor].astype(np.int16)
+                if antialias:
+                    from pigpen_spark.functions.codecs import fir_decimate
+
+                    dec = fir_decimate(mono, factor)
+                else:
+                    dec = mono[::factor].astype(np.int16)
                 wav = C.wav_encode(dec, rate // factor)
                 rate2, rt = C.wav_decode(wav)
                 rows.append({

@@ -538,3 +538,45 @@ class TestMp4:
                for r in M.video_meta(df, "id").collect()}
         assert got[1] == (2_000, 640, "avc1", 1572)
         assert got[2] == (-1, -1, "corrupt", -1)
+
+
+class TestFirDecimate:
+    def test_constant_passes_exactly(self):
+        c = np.full(200, 1234, dtype=np.int16)
+        out = C.fir_decimate(c, 2)
+        assert (out == 1234).all() and len(out) == 100
+
+    def test_antialiasing_beats_naive_decimation(self):
+        # tone ABOVE the new Nyquist (0.4 cycles/sample; new band is 0.25):
+        # naive decimation aliases it into band at full power, the FIR
+        # path attenuates it
+        n = np.arange(2000)
+        tone = (10_000 * np.sin(2 * np.pi * 0.4 * n)).astype(np.int16)
+        naive = tone[::2].astype(np.float64)
+        fir = C.fir_decimate(tone, 2).astype(np.float64)
+        assert np.sqrt((fir ** 2).mean()) < 0.1 * np.sqrt((naive ** 2).mean())
+
+    def test_inband_content_preserved(self):
+        # tone well BELOW the new Nyquist survives with ~unit gain
+        n = np.arange(2000)
+        tone = (10_000 * np.sin(2 * np.pi * 0.05 * n)).astype(np.int16)
+        fir = C.fir_decimate(tone, 2).astype(np.float64)
+        ref = tone[::2].astype(np.float64)
+        assert abs(np.sqrt((fir[20:-20] ** 2).mean())
+                   / np.sqrt((ref[20:-20] ** 2).mean()) - 1) < 0.02
+
+    def test_empty_and_guards(self):
+        assert len(C.fir_decimate(np.array([], dtype=np.int16), 2)) == 0
+        with pytest.raises(ValueError):
+            C.design_lowpass(2, taps=10)
+        with pytest.raises(ValueError):
+            C.fir_decimate(np.zeros(5, dtype=np.int16), 0)
+
+    def test_operator_antialias_constant_oracle_property(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        const = np.full(120, 777, dtype=np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(C.wav_encode(const, 8000)))], "id long, payload binary")
+        r = M.audio_downsample(df, "id", factor=2, antialias=True).collect()[0]
+        assert (r.rate_out, r.n_out, r.sample_sum_out) == (4000, 60, 777 * 60)
