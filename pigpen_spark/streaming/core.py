@@ -503,3 +503,80 @@ def drift_monitor_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def boilerplate_stream(
+    stream: DataFrame, id_col: str, text_col: str,
+    freq_path: str, out_path: str, checkpoint: str,
+    chunk: int = 8, min_docs: int = 10, available_now: bool = False,
+):
+    """Streaming twin of :func:`pigpen_spark.functions.pipeline.
+    remove_frequent_spans`: each micro-batch merges its per-doc-DISTINCT
+    span counts into a stored cumulative frequency table (versioned
+    parquet, same replay-idempotence scheme as :func:`rollup_stream`),
+    derives the ban set from the UPDATED cumulative counts, strips banned
+    spans from the batch's documents, and appends the cleaned rows
+    (id, clean_text, n_removed) to ``out_path``.
+
+    Semantics are the monotone ONLINE approximation of the batch gate:
+    a document admitted before its span crossed ``min_docs`` keeps it
+    (append-only sink, no retro-edit) — later documents lose it.  The
+    batch form over the full corpus remains the exact gate; run it for
+    backfills and let this keep the live feed clean.  Per batch: one
+    span explode over the BATCH only, a merge with the ≤|vocab|-row
+    frequency table, and a broadcast ban-set HOF filter — nothing
+    corpus-sized moves."""
+    import shutil
+
+    from pigpen_spark.functions.pipeline import token_chunks
+
+    def _versions() -> list[int]:
+        base = Path(freq_path)
+        if not base.exists():
+            return []
+        return sorted(int(p.name[1:]) for p in base.iterdir()
+                      if p.name.startswith("v") and p.name[1:].isdigit())
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        src = batch_df.select(
+            F.col(id_col).alias("__id"),
+            token_chunks(F.col(text_col), chunk).alias("__chunks"),
+        ).localCheckpoint(eager=True)   # pin: the frequency table this
+        # batch reads is overwritten below; lazy re-reads must not see it
+        vs = _versions()
+        replay = batch_id in vs
+        if not replay:
+            counts = (
+                src.select(F.explode(F.array_distinct("__chunks")).alias("c"))
+                .groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+            )
+            if vs:
+                prev = spark.read.parquet(f"{freq_path}/v{vs[-1]}")
+                counts = (
+                    counts.unionByName(prev)
+                    .groupBy("c").agg(F.sum("n").alias("n"))
+                )
+            counts.write.mode("errorifexists").parquet(f"{freq_path}/v{batch_id}")
+            for v in vs:
+                shutil.rmtree(f"{freq_path}/v{v}", ignore_errors=True)
+        cur = spark.read.parquet(f"{freq_path}/v{batch_id}" if not replay
+                                 else f"{freq_path}/v{max(vs)}")
+        ban = cur.filter(F.col("n") >= min_docs).agg(
+            F.collect_list("c").alias("__ban"))
+        kept = F.filter(F.col("__chunks"),
+                        lambda c: ~F.array_contains(F.col("__ban"), c))
+        out = (
+            src.crossJoin(F.broadcast(ban))
+            .select(
+                F.col("__id").alias(id_col),
+                F.array_join(kept, " ").alias("clean_text"),
+                (F.size("__chunks") - F.size(kept)).cast("long").alias("n_removed"),
+            )
+        )
+        out.write.mode("append").parquet(out_path)
+
+    w = stream.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

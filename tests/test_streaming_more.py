@@ -306,3 +306,43 @@ def test_curate_stream_extract_markup(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("select * from extracted").collect()}
     assert got == {1}
+
+
+def test_boilerplate_stream_cumulative_ban(spark, tmp_path):
+    """Cross-batch span frequencies: 'x y' reaches min_docs=3 only in
+    batch 1, so batch-0 docs keep it (monotone online semantics) and
+    batch-1 docs lose it; unique spans always survive."""
+    import json as _json
+
+    from pigpen_spark.streaming import core as stc
+
+    src = tmp_path / "bin"
+    src.mkdir()
+    freq, out, ck = (str(tmp_path / p) for p in ("freq", "out", "ck"))
+
+    def drain():
+        rel = stc.read_stream_json(spark, str(src), "doc_id long, text string")
+        q = stc.boilerplate_stream(rel.df, "doc_id", "text", freq, out, ck,
+                                   chunk=2, min_docs=3, available_now=True)
+        q.awaitTermination(120)
+
+    with open(src / "b0.json", "w") as f:
+        for r in [{"doc_id": 1, "text": "x y a b"},
+                  {"doc_id": 2, "text": "x y c d"}]:
+            f.write(_json.dumps(r) + "\n")
+    drain()
+    with open(src / "b1.json", "w") as f:
+        for r in [{"doc_id": 3, "text": "x y e f"},
+                  {"doc_id": 4, "text": "g h i j"}]:
+            f.write(_json.dumps(r) + "\n")
+    drain()
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in spark.read.parquet(out).collect()}
+    assert got[1] == ("x y a b", 0)   # banned only later; no retro-edit
+    assert got[2] == ("x y c d", 0)
+    assert got[3] == ("e f", 1)       # cumulative count hit 3 this batch
+    assert got[4] == ("g h i j", 0)
+    # frequency table carries the cumulative counts
+    freqs = {r.c: r.n for r in
+             spark.read.parquet(f"{freq}/v1").collect()}
+    assert freqs["x y"] == 3
