@@ -207,3 +207,32 @@ def test_ann_index_search_hashes_query_side_only(spark, sf_dir):
     p = qs["ext_ann_index_search"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_token_budget_has_no_single_partition_exchange(spark, sf_dir):
+    # the operator's reason to exist: global ordered cumsum WITHOUT the
+    # one-partition window (range repartition + per-partition offsets)
+    qs = catalog.queries()
+    p = qs["ext_token_budget"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p
+    assert "Window" in p  # the per-partition cumsum window remains
+
+
+def test_boilerplate_ban_set_is_broadcast(spark, sf_dir):
+    # corpus reassembly must be a broadcast crossJoin of the ONE-row ban
+    # aggregate — the only SinglePartition allowed is that bounded
+    # ban-set aggregate itself, and the corpus is never re-exploded
+    qs = catalog.queries()
+    p = qs["ext_boilerplate"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastExchange") >= 1
+    assert p.count("SinglePartition") <= 1
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_keep_best_winners_broadcast_back(spark, sf_dir):
+    # cluster labels AND winner list broadcast onto the corpus — the
+    # corpus side must not shuffle for either join
+    qs = catalog.queries()
+    p = qs["ext_dedup_keep_best"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p
+    assert p.count("BroadcastExchange") >= 2
