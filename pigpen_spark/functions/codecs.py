@@ -38,8 +38,8 @@ def _valueerror_contract(fn):
             return fn(data, *a, **kw)
         except ValueError:
             raise
-        except (zlib.error, struct.error, IndexError, ZeroDivisionError,
-                OverflowError) as e:
+        except (zlib.error, struct.error, IndexError, KeyError, TypeError,
+                StopIteration, ZeroDivisionError, OverflowError) as e:
             raise ValueError(f"{fn.__name__}: malformed input ({e})") from e
 
     return wrapped
@@ -408,43 +408,30 @@ def _lzw_encode(pixels, min_code: int = 8) -> bytes:
     table = fresh()
     next_code = end + 1
     width = min_code + 1
-    out = bytearray()
-    acc = nbits = 0
+    codes: list[tuple[int, int]] = [(clear, width)]
 
-    def emit(code, w):
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += w
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    emit(clear, width)
     w = b""
     for px in pixels:
         wk = w + bytes([px])
         if wk in table:
             w = wk
             continue
-        emit(table[w], width)
+        codes.append((table[w], width))
         table[wk] = next_code
         next_code += 1
         # width grows when the NEXT code wouldn't fit (decoder mirrors this)
         if next_code > (1 << width) and width < 12:
             width += 1
         elif next_code == 1 << 12:
-            emit(clear, width)
+            codes.append((clear, width))
             table = fresh()
             next_code = end + 1
             width = min_code + 1
         w = bytes([px])
     if w:
-        emit(table[w], width)
-    emit(end, width)
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+        codes.append((table[w], width))
+    codes.append((end, width))
+    return _pack_lsb(codes)
 
 
 def gif_encode(frames, palette: np.ndarray | None = None,

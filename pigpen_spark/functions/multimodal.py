@@ -446,9 +446,7 @@ def audio_downsample(df: DataFrame, id_col: str, payload_col: str = "payload",
                 rate, samples = C.wav_decode(bytes(payload))
                 mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
                 if antialias:
-                    from pigpen_spark.functions.codecs import fir_decimate
-
-                    dec = fir_decimate(mono, factor)
+                    dec = C.fir_decimate(mono, factor)
                 else:
                     dec = mono[::factor].astype(np.int16)
                 wav = C.wav_encode(dec, rate // factor)

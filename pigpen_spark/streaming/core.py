@@ -392,6 +392,28 @@ def dedup_stream_incremental(
     return w.start()
 
 
+def _parquet_versions(base_path: str) -> list[int]:
+    """Committed versions of a versioned-parquet state dir: v{N}
+    subdirectories that contain a _SUCCESS marker.  A crash mid-write
+    leaves a directory WITHOUT the marker — treating bare existence as
+    'applied' would permanently wedge (errorifexists blocks the rewrite)
+    or silently undercount; uncommitted dirs are cleared for rewrite."""
+    import shutil
+
+    base = Path(base_path)
+    if not base.exists():
+        return []
+    out = []
+    for p in base.iterdir():
+        if not (p.name.startswith("v") and p.name[1:].isdigit()):
+            continue
+        if (p / "_SUCCESS").exists():
+            out.append(int(p.name[1:]))
+        else:
+            shutil.rmtree(p, ignore_errors=True)   # partial write: retry
+    return sorted(out)
+
+
 def rollup_stream(
     stream: DataFrame, keys: Sequence[str], aggs: dict, merges: dict,
     rollup_path: str, checkpoint: str, available_now: bool = False,
@@ -420,16 +442,9 @@ def rollup_stream(
 
     from pigpen_spark.operators.analytics import merge_rollups
 
-    def _versions() -> list[int]:
-        base = Path(rollup_path)
-        if not base.exists():
-            return []
-        return sorted(int(p.name[1:]) for p in base.iterdir()
-                      if p.name.startswith("v") and p.name[1:].isdigit())
-
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        vs = _versions()
+        vs = _parquet_versions(rollup_path)
         if batch_id in vs:   # checkpoint replay of an applied batch
             return
         part = batch_df.groupBy(*keys).agg(
@@ -530,23 +545,24 @@ def boilerplate_stream(
 
     from pigpen_spark.functions.pipeline import token_chunks
 
-    def _versions() -> list[int]:
-        base = Path(freq_path)
-        if not base.exists():
-            return []
-        return sorted(int(p.name[1:]) for p in base.iterdir()
-                      if p.name.startswith("v") and p.name[1:].isdigit())
+    if min_docs < 2:
+        raise ValueError(
+            f"boilerplate_stream: min_docs must be >= 2, got {min_docs}"
+        )   # same guard as the batch twin — min_docs=1 bans every span
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        sink_dir = Path(out_path) / f"batch={batch_id}"
+        if (sink_dir / "_SUCCESS").exists():
+            return            # checkpoint replay of a fully applied batch
+        shutil.rmtree(sink_dir, ignore_errors=True)   # partial sink write
         src = batch_df.select(
             F.col(id_col).alias("__id"),
             token_chunks(F.col(text_col), chunk).alias("__chunks"),
         ).localCheckpoint(eager=True)   # pin: the frequency table this
         # batch reads is overwritten below; lazy re-reads must not see it
-        vs = _versions()
-        replay = batch_id in vs
-        if not replay:
+        vs = _parquet_versions(freq_path)
+        if batch_id not in vs:
             counts = (
                 src.select(F.explode(F.array_distinct("__chunks")).alias("c"))
                 .groupBy("c").agg(F.count(F.lit(1)).alias("n"))
@@ -560,8 +576,7 @@ def boilerplate_stream(
             counts.write.mode("errorifexists").parquet(f"{freq_path}/v{batch_id}")
             for v in vs:
                 shutil.rmtree(f"{freq_path}/v{v}", ignore_errors=True)
-        cur = spark.read.parquet(f"{freq_path}/v{batch_id}" if not replay
-                                 else f"{freq_path}/v{max(vs)}")
+        cur = spark.read.parquet(f"{freq_path}/v{batch_id}")
         ban = cur.filter(F.col("n") >= min_docs).agg(
             F.collect_list("c").alias("__ban"))
         kept = F.filter(F.col("__chunks"),
@@ -574,7 +589,11 @@ def boilerplate_stream(
                 (F.size("__chunks") - F.size(kept)).cast("long").alias("n_removed"),
             )
         )
-        out.write.mode("append").parquet(out_path)
+        # batch-keyed sink directory (partition discovery adds a `batch`
+        # column for readers of out_path) — replay-idempotent like the
+        # frequency table, unlike a bare append which would duplicate the
+        # batch's rows on checkpoint replay
+        out.write.mode("errorifexists").parquet(str(sink_dir))
 
     w = stream.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint)
     if available_now:

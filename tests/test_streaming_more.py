@@ -346,3 +346,53 @@ def test_boilerplate_stream_cumulative_ban(spark, tmp_path):
     freqs = {r.c: r.n for r in
              spark.read.parquet(f"{freq}/v1").collect()}
     assert freqs["x y"] == 3
+
+
+def test_parquet_versions_ignores_and_clears_partial_writes(spark, tmp_path):
+    """A version dir without _SUCCESS is a crashed write: it must not
+    count as applied (that would base cumulative state on partial data
+    or wedge errorifexists retries) and must be cleared for rewrite."""
+    from pigpen_spark.streaming.core import _parquet_versions
+
+    base = tmp_path / "state"
+    spark.createDataFrame([(1,)], "x long").write.parquet(str(base / "v0"))
+    (base / "v1").mkdir()                       # partial: no _SUCCESS
+    (base / "v1" / "part-0.parquet").write_bytes(b"junk")
+    (base / "ignored").mkdir()
+    assert _parquet_versions(str(base)) == [0]
+    assert not (base / "v1").exists()           # cleared for retry
+    assert (base / "ignored").exists()          # non-version dirs untouched
+
+
+def test_boilerplate_stream_sink_is_batch_keyed(spark, tmp_path):
+    """The sink writes batch=N subdirectories with _SUCCESS markers —
+    the replay-idempotence contract (a bare append would duplicate a
+    replayed batch)."""
+    import json as _json
+
+    from pigpen_spark.streaming import core as stc
+
+    src = tmp_path / "bk"
+    src.mkdir()
+    freq, out, ck = (str(tmp_path / p) for p in ("f2", "o2", "c2"))
+    with open(src / "b0.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": "a b c d"}) + "\n")
+    rel = stc.read_stream_json(spark, str(src), "doc_id long, text string")
+    q = stc.boilerplate_stream(rel.df, "doc_id", "text", freq, out, ck,
+                               chunk=2, min_docs=2, available_now=True)
+    q.awaitTermination(120)
+    from pathlib import Path as _P
+    assert (_P(out) / "batch=0" / "_SUCCESS").exists()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].clean_text == "a b c d"
+
+
+def test_boilerplate_stream_min_docs_guard(spark, tmp_path):
+    import pytest
+
+    from pigpen_spark.streaming import core as stc
+
+    rel = stc.read_stream_rate(spark, 1)
+    with pytest.raises(ValueError):
+        stc.boilerplate_stream(rel.df, "value", "value", "x", "y", "z",
+                               min_docs=1)
