@@ -2883,3 +2883,70 @@ def ext_audio_downsample_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     wavs = M.synth_wav(docs, "doc_id", constant=True)
     return M.audio_downsample(wavs, "id", factor=2, antialias=True).select(
         F.col("id").alias("doc_id"), "rate_out", "n_out", "sample_sum_out")
+
+
+from pigpen_spark.operators.analytics import apply_changes, changes_from_diff  # noqa: E402
+
+
+@register(
+    "ext_apply_changes",
+    _SNAP_NEW,
+)
+def ext_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation, self-certified: diff the old snapshot
+    against the new one (ext_snapshot_diff's rollups), convert the diff
+    to a change set (insert/update/delete), and APPLY it back onto the
+    old snapshot — the result must equal the new snapshot byte-for-byte,
+    and the oracle IS the direct new-snapshot query.  The CDC round trip
+    (diff → changes → apply) closed in one plan: one full-outer diff
+    join + one left-anti apply join, no row-to-row target merge."""
+    ev = tables(spark, sf_dir)["events"].df
+
+    def snap(pred):
+        return ev.where(pred).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+
+    old = snap(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    new = snap(F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+    d = snapshot_diff(old, new, keys=["user_id"], compare=["n_events", "total"])
+    ch = changes_from_diff(d, ["user_id"], ["n_events", "total"])
+    return apply_changes(old, ch, ["user_id"])
+
+
+@register(
+    "ext_variant_extract",
+    """
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total,
+           min(json_extract_string(props, '$.k')) AS k_min_str,
+           count(json_extract_string(props, '$.missing')) AS n_present
+    FROM events GROUP BY 1
+    """,
+)
+def ext_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse the
+    JSON column ONCE into the binary variant encoding, then extract the
+    parsed value at multiple TYPES (bigint for bucketing, string for the
+    lexicographic min) plus a missing path (must yield NULL, counted 0)
+    — at scale this beats q_json_extract's per-path get_json_object
+    (which re-parses the string per path) and is the engine-native route
+    to shredded semi-structured storage.  try_parse_json +
+    try_variant_get: malformed rows yield NULLs, never errors."""
+    ev = tables(spark, sf_dir)["events"].df
+    v = F.try_parse_json(F.col("props"))
+    parsed = ev.select(
+        "value",
+        F.try_variant_get(v, "$.k", "bigint").alias("__k"),
+        F.try_variant_get(v, "$.k", "string").alias("__ks"),
+        F.try_variant_get(v, "$.missing", "string").alias("__m"),
+    )
+    return (
+        parsed.groupBy((F.col("__k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total"),
+             F.min("__ks").alias("k_min_str"),
+             F.count("__m").alias("n_present"))
+    )

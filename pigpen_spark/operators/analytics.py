@@ -296,3 +296,50 @@ def merge_rollups(parts: Sequence[DataFrame], keys: Sequence[str],
             ) from None
         aggs.append(fn(col).alias(col))
     return df.groupBy(*[_c(k) for k in keys]).agg(*aggs)
+
+
+def apply_changes(target: DataFrame, changes: DataFrame, keys: Sequence[str],
+                  op_col: str = "op") -> DataFrame:
+    """Apply a CDC change set to a keyed snapshot — the MERGE INTO
+    emulation that closes the loop :func:`snapshot_diff` opens: ``changes``
+    rows carry the full new row plus ``op_col`` ∈ {insert, update,
+    delete}; the result is the next snapshot (target rows whose key is
+    untouched + insert/update rows; delete keys gone).
+
+    Plan: ONE left-anti join of the target against the (slim) change-key
+    set plus a union of the non-delete change rows — the target never
+    joins row-to-row against the changes, so a 100 TB snapshot takes one
+    keyed shuffle (or zero with co-bucketed storage) regardless of change
+    width.  Unknown op values raise downstream via the guard column
+    rather than silently passing through.
+
+    Self-certifying invariant (pinned by ext_apply_changes):
+    ``apply_changes(old, changes_from(snapshot_diff(old, new))) == new``.
+    """
+    ops = F.col(op_col)
+    guard = F.when(ops.isin("insert", "update", "delete"), ops).otherwise(
+        F.raise_error(F.concat(F.lit("apply_changes: unknown op "), ops)))
+    ch = changes.withColumn(op_col, guard)
+    keyset = ch.select(*keys).distinct()
+    untouched = target.join(keyset, on=list(keys), how="left_anti")
+    upserts = ch.filter(F.col(op_col) != "delete").drop(op_col)
+    return untouched.unionByName(upserts)
+
+
+def changes_from_diff(diff: DataFrame, keys: Sequence[str],
+                      compare: Sequence[str], status_col: str = "status",
+                      op_col: str = "op") -> DataFrame:
+    """Turn :func:`snapshot_diff` output into an :func:`apply_changes`
+    change set: added→insert, changed→update, removed→delete (unchanged
+    rows dropped); the new_<c> columns become the row payload (NULL for
+    deletes, which apply_changes ignores)."""
+    op = (
+        F.when(F.col(status_col) == "added", F.lit("insert"))
+        .when(F.col(status_col) == "changed", F.lit("update"))
+        .when(F.col(status_col) == "removed", F.lit("delete"))
+    )
+    return (
+        diff.filter(F.col(status_col) != "unchanged")
+        .select(*keys, *[F.col(f"new_{c}").alias(c) for c in compare],
+                op.alias(op_col))
+    )

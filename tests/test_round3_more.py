@@ -430,3 +430,43 @@ class TestScoreBand:
             ranks.setdefault(r.q_id, []).append(r.rank)
         for q, rs in ranks.items():
             assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+class TestApplyChanges:
+    def _target(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "s", "v"])
+
+    def test_insert_update_delete(self, spark):
+        from pigpen_spark.operators.analytics import apply_changes
+
+        changes = spark.createDataFrame(
+            [(2, "B", 99, "update"), (3, None, None, "delete"),
+             (4, "d", 40, "insert")],
+            "id long, s string, v long, op string")
+        got = {r.id: (r.s, r.v)
+               for r in apply_changes(self._target(spark), changes, ["id"]).collect()}
+        assert got == {1: ("a", 10), 2: ("B", 99), 4: ("d", 40)}
+
+    def test_unknown_op_raises(self, spark):
+        from pigpen_spark.operators.analytics import apply_changes
+
+        changes = spark.createDataFrame(
+            [(2, "x", 1, "upsert")], "id long, s string, v long, op string")
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+
+        with _pytest.raises(Exception):
+            apply_changes(self._target(spark), changes, ["id"]).collect()
+
+    def test_roundtrip_with_snapshot_diff(self, spark):
+        from pigpen_spark.operators.analytics import (
+            apply_changes, changes_from_diff, snapshot_diff)
+
+        old = self._target(spark)
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "B2", 21), (5, "e", 50)], ["id", "s", "v"])
+        d = snapshot_diff(old, new, ["id"], ["s", "v"])
+        ch = changes_from_diff(d, ["id"], ["s", "v"])
+        applied = {tuple(r) for r in apply_changes(old, ch, ["id"]).collect()}
+        assert applied == {tuple(r) for r in new.collect()}
