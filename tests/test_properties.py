@@ -624,3 +624,77 @@ def test_jpeg_quant1_within_one_property(h, w, raw):
     img = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
     dec = C.jpeg_decode(C.jpeg_encode(img))[:, :, 0]
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# continuation-operator differentials
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.text(alphabet="abcx", min_size=0, max_size=6),
+                min_size=1, max_size=8),
+       st.integers(0, 2))
+def test_fuzzy_join_matches_bruteforce_property(spark, names, d):
+    from pigpen_spark.operators.joins import fuzzy_join
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_l, r.id_r, r.dist)
+        for r in fuzzy_join(df, df, "id", "name", max_dist=d)
+        .filter(F.col("id_l") < F.col("id_r")).collect()
+    }
+    want = {
+        (i1, i2, _lev(n1, n2))
+        for i1, n1 in rows for i2, n2 in rows
+        if i1 < i2 and _lev(n1, n2) <= d
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.lists(st.sampled_from("pqrs"), min_size=0, max_size=8),
+                min_size=1, max_size=6),
+       st.integers(2, 3))
+def test_remove_frequent_spans_matches_model_property(spark, docs, min_docs):
+    from collections import Counter
+
+    from pigpen_spark.functions.pipeline import remove_frequent_spans
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {r.id: (r.clean_text, r.n_removed)
+           for r in remove_frequent_spans(df, "id", "text",
+                                          chunk=2, min_docs=min_docs).collect()}
+
+    # pure-Python model: chunk=2 spans, per-doc distinct doc counts, ban,
+    # filter each doc's span list
+    def chunks(toks):
+        return [" ".join(toks[i:i + 2]) for i in range(0, len(toks), 2)]
+
+    freq = Counter()
+    for d in docs:
+        for c in set(chunks(d)):
+            freq[c] += 1
+    ban = {c for c, n in freq.items() if n >= min_docs}
+    for i, d in enumerate(docs):
+        cs = chunks(d)
+        kept = [c for c in cs if c not in ban]
+        assert got[i] == (" ".join(kept), len(cs) - len(kept)), (i, d)
