@@ -6,6 +6,7 @@ composed entirely from engine operators:
     new drop (events)
       → data-quality gate                      (functions/validate)
       → CDC diff vs the previous snapshot      (operators/analytics.snapshot_diff)
+      → CDC apply / MERGE promotion            (operators/analytics.apply_changes)
       → incremental rollup maintenance         (operators/analytics.merge_rollups)
       → distribution monitoring                (functions/sketch.histogram_quantiles)
 
@@ -29,7 +30,8 @@ from pyspark.sql import functions as F
 from pigpen_spark import get_spark
 from pigpen_spark.functions import validate as V
 from pigpen_spark.functions.sketch import histogram_quantiles
-from pigpen_spark.operators.analytics import merge_rollups, snapshot_diff
+from pigpen_spark.operators.analytics import (apply_changes, changes_from_diff,
+                                              merge_rollups, snapshot_diff)
 
 
 def audit(spark, sf_dir: str) -> dict:
@@ -58,6 +60,16 @@ def audit(spark, sf_dir: str) -> dict:
     diff = snapshot_diff(snap(cut_old), snap(cut_new), keys=["user_id"])
     changes = {r.status: r.cnt for r in
                diff.groupBy("status").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+    # 2b. CDC apply: the MERGE that promotes last week's snapshot to this
+    # week's — diff -> change set -> apply must reproduce the new
+    # snapshot EXACTLY (the self-certifying round trip)
+    ch = changes_from_diff(diff, ["user_id"], ["n_events"])
+    applied = apply_changes(snap(cut_old), ch, ["user_id"])
+    drift = applied.unionByName(snap(cut_new)) \
+        .groupBy("user_id", "n_events").agg(F.count(F.lit(1)).alias("c")) \
+        .filter(F.col("c") != 2).count()
+    assert drift == 0, f"apply_changes round trip drifted on {drift} rows"
 
     # 3. incremental rollup: merge the new slice into the standing rollup
     def part(pred):
