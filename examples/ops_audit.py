@@ -57,7 +57,11 @@ def audit(spark, sf_dir: str) -> dict:
         return ev.where(F.col("ts") < hi).groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"))
 
-    diff = snapshot_diff(snap(cut_old), snap(cut_new), keys=["user_id"])
+    # each snapshot feeds TWO consumers (diff + apply/drift-check below) —
+    # cache so the events scan+groupBy runs once per snapshot, not per use
+    old_snap = snap(cut_old).cache()
+    new_snap = snap(cut_new).cache()
+    diff = snapshot_diff(old_snap, new_snap, keys=["user_id"])
     changes = {r.status: r.cnt for r in
                diff.groupBy("status").agg(F.count(F.lit(1)).alias("cnt")).collect()}
 
@@ -65,11 +69,13 @@ def audit(spark, sf_dir: str) -> dict:
     # week's — diff -> change set -> apply must reproduce the new
     # snapshot EXACTLY (the self-certifying round trip)
     ch = changes_from_diff(diff, ["user_id"], ["n_events"])
-    applied = apply_changes(snap(cut_old), ch, ["user_id"])
-    drift = applied.unionByName(snap(cut_new)) \
+    applied = apply_changes(old_snap, ch, ["user_id"])
+    drift = applied.unionByName(new_snap) \
         .groupBy("user_id", "n_events").agg(F.count(F.lit(1)).alias("c")) \
         .filter(F.col("c") != 2).count()
     assert drift == 0, f"apply_changes round trip drifted on {drift} rows"
+    old_snap.unpersist()
+    new_snap.unpersist()
 
     # 3. incremental rollup: merge the new slice into the standing rollup
     def part(pred):

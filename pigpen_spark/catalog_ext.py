@@ -2885,9 +2885,6 @@ def ext_audio_downsample_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "rate_out", "n_out", "sample_sum_out")
 
 
-from pigpen_spark.operators.analytics import apply_changes, changes_from_diff  # noqa: E402
-
-
 @register(
     "ext_apply_changes",
     _SNAP_NEW,
@@ -2911,8 +2908,8 @@ def ext_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = snap(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
     new = snap(F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
     d = snapshot_diff(old, new, keys=["user_id"], compare=["n_events", "total"])
-    ch = changes_from_diff(d, ["user_id"], ["n_events", "total"])
-    return apply_changes(old, ch, ["user_id"])
+    ch = A.changes_from_diff(d, ["user_id"], ["n_events", "total"])
+    return A.apply_changes(old, ch, ["user_id"])
 
 
 @register(

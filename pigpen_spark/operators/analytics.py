@@ -306,19 +306,40 @@ def apply_changes(target: DataFrame, changes: DataFrame, keys: Sequence[str],
     delete}; the result is the next snapshot (target rows whose key is
     untouched + insert/update rows; delete keys gone).
 
+    Semantics are UPSERT semantics, stated plainly: ``insert`` and
+    ``update`` act identically (the change row wins regardless of whether
+    the key existed), because validating op-vs-target-state the way a
+    strict MERGE does would cost an extra keyed pass over the TARGET —
+    the 100 TB side.  What IS enforced plan-side, because both are cheap
+    on the CHANGE side and silently corrupt the snapshot otherwise:
+    unknown op values raise, and a change set carrying more than one row
+    for the same key raises (raw CDC feeds must be compacted to
+    last-op-per-key first — a multi-op batch applied as-is would emit
+    duplicate keys).
+
     Plan: ONE left-anti join of the target against the (slim) change-key
     set plus a union of the non-delete change rows — the target never
     joins row-to-row against the changes, so a 100 TB snapshot takes one
     keyed shuffle (or zero with co-bucketed storage) regardless of change
-    width.  Unknown op values raise downstream via the guard column
-    rather than silently passing through.
+    width.
 
     Self-certifying invariant (pinned by ext_apply_changes):
     ``apply_changes(old, changes_from(snapshot_diff(old, new))) == new``.
     """
     ops = F.col(op_col)
-    guard = F.when(ops.isin("insert", "update", "delete"), ops).otherwise(
-        F.raise_error(F.concat(F.lit("apply_changes: unknown op "), ops)))
+    dup = F.count(F.lit(1)).over(Window.partitionBy(*[_c(k) for k in keys]))
+    # BOTH guards live inside op_col, which the non-delete filter below
+    # evaluates for every change row — a guard in a dropped helper column
+    # would be pruned by Catalyst and never fire
+    guard = (
+        F.when(dup > 1, F.raise_error(F.concat(
+            F.lit("apply_changes: multiple change rows for key "),
+            F.concat_ws(",", *[_c(k).cast("string") for k in keys]),
+            F.lit(" — compact the feed to last-op-per-key first"))))
+        .when(ops.isin("insert", "update", "delete"), ops)
+        .otherwise(F.raise_error(
+            F.concat(F.lit("apply_changes: unknown op "), ops)))
+    )
     ch = changes.withColumn(op_col, guard)
     keyset = ch.select(*keys).distinct()
     untouched = target.join(keyset, on=list(keys), how="left_anti")

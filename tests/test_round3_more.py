@@ -454,10 +454,35 @@ class TestApplyChanges:
         changes = spark.createDataFrame(
             [(2, "x", 1, "upsert")], "id long, s string, v long, op string")
         import pytest as _pytest
-        from py4j.protocol import Py4JJavaError
 
-        with _pytest.raises(Exception):
+        with _pytest.raises(Exception, match="unknown op"):
             apply_changes(self._target(spark), changes, ["id"]).collect()
+
+    def test_duplicate_change_keys_raise(self, spark):
+        # an uncompacted CDC batch (two ops for one key) must fail loudly,
+        # never emit a snapshot with duplicate keys
+        from pigpen_spark.operators.analytics import apply_changes
+
+        changes = spark.createDataFrame(
+            [(2, "x", 1, "update"), (2, "y", 2, "update")],
+            "id long, s string, v long, op string")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="multiple change rows"):
+            apply_changes(self._target(spark), changes, ["id"]).collect()
+
+    def test_upsert_semantics_documented_behavior(self, spark):
+        # insert-on-existing and update-on-absent both act as upserts —
+        # the documented contract (strict MERGE validation would cost a
+        # target-side pass)
+        from pigpen_spark.operators.analytics import apply_changes
+
+        changes = spark.createDataFrame(
+            [(2, "X", 1, "insert"), (9, "z", 9, "update")],
+            "id long, s string, v long, op string")
+        got = {r.id: (r.s, r.v)
+               for r in apply_changes(self._target(spark), changes, ["id"]).collect()}
+        assert got[2] == ("X", 1) and got[9] == ("z", 9)
 
     def test_roundtrip_with_snapshot_diff(self, spark):
         from pigpen_spark.operators.analytics import (
