@@ -98,6 +98,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_audio_downsample_aa",     # rep: ext_audio_decode; DSP props pinned by pytest
     "ext_apply_changes",           # rep: ext_snapshot_diff (same CDC machinery; self-certifying oracle)
     "ext_variant_extract",         # rep: q_json_extract (r2 driver row; same data, VARIANT engine path)
+    "ext_url_dedup",               # reps: ext_url_normalize + ext_dedup_exact (composition)
     # demoted this session to make room for the 4 newest ops; each keeps an
     # in-window family rep + pytest coverage:
     "ext_chunk_overlap",           # shuffle-free HOF chunker; reps: ext_tokenize_pack + pytest window-arithmetic pins

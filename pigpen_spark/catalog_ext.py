@@ -2947,3 +2947,38 @@ def ext_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("__ks").alias("k_min_str"),
              F.count("__m").alias("n_present"))
     )
+
+
+@register(
+    "ext_url_dedup",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             'https://www.crawl.example.org:443/page/'
+               || (doc_id % 250)::VARCHAR
+               || '?utm_campaign=c' || doc_id::VARCHAR || '#s' AS u
+      FROM documents
+    ),
+    canon AS (SELECT doc_id, {T.url_normalize_sql('u')} AS url FROM raw)
+    SELECT url, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
+    FROM canon GROUP BY url
+    """,
+)
+def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed crawl dedup: every page is fetched twice through
+    different campaign links (unique raw URLs), so dedup on the RAW url
+    keeps everything and dedup on the CANONICAL url halves the corpus —
+    the normalize-then-dedup composition every crawl pipeline runs
+    (url_normalize → hash-groupBy keep-min, one shuffle on the canonical
+    key).  The n_copies=2 rows certify the tracking-param collapse."""
+    docs = tables(spark, sf_dir)["documents"].df
+    u = F.concat(
+        F.lit("https://www.crawl.example.org:443/page/"),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit("?utm_campaign=c"), F.col("doc_id").cast("string"), F.lit("#s"),
+    )
+    canon = docs.select("doc_id", T.url_normalize(u).alias("url"))
+    return canon.groupBy("url").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
