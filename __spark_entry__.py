@@ -30,16 +30,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate samples the FIRST 50 registered queries
-# (VERDICT r2). Rotation policy: queries that have never had a driver row
-# (CORRECTNESS_r01/r02 covered the 47 catalog.py queries + ext_text_stats/
-# ext_lang_id/ext_quality_score; r1 additionally covered ext_dedup_exact/
-# ext_dedup_minhash/ext_ann_brute + q_moving_avg under their round-1 names)
-# are listed here FIRST — new queries at the head, lowest-value checks
-# (multimodal codec stubs, the rows-only ivf_kmeans) at the tail so they
-# rotate out gracefully when new work claims window slots. Everything not
-# listed follows in catalog-registration order, flagship first.
+# (VERDICT r2). Rotation ledger (audited against the actual r1-r3 files,
+# fixing the r3 comment error VERDICT r3 "What's wrong" #3 — q_moving_avg
+# and ext_ann_brute in fact have NO driver row in any round and are now
+# in-window): CORRECTNESS_r01+r02 cover the 47 catalog.py core queries
+# plus ext_text_stats/ext_lang_id/ext_quality_score and the r2 ext
+# window; r03 covers the 50 queries its file lists (2 of them RED on the
+# array-output defect, re-queued below after the stringify fix).
+# Cumulative driver coverage entering r4 = 100/153.  This round's window
+# = ALL 49 never-driver-verified hash-exact queries (incl. the 4
+# stringify fixes and the now-hash-exact ext_bpe_encode) +
+# ext_normalize_unicode (rows-only by design: DuckDB lacks ICU NFKC) —
+# bringing cumulative coverage to 150/153; the 3 remaining misses are
+# the rows-only trained variants listed directly below the window, each
+# with an in-window family rep.  Queries added in round 4 follow in
+# registration order below the window and lead the r5 rotation.
 _DRIVER_PRIORITY: list[str] = [
-    # --- newest (round-3 continuation session) ---
+    # --- r4 window: the array-output fixes (r3 RED rows, must go green) ---
+    "ext_embed_quantize",
+    "ext_tokenize_pack",
+    "ext_embed_pq",
+    "ext_embed_rr_pq",
+    # --- r4 window: ext_bpe_encode, rows-only → hash-exact this round ---
+    "ext_bpe_encode",
+    # --- r4 window: never-driver-verified, hash-exact ---
+    "ext_bloom_decontaminate",
+    "ext_apply_changes",
+    "ext_variant_extract",
+    "ext_profile",
+    "ext_histogram_drift",
+    "ext_exact_kth",
+    "ext_normalize",
+    "ext_quality_classifier_tbl",
+    "ext_lm_filter",
+    "ext_dedup_jaccard",
+    "ext_dedup_simhash",
+    "ext_dedup_spans",
+    "ext_dedup_incremental",
+    "ext_dedup_clusters",
+    "ext_knn_label",
+    "ext_ann_brute",
+    "ext_ann_lsh_mp",
+    "ext_embed_centroids",
+    "ext_multimodal_decode",
+    "ext_frame_sample",
+    "ext_audio_features",
+    "ext_audio_downsample",
+    "ext_audio_downsample_aa",
+    "ext_video_meta",
+    "ext_stratified_sample",
+    "ext_sample_per_group",
+    "ext_pack_chunks",
+    "ext_chunk_overlap",
+    "ext_shuffle_det",
+    "ext_source_mix",
+    "ext_source_cap",
+    "ext_repetition_stats",
+    "ext_redact",
+    "ext_cohort_retention",
+    "ext_top_terms",
+    "ext_vocab",
+    "ext_approx_distinct",
+    "ext_quantiles_by_lang",
+    "ext_triangles",
+    "ext_heavy_exact",
+    "ext_join_cardinality",
+    "ext_skew_profile",
+    "ext_url_dedup",
+    "q_moving_avg",
+    # --- r4 window: rows-only by design (ICU NFKC), last slot ---
+    "ext_normalize_unicode",
+    # --- below the window: the 3 remaining never-verified rows-only
+    # trained variants (iterative training ⇒ weakest driver signal; each
+    # keeps an in-window family rep + pytest coverage) ---
+    "ext_semdedup_trained",   # rep: ext_semdedup (r3 green; same search plan)
+    "ext_ann_opq_trained",    # reps: ext_ann_pq/ext_embed_rr_pq (rotation family)
+    "ext_ann_ivf_kmeans",     # rep: ext_ann_ivf (r3 green; same cell search)
+    "ext_bpe_encode_trained",  # rep: ext_bpe_encode (same encoder, hash-exact)
+    # --- driver rows already green in r1-r3 (registration-order tail) ---
     "ext_fuzzy_join",
     "ext_boilerplate",
     "ext_url_normalize",
@@ -55,7 +123,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_strip_markup",
     "ext_collocations",
     "ext_ann_index_search",
-    # --- new in round 3 (driver rows wanted this round) ---
     "ext_heavy_hitters",
     "ext_embed_near_dup_mp",
     "ext_ann_pq_trained",
@@ -71,7 +138,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_eval",
     "ext_lm_trained",
     "ext_blocklist",
-    # --- round-2 ext surface, never driver-verified ---
     "ext_corpus_pipeline",
     "ext_dedup_keep",
     "ext_dedup_substr",
@@ -79,7 +145,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_split_leakage",
     "ext_embed_near_dup",
     "ext_semdedup",
-    "ext_embed_quantize",
     "ext_ann_pq",
     "ext_ann_ivf_pq",
     "ext_ann_lsh",
@@ -87,72 +152,10 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_quality_classifier",
     "ext_quality_prune",
     "ext_split_hash",
-    "ext_tokenize_pack",
     "ext_zorder_key",
     "ext_hll_merge",
     "ext_bm25",
     "ext_funnel",
-    # --- below here: outside the 50-query window this round ---
-    "ext_audio_downsample",        # rep: ext_audio_decode (same codec family)
-    "ext_video_meta",              # reps: 5 codec queries in-window (image/audio/gif)
-    "ext_audio_downsample_aa",     # rep: ext_audio_decode; DSP props pinned by pytest
-    "ext_apply_changes",           # rep: ext_snapshot_diff (same CDC machinery; self-certifying oracle)
-    "ext_variant_extract",         # rep: q_json_extract (r2 driver row; same data, VARIANT engine path)
-    "ext_url_dedup",               # reps: ext_url_normalize + ext_dedup_exact (composition)
-    # demoted this session to make room for the 4 newest ops; each keeps an
-    # in-window family rep + pytest coverage:
-    "ext_chunk_overlap",           # shuffle-free HOF chunker; reps: ext_tokenize_pack + pytest window-arithmetic pins
-    "ext_source_cap",              # reps: q_top_per_group (r2 row) + ext_token_budget
-    "ext_bloom_decontaminate",     # rep: ext_decontaminate (same gate, gram-join form)
-    "ext_embed_rr_pq",             # reps: ext_ann_pq / ext_ann_ivf_pq (+ trained)
-    "ext_exact_kth",               # rep: ext_quantile_sketch (selection family)
-    "ext_heavy_exact",             # rep: ext_heavy_hitters (sketch+verify family)
-    "ext_triangles",               # pair-graph diagnostic; rep: ext_dedup_clusters_star
-    "ext_join_cardinality",        # tuning diagnostic; pytest-pinned estimator
-    "ext_histogram_drift",         # rep: ext_quantile_sketch (same sketch merge)
-    "ext_normalize",               # rep: ext_strip_markup (same regexp-chain family)
-    "ext_repetition_stats",        # rep: ext_text_stats (same pure-HOF text family)
-    "ext_quality_classifier_tbl",  # rep: ext_quality_classifier (bit-equal forms)
-    "ext_ann_lsh_mp",              # rep: ext_ann_lsh (+ mp pytest pins)
-    "ext_dedup_clusters",          # rep: ext_dedup_clusters_star / ext_dedup_keep
-    "ext_cohort_retention",        # rep: ext_funnel (same analytics family)
-    # ext_normalize_unicode is rows-only (DuckDB lacks ICU NFKC): moved
-    # below the window so its slot goes to a hash-exact check; it keeps
-    # pytest + property coverage and the local-replica rows-only check.
-    "ext_normalize_unicode",
-    # same-family siblings demoted to make room (family keeps ≥1 in-window
-    # rep: split_hash/stratified_sample for det-hash sampling, bm25 for
-    # ranking, perplexity_buckets embeds the lm score):
-    "ext_approx_distinct",  # family rep in-window: ext_hll_merge
-    "ext_quantiles_by_lang",  # family rep in-window: ext_quantile_sketch
-    "ext_pack_chunks",  # family rep in-window: ext_tokenize_pack (vocab+pack composition)
-    "ext_dedup_simhash",  # family reps in-window: minhash/substr candidates
-    "ext_dedup_spans",  # family rep in-window: ext_dedup_substr (finer-grained sibling)
-    "ext_dedup_incremental",  # family rep in-window: ext_split_leakage (same index machinery)
-    "ext_knn_label",  # family rep in-window: ext_semdedup / ext_embed_near_dup (LSH neighbors)
-    "ext_embed_pq",  # family reps in-window: ext_ann_pq / ext_ann_ivf_pq (compose encode)
-    "ext_embed_centroids",  # family rep in-window: ext_semdedup (same per-cell agg)
-    "ext_dedup_jaccard",  # family reps in-window: minhash/spans/substr candidates
-    "ext_redact",  # family reps in-window: normalize/classifier/repetition/prune
-    "ext_profile",  # family rep in-window: ext_validate
-    "ext_stratified_sample",  # family rep in-window: ext_split_hash
-    "ext_vocab",  # family rep in-window: ext_tokenize_pack (composes vocab)
-    "ext_sample_per_group",
-    "ext_source_mix",
-    "ext_shuffle_det",
-    "ext_top_terms",
-    "ext_lm_filter",
-    # r1 driver rows exist for q_moving_avg / ext_ann_brute; the trained /
-    # rows-only / codec-stub checks are the weakest driver signal and the
-    # round-3 rows-only variants are covered by pytest + the local replica
-    "q_moving_avg",
-    "ext_ann_brute",
-    "ext_semdedup_trained",   # rows-only (iterative k-means cells)
-    "ext_ann_opq_trained",    # rows-only (PCA train + BLAS rotation)
-    "ext_ann_ivf_kmeans",     # rows-only by design (iterative training)
-    "ext_multimodal_decode",  # deterministic codec stub semantics
-    "ext_frame_sample",
-    "ext_audio_features",
     "q1_groupby_fold",        # r1+r2 driver rows both green
 ]
 

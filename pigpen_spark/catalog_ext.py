@@ -367,29 +367,53 @@ def ext_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_embed_quantize",
-    S.scalar_quantize_sql("embeddings", "vec_id", "embedding", dim=64),
+    f"""
+    SELECT vec_id, coalesce(array_to_string(qvec, ','), '') AS qvec,
+           max_abs_err
+    FROM ({S.scalar_quantize_sql("embeddings", "vec_id", "embedding", dim=64)})
+    """,
 )
 def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (FAISS-SQ8
     shape): per-dimension [min,max] codebook from one global aggregate,
     broadcast back as a 1-row frame; codes + per-vector dequantization
-    error out.  4× storage cut for ANN indexes; zero corpus shuffles."""
+    error out.  4× storage cut for ANN indexes; zero corpus shuffles.
+    Codes emit as a comma-joined string (catalog determinism rule #4:
+    bags/arrays stringify — driver canonicalizer cannot hash lists)."""
     emb = tables(spark, sf_dir)["embeddings"]
-    return S.scalar_quantize(emb.df, dim=64).withColumnRenamed("id", "vec_id")
+    out = S.scalar_quantize(emb.df, dim=64).withColumnRenamed("id", "vec_id")
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")
+        .alias("qvec"),
+        "max_abs_err",
+    )
+
+
+def _stringify_codes(df: DataFrame, col: str = "codes") -> DataFrame:
+    """Comma-join an integer array column (catalog determinism rule #4:
+    bags/arrays stringify — the driver canonicalizer cannot hash lists)."""
+    return df.withColumn(
+        col, F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+    )
 
 
 @register(
     "ext_embed_pq",
-    S.product_quantize_sql("embeddings", "vec_id", "embedding", dim=64),
+    f"""
+    SELECT vec_id, coalesce(array_to_string(codes, ','), '') AS codes, mse
+    FROM ({S.product_quantize_sql("embeddings", "vec_id", "embedding", dim=64)})
+    """,
 )
 def ext_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (8 subspaces × 16 codes = 64 bits/vector vs
     2048 for float32): per-subspace argmin against a driver-side
     codebook injected as literals — pure per-row coding, zero shuffles;
     mse column prices the compression.  Oracle recomputes the identical
-    codebook in SQL."""
+    codebook in SQL.  Codes emit comma-joined (rule #4)."""
     emb = tables(spark, sf_dir)["embeddings"]
-    return S.product_quantize(emb.df, dim=64).withColumnRenamed("id", "vec_id")
+    out = S.product_quantize(emb.df, dim=64).withColumnRenamed("id", "vec_id")
+    return _stringify_codes(out).select("vec_id", "codes", "mse")
 
 
 @register(
@@ -1078,16 +1102,29 @@ def ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_tokenize_pack",
-    P.tokenize_pack_sql("documents", "doc_id", "text", seq_len=32, shards=8),
+    f"""
+    SELECT shard, seq_no,
+           coalesce(array_to_string(token_ids, ','), '') AS token_ids,
+           n_tokens
+    FROM ({P.tokenize_pack_sql("documents", "doc_id", "text", seq_len=32, shards=8)})
+    """,
 )
 def ext_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-mile training prep: token→id mapping (self-built vocab,
     broadcast) + fixed-32-token sequence packing of each shard's
     concatenated id stream.  Sharding (id-hash mod 8) keeps every
     cumsum/window/groupBy partitioned — no global single-reducer stage;
-    at 100 TB raise shards until a shard fits a task."""
+    at 100 TB raise shards until a shard fits a task.  Packed ids emit
+    as a comma-joined string (catalog determinism rule #4: bags/arrays
+    stringify — driver canonicalizer cannot hash lists)."""
     docs = tables(spark, sf_dir)["documents"]
-    return P.tokenize_pack(docs.df, "doc_id", "text", seq_len=32, shards=8)
+    out = P.tokenize_pack(docs.df, "doc_id", "text", seq_len=32, shards=8)
+    return out.select(
+        "shard", "seq_no",
+        F.array_join(F.transform("token_ids", lambda x: x.cast("string")), ",")
+        .alias("token_ids"),
+        "n_tokens",
+    )
 
 
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
@@ -1552,24 +1589,29 @@ _RR_PERM, _RR_SIGNS = S.sign_permutation(64, seed=3)
 
 @register(
     "ext_embed_rr_pq",
-    S.product_quantize_sql(
+    f"""
+    SELECT vec_id, coalesce(array_to_string(codes, ','), '') AS codes, mse
+    FROM ({S.product_quantize_sql(
         f"(SELECT vec_id, {S.sign_permute_sql('embedding', _RR_PERM, _RR_SIGNS)}"
         " AS embedding FROM embeddings) rot",
         "vec_id", "embedding", dim=64,
-    ),
+    )})
+    """,
 )
 def ext_embed_rr_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ behind a deterministic SIGNED-PERMUTATION pre-rotation (the
     O(dim) structured member of the orthogonal-transform family FAISS
     applies before PQ; ±1 multiplies are float-exact so the whole
     pipeline stays hash-exact).  Permutation re-deals dimensions across
-    subspaces — the cheap version of OPQ's balanced allocation."""
+    subspaces — the cheap version of OPQ's balanced allocation.
+    Codes emit comma-joined (rule #4)."""
     emb = tables(spark, sf_dir)["embeddings"]
     rot = emb.df.select(
         "vec_id",
         S.sign_permute(F.col("embedding"), _RR_PERM, _RR_SIGNS).alias("embedding"),
     )
-    return S.product_quantize(rot, dim=64).withColumnRenamed("id", "vec_id")
+    out = S.product_quantize(rot, dim=64).withColumnRenamed("id", "vec_id")
+    return _stringify_codes(out).select("vec_id", "codes", "mse")
 
 
 @register("ext_semdedup_trained", None)  # iterative k-means training: rows-only
@@ -1607,9 +1649,32 @@ from pigpen_spark.functions import bpe as B  # noqa: E402
 from pigpen_spark.tuning import key_skew_profile  # noqa: E402
 
 
-@register("ext_bpe_encode", None)  # iterative merge training: rows-only
+@register(
+    "ext_bpe_encode",
+    B.bpe_encode_fixed_sql("documents", "doc_id", "text", B.FIXED_MERGES),
+)
 def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer trained on the corpus and applied back to it —
+    """BPE subword encoding of every document under the deterministic
+    FIXED_MERGES table (the first 24 merges Sennrich training yields on
+    this corpus, embedded as a literal) — hash-exact: the oracle
+    replays the encoder as a delimited-string replace chain, which is
+    provably equivalent to the greedy merge pass for distinct-sided
+    pairs (bpe.py module docstring).  Runs the REAL production encoder
+    (Arrow-batched pandas_udf, per-batch word cache); the trained path
+    is ext_bpe_encode_trained."""
+    docs = tables(spark, sf_dir)["documents"]
+    enc = B.bpe_encode(docs.df, "doc_id", "text", B.FIXED_MERGES)
+    # stable driver schema: arrays leave as joined strings (hash contract)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.array_join("pieces", " ").alias("pieces"),
+        "n_pieces",
+    )
+
+
+@register("ext_bpe_encode_trained", None)  # iterative merge training: rows-only
+def ext_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINED on the corpus and applied back to it —
     subword tokenization, the real thing behind ext_text_stats's BPE-ish
     regex proxy.  Counting is the only corpus-sized pass (one groupBy
     histogram); merge learning runs driver-side over the vocab-sized
@@ -1617,11 +1682,11 @@ def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     split production tokenizer trainers use; encoding is an
     Arrow-batched pandas_udf with a per-batch word cache.  Iterative
     training ⇒ rows-only; the algorithm is pinned by a pure-Python
-    differential test."""
+    differential test, and the ENCODER it shares with ext_bpe_encode is
+    hash-verified there."""
     docs = tables(spark, sf_dir)["documents"]
     merges = B.train_bpe(docs.df, "text", n_merges=80)
     enc = B.bpe_encode(docs.df, "doc_id", "text", merges)
-    # stable driver schema: arrays leave as joined strings (hash contract)
     return enc.select(
         F.col("id").alias("doc_id"),
         F.array_join("pieces", " ").alias("pieces"),

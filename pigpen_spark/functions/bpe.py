@@ -22,6 +22,20 @@ trainer uses at scale (HuggingFace tokenizers, SentencePiece):
 Training is iterative (non-SQL-expressible) ⇒ rows-only oracle; the
 algorithm itself is pinned by a differential test against an independent
 pure-Python reference implementation (tests/test_round3b_bpe.py).
+
+ENCODING, however, IS SQL-expressible for a fixed merge table whose
+pairs all have distinct sides: represent a word's symbol sequence as a
+``|``-delimited string (``|t|h|e|</w>|``) and apply each merge as a
+string ``replace('|l|r|', '|lr|')``.  For l != r the pair's occurrences
+in a symbol sequence are disjoint and merging can never create a new
+occurrence (the merged symbol ``lr`` is strictly longer than l), so the
+replace fixpoint equals :func:`_merge_word`'s greedy pass; adjacent
+occurrences share a boundary pipe that a single scan consumes, and two
+passes provably reach the fixpoint (pass 1 takes alternating
+occurrences, the survivors are then separated by merged symbols) — we
+emit three per merge for margin.  :func:`bpe_encode_fixed_sql` builds
+that oracle; equivalence is differential-tested against
+:func:`encode_word` (vocabulary + adversarial random words) in pytest.
 """
 
 from __future__ import annotations
@@ -119,6 +133,61 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
             break
         syms = _merge_word(syms, pair)
     return list(syms)
+
+
+#: Deterministic merge-table subset for the hash-exact driver check
+#: (VERDICT r3 item 8): the first 24 merges :func:`learn_merges` produces
+#: on the sf0.001 ``documents`` word histogram (ties broken by the
+#: documented count-desc/lex rule, so any re-run reproduces it).  Every
+#: pair has distinct sides, which is what makes the SQL replace-chain
+#: oracle exact (module docstring).  The TRAINED path stays exercised by
+#: ext_bpe_encode_trained (rows-only) + the pure-Python differential test.
+FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", EOW), ("n", EOW), ("o", "r"), ("t", EOW),
+    ("er", EOW), ("o", "w"), ("ow", EOW), ("l", "u"), ("i", "n"),
+    ("y", EOW), ("a", "r"), ("p", "ar"), ("g", EOW), ("a", "s"),
+    ("h", EOW), ("a", EOW), ("s", "t"), ("a", "t"), ("a", "n" + EOW),
+    ("c", "an" + EOW), ("s", "can" + EOW), ("c", "o"), ("co", "lu"),
+]
+
+
+def encode_word_sql(word_expr: str, merges: list[tuple[str, str]],
+                    passes: int = 3) -> str:
+    """DuckDB expression: space-joined BPE pieces of one lowercase word,
+    via the delimited-string replace chain (module docstring).  Exact
+    for merge tables whose pairs all have distinct sides."""
+    for l, r in merges:
+        if l == r:
+            raise ValueError(
+                f"encode_word_sql: equal-sided pair {(l, r)!r} — the "
+                "replace chain is only exact for distinct-sided merges"
+            )
+    e = f"'|' || array_to_string(string_split({word_expr}, ''), '|') || '|{EOW}|'"
+    for l, r in merges:
+        for _ in range(passes):
+            e = f"replace({e}, '|{l}|{r}|', '|{l}{r}|')"
+    return f"array_to_string(string_split(trim({e}, '|'), '|'), ' ')"
+
+
+def bpe_encode_fixed_sql(table: str, id_col: str, text_col: str,
+                         merges: list[tuple[str, str]]) -> str:
+    """DuckDB oracle for :func:`bpe_encode` under a FIXED merge table:
+    per document, encode each whitespace token with the replace chain and
+    space-join the piece stream (catalog rule #4: bags stringify)."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    return f"""
+    WITH enc AS (
+      SELECT {id_col} AS doc_id,
+             coalesce(array_to_string(
+               [{encode_word_sql('w', merges)} for w in {toks}], ' '), '')
+               AS pieces
+      FROM {table}
+    )
+    SELECT doc_id, pieces,
+           (CASE WHEN pieces = '' THEN 0
+                 ELSE len(string_split(pieces, ' ')) END)::BIGINT AS n_pieces
+    FROM enc
+    """
 
 
 def bpe_encode(df: DataFrame, id_col: str, text_col: str,

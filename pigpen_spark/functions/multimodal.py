@@ -186,10 +186,10 @@ def synth_png(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame
                 y = np.arange(h)[:, None, None]
                 c = np.arange(3)[None, None, :]
                 arr = (a + x + y + c).astype(np.uint8)
-                rows.append({"id": i, "payload": C.png_encode(arr, filter_type=2 * (i % 2))})
+                rows.append({"id": i, out_col: C.png_encode(arr, filter_type=2 * (i % 2))})
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(gen, schema="id long, payload binary")
+    return src.mapInPandas(gen, schema=f"id long, {out_col} binary")
 
 
 def image_stats(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
@@ -282,10 +282,10 @@ def synth_wav(df: DataFrame, id_col: str, out_col: str = "payload",
                 base = (i % 100) * 10
                 ramp = 0 if constant else (np.arange(n) % 50)
                 s = (base + ramp + np.zeros(n, dtype=np.int64)).astype(np.int16)
-                rows.append({"id": i, "payload": C.wav_encode(s, 8000)})
+                rows.append({"id": i, out_col: C.wav_encode(s, 8000)})
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(gen, schema="id long, payload binary")
+    return src.mapInPandas(gen, schema=f"id long, {out_col} binary")
 
 
 def audio_features_wav(df: DataFrame, id_col: str,
@@ -345,10 +345,10 @@ def synth_gif(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame
                 x = np.arange(w)[None, :]
                 y = np.arange(h)[:, None]
                 frames = [(a + f + x + y).astype(np.uint8) for f in range(n)]
-                rows.append({"id": i, "payload": C.gif_encode(frames)})
+                rows.append({"id": i, out_col: C.gif_encode(frames)})
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(gen, schema="id long, payload binary")
+    return src.mapInPandas(gen, schema=f"id long, {out_col} binary")
 
 
 def frame_sample_gif(df: DataFrame, id_col: str, payload_col: str = "payload",
@@ -404,10 +404,10 @@ def synth_jpeg(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFram
                 bw, bh, a = 1 + i % 3, 1 + (i // 2) % 3, i % 200
                 blocks = a + np.arange(bw)[None, :] + np.arange(bh)[:, None]
                 img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
-                rows.append({"id": i, "payload": C.jpeg_encode(img)})
+                rows.append({"id": i, out_col: C.jpeg_encode(img)})
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(gen, schema="id long, payload binary")
+    return src.mapInPandas(gen, schema=f"id long, {out_col} binary")
 
 
 DOWNSAMPLE_SCHEMA = ("id long, rate_out int, n_out long, sample_sum_out long, "
@@ -418,9 +418,12 @@ def audio_downsample(df: DataFrame, id_col: str, payload_col: str = "payload",
                      factor: int = 2, antialias: bool = False) -> DataFrame:
     """REAL audio preprocessing pipeline — the WAV twin of
     :func:`image_thumbnail`: decode PCM16, decimate by ``factor`` (every
-    factor-th frame; channels mixed to mono first with exact integer
-    mean), re-encode at rate/factor, and decode AGAIN for the output
-    stats — so the returned integers verify the full
+    factor-th frame; channels mixed to mono first with FLOOR-division
+    mean — ``sum // n_channels`` rounds toward -inf, so a frame whose
+    channel sum is negative mixes one LSB below truncation-based
+    conventions; floor is deterministic and engine-portable, which is
+    what the oracle needs), re-encode at rate/factor, and decode AGAIN
+    for the output stats — so the returned integers verify the full
     decode→resample→encode→decode loop.
 
     ``antialias=False`` (default): nearest-frame decimation — integer-
@@ -491,10 +494,10 @@ def synth_mp4(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame
                     {"handler": "soun", "codec": "mp4a",
                      "n_samples": 43 * dur // 1000, "track_duration_ms": dur},
                 ])
-                rows.append({"id": i, "payload": payload})
+                rows.append({"id": i, out_col: payload})
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(gen, schema="id long, payload binary")
+    return src.mapInPandas(gen, schema=f"id long, {out_col} binary")
 
 
 def video_meta(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:

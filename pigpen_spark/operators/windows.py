@@ -207,6 +207,10 @@ def take_budget(df: DataFrame, order_by: Sequence, size, budget: int,
     ``size`` is any numeric column/expression.
 
     Returns the selected rows + ``cum_col`` (the inclusive running sum).
+    A NULL size raises (executor-side ``raise_error``) rather than
+    letting the NULL poison the cumulative sum and silently drop the row
+    and everything the budget math owed it — budgeted selection over
+    sizes that can be missing needs an explicit upstream ``coalesce``.
     Persist lifetime: same session-lived cache contract as
     :func:`ranked` (the range-partitioned input must evaluate identically
     in the offset pass and the output pass)."""
@@ -214,7 +218,16 @@ def take_budget(df: DataFrame, order_by: Sequence, size, budget: int,
     size_c = _c(size)
     pid = "__pp_pid"
     ranged = (
-        df.withColumn("__pp_sz", size_c.cast("bigint"))
+        df.withColumn(
+            "__pp_sz",
+            F.when(size_c.isNotNull(), size_c.cast("bigint")).otherwise(
+                F.raise_error(F.lit(
+                    "take_budget: NULL size — coalesce the size expression "
+                    "upstream if NULL-size rows should count as 0 or be "
+                    "excluded explicitly"
+                ))
+            ),
+        )
         .repartitionByRange(*orders)
         .withColumn(pid, F.spark_partition_id())
         .transform(_persisted)
