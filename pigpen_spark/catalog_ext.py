@@ -3047,3 +3047,111 @@ def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming huge-group path (round 4: Pig Accumulator parity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_group_stream_digest",
+    """
+    SELECT l_suppkey AS suppkey, count(*)::BIGINT AS n_items,
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+           md5(string_agg(l_quantity::BIGINT::VARCHAR, ','
+                          ORDER BY l_orderkey, l_linenumber)) AS qty_digest
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def ext_group_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive per-group fold through the STREAMING group path
+    (GroupedRelation.apply_stream → operators/group_stream.py): each
+    supplier's line items arrive in (orderkey, linenumber) order as
+    bounded Arrow chunks and feed a running md5 + sum — constant state
+    per group, so a billion-row key spills in the sort instead of
+    OOMing a task (reference parity: Pig Accumulator streaming,
+    pig/runtime.clj:194-240; VERDICT r3 missing #2).  The digest is
+    order-exact, which is precisely what collect_list-free streaming
+    must preserve; the oracle replays it as an ORDER BY string_agg."""
+    li = tables(spark, sf_dir)["lineitem"]
+    src = li.map(
+        F.col("l_suppkey"), F.col("l_orderkey"), F.col("l_linenumber"),
+        __qs=F.col("l_quantity").cast("bigint").cast("string"),
+        __qi=F.col("l_quantity").cast("bigint"),
+    )
+
+    def init(key):
+        import hashlib
+
+        return {"h": hashlib.md5(), "n": 0, "s": 0, "first": True}
+
+    def accumulate(st, chunk):
+        txt = ",".join(chunk["__qs"])
+        if txt:
+            st["h"].update((txt if st["first"] else "," + txt).encode())
+            st["first"] = False
+        st["n"] += len(chunk)
+        st["s"] += int(chunk["__qi"].sum())
+        return st
+
+    def finish(key, st):
+        return {"suppkey": key[0], "n_items": st["n"], "sum_qty": st["s"],
+                "qty_digest": st["h"].hexdigest()}
+
+    return src.group_by(F.col("l_suppkey")).apply_stream(
+        init, accumulate, finish,
+        schema="suppkey long, n_items long, sum_qty long, qty_digest string",
+        order_by=[F.col("l_orderkey"), F.col("l_linenumber")],
+    ).df
+
+
+@register(
+    "ext_cogroup_stream",
+    """
+    WITH o AS (
+      SELECT o_custkey AS k, count(*)::BIGINT AS n_orders,
+             sum(o_totalprice)::DOUBLE AS tot
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (SELECT c_custkey AS k, c_name FROM customer)
+    SELECT c.k AS custkey, c.c_name AS name,
+           coalesce(o.n_orders, 0)::BIGINT AS n_orders,
+           round(coalesce(o.tot, 0), 2) AS total_price
+    FROM c LEFT JOIN o ON c.k = o.k
+    """,
+)
+def ext_cogroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 2-ary cogroup (Relation.cogroup_stream): customer and
+    orders bags arrive input-by-input per custkey as bounded chunks —
+    the reference's multi-bag Accumulator shape without collect_list.
+    State per key is three scalars; output matches a LEFT JOIN aggregate
+    oracle (required first input, optional second)."""
+    t = tables(spark, sf_dir)
+    cust = t["customer"].map(F.col("c_custkey"), F.col("c_name"))
+    orders = t["orders"].map(F.col("o_custkey"), F.col("o_totalprice"))
+
+    def init(key):
+        return {"name": None, "n": 0, "tot": 0.0, "seen0": False}
+
+    def accumulate(st, tag, chunk):
+        if tag == 0:
+            st["seen0"] = True
+            st["name"] = chunk["c_name"].iloc[0]
+        else:
+            st["n"] += len(chunk)
+            st["tot"] += float(chunk["o_totalprice"].sum())
+        return st
+
+    def finish(key, st):
+        return {"custkey": key[0], "name": st["name"], "n_orders": st["n"],
+                "total_price": round(st["tot"], 2), "__keep": st["seen0"]}
+
+    out = cust.cogroup_stream(
+        [(orders, F.col("o_custkey"))], F.col("c_custkey"),
+        init, accumulate, finish,
+        schema=("custkey long, name string, n_orders long, "
+                "total_price double, __keep boolean"),
+        key_names=["k"],
+    )
+    return out.filter(F.col("__keep")).df.drop("__keep")

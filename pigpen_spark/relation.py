@@ -617,6 +617,26 @@ class Relation:
         out = out.drop(*[f"__ppcnt_{i}" for i in folds])
         return self._with(out.withColumnRenamed("__ppk_0", "key"))
 
+    def cogroup_stream(self, others: Sequence[tuple["Relation", ColumnLike]],
+                       on: ColumnLike, init, accumulate, finish, schema,
+                       key_names: Sequence[str] | None = None,
+                       num_partitions: int | None = None) -> "Relation":
+        """Streaming N-ary cogroup — the HUGE-bag path for :meth:`cogroup`
+        (reference: Pig streams reduce-side bags through the Accumulator,
+        pig/runtime.clj:194-240, instead of materializing them; our
+        default cogroup materializes via collect_list).  Inputs are
+        tagged, union-aligned, and exchanged ONCE on the key; each key's
+        bags arrive input-by-input as Arrow-batch chunks through
+        ``accumulate(state, input_index, chunk_pdf)``.  A single
+        billion-row bag spills in the sort, never in Python."""
+        from pigpen_spark.operators.group_stream import cogroup_stream_apply
+
+        inputs = [(self.df, [on])] + [(rel.df, [k]) for rel, k in others]
+        return self._with(cogroup_stream_apply(
+            inputs, init, accumulate, finish, schema,
+            key_names=key_names, num_partitions=num_partitions,
+        ))
+
     # -- whole-relation aggregation (§2.3-2.4) ------------------------------
 
     def reduce_rel(self, *folds: "Fold | Column", **named: "Fold | Column") -> "Relation":
@@ -956,10 +976,33 @@ class GroupedRelation:
 
         reference: reduce-side user fn over lazy bags (pig/runtime.clj:
         194-240 Accumulator).  NOTE applyInPandas materializes each group —
-        for huge groups prefer fold/window ops (SURVEY §4.4 risk note)."""
+        for huge groups prefer fold/window ops (SURVEY §4.4 risk note) or
+        :meth:`apply_stream`, which chunks arbitrarily large groups."""
         if self._mode != "groupby" or self._pivot is not None:
             raise ValueError("apply_py requires a plain group_by (no cube/rollup/pivot)")
         return self._rel._with(self._rel.df.groupBy(*self._keys).applyInPandas(fn, schema=schema))
+
+    def apply_stream(self, init, accumulate, finish, schema,
+                     key_names: Sequence[str] | None = None,
+                     order_by: Sequence = (),
+                     num_partitions: int | None = None) -> Relation:
+        """Per-group streaming apply — the HUGE-group path (reference:
+        Pig Accumulator, pig/runtime.clj:194-240 / PigPenFn.java:66-81):
+        groups are hash-exchanged, sorted within partitions, and driven
+        through ``init(key)`` / ``accumulate(state, chunk_pdf)`` /
+        ``finish(key, state) -> dict`` one Arrow batch at a time — a
+        billion-row key costs spillable-sort disk, never task heap.  Use
+        when per-group logic is genuinely sequential; associative folds
+        belong in :meth:`fold`/:meth:`fold_py` (map-side partials)."""
+        from pigpen_spark.operators.group_stream import grouped_stream_apply
+
+        if self._mode != "groupby" or self._pivot is not None:
+            raise ValueError("apply_stream requires a plain group_by (no cube/rollup/pivot)")
+        return self._rel._with(grouped_stream_apply(
+            self._rel.df, self._keys, init, accumulate, finish, schema,
+            key_names=key_names, order_by=order_by,
+            num_partitions=num_partitions,
+        ))
 
     def fold_py(self, zero, seq_op, comb_op, finish=None, key_names: Sequence[str] | None = None,
                 out_col: str = "value", out_type: str = "string", arrow: bool = True):

@@ -134,3 +134,129 @@ class TestStringifiedCatalogOutputs:
                 if field.dataType.typeName() in ("array", "struct", "map"):
                     offenders.append((name, field.name))
         assert offenders == []
+
+
+class TestGroupStream:
+    """The huge-group streaming path (operators/group_stream.py):
+    Pig-Accumulator parity — VERDICT r3 missing #2."""
+
+    def test_bounded_chunks_on_giant_group(self, spark):
+        """A 200k-row single key must reach Python as chunks no larger
+        than the Arrow batch size — the property that makes a
+        billion-row key spill-bounded instead of OOMing applyInPandas."""
+        from pigpen_spark.relation import Relation
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        try:
+            df = (spark.range(200_000)
+                  .select(F.lit(1).alias("k"), F.col("id").alias("v")))
+            rel = Relation(df)
+
+            def init(key):
+                return {"n": 0, "s": 0, "max_chunk": 0}
+
+            def acc(st, chunk):
+                st["n"] += len(chunk)
+                st["s"] += int(chunk["v"].sum())
+                st["max_chunk"] = max(st["max_chunk"], len(chunk))
+                return st
+
+            def fin(key, st):
+                return {"k": key[0], "n": st["n"], "s": st["s"],
+                        "max_chunk": st["max_chunk"]}
+
+            row = rel.group_by(F.col("k")).apply_stream(
+                init, acc, fin,
+                schema="k int, n long, s long, max_chunk long",
+                key_names=["k"],
+            ).df.collect()
+            assert len(row) == 1
+            r = row[0]
+            assert r["n"] == 200_000
+            assert r["s"] == 200_000 * 199_999 // 2
+            assert 0 < r["max_chunk"] <= 2048
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    def test_matches_groupby_agg_many_groups(self, spark):
+        from pigpen_spark.relation import Relation
+
+        df = (spark.range(10_000)
+              .select((F.col("id") % 37).alias("k"), F.col("id").alias("v"))
+              .repartition(16))
+        rel = Relation(df)
+        got = {(r["k"], r["n"], r["s"]) for r in rel.group_by(F.col("k")).apply_stream(
+            lambda key: [0, 0],
+            lambda st, ch: [st[0] + len(ch), st[1] + int(ch["v"].sum())],
+            lambda key, st: {"k": key[0], "n": st[0], "s": st[1]},
+            schema="k long, n long, s long", key_names=["k"],
+        ).df.collect()}
+        want = {(r["k"], r["n"], r["s"]) for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()}
+        assert got == want and len(got) == 37
+
+    def test_order_by_streams_rows_in_order(self, spark):
+        from pigpen_spark.relation import Relation
+
+        rows = [(i % 5, (i * 7919) % 10_000, i) for i in range(2_000)]
+        df = spark.createDataFrame(rows, ["k", "ord", "v"]).repartition(8)
+        rel = Relation(df)
+
+        def acc(st, ch):
+            st.extend(ch["ord"].tolist())
+            return st
+
+        got = {r["k"]: r["ok"] for r in rel.group_by(F.col("k")).apply_stream(
+            lambda key: [], acc,
+            lambda key, st: {"k": key[0], "ok": st == sorted(st),
+                             "n": len(st)},
+            schema="k long, ok boolean, n long", key_names=["k"],
+            order_by=[F.col("ord")],
+        ).df.collect()}
+        assert got and all(got.values())
+
+    def test_null_key_groups_together(self, spark):
+        from pigpen_spark.relation import Relation
+
+        df = spark.createDataFrame(
+            [(None, 1), (None, 2), (1, 3)], "k int, v int")
+        rel = Relation(df)
+        got = {r["k"]: r["n"] for r in rel.group_by(F.col("k")).apply_stream(
+            lambda key: 0, lambda st, ch: st + len(ch),
+            lambda key, st: {"k": key[0], "n": st},
+            schema="k int, n long", key_names=["k"],
+        ).df.collect()}
+        assert got == {None: 2, 1: 1}
+
+    def test_cogroup_stream_matches_materializing_cogroup(self, spark):
+        from pigpen_spark.relation import Relation
+
+        left = Relation(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (4, "d")], ["k", "name"]))
+        right = Relation(spark.createDataFrame(
+            [(1, 10), (1, 20), (3, 30)], ["k", "x"]))
+
+        def init(key):
+            return {"names": [], "xs": 0, "nx": 0}
+
+        def acc(st, tag, ch):
+            if tag == 0:
+                st["names"].extend(ch["name"].tolist())
+            else:
+                st["nx"] += len(ch)
+                st["xs"] += int(ch["x"].sum())
+            return st
+
+        def fin(key, st):
+            return {"k": key[0], "names": ",".join(sorted(st["names"])),
+                    "nx": st["nx"], "xs": st["xs"]}
+
+        got = {(r["k"], r["names"], r["nx"], r["xs"])
+               for r in left.cogroup_stream(
+                   [(right, F.col("k"))], F.col("k"), init, acc, fin,
+                   schema="k long, names string, nx long, xs long",
+                   key_names=["k"]).df.collect()}
+        # full-outer semantics: all keys from both sides appear
+        assert got == {(1, "a", 2, 30), (2, "b", 0, 0),
+                       (3, "", 1, 30), (4, "d", 0, 0)}
