@@ -102,6 +102,16 @@ HEADLINE = [
     # mapInPandas): decode-only and full decode->resize->encode->decode
     "ext_image_decode",
     "ext_image_thumb",
+    # round-4 additions: former non-headline codec rows promoted after the
+    # fused synth->decode + id-fanout rework (one Python crossing,
+    # defaultParallelism-way codec work: gif 3.49->~0.7s, jpeg
+    # 1.79->~0.6s), the new MJPEG-in-mp4 demux+decode, and the
+    # streaming huge-group fold (exchange + spillable sort + Arrow-chunked
+    # Accumulator — the collect_list-free group path)
+    "ext_frame_sample_gif",
+    "ext_image_decode_jpeg",
+    "ext_frame_sample_mp4",
+    "ext_group_stream_digest",
 ]
 
 

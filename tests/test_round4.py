@@ -260,3 +260,121 @@ class TestGroupStream:
         # full-outer semantics: all keys from both sides appear
         assert got == {(1, "a", 2, 30), (2, "b", 0, 0),
                        (3, "", 1, 30), (4, "d", 0, 0)}
+
+
+class TestMjpegMp4:
+    """Real MJPEG-in-ISO-BMFF frame decode (VERDICT r3 next #5)."""
+
+    def test_round_trip_exact(self):
+        import numpy as np
+
+        from pigpen_spark.functions import codecs as C
+
+        for i in (0, 1, 5, 7, 11, 23):
+            bw, bh, a, nf = 1 + i % 3, 1 + (i // 2) % 3, i % 150, 1 + i % 4
+            frames = []
+            for f in range(nf):
+                blocks = a + f + np.arange(bw)[None, :] + np.arange(bh)[:, None]
+                frames.append(np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                              .astype(np.uint8))
+            payload = C.mp4_encode_mjpeg([C.jpeg_encode(fr) for fr in frames],
+                                         bw * 8, bh * 8)
+            w, h, dec = C.mp4_frames(payload)
+            assert (w, h) == (bw * 8, bh * 8) and len(dec) == nf
+            for f in range(nf):
+                assert (dec[f][:, :, 0] == frames[f]).all()
+
+    def test_meta_and_frames_agree(self):
+        import numpy as np
+
+        from pigpen_spark.functions import codecs as C
+
+        img = np.full((8, 16), 77, dtype=np.uint8)
+        payload = C.mp4_encode_mjpeg([C.jpeg_encode(img)] * 3, 16, 8)
+        m = C.mp4_meta(payload)
+        t = m["tracks"][0]
+        assert (t["codec"], t["handler"], t["n_samples"]) == ("jpeg", "vide", 3)
+        assert (t["width"], t["height"]) == (16, 8)
+
+    def test_non_mjpeg_and_corrupt_raise(self):
+        import pytest as _pytest
+
+        from pigpen_spark.functions import codecs as C
+
+        skeleton = C.mp4_encode_skeleton(1000, [
+            {"handler": "vide", "codec": "avc1", "width": 320, "height": 240,
+             "n_samples": 24, "track_duration_ms": 1000}])
+        with _pytest.raises(ValueError, match="no mjpeg video track"):
+            C.mp4_frames(skeleton)
+        with _pytest.raises(ValueError):
+            C.mp4_frames(b"not a container")
+
+    def test_spark_frame_sample_mp4(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        base = spark.range(6).withColumnRenamed("id", "doc_id")
+        clips = M.synth_mjpeg(base, "doc_id")
+        got = {(r["id"], r["frame_index"]): r["f_px_sum"]
+               for r in M.frame_sample_mp4(clips, "id", every_n=2).collect()}
+        fused = {(r["id"], r["frame_index"]): r["f_px_sum"]
+                 for r in M.synth_frame_stats_mp4(base, "doc_id", every_n=2)
+                 .collect()}
+        assert got == fused and got
+        # closed form for doc 5: bw=3,bh=3,a=5,nf=2 → frame 0 only
+        bw = bh = 3
+        assert got[(5, 0)] == 64 * (bw * bh * 5 + bh * 3 + bw * 3)
+
+
+class TestFusedMatchesUnfused:
+    def test_image_audio_video_fused_equivalence(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        base = spark.range(8).withColumnRenamed("id", "doc_id")
+
+        unfused = M.image_stats(M.synth_png(base, "doc_id"), "id")
+        fused = M.synth_image_stats(base, "doc_id", fmt="png")
+        assert {tuple(r) for r in unfused.collect()} == \
+               {tuple(r) for r in fused.collect()}
+
+        unfused_j = M.image_stats(M.synth_jpeg(base, "doc_id"), "id")
+        fused_j = M.synth_image_stats(base, "doc_id", fmt="jpeg")
+        assert {tuple(r) for r in unfused_j.collect()} == \
+               {tuple(r) for r in fused_j.collect()}
+
+        unfused_a = M.audio_features_wav(M.synth_wav(base, "doc_id"), "id")
+        fused_a = M.synth_audio_stats(base, "doc_id")
+        assert {tuple(r) for r in unfused_a.collect()} == \
+               {tuple(r) for r in fused_a.collect()}
+
+        unfused_g = M.frame_sample_gif(M.synth_gif(base, "doc_id"), "id",
+                                       every_n=2)
+        fused_g = M.synth_frame_stats_gif(base, "doc_id", every_n=2)
+        assert {tuple(r) for r in unfused_g.collect()} == \
+               {tuple(r) for r in fused_g.collect()}
+
+        unfused_v = M.video_meta(M.synth_mp4(base, "doc_id"), "id")
+        fused_v = M.synth_video_meta(base, "doc_id")
+        assert {tuple(r) for r in unfused_v.collect()} == \
+               {tuple(r) for r in fused_v.collect()}
+
+    def test_thumb_and_downsample_fused_equivalence(self, spark):
+        from pyspark.sql import functions as F
+
+        from pigpen_spark.functions import multimodal as M
+
+        base = spark.range(8).withColumnRenamed("id", "doc_id")
+        thumbs = M.image_thumbnail(M.synth_png(base, "doc_id"), "id", factor=2)
+        verify = M.image_stats(
+            thumbs.select("id", F.col("thumb").alias("payload")), "id")
+        unfused = {(r["id"], r["px_sum"]) for r in verify.collect()}
+        fused = {(r["id"], r["t_px_sum"])
+                 for r in M.synth_thumb_stats(base, "doc_id", factor=2).collect()}
+        assert unfused == fused
+
+        un_d = M.audio_downsample(M.synth_wav(base, "doc_id"), "id", factor=2)
+        got_d = {(r["id"], r["rate_out"], r["n_out"], r["sample_sum_out"])
+                 for r in un_d.collect()}
+        f_d = {(r["id"], r["rate_out"], r["n_out"], r["sample_sum_out"])
+               for r in M.synth_audio_downsample_stats(base, "doc_id", factor=2)
+               .collect()}
+        assert got_d == f_d
