@@ -112,6 +112,12 @@ HEADLINE = [
     "ext_image_decode_jpeg",
     "ext_frame_sample_mp4",
     "ext_group_stream_digest",
+    # deliberate-skew join pair: one key carries ~20% of lineitem; plain
+    # SMJ (control, hot key through one reducer) vs salted_join (16-way
+    # spread).  At sf0.1 the pair is within noise (a 120k-row reducer
+    # costs ~ms locally); the pair exists so scale runs surface the gap.
+    "ext_skew_join_plain",
+    "ext_skew_join_salted",
 ]
 
 

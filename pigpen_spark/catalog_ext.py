@@ -3180,3 +3180,73 @@ def ext_frame_sample_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
     return M.synth_frame_stats_mp4(docs, "doc_id", every_n=2).select(
         F.col("id").alias("doc_id"), "frame_index", "f_px_sum")
+
+
+# ---------------------------------------------------------------------------
+# deliberate-skew join benchmark (round 4: VERDICT next #7)
+# ---------------------------------------------------------------------------
+
+_SKEW_K = "(CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE l_suppkey END)"
+_SKEW_SQL = f"""
+    WITH fact AS (
+      SELECT {_SKEW_K} AS k, l_extendedprice FROM lineitem
+    )
+    SELECT f.k AS suppkey, s.s_name AS name, count(*)::BIGINT AS n_items,
+           round(sum(f.l_extendedprice)::DOUBLE, 2) AS revenue
+    FROM fact f JOIN supplier s ON f.k = s.s_suppkey
+    GROUP BY f.k, s.s_name
+    """
+
+
+def _skewed_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem with a DELIBERATELY skewed join key: every 5th order's
+    lines collapse onto supplier 1, so one key carries ~20% of all rows —
+    the single-hot-key regime where an unsalted shuffle join puts a fifth
+    of the table through one reducer."""
+    li = tables(spark, sf_dir)["lineitem"].df
+    return li.select(
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey")).alias("k"),
+        "l_extendedprice",
+    )
+
+
+@register("ext_skew_join_plain", _SKEW_SQL)
+def ext_skew_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTROL row for the skew benchmark: the same skewed fact joined
+    with a plain sort-merge join (merge hint pins SMJ — the dim is tiny,
+    and a broadcast would sidestep the skew this row exists to measure;
+    at real scale the right side is another fact and broadcast isn't on
+    the table).  The hot key's ~20% of rows funnel through ONE reducer;
+    compare this row's bench time with ext_skew_join_salted."""
+    fact = _skewed_fact(spark, sf_dir)
+    dim = tables(spark, sf_dir)["supplier"].map(
+        F.col("s_suppkey").alias("k"), F.col("s_name")).df
+    return (
+        fact.join(dim.hint("merge"), on="k", how="inner")
+        .groupBy(F.col("k").alias("suppkey"), F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+@register("ext_skew_join_salted", _SKEW_SQL)
+def ext_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew lever, proven on skewed data (it was only oracle-checked
+    on uniform keys before): operators/joins.py salted_join spreads the
+    hot key's rows over 16 salt buckets (per-row salt on the fact, 16×
+    replicated dim, SMJ pinned by hint) — row-identical output to the
+    plain join, one straggler reducer traded for 16 even ones.  AQE's
+    skew split handles moderate skew by splitting oversized partitions;
+    salting is the explicit lever when one KEY (not partition) is hot."""
+    from pigpen_spark.operators.joins import salted_join
+
+    fact = _skewed_fact(spark, sf_dir)
+    dim = tables(spark, sf_dir)["supplier"].map(
+        F.col("s_suppkey").alias("k"), F.col("s_name")).df
+    return (
+        salted_join(fact, dim.hint("merge"), on="k", salt=16)
+        .groupBy(F.col("k").alias("suppkey"), F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )

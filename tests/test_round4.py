@@ -378,3 +378,47 @@ class TestFusedMatchesUnfused:
                for r in M.synth_audio_downsample_stats(base, "doc_id", factor=2)
                .collect()}
         assert got_d == f_d
+
+
+class TestSkewJoinBench:
+    """Deliberate-skew join rows (VERDICT r3 next #7): salted_join proven
+    on data where one key carries ~20% of rows."""
+
+    def test_salted_matches_plain_on_skewed_data(self, spark, sf_dir):
+        from pigpen_spark import catalog
+        from pigpen_spark import catalog_ext  # noqa: F401 — registers ext_*
+
+        qs = catalog.queries()
+        plain = {tuple(r) for r in qs["ext_skew_join_plain"](spark, sf_dir).collect()}
+        salted = {tuple(r) for r in qs["ext_skew_join_salted"](spark, sf_dir).collect()}
+        assert plain == salted and len(plain) > 0
+
+    def test_plans_pinned(self, spark, sf_dir):
+        from pigpen_spark import catalog
+        from pigpen_spark import catalog_ext  # noqa: F401 — registers ext_*
+
+        qs = catalog.queries()
+        plain = qs["ext_skew_join_plain"](spark, sf_dir)
+        salted = qs["ext_skew_join_salted"](spark, sf_dir)
+        pp = plain._jdf.queryExecution().executedPlan().toString()
+        sp = salted._jdf.queryExecution().executedPlan().toString()
+        # control: SMJ, no broadcast, no salt explode
+        assert "SortMergeJoin" in pp and "BroadcastHashJoin" not in pp
+        assert "Generate" not in pp
+        # salted: SMJ on (salt, key) with the 16-way replication explode
+        assert "SortMergeJoin" in sp and "BroadcastHashJoin" not in sp
+        assert "Generate" in sp and "__rsalt" in sp
+
+    def test_hot_key_spreads_across_salt_buckets(self, spark):
+        from pigpen_spark.operators.joins import salted_join
+
+        left = spark.range(10_000).select(F.lit(1).alias("k"),
+                                          F.col("id").alias("v"))
+        right = spark.createDataFrame([(1, "x")], ["k", "name"])
+        out = salted_join(left, right.hint("merge"), on="k", salt=8)
+        assert out.count() == 10_000
+        # the per-row salt must actually take >1 value for a single hot key
+        n_buckets = (left.withColumn(
+            "s", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+            .select("s").distinct().count())
+        assert n_buckets > 1
