@@ -204,3 +204,30 @@ def load_hadoop(
 def store_many(rel: Relation, *writers: Callable[[Relation], None]) -> None:
     """Module-level alias of :meth:`Relation.store_many`."""
     rel.store_many(*writers)
+
+
+def load_tap(spark: SparkSession, reader) -> Relation:
+    """Wrap ANY platform source as a relation (reference: load-tap,
+    pigpen-cascading/src/main/clojure/pigpen/cascading.clj:50-70 — the
+    reference wraps an arbitrary Cascading Tap; the Spark analog wraps an
+    arbitrary DataFrame producer).  ``reader`` is either a DataFrame (an
+    existing scan/view/JDBC read) or a callable ``SparkSession ->
+    DataFrame`` for deferred construction — so any ``spark.read.format``
+    plug-in, temp view, or hand-built frame joins the Relation algebra
+    with every downstream operator available."""
+    from pyspark.sql import DataFrame as _DF
+
+    df = reader if isinstance(reader, _DF) else reader(spark)
+    if not isinstance(df, _DF):
+        raise TypeError(
+            f"load_tap: reader must be or produce a DataFrame, got {type(df).__name__}"
+        )
+    return Relation(df)
+
+
+def store_tap(rel: Relation, writer) -> None:
+    """Store through ANY platform sink (reference: store-tap,
+    cascading.clj:72-88): ``writer`` receives the materialized DataFrame
+    (pending fused Python ops compiled first) and drives any
+    ``df.write.format`` plug-in or side-effecting sink."""
+    writer(rel.df)

@@ -422,3 +422,48 @@ class TestSkewJoinBench:
             "s", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
             .select("s").distinct().count())
         assert n_buckets > 1
+
+
+class TestLoadTap:
+    """load-tap / store-tap analogs (reference cascading.clj:50-88) —
+    the one §2.1 row that was a documented pattern without a test."""
+
+    def test_load_tap_wraps_callable_and_dataframe(self, spark, tmp_path):
+        from pigpen_spark.sources.io import load_tap
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        rel1 = load_tap(spark, df)                      # direct frame
+        rel2 = load_tap(spark, lambda s: s.createDataFrame(
+            [(1, "a"), (2, "b")], ["k", "v"]))          # deferred producer
+        assert {tuple(r) for r in rel1.df.collect()} == \
+               {tuple(r) for r in rel2.df.collect()} == {(1, "a"), (2, "b")}
+        # the wrap joins the full operator algebra
+        assert rel1.filter(F.col("k") == 1).df.count() == 1
+
+    def test_load_tap_rejects_non_dataframe(self, spark):
+        import pytest as _pytest
+
+        from pigpen_spark.sources.io import load_tap
+
+        with _pytest.raises(TypeError, match="must be or produce"):
+            load_tap(spark, lambda s: [1, 2, 3])
+
+    def test_store_tap_drives_any_sink(self, spark, tmp_path):
+        from pigpen_spark.sources.io import load_tap, store_tap
+
+        rel = load_tap(spark, spark.createDataFrame([(7, "x")], ["k", "v"]))
+        out = str(tmp_path / "tap_out")
+        store_tap(rel, lambda df: df.write.mode("overwrite").parquet(out))
+        back = spark.read.parquet(out)
+        assert [tuple(r) for r in back.collect()] == [(7, "x")]
+
+    def test_store_tap_compiles_pending_python_ops(self, spark, tmp_path):
+        """writer must see the MATERIALIZED frame: a pending fused *_py
+        chain compiles before the sink runs."""
+        from pigpen_spark.sources.io import load_tap, store_tap
+
+        rel = load_tap(spark, spark.createDataFrame([(1,), (2,)], ["k"]))
+        rel2 = rel.map_py(lambda r: {"k": r["k"] * 10}, schema="k long")
+        got = []
+        store_tap(rel2, lambda df: got.extend(r["k"] for r in df.collect()))
+        assert sorted(got) == [10, 20]
