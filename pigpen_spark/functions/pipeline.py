@@ -865,7 +865,9 @@ def chunk_overlap_sql(table: str, id_col: str, text_col: str,
 
 def remove_frequent_spans(df: DataFrame, id_col: str, text_col: str,
                           chunk: int = 8, min_docs: int = 10,
-                          out_col: str = "clean_text") -> DataFrame:
+                          out_col: str = "clean_text",
+                          strategy: str = "auto",
+                          broadcast_max: int = 20_000) -> DataFrame:
     """Corpus-wide boilerplate removal: delete EVERY occurrence of any
     ``chunk``-token span that appears in ≥ ``min_docs`` distinct documents
     (the MassiveText/C4 "repeated boilerplate lines" gate — cookie
@@ -873,19 +875,28 @@ def remove_frequent_spans(df: DataFrame, id_col: str, text_col: str,
     :func:`dedup_spans`, which keeps each duplicated span's global FIRST
     occurrence: boilerplate is noise in every copy, so no copy survives.
 
-    Plan: one explode of per-doc DISTINCT spans → partial-aggregating
-    count → the banned set (all spans with ≥ min_docs docs) collapses to
-    a single array row that broadcast-crossJoins the corpus, and each doc
-    filters its own span list with an O(|doc|·|ban|) HOF membership test
-    — the corpus is never exploded a second time and never shuffled for
-    reassembly.  The ban set is bounded by total_spans/min_docs (heavy
-    hitters are few by definition); for a LOW threshold over a huge
-    corpus, where the ban set itself is big, use the join form
-    (:func:`dedup_spans`'s shape) instead — docstring contract, not a
-    silent fallback.
+    Two executions of the same semantics, chosen by ``strategy``:
+
+    - ``"broadcast"``: the banned set collapses to ONE array row that
+      broadcast-crossJoins the corpus; each doc filters its span list
+      with an O(|doc|·|ban|) HOF membership test — zero reassembly
+      shuffle.  Right whenever heavy hitters are few (the normal
+      boilerplate regime: ban ≈ total_spans/min_docs).
+    - ``"join"``: posexplode the corpus once, LEFT ANTI join the spans
+      against the ban table (shuffle keyed by span), regroup by doc in
+      position order.  Costs a reassembly shuffle but is O(|corpus| +
+      |ban|) — the path for a LOW threshold over a huge corpus where the
+      ban set itself is large and the per-doc linear scan degenerates
+      (measured: a ban set of ~10⁵ spans made the broadcast form ~450×
+      slower at 10× scale, SCALE.md §scaling-evidence).
+    - ``"auto"`` (default): count the ban set (bounded one-row-per-span
+      aggregate, persisted so the count doesn't recompute it) and pick
+      ``broadcast`` iff it holds ≤ ``broadcast_max`` spans.
     """
     if min_docs < 2:
         raise ValueError(f"remove_frequent_spans: min_docs must be >= 2, got {min_docs}")
+    if strategy not in ("auto", "broadcast", "join"):
+        raise ValueError(f"remove_frequent_spans: unknown strategy {strategy!r}")
     src = df.select(_c(id_col).alias("__id"),
                     token_chunks(_c(text_col), chunk).alias("__chunks"))
     freq = (
@@ -893,16 +904,41 @@ def remove_frequent_spans(df: DataFrame, id_col: str, text_col: str,
         .groupBy("__c").agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= min_docs)
     )
-    ban = freq.agg(F.collect_list("__c").alias("__ban"))
-    kept = F.filter(
-        F.col("__chunks"), lambda c: ~F.array_contains(F.col("__ban"), c)
+    if strategy == "auto":
+        freq = _persisted(freq)
+        strategy = "broadcast" if freq.count() <= broadcast_max else "join"
+    if strategy == "broadcast":
+        ban = freq.agg(F.collect_list("__c").alias("__ban"))
+        kept = F.filter(
+            F.col("__chunks"), lambda c: ~F.array_contains(F.col("__ban"), c)
+        )
+        return (
+            src.crossJoin(F.broadcast(ban))
+            .select(
+                F.col("__id").alias(id_col),
+                F.array_join(kept, " ").alias(out_col),
+                (F.size("__chunks") - F.size(kept)).cast("long").alias("n_removed"),
+            )
+        )
+    pos = src.select(
+        "__id", F.posexplode("__chunks").alias("__pos", "__c"))
+    surviving = pos.join(freq.select("__c"), on="__c", how="left_anti")
+    regrouped = surviving.groupBy("__id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__c"))),
+            lambda s: s["__c"],
+        ).alias("__kept")
     )
+    # left join back: docs whose every span was banned (or that had no
+    # spans at all) must still emit a row with empty clean text
     return (
-        src.crossJoin(F.broadcast(ban))
+        src.select("__id", F.size("__chunks").alias("__total"))
+        .join(regrouped, on="__id", how="left")
         .select(
             F.col("__id").alias(id_col),
-            F.array_join(kept, " ").alias(out_col),
-            (F.size("__chunks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.coalesce(F.array_join("__kept", " "), F.lit("")).alias(out_col),
+            (F.col("__total") - F.coalesce(F.size("__kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
         )
     )
 

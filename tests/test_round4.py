@@ -467,3 +467,60 @@ class TestLoadTap:
         got = []
         store_tap(rel2, lambda df: got.extend(r["k"] for r in df.collect()))
         assert sorted(got) == [10, 20]
+
+
+class TestRemoveFrequentSpansJoinForm:
+    """The big-ban-set path (SCALE.md: the broadcast HOF scan went ~450x
+    slower once the ban set exploded at 10x scale)."""
+
+    def _corpus(self, spark):
+        rows = [(i, "ban ner spam spam unique" + str(i) + " tail tok")
+                for i in range(12)]
+        rows.append((99, "ban ner spam spam ban ner spam spam"))  # all banned
+        rows.append((100, ""))                                    # empty doc
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_join_matches_broadcast(self, spark):
+        from pigpen_spark.functions.pipeline import remove_frequent_spans
+
+        df = self._corpus(spark)
+        b = {tuple(r) for r in remove_frequent_spans(
+            df, "doc_id", "text", chunk=4, min_docs=10,
+            strategy="broadcast").collect()}
+        j = {tuple(r) for r in remove_frequent_spans(
+            df, "doc_id", "text", chunk=4, min_docs=10,
+            strategy="join").collect()}
+        assert b == j and len(b) == 14
+
+    def test_auto_switches_on_ban_size(self, spark):
+        from pigpen_spark.functions.pipeline import remove_frequent_spans
+
+        df = self._corpus(spark)
+        # broadcast_max=0 forces the join path through auto
+        forced = {tuple(r) for r in remove_frequent_spans(
+            df, "doc_id", "text", chunk=4, min_docs=10,
+            strategy="auto", broadcast_max=0).collect()}
+        default = {tuple(r) for r in remove_frequent_spans(
+            df, "doc_id", "text", chunk=4, min_docs=10).collect()}
+        assert forced == default
+
+    def test_join_form_keeps_order_and_all_docs(self, spark):
+        from pigpen_spark.functions.pipeline import remove_frequent_spans
+
+        df = self._corpus(spark)
+        out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in remove_frequent_spans(
+                   df, "doc_id", "text", chunk=4, min_docs=10,
+                   strategy="join").collect()}
+        # doc 99: both its chunks are banned spans -> empty, 2 removed
+        assert out[99] == ("", 2)
+        assert out[100] == ("", 0)
+        # the shared 4-token chunk is banned; the doc-unique tail survives
+        assert out[0] == ("unique0 tail tok", 1)
+
+    def test_bad_strategy_rejected(self, spark):
+        from pigpen_spark.functions.pipeline import remove_frequent_spans
+
+        with pytest.raises(ValueError, match="unknown strategy"):
+            remove_frequent_spans(self._corpus(spark), "doc_id", "text",
+                                  strategy="nope")
