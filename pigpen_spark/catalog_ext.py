@@ -3250,3 +3250,51 @@ def ext_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"),
              F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# hash-exact NFC normalization (round 4: the oracle-checkable member of
+# the Unicode family — DuckDB ships nfc_normalize)
+# ---------------------------------------------------------------------------
+
+#: per-doc Unicode decorations, written as explicit escapes so the
+#: DECOMPOSED forms cannot be silently NFC-composed by an editor:
+#: combining sequences (e+U+0301, A+U+030A, e+U+0327+U+0301 — canonical
+#: composition AND ordering), the ANGSTROM SIGN singleton (U+212B →
+#: U+00C5), an NFC-invariant ligature, and plain ASCII — 4 of 6 change
+#: under NFC, so `changed` genuinely discriminates on the all-ASCII
+#: corpus and the oracle is not vacuous.
+_NFC_DECOS = ["Cafe\u0301", "A\u030aberg", "\ufb01ne", "\u212bngstrom", "e\u0327\u0301x", "plain"]
+
+
+@register(
+    "ext_normalize_nfc",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' ' || ['Café', 'Åberg', 'ﬁne', 'Ångstrom', 'ȩ́x', 'plain'][(doc_id % 6)::INT + 1] AS decorated
+      FROM documents
+    )
+    SELECT doc_id, nfc_normalize(decorated) AS norm_text,
+           (nfc_normalize(decorated) <> decorated) AS changed
+    FROM raw
+    """,
+)
+def ext_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT Unicode NFC normalization: each doc gets a
+    deterministic non-ASCII decoration (combining sequences, the
+    angstrom singleton, an NFC-invariant ligature, plain ASCII), and
+    the Arrow-batched NFC UDF must agree byte-for-byte with DuckDB's
+    utf8proc ``nfc_normalize`` — canonical composition is
+    implementation-independent, so this pins the real Unicode path that
+    ext_normalize_unicode (NFKC+casefold, rows-only) extends."""
+    docs = tables(spark, sf_dir)["documents"].df
+    deco = F.element_at(
+        F.array(*[F.lit(d) for d in _NFC_DECOS]),
+        (F.col("doc_id") % 6).cast("int") + 1,
+    )
+    decorated = F.concat(F.col("text"), F.lit(" "), deco)
+    norm = T.normalize_nfc(decorated)
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), (norm != decorated).alias("changed")
+    )

@@ -477,6 +477,27 @@ def normalize_text_unicode(col) -> Column:
     return udf(_c(col))
 
 
+def normalize_nfc(col) -> Column:
+    """Pure NFC canonical normalization (no casefold, no whitespace
+    edits) via the same Arrow-batched pandas UDF shape as the NFKC
+    path.  NFC is the one normalization form DuckDB also ships
+    (``nfc_normalize``, utf8proc) and the two implementations agree
+    codepoint-for-codepoint on canonical composition — which makes this
+    the HASH-EXACT member of the Unicode-normalization family
+    (ext_normalize_nfc), while NFKC+casefold stays rows-only."""
+    import pandas as pd
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda v: None if v is None
+                     else unicodedata.normalize("NFC", v))
+
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_nfc, "string")
+    return udf(_c(col))
+
+
 def blocklist_hit(col, blocklist: list[str]) -> Column:
     """True when any whitespace token of ``col`` appears in ``blocklist``
     (case-insensitive via the shared tokenizer) — the standard wordlist

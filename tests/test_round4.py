@@ -524,3 +524,23 @@ class TestRemoveFrequentSpansJoinForm:
         with pytest.raises(ValueError, match="unknown strategy"):
             remove_frequent_spans(self._corpus(spark), "doc_id", "text",
                                   strategy="nope")
+
+
+class TestNormalizeNfc:
+    def test_nfc_matches_python_and_is_idempotent(self, spark):
+        import unicodedata
+
+        from pigpen_spark.functions.text import normalize_nfc
+
+        cases = ["Café", "Åberg", "ﬁne", "Ångstrom",
+                 "ȩ́x", "plain", "", None]
+        df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                                   "i int, t string")
+        got = {r["i"]: r["n"] for r in df.select(
+            "i", normalize_nfc("t").alias("n")).collect()}
+        for i, c in enumerate(cases):
+            want = None if c is None else unicodedata.normalize("NFC", c)
+            assert got[i] == want, (c, got[i], want)
+        # idempotence: NFC(NFC(x)) == NFC(x)
+        df2 = df.select("i", normalize_nfc(normalize_nfc("t")).alias("n"))
+        assert {r["i"]: r["n"] for r in df2.collect()} == got
