@@ -3099,13 +3099,13 @@ def ext_group_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (
       SELECT o_custkey AS k, count(*)::BIGINT AS n_orders,
-             sum(o_totalprice)::DOUBLE AS tot
+             sum(round(o_totalprice * 100)::BIGINT) AS cents
       FROM orders GROUP BY o_custkey
     ),
     c AS (SELECT c_custkey AS k, c_name FROM customer)
     SELECT c.k AS custkey, c.c_name AS name,
            coalesce(o.n_orders, 0)::BIGINT AS n_orders,
-           round(coalesce(o.tot, 0), 2) AS total_price
+           coalesce(o.cents, 0)::BIGINT AS total_cents
     FROM c LEFT JOIN o ON c.k = o.k
     """,
 )
@@ -3114,13 +3114,20 @@ def ext_cogroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders bags arrive input-by-input per custkey as bounded chunks —
     the reference's multi-bag Accumulator shape without collect_list.
     State per key is three scalars; output matches a LEFT JOIN aggregate
-    oracle (required first input, optional second)."""
+    oracle (required first input, optional second).  Prices accumulate
+    as integer CENTS (chunk arrival order within a tag is not total, so
+    a float running sum would be order-sensitive at the rounding edge;
+    integer addition is order-free — determinism rule: design scores as
+    integer folds)."""
     t = tables(spark, sf_dir)
     cust = t["customer"].map(F.col("c_custkey"), F.col("c_name"))
-    orders = t["orders"].map(F.col("o_custkey"), F.col("o_totalprice"))
+    orders = t["orders"].map(
+        F.col("o_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
 
     def init(key):
-        return {"name": None, "n": 0, "tot": 0.0, "seen0": False}
+        return {"name": None, "n": 0, "cents": 0, "seen0": False}
 
     def accumulate(st, tag, chunk):
         if tag == 0:
@@ -3128,18 +3135,18 @@ def ext_cogroup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             st["name"] = chunk["c_name"].iloc[0]
         else:
             st["n"] += len(chunk)
-            st["tot"] += float(chunk["o_totalprice"].sum())
+            st["cents"] += int(chunk["cents"].sum())
         return st
 
     def finish(key, st):
         return {"custkey": key[0], "name": st["name"], "n_orders": st["n"],
-                "total_price": round(st["tot"], 2), "__keep": st["seen0"]}
+                "total_cents": st["cents"], "__keep": st["seen0"]}
 
     out = cust.cogroup_stream(
         [(orders, F.col("o_custkey"))], F.col("c_custkey"),
         init, accumulate, finish,
         schema=("custkey long, name string, n_orders long, "
-                "total_price double, __keep boolean"),
+                "total_cents long, __keep boolean"),
         key_names=["k"],
     )
     return out.filter(F.col("__keep")).df.drop("__keep")
