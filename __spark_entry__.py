@@ -100,9 +100,18 @@ _DRIVER_PRIORITY: list[str] = [
     "q_moving_avg",
     # --- r4 window: rows-only by design (ICU NFKC), last slot ---
     "ext_normalize_unicode",
-    # --- below the window: the 3 remaining never-verified rows-only
-    # trained variants (iterative training ⇒ weakest driver signal; each
-    # keeps an in-window family rep + pytest coverage) ---
+    # --- below the window: queries ADDED in round 4 (hash-exact, green
+    # in the local replica) — they lead the r5 rotation together with
+    # whatever r4's driver run leaves unverified ---
+    "ext_group_stream_digest",   # streaming huge-group fold (Accumulator parity)
+    "ext_cogroup_stream",        # streaming 2-ary cogroup, integer-cents fold
+    "ext_frame_sample_mp4",      # MJPEG-in-mp4 demux + JPEG decode per sample
+    "ext_skew_join_plain",       # skew-pair control (shared oracle)
+    "ext_skew_join_salted",      # salting lever on a ~20%-hot key
+    "ext_normalize_nfc",         # hash-exact NFC (DuckDB nfc_normalize)
+    # --- the 3+1 remaining never-verified rows-only trained variants
+    # (iterative training ⇒ weakest driver signal; each keeps an
+    # in-window family rep + pytest coverage) ---
     "ext_semdedup_trained",   # rep: ext_semdedup (r3 green; same search plan)
     "ext_ann_opq_trained",    # reps: ext_ann_pq/ext_embed_rr_pq (rotation family)
     "ext_ann_ivf_kmeans",     # rep: ext_ann_ivf (r3 green; same cell search)

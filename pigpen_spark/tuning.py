@@ -163,3 +163,29 @@ def join_cardinality_estimate(left, right, left_key, right_key):
     return na.crossJoin(nb).crossJoin(prod).select(
         "n_left", "n_right",
         F.coalesce(F.col("n_join"), F.lit(0)).alias("n_join"))
+
+
+def lsh_planes_for(n_vectors: int, target_bucket: int = 200,
+                   floor: int = 8, cap: int = 32) -> int:
+    """Density-scaled hyperplane count for the LSH family
+    (similarity.lsh_bucket / lsh_topk / embedding_near_dup_pairs).
+
+    Candidate-pair work inside an LSH bucket is quadratic in bucket
+    occupancy, and occupancy ≈ n / 2^planes for random hyperplanes — so
+    a FIXED plane count grows pair work ~quadratically with corpus size
+    (measured: 10× the vectors at n_planes=16 made ext_ann_lsh_mp 18.8×
+    slower, SCALE.md §scaling-evidence).  The scale-invariant setting is
+    planes ≈ log2(n / target_bucket): expected occupancy stays at
+    ``target_bucket`` and total pair work stays LINEAR in n.  Clamped to
+    [floor, cap]; 2^cap buckets ≫ any real corpus at cap=32.  Recall at
+    a given plane count is governed by the probe strategy (multi_probe /
+    n_tables), which is orthogonal to this sizing.
+    """
+    import math
+
+    if n_vectors <= 0:
+        raise ValueError(f"lsh_planes_for: n_vectors must be > 0, got {n_vectors}")
+    if target_bucket < 1:
+        raise ValueError(f"lsh_planes_for: target_bucket must be >= 1, got {target_bucket}")
+    planes = math.ceil(math.log2(max(n_vectors / target_bucket, 1.0)))
+    return max(floor, min(cap, planes))

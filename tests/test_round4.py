@@ -544,3 +544,20 @@ class TestNormalizeNfc:
         # idempotence: NFC(NFC(x)) == NFC(x)
         df2 = df.select("i", normalize_nfc(normalize_nfc("t")).alias("n"))
         assert {r["i"]: r["n"] for r in df2.collect()} == got
+
+
+class TestLshPlanesFor:
+    def test_density_invariance_and_clamps(self):
+        from pigpen_spark.tuning import lsh_planes_for
+
+        # expected occupancy n / 2^planes stays ~target across 1000x
+        for n in (10_000, 100_000, 1_000_000, 10_000_000):
+            p = lsh_planes_for(n, target_bucket=200)
+            assert 8 <= p <= 32
+            assert n / (1 << p) <= 200 * 1.01
+        # 10x data adds ~log2(10) ~ 3-4 planes (above the floor clamp)
+        assert 3 <= lsh_planes_for(2_000_000) - lsh_planes_for(200_000) <= 4
+        assert lsh_planes_for(10) == 8          # floor
+        assert lsh_planes_for(10**12, cap=20) == 20  # cap
+        with pytest.raises(ValueError):
+            lsh_planes_for(0)
