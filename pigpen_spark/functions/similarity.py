@@ -226,9 +226,23 @@ def _arrow_cosine() -> "Column":
     return F.pandas_udf(_score, "double")
 
 
+def resolve_planes(n_planes, corpus: DataFrame):
+    """Resolve ``n_planes="auto"`` (or None) to a density-scaled count
+    via :func:`pigpen_spark.tuning.lsh_planes_for` — one count() of the
+    corpus buys scale-invariant bucket occupancy (fixed plane counts
+    grow pair work ~quadratically with density; SCALE.md
+    §scaling-evidence).  Catalog queries pass explicit ints so their
+    DuckDB oracles stay reproducible; pipelines should pass "auto"."""
+    if n_planes in (None, "auto"):
+        from pigpen_spark.tuning import lsh_planes_for
+
+        return lsh_planes_for(corpus.count())
+    return n_planes
+
+
 def lsh_topk(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    k: int = 5, n_planes: int = 6, dim: int | None = None,
+    k: int = 5, n_planes: int | str | None = 6, dim: int | None = None,
     multi_probe: bool = False, score_mode: str = "expr",
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share an LSH bucket.
@@ -252,6 +266,7 @@ def lsh_topk(
     (numpy sum order), so oracle-checked callers keep ``"expr"``."""
     if score_mode not in ("expr", "arrow"):
         raise ValueError(f"lsh_topk: unknown score_mode {score_mode!r}")
+    n_planes = resolve_planes(n_planes, corpus)
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     # persist: bucket expressions would otherwise recompute on both sides
@@ -435,7 +450,8 @@ def _ivf_search(base: DataFrame, cents: DataFrame, k: int, n_probe: int) -> Data
 
 def embedding_near_dup_pairs(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95, n_tables: int = 4, n_planes: int = 8,
+    threshold: float = 0.95, n_tables: int = 4,
+    n_planes: int | str | None = 8,
     dim: int | None = None, exact: bool = False, multi_probe: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, blocked on multi-table
@@ -468,6 +484,7 @@ def embedding_near_dup_pairs(
     ``exact=True`` keeps the previous brute all-pairs form for small
     corpora / recall audits; norms are still computed once per vector
     (persisted), not per pair."""
+    n_planes = resolve_planes(n_planes, corpus)
     base = (
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
@@ -1361,7 +1378,8 @@ def ann_recall(approx: DataFrame, exact: DataFrame,
 
 
 def lsh_index(corpus: DataFrame, id_col: str = "vec_id",
-              vec_col: str = "embedding", n_planes: int = 6,
+              vec_col: str = "embedding",
+              n_planes: int | str | None = 6,
               dim: int | None = None) -> DataFrame:
     """Materializable ANN index: ``(id, vec double[], nrm, bucket)`` —
     the corpus hashed ONCE.  Store it (parquet, ideally partitioned or
@@ -1369,7 +1387,11 @@ def lsh_index(corpus: DataFrame, id_col: str = "vec_id",
     :func:`lsh_topk_against` without touching the raw corpus again — the
     index-as-data seam, same contract as :func:`pigpen_spark.functions.
     dedup.minhash_index` for near-dup.  At 100 TB the corpus is hashed
-    once per index build, not once per query batch."""
+    once per index build, not once per query batch.  ``n_planes="auto"``
+    density-sizes the bucket count (resolve_planes); the SERVING side
+    (lsh_topk_against) must then use the index's plane count — store it
+    alongside the index."""
+    n_planes = resolve_planes(n_planes, corpus)
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     return (

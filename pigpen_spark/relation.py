@@ -964,7 +964,10 @@ class GroupedRelation:
 
     def collect_bags(self, value: Column | str | None = None, bag_col: str = "bag", sort: bool = False) -> Relation:
         """key → bag of values (reference: group-by → MapEntry[k, seq],
-        join.clj:195-223).  ``sort=True`` makes bag content deterministic."""
+        join.clj:195-223).  ``sort=True`` makes bag content deterministic.
+        collect_list materializes each bag in one task — for keys that
+        can be huge, fold the bag instead (:meth:`fold`) or stream it
+        (:meth:`apply_stream`)."""
         v = _to_col(value) if value is not None else F.struct(*[F.col(c) for c in self._rel.df.columns])
         bag = F.collect_list(v)
         if sort:

@@ -561,3 +561,27 @@ class TestLshPlanesFor:
         assert lsh_planes_for(10**12, cap=20) == 20  # cap
         with pytest.raises(ValueError):
             lsh_planes_for(0)
+
+
+class TestAutoPlanes:
+    def test_auto_resolves_and_matches_explicit(self, spark):
+        from pigpen_spark.functions import similarity as S
+        from pigpen_spark.tuning import lsh_planes_for
+
+        rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        expected_planes = lsh_planes_for(300)
+        auto = S.lsh_topk(df, k=3, n_planes="auto", dim=8)
+        explicit = S.lsh_topk(df, k=3, n_planes=expected_planes, dim=8)
+        assert {tuple(r) for r in auto.collect()} == \
+               {tuple(r) for r in explicit.collect()}
+
+    def test_auto_on_index(self, spark):
+        from pigpen_spark.functions import similarity as S
+
+        rows = [(i, [float((i * 5 + j) % 7) for j in range(8)])
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        idx = S.lsh_index(df, n_planes="auto", dim=8)
+        assert idx.count() == 50 and "bucket" in idx.columns
