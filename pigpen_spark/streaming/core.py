@@ -599,3 +599,60 @@ def boilerplate_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_group_accumulate(
+    df: DataFrame,
+    key_col: str,
+    init,
+    accumulate,
+    emit,
+    out_schema: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """GENERIC streaming Accumulator — the micro-batch twin of
+    :meth:`pigpen_spark.relation.GroupedRelation.apply_stream` (same
+    ``init(key) -> state`` / ``accumulate(state, chunk_pdf) -> state`` /
+    ``emit(key, state) -> dict`` trio, reference parity: Pig Accumulator,
+    pig/runtime.clj:194-240).  State is pickled into the
+    applyInPandasWithState store, so any Python value works (running
+    hashes, heaps, sketches); each micro-batch's rows for a key arrive as
+    bounded pandas chunks and ``emit`` re-emits that key's current row in
+    update mode.
+
+    :func:`running_totals` is the specialized (count, sum) instance kept
+    for schema-stable state; this form trades a pickle per key per batch
+    for arbitrary accumulators.  ``idle_timeout_ms`` evicts idle keys —
+    REQUIRED for unbounded key spaces."""
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "blob binary"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        st = pickle.loads(bytes(state.get[0])) if state.exists else init(key)
+        for pdf in pdfs:
+            st = accumulate(st, pdf)
+        state.update((pickle.dumps(st),))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame([emit(key, st)])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
+    )

@@ -585,3 +585,65 @@ class TestAutoPlanes:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         idx = S.lsh_index(df, n_planes="auto", dim=8)
         assert idx.count() == 50 and "bucket" in idx.columns
+
+
+class TestStreamGroupAccumulate:
+    def test_generic_state_survives_batches(self, spark, tmp_path):
+        import json
+
+        from pigpen_spark.streaming import core as st
+
+        SCHEMA = "user string, v double, ts timestamp"
+
+        def write_batch(path, rows, name):
+            path.mkdir(parents=True, exist_ok=True)
+            (path / f"{name}.json").write_text(
+                "\n".join(json.dumps(r) for r in rows))
+
+        src = tmp_path / "in_acc"
+        write_batch(src, [
+            {"user": "a", "v": 2.0, "ts": "2024-01-01 00:00:00"},
+            {"user": "a", "v": 3.0, "ts": "2024-01-01 00:01:00"},
+            {"user": "b", "v": 5.0, "ts": "2024-01-01 00:02:00"},
+        ], "b0")
+        write_batch(src, [
+            {"user": "a", "v": 10.0, "ts": "2024-01-01 00:03:00"},
+        ], "b1")
+        # one file per micro-batch: state must carry across batches
+        rel = st.read_stream_json(spark, str(src), SCHEMA,
+                                  maxFilesPerTrigger=1)
+
+        def init(key):
+            return {"n": 0, "s": 0.0, "mx": None}
+
+        def acc(stt, pdf):
+            stt["n"] += len(pdf)
+            stt["s"] += float(pdf["v"].sum())
+            m = float(pdf["v"].max())
+            stt["mx"] = m if stt["mx"] is None else max(stt["mx"], m)
+            return stt
+
+        def emit(key, stt):
+            return {"user": key[0], "n": stt["n"], "s": stt["s"],
+                    "mx": stt["mx"]}
+
+        out = st.stream_group_accumulate(
+            rel.df, "user", init, acc, emit,
+            "user string, n bigint, s double, mx double", "ts")
+        q = (out.writeStream.format("memory").queryName("acc1")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck_acc"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("select * from acc1").collect()
+        # update mode re-emits per batch; n is monotonic, so the row
+        # with max n per key is the current state (collect order is not
+        # a contract)
+        cur = {}
+        for r in rows:
+            if r["user"] not in cur or r["n"] > cur[r["user"]][0]:
+                cur[r["user"]] = (r["n"], r["s"], r["mx"])
+        assert cur["a"] == (3, 15.0, 10.0)
+        assert cur["b"] == (1, 5.0, 5.0)
+        # two emissions for "a" proves the state crossed a batch boundary
+        assert sum(1 for r in rows if r["user"] == "a") == 2
