@@ -3305,3 +3305,33 @@ def ext_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", norm.alias("norm_text"), (norm != decorated).alias("changed")
     )
+
+
+@register(
+    "ext_image_decode_progressive",
+    f"""
+    SELECT doc_id,
+           (8 * {_JBW})::INT AS width, (8 * {_JBH})::INT AS height,
+           1 AS channels,
+           (64 * ({_JBW} * {_JBH} * {_JA}
+                  + {_JBH} * ({_JBW} * ({_JBW} - 1) // 2)
+                  + {_JBW} * ({_JBH} * ({_JBH} - 1) // 2)))::BIGINT AS px_sum,
+           {_JA}::INT AS px_min,
+           ({_JA} + {_JBW} - 1 + {_JBH} - 1)::INT AS px_max
+    FROM documents
+    """,
+)
+def ext_image_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE-JPEG decode (SOF2): the same lossless-subspace
+    block ramps as ext_image_decode_jpeg, but written as a 5-scan
+    progressive stream — DC successive approximation (Al=1→0), AC
+    spectral-selection bands with EOB runs, and the T.81 G.2
+    correction-bit refinement — and decoded back through the full
+    multi-scan accumulator.  Coefficients are identical to the baseline
+    stream (pytest pins baseline==progressive bit-for-bit on arbitrary
+    images), so the closed-form oracle carries over unchanged."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    return M.synth_image_stats(docs, "doc_id", fmt="jpeg_progressive").select(
+        F.col("id").alias("doc_id"),
+        "width", "height", "channels", "px_sum", "px_min", "px_max",
+    )

@@ -617,6 +617,7 @@ class _BitReader:
     def __init__(self, data: bytes, pos: int):
         segs: list[tuple[bytes, int | None]] = []
         start = i = pos
+        self.marker_pos = len(data)      # where the terminating marker begins
         while True:
             j = data.find(b"\xFF", i)
             if j == -1 or j + 1 >= len(data):
@@ -630,7 +631,8 @@ class _BitReader:
             if 0xD0 <= nxt <= 0xD7:      # RSTn: entropy continues after it
                 start = i = j + 2
                 continue
-            break                        # real marker: scan region ends
+            self.marker_pos = j          # real marker: scan region ends
+            break
         self.segs = segs
         self.si = 0
         self.buf = segs[0][0]
@@ -708,8 +710,14 @@ def _extend(v: int, t: int) -> int:
 
 @_valueerror_contract
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG to (h, w, channels) uint8 (1 = grayscale,
-    3 = RGB from YCbCr)."""
+    """Decode baseline (SOF0) or PROGRESSIVE (SOF2) JPEG to (h, w,
+    channels) uint8 (1 = grayscale, 3 = RGB from YCbCr).  Progressive
+    streams accumulate coefficients across scans — DC first/refinement
+    (successive approximation via arithmetic shifts), AC spectral-
+    selection bands with EOB runs, and the T.81 G.2 AC refinement
+    correction-bit procedure — then reconstruct once at EOI.  4:2:0
+    subsampling is supported for baseline only (progressive AC scans are
+    per-component; our corpus is 4:4:4)."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("jpeg: bad SOI")
     pos = 2
@@ -719,6 +727,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     comps = None
     w = h = 0
     restart_interval = 0
+    progressive = False
+    store: list[np.ndarray] | None = None
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -752,15 +762,19 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17:p + 17 + nval])
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(bits, values)
                 p += 17 + nval
-        elif marker == 0xC0:                  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):          # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"jpeg: unsupported SOF marker 0xFF{marker:02X} (baseline only)")
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq, "idx": i})
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"jpeg: unsupported SOF marker 0xFF{marker:02X} "
+                "(baseline and progressive only)")
         elif marker == 0xDD:                  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:                  # SOS — entropy data follows
@@ -771,11 +785,169 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 comp = next(c for c in comps if c["id"] == cs)
                 comp["dc_t"], comp["ac_t"] = tables >> 4, tables & 0x0F
                 scan.append(comp)
-            pos += seg_len
-            return _decode_scan(data, pos, w, h, scan, qt, huff_dc, huff_ac,
-                                restart_interval)
+            if not progressive:
+                pos += seg_len
+                return _decode_scan(data, pos, w, h, scan, qt, huff_dc,
+                                    huff_ac, restart_interval)
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                raise ValueError("jpeg: progressive subsampling unsupported")
+            if restart_interval:
+                raise ValueError("jpeg: progressive restart markers unsupported")
+            n_blocks = ((w + 7) // 8) * ((h + 7) // 8)
+            if store is None:
+                store = [np.zeros((n_blocks, 64), dtype=np.int32)
+                         for _ in comps]
+            r = _BitReader(data, pos + seg_len)
+            if ss == 0:                       # DC scan (se must be 0)
+                if se != 0:
+                    raise ValueError("jpeg: DC scan with se != 0")
+                _prog_dc_scan(r, scan, store, al, ah == 0, n_blocks, huff_dc)
+            else:                             # AC scan: single component
+                if ns != 1:
+                    raise ValueError("jpeg: interleaved AC progressive scan")
+                c = scan[0]
+                if ah == 0:
+                    _prog_ac_first(r, c, store, ss, se, al, n_blocks, huff_ac)
+                else:
+                    _prog_ac_refine(r, c, store, ss, se, al, n_blocks, huff_ac)
+            pos = r.marker_pos
+            continue
         pos += seg_len
+    if progressive and store is not None:
+        return _prog_reconstruct(store, comps, qt, w, h)
     raise ValueError("jpeg: no SOS marker")
+
+
+def _prog_dc_scan(r, scan, store, al, first, n_blocks, huff_dc):
+    """DC scan, interleaved over the scan's components (4:4:4 MCU = one
+    block per component).  First pass: Huffman diffs of the
+    point-transformed values, placed at << al; refinement: one raw bit
+    per block OR-ed into bit al (two's-complement arithmetic, so
+    negative coefficients refine correctly)."""
+    preds = {c["idx"]: 0 for c in scan}
+    for b in range(n_blocks):
+        for c in scan:
+            co = store[c["idx"]]
+            if first:
+                t = r.huff(huff_dc[c["dc_t"]])
+                diff = _extend(r.bits(t), t) if t else 0
+                preds[c["idx"]] += diff
+                co[b, 0] = preds[c["idx"]] << al
+            elif r.bits(1):
+                co[b, 0] |= 1 << al
+
+
+def _prog_ac_first(r, c, store, ss, se, al, n_blocks, huff_ac):
+    """AC spectral-selection first pass (T.81 G.2.2): run/size symbols
+    within the band, values placed at << al, EOBn symbols skip whole
+    blocks (EOBRUN = 2^r - 1 + appended bits)."""
+    co = store[c["idx"]]
+    table = huff_ac[c["ac_t"]]
+    eobrun = 0
+    for b in range(n_blocks):
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = r.huff(table)
+            rr, s = rs >> 4, rs & 15
+            if s == 0:
+                if rr == 15:                  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.bits(rr)
+                break
+            k += rr
+            if k > se:
+                raise ValueError("jpeg: AC run past band end")
+            co[b, k] = _extend(r.bits(s), s) << al
+            k += 1
+
+
+def _prog_ac_refine(r, c, store, ss, se, al, n_blocks, huff_ac):
+    """AC successive-approximation refinement (T.81 G.2.3 / the
+    jdphuff shape): newly-significant coefficients arrive as (run, 1)
+    symbols + a sign bit; every nonzero-history coefficient passed on
+    the way — and every one in an EOB run — absorbs one correction
+    bit."""
+    co = store[c["idx"]]
+    table = huff_ac[c["ac_t"]]
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+
+    def correct(b, k):
+        if r.bits(1) and (co[b, k] & p1) == 0:
+            co[b, k] += p1 if co[b, k] >= 0 else m1
+
+    for b in range(n_blocks):
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = r.huff(table)
+                rr, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if rr < 15:               # EOBn: covers this block too
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break
+                    # ZRL: pass 16 zero-history positions
+                elif s == 1:
+                    val = p1 if r.bits(1) else m1
+                else:
+                    raise ValueError("jpeg: invalid AC refinement size")
+                while k <= se:
+                    if co[b, k] != 0:
+                        correct(b, k)
+                    else:
+                        if rr == 0:
+                            if val != 0:
+                                co[b, k] = val
+                            k += 1
+                            break
+                        rr -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:                    # correction-bit-only sweep
+                if co[b, k] != 0:
+                    correct(b, k)
+                k += 1
+            eobrun -= 1
+
+
+def _prog_reconstruct(store, comps, qt, w, h):
+    """Dequantize + IDCT the accumulated coefficient store (4:4:4)."""
+    bw_ = (w + 7) // 8
+    planes = []
+    for c in comps:
+        co = store[c["idx"]]
+        q = qt[c["tq"]]
+        plane = np.zeros((((h + 7) // 8) * 8, bw_ * 8), dtype=np.float64)
+        for b in range(co.shape[0]):
+            dq = np.zeros((8, 8), dtype=np.float64)
+            dq.reshape(-1)[_ZZ] = co[b]
+            dq *= q
+            y0, x0 = (b // bw_) * 8, (b % bw_) * 8
+            plane[y0:y0 + 8, x0:x0 + 8] = _DCT_A.T @ dq @ _DCT_A
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.rint(planes[0] + 128), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = planes[0] + 128, planes[1], planes[2]
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, w, h, comps, qt, huff_dc, huff_ac, restart_interval):
@@ -1013,6 +1185,192 @@ def _emit_coeff(bw, codes, v, dc: bool, run: int = 0):
         bw.write(*codes[(run << 4) | size])
     if size:
         bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+
+
+def _quantized_zz_blocks(planes, quant: int):
+    """Shared coefficient front half: level-shifted planes → per-component
+    lists of zigzag-ordered quantized int blocks (raster block order,
+    edge-replicate padding) — the SAME values the baseline encoder emits,
+    which is what makes baseline-vs-progressive differential tests exact."""
+    h, w = planes[0].shape
+    qtab = np.full((8, 8), quant, dtype=np.int32)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    out = []
+    for p in planes:
+        pp = np.empty((ph, pw), dtype=np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1:h, :]
+        pp[:, w:] = pp[:, w - 1:w]
+        blocks = []
+        for y0 in range(0, ph, 8):
+            for x0 in range(0, pw, 8):
+                coeffs = _DCT_A @ pp[y0:y0 + 8, x0:x0 + 8] @ _DCT_A.T
+                q = np.rint(coeffs / qtab).astype(np.int64)
+                blocks.append(q.reshape(-1)[_ZZ])
+        out.append(blocks)
+    return out
+
+
+def jpeg_encode_progressive(arr: np.ndarray, quant: int = 1) -> bytes:
+    """PROGRESSIVE (SOF2) JPEG encoder over the same coefficients as
+    :func:`jpeg_encode` — five-scan script exercising every progressive
+    decode path: interleaved DC first pass at Al=1, DC refinement to
+    Al=0 (raw bits), then per component an AC 1-5 band first pass at
+    Al=1, its successive-approximation refinement to Al=0 (newly-
+    significant (run,1) symbols + correction bits, T.81 G.1.2.3), and
+    the 6-63 band at full precision.  EOB runs are emitted as per-block
+    EOB0 (the standard AC table carries no EOBn>0 symbols); the decoder
+    handles general EOBRUN for foreign streams.  Identical quantized
+    coefficients ⇒ jpeg_decode(progressive) == jpeg_decode(baseline)
+    bit-for-bit on ANY image, which the differential tests pin."""
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        if arr.ndim == 3:
+            if arr.shape[2] != 1:
+                raise ValueError(
+                    "jpeg: encoder takes (h, w), (h, w, 1) or (h, w, 3)")
+            arr = arr[:, :, 0]
+        planes = [arr.astype(np.float64) - 128.0]
+    h, w = planes[0].shape
+    nc = len(planes)
+    comps = _quantized_zz_blocks(planes, quant)
+    n_blocks = len(comps[0])
+    qtab = np.full((8, 8), quant, dtype=np.int32)
+    out = bytearray(b"\xFF\xD8")
+    zz = bytearray(64)
+    for i in range(64):
+        zz[i] = int(qtab.reshape(-1)[_ZIGZAG[i]])
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + bytes(zz)
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
+    for tc, (bits, values) in ((0, _STD_DC_LUM), (0x10, _STD_AC_LUM)):
+        out += b"\xFF\xC4" + struct.pack(">H", 3 + 16 + len(values))
+        out += bytes([tc]) + bytes(bits) + bytes(values)
+    dc_codes = _huff_codes(*_STD_DC_LUM)
+    ac_codes = _huff_codes(*_STD_AC_LUM)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        hdr = b"\xFF\xDA" + struct.pack(">H", 6 + 2 * len(comp_ids))
+        hdr += bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    # scan 1: DC first pass, interleaved, Al=1
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for b in range(n_blocks):
+        for ci in range(nc):
+            v = int(comps[ci][b][0]) >> 1           # arithmetic point transform
+            diff = v - preds[ci]
+            preds[ci] = v
+            _emit_coeff(bw, dc_codes, diff, dc=True)
+    bw.flush()
+    out += bw.out
+    # scan 2: DC refinement to Al=0 — one raw bit per block
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for b in range(n_blocks):
+        for ci in range(nc):
+            bw.write((int(comps[ci][b][0]) >> 0) & 1, 1)
+    bw.flush()
+    out += bw.out
+    for ci in range(nc):
+        # scan 3: AC band 1-5 first pass at Al=1
+        out += sos_header([ci + 1], 1, 5, 0, 1)
+        bw = _BitWriter()
+        for b in range(n_blocks):
+            _enc_ac_first(bw, ac_codes, comps[ci][b], 1, 5, 1)
+        bw.flush()
+        out += bw.out
+        # scan 4: AC band 1-5 refinement to Al=0
+        out += sos_header([ci + 1], 1, 5, 1, 0)
+        bw = _BitWriter()
+        for b in range(n_blocks):
+            _enc_ac_refine(bw, ac_codes, comps[ci][b], 1, 5, 0)
+        bw.flush()
+        out += bw.out
+        # scan 5: AC band 6-63 at full precision
+        out += sos_header([ci + 1], 6, 63, 0, 0)
+        bw = _BitWriter()
+        for b in range(n_blocks):
+            _enc_ac_first(bw, ac_codes, comps[ci][b], 6, 63, 0)
+        bw.flush()
+        out += bw.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, sign preserved (T.81 divides
+    toward zero — NOT arithmetic shift, which floors negatives)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _enc_ac_first(bw, ac_codes, zz, ss, se, al):
+    """AC spectral band, first pass: baseline-style run/size over the
+    point-transformed band; per-block EOB0 for trailing zeros."""
+    run = 0
+    last_nz = max((k for k in range(ss, se + 1) if _pt(int(zz[k]), al)),
+                  default=ss - 1)
+    for k in range(ss, last_nz + 1):
+        v = _pt(int(zz[k]), al)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])
+            run -= 16
+        _emit_coeff(bw, ac_codes, v, dc=False, run=run)
+        run = 0
+    if last_nz < se:
+        bw.write(*ac_codes[0x00])                   # EOB0
+
+
+def _enc_ac_refine(bw, ac_codes, zz, ss, se, al):
+    """AC successive-approximation refinement encoder (T.81 G.1.2.3 in
+    the jcphuff order): zero-HISTORY positions count into the run;
+    already-significant coefficients buffer their correction bit, and
+    the buffer flushes after every emitted symbol (ZRL or newly-
+    significant (run,1)+sign) — exactly the order the G.2 decoder
+    consumes bits in.  Trailing run/buffered bits close with a per-block
+    EOB0 whose run absorbs the tail's correction bits."""
+    run = 0
+    buffered: list[int] = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])
+            run -= 16
+            for bit in buffered:
+                bw.write(bit, 1)
+            buffered = []
+        if t > 1:                                   # significant in prior scans
+            buffered.append(t & 1)
+            continue
+        bw.write(*ac_codes[(run << 4) | 1])         # newly significant
+        bw.write(1 if v >= 0 else 0, 1)
+        for bit in buffered:
+            bw.write(bit, 1)
+        buffered = []
+        run = 0
+    if run > 0 or buffered:
+        bw.write(*ac_codes[0x00])                   # EOB0 covers the tail
+        for bit in buffered:
+            bw.write(bit, 1)
+
 
 
 # -- MP4/ISO-BMFF (container PARSING only) ----------------------------------

@@ -219,6 +219,23 @@ def _jpeg_payload(i: int) -> bytes:
     return C.jpeg_encode(img)
 
 
+def _jpeg_payload_progressive(i: int) -> bytes:
+    """Same block-ramp image as :func:`_jpeg_payload`, written as a
+    5-scan PROGRESSIVE stream (SOF2: DC successive approximation + AC
+    spectral selection + AC refinement) — identical quantized
+    coefficients, so the closed-form pixel sums are the same and any
+    progressive-path bug (EOBRUN, correction bits, point transforms)
+    breaks the oracle hash."""
+    import numpy as np
+
+    from pigpen_spark.functions import codecs as C
+
+    bw, bh, a = 1 + i % 3, 1 + (i // 2) % 3, i % 200
+    blocks = a + np.arange(bw)[None, :] + np.arange(bh)[:, None]
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+    return C.jpeg_encode_progressive(img)
+
+
 def _mp4_payload(i: int) -> bytes:
     from pigpen_spark.functions import codecs as C
 
@@ -646,9 +663,11 @@ def _fused_synth(df: DataFrame, id_col: str, row_fn, schema: str) -> DataFrame:
 def synth_image_stats(df: DataFrame, id_col: str, fmt: str = "png") -> DataFrame:
     """Fused synth→encode→decode→stats for PNG or baseline JPEG — same
     output as synth_png/synth_jpeg piped through image_stats."""
-    if fmt not in ("png", "jpeg"):
-        raise ValueError(f"synth_image_stats: fmt must be png|jpeg, got {fmt}")
-    payload = _png_payload if fmt == "png" else _jpeg_payload
+    if fmt not in ("png", "jpeg", "jpeg_progressive"):
+        raise ValueError(
+            f"synth_image_stats: fmt must be png|jpeg|jpeg_progressive, got {fmt}")
+    payload = {"png": _png_payload, "jpeg": _jpeg_payload,
+               "jpeg_progressive": _jpeg_payload_progressive}[fmt]
     return _fused_synth(
         df, id_col, lambda i: _image_stats_row(i, payload(i)),
         IMAGE_STATS_SCHEMA,

@@ -647,3 +647,59 @@ class TestStreamGroupAccumulate:
         assert cur["b"] == (1, 5.0, 5.0)
         # two emissions for "a" proves the state crossed a batch boundary
         assert sum(1 for r in rows if r["user"] == "a") == 2
+
+
+class TestProgressiveJpeg:
+    """Progressive (SOF2) JPEG: multi-scan decode + the 5-scan encoder."""
+
+    def test_progressive_equals_baseline_on_arbitrary_images(self):
+        import numpy as np
+
+        from pigpen_spark.functions import codecs as C
+
+        rng = np.random.default_rng(11)
+        for trial in range(24):
+            h, w = int(rng.integers(1, 33)), int(rng.integers(1, 33))
+            if trial % 3 == 0:
+                img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            elif trial % 3 == 1:
+                img = (np.add.outer(np.arange(h), np.arange(w)) % 251).astype(np.uint8)
+            else:
+                img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            q = int(rng.choice([1, 2, 4]))
+            base = C.jpeg_decode(C.jpeg_encode(img, quant=q))
+            prog = C.jpeg_decode(C.jpeg_encode_progressive(img, quant=q))
+            assert base.shape == prog.shape and (base == prog).all(), \
+                (trial, img.shape, q)
+
+    def test_lossless_subspace_round_trip(self):
+        import numpy as np
+
+        from pigpen_spark.functions import codecs as C
+
+        blocks = np.array([[7, 100], [180, 33]], dtype=np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        out = C.jpeg_decode(C.jpeg_encode_progressive(img))
+        assert (out[:, :, 0] == img).all()
+
+    def test_sof2_meta_and_marker(self):
+        import numpy as np
+
+        from pigpen_spark.functions import codecs as C
+
+        img = np.full((8, 16), 40, dtype=np.uint8)
+        payload = C.jpeg_encode_progressive(img)
+        assert b"\xFF\xC2" in payload and b"\xFF\xC0" not in payload
+        assert payload.count(b"\xFF\xDA") == 5      # the 5-scan script
+        assert C.jpeg_meta(payload) == (16, 8, 1)
+
+    def test_truncated_progressive_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from pigpen_spark.functions import codecs as C
+
+        img = np.full((8, 8), 90, dtype=np.uint8)
+        payload = C.jpeg_encode_progressive(img)
+        with _pytest.raises(ValueError):
+            C.jpeg_decode(payload[:len(payload) // 2])
