@@ -274,14 +274,16 @@ class TestJpeg:
         dec = C.jpeg_decode(C.jpeg_encode(n, quant=16))
         assert dec.shape == (16, 16, 1)  # still decodes
 
-    def test_rejects_progressive_and_garbage(self):
+    def test_rejects_frankenstein_and_garbage(self):
         with pytest.raises(ValueError):
             C.jpeg_meta(b"\x00\x00 not a jpeg")
-        # splice an SOF2 (progressive) marker into a valid stream
+        # splicing an SOF2 marker onto a BASELINE scan script yields an
+        # inconsistent stream (a "DC" scan with se=63): real progressive
+        # decodes since round 4, but this frankenstein must still raise
         data = bytearray(C.jpeg_encode(np.zeros((8, 8), dtype=np.uint8)))
         idx = bytes(data).find(b"\xFF\xC0")
         data[idx + 1] = 0xC2
-        with pytest.raises(ValueError, match="baseline"):
+        with pytest.raises(ValueError, match="DC scan"):
             C.jpeg_decode(bytes(data))
 
     def test_image_stats_dispatches_jpeg(self, spark):
@@ -450,13 +452,10 @@ class TestMalformedInputContract:
         assert C.jpeg_meta(padded) == (8, 8, 1)
         assert (C.jpeg_decode(padded)[:, :, 0] == 77).all()
 
-    def test_jpeg_meta_reads_progressive_header(self):
-        jpg = bytearray(C.jpeg_encode(np.zeros((16, 24), dtype=np.uint8)))
-        idx = bytes(jpg).find(b"\xFF\xC0")
-        jpg[idx + 1] = 0xC2                           # SOF2 (progressive)
-        assert C.jpeg_meta(bytes(jpg)) == (24, 16, 1)  # meta works
-        with pytest.raises(ValueError, match="baseline"):
-            C.jpeg_decode(bytes(jpg))                  # full decode refuses
+    def test_jpeg_meta_and_decode_handle_progressive(self):
+        jpg = C.jpeg_encode_progressive(np.zeros((16, 24), dtype=np.uint8))
+        assert C.jpeg_meta(jpg) == (24, 16, 1)         # meta reads SOF2
+        assert (C.jpeg_decode(jpg)[:, :, 0] == 0).all()  # full decode too (r4)
 
     def test_decode_image_meta_quarantines_corrupt_rows(self, spark):
         from pigpen_spark.functions import multimodal as M
