@@ -3335,3 +3335,54 @@ def ext_image_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "width", "height", "channels", "px_sum", "px_min", "px_max",
     )
+
+
+@register(
+    "ext_dedup_snm",
+    f"""
+    WITH rk AS (
+      SELECT doc_id, substr(lower(text), 1, 16) AS k,
+             row_number() OVER (ORDER BY substr(lower(text), 1, 16), doc_id)
+               - 1 AS r
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, (b.r - a.r)::INT AS rank_dist
+      FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 2
+    ),
+    t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    SELECT p.id_a, p.id_b, p.rank_dist,
+           len(list_intersect(ta.toks, tb.toks))::DOUBLE
+             / nullif(len(list_distinct(ta.toks || tb.toks)), 0) AS jaccard
+    FROM pairs p
+    JOIN t ta ON p.id_a = ta.doc_id
+    JOIN t tb ON p.id_b = tb.doc_id
+    """,
+)
+def ext_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (the third blocking family next to LSH
+    bands and SimHash chunks): sort by a 16-char text prefix, emit every
+    pair within a 3-record window (rank via the two-phase scale-safe
+    form, neighborhood via a rank equi-join — no global window, no
+    all-pairs), then verify each candidate with exact token-set Jaccard.
+    The oracle replays rank, window and Jaccard in SQL; ranks are total
+    (prefix, doc_id), so pairs are deterministic."""
+    from pigpen_spark.functions.text import tokens as _tok
+
+    docs = tables(spark, sf_dir)["documents"].df
+    pairs = D.sorted_neighborhood_pairs(
+        docs, "doc_id", F.substring(F.lower(F.col("text")), 1, 16), window=3)
+    t = docs.select(F.col("doc_id"),
+                    F.array_distinct(_tok(F.col("text"))).alias("toks"))
+    ta = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("__ta"))
+    tb = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("__tb"))
+    return (
+        pairs.join(ta, "id_a").join(tb, "id_b")
+        .select(
+            "id_a", "id_b", "rank_dist",
+            F.try_divide(
+                F.size(F.array_intersect("__ta", "__tb")),
+                F.size(F.array_union("__ta", "__tb")),
+            ).alias("jaccard"),
+        )
+    )

@@ -981,3 +981,47 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
         e.select(F.col("u").alias("b"), F.col("v").alias("c")), on=["b", "c"])
     nodes = tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
     return nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, id_col: str, key,
+                              window: int = 3) -> DataFrame:
+    """Sorted-neighborhood candidate generation (SNM, Hernández & Stolfo
+    1995 "The merge/purge problem" — the third classic blocking family
+    next to LSH bands and SimHash chunks): sort the corpus by a blocking
+    key, slide a ``window``-record neighborhood, and emit every pair
+    within it.  Catches near-duplicates whose keys sort adjacently even
+    when no exact block key collides (typo'd prefixes, zero-padded ids).
+
+    Plan shape: the global sort rank comes from the two-phase scale-safe
+    :func:`pigpen_spark.operators.windows.ranked` (range repartition +
+    per-partition offsets — no single-partition window), and the
+    neighborhood is an EQUI-join on rank: each record probes ranks
+    r+1..r+window−1 via one bounded explode, shuffle keyed by rank.
+    O(n·window) candidate rows, never all-pairs; ties in the key are made
+    total by the id tiebreak, so ranks (and pairs) are deterministic.
+
+    Returns (id_a, id_b, rank_dist, key_a, key_b) with rank_a < rank_b.
+    Compose with an exact verifier (n-gram Jaccard / edit distance) the
+    same way LSH candidates do."""
+    from pigpen_spark.operators.windows import ranked
+    from pigpen_spark.relation import _to_col as _c
+
+    if window < 2:
+        raise ValueError(f"sorted_neighborhood_pairs: window must be >= 2, got {window}")
+    base = df.select(_c(id_col).alias("id"), _c(key).alias("__snk"))
+    rk = ranked(base, order_by=[F.col("__snk"), F.col("id")],
+                index_col="__snr")
+    a = rk.select(F.col("id").alias("id_a"), F.col("__snk").alias("key_a"),
+                  F.col("__snr").alias("__ra"))
+    probes = (
+        a.withColumn("rank_dist",
+                     F.explode(F.sequence(F.lit(1), F.lit(window - 1))))
+        .withColumn("__rb", F.col("__ra") + F.col("rank_dist"))
+    )
+    b = rk.select(F.col("id").alias("id_b"), F.col("__snk").alias("key_b"),
+                  F.col("__snr").alias("__rb"))
+    return (
+        probes.join(b, on="__rb")
+        .select("id_a", "id_b", F.col("rank_dist").cast("int").alias("rank_dist"),
+                "key_a", "key_b")
+    )

@@ -703,3 +703,38 @@ class TestProgressiveJpeg:
         payload = C.jpeg_encode_progressive(img)
         with _pytest.raises(ValueError):
             C.jpeg_decode(payload[:len(payload) // 2])
+
+
+class TestSortedNeighborhood:
+    def test_pairs_within_window_and_deterministic(self, spark):
+        from pigpen_spark.functions.dedup import sorted_neighborhood_pairs
+
+        rows = [(1, "apple pie"), (2, "apple pye"), (3, "banana"),
+                (4, "bananna"), (5, "cherry"), (6, "apple pie")]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        pairs = sorted_neighborhood_pairs(df, "id", F.col("text"), window=3)
+        got = {(r["id_a"], r["id_b"], r["rank_dist"]) for r in pairs.collect()}
+        # sort order: (text, id): apple pie(1), apple pie(6), apple pye(2),
+        # banana(3), bananna(4), cherry(5)
+        assert (1, 6, 1) in got and (1, 2, 2) in got and (6, 2, 1) in got
+        assert (3, 4, 1) in got and (4, 5, 1) in got and (3, 5, 2) in got
+        # n*(w-1) minus tail truncation
+        assert len(got) == 2 * 6 - 3
+
+    def test_no_single_partition_window(self, spark):
+        from pigpen_spark.functions.dedup import sorted_neighborhood_pairs
+
+        df = spark.range(100).select(
+            F.col("id"), F.concat(F.lit("k"), F.col("id") % 10).alias("t"))
+        plan = sorted_neighborhood_pairs(df, "id", F.col("t"), window=2) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # the two-phase ranked form: no empty-partition global Window
+        assert "Window [" not in plan or "PartitionBy" not in plan
+
+    def test_window_validation(self, spark):
+        from pigpen_spark.functions.dedup import sorted_neighborhood_pairs
+
+        with pytest.raises(ValueError, match="window must be >= 2"):
+            sorted_neighborhood_pairs(
+                spark.range(3).select("id", F.lit("x").alias("t")),
+                "id", F.col("t"), window=1)
