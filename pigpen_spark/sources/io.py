@@ -231,3 +231,100 @@ def store_tap(rel: Relation, writer) -> None:
     (pending fused Python ops compiled first) and drives any
     ``df.write.format`` plug-in or side-effecting sink."""
     writer(rel.df)
+
+
+def store_tar_shards(df, path: str, payload_col: str = "payload",
+                     name_col: str = "id", suffix: str = ".bin",
+                     meta_cols: Sequence[str] = (),
+                     shards: int | None = None) -> None:
+    """WebDataset-style tar-shard sink for multimodal corpora: pack each
+    partition's (name, payload[, meta]) rows into one POSIX tar
+    ``shard-NNNNN.tar`` under ``path`` — the packaging convention
+    sequential trainers stream (member ``<name><suffix>`` carries the
+    payload bytes; ``<name>.json`` carries the metadata columns).  Pure
+    stdlib ``tarfile`` inside ``foreachPartition``: payload bytes never
+    visit the driver, each task writes exactly one shard, and ``shards``
+    (default: current partitioning) sets the fan-out — size shards to
+    ~100-1000 samples like any WebDataset pipeline.  Local-FS path here;
+    on a cluster point at a shared mount (object stores want the
+    staging-committer equivalent, documented contract)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    src = df.repartition(shards) if shards else df
+    cols = [name_col, payload_col, *meta_cols]
+    metas = list(meta_cols)
+
+    def write_partition(rows):
+        import io as _io
+        import tarfile
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        buf = _io.BytesIO()
+        n = 0
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for row in rows:
+                name = str(row[name_col])
+                payload = bytes(row[payload_col])
+                info = tarfile.TarInfo(name=f"{name}{suffix}")
+                info.size = len(payload)
+                tar.addfile(info, _io.BytesIO(payload))
+                if metas:
+                    mj = json.dumps({m: row[m] for m in metas},
+                                    sort_keys=True).encode()
+                    mi = tarfile.TarInfo(name=f"{name}.json")
+                    mi.size = len(mj)
+                    tar.addfile(mi, _io.BytesIO(mj))
+                n += 1
+        if n:                      # empty partitions write no shard
+            with open(os.path.join(path, f"shard-{pid:05d}.tar"), "wb") as f:
+                f.write(buf.getvalue())
+
+    src.select(*cols).foreachPartition(write_partition)
+
+
+def load_tar_shards(spark: SparkSession, path: str,
+                    suffix: str = ".bin") -> Relation:
+    """Read tar shards back as (shard, name, payload, meta_json) rows:
+    ``binaryFile`` scan of ``shard-*.tar`` + a per-shard stdlib untar in
+    mapInPandas — shards stay executor-local, parallelism = shard count
+    (the same contract WebDataset loaders use).  ``meta_json`` is NULL
+    when a member has no ``.json`` sidecar."""
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path)
+        .select(F.col("path").alias("shard"), F.col("content"))
+    )
+
+    def untar(batches):
+        import io as _io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for shard, content in zip(pdf["shard"], pdf["content"]):
+                with tarfile.open(fileobj=_io.BytesIO(bytes(content))) as tar:
+                    payloads: dict[str, bytes] = {}
+                    metas: dict[str, str] = {}
+                    for m in tar.getmembers():
+                        data = tar.extractfile(m).read()
+                        if m.name.endswith(".json"):
+                            metas[m.name[:-5]] = data.decode()
+                        elif m.name.endswith(suffix):
+                            payloads[m.name[:-len(suffix)]] = data
+                    for name, payload in payloads.items():
+                        rows.append({
+                            "shard": shard.rsplit("/", 1)[-1], "name": name,
+                            "payload": payload,
+                            "meta_json": metas.get(name),
+                        })
+            yield pd.DataFrame(rows)
+
+    return Relation(src.mapInPandas(
+        untar, schema="shard string, name string, payload binary, meta_json string"))
