@@ -3386,3 +3386,41 @@ def ext_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_PAGERANK_EDGES_CTE = """edges AS (
+      SELECT c * 2 AS src, s * 2 + 1 AS dst FROM (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT s * 2 + 1, c * 2 FROM (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    )"""
+
+
+@register("ext_pagerank", D.pagerank_cte_sql(_PAGERANK_EDGES_CTE, iterations=3))
+def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 power-method iterations, damping 0.85 on
+    a BIGINT grid of 1e12 mass units) over the bipartite
+    customer↔supplier trade graph (distinct (o_custkey, l_suppkey) pairs,
+    both directions, parity-encoded node ids).  The first ITERATIVE
+    catalog algorithm with a hash-exact oracle — fixed iterations + pure
+    integer truncation make Spark and DuckDB bit-identical where float
+    power iteration never is (k-means/PCA stay rows-only).  Training-data
+    use: crawl-domain link-authority ranking before fetch/quality
+    budgeting.  Per iteration: one slim rank-table shuffle + one groupBy;
+    edges hash-partitioned once; lineage truncated per step
+    (localCheckpoint) exactly like the WCC star loop."""
+    t = tables(spark, sf_dir)
+    orders, li = t["orders"].df, t["lineitem"].df
+    cs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        cs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
+        .union(cs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")))
+    )
+    return D.pagerank(edges, iterations=3)

@@ -1025,3 +1025,108 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, key,
         .select("id_a", "id_b", F.col("rank_dist").cast("int").alias("rank_dist"),
                 "key_a", "key_b")
     )
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 3, scale: int = 10**12) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list — fixed
+    ``iterations`` of the power method with damping 0.85, computed
+    entirely in BIGINT arithmetic so the result is bit-identical across
+    engines (the first *iterative* catalog algorithm with a hash-exact
+    oracle; k-means/PCA/BPE training stay rows-only because float
+    iteration is not portable).
+
+    Arithmetic contract (mirrored verbatim by :func:`pagerank_cte_sql`):
+    ranks live on an integer grid of ``scale`` units of total mass;
+    ``r0 = scale DIV n`` for every node; each step sends
+    ``rank DIV outdeg`` along every out-edge and sets
+    ``r' = (15·(scale DIV n)) DIV 100 + (85·Σ contrib) DIV 100``.
+    All operands are non-negative, so Spark ``DIV`` (truncate) and
+    DuckDB ``//`` (floor) agree.  Truncation loss is ≤1 unit per
+    edge/node per step — at ``scale=1e12`` that is relative error
+    <1e-6 for graphs under ~1e6 edges, and the POINT is exactness of
+    the fixed computation, not convergence to the real-valued limit.
+
+    Semantics: the node set is src ∪ dst; dangling nodes (no
+    out-edges) receive rank but redistribute nothing (their mass
+    decays — the standard "no dangling redistribution" variant, stated
+    so the oracle can mirror it).  Nodes with no in-edges hold the
+    teleport term only.
+
+    Scale: per iteration ONE shuffle aggregation keyed by ``dst`` plus
+    one equi-join of the O(V)-row rank table against the edge list on
+    ``src``; edges+degrees are persisted once (hash-partitioned by
+    ``src``, so the per-iteration join re-shuffles only the slim rank
+    side), and each iteration ends in an eager ``localCheckpoint`` to
+    truncate lineage exactly like :func:`dedup_clusters_star`.  Never
+    an all-pairs form; driver state is the two scalars (n, teleport).
+
+    Use-case in the training-data pipeline: link-authority ranking of
+    crawl domains (the CommonCrawl-style harmonic/PageRank domain
+    prioritisation) before fetch/quality budgeting.
+
+    Returns (node, rank) — one row per node in src ∪ dst.
+    """
+    if iterations < 1:
+        raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .transform(_persisted)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(_persisted)
+    )
+    # slim per-edge fan-out table, partitioned by src like e
+    ed = e.join(deg, on="src").transform(_persisted)
+    n = nodes.count()
+    base = scale // n          # r0 for every node
+    teleport = (15 * base) // 100
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"),
+                    F.expr("rank DIV outdeg").alias("c"))
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, on="node", how="left")
+            .select("node",
+                    (F.lit(teleport).cast("long")
+                     + F.expr("(85 * coalesce(s, 0)) DIV 100")).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_cte_sql(edges_cte: str, iterations: int = 3,
+                     scale: int = 10**12) -> str:
+    """DuckDB CTE chain replaying :func:`pagerank` exactly: the fixed
+    iteration count unrolls to ``r0..r{iterations}`` CTEs (DuckDB
+    disallows aggregates in recursive CTE members, so unrolling IS the
+    portable form).  ``edges_cte`` must define ``edges(src, dst)``
+    already distinct."""
+    parts = [
+        edges_cte,
+        "deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        f"r0 AS (SELECT node, ({scale} // (SELECT n FROM nn))::BIGINT AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""r{i} AS (
+      SELECT n.node,
+             ((15 * ({scale} // (SELECT n FROM nn))) // 100
+              + (85 * coalesce(s.sum_c, 0)) // 100)::BIGINT AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS sum_c
+        FROM edges e JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON n.node = s.node)""")
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, rank FROM r{iterations}"

@@ -787,3 +787,75 @@ class TestTarShards:
             names = sorted(tar.getnames())
             assert names == ["1.bin", "2.bin"]
             assert tar.extractfile("2.bin").read() == b"defg"
+
+
+class TestPagerank:
+    """Integer-exact PageRank (fixed iterations, BIGINT grid)."""
+
+    @staticmethod
+    def _py_pagerank(edges, iterations, scale=10**12):
+        """Straight-line integer reimplementation of the documented
+        arithmetic contract."""
+        edges = sorted(set(edges))
+        nodes = sorted({u for e in edges for u in e})
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        n = len(nodes)
+        base = scale // n
+        teleport = (15 * base) // 100
+        rank = {u: base for u in nodes}
+        for _ in range(iterations):
+            sums = {u: 0 for u in nodes}
+            for s, d in edges:
+                sums[d] += rank.get(s, 0) // outdeg[s]
+            rank = {u: teleport + (85 * sums[u]) // 100 for u in nodes}
+        return rank
+
+    def test_matches_python_reference(self, spark):
+        from pigpen_spark.functions.dedup import pagerank
+
+        # diamond + dangling sink + a self-reinforcing pair
+        edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (6, 7), (7, 6)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: r["rank"] for r in pagerank(df, iterations=4).collect()}
+        assert got == self._py_pagerank(edges, iterations=4)
+
+    def test_dangling_receives_but_does_not_send(self, spark):
+        from pigpen_spark.functions.dedup import pagerank
+
+        # node 3 has no out-edges: it must appear in the output with
+        # more than the teleport floor (it receives), while isolated-ish
+        # source node 1 (no in-edges) holds exactly the teleport term.
+        df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+        got = {r.node: r["rank"] for r in pagerank(df, iterations=2).collect()}
+        scale = 10**12
+        base = scale // 3
+        teleport = (15 * base) // 100
+        assert set(got) == {1, 2, 3}
+        assert got[1] == teleport
+        assert got[3] > teleport
+
+    def test_iterations_validated(self, spark):
+        from pigpen_spark.functions.dedup import pagerank
+
+        df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(df, iterations=0)
+
+    def test_oracle_sql_matches_duckdb(self, spark):
+        """End-to-end cross-engine differential on an arbitrary graph."""
+        import duckdb
+
+        from pigpen_spark.functions.dedup import pagerank, pagerank_cte_sql
+
+        edges = [(i, (i * i + 1) % 11) for i in range(11)] + [(3, 7), (7, 3)]
+        edges = [(s, d) for s, d in edges if s != d]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: r["rank"] for r in pagerank(df, iterations=3).collect()}
+        vals = ", ".join(f"({s}, {d})" for s, d in sorted(set(edges)))
+        sql = pagerank_cte_sql(
+            f"edges AS (SELECT DISTINCT * FROM (VALUES {vals}) t(src, dst))",
+            iterations=3)
+        want = {n: r for n, r in duckdb.sql(sql).fetchall()}
+        assert got == want
