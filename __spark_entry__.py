@@ -110,6 +110,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_skew_join_salted",      # salting lever on a ~20%-hot key
     "ext_normalize_nfc",         # hash-exact NFC (DuckDB nfc_normalize)
     "ext_pagerank",              # integer-exact iterative PageRank (unrolled-CTE oracle)
+    "ext_frame_sample_avi",      # RIFF-AVI DIB demux+decode (second video container)
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

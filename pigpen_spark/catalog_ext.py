@@ -3424,3 +3424,35 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")))
     )
     return D.pagerank(edges, iterations=3)
+
+
+_AVI_W = "(4 + doc_id % 5)"
+_AVI_H = "(3 + (doc_id // 2) % 4)"
+_AVI_A = "(doc_id % 100)"
+_AVI_N = "(1 + doc_id % 4)"
+
+
+@register(
+    "ext_frame_sample_avi",
+    f"""
+    SELECT doc_id, f::INT AS frame_index,
+           (3 * {_AVI_H} * {_AVI_W} * ({_AVI_A} + f)
+            + 3 * {_AVI_H} * ({_AVI_W} * ({_AVI_W} - 1) // 2)
+            + 3 * {_AVI_W} * ({_AVI_H} * ({_AVI_H} - 1) // 2)
+            + {_AVI_H} * {_AVI_W} * 3)::BIGINT AS f_px_sum
+    FROM documents, range(0, 4) r(f)
+    WHERE f < {_AVI_N} AND f % 2 = 0
+    """,
+)
+def ext_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI frame decode — the SECOND video container: synthesize an
+    uncompressed RIFF-AVI clip per document (bottom-up 4-byte-aligned BGR
+    DIB frames, the container's native raw form), demux the movi chunk
+    run back, undo row padding/flip/channel order, and emit every 2nd
+    frame's pixel sum.  Oracle = closed-form ramp sums — a wrong stride,
+    row order, or BGR swap breaks the hash.  Exercises decode machinery
+    DISJOINT from ext_frame_sample_mp4 (raw bitmap layout vs sample-table
+    demux + JPEG entropy decode)."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    return M.synth_frame_stats_avi(docs, "doc_id", every_n=2).select(
+        F.col("id").alias("doc_id"), "frame_index", "f_px_sum")

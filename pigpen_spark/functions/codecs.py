@@ -1677,3 +1677,153 @@ def fir_decimate(samples: np.ndarray, factor: int, taps: int = 33) -> np.ndarray
     y = np.convolve(padded, h, mode="valid")        # same length as x
     out = y[::factor]
     return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+
+
+# -- AVI (RIFF container: uncompressed DIB + Motion-JPEG) -------------------
+#
+# The second real video container next to ISO-BMFF: Microsoft's RIFF-AVI
+# (public "AVI RIFF File Reference" / OpenDML spec).  Two codecs decode
+# from spec with no external library: 'DIB ' (uncompressed bottom-up BGR
+# bitmaps — the container's native raw form) and 'MJPG' (every '00dc'
+# chunk is a complete baseline JPEG, reusing jpeg_decode).  Reference
+# parity note: pigpen treats media as opaque bytes; real decode is the
+# beyond-ref LLM-pipeline surface (SURVEY §6).
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) over a RIFF chunk run;
+    LIST chunks are yielded as (b'LIST' + list_type, ...) with the body
+    positioned after the list-type fourcc."""
+    pos = start
+    while pos + 8 <= end:
+        ctype = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = pos + 8
+        if body + length > end:
+            raise ValueError("avi: chunk overruns container")
+        if ctype == b"LIST":
+            yield b"LIST" + data[body:body + 4], body + 4, body + length
+        else:
+            yield ctype, body, body + length
+        pos = body + length + (length & 1)    # word-aligned
+
+
+def avi_encode_dib(frames, fps: int = 24) -> bytes:
+    """REAL playable-media writer: uncompressed AVI — each '00db' chunk
+    is a bottom-up BGR DIB with 4-byte-aligned rows (BITMAPINFOHEADER
+    BI_RGB, the format every player decodes).  Writes the full standard
+    layout: hdrl (avih + strl{strh 'vids'/'DIB ', strf BITMAPINFOHEADER})
+    + movi + idx1 (offsets relative to the 'movi' fourcc, the common
+    convention).  ``frames``: list of (h, w, 3) uint8 RGB arrays, all the
+    same geometry.  The inverse of :func:`avi_frames`."""
+    if not frames:
+        raise ValueError("avi_encode_dib: need at least one frame")
+    h, w, ch = frames[0].shape
+    if ch != 3:
+        raise ValueError(f"avi_encode_dib: frames must be (h, w, 3) RGB, got {frames[0].shape}")
+    row_stride = (w * 3 + 3) & ~3
+    bodies = []
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("avi_encode_dib: all frames must share one geometry")
+        bgr = np.ascontiguousarray(f[::-1, :, ::-1]).astype(np.uint8)  # bottom-up, BGR
+        rows = np.zeros((h, row_stride), dtype=np.uint8)
+        rows[:, :w * 3] = bgr.reshape(h, w * 3)
+        bodies.append(rows.tobytes())
+    return _avi_mux(bodies, w, h, fps, handler=b"DIB ", compression=0,
+                    chunk_id=b"00db", bit_count=24)
+
+
+def avi_encode_mjpeg(jpeg_samples: list, width: int, height: int,
+                     fps: int = 24) -> bytes:
+    """Motion-JPEG in AVI: each '00dc' chunk is a complete baseline JPEG
+    (fourcc 'MJPG', BITMAPINFOHEADER biCompression='MJPG') — the RIFF
+    sibling of :func:`mp4_encode_mjpeg`."""
+    if not jpeg_samples:
+        raise ValueError("avi_encode_mjpeg: need at least one sample")
+    return _avi_mux(list(jpeg_samples), width, height, fps, handler=b"MJPG",
+                    compression=struct.unpack("<I", b"MJPG")[0],
+                    chunk_id=b"00dc", bit_count=24)
+
+
+def _list(ltype: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
+
+
+def _avi_mux(bodies: list, width: int, height: int, fps: int,
+             handler: bytes, compression: int, chunk_id: bytes,
+             bit_count: int) -> bytes:
+    n = len(bodies)
+    max_size = max(len(b) for b in bodies)
+    avih = struct.pack(
+        "<IIIIIIIIII", 1_000_000 // fps, max_size * fps, 0,
+        0x10,                                  # AVIF_HASINDEX
+        n, 0, 1, max_size, width, height) + bytes(16)
+    strh = (b"vids" + handler + bytes(12)      # flags/priority/language/initial
+            + struct.pack("<IIII", 1, fps, 0, n)   # scale, rate, start, length
+            + struct.pack("<IiI", max_size, -1, 0)  # bufsize, quality, samplesize
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bit_count,
+                       compression, max_size, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi_body = b""
+    idx = b""
+    for b in bodies:
+        # idx1 offsets point at the chunk id, relative to the 'movi' fourcc
+        idx += chunk_id + struct.pack("<III", 0x10, 4 + len(movi_body), len(b))
+        movi_body += _chunk(chunk_id, b)
+    movi = _list(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+@_valueerror_contract
+def avi_frames(data: bytes):
+    """REAL AVI video frame decode: walk hdrl for geometry + codec
+    (strh/strf of the first 'vids' stream), then decode every frame chunk
+    in movi — '00db' DIB frames (bottom-up 4-byte-aligned BGR rows →
+    top-down RGB) or '00dc' MJPG frames (baseline-JPEG per chunk).
+    Returns (width, height, [frame (h, w, 3) uint8, …]) like
+    :func:`mp4_frames`.  Other codecs (cvid/DivX/H.264-in-AVI) raise —
+    triage with the hdrl walk first, same production order as mp4."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("avi: bad RIFF/AVI header")
+    width = height = None
+    handler = None
+    movi = None
+    for t, s, e in _riff_chunks(data, 12, 8 + struct.unpack("<I", data[4:8])[0]):
+        if t == b"LISThdrl":
+            for t2, s2, e2 in _riff_chunks(data, s, e):
+                if t2 == b"LISTstrl":
+                    for t3, s3, e3 in _riff_chunks(data, s2, e2):
+                        if t3 == b"strh" and data[s3:s3 + 4] == b"vids":
+                            handler = data[s3 + 4:s3 + 8]
+                    for t3, s3, e3 in _riff_chunks(data, s2, e2):
+                        if t3 == b"strf" and handler is not None and width is None:
+                            width, height = struct.unpack("<ii", data[s3 + 4:s3 + 12])
+                            height = abs(height)
+        elif t == b"LISTmovi":
+            movi = (s, e)
+    if movi is None or width is None or handler is None:
+        raise ValueError("avi: missing movi or vids stream headers")
+    if handler not in (b"DIB ", b"MJPG"):
+        raise ValueError(f"avi: unsupported codec {handler!r} (DIB /MJPG only)")
+    row_stride = (width * 3 + 3) & ~3
+    frames = []
+    for t, s, e in _riff_chunks(data, *movi):
+        if t[2:4] == b"db":
+            body = np.frombuffer(data[s:e], dtype=np.uint8)
+            if len(body) != row_stride * height:
+                raise ValueError("avi: DIB frame size mismatch")
+            rows = body.reshape(height, row_stride)[:, :width * 3]
+            frames.append(rows.reshape(height, width, 3)[::-1, :, ::-1].copy())
+        elif t[2:4] == b"dc":
+            frames.append(jpeg_decode(data[s:e]))
+    if not frames:
+        raise ValueError("avi: no frame chunks in movi")
+    return width, height, frames

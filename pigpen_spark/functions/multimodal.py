@@ -824,3 +824,94 @@ def synth_frame_stats_mp4(df: DataFrame, id_col: str,
         df, id_col, lambda i: _mp4_frame_rows(i, _mjpeg_payload(i), every_n),
         FRAME_STATS_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL video frame decode #2: RIFF-AVI (uncompressed DIB) (round 4)
+# ---------------------------------------------------------------------------
+#
+# The second real container next to ISO-BMFF: codecs.avi_frames decodes
+# '00db' raw-DIB frames (bottom-up BGR, the container's native form) and
+# '00dc' MJPEG chunks.  The synthetic corpus uses the DIB path so the
+# two containers exercise DIFFERENT decode machinery (raw bitmap layout
+# vs sample-table demux + JPEG entropy decode).
+
+
+def _avi_payload(i: int) -> bytes:
+    """Synthetic uncompressed AVI clip i: 1 + i%4 frames of
+    (4 + i%5)×(3 + (i//2)%4) RGB pixels, pixel (y, x, c) of frame f =
+    i%100 + f + x + y + c (max 99+3+8+6+2 < 256: no wrap) — the pixel
+    sum has the closed form the oracle predicts without decoding."""
+    import numpy as np
+
+    from pigpen_spark.functions import codecs as C
+
+    w, h, a = 4 + i % 5, 3 + (i // 2) % 4, i % 100
+    frames = []
+    for f in range(1 + i % 4):
+        px = (a + f
+              + np.arange(w)[None, :, None]
+              + np.arange(h)[:, None, None]
+              + np.arange(3)[None, None, :])
+        frames.append(px.astype(np.uint8))
+    return C.avi_encode_dib(frames, fps=12)
+
+
+def _avi_frame_rows(rid: int, data: bytes, every_n: int) -> list[dict]:
+    from pigpen_spark.functions import codecs as C
+
+    _w, _h, frames = C.avi_frames(data)
+    return [
+        {"id": rid, "frame_index": f,
+         "f_px_sum": int(frames[f].sum(dtype="int64"))}
+        for f in range(0, len(frames), every_n)
+    ]
+
+
+def frame_sample_avi(df: DataFrame, id_col: str, payload_col: str = "payload",
+                     every_n: int = 2) -> DataFrame:
+    """REAL AVI frame sampling (DIB or MJPG streams): decode every
+    ``every_n``-th frame, emit (id, frame_index, f_px_sum) — the RIFF
+    sibling of :func:`frame_sample_mp4`; other codecs raise."""
+    if every_n < 1:
+        raise ValueError(f"frame_sample_avi: every_n must be >= 1, got {every_n}")
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                rows.extend(_avi_frame_rows(int(rid), bytes(payload), every_n))
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(work, schema=FRAME_STATS_SCHEMA)
+
+
+def synth_avi(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame:
+    """Deterministic synthetic uncompressed-AVI payloads (see _avi_payload)."""
+    src = df.select(F.col(id_col).alias("id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [{"id": (i := int(rid)), out_col: _avi_payload(i)}
+                 for rid in pdf["id"]]
+            )
+
+    return src.mapInPandas(gen, schema=f"id long, {out_col} binary")
+
+
+def synth_frame_stats_avi(df: DataFrame, id_col: str,
+                          every_n: int = 2) -> DataFrame:
+    """Fused synth→DIB-mux→demux→decode→frame-sample (one crossing)."""
+    if every_n < 1:
+        raise ValueError(
+            f"synth_frame_stats_avi: every_n must be >= 1, got {every_n}")
+    return _fused_synth(
+        df, id_col, lambda i: _avi_frame_rows(i, _avi_payload(i), every_n),
+        FRAME_STATS_SCHEMA,
+    )

@@ -859,3 +859,70 @@ class TestPagerank:
             iterations=3)
         want = {n: r for n, r in duckdb.sql(sql).fetchall()}
         assert got == want
+
+
+class TestAviCodec:
+    """RIFF-AVI: the second real video container (DIB + MJPG streams)."""
+
+    def test_dib_round_trip_exact(self):
+        import numpy as np
+
+        from pigpen_spark.functions import codecs as C
+
+        # odd widths exercise the 4-byte row padding; multi-frame keeps
+        # chunk word-alignment honest
+        for w, h, nf in [(5, 7, 3), (4, 3, 1), (7, 2, 4), (1, 1, 2)]:
+            frames = [((np.arange(h * w * 3).reshape(h, w, 3) + 11 * f) % 251)
+                      .astype(np.uint8) for f in range(nf)]
+            ww, hh, dec = C.avi_frames(C.avi_encode_dib(frames, fps=12))
+            assert (ww, hh, len(dec)) == (w, h, nf)
+            for a, b in zip(frames, dec):
+                assert np.array_equal(a, b)
+
+    def test_mjpg_round_trip_lossless_subspace(self):
+        import numpy as np
+
+        from pigpen_spark.functions import codecs as C
+
+        img = np.repeat(np.repeat(
+            np.array([[10, 11], [12, 13]], dtype=np.uint8), 8, 0), 8, 1)
+        samples = [C.jpeg_encode((img + f).astype(np.uint8)) for f in range(3)]
+        w, h, dec = C.avi_frames(C.avi_encode_mjpeg(samples, 16, 16))
+        assert (w, h, len(dec)) == (16, 16, 3)
+        assert int(dec[2].sum()) - int(dec[0].sum()) == 2 * 16 * 16
+
+    def test_error_contract(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from pigpen_spark.functions import codecs as C
+
+        with _pytest.raises(ValueError, match="bad RIFF/AVI header"):
+            C.avi_frames(b"RIFF\x00\x00\x00\x00WAVE")
+        with _pytest.raises(ValueError, match="need at least one frame"):
+            C.avi_encode_dib([])
+        with _pytest.raises(ValueError, match="one geometry"):
+            C.avi_encode_dib([np.zeros((2, 2, 3), np.uint8),
+                              np.zeros((3, 2, 3), np.uint8)])
+        # unsupported codec fourcc in strh must raise, not mis-decode
+        good = C.avi_encode_dib([np.zeros((2, 2, 3), np.uint8)])
+        bad = good.replace(b"vidsDIB ", b"vidscvid", 1)
+        with _pytest.raises(ValueError, match="unsupported codec"):
+            C.avi_frames(bad)
+
+    def test_spark_frame_sample_avi(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        base = spark.range(6).withColumnRenamed("id", "doc_id")
+        clips = M.synth_avi(base, "doc_id")
+        got = {(r["id"], r["frame_index"]): r["f_px_sum"]
+               for r in M.frame_sample_avi(clips, "id", every_n=2).collect()}
+        fused = {(r["id"], r["frame_index"]): r["f_px_sum"]
+                 for r in M.synth_frame_stats_avi(base, "doc_id", every_n=2)
+                 .collect()}
+        assert got == fused and got
+        # closed form for doc 5: w=4,h=5,a=5 → frame 0 only
+        w, h, a = 4 + 5 % 5, 3 + 2 % 4, 5
+        want = (3 * h * w * a + 3 * h * (w * (w - 1) // 2)
+                + 3 * w * (h * (h - 1) // 2) + h * w * 3)
+        assert got[(5, 0)] == want
