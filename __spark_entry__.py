@@ -111,6 +111,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_normalize_nfc",         # hash-exact NFC (DuckDB nfc_normalize)
     "ext_pagerank",              # integer-exact iterative PageRank (unrolled-CTE oracle)
     "ext_frame_sample_avi",      # RIFF-AVI DIB demux+decode (second video container)
+    "ext_dsir",                  # DSIR hashed n-gram importance weights (integer-ppm)
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

@@ -3456,3 +3456,60 @@ def ext_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
     return M.synth_frame_stats_avi(docs, "doc_id", every_n=2).select(
         F.col("id").alias("doc_id"), "frame_index", "f_px_sum")
+
+
+@register(
+    "ext_dsir",
+    f"""
+    WITH tk AS (SELECT doc_id, ({_TOKS}) AS t FROM documents),
+    fe AS (
+      SELECT doc_id,
+             unnest(t || [t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS f
+      FROM tk
+    ),
+    fb AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(f), 1, 8))::BIGINT % 1024 AS bucket
+      FROM fe
+    ),
+    tcnt AS (
+      SELECT bucket, count(*)::BIGINT AS ct
+      FROM fb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1
+    ),
+    rcnt AS (SELECT bucket, count(*)::BIGINT AS cr FROM fb GROUP BY 1),
+    tt AS (SELECT coalesce(sum(ct), 0)::BIGINT AS tt FROM tcnt),
+    tr AS (SELECT coalesce(sum(cr), 0)::BIGINT AS tr FROM rcnt),
+    spine AS (SELECT range AS bucket FROM range(1024)),
+    ratio AS (
+      SELECT s.bucket,
+             (((coalesce(ct, 0) + 1)::HUGEINT * (tr + 1024) * 1000000)
+              // ((coalesce(cr, 0) + 1)::HUGEINT * (tt + 1024)))::BIGINT AS ratio_ppm
+      FROM spine s LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket), tt, tr
+    ),
+    sc AS (
+      SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+             (sum(ratio_ppm) // count(*))::BIGINT AS w_ppm
+      FROM fb JOIN ratio USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(sc.n_feats, 0)::BIGINT AS n_feats, sc.w_ppm
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def ext_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how target-like its hashed
+    unigram+bigram bucket profile is — here target = the English slice,
+    raw = the whole corpus.  Two counting passes (one groupBy each, both
+    ending in a 1024-row table), a broadcast ratio-table join, one
+    per-doc aggregate; the corpus is never shuffled whole.  Integer-ppm
+    share ratios in DECIMAL(38,0)/HUGEINT replace the published
+    log-likelihood ratios (ln is not bit-portable — the
+    perplexity_buckets precedent), keeping the full pipeline hash-exact.
+    Compose with sort/take or take_budget for the resampling step."""
+    docs = tables(spark, sf_dir)["documents"].df
+    target_counts = C.dsir_bucket_counts(
+        docs.filter(F.col("lang") == "en"), "text", n_buckets=1024)
+    raw_counts = C.dsir_bucket_counts(docs, "text", n_buckets=1024)
+    ratio = C.dsir_ratio_table(spark, target_counts, raw_counts,
+                               n_buckets=1024)
+    return C.dsir_importance(docs, "doc_id", "text", ratio, n_buckets=1024)

@@ -398,3 +398,104 @@ def bigram_lm_score_counts(df, id_col: str, text_col: str, counts):
             F.col("mean_p_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169) — hashed n-gram importance weights
+# ---------------------------------------------------------------------------
+#
+# DSIR scores raw documents by how target-like their hashed n-gram
+# profile is: fit bucket distributions p (target corpus) and q (raw
+# corpus) over md5-hashed unigram+bigram buckets, then weight each doc
+# by its features' p/q ratios and keep the highest-weighted docs.  The
+# published form uses log-likelihood ratios; ln() is not bit-portable
+# across engines (same reason perplexity_buckets uses mean conditional
+# probability), so the portable analog here scores a doc by the MEAN of
+# its features' add-one-smoothed share ratios in ppm — identical
+# two-pass count shape, identical broadcast-join scoring plan, monotone
+# in the same per-feature evidence; swap the ratio column for
+# log-ratios when serving from a real float pipeline.
+
+
+def dsir_feature_buckets(col, n_buckets: int = 1024) -> Column:
+    """Array of hashed feature buckets for one document: md5 buckets of
+    every unigram AND every space-joined bigram (DSIR's feature map).
+    Pure HOF expression — tokenizes once, zero UDFs, zero shuffles."""
+    def body(toks: Column) -> Column:
+        unis = F.transform(toks, lambda t: _bucket(t, n_buckets))
+        n_bi = F.size(toks) - 1
+        bis = F.when(n_bi >= 1, F.transform(
+            F.sequence(F.lit(1), n_bi),
+            lambda i: _bucket(F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+                n_buckets),
+        )).otherwise(F.array().cast("array<bigint>"))
+        return F.concat(unis, bis)
+    return _let(tokens(col), body)
+
+
+def dsir_bucket_counts(df, text_col: str, n_buckets: int = 1024):
+    """Corpus pass of DSIR: hashed-feature bucket counts — ONE
+    partial-aggregating groupBy over the exploded feature stream; the
+    result is n_buckets rows (broadcastable however big the corpus)."""
+    return (
+        df.select(F.explode(dsir_feature_buckets(F.col(text_col), n_buckets))
+                  .alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_ratio_table(spark, target_counts, raw_counts, n_buckets: int = 1024):
+    """Complete (bucket, ratio_ppm) table over the full bucket spine:
+    ratio_ppm = ((ct+1)·(Tr+B)·10⁶) DIV ((cr+1)·(Tt+B)) — the add-one-
+    smoothed target/raw share ratio, computed in DECIMAL(38,0) so the
+    triple product never overflows BIGINT at corpus scale (mirrors
+    HUGEINT on the DuckDB side).  n_buckets rows: a broadcast literal of
+    a table, exactly like the ANN codebooks."""
+    spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    tt = target_counts.agg(F.sum("c").alias("tt"))
+    tr = raw_counts.agg(F.sum("c").alias("tr"))
+    return (
+        spine
+        .join(target_counts.withColumnRenamed("c", "ct"), on="bucket", how="left")
+        .join(raw_counts.withColumnRenamed("c", "cr"), on="bucket", how="left")
+        .crossJoin(tt).crossJoin(tr)
+        .select(
+            "bucket",
+            F.expr(f"""CAST(
+                (CAST(coalesce(ct, 0) + 1 AS DECIMAL(38,0))
+                 * (tr + {n_buckets}) * 1000000)
+                DIV (CAST(coalesce(cr, 0) + 1 AS DECIMAL(38,0))
+                     * (tt + {n_buckets}))
+                AS BIGINT)""").alias("ratio_ppm"),
+        )
+    )
+
+
+def dsir_importance(df, id_col: str, text_col: str, ratio_table,
+                    n_buckets: int = 1024):
+    """Score every document: explode its feature buckets, broadcast-join
+    the n_buckets-row ratio table, one per-doc aggregate — mean feature
+    ratio in ppm (NULL for token-less docs).  Returns
+    (id, n_feats, w_ppm); select with sort/take or take_budget."""
+    from pyspark.sql.functions import broadcast
+
+    feats = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.explode(dsir_feature_buckets(F.col(text_col), n_buckets))
+                  .alias("bucket"))
+    )
+    per_doc = (
+        feats.join(broadcast(ratio_table), on="bucket")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_feats"),
+             F.expr("sum(ratio_ppm) DIV count(1)").alias("w_ppm"))
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, on="__id", how="left")
+        .select(F.col("__id").alias(id_col),
+                F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                F.col("w_ppm"))
+    )

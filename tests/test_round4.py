@@ -926,3 +926,49 @@ class TestAviCodec:
         want = (3 * h * w * a + 3 * h * (w * (w - 1) // 2)
                 + 3 * w * (h * (h - 1) // 2) + h * w * 3)
         assert got[(5, 0)] == want
+
+
+class TestDsir:
+    """DSIR hashed n-gram importance weighting (arXiv:2302.03169)."""
+
+    def test_target_like_docs_outrank(self, spark):
+        from pigpen_spark.functions import classify as C
+
+        target_rows = [(i, "alpha beta gamma delta") for i in range(8)]
+        raw_rows = target_rows + [
+            (100 + i, "omega psi chi phi") for i in range(8)]
+        target = spark.createDataFrame(target_rows, ["doc_id", "text"])
+        raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+        ratio = C.dsir_ratio_table(
+            spark,
+            C.dsir_bucket_counts(target, "text", 64),
+            C.dsir_bucket_counts(raw, "text", 64), n_buckets=64)
+        got = {r.doc_id: r.w_ppm for r in
+               C.dsir_importance(raw, "doc_id", "text", ratio, 64).collect()}
+        # every target-vocabulary doc strictly outranks every off-target doc
+        assert min(got[i] for i in range(8)) > max(got[100 + i] for i in range(8))
+
+    def test_feature_count_and_empty_doc(self, spark):
+        from pigpen_spark.functions import classify as C
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "")], ["doc_id", "text"])
+        ratio = C.dsir_ratio_table(
+            spark, C.dsir_bucket_counts(df, "text", 32),
+            C.dsir_bucket_counts(df, "text", 32), n_buckets=32)
+        got = {r.doc_id: (r.n_feats, r.w_ppm) for r in
+               C.dsir_importance(df, "doc_id", "text", ratio, 32).collect()}
+        assert got[1][0] == 3 + 2          # 3 unigrams + 2 bigrams
+        assert got[2] == (0, None)         # token-less: no features, no score
+
+    def test_identical_corpora_score_uniform(self, spark):
+        from pigpen_spark.functions import classify as C
+
+        # target == raw ⇒ every smoothed ratio is ~1e6 ⇒ all docs equal
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "y z"), (3, "z x")], ["doc_id", "text"])
+        c = C.dsir_bucket_counts(df, "text", 16)
+        ratio = C.dsir_ratio_table(spark, c, c, n_buckets=16)
+        scores = {r.w_ppm for r in
+                  C.dsir_importance(df, "doc_id", "text", ratio, 16).collect()}
+        assert scores == {1000000}
