@@ -843,6 +843,18 @@ class TestPagerank:
         with pytest.raises(ValueError, match="iterations"):
             pagerank(df, iterations=0)
 
+
+    def test_checkpoint_interval_is_value_neutral(self, spark):
+        from pigpen_spark.functions.dedup import pagerank
+
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        a = {r.node: r["rank"]
+             for r in pagerank(df, iterations=7, checkpoint_every=2).collect()}
+        assert a == self._py_pagerank(edges, iterations=7)
+        with __import__("pytest").raises(ValueError, match="checkpoint_every"):
+            pagerank(df, checkpoint_every=0)
+
     def test_oracle_sql_matches_duckdb(self, spark):
         """End-to-end cross-engine differential on an arbitrary graph."""
         import duckdb
