@@ -3513,3 +3513,55 @@ def ext_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = C.dsir_ratio_table(spark, target_counts, raw_counts,
                                n_buckets=1024)
     return C.dsir_importance(docs, "doc_id", "text", ratio, n_buckets=1024)
+
+
+@register(
+    "ext_kmv_overlap",
+    f"""
+    WITH ta AS (
+      SELECT DISTINCT {K.kmv_hash_sql('t')} AS h
+      FROM (SELECT unnest(({T.shingles_sql('text', 3)})) AS t
+            FROM documents WHERE source = 'src0')
+    ),
+    tb AS (
+      SELECT DISTINCT {K.kmv_hash_sql('t')} AS h
+      FROM (SELECT unnest(({T.shingles_sql('text', 3)})) AS t
+            FROM documents WHERE source = 'src1')
+    ),
+    ka AS (SELECT h FROM ta ORDER BY h LIMIT 64),
+    kb AS (SELECT h FROM tb ORDER BY h LIMIT 64),
+    ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+           ORDER BY h LIMIT 64),
+    ea AS (SELECT count(*)::BIGINT AS n, max(h) AS kth FROM ka),
+    eb AS (SELECT count(*)::BIGINT AS n, max(h) AS kth FROM kb),
+    eu AS (SELECT count(*)::BIGINT AS n, max(h) AS kth FROM ku),
+    m AS (SELECT count(*)::BIGINT AS m FROM ku
+          WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+    kn AS (SELECT count(*)::BIGINT AS ku_n FROM ku)
+    SELECT {K.kmv_est_sql('ea.n', 'ea.kth', 64)} AS est_a,
+           {K.kmv_est_sql('eb.n', 'eb.kth', 64)} AS est_b,
+           {K.kmv_est_sql('eu.n', 'eu.kth', 64)} AS est_union,
+           (m.m * {K.kmv_est_sql('eu.n', 'eu.kth', 64)} // kn.ku_n)::BIGINT
+             AS est_intersect,
+           (m.m * 1000000 // kn.ku_n)::BIGINT AS jaccard_ppm
+    FROM ea, eb, eu, m, kn
+    """,
+)
+def ext_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) sketch set algebra — the intersection HLL cannot do:
+    64-minimum-value synopses of two sources' token sets, merged for the
+    union estimate, with Jaccard/intersection read off the union
+    synopsis's membership in both sketches (Beyer et al. 2007).  Each
+    corpus is reduced to ≤64 rows by one distinct + TakeOrdered; every
+    estimate is integer DECIMAL(38,0)/HUGEINT arithmetic over 60-bit
+    md5 hashes, so the whole readout is hash-exact cross-engine.  Use:
+    cheap cross-source/cross-shard contamination and overlap triage
+    before committing to an exact gram join."""
+    from pigpen_spark.functions.text import shingles as _sh
+
+    docs = tables(spark, sf_dir)["documents"].df
+    toks = docs.select("source",
+                       F.explode(_sh(F.col("text"), 3)).alias("t"))
+    a = K.kmv_sketch(toks.filter(F.col("source") == "src0"), F.col("t"), k=64)
+    b = K.kmv_sketch(toks.filter(F.col("source") == "src1"), F.col("t"), k=64)
+    return K.kmv_overlap(a, b, 64)

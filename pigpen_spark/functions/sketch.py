@@ -528,3 +528,103 @@ def histogram_drift_sql(old_pred: str, new_pred: str, table: str,
     FROM j, tot
     GROUP BY n_old, n_new
     """
+
+
+# -- KMV (k-minimum-values / theta) distinct sketch -------------------------
+#
+# Beyer et al. 2007 ("On synopses for distinct-value estimation under
+# multiset operations"): keep the k smallest values of a uniform hash
+# over the set; D̂ = (k−1)·SPACE / kth_min (exact count when fewer than
+# k distinct hashes exist).  Unlike HLL (ext_hll_merge), KMV supports
+# INTERSECTION: the k-min of K_A ∪ K_B is exactly the k-min of A ∪ B
+# (the union's k smallest hashes all live in one of the two sketches),
+# and the fraction of that union sketch present in BOTH sketches
+# estimates Jaccard — so |A∩B| ≈ ρ̂·D̂_union, all from two k-row
+# synopses.  Hashes are the first 15 md5 hex digits (60-bit int —
+# portable to DuckDB's BIGINT), estimates are integer DECIMAL(38,0)/
+# HUGEINT arithmetic: every estimate is hash-exact cross-engine.
+
+KMV_SPACE = 1 << 60
+
+
+def kmv_hash(item: Column) -> Column:
+    """Uniform 60-bit integer hash (md5 first 15 hex digits)."""
+    return F.conv(F.substring(F.md5(item), 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_hash_sql(item: str) -> str:
+    return f"('0x' || substring(md5({item}), 1, 15))::BIGINT"
+
+
+def kmv_sketch(df: DataFrame, item: Column, k: int = 64,
+               key: list | None = None) -> DataFrame:
+    """KMV synopsis rows: the ``k`` smallest distinct hashes of ``item``
+    (per ``key`` group, or one global sketch).  Scale shape: one
+    distinct shuffle on (key, h); the k-min is TakeOrdered for the
+    global form and a WindowGroupLimit rank filter for the keyed form —
+    never a full sort, never unbounded state.  Returns (key…, h)."""
+    if k < 2:
+        raise ValueError(f"kmv_sketch: k must be >= 2, got {k}")
+    keys = list(key or [])
+    d = df.select(*[F.col(c) for c in keys], kmv_hash(item).alias("h")).distinct()
+    if not keys:
+        return d.orderBy("h").limit(k)
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def _kmv_est_expr(n: str, kth: str, k: int) -> Column:
+    return F.when(
+        F.col(n) < k, F.col(n)
+    ).otherwise(F.expr(
+        f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * {KMV_SPACE} DIV {kth} AS BIGINT)"
+    )).cast("bigint")
+
+
+def kmv_est_sql(n: str, kth: str, k: int) -> str:
+    return (f"(CASE WHEN {n} < {k} THEN {n} "
+            f"ELSE (({k - 1}::HUGEINT * {KMV_SPACE}) // {kth})::BIGINT END)")
+
+
+def kmv_estimate(sketch: DataFrame, k: int,
+                 key: list | None = None) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_sketch`: exact when the
+    sketch is unsaturated (|S| < k), else (k−1)·SPACE DIV kth_min.
+    Returns (key…, est_distinct)."""
+    keys = list(key or [])
+    agg = [F.count(F.lit(1)).alias("__n"), F.max("h").alias("__kth")]
+    g = sketch.groupBy(*keys).agg(*agg) if keys else sketch.agg(*agg)
+    return g.select(*keys, _kmv_est_expr("__n", "__kth", k).alias("est_distinct"))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Union synopsis: the k smallest of K_A ∪ K_B — exactly the KMV
+    sketch of A ∪ B (associative/commutative; merge any number of
+    per-shard sketches this way)."""
+    return (a.select("h").union(b.select("h")).distinct()
+            .orderBy("h").limit(k))
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Full set-algebra readout from two KMV sketches: one row with
+    est_a, est_b, est_union, est_intersect, jaccard_ppm.  ρ̂ = |{h in
+    the union synopsis present in BOTH sketches}| / |union synopsis|,
+    |A∩B| ≈ ρ̂·D̂_union (Beyer et al. §4); every term is integer
+    arithmetic over the ≤k-row synopses — the corpus is long gone."""
+    a = _persisted(a.select("h"))
+    b = _persisted(b.select("h"))
+    u = _persisted(kmv_merge(a, b, k))
+    both = u.join(a, on="h").join(b, on="h")
+    ests = (
+        kmv_estimate(a, k).withColumnRenamed("est_distinct", "est_a")
+        .crossJoin(kmv_estimate(b, k).withColumnRenamed("est_distinct", "est_b"))
+        .crossJoin(kmv_estimate(u, k).withColumnRenamed("est_distinct", "est_union"))
+        .crossJoin(u.agg(F.count(F.lit(1)).alias("__ku")))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("__m")))
+    )
+    return ests.select(
+        "est_a", "est_b", "est_union",
+        F.expr("CAST(__m * est_union DIV __ku AS BIGINT)").alias("est_intersect"),
+        F.expr("CAST(__m * 1000000 DIV __ku AS BIGINT)").alias("jaccard_ppm"),
+    )

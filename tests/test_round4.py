@@ -984,3 +984,67 @@ class TestDsir:
         scores = {r.w_ppm for r in
                   C.dsir_importance(df, "doc_id", "text", ratio, 16).collect()}
         assert scores == {1000000}
+
+
+class TestKmvSketch:
+    """KMV/theta distinct sketch with set algebra (Beyer et al. 2007)."""
+
+    def test_unsaturated_is_exact(self, spark):
+        from pigpen_spark.functions import sketch as K
+
+        df = spark.createDataFrame([(f"v{i}",) for i in range(20)], ["x"])
+        sk = K.kmv_sketch(df, F.col("x"), k=64)
+        assert K.kmv_estimate(sk, 64).collect()[0].est_distinct == 20
+
+    def test_saturated_estimate_within_envelope(self, spark):
+        from pigpen_spark.functions import sketch as K
+
+        n = 5000
+        df = spark.createDataFrame([(f"item-{i}",) for i in range(n)], ["x"])
+        est = K.kmv_estimate(K.kmv_sketch(df, F.col("x"), k=256), 256) \
+            .collect()[0].est_distinct
+        # relative error ~1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+        assert abs(est - n) < 4 * n / (254 ** 0.5)
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        from pigpen_spark.functions import sketch as K
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(300)], ["x"])
+        b = spark.createDataFrame([(f"b{i}",) for i in range(300)], ["x"])
+        u = a.union(b)
+        merged = {r.h for r in K.kmv_merge(
+            K.kmv_sketch(a, F.col("x"), 64),
+            K.kmv_sketch(b, F.col("x"), 64), 64).collect()}
+        direct = {r.h for r in K.kmv_sketch(u, F.col("x"), 64).collect()}
+        assert merged == direct
+
+    def test_disjoint_and_identical_overlap(self, spark):
+        from pigpen_spark.functions import sketch as K
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(200)], ["x"])
+        b = spark.createDataFrame([(f"b{i}",) for i in range(200)], ["x"])
+        ska = K.kmv_sketch(a, F.col("x"), 64)
+        skb = K.kmv_sketch(b, F.col("x"), 64)
+        r = K.kmv_overlap(ska, skb, 64).collect()[0]
+        assert r.jaccard_ppm == 0 and r.est_intersect == 0
+        r2 = K.kmv_overlap(ska, ska, 64).collect()[0]
+        assert r2.jaccard_ppm == 1000000 and r2.est_a == r2.est_intersect
+
+    def test_keyed_sketch(self, spark):
+        from pigpen_spark.functions import sketch as K
+
+        df = spark.createDataFrame(
+            [("g1", f"v{i}") for i in range(10)]
+            + [("g2", f"w{i}") for i in range(500)], ["g", "x"])
+        est = {r.g: r.est_distinct for r in K.kmv_estimate(
+            K.kmv_sketch(df, F.col("x"), 64, key=["g"]), 64,
+            key=["g"]).collect()}
+        assert est["g1"] == 10
+        assert abs(est["g2"] - 500) < 4 * 500 / (62 ** 0.5)
+
+    def test_k_validated(self, spark):
+        from pigpen_spark.functions import sketch as K
+
+        df = spark.createDataFrame([("x",)], ["x"])
+        with pytest.raises(ValueError, match="k must be"):
+            K.kmv_sketch(df, F.col("x"), k=1)
