@@ -1,0 +1,122 @@
+"""Target-driven pretraining-data selection on pigpen_spark.
+
+Composes this round's selection operators into the workflow a data team
+actually runs when curating a fresh crawl against a target distribution:
+
+    per-source KMV shingle sketches            (sketch.kmv_sketch)
+      → cross-source overlap graph             (sketch synopses join)
+      → PageRank "aggregator" score            (dedup.pagerank)
+         sources whose content re-appears across many other sources are
+         link-farm/aggregator-shaped; high rank ⇒ deprioritize
+      → DSIR target-likeness per document      (classify.dsir_*)
+      → quality gate                           (text.quality_score)
+      → token-budgeted selection               (windows.take_budget)
+         ordered by (target-likeness, quality) with aggregator sources
+         penalized — stop exactly at the budget.
+
+Every stage is a lazy DataFrame plan over synopsis-sized intermediates:
+the corpus is scanned for sketches/scores but never re-shuffled whole;
+pairwise source comparison happens on ≤k-row sketches, never documents.
+
+Run:  python examples/select_pretraining_data.py [sf_dir] [token_budget]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from pigpen_spark import get_spark
+from pigpen_spark.functions import classify as C
+from pigpen_spark.functions import dedup as D
+from pigpen_spark.functions import sketch as K
+from pigpen_spark.functions import text as T
+from pigpen_spark.operators.windows import take_budget
+from pigpen_spark.relation import load_parquet
+
+
+def select_data(spark, sf_dir: str, token_budget: int = 20_000,
+                target_lang: str = "en", overlap_min: int = 8,
+                k: int = 64) -> dict:
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet").df
+
+    # 1. per-source KMV sketches over 3-gram shingles (k rows per source)
+    sh = docs.select("source",
+                     F.explode(T.shingles(F.col("text"), 3)).alias("t"))
+    sk = K.kmv_sketch(sh, F.col("t"), k, key=["source"]).cache()
+
+    # 2. overlap graph: sources sharing >= overlap_min sketch hashes.
+    #    The join runs on synopses (n_sources * k rows), not documents.
+    a = sk.select(F.col("source").alias("sa"), "h")
+    b = sk.select(F.col("source").alias("sb"), "h")
+    pairs = (a.join(b, on="h").filter(F.col("sa") < F.col("sb"))
+             .groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("shared"))
+             .filter(F.col("shared") >= overlap_min))
+    edges = (pairs.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+             .union(pairs.select(F.col("sb").alias("src"),
+                                 F.col("sa").alias("dst"))))
+
+    # 3. aggregator score: PageRank over the overlap graph — content
+    #    shared across many sources concentrates rank on its spreaders.
+    n_edges = edges.count()
+    if n_edges:
+        agg_rank = D.pagerank(edges, iterations=3).withColumnRenamed(
+            "node", "source").withColumnRenamed("rank", "agg_rank")
+    else:  # no overlap at all: every source neutral
+        agg_rank = docs.select("source").distinct().withColumn(
+            "agg_rank", F.lit(0).cast("long"))
+    med = agg_rank.approxQuantile("agg_rank", [0.5], 0.0)[0]
+
+    # 4. DSIR target-likeness: target = the docs labeled target_lang
+    target = docs.filter(F.col("lang") == target_lang)
+    ratio = C.dsir_ratio_table(
+        spark, C.dsir_bucket_counts(target, "text", 1024),
+        C.dsir_bucket_counts(docs, "text", 1024), 1024)
+    dsir = C.dsir_importance(docs, "doc_id", "text", ratio, 1024)
+
+    # 5. quality + assembly; aggregator sources (rank above the median)
+    #    take a flat target-likeness penalty rather than a hard drop
+    scored = (
+        docs.select("doc_id", "source", "text",
+                    T.token_count("text").alias("n_tokens"),
+                    T.quality_score("text").alias("quality"))
+        .join(dsir.select("doc_id", "w_ppm"), on="doc_id")
+        .join(F.broadcast(agg_rank), on="source", how="left")
+        .withColumn("penalized_w",
+                    F.when(F.coalesce("agg_rank", F.lit(0)) > F.lit(med),
+                           F.col("w_ppm") - 50_000).otherwise(F.col("w_ppm")))
+    )
+
+    # 6. budgeted selection: best target-fit first until the token budget
+    chosen = take_budget(
+        scored.filter(F.col("quality") >= 0.4),
+        [F.col("penalized_w").desc(), F.col("quality").desc(),
+         F.col("doc_id")],
+        "n_tokens", budget=token_budget).cache()
+
+    stats = chosen.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.avg("w_ppm").alias("mean_w_ppm")).collect()[0]
+    return {
+        "input_docs": docs.count(),
+        "overlap_edges": n_edges,
+        "aggregator_sources": agg_rank.filter(
+            F.col("agg_rank") > F.lit(med)).count(),
+        "selected_docs": stats["docs"],
+        "selected_tokens": stats["tokens"],
+        "mean_selected_w_ppm": float(stats["mean_w_ppm"] or 0.0),
+        "budget": token_budget,
+    }
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    budget = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    spark = get_spark("select-pretraining-data")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(select_data(spark, sf, budget))

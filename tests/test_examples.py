@@ -62,3 +62,16 @@ def test_ingest_increment_pipeline(spark, sf_dir, tmp_path):
     report2 = ingest(spark, batch2,
                      emb.limit(0).select(F.col("vec_id"), "embedding"), work)
     assert report2["admitted"] == 0
+
+
+def test_select_pretraining_data_pipeline(spark, sf_dir):
+    from select_pretraining_data import select_data
+
+    report = select_data(spark, sf_dir, token_budget=5000)
+    assert report["input_docs"] == 500
+    assert report["selected_docs"] > 0
+    # budget respected up to the boundary row (take_budget keeps the row
+    # that crosses the line, so allow one max-doc overshoot)
+    assert report["selected_tokens"] <= 5000 + 400
+    # selection prefers target-like docs: mean weight at/above neutral 1e6*0.97
+    assert report["mean_selected_w_ppm"] > 970_000
