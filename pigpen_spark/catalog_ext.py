@@ -3565,3 +3565,37 @@ def ext_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = K.kmv_sketch(toks.filter(F.col("source") == "src0"), F.col("t"), k=64)
     b = K.kmv_sketch(toks.filter(F.col("source") == "src1"), F.col("t"), k=64)
     return K.kmv_overlap(a, b, 64)
+
+
+@register(
+    "ext_k_anonymity",
+    """
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS c,
+             count(DISTINCT floor(c_acctbal / 2000))::BIGINT AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT sum(c)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_classes,
+           min(c)::BIGINT AS min_class_size,
+           sum(CASE WHEN c < 10 THEN 1 ELSE 0 END)::BIGINT AS n_small_classes,
+           sum(CASE WHEN c < 10 THEN c ELSE 0 END)::BIGINT AS rows_at_risk,
+           min(l)::BIGINT AS min_diversity,
+           sum(CASE WHEN l < 4 THEN 1 ELSE 0 END)::BIGINT
+             AS n_low_diversity_classes
+    FROM cls
+    """,
+)
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) over customer quasi-identifiers (nation, market segment) with
+    bucketed account balance as the sensitive attribute — the privacy
+    gate a pipeline runs before releasing user-derived tables.  ONE
+    groupBy builds the equivalence-class table (O(distinct quasi
+    tuples)), one 1-row aggregate reads the report; rows are never
+    scanned twice.  k=10 / l=4 chosen to discriminate at sf0.01
+    (35 of 125 classes violate k; min diversity 3)."""
+    cust = tables(spark, sf_dir)["customer"].df
+    return V.k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k=10,
+        sensitive=F.floor(F.col("c_acctbal") / 2000), l=4)

@@ -179,3 +179,61 @@ def profile_sql(table: str, columns: list[str]) -> str:
         for c in columns
     )
     return rows
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str], k: int,
+                       sensitive: Column | str | None = None,
+                       l: int | None = None) -> DataFrame:
+    """k-anonymity (+ optional l-diversity) audit (Sweeney 2002;
+    Machanavajjhala et al. 2007): a release is k-anonymous over the
+    quasi-identifier columns when every equivalence class (group of rows
+    identical on ``quasi_cols``) holds ≥ k rows, and l-diverse when each
+    class carries ≥ l distinct ``sensitive`` values — the checks a
+    training-data pipeline runs before shipping user-derived tables.
+
+    ONE groupBy over the quasi columns (map-side partial) then one 1-row
+    aggregate over the class table — the class table is
+    O(distinct quasi tuples), never row-scale twice.  Returns a single
+    row: n_rows, n_classes, min_class_size, n_small_classes (< k),
+    rows_at_risk (rows in violating classes), and when ``sensitive`` is
+    given: min_diversity, n_low_diversity_classes (< l, with l
+    defaulting to 2).  Remediate with :func:`k_anonymity_violations` →
+    suppress or generalize those classes."""
+    if k < 2:
+        raise ValueError(f"k_anonymity_report: k must be >= 2, got {k}")
+    want_l = sensitive is not None
+    l = 2 if (want_l and l is None) else l
+    aggs = [F.count(F.lit(1)).alias("__c")]
+    if want_l:
+        s = F.col(sensitive) if isinstance(sensitive, str) else sensitive
+        aggs.append(F.count_distinct(s).alias("__l"))
+    classes = df.groupBy(*quasi_cols).agg(*aggs)
+    out = [
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("__c").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("__c") < k, 1).otherwise(0))
+         .cast("bigint").alias("n_small_classes"),
+        F.sum(F.when(F.col("__c") < k, F.col("__c")).otherwise(0))
+         .cast("bigint").alias("rows_at_risk"),
+    ]
+    if want_l:
+        out += [
+            F.min("__l").cast("bigint").alias("min_diversity"),
+            F.sum(F.when(F.col("__l") < l, 1).otherwise(0))
+             .cast("bigint").alias("n_low_diversity_classes"),
+        ]
+    return classes.agg(*out)
+
+
+def k_anonymity_violations(df: DataFrame, quasi_cols: list[str],
+                           k: int) -> DataFrame:
+    """The violating equivalence classes themselves — (quasi_cols…,
+    class_size) for every class under ``k``.  Feed to a suppression
+    (anti-join the rows) or generalization (coarsen a quasi column and
+    re-audit) step."""
+    if k < 2:
+        raise ValueError(f"k_anonymity_violations: k must be >= 2, got {k}")
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+            .filter(F.col("class_size") < k))

@@ -1048,3 +1048,40 @@ class TestKmvSketch:
         df = spark.createDataFrame([("x",)], ["x"])
         with pytest.raises(ValueError, match="k must be"):
             K.kmv_sketch(df, F.col("x"), k=1)
+
+
+class TestKAnonymity:
+    """k-anonymity / l-diversity audit (privacy gate)."""
+
+    def test_report_counts(self, spark):
+        from pigpen_spark.functions.validate import k_anonymity_report
+
+        rows = ([("a", "x", i) for i in range(5)]          # class of 5, 5 values
+                + [("a", "y", 1), ("a", "y", 1)]           # class of 2, 1 value
+                + [("b", "x", 7)])                          # class of 1
+        df = spark.createDataFrame(rows, ["q1", "q2", "s"])
+        r = k_anonymity_report(df, ["q1", "q2"], k=3,
+                               sensitive="s", l=2).collect()[0]
+        assert (r.n_rows, r.n_classes) == (8, 3)
+        assert (r.min_class_size, r.n_small_classes, r.rows_at_risk) == (1, 2, 3)
+        assert (r.min_diversity, r.n_low_diversity_classes) == (1, 2)
+
+    def test_violations_and_suppression_round_trip(self, spark):
+        from pigpen_spark.functions.validate import (
+            k_anonymity_report, k_anonymity_violations)
+
+        rows = [("a", i) for i in range(6)] + [("b", 0), ("c", 1), ("c", 2)]
+        df = spark.createDataFrame(rows, ["q", "v"])
+        bad = k_anonymity_violations(df, ["q"], k=3)
+        assert {(r.q, r.class_size) for r in bad.collect()} == {("b", 1), ("c", 2)}
+        # suppressing the violating classes yields a k-anonymous release
+        clean = df.join(bad.select("q"), on="q", how="left_anti")
+        r = k_anonymity_report(clean, ["q"], k=3).collect()[0]
+        assert r.n_small_classes == 0 and r.n_rows == 6
+
+    def test_k_validated(self, spark):
+        from pigpen_spark.functions.validate import k_anonymity_report
+
+        df = spark.createDataFrame([("a", 1)], ["q", "v"])
+        with pytest.raises(ValueError, match="k must be"):
+            k_anonymity_report(df, ["q"], k=1)
