@@ -656,3 +656,46 @@ def stream_group_accumulate(
         .groupBy(key_col)
         .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
     )
+
+
+def kmv_stream(
+    stream: DataFrame, item_col: str, sketch_path: str, checkpoint: str,
+    k: int = 256, available_now: bool = False,
+):
+    """Streaming distinct-count maintenance via the KMV/theta sketch
+    (:mod:`pigpen_spark.functions.sketch`): each micro-batch sketches
+    ONLY itself (one distinct + TakeOrdered to ≤k rows) and merges into
+    the stored synopsis — and because the k-min of K_old ∪ K_batch IS
+    the k-min of everything ever seen, the stored sketch is at all
+    times EXACTLY the batch-mode sketch of the full history (pinned by
+    test): estimates, unions and intersections read off a ≤k-row
+    parquet with zero recompute.  The streaming twin of
+    ``ext_kmv_overlap``, with the versioned-parquet + replay-idempotent
+    store discipline of :func:`rollup_stream`.
+
+    Returns the started StreamingQuery."""
+    import shutil
+
+    from pigpen_spark.functions.sketch import kmv_merge, kmv_sketch
+
+    if k < 2:
+        raise ValueError(f"kmv_stream: k must be >= 2, got {k}")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vs = _parquet_versions(sketch_path)
+        if batch_id in vs:   # checkpoint replay of an applied batch
+            return
+        part = kmv_sketch(batch_df, F.col(item_col), k)
+        if vs:
+            part = kmv_merge(
+                spark.read.parquet(f"{sketch_path}/v{vs[-1]}"), part, k)
+        part.write.mode("errorifexists").parquet(f"{sketch_path}/v{batch_id}")
+        for v in vs:
+            shutil.rmtree(f"{sketch_path}/v{v}", ignore_errors=True)
+
+    w = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1085,3 +1085,40 @@ class TestKAnonymity:
         df = spark.createDataFrame([("a", 1)], ["q", "v"])
         with pytest.raises(ValueError, match="k must be"):
             k_anonymity_report(df, ["q"], k=1)
+
+
+class TestKmvStream:
+    def test_streamed_sketch_equals_batch_sketch(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from pigpen_spark.functions import sketch as K
+        from pigpen_spark.streaming import core as st
+
+        src = tmp_path / "kmv_src"
+        src.mkdir(parents=True)
+        # overlapping batches: the merge must dedup across history
+        batches = [[f"item-{i}" for i in range(0, 300)],
+                   [f"item-{i}" for i in range(150, 450)],
+                   [f"item-{i}" for i in range(400, 500)]]
+        for bi, items in enumerate(batches):
+            with open(src / f"b{bi}.json", "w") as f:
+                for x in items:
+                    f.write(_json.dumps({"x": x}) + "\n")
+
+        stream = (spark.readStream.schema("x string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = st.kmv_stream(stream, "x", str(tmp_path / "kmv_sk"),
+                          str(tmp_path / "kmv_ck"), k=64, available_now=True)
+        q.awaitTermination(120)
+
+        vs = [v for v in os.listdir(tmp_path / "kmv_sk") if v.startswith("v")]
+        assert len(vs) == 1   # superseded versions pruned
+        stored = spark.read.parquet(str(tmp_path / "kmv_sk" / vs[0]))
+        # invariant: stored sketch == batch-mode sketch of the full history
+        full = spark.read.schema("x string").json(str(src))
+        direct = K.kmv_sketch(full, F.col("x"), 64)
+        assert {r.h for r in stored.collect()} == {r.h for r in direct.collect()}
+        # and the estimate is within the KMV envelope of the 500 truth
+        est = K.kmv_estimate(stored, 64).collect()[0].est_distinct
+        assert abs(est - 500) < 4 * 500 / (62 ** 0.5)
