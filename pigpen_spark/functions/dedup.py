@@ -1138,3 +1138,87 @@ def pagerank_cte_sql(edges_cte: str, iterations: int = 3,
         JOIN deg d ON e.src = d.src
         GROUP BY e.dst) s ON n.node = s.node)""")
     return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, rank FROM r{iterations}"
+
+
+def winnow_fingerprints(hs: Column, w: int = 4) -> Column:
+    """FULL winnowing (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    algorithm), upgrading :func:`~pigpen_spark.functions.text.
+    shingle_fingerprint`'s single global min: slide a ``w``-window over
+    the shingle-hash array and keep each window's minimum, dedup'd.
+    Guarantee (the paper's): any shared token run spanning ≥ w + n − 1
+    tokens (n = shingle size) contributes at least one COMMON
+    fingerprint to both documents — so quote-level partial overlap is
+    detectable from fingerprint sets a ~2/(w+1) fraction of the shingle
+    count.  Docs shorter than one window keep their single min.  Pure
+    HOF expression; ``hs`` is referenced by several lambdas, so pass a
+    let-bound/materialized column (same contract as shingle_hashes)."""
+    n_win = F.size(hs) - w + 1
+    return F.array_distinct(
+        F.when(
+            F.size(hs) >= w,
+            F.transform(F.sequence(F.lit(1), n_win),
+                        lambda i: F.array_min(F.slice(hs, i, w))),
+        ).otherwise(F.array(F.array_min(hs)))
+    )
+
+
+def winnow_fingerprints_sql(hs: str, w: int = 4) -> str:
+    """DuckDB equivalent of :func:`winnow_fingerprints`."""
+    return f"""
+      CASE WHEN len({hs}) >= {w}
+           THEN list_distinct([list_min({hs}[i : i + {w - 1}])
+                               for i in range(1, len({hs}) - {w} + 2)])
+           ELSE [list_min({hs})] END
+    """
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str, content_col: str,
+                         shingle_n: int = 3, w: int = 4,
+                         min_shared: int = 2,
+                         max_df: int | None = None) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowed fingerprints — the
+    detector for QUOTE-LEVEL reuse that whole-doc MinHash misses (a
+    paragraph lifted into an otherwise-different document moves Jaccard
+    barely, but its fingerprints collide exactly).  Pipeline: shingle
+    hashes → winnow → explode (id, fp) distinct → self-join on fp →
+    per-pair shared count ≥ ``min_shared``; containment is shared over
+    the SMALLER doc's fingerprint count (integer ppm).
+
+    Scale: the join is an equi-join on fingerprint value — O(Σ df(fp)²)
+    pair rows, so over-common fingerprints (site boilerplate) are the
+    hub risk; ``max_df`` drops fingerprints appearing in more than that
+    many docs BEFORE the self-join (MOSS's own over-common cut), making
+    the worst key cost max_df².  Returns (id_a, id_b, shared,
+    containment_ppm)."""
+    from pigpen_spark.functions.text import _let
+
+    if w < 2:
+        raise ValueError(f"winnow_overlap_pairs: w must be >= 2, got {w}")
+    th = df.select(F.col(id_col).alias("id"),
+                   token_hashes(F.col(content_col)).alias("th"))
+    hs = th.select("id", shingle_hashes(F.col("th"), shingle_n).alias("hs"))
+    fp = (
+        hs.select("id", F.explode(winnow_fingerprints(F.col("hs"), w)).alias("fp"))
+        .distinct()
+        .transform(_persisted)
+    )
+    if max_df is not None:
+        keep = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")) \
+                 .filter(F.col("__df") <= max_df).select("fp")
+        fp = fp.join(keep, on="fp")
+    sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp.select(F.col("id").alias("id_a"), "fp")
+    b = fp.select(F.col("id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, on="fp").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n_fp": "n_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_fp": "n_b"}), on="id_b")
+        .select("id_a", "id_b", "shared",
+                F.expr("shared * 1000000 DIV least(n_a, n_b)")
+                 .alias("containment_ppm"))
+    )

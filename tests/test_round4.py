@@ -1122,3 +1122,57 @@ class TestKmvStream:
         # and the estimate is within the KMV envelope of the 500 truth
         est = K.kmv_estimate(stored, 64).collect()[0].est_distinct
         assert abs(est - 500) < 4 * 500 / (62 ** 0.5)
+
+
+class TestWinnowing:
+    """Full winnowing (MOSS) partial-overlap detection."""
+
+    def test_quote_reuse_detected_where_minhash_misses(self, spark):
+        from pigpen_spark.functions.dedup import winnow_overlap_pairs
+
+        quote = "the five boxing wizards jump quickly over every lazy dog tonight"
+        filler_a = " ".join(f"alpha{i}" for i in range(60))
+        filler_b = " ".join(f"beta{i}" for i in range(60))
+        rows = [(1, filler_a + " " + quote),
+                (2, quote + " " + filler_b),
+                (3, " ".join(f"gamma{i}" for i in range(70)))]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = {(r.id_a, r.id_b): r.shared for r in winnow_overlap_pairs(
+            df, "doc_id", "text", shingle_n=3, w=4, min_shared=2).collect()}
+        # docs 1&2 share only the 11-token quote (>= w+n-1 = 6 tokens ⇒
+        # guaranteed common fingerprints); doc 3 shares nothing
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+        assert not any(3 in p for p in pairs)
+
+    def test_guarantee_on_short_common_run(self, spark):
+        from pigpen_spark.functions.dedup import winnow_overlap_pairs
+
+        # identical docs must reach containment 1e6
+        t = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+        r = winnow_overlap_pairs(df, "doc_id", "text",
+                                 min_shared=1).collect()[0]
+        assert r.containment_ppm == 1000000
+
+    def test_max_df_cuts_hub_fingerprints(self, spark):
+        from pigpen_spark.functions.dedup import winnow_overlap_pairs
+
+        # every doc carries the same boilerplate; distinct tails.
+        # with max_df=2 the boilerplate fingerprints (df=4) are cut, so
+        # no pair survives min_shared
+        bp = "all rights reserved contact us terms of service apply here"
+        rows = [(i, bp + " " + " ".join(f"u{i}x{j}" for j in range(30)))
+                for i in range(4)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        with_hubs = winnow_overlap_pairs(df, "doc_id", "text",
+                                         min_shared=2).count()
+        without = winnow_overlap_pairs(df, "doc_id", "text",
+                                       min_shared=2, max_df=2).count()
+        assert with_hubs > 0 and without == 0
+
+    def test_w_validated(self, spark):
+        from pigpen_spark.functions.dedup import winnow_overlap_pairs
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="w must be"):
+            winnow_overlap_pairs(df, "doc_id", "text", w=1)
