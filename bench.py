@@ -118,6 +118,17 @@ HEADLINE = [
     # costs ~ms locally); the pair exists so scale runs surface the gap.
     "ext_skew_join_plain",
     "ext_skew_join_salted",
+    # round-4 second pass: iterative integer-exact PageRank (3 power
+    # iterations: slim rank shuffle + groupBy each, edges partitioned
+    # once), RIFF-AVI DIB demux+decode (second video container), fused
+    # single-explode DSIR scoring (two 1024-row count tables + broadcast
+    # ratio join), KMV set-algebra readout (<=k-row synopses), and
+    # full-winnowing quote-reuse pairs (fp equi-join, hub cut at df<=50)
+    "ext_pagerank",
+    "ext_frame_sample_avi",
+    "ext_dsir",
+    "ext_kmv_overlap",
+    "ext_winnow_overlap",
 ]
 
 

@@ -3507,12 +3507,8 @@ def ext_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity_buckets precedent), keeping the full pipeline hash-exact.
     Compose with sort/take or take_budget for the resampling step."""
     docs = tables(spark, sf_dir)["documents"].df
-    target_counts = C.dsir_bucket_counts(
-        docs.filter(F.col("lang") == "en"), "text", n_buckets=1024)
-    raw_counts = C.dsir_bucket_counts(docs, "text", n_buckets=1024)
-    ratio = C.dsir_ratio_table(spark, target_counts, raw_counts,
-                               n_buckets=1024)
-    return C.dsir_importance(docs, "doc_id", "text", ratio, n_buckets=1024)
+    return C.dsir_score_corpus(docs, "doc_id", "text",
+                               F.col("lang") == "en", n_buckets=1024)
 
 
 @register(

@@ -499,3 +499,41 @@ def dsir_importance(df, id_col: str, text_col: str, ratio_table,
                 F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
                 F.col("w_ppm"))
     )
+
+
+def dsir_score_corpus(df, id_col: str, text_col: str, target_pred,
+                      n_buckets: int = 1024):
+    """Fused DSIR pass: explode the hashed features ONCE (persisted slim
+    (id, is_target, bucket) rows), derive target and raw bucket counts
+    and the per-doc scoring from that single explode — one corpus
+    tokenization instead of three (2× measured at sf0.1).  ``target_pred``
+    is a boolean Column selecting the target slice.  Returns
+    (id, n_feats, w_ppm) like :func:`dsir_importance`."""
+    from pigpen_spark.cache import persisted as _persisted
+    from pyspark.sql.functions import broadcast
+
+    feats = _persisted(
+        df.select(
+            F.col(id_col).alias("__id"), target_pred.alias("__t"),
+            F.explode(dsir_feature_buckets(F.col(text_col), n_buckets))
+            .alias("bucket"),
+        )
+    )
+    target_counts = (feats.filter(F.col("__t")).groupBy("bucket")
+                     .agg(F.count(F.lit(1)).alias("c")))
+    raw_counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    ratio = dsir_ratio_table(df.sparkSession, target_counts, raw_counts,
+                             n_buckets)
+    per_doc = (
+        feats.join(broadcast(ratio), on="bucket")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_feats"),
+             F.expr("sum(ratio_ppm) DIV count(1)").alias("w_ppm"))
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, on="__id", how="left")
+        .select(F.col("__id").alias(id_col),
+                F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                F.col("w_ppm"))
+    )

@@ -1176,3 +1176,21 @@ class TestWinnowing:
         df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="w must be"):
             winnow_overlap_pairs(df, "doc_id", "text", w=1)
+
+
+class TestDsirFused:
+    def test_fused_matches_composed(self, spark):
+        from pigpen_spark.functions import classify as C
+
+        rows = ([(i, "en", "alpha beta gamma") for i in range(6)]
+                + [(10 + i, "de", "omega psi chi") for i in range(6)])
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        fused = {tuple(r) for r in C.dsir_score_corpus(
+            df, "doc_id", "text", F.col("lang") == "en", 64).collect()}
+        ratio = C.dsir_ratio_table(
+            spark,
+            C.dsir_bucket_counts(df.filter(F.col("lang") == "en"), "text", 64),
+            C.dsir_bucket_counts(df, "text", 64), 64)
+        composed = {tuple(r) for r in C.dsir_importance(
+            df, "doc_id", "text", ratio, 64).collect()}
+        assert fused == composed
