@@ -236,3 +236,50 @@ def test_dedup_keep_best_winners_broadcast_back(spark, sf_dir):
     p = qs["ext_dedup_keep_best"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in p
     assert p.count("BroadcastExchange") >= 2
+
+
+def test_dsir_ratio_join_broadcasts(plans):
+    # the 1024-row ratio table must broadcast to the scoring join — a
+    # shuffled join here would hash-partition the whole feature stream
+    p = plans("ext_dsir")
+    assert "BroadcastHashJoin" in p
+
+
+def test_kmv_global_sketch_is_take_ordered(plans):
+    # the k-min must compile to TakeOrdered (distributed partial top-k),
+    # never a global Sort + Limit over all distinct hashes
+    p = plans("ext_kmv_overlap")
+    assert "TakeOrderedAndProject" in p
+    assert "GlobalLimit" not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_kmv_keyed_sketch_uses_window_group_limit(spark, sf_dir):
+    from pigpen_spark.functions import sketch as K
+    from pyspark.sql import functions as F
+
+    docs = catalog.tables(spark, sf_dir)["documents"].df
+    sk = K.kmv_sketch(docs.select("source", "text"), F.col("text"), 16,
+                      key=["source"])
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    # rank<=k filter must push into the shuffle as WindowGroupLimit so
+    # losers drop map-side, not after a full per-key sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_winnow_hub_cut_precedes_self_join(plans):
+    # the df<=max_df cut must exist as a count-aggregate + filter UNDER
+    # the pair join (at sf0.01 AQE broadcasts the small sides; at scale
+    # the same tree runs as a shuffled join — the cut's position is what
+    # bounds the worst key at df²)
+    p = plans("ext_winnow_overlap")
+    assert "__df" in p and "<= 50" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pagerank_edges_partitioned_once(plans):
+    # rank iterations re-join edges on src; the edge side is persisted
+    # hash-partitioned, so per-iteration exchanges are on the slim rank
+    # table (InMemoryTableScan present, and no CartesianProduct ever)
+    p = plans("ext_pagerank")
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
