@@ -3637,3 +3637,54 @@ def ext_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"].df
     return D.winnow_overlap_pairs(docs, "doc_id", "text",
                                   shingle_n=3, w=4, min_shared=2, max_df=50)
+
+
+@register(
+    "ext_conversations",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, props, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                          ORDER BY ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT *, user_id::VARCHAR || '-' ||
+             (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts))::VARCHAR
+               AS session_id
+      FROM flagged
+    ),
+    r AS (
+      SELECT *, CASE WHEN lag(event_type) OVER (
+                       PARTITION BY session_id
+                       ORDER BY epoch_us(ts), event_id) = event_type
+                     THEN 1 ELSE 0 END AS rep
+      FROM s
+    )
+    SELECT user_id, session_id,
+           count(*)::BIGINT AS n_turns,
+           sum(rep)::BIGINT AS n_role_repeats,
+           ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT
+             AS duration_s,
+           string_agg(event_type || ': ' || props, ' | '
+                      ORDER BY epoch_us(ts), event_id) AS transcript
+    FROM r GROUP BY user_id, session_id
+    """,
+)
+def ext_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn conversation assembly (post-training/SFT data prep):
+    gap-sessionize the event stream (30 min), emit one row per
+    conversation with the ordered role:content transcript and the
+    structural gates — turn count, consecutive-same-role repeats,
+    wall-clock span.  Order is made total by (ts, event_id), so the
+    transcript string is deterministic and the whole row hash-exact.
+    One shuffle chain keyed on user/session; transcripts bounded by
+    conversation length (mega-session escape hatch: apply_stream)."""
+    from pigpen_spark.operators.windows import assemble_conversations
+
+    e = tables(spark, sf_dir)["events"]
+    return assemble_conversations(
+        e.df, "user_id", "ts", "event_type", "props", "event_id",
+        gap_seconds=1800)

@@ -258,3 +258,66 @@ def take_budget(df: DataFrame, order_by: Sequence, size, budget: int,
         .filter((F.col(cum_col) - F.col("__pp_sz")) < budget)
         .drop("__pp_sz", pid)
     )
+
+
+def assemble_conversations(df: DataFrame, user_col: str, ts_col: str,
+                           role_col: str, content_col: str,
+                           event_id_col: str, gap_seconds: int,
+                           sep: str = " | ") -> DataFrame:
+    """Multi-turn conversation assembly for post-training data prep:
+    gap-sessionize an event/turn stream (:func:`sessionize`), then emit
+    ONE ROW PER CONVERSATION — the ordered ``role: content`` transcript
+    plus the structural stats an SFT pipeline gates on (turn count,
+    consecutive-same-role repeats, wall-clock span).  ``event_id_col``
+    is the REQUIRED order tiebreak: same-timestamp turns would otherwise
+    assemble nondeterministically (the repo's determinism-by-
+    construction rule).
+
+    Plan: the sessionize window + the per-session lag + the final
+    groupBy all key on the user/session — one shuffle chain, skew-safe
+    under AQE.  Transcripts materialize per session via sorted
+    collect_list (bounded by conversation length; route pathological
+    mega-sessions through group_stream.apply_stream instead).
+
+    Returns (user, session_id, n_turns, n_role_repeats, duration_s,
+    transcript)."""
+    from pigpen_spark.typeutil import epoch_seconds
+
+    sess = sessionize(df, user_col, ts_col, gap_seconds)
+    dt = sess.select(F.col(ts_col).alias("__t")).schema["__t"] \
+        .dataType.simpleString()
+    is_ts = dt.startswith("timestamp")
+    # timestamps: integer µs (exact); numeric columns: the caller's own
+    # unit, both for the gap (sessionize treats it as seconds) and the
+    # reported duration — no unit is invented for them
+    us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+          if is_ts else F.col(ts_col).cast("bigint"))
+    dur_div = 1_000_000 if is_ts else 1
+    turn = F.concat(F.col(role_col).cast("string"), F.lit(": "),
+                    F.col(content_col).cast("string"))
+    w = Window.partitionBy("session_id").orderBy(us, F.col(event_id_col))
+    t = (
+        sess.withColumn("__us", us)
+        .withColumn("__turn", turn)
+        .withColumn(
+            "__rep",
+            (F.lag(F.col(role_col)).over(w) == F.col(role_col))
+            .cast("long"))
+    )
+    return (
+        t.groupBy(F.col(user_col), F.col("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.coalesce(F.sum("__rep"), F.lit(0)).alias("n_role_repeats"),
+            F.expr(f"CAST((max(__us) - min(__us)) DIV {dur_div} AS BIGINT)")
+             .alias("duration_s"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col("__us").alias("u"),
+                        F.col(event_id_col).alias("i"),
+                        F.col("__turn").alias("t")))),
+                    lambda x: x["t"]),
+                sep).alias("transcript"),
+        )
+    )

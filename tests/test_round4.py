@@ -1194,3 +1194,44 @@ class TestDsirFused:
         composed = {tuple(r) for r in C.dsir_importance(
             df, "doc_id", "text", ratio, 64).collect()}
         assert fused == composed
+
+
+class TestAssembleConversations:
+    def test_assembly_and_stats(self, spark):
+        from pigpen_spark.operators.windows import assemble_conversations
+
+        rows = [
+            # session 1 of user 7: u,a,u,u (one repeat), 90s span
+            (1, 7, 1000, "user", "hi"),
+            (2, 7, 1030, "assistant", "hello"),
+            (3, 7, 1060, "user", "more"),
+            (4, 7, 1090, "user", "again"),
+            # gap > 300 ⇒ session 2
+            (5, 7, 2000, "user", "new topic"),
+            # other user
+            (6, 8, 1000, "user", "x"),
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "uid", "ts", "role", "msg"])
+        out = {r.session_id: r for r in assemble_conversations(
+            df, "uid", "ts", "role", "msg", "event_id",
+            gap_seconds=300).collect()}
+        s1 = out["7-1"]
+        assert s1.n_turns == 4 and s1.n_role_repeats == 1
+        assert s1.duration_s == 90  # numeric ts: duration in its own unit
+        assert s1.transcript == \
+            "user: hi | assistant: hello | user: more | user: again"
+        assert out["7-2"].n_turns == 1 and out["7-2"].n_role_repeats == 0
+        assert out["8-1"].n_turns == 1
+
+    def test_tie_determinism_via_event_id(self, spark):
+        from pigpen_spark.operators.windows import assemble_conversations
+
+        # identical timestamps: order must follow event_id
+        rows = [(2, 1, 500, "b", "second"), (1, 1, 500, "a", "first")]
+        df = spark.createDataFrame(
+            rows, ["event_id", "uid", "ts", "role", "msg"])
+        r = assemble_conversations(
+            df, "uid", "ts", "role", "msg", "event_id",
+            gap_seconds=10).collect()[0]
+        assert r.transcript == "a: first | b: second"
