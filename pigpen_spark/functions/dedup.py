@@ -1092,6 +1092,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # slim per-edge fan-out table, partitioned by src like e
     ed = e.join(deg, on="src").transform(_persisted)
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: edge list is empty (no nodes)")
     base = scale // n          # r0 for every node
     teleport = (15 * base) // 100
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))

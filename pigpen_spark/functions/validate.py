@@ -209,13 +209,13 @@ def k_anonymity_report(df: DataFrame, quasi_cols: list[str], k: int,
         aggs.append(F.count_distinct(s).alias("__l"))
     classes = df.groupBy(*quasi_cols).agg(*aggs)
     out = [
-        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_classes"),
         F.min("__c").cast("bigint").alias("min_class_size"),
-        F.sum(F.when(F.col("__c") < k, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("__c") < k, 1).otherwise(0)), F.lit(0))
          .cast("bigint").alias("n_small_classes"),
-        F.sum(F.when(F.col("__c") < k, F.col("__c")).otherwise(0))
-         .cast("bigint").alias("rows_at_risk"),
+        F.coalesce(F.sum(F.when(F.col("__c") < k, F.col("__c")).otherwise(0)),
+                   F.lit(0)).cast("bigint").alias("rows_at_risk"),
     ]
     if want_l:
         out += [

@@ -1235,3 +1235,47 @@ class TestAssembleConversations:
             df, "uid", "ts", "role", "msg", "event_id",
             gap_seconds=10).collect()[0]
         assert r.transcript == "a: first | b: second"
+
+
+class TestDegenerateNewOps:
+    """Empty/degenerate-input contracts for the second-pass operators."""
+
+    def test_pagerank_empty_edges_raises_cleanly(self, spark):
+        from pigpen_spark.functions.dedup import pagerank
+
+        with pytest.raises(ValueError, match="edge list is empty"):
+            pagerank(spark.createDataFrame([], "src long, dst long")).collect()
+
+    def test_kmv_overlap_one_side_empty(self, spark):
+        from pigpen_spark.functions import sketch as K
+
+        a = K.kmv_sketch(spark.createDataFrame([], "x string"), F.col("x"), 8)
+        b = K.kmv_sketch(spark.createDataFrame([("y",)], ["x"]), F.col("x"), 8)
+        r = K.kmv_overlap(a, b, 8).collect()[0]
+        assert (r.est_a, r.est_b, r.est_intersect, r.jaccard_ppm) == (0, 1, 0, 0)
+
+    def test_dsir_empty_text_scores_null(self, spark):
+        from pigpen_spark.functions import classify as C
+
+        d = spark.createDataFrame([(1, ""), (2, "a b")], ["doc_id", "text"])
+        got = {r.doc_id: (r.n_feats, r.w_ppm) for r in C.dsir_score_corpus(
+            d, "doc_id", "text", F.lit(True), 16).collect()}
+        assert got[1] == (0, None) and got[2][0] == 3
+
+    def test_k_anonymity_empty_input_zero_counts(self, spark):
+        from pigpen_spark.functions.validate import k_anonymity_report
+
+        d = spark.createDataFrame([], "q string, v long")
+        r = k_anonymity_report(d, ["q"], 3, sensitive="v").collect()[0]
+        assert (r.n_rows, r.n_classes, r.n_small_classes, r.rows_at_risk) \
+            == (0, 0, 0, 0)
+        assert r.min_class_size is None and r.min_diversity is None
+
+    def test_winnow_empty_text_whole_doc_fingerprint(self, spark):
+        from pigpen_spark.functions.dedup import winnow_overlap_pairs
+
+        # token-less docs share the single whole-doc fingerprint
+        d = spark.createDataFrame([(1, ""), (2, "")], ["doc_id", "text"])
+        r = winnow_overlap_pairs(d, "doc_id", "text", min_shared=1).collect()
+        assert [(x.id_a, x.id_b, x.containment_ppm) for x in r] \
+            == [(1, 2, 1000000)]
