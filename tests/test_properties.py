@@ -698,3 +698,64 @@ def test_remove_frequent_spans_matches_model_property(spark, docs, min_docs):
         cs = chunks(d)
         kept = [c for c in cs if c not in ban]
         assert got[i] == (" ".join(kept), len(cs) - len(kept)), (i, d)
+
+
+@pytest.mark.usefixtures("spark")
+class TestRound4Properties:
+    """Invariants of the round-4 second-pass operators under random
+    inputs, each checked against a pure-Python model or an algebraic
+    identity."""
+
+    @given(edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=20))
+    @settings(**SET_SETTINGS)
+    def test_pagerank_matches_python_model(self, spark, edges):
+        from pigpen_spark.functions.dedup import pagerank
+
+        df = spark.createDataFrame(list(set(edges)), ["src", "dst"])
+        got = {r.node: r["rank"] for r in pagerank(df, iterations=2).collect()}
+        # pure-python model of the documented integer contract
+        es = sorted(set(edges))
+        nodes = sorted({u for e in es for u in e})
+        outdeg = Counter(s for s, _ in es)
+        base = 10**12 // len(nodes)
+        tele = (15 * base) // 100
+        rank = {u: base for u in nodes}
+        for _ in range(2):
+            sums = {u: 0 for u in nodes}
+            for s, d in es:
+                sums[d] += rank[s] // outdeg[s]
+            rank = {u: tele + (85 * sums[u]) // 100 for u in nodes}
+        assert got == rank
+
+    @given(xs=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=3),
+                       min_size=1, max_size=40))
+    @settings(**SET_SETTINGS)
+    def test_kmv_duplication_invariant(self, spark, xs):
+        """Sketching a multiset twice over == sketching it once (KMV sees
+        distinct hashes only), and merge with itself is identity."""
+        from pigpen_spark.functions import sketch as K
+
+        df = spark.createDataFrame([(x,) for x in xs], ["x"])
+        once = {r.h for r in K.kmv_sketch(df, F.col("x"), 8).collect()}
+        twice = {r.h for r in K.kmv_sketch(df.union(df), F.col("x"), 8).collect()}
+        assert once == twice
+        a = K.kmv_sketch(df, F.col("x"), 8)
+        merged = {r.h for r in K.kmv_merge(a, a, 8).collect()}
+        assert merged == once
+
+    @given(shared=st.integers(6, 12), seed=st.integers(0, 5))
+    @settings(**SET_SETTINGS)
+    def test_winnowing_guarantee(self, spark, shared, seed):
+        """Schleimer guarantee: a common token run of >= w+n-1 tokens
+        (w=4, n=3 => 6) always yields >= 1 shared fingerprint."""
+        from pigpen_spark.functions.dedup import winnow_overlap_pairs
+
+        run = " ".join(f"q{seed}w{i}" for i in range(shared))
+        a = " ".join(f"a{seed}x{i}" for i in range(20)) + " " + run
+        b = run + " " + " ".join(f"b{seed}y{i}" for i in range(20))
+        df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+        pairs = winnow_overlap_pairs(df, "doc_id", "text",
+                                     shingle_n=3, w=4, min_shared=1)
+        assert pairs.count() == 1
