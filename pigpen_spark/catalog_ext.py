@@ -3688,3 +3688,66 @@ def ext_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_conversations(
         e.df, "user_id", "ts", "event_type", "props", "event_id",
         gap_seconds=1800)
+
+
+@register(
+    "ext_ann_mrr",
+    f"""
+    WITH tagged AS (
+      SELECT vec_id AS id, embedding AS vec,
+             ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT id, vec, unnest({S.probe_buckets_sql('bucket', _PLANES)}) AS bucket
+      FROM tagged
+    ),
+    approx AS (
+      SELECT q_id, n_id, rank FROM (
+        SELECT a.id AS q_id, b.id AS n_id,
+               row_number() OVER (
+                 PARTITION BY a.id
+                 ORDER BY round({S.cosine_sql('a.vec', 'b.vec')}, 6) DESC, b.id
+               ) AS rank
+        FROM probes a JOIN tagged b ON a.bucket = b.bucket AND a.id <> b.id
+        WHERE a.id < 10
+      ) WHERE rank <= 5
+    ),
+    truth AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({S.cosine_sql('q.embedding', 'c.embedding')}, 6)
+                          DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rank = 1
+    ),
+    first AS (
+      SELECT t.q_id, min(a.rank) AS best
+      FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.n_id = a.n_id
+      GROUP BY t.q_id
+    )
+    SELECT count(*)::BIGINT AS n_queries,
+           count(best)::BIGINT AS n_found,
+           (sum(coalesce(1000000 // best, 0)) // count(*))::BIGINT AS mrr_ppm
+    FROM first
+    """,
+)
+def ext_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR of multi-probe LSH against the exact nearest neighbor — the
+    ordering-quality eval completing the harness (recall@k says the
+    truth was retrieved; MRR says where it ranked).  10 query vectors,
+    truth = brute-force top-1, approx = the multi-probe top-5 ranking;
+    reciprocal ranks in integer ppm make the whole readout hash-exact.
+    At scale this is the per-parameter-choice regression row every
+    index build records next to its recall."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    q = emb.df.filter(F.col("vec_id") < 10)
+    truth = S.brute_force_topk(emb.df, q, k=1).select("q_id", "n_id")
+    approx = (S.lsh_topk(emb.df, k=5, n_planes=_PLANES, dim=_DIM,
+                         multi_probe=True)
+              .filter(F.col("q_id") < 10))
+    return S.ann_mrr(approx, truth)

@@ -1510,3 +1510,31 @@ def negative_samples_sql(table: str, id_col: str, k: int, n_total_sql: str,
                  ELSE {draw} END)::BIGINT AS neg_id
     FROM {table}, range({k}) r(j)
     """
+
+
+def ann_mrr(approx: DataFrame, truth: DataFrame, q_col: str = "q_id",
+            n_col: str = "n_id", rank_col: str = "rank") -> DataFrame:
+    """Mean reciprocal rank of an approximate RANKED result against a
+    relevant set — the ordering-quality companion to :func:`ann_recall`
+    (recall says whether truth was retrieved at all; MRR says how high
+    the FIRST relevant lands).  Per truth query: 10⁶ DIV the best rank
+    any relevant neighbor achieves in the approx list (0 when none was
+    retrieved); one corpus row with the ppm mean over ALL truth queries.
+    Integer arithmetic throughout — hash-exact cross-engine.
+
+    One equi-join on (q, n) + two aggregates; division-free until the
+    final DIVs."""
+    a = approx.select(F.col(q_col).alias("q_id"), F.col(n_col).alias("n_id"),
+                      F.col(rank_col).alias("__r"))
+    t = truth.select(F.col(q_col).alias("q_id"),
+                     F.col(n_col).alias("n_id")).distinct()
+    first = (
+        t.join(a, on=["q_id", "n_id"], how="left")
+        .groupBy("q_id").agg(F.min("__r").alias("__best"))
+    )
+    return first.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.count("__best").cast("bigint").alias("n_found"),
+        F.expr("sum(coalesce(1000000 DIV __best, 0)) DIV count(1)")
+         .cast("bigint").alias("mrr_ppm"),
+    )

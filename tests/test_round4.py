@@ -1279,3 +1279,29 @@ class TestDegenerateNewOps:
         r = winnow_overlap_pairs(d, "doc_id", "text", min_shared=1).collect()
         assert [(x.id_a, x.id_b, x.containment_ppm) for x in r] \
             == [(1, 2, 1000000)]
+
+
+class TestAnnMrr:
+    def test_hand_example(self, spark):
+        from pigpen_spark.functions.similarity import ann_mrr
+
+        approx = spark.createDataFrame(
+            [(1, 100, 1), (1, 101, 2),        # q1: relevant at rank 2
+             (2, 200, 1),                      # q2: relevant at rank 1
+             (3, 300, 1), (3, 301, 2)],        # q3: relevant absent
+            ["q_id", "n_id", "rank"])
+        truth = spark.createDataFrame(
+            [(1, 101), (2, 200), (3, 999)], ["q_id", "n_id"])
+        r = ann_mrr(approx, truth).collect()[0]
+        assert (r.n_queries, r.n_found) == (3, 2)
+        assert r.mrr_ppm == (500000 + 1000000 + 0) // 3
+
+    def test_multiple_relevant_uses_best_rank(self, spark):
+        from pigpen_spark.functions.similarity import ann_mrr
+
+        approx = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["q_id", "n_id", "rank"])
+        truth = spark.createDataFrame(
+            [(1, 12), (1, 11)], ["q_id", "n_id"])   # best relevant at rank 2
+        r = ann_mrr(approx, truth).collect()[0]
+        assert (r.n_queries, r.mrr_ppm) == (1, 500000)
