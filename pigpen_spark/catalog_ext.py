@@ -3751,3 +3751,71 @@ def ext_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                          multi_probe=True)
               .filter(F.col("q_id") < 10))
     return S.ann_mrr(approx, truth)
+
+
+@register(
+    "ext_scd2",
+    """
+    WITH dim AS (
+      SELECT c_custkey, round(c_acctbal * 100)::BIGINT AS acct_cents,
+             0::BIGINT AS vf FROM customer
+    ),
+    ch AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS ts,
+             max(round(o_totalprice * 100)::BIGINT) AS acct_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    timeline AS (
+      SELECT d.c_custkey, d.acct_cents, d.vf AS ts, 0 AS src
+      FROM dim d JOIN (SELECT DISTINCT c_custkey FROM ch) k USING (c_custkey)
+      UNION ALL
+      SELECT c_custkey, acct_cents, ts, 1 FROM ch
+    ),
+    lagged AS (
+      SELECT *, lag(acct_cents) OVER (PARTITION BY c_custkey
+                                      ORDER BY ts, src) AS prev
+      FROM timeline
+    ),
+    kept AS (SELECT * FROM lagged
+             WHERE prev IS NULL OR prev IS DISTINCT FROM acct_cents),
+    vers AS (
+      SELECT c_custkey, acct_cents, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts, src) AS valid_to
+      FROM kept
+    ),
+    untouched AS (
+      SELECT d.c_custkey, d.acct_cents, d.vf AS valid_from,
+             NULL::BIGINT AS valid_to
+      FROM dim d ANTI JOIN ch USING (c_custkey)
+    )
+    SELECT * FROM vers UNION ALL SELECT * FROM untouched
+    """,
+)
+def ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 dimension versioning — the versioned sibling of
+    ext_apply_changes (SCD1): customer balances tracked as integer
+    cents, change feed = per-(customer, order-day) compacted states;
+    applying it closes each open version at the change day and chains
+    new versions with [valid_from, valid_to) days, collapsing repeated
+    states.  History/untouched keys move through anti/semi joins on the
+    slim change-key set; the two window passes run on O(batch) rows,
+    never the full dimension.  All-integer output — hash-exact."""
+    from pigpen_spark.operators.analytics import scd2_apply
+
+    t = tables(spark, sf_dir)
+    dim = t["customer"].df.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("acct_cents"),
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    )
+    changes = (
+        t["orders"].df.groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.to_date(F.lit("1970-01-01"))).cast("bigint").alias("ts"))
+        .agg(F.max(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+             .alias("acct_cents"))
+    )
+    return scd2_apply(dim, changes, ["c_custkey"], "ts", ["acct_cents"])

@@ -364,3 +364,94 @@ def changes_from_diff(diff: DataFrame, keys: Sequence[str],
         .select(*keys, *[F.col(f"new_{c}").alias(c) for c in compare],
                 op.alias(op_col))
     )
+
+
+def scd2_apply(dim: DataFrame, changes: DataFrame, keys: Sequence[str],
+               ts_col: str, attr_cols: Sequence[str],
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to") -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 maintenance — the versioned
+    sibling of :func:`apply_changes` (which is SCD1/overwrite): each
+    change batch row carries the attribute state of a key AT ``ts_col``;
+    applying it closes the key's open version (``valid_to`` := change
+    ts) and opens a new one, preserving full history for as-of joins.
+
+    Semantics, stated plainly:
+
+    - ``dim`` rows with ``valid_to IS NULL`` are the open versions;
+      closed rows are history and pass through untouched.
+    - Consecutive identical attribute states COLLAPSE (a change that
+      repeats the current state creates no version) — null-safe struct
+      comparison, so NULL attrs compare stably.
+    - Several changes to one key in one batch chain correctly (each
+      version's ``valid_to`` is the next kept version's ts).
+    - LOUD failures, plan-side: duplicate (key, ts) change rows raise
+      (apply order would be nondeterministic — compact the feed first),
+      and a change at-or-before its key's open ``valid_from`` raises
+      (out-of-order feeds corrupt history silently otherwise).
+
+    Plan: history and untouched keys move through anti/semi joins on the
+    slim change-key set only; the window chain (lag-collapse, then
+    lead-close over kept rows) runs on open-rows-of-touched-keys ∪
+    changes — O(batch) rows, never the 100 TB dimension.  Two window
+    passes on that small set, one shuffle each, both keyed on ``keys``.
+    """
+    ks = list(keys)
+    attrs = list(attr_cols)
+    a_struct = F.struct(*[F.col(c) for c in attrs])
+    ch_keys = changes.select(*ks).distinct()
+
+    # duplicate (key, ts) guard — evaluated via the ts column itself so
+    # Catalyst cannot prune it
+    dup = F.count(F.lit(1)).over(
+        Window.partitionBy(*[F.col(k) for k in ks], F.col(ts_col)))
+    guarded_ts = F.when(dup > 1, F.raise_error(F.concat(
+        F.lit("scd2_apply: duplicate change rows for key/ts "),
+        F.concat_ws(",", *[F.col(k).cast("string") for k in ks],
+                    F.col(ts_col).cast("string")),
+        F.lit(" — compact the feed first")))).otherwise(F.col(ts_col))
+
+    open_rows = dim.filter(F.col(valid_to).isNull())
+    touched_open = open_rows.join(ch_keys, on=ks, how="left_semi")
+    timeline = (
+        touched_open.select(*ks, *attrs,
+                            F.col(valid_from).alias("__ts"),
+                            F.lit(0).alias("__src"))
+        .unionByName(changes.select(*ks, *attrs,
+                                    guarded_ts.alias("__ts"),
+                                    F.lit(1).alias("__src")))
+    )
+    w = Window.partitionBy(*ks).orderBy("__ts", "__src")
+    # out-of-order guard: every change must come strictly after its
+    # key's open valid_from (whole-key comparison — a lag-based check
+    # would miss a change that SORTS before the open row)
+    open_from = F.max(F.when(F.col("__src") == 0, F.col("__ts"))).over(
+        Window.partitionBy(*[F.col(k) for k in ks]))
+    ordered = timeline.withColumn(
+        "__ts",
+        F.when(
+            (F.col("__src") == 1) & open_from.isNotNull()
+            & (F.col("__ts") <= open_from),
+            F.raise_error(F.lit(
+                "scd2_apply: change at-or-before the open version's "
+                "valid_from — out-of-order feed")),
+        ).otherwise(F.col("__ts")))
+    prev_attrs = F.lag(a_struct).over(w)
+    kept = (
+        ordered.withColumn("__keep",
+                           prev_attrs.isNull()
+                           | ~prev_attrs.eqNullSafe(a_struct))
+        .filter(F.col("__keep"))
+    )
+    w2 = Window.partitionBy(*ks).orderBy("__ts", "__src")
+    versions = kept.select(
+        *ks, *attrs,
+        F.col("__ts").alias(valid_from),
+        F.lead("__ts").over(w2).alias(valid_to),
+    )
+    untouched_open = open_rows.join(ch_keys, on=ks, how="left_anti")
+    history = dim.filter(F.col(valid_to).isNotNull())
+    cols = ks + attrs + [valid_from, valid_to]
+    return (history.select(*cols)
+            .unionByName(untouched_open.select(*cols))
+            .unionByName(versions.select(*cols)))

@@ -1305,3 +1305,55 @@ class TestAnnMrr:
             [(1, 12), (1, 11)], ["q_id", "n_id"])   # best relevant at rank 2
         r = ann_mrr(approx, truth).collect()[0]
         assert (r.n_queries, r.mrr_ppm) == (1, 500000)
+
+
+class TestScd2:
+    """SCD Type-2 dimension versioning."""
+
+    def _dim(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 0, 5), (1, "b", 5, None), (2, "x", 0, None),
+             (3, "z", 0, None)],
+            "k long, attr string, valid_from long, valid_to long")
+
+    def test_versions_chain_and_collapse(self, spark):
+        from pigpen_spark.operators.analytics import scd2_apply
+
+        ch = spark.createDataFrame(
+            [(1, "c", 10), (1, "d", 12), (2, "x", 9), (4, "new", 7)],
+            "k long, attr string, ts long")
+        out = sorted(map(tuple, scd2_apply(
+            self._dim(spark), ch, ["k"], "ts", ["attr"]).collect()))
+        assert out == sorted([
+            (1, "a", 0, 5),          # closed history untouched
+            (1, "b", 5, 10),         # open version closed at change ts
+            (1, "c", 10, 12),        # chained versions in one batch
+            (1, "d", 12, None),
+            (2, "x", 0, None),       # repeated state collapsed: stays open
+            (3, "z", 0, None),       # untouched key passes through
+            (4, "new", 7, None),     # brand-new key opens
+        ])
+
+    def test_as_of_lookup_over_result(self, spark):
+        from pigpen_spark.operators.analytics import scd2_apply
+
+        ch = spark.createDataFrame([(1, "c", 10)],
+                                   "k long, attr string, ts long")
+        out = scd2_apply(self._dim(spark), ch, ["k"], "ts", ["attr"])
+        from pyspark.sql import functions as FF
+        asof = out.filter((FF.col("k") == 1) & (FF.col("valid_from") <= 7)
+                          & (FF.col("valid_to").isNull()
+                             | (FF.col("valid_to") > 7)))
+        assert [r.attr for r in asof.collect()] == ["b"]
+
+    def test_out_of_order_and_duplicate_raise(self, spark):
+        from pigpen_spark.operators.analytics import scd2_apply
+
+        bad = spark.createDataFrame([(1, "q", 3)],
+                                    "k long, attr string, ts long")
+        with pytest.raises(Exception, match="out-of-order"):
+            scd2_apply(self._dim(spark), bad, ["k"], "ts", ["attr"]).collect()
+        dup = spark.createDataFrame([(1, "q", 9), (1, "r", 9)],
+                                    "k long, attr string, ts long")
+        with pytest.raises(Exception, match="compact the feed"):
+            scd2_apply(self._dim(spark), dup, ["k"], "ts", ["attr"]).collect()
