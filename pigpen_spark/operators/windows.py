@@ -263,7 +263,8 @@ def take_budget(df: DataFrame, order_by: Sequence, size, budget: int,
 def assemble_conversations(df: DataFrame, user_col: str, ts_col: str,
                            role_col: str, content_col: str,
                            event_id_col: str, gap_seconds: int,
-                           sep: str = " | ") -> DataFrame:
+                           sep: str = " | ",
+                           start_col: str | None = None) -> DataFrame:
     """Multi-turn conversation assembly for post-training data prep:
     gap-sessionize an event/turn stream (:func:`sessionize`), then emit
     ONE ROW PER CONVERSATION — the ordered ``role: content`` transcript
@@ -280,7 +281,10 @@ def assemble_conversations(df: DataFrame, user_col: str, ts_col: str,
     mega-sessions through group_stream.apply_stream instead).
 
     Returns (user, session_id, n_turns, n_role_repeats, duration_s,
-    transcript)."""
+    transcript); with ``start_col`` set, also the session's first event
+    time (integer µs for timestamps) — the globally unique conversation
+    key the streaming twin needs (per-batch session numbering repeats
+    across batches)."""
     from pigpen_spark.typeutil import epoch_seconds
 
     sess = sessionize(df, user_col, ts_col, gap_seconds)
@@ -304,9 +308,12 @@ def assemble_conversations(df: DataFrame, user_col: str, ts_col: str,
             (F.lag(F.col(role_col)).over(w) == F.col(role_col))
             .cast("long"))
     )
+    extra = ([F.min("__us").cast("bigint").alias(start_col)]
+             if start_col else [])
     return (
         t.groupBy(F.col(user_col), F.col("session_id"))
         .agg(
+            *extra,
             F.count(F.lit(1)).alias("n_turns"),
             F.coalesce(F.sum("__rep"), F.lit(0)).alias("n_role_repeats"),
             F.expr(f"CAST((max(__us) - min(__us)) DIV {dur_div} AS BIGINT)")

@@ -699,3 +699,84 @@ def kmv_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def conversation_stream(
+    stream: DataFrame, user_col: str, ts_col: str, role_col: str,
+    content_col: str, event_id_col: str, gap_seconds: int,
+    open_path: str, out_path: str, checkpoint: str,
+    available_now: bool = False,
+):
+    """Streaming twin of :func:`pigpen_spark.operators.windows.
+    assemble_conversations`: raw events of still-open sessions live in a
+    versioned parquet store; each micro-batch unions the store with the
+    batch, re-sessionizes, CLOSES every session whose last event is more
+    than ``gap_seconds`` behind the maximum event time observed (the
+    event-time watermark with zero allowed lateness beyond the gap),
+    assembles the closed conversations THROUGH THE BATCH OPERATOR (one
+    shared transcript/stat contract — live and backfill cannot drift),
+    and writes them to a batch-keyed sink directory.
+
+    Idempotence: the sink is written first (``batch=N`` dir with
+    _SUCCESS marker), the open store versioned after — a checkpoint
+    replay recomputes the same closed set from the same prior store
+    version, skips the finished sink, and redoes only the store write.
+    Every conversation is emitted exactly once, because its raw events
+    leave the open store in the same batch that emits it.
+
+    Returns the started StreamingQuery."""
+    import shutil
+
+    from pigpen_spark.operators.windows import assemble_conversations, sessionize
+
+    slim = [user_col, ts_col, role_col, content_col, event_id_col]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sink_dir = Path(out_path) / f"batch={batch_id}"
+        vs = _parquet_versions(open_path)
+        if batch_id in vs and (sink_dir / "_SUCCESS").exists():
+            return            # checkpoint replay of a fully applied batch
+        prior = [v for v in vs if v != batch_id]
+        events = batch_df.select(*slim)
+        if prior:
+            events = events.unionByName(
+                spark.read.parquet(f"{open_path}/v{prior[-1]}"))
+        # pin: the store version this batch reads is pruned below; the
+        # closed/open split must not lazily re-read it afterwards
+        sess = sessionize(events, user_col, ts_col,
+                          gap_seconds).localCheckpoint(eager=True)
+        from pigpen_spark.typeutil import epoch_seconds
+
+        ts_num = epoch_seconds(sess, ts_col)
+        wm = sess.agg(F.max(ts_num).alias("__wm"))
+        last = sess.groupBy("session_id").agg(F.max(ts_num).alias("__last"))
+        closed_ids = (last.crossJoin(F.broadcast(wm))
+                      .filter(F.col("__wm") - F.col("__last")
+                              > F.lit(gap_seconds))
+                      .select("session_id"))
+        closed = sess.join(closed_ids, on="session_id", how="left_semi")
+        still_open = sess.join(closed_ids, on="session_id", how="left_anti")
+        if not (sink_dir / "_SUCCESS").exists():
+            shutil.rmtree(sink_dir, ignore_errors=True)   # partial write
+            convs = assemble_conversations(
+                closed.drop("session_id"), user_col, ts_col, role_col,
+                content_col, event_id_col, gap_seconds, start_col="__start")
+            # per-batch session numbering repeats across batches — the
+            # durable conversation key is (user, first event time)
+            convs = convs.withColumn(
+                "session_id",
+                F.concat_ws("@", F.col(user_col).cast("string"),
+                            F.col("__start").cast("string"))).drop("__start")
+            convs.write.mode("errorifexists").parquet(str(sink_dir))
+        if batch_id not in vs:
+            still_open.select(*slim).write.mode("errorifexists").parquet(
+                f"{open_path}/v{batch_id}")
+            for v in prior:
+                shutil.rmtree(f"{open_path}/v{v}", ignore_errors=True)
+
+    w = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

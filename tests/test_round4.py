@@ -1357,3 +1357,56 @@ class TestScd2:
                                     "k long, attr string, ts long")
         with pytest.raises(Exception, match="compact the feed"):
             scd2_apply(self._dim(spark), dup, ["k"], "ts", ["attr"]).collect()
+
+
+class TestConversationStream:
+    def test_streamed_matches_batch_assembly(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from pigpen_spark.operators.windows import assemble_conversations
+        from pigpen_spark.streaming import core as st
+
+        src = tmp_path / "cs_src"
+        src.mkdir(parents=True)
+        # user 1: session A (t=0..100), session B (t=5000..5050, closed by
+        # batch 2's t=99999 event which itself stays open)
+        batches = [
+            [dict(event_id=1, uid=1, ts=0, role="user", msg="a"),
+             dict(event_id=2, uid=1, ts=100, role="assistant", msg="b")],
+            [dict(event_id=3, uid=1, ts=5000, role="user", msg="c"),
+             dict(event_id=4, uid=1, ts=5050, role="user", msg="d")],
+            [dict(event_id=5, uid=1, ts=99999, role="user", msg="e")],
+        ]
+        for bi, rows in enumerate(batches):
+            with open(src / f"b{bi}.json", "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+
+        schema = "event_id long, uid long, ts long, role string, msg string"
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = st.conversation_stream(
+            stream, "uid", "ts", "role", "msg", "event_id",
+            gap_seconds=1800, open_path=str(tmp_path / "cs_open"),
+            out_path=str(tmp_path / "cs_out"),
+            checkpoint=str(tmp_path / "cs_ck"), available_now=True)
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(str(tmp_path / "cs_out"))
+        got = {r.session_id: r.transcript for r in out.collect()}
+        # exactly the two closed sessions under globally unique keys,
+        # never the open tail
+        assert got == {"1@0": "user: a | assistant: b",
+                       "1@5000": "user: c | user: d"}
+        # open store holds only the un-closed tail event
+        vs = sorted(os.listdir(tmp_path / "cs_open"))
+        tail = spark.read.parquet(str(tmp_path / "cs_open" / vs[-1]))
+        assert [r.event_id for r in tail.collect()] == [5]
+        # live output == batch operator over the same closed events
+        closed_batch = spark.createDataFrame(
+            [tuple(r.values()) for b in batches[:2] for r in b], schema)
+        want = {r.transcript for r in assemble_conversations(
+            closed_batch, "uid", "ts", "role", "msg", "event_id",
+            gap_seconds=1800).collect()}
+        assert set(got.values()) == want
