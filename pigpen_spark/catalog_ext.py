@@ -3819,3 +3819,33 @@ def ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("acct_cents"))
     )
     return scd2_apply(dim, changes, ["c_custkey"], "ts", ["acct_cents"])
+
+
+@register(
+    "ext_video_meta_webm",
+    """
+    SELECT doc_id,
+           (10000 + (doc_id * 41) % 40000)::BIGINT AS duration_ms,
+           2 AS n_tracks,
+           (640 + 16 * (doc_id % 10))::INT AS width,
+           (360 + 16 * (doc_id % 6))::INT AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_AV1' END AS codec,
+           ((10000 + (doc_id * 41) % 40000) * 1000000 // 40000000)::BIGINT
+             AS n_frames
+    FROM documents
+    """,
+)
+def ext_video_meta_webm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM container profiling — the THIRD container, via the
+    real EBML walk (vint IDs/sizes, Segment→Info/Tracks): duration,
+    track count, video geometry/codec, DefaultDuration-derived frame
+    count.  Same output shape and operator (video_meta sniffs the
+    container magic) as the ISO-BMFF path, so mixed crawls profile in
+    one pass; VP9/AV1 payload decode stays honestly external (the
+    import-guarded stub) while headers parse at header speed.  Oracle =
+    the closed-form field functions — any vint/element-walk error
+    breaks the hash."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    return M.synth_video_meta_webm(docs, "doc_id").select(
+        F.col("id").alias("doc_id"), "duration_ms", "n_tracks",
+        "width", "height", "codec", "n_frames")

@@ -1827,3 +1827,168 @@ def avi_frames(data: bytes):
     if not frames:
         raise ValueError("avi: no frame chunks in movi")
     return width, height, frames
+
+
+# -- WebM / Matroska (EBML container walk) ----------------------------------
+#
+# The third video container: Matroska's EBML structure (public Matroska/
+# EBML specs, RFC 8794).  Header-speed profiling only — VP8/VP9/AV1
+# payload decode genuinely needs external codecs (import-guarded stub in
+# multimodal.frame_sample), but duration/tracks/geometry/codec live in
+# plain EBML master elements, the same honest scope mp4_meta had before
+# MJPEG decode landed.
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """(value, n_bytes) of the EBML variable-length integer at pos;
+    element IDs keep the length-marker bit, sizes strip it."""
+    if pos >= len(data):
+        raise ValueError("webm: truncated vint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("webm: invalid vint lead byte 0")
+    n = 8 - first.bit_length() + 1
+    if pos + n > len(data):
+        raise ValueError("webm: truncated vint body")
+    v = first if keep_marker else first & ((1 << (8 - n)) - 1)
+    for b in data[pos + 1:pos + n]:
+        v = (v << 8) | b
+    return v, n
+
+
+def _ebml_children(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) across an EBML master
+    element's body."""
+    pos = start
+    while pos < end:
+        eid, n1 = _ebml_vint(data, pos, keep_marker=True)
+        size, n2 = _ebml_vint(data, pos + n1, keep_marker=False)
+        body = pos + n1 + n2
+        if body + size > end:
+            raise ValueError("webm: element overruns parent")
+        yield eid, body, body + size
+        pos = body + size
+
+
+def _ebml_uint(data: bytes, s: int, e: int) -> int:
+    v = 0
+    for b in data[s:e]:
+        v = (v << 8) | b
+    return v
+
+
+def _enc_vint(v: int) -> bytes:
+    """Minimal-length EBML size vint: n-byte form carries 7n value bits
+    below the length-marker bit (all-ones is the reserved 'unknown
+    size', hence the strict <)."""
+    for n in range(1, 9):
+        if v < (1 << (7 * n)) - 1:
+            lead = (1 << (8 - n)) | (v >> (8 * (n - 1)))
+            rest = (v & ((1 << (8 * (n - 1))) - 1)).to_bytes(n - 1, "big")
+            return bytes([lead]) + rest
+    raise ValueError(f"ebml vint out of range: {v}")
+
+
+def _el(eid: int, body: bytes) -> bytes:
+    eid_b = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return eid_b + _enc_vint(len(body)) + body
+
+
+def _el_uint(eid: int, v: int) -> bytes:
+    return _el(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def webm_encode_skeleton(duration_ms: int, tracks) -> bytes:
+    """Minimal Matroska/WebM header writer for parser tests and
+    profiling corpora: EBML header (DocType webm) + Segment{Info{
+    TimecodeScale 1ms, Duration}, Tracks{TrackEntry…}}.  Track spec:
+    ``{handler: 'vide'|'soun', codec, width, height, fps}``; video
+    entries carry DefaultDuration so frame counts are derivable.  No
+    Clusters — metadata container, the honest inverse of
+    :func:`webm_meta`'s scope."""
+    ebml = _el(0x1A45DFA3, _el(0x4282, b"webm"))
+    info = _el(0x1549A966,
+               _el_uint(0x2AD7B1, 1_000_000)
+               + _el(0x4489, struct.pack(">d", float(duration_ms))))
+    entries = b""
+    for i, t in enumerate(tracks):
+        ttype = 1 if t.get("handler") == "vide" else 2
+        body = (_el_uint(0xD7, i + 1) + _el_uint(0x83, ttype)
+                + _el(0x86, t["codec"].encode("ascii")))
+        if t.get("fps"):
+            body += _el_uint(0x23E383, 1_000_000_000 // t["fps"])
+        if ttype == 1:
+            body += _el(0xE0, _el_uint(0xB0, t.get("width", 0))
+                        + _el_uint(0xBA, t.get("height", 0)))
+        else:
+            body += _el(0xE1, b"")
+        entries += _el(0xAE, body)
+    segment = _el(0x18538067, info + _el(0x1654AE6B, entries))
+    return ebml + segment
+
+
+@_valueerror_contract
+def webm_meta(data: bytes) -> dict:
+    """Matroska/WebM container metadata via the real EBML walk:
+    ``{duration_ms, n_tracks, tracks: [{handler, codec, width, height,
+    n_samples, track_duration_ms}, …]}`` — the same shape as
+    :func:`mp4_meta`, so video_meta-style profiling treats both
+    containers uniformly.  n_samples derives from DefaultDuration when
+    present (Matroska headers carry no sample table); track_duration_ms
+    is the container duration (per-track durations live in Clusters)."""
+    if data[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("webm: no EBML header")
+    segment = None
+    for eid, s, e in _ebml_children(data, 0, len(data)):
+        if eid == 0x18538067:
+            segment = (s, e)
+    if segment is None:
+        raise ValueError("webm: no Segment element")
+    scale = 1_000_000
+    duration_ticks = None
+    tracks = []
+    for eid, s, e in _ebml_children(data, *segment):
+        if eid == 0x1549A966:                      # Info
+            for eid2, s2, e2 in _ebml_children(data, s, e):
+                if eid2 == 0x2AD7B1:
+                    scale = _ebml_uint(data, s2, e2)
+                elif eid2 == 0x4489:
+                    if e2 - s2 == 8:
+                        (duration_ticks,) = struct.unpack(">d", data[s2:e2])
+                    elif e2 - s2 == 4:
+                        (duration_ticks,) = struct.unpack(">f", data[s2:e2])
+                    else:
+                        raise ValueError("webm: bad Duration width")
+        elif eid == 0x1654AE6B:                    # Tracks
+            for eid2, s2, e2 in _ebml_children(data, s, e):
+                if eid2 != 0xAE:
+                    continue
+                info = {"handler": "", "codec": "", "width": 0, "height": 0,
+                        "n_samples": 0, "track_duration_ms": 0}
+                defdur = None
+                for eid3, s3, e3 in _ebml_children(data, s2, e2):
+                    if eid3 == 0x83:
+                        info["handler"] = {1: "vide", 2: "soun"}.get(
+                            _ebml_uint(data, s3, e3), "")
+                    elif eid3 == 0x86:
+                        info["codec"] = data[s3:e3].decode("ascii", "replace")
+                    elif eid3 == 0x23E383:
+                        defdur = _ebml_uint(data, s3, e3)
+                    elif eid3 == 0xE0:
+                        for eid4, s4, e4 in _ebml_children(data, s3, e3):
+                            if eid4 == 0xB0:
+                                info["width"] = _ebml_uint(data, s4, e4)
+                            elif eid4 == 0xBA:
+                                info["height"] = _ebml_uint(data, s4, e4)
+                info["__defdur"] = defdur
+                tracks.append(info)
+    if duration_ticks is None:
+        raise ValueError("webm: no Duration in Info")
+    duration_ms = int(duration_ticks * scale) // 1_000_000
+    for t in tracks:
+        t["track_duration_ms"] = duration_ms
+        dd = t.pop("__defdur")
+        if dd:
+            t["n_samples"] = int(duration_ticks * scale) // dd
+    return {"duration_ms": duration_ms, "n_tracks": len(tracks),
+            "tracks": tracks}

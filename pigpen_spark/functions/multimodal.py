@@ -152,8 +152,10 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str = "payload") -> 
 # The container has no PIL/librosa/av, but PNG, baseline JPEG, GIF and
 # PCM-WAV are decodable from spec with zlib/struct/numpy (codecs.py), so
 # the operators below are REAL end-to-end: bytes in, decoded numbers
-# out, Arrow-batched through mapInPandas.  mp4/webm remain stubs — those
-# containers genuinely need external codecs.
+# out, Arrow-batched through mapInPandas.  Container HEADERS parse for
+# real across mp4 (box walk), AVI (RIFF) and WebM (EBML), and MJPEG
+# tracks decode fully; only inter-frame codecs (H.264/HEVC/VP9/AV1)
+# genuinely need external libraries and keep the frame_sample stub.
 
 IMAGE_STATS_SCHEMA = (
     "id long, width int, height int, channels int, px_sum long, px_min int, px_max int"
@@ -329,7 +331,9 @@ def _video_meta_row(rid: int, data: bytes) -> dict:
     from pigpen_spark.functions import codecs as C
 
     try:
-        m = C.mp4_meta(data)
+        # container sniff: EBML magic → Matroska/WebM walk, else ISO-BMFF
+        m = (C.webm_meta(data) if data[:4] == b"\x1aE\xdf\xa3"
+             else C.mp4_meta(data))
         vid = next((t for t in m["tracks"] if t["handler"] == "vide"), None)
         return {
             "id": rid, "duration_ms": m["duration_ms"],
@@ -914,4 +918,46 @@ def synth_frame_stats_avi(df: DataFrame, id_col: str,
     return _fused_synth(
         df, id_col, lambda i: _avi_frame_rows(i, _avi_payload(i), every_n),
         FRAME_STATS_SCHEMA,
+    )
+
+
+def _webm_payload(i: int) -> bytes:
+    """Synthetic WebM skeleton i: duration 10000 + (i·41)%40000 ms,
+    (640 + 16·(i%10)) × (360 + 16·(i%6)) V_VP9/V_AV1 video (codec by
+    parity) at 25 fps + an A_OPUS audio track — every field closed-form
+    in i."""
+    from pigpen_spark.functions import codecs as C
+
+    dur = 10_000 + (i * 41) % 40_000
+    return C.webm_encode_skeleton(dur, [
+        {"handler": "vide", "codec": "V_VP9" if i % 2 == 0 else "V_AV1",
+         "width": 640 + 16 * (i % 10), "height": 360 + 16 * (i % 6),
+         "fps": 25},
+        {"handler": "soun", "codec": "A_OPUS"},
+    ])
+
+
+def synth_webm(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame:
+    """Deterministic synthetic WebM payloads (see _webm_payload)."""
+    src = df.select(F.col(id_col).alias("id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [{"id": (i := int(rid)), out_col: _webm_payload(i)}
+                 for rid in pdf["id"]]
+            )
+
+    return src.mapInPandas(gen, schema=f"id long, {out_col} binary")
+
+
+def synth_video_meta_webm(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused synth→EBML walk for WebM skeletons (video_meta dispatches
+    on the container magic, so mixed mp4/webm corpora profile through
+    ONE operator)."""
+    return _fused_synth(
+        df, id_col, lambda i: _video_meta_row(i, _webm_payload(i)),
+        VIDEO_META_SCHEMA,
     )

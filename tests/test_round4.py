@@ -1410,3 +1410,56 @@ class TestConversationStream:
             closed_batch, "uid", "ts", "role", "msg", "event_id",
             gap_seconds=1800).collect()}
         assert set(got.values()) == want
+
+
+class TestWebmMeta:
+    """Matroska/WebM EBML container walk (third container)."""
+
+    def test_round_trip_fields(self):
+        from pigpen_spark.functions import codecs as C
+
+        data = C.webm_encode_skeleton(12345, [
+            {"handler": "vide", "codec": "V_VP9", "width": 640,
+             "height": 360, "fps": 24},
+            {"handler": "soun", "codec": "A_OPUS"},
+        ])
+        m = C.webm_meta(data)
+        assert m["duration_ms"] == 12345 and m["n_tracks"] == 2
+        v, a = m["tracks"]
+        assert (v["handler"], v["codec"], v["width"], v["height"]) == \
+            ("vide", "V_VP9", 640, 360)
+        assert v["n_samples"] == 12345 * 1_000_000 // (1_000_000_000 // 24)
+        assert (a["handler"], a["codec"], a["n_samples"]) == ("soun", "A_OPUS", 0)
+
+    def test_vint_multibyte_sizes(self):
+        # a payload long enough to need 2-byte size vints round-trips
+        from pigpen_spark.functions import codecs as C
+
+        tracks = [{"handler": "vide", "codec": "V_AV1" + "X" * 200,
+                   "width": 4096, "height": 2160, "fps": 60}]
+        m = C.webm_meta(C.webm_encode_skeleton(99999, tracks))
+        assert m["tracks"][0]["codec"].startswith("V_AV1X")
+        assert m["tracks"][0]["width"] == 4096
+
+    def test_error_contract(self):
+        import pytest as _pytest
+
+        from pigpen_spark.functions import codecs as C
+
+        with _pytest.raises(ValueError, match="no EBML header"):
+            C.webm_meta(b"RIFF....AVI ")
+        good = C.webm_encode_skeleton(1000, [])
+        with _pytest.raises(ValueError):
+            C.webm_meta(good[:-3])      # truncated element
+
+    def test_video_meta_dispatches_on_magic(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        base = spark.range(4).withColumnRenamed("id", "doc_id")
+        mp4s = M.synth_mp4(base, "doc_id")
+        webms = M.synth_webm(base, "doc_id")
+        mixed = mp4s.union(webms)
+        out = M.video_meta(mixed, "id")
+        codecs = {r.codec for r in out.collect()}
+        assert codecs & {"avc1", "hev1"} and codecs & {"V_VP9", "V_AV1"}
+        assert "corrupt" not in codecs
