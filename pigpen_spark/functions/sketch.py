@@ -628,3 +628,43 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
         F.expr("CAST(__m * est_union DIV __ku AS BIGINT)").alias("est_intersect"),
         F.expr("CAST(__m * 1000000 DIV __ku AS BIGINT)").alias("jaccard_ppm"),
     )
+
+
+def mad_outliers(df: DataFrame, group_cols: list, value: Column,
+                 threshold_num: int = 3, threshold_den: int = 1) -> DataFrame:
+    """Robust per-group outlier flagging via median absolute deviation
+    (the data-cleaning staple mean±σ rules get wrong on heavy tails):
+    a row is an outlier when ``|x − median| · den > num · mad``, with
+    both medians EXACT lower medians from rank windows — all-integer
+    when ``value`` is integer, so the flags are hash-exact cross-engine
+    (thresholds are a rational num/den instead of a float multiplier).
+
+    Plan: two window passes partitioned by the group (rank for the
+    median, rank for the deviation median) — sorts bounded by group
+    size, no global funnel.  Groups too large to sort (billions per
+    key) should use :func:`histogram_quantiles` medians instead; this
+    exact form is for the per-entity audit regime (≤ millions/group).
+
+    Returns the input rows + (grp_median, grp_mad, is_outlier)."""
+    if threshold_num < 1 or threshold_den < 1:
+        raise ValueError("mad_outliers: threshold must be a positive rational")
+    gs = [F.col(g) for g in group_cols]
+    d = df.withColumn("__v", value)
+    w = Window.partitionBy(*gs)
+    rn = F.row_number().over(w.orderBy("__v"))
+    n = F.count(F.lit(1)).over(w)
+    k = F.floor((n + 1) / 2).cast("long")      # lower-median rank
+    d = d.withColumn("__med", F.max(
+        F.when(rn == k, F.col("__v")).otherwise(None)).over(w))
+    d = d.withColumn("__dev", F.abs(F.col("__v") - F.col("__med")))
+    rn2 = F.row_number().over(w.orderBy("__dev"))
+    d = d.withColumn("__mad", F.max(
+        F.when(rn2 == k, F.col("__dev")).otherwise(None)).over(w))
+    return (
+        d.withColumn("grp_median", F.col("__med"))
+        .withColumn("grp_mad", F.col("__mad"))
+        .withColumn(
+            "is_outlier",
+            F.col("__dev") * threshold_den > F.lit(threshold_num) * F.col("__mad"))
+        .drop("__v", "__med", "__dev", "__mad")
+    )

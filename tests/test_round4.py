@@ -1463,3 +1463,39 @@ class TestWebmMeta:
         codecs = {r.codec for r in out.collect()}
         assert codecs & {"avc1", "hev1"} and codecs & {"V_VP9", "V_AV1"}
         assert "corrupt" not in codecs
+
+
+class TestMadOutliers:
+    def test_flags_heavy_tail_not_bulk(self, spark):
+        from pigpen_spark.functions.sketch import mad_outliers
+
+        df = spark.createDataFrame(
+            [("a", v) for v in [1, 2, 3, 4, 5, 100]] + [("b", 7)], ["g", "v"])
+        got = {(r.g, r.v): (r.grp_median, r.grp_mad, r.is_outlier)
+               for r in mad_outliers(df, ["g"], F.col("v"), 3, 1).collect()}
+        assert got[("a", 100)] == (3, 1, True)
+        assert all(not got[("a", v)][2] for v in (1, 2, 3, 4, 5))
+        # singleton group: mad 0, never flagged (0 > 0 is false)
+        assert got[("b", 7)] == (7, 0, False)
+
+    def test_mean_sigma_would_mask_what_mad_catches(self, spark):
+        from pigpen_spark.functions.sketch import mad_outliers
+
+        # two huge outliers inflate sigma enough that a 2-sigma rule
+        # misses them both; MAD flags both (the robustness argument)
+        import statistics
+
+        vals = [10, 11, 12, 13, 14, 10000, 10001]
+        mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+        assert all(abs(v - mu) < 2 * sd for v in vals)  # sigma rule: none
+        df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+        flagged = {r.v for r in mad_outliers(
+            df, ["g"], F.col("v"), 3, 1).collect() if r.is_outlier}
+        assert flagged == {10000, 10001}
+
+    def test_threshold_validated(self, spark):
+        from pigpen_spark.functions.sketch import mad_outliers
+
+        df = spark.createDataFrame([("g", 1)], ["g", "v"])
+        with pytest.raises(ValueError, match="positive rational"):
+            mad_outliers(df, ["g"], F.col("v"), 0, 1)
