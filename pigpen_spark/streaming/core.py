@@ -780,3 +780,61 @@ def conversation_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def scd2_stream(
+    change_stream: DataFrame, keys: Sequence[str], ts_col: str,
+    attr_cols: Sequence[str], dim_path: str, checkpoint: str,
+    available_now: bool = False,
+):
+    """Streaming SCD Type-2 maintenance: each micro-batch of change
+    events is compacted (duplicate (key, ts) rows collapse to ONE
+    deterministic winner — first by attribute order — because raw CDC
+    feeds routinely double-deliver) and applied to the stored dimension
+    THROUGH :func:`pigpen_spark.operators.analytics.scd2_apply`, so the
+    live dimension and any batch backfill share one versioning
+    contract; sequential batches produce exactly the history one
+    all-at-once application would (pinned by test).  Versioned-parquet
+    store, replay-idempotent like :func:`rollup_stream`; out-of-order
+    changes across batches fail loudly via scd2_apply's guard rather
+    than corrupting history.
+
+    The store starts empty (every key "new"); to seed from an existing
+    dimension, write it as ``{dim_path}/v0`` with open ``valid_to``
+    NULLs before starting the query.  Returns the StreamingQuery."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from pigpen_spark.operators.analytics import scd2_apply
+
+    ks = list(keys)
+    attrs = list(attr_cols)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vs = _parquet_versions(dim_path)
+        if batch_id in vs:
+            return            # checkpoint replay of an applied batch
+        w = Window.partitionBy(*[F.col(k) for k in ks], F.col(ts_col)) \
+            .orderBy(*[F.col(a) for a in attrs])
+        changes = (batch_df.select(*ks, ts_col, *attrs)
+                   .withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).drop("__rn"))
+        if vs:
+            dim = spark.read.parquet(f"{dim_path}/v{vs[-1]}")
+        else:
+            dim = (changes.select(*ks, *attrs)
+                   .withColumn("valid_from", F.lit(None).cast("bigint"))
+                   .withColumn("valid_to", F.lit(None).cast("bigint"))
+                   .limit(0))
+        out = scd2_apply(dim, changes, ks, ts_col, attrs)
+        out.write.mode("errorifexists").parquet(f"{dim_path}/v{batch_id}")
+        for v in vs:
+            shutil.rmtree(f"{dim_path}/v{v}", ignore_errors=True)
+
+    w = change_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1102,9 +1102,11 @@ class TestKmvStream:
                    [f"item-{i}" for i in range(150, 450)],
                    [f"item-{i}" for i in range(400, 500)]]
         for bi, items in enumerate(batches):
-            with open(src / f"b{bi}.json", "w") as f:
+            p = src / f"b{bi}.json"
+            with open(p, "w") as f:
                 for x in items:
                     f.write(_json.dumps({"x": x}) + "\n")
+            os.utime(p, (1000 + bi, 1000 + bi))  # deterministic batch order
 
         stream = (spark.readStream.schema("x string")
                   .option("maxFilesPerTrigger", 1).json(str(src)))
@@ -1379,9 +1381,11 @@ class TestConversationStream:
             [dict(event_id=5, uid=1, ts=99999, role="user", msg="e")],
         ]
         for bi, rows in enumerate(batches):
-            with open(src / f"b{bi}.json", "w") as f:
+            p = src / f"b{bi}.json"
+            with open(p, "w") as f:
                 for r in rows:
                     f.write(_json.dumps(r) + "\n")
+            os.utime(p, (1000 + bi, 1000 + bi))  # deterministic batch order
 
         schema = "event_id long, uid long, ts long, role string, msg string"
         stream = (spark.readStream.schema(schema)
@@ -1499,3 +1503,58 @@ class TestMadOutliers:
         df = spark.createDataFrame([("g", 1)], ["g", "v"])
         with pytest.raises(ValueError, match="positive rational"):
             mad_outliers(df, ["g"], F.col("v"), 0, 1)
+
+
+class TestScd2Stream:
+    def test_sequential_batches_equal_one_shot(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from pigpen_spark.operators.analytics import scd2_apply
+        from pigpen_spark.streaming import core as st
+
+        src = tmp_path / "s2_src"
+        src.mkdir(parents=True)
+        batches = [
+            [dict(k=1, ts=10, attr="a"), dict(k=2, ts=10, attr="x"),
+             dict(k=1, ts=10, attr="a")],          # dup delivery collapses
+            [dict(k=1, ts=20, attr="b"), dict(k=2, ts=25, attr="x")],  # 2nd repeats
+            [dict(k=1, ts=30, attr="c"), dict(k=3, ts=30, attr="z")],
+        ]
+        for bi, rows in enumerate(batches):
+            p = src / f"b{bi}.json"
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            # the file source orders batches by modification time — make
+            # it deterministic (same-ms writes would shuffle batch order)
+            os.utime(p, (1000 + bi, 1000 + bi))
+
+        schema = "k long, ts long, attr string"
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = st.scd2_stream(stream, ["k"], "ts", ["attr"],
+                           dim_path=str(tmp_path / "s2_dim"),
+                           checkpoint=str(tmp_path / "s2_ck"),
+                           available_now=True)
+        q.awaitTermination(120)
+
+        vs = sorted(os.listdir(tmp_path / "s2_dim"))
+        live = sorted(map(tuple, spark.read.parquet(
+            str(tmp_path / "s2_dim" / vs[-1]))
+            .select("k", "attr", "valid_from", "valid_to").collect()))
+        assert live == sorted([
+            (1, "a", 10, 20), (1, "b", 20, 30), (1, "c", 30, None),
+            (2, "x", 10, None),                    # repeat collapsed
+            (3, "z", 30, None),
+        ])
+        # one-shot batch application over the full compacted feed agrees
+        empty = spark.createDataFrame(
+            [], "k long, attr string, valid_from long, valid_to long")
+        feed = spark.createDataFrame(
+            [(r["k"], r["ts"], r["attr"]) for b in batches for r in b],
+            schema).dropDuplicates(["k", "ts"])
+        oneshot = sorted(map(tuple, scd2_apply(
+            empty, feed, ["k"], "ts", ["attr"])
+            .select("k", "attr", "valid_from", "valid_to").collect()))
+        assert live == oneshot
