@@ -75,3 +75,13 @@ def test_select_pretraining_data_pipeline(spark, sf_dir):
     assert report["selected_tokens"] <= 5000 + 400
     # selection prefers target-like docs: mean weight at/above neutral 1e6*0.97
     assert report["mean_selected_w_ppm"] > 970_000
+
+
+def test_sft_prep_pipeline(spark, sf_dir):
+    from sft_prep import prep
+
+    report = prep(spark, sf_dir, seq_len=64)
+    assert report["conversations"] > 0
+    assert 0 < report["after_gates"] <= report["conversations"]
+    assert report["after_exact_dedup"] <= report["after_gates"]
+    assert report["packed_sequences"] >= report["full_sequences"] > 0
