@@ -3895,3 +3895,37 @@ def ext_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("grp_mad").cast("bigint").alias("grp_mad"),
         F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
     )
+
+
+_MP3_KBPS = "(CASE doc_id % 5 WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192 WHEN 3 THEN 224 ELSE 256 END)"
+_MP3_KBPS_B = "(CASE (doc_id // 5) % 5 WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192 WHEN 3 THEN 224 ELSE 256 END)"
+_MP3_RATE = "(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)"
+
+
+@register(
+    "ext_audio_profile_mp3",
+    f"""
+    SELECT doc_id,
+           (20 + doc_id % 30)::BIGINT AS n_frames,
+           {_MP3_RATE}::INT AS sample_rate,
+           ((20 + doc_id % 30) * 1152 * 1000 // {_MP3_RATE})::BIGINT
+             AS duration_ms,
+           least({_MP3_KBPS}, {_MP3_KBPS_B})::INT AS bitrate_kbps_min,
+           greatest({_MP3_KBPS}, {_MP3_KBPS_B})::INT AS bitrate_kbps_max,
+           ({_MP3_KBPS} <> {_MP3_KBPS_B}) AS vbr
+    FROM documents
+    """,
+)
+def ext_audio_profile_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 stream profiling — the audio sibling of the three video
+    container walks: real MPEG-1 Layer-III frame-header chaining (ID3v2
+    skip, bitrate/samplerate table arithmetic locating each next frame)
+    gives frame count, duration and CBR/VBR bitrate envelope at header
+    speed, no payload decode.  A byte inserted mid-stream breaks the
+    chain and raises (quarantine upstream), it never undercounts
+    silently.  Oracle = the closed-form per-field functions — any
+    table or frame-size arithmetic error breaks the hash."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    return M.synth_audio_profile_mp3(docs, "doc_id").select(
+        F.col("id").alias("doc_id"), "n_frames", "sample_rate",
+        "duration_ms", "bitrate_kbps_min", "bitrate_kbps_max", "vbr")

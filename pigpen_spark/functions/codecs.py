@@ -1992,3 +1992,110 @@ def webm_meta(data: bytes) -> dict:
             t["n_samples"] = int(duration_ticks * scale) // dd
     return {"duration_ms": duration_ms, "n_tracks": len(tracks),
             "tracks": tracks}
+
+
+# -- MP3 (MPEG-1/2 audio frame-header walk) ---------------------------------
+#
+# Audio sibling of the mp4/AVI/WebM container walks (public ISO 11172-3 /
+# 13818-3 header layout): sync + version/layer + bitrate/samplerate
+# tables give every frame's size without touching audio payloads, so
+# duration/bitrate profiling runs at header speed.  Payload (MDCT)
+# decode genuinely needs a real codec — same honest scope as the video
+# containers; PCM-WAV remains the decode-real audio path.
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                      224, 256, 320, 0]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                      128, 144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000],     # MPEG-1
+              2: [22050, 24000, 16000],     # MPEG-2
+              0: [11025, 12000, 8000]}      # MPEG-2.5
+
+
+def mp3_frame_header(data: bytes, pos: int):
+    """Parse the 4-byte MPEG audio frame header at ``pos``:
+    (frame_bytes, samples_per_frame, sample_rate, bitrate_kbps) or None
+    if pos doesn't hold a valid Layer-III header."""
+    if pos + 4 > len(data) or data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+        return None
+    version = (data[pos + 1] >> 3) & 0x3          # 3=MPEG1, 2=MPEG2, 0=2.5
+    layer = (data[pos + 1] >> 1) & 0x3            # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    br_idx = (data[pos + 2] >> 4) & 0xF
+    sr_idx = (data[pos + 2] >> 2) & 0x3
+    padding = (data[pos + 2] >> 1) & 0x1
+    if sr_idx == 3:
+        return None
+    table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+    kbps = table[br_idx]
+    if kbps == 0:
+        return None
+    rate = _MP3_RATES[version][sr_idx]
+    spf = 1152 if version == 3 else 576
+    frame_bytes = spf // 8 * kbps * 1000 // rate + padding
+    return frame_bytes, spf, rate, kbps
+
+
+@_valueerror_contract
+def mp3_meta(data: bytes) -> dict:
+    """MP3 stream profiling via the real frame-header walk: skip an ID3v2
+    tag if present, then chain frame headers (each header gives the
+    frame length, which locates the next) — ``{n_frames, sample_rate,
+    duration_ms, bitrate_kbps_min, bitrate_kbps_max, vbr}``.  Header
+    arithmetic only; a byte inserted mid-stream breaks the chain and
+    raises rather than silently undercounting."""
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("mp3: truncated ID3v2 tag")
+        size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        pos = 10 + size
+    n = 0
+    rate = None
+    total_samples = 0
+    kmin = kmax = None
+    while pos < len(data):
+        h = mp3_frame_header(data, pos)
+        if h is None:
+            raise ValueError(f"mp3: bad frame header at byte {pos}")
+        fb, spf, r, kbps = h
+        if rate is None:
+            rate = r
+        elif r != rate:
+            raise ValueError("mp3: sample-rate change mid-stream")
+        total_samples += spf
+        kmin = kbps if kmin is None else min(kmin, kbps)
+        kmax = kbps if kmax is None else max(kmax, kbps)
+        n += 1
+        pos += fb
+    if n == 0:
+        raise ValueError("mp3: no frames")
+    return {"n_frames": n, "sample_rate": rate,
+            "duration_ms": total_samples * 1000 // rate,
+            "bitrate_kbps_min": kmin, "bitrate_kbps_max": kmax,
+            "vbr": kmin != kmax}
+
+
+def mp3_encode_skeleton(n_frames: int, rate_idx: int = 0,
+                        bitrate_indices=None) -> bytes:
+    """Valid MPEG-1 Layer-III frame chain with zeroed payloads (+ a tiny
+    ID3v2 tag) for parser tests and profiling corpora — headers are
+    real, audio data is silence-shaped zeros; the honest inverse of
+    :func:`mp3_meta`'s scope."""
+    if n_frames < 1:
+        raise ValueError("mp3_encode_skeleton: need at least one frame")
+    rate = _MP3_RATES[3][rate_idx]
+    out = bytearray(b"ID3\x04\x00\x00\x00\x00\x00\x00")   # empty ID3v2
+    idxs = bitrate_indices or [9] * n_frames              # 128 kbps
+    if len(idxs) != n_frames:
+        raise ValueError("mp3_encode_skeleton: one bitrate index per frame")
+    for bi in idxs:
+        kbps = _MP3_BITRATES_V1L3[bi]
+        if kbps == 0:
+            raise ValueError(f"mp3_encode_skeleton: invalid bitrate index {bi}")
+        fb = 1152 // 8 * kbps * 1000 // rate
+        hdr = bytes([0xFF, 0xFB, (bi << 4) | (rate_idx << 2), 0])
+        out += hdr + bytes(fb - 4)
+    return bytes(out)

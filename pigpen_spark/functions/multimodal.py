@@ -961,3 +961,77 @@ def synth_video_meta_webm(df: DataFrame, id_col: str) -> DataFrame:
         df, id_col, lambda i: _video_meta_row(i, _webm_payload(i)),
         VIDEO_META_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# MP3 stream profiling (header-walk; audio sibling of the container walks)
+# ---------------------------------------------------------------------------
+
+MP3_META_SCHEMA = ("id long, n_frames long, sample_rate int, duration_ms long, "
+                   "bitrate_kbps_min int, bitrate_kbps_max int, vbr boolean")
+
+
+def _mp3_payload(i: int) -> bytes:
+    """Synthetic MP3 skeleton i: 20 + i%30 MPEG-1 L3 frames at rate
+    index i%3, frames alternating between bitrate indices 9 + i%5 and
+    9 + (i//5)%5 — every profiled field closed-form in i."""
+    from pigpen_spark.functions import codecs as C
+
+    n = 20 + i % 30
+    a, b = 9 + i % 5, 9 + (i // 5) % 5
+    return C.mp3_encode_skeleton(n, i % 3, [a if f % 2 == 0 else b
+                                            for f in range(n)])
+
+
+def _mp3_meta_row(rid: int, data: bytes) -> dict:
+    from pigpen_spark.functions import codecs as C
+
+    m = C.mp3_meta(data)
+    return {"id": rid, "n_frames": m["n_frames"],
+            "sample_rate": m["sample_rate"], "duration_ms": m["duration_ms"],
+            "bitrate_kbps_min": m["bitrate_kbps_min"],
+            "bitrate_kbps_max": m["bitrate_kbps_max"], "vbr": m["vbr"]}
+
+
+def audio_profile_mp3(df: DataFrame, id_col: str,
+                      payload_col: str = "payload") -> DataFrame:
+    """MP3 stream profiling over binary payloads: the real frame-header
+    chain walk (ID3v2 skip, per-frame size arithmetic) at header speed —
+    the audio sibling of video_meta; PCM-WAV stays the decode-real
+    path."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_mp3_meta_row(int(rid), bytes(payload))
+                 for rid, payload in zip(pdf["id"], pdf["payload"])]
+            )
+
+    return src.mapInPandas(work, schema=MP3_META_SCHEMA)
+
+
+def synth_mp3(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame:
+    """Deterministic synthetic MP3 frame chains (see _mp3_payload)."""
+    src = df.select(F.col(id_col).alias("id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [{"id": (i := int(rid)), out_col: _mp3_payload(i)}
+                 for rid in pdf["id"]]
+            )
+
+    return src.mapInPandas(gen, schema=f"id long, {out_col} binary")
+
+
+def synth_audio_profile_mp3(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused synth→frame-chain walk (one Arrow crossing, id fan-out)."""
+    return _fused_synth(
+        df, id_col, lambda i: _mp3_meta_row(i, _mp3_payload(i)),
+        MP3_META_SCHEMA,
+    )

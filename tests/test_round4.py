@@ -1558,3 +1558,43 @@ class TestScd2Stream:
             empty, feed, ["k"], "ts", ["attr"])
             .select("k", "attr", "valid_from", "valid_to").collect()))
         assert live == oneshot
+
+
+class TestMp3Meta:
+    """MPEG-audio frame-header chain walk."""
+
+    def test_cbr_and_vbr_round_trip(self):
+        from pigpen_spark.functions import codecs as C
+
+        m = C.mp3_meta(C.mp3_encode_skeleton(10))
+        assert (m["n_frames"], m["sample_rate"], m["vbr"]) == (10, 44100, False)
+        assert m["duration_ms"] == 10 * 1152 * 1000 // 44100
+        v = C.mp3_meta(C.mp3_encode_skeleton(4, 1, [9, 11, 9, 14]))
+        assert v["vbr"] and (v["bitrate_kbps_min"], v["bitrate_kbps_max"]) \
+            == (128, 320)
+
+    def test_id3_skip_and_broken_chain(self):
+        import pytest as _pytest
+
+        from pigpen_spark.functions import codecs as C
+
+        data = C.mp3_encode_skeleton(3)
+        assert data[:3] == b"ID3" and C.mp3_meta(data)["n_frames"] == 3
+        # a byte inserted mid-stream breaks the chain loudly
+        corrupt = data[:200] + b"\x00" + data[200:]
+        with _pytest.raises(ValueError, match="bad frame header"):
+            C.mp3_meta(corrupt)
+        with _pytest.raises(ValueError, match="no frames"):
+            C.mp3_meta(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+
+    def test_spark_profile(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        base = spark.range(6).withColumnRenamed("id", "doc_id")
+        got = {r.id: r for r in M.audio_profile_mp3(
+            M.synth_mp3(base, "doc_id"), "id").collect()}
+        fused = {r.id: r for r in M.synth_audio_profile_mp3(
+            base, "doc_id").collect()}
+        assert {k: tuple(v) for k, v in got.items()} == \
+            {k: tuple(v) for k, v in fused.items()}
+        assert got[5].vbr  # doc 5: indices 14 vs 10 differ
