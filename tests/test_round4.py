@@ -1598,3 +1598,51 @@ class TestMp3Meta:
         assert {k: tuple(v) for k, v in got.items()} == \
             {k: tuple(v) for k, v in fused.items()}
         assert got[5].vbr  # doc 5: indices 14 vs 10 differ
+
+
+class TestNewParserMalformedContract:
+    """The round-4 container parsers hold the same error contract as the
+    image/audio codecs: malformed bytes raise ValueError — never
+    IndexError/struct.error/KeyError — and every truncation prefix
+    terminates."""
+
+    def test_all_truncations_raise_valueerror(self):
+        import numpy as np
+
+        from pigpen_spark.functions import codecs as C
+
+        avi = C.avi_encode_dib([np.zeros((3, 3, 3), np.uint8)] * 2)
+        webm = C.webm_encode_skeleton(5000, [
+            {"handler": "vide", "codec": "V_VP9", "width": 64,
+             "height": 48, "fps": 24}])
+        mp3 = C.mp3_encode_skeleton(4)
+        for fn, payload in ((C.avi_frames, avi), (C.webm_meta, webm),
+                            (C.mp3_meta, mp3)):
+            for cut in range(0, len(payload), 3):
+                try:
+                    fn(payload[:cut])
+                except ValueError:
+                    pass            # the contract
+                # any other exception type propagates and fails the test
+
+    def test_garbage_and_byte_flips_never_escape_valueerror(self):
+        import numpy as np
+
+        from pigpen_spark.functions import codecs as C
+
+        avi = bytearray(C.avi_encode_dib([np.zeros((3, 3, 3), np.uint8)]))
+        webm = bytearray(C.webm_encode_skeleton(5000, [
+            {"handler": "soun", "codec": "A_OPUS"}]))
+        mp3 = bytearray(C.mp3_encode_skeleton(3))
+        for fn, payload in ((C.avi_frames, avi), (C.webm_meta, webm),
+                            (C.mp3_meta, mp3)):
+            fn(bytes(payload))      # pristine parses
+            for pos in range(4, min(len(payload), 60), 5):
+                mutated = bytearray(payload)
+                mutated[pos] ^= 0xFF
+                try:
+                    fn(bytes(mutated))
+                except ValueError:
+                    pass
+            with __import__("pytest").raises(ValueError):
+                fn(b"not a container at all")
