@@ -3929,3 +3929,47 @@ def ext_audio_profile_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.synth_audio_profile_mp3(docs, "doc_id").select(
         F.col("id").alias("doc_id"), "n_frames", "sample_rate",
         "duration_ms", "bitrate_kbps_min", "bitrate_kbps_max", "vbr")
+
+
+@register(
+    "ext_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) * 1000 + event_id % 1000 AS ord,
+             epoch_us(ts) AS us,
+             event_type = 'purchase' AS conv
+      FROM events
+    ),
+    t AS (
+      SELECT *,
+             first_value(CASE WHEN NOT conv THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ord
+                     RANGE BETWEEN 3600000000000 PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             last_value(CASE WHEN NOT conv THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ord
+                     RANGE BETWEEN 3600000000000 PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM e
+    )
+    SELECT user_id, us AS conv_ts_us, first_touch, last_touch
+    FROM t WHERE conv
+    """,
+)
+def ext_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution — the classic single-touch models in
+    one pass: for every purchase, the first and last non-conversion
+    event of the same user in the hour before it, from RANGE window
+    frames over integer microseconds (one shuffle on the user key, no
+    per-conversion self-join; O(events) regardless of conversion rate).
+    Both models emitted so multi-touch journeys are visible as
+    disagreement; organic conversions attribute NULL.  Order made total
+    by (ts, event_id) via a µs-scale tiebreak fraction that cannot
+    change the range."""
+    from pigpen_spark.operators.analytics import attribution
+
+    e = tables(spark, sf_dir)["events"]
+    return attribution(e.df, "user_id", "ts", "event_type",
+                       F.col("event_type") == "purchase",
+                       lookback_seconds=3600, tiebreak_col="event_id")

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pigpen_spark.relation import _to_col as _c
@@ -455,3 +455,45 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, keys: Sequence[str],
     return (history.select(*cols)
             .unionByName(untouched_open.select(*cols))
             .unionByName(versions.select(*cols)))
+
+
+def attribution(events: DataFrame, user_col: str, ts_col: str,
+                channel_col: str, conversion, lookback_seconds: int,
+                tiebreak_col: str | None = None) -> DataFrame:
+    """Marketing/touchpoint attribution: for every conversion event,
+    the FIRST and LAST non-conversion touch of the same user within the
+    ``lookback_seconds`` window strictly before it (the two classic
+    single-touch models; both emitted so their disagreement — a
+    multi-touch journey — is visible).  Conversions with no touch in
+    the window attribute NULL (organic).
+
+    Plan: ONE shuffle on the user key; both touches come from RANGE
+    window frames over integer microseconds (first/last_value with
+    ignorenulls over [−lookback, −1µs]) — no per-conversion self-join,
+    so cost is O(events) regardless of conversion rate.  Order is made
+    total by (ts, tiebreak) when a tiebreak column is given; same-µs
+    touches without one keep window order semantics (pass event_id for
+    full determinism — the catalog query does).
+
+    Returns the conversion rows: (user, conv_ts_us, first_touch,
+    last_touch)."""
+    conv = conversion if isinstance(conversion, Column) else F.col(conversion)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = events.withColumn("__us", us).withColumn("__conv", conv)
+    # RANGE frames need a single numeric order expression; a µs-scale
+    # tiebreak fraction keeps the order total without changing the range
+    order = (F.col("__us") * 1000 + (F.col(tiebreak_col) % 1000)
+             if tiebreak_col else F.col("__us"))
+    lb = lookback_seconds * 1_000_000 * (1000 if tiebreak_col else 1)
+    w = (Window.partitionBy(F.col(user_col)).orderBy(order)
+         .rangeBetween(-lb, -1))
+    touch = F.when(~F.col("__conv"), F.col(channel_col))
+    first = F.first(touch, ignorenulls=True).over(w)
+    last = F.last(touch, ignorenulls=True).over(w)
+    return (
+        e.withColumn("first_touch", first)
+        .withColumn("last_touch", last)
+        .filter(F.col("__conv"))
+        .select(F.col(user_col), F.col("__us").alias("conv_ts_us"),
+                "first_touch", "last_touch")
+    )

@@ -1646,3 +1646,47 @@ class TestNewParserMalformedContract:
                     pass
             with __import__("pytest").raises(ValueError):
                 fn(b"not a container at all")
+
+
+class TestAttribution:
+    def test_first_last_and_organic(self, spark):
+        from pigpen_spark.operators.analytics import attribution
+
+        # user 1 journey: ad(0) → email(100) → BUY(200) → BUY(5000, organic
+        # w.r.t. 1000s lookback) ; user 2: social(0) → BUY(50)
+        rows = [
+            (1, 1, 0, "ad", False), (2, 1, 100, "email", False),
+            (3, 1, 200, "buy", True), (4, 1, 5000, "buy", True),
+            (5, 2, 0, "social", False), (6, 2, 50, "buy", True),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, uid long, tsec long, ch string, conv boolean")
+        ev = df.select("event_id", "uid",
+                       F.timestamp_seconds(F.col("tsec")).alias("ts"),
+                       "ch", "conv")
+        got = {(r.uid, r.conv_ts_us): (r.first_touch, r.last_touch)
+               for r in attribution(ev, "uid", "ts", "ch", F.col("conv"),
+                                    lookback_seconds=1000,
+                                    tiebreak_col="event_id").collect()}
+        assert got[(1, 200_000_000)] == ("ad", "email")
+        assert got[(1, 5_000_000_000)] == (None, None)   # organic
+        assert got[(2, 50_000_000)] == ("social", "social")
+
+    def test_conversion_events_are_not_touches(self, spark):
+        from pigpen_spark.operators.analytics import attribution
+
+        # a purchase between touch and purchase must not become the
+        # last touch
+        rows = [(1, 1, 0, "ad", False), (2, 1, 10, "buy", True),
+                (3, 1, 20, "buy", True)]
+        df = spark.createDataFrame(
+            rows, "event_id long, uid long, tsec long, ch string, conv boolean")
+        ev = df.select("event_id", "uid",
+                       F.timestamp_seconds(F.col("tsec")).alias("ts"),
+                       "ch", "conv")
+        got = {r.conv_ts_us: (r.first_touch, r.last_touch)
+               for r in attribution(ev, "uid", "ts", "ch", F.col("conv"),
+                                    lookback_seconds=100,
+                                    tiebreak_col="event_id").collect()}
+        assert got[10_000_000] == ("ad", "ad")
+        assert got[20_000_000] == ("ad", "ad")
