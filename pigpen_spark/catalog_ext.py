@@ -3973,3 +3973,49 @@ def ext_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution(e.df, "user_id", "ts", "event_type",
                        F.col("event_type") == "purchase",
                        lookback_seconds=3600, tiebreak_col="event_id")
+
+
+@register(
+    "ext_resample_ffill",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS us,
+             epoch_us(ts) // 3600000000 AS b
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, b, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, b
+                                     ORDER BY us DESC, event_id DESC) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ),
+    span AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM e GROUP BY 1),
+    grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM span),
+    filled AS (
+      SELECT g.user_id, g.b,
+             last_value(o.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+    )
+    SELECT user_id, (b * 3600000000)::BIGINT AS bucket_ts_us, v
+    FROM filled
+    """,
+)
+def ext_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward-fill — the alignment step
+    every metrics/feature pipeline runs before joining irregular series:
+    per user, one row per hour from first to last observation carrying
+    the latest value at-or-before the bucket.  Integer-µs bucket ids
+    (DIV — no float boundary jitter), one groupBy for bucket winners
+    (total order by (ts, event_id)), a per-key sequence explode for the
+    grid, one ordered window to fill — all keyed on the user, no global
+    funnel.  The carried double is untouched, so the row set is
+    hash-exact."""
+    from pigpen_spark.operators.windows import resample_ffill
+
+    e = tables(spark, sf_dir)["events"]
+    return resample_ffill(e.df, ["user_id"], "ts", ["value"],
+                          interval_seconds=3600,
+                          tiebreak=["event_id"]).withColumnRenamed("value", "v")

@@ -328,3 +328,65 @@ def assemble_conversations(df: DataFrame, user_col: str, ts_col: str,
                 sep).alias("transcript"),
         )
     )
+
+
+def resample_ffill(df: DataFrame, key_cols: Sequence, ts_col: str,
+                   value_cols: Sequence, interval_seconds: int,
+                   tiebreak: Sequence = ()) -> DataFrame:
+    """Resample an irregular per-key time series onto a regular grid
+    with forward-fill — the metrics-pipeline staple (sensor/price/state
+    series joined against model features need aligned timestamps):
+    per key, one row per ``interval_seconds`` bucket from its first to
+    its last observation, each carrying the values of the latest
+    observation at-or-before the bucket (buckets before a key's first
+    observation don't exist by construction, so no NULL leading edge).
+
+    Plan: integer-µs bucket ids (``epoch_us DIV interval`` — no float
+    boundary jitter); ONE groupBy picks each bucket's last observation
+    (latest (ts, tiebreak) wins, made total by the tiebreak columns),
+    a per-key sequence explode builds the grid (O(span/interval) rows),
+    and one ordered window forward-fills — everything keyed on the
+    grouping columns, no global funnel.  Gap blowup is the caller's
+    lever: a key spanning years at second granularity explodes
+    span/interval rows, so pick the interval for the join you're
+    feeding.
+
+    Returns (keys…, bucket_ts_us, values…) — bucket_ts_us is the
+    bucket's START."""
+    if interval_seconds < 1:
+        raise ValueError(
+            f"resample_ffill: interval_seconds must be >= 1, got {interval_seconds}")
+    keys = [_c(k) for k in key_cols]
+    key_names = [df.select(k).columns[0] for k in keys]
+    us = F.unix_micros(_c(ts_col).cast("timestamp"))
+    iv = int(interval_seconds) * 1_000_000
+    bucket = F.expr(f"CAST({'__pp_us'} DIV {iv} AS BIGINT)")
+    vals = [_c(v) for v in value_cols]
+    val_names = [df.select(v).columns[0] for v in vals]
+    base = df.withColumn("__pp_us", us)
+    # 1. last observation per (key, bucket): latest (us, tiebreak) wins
+    obs = (base.withColumn("__pp_b", bucket)
+           .withColumn("__pp_rn", F.row_number().over(
+               Window.partitionBy(*keys, F.col("__pp_b")).orderBy(
+                   F.col("__pp_us").desc(),
+                   *[_c(t).desc() for t in tiebreak])))
+           .filter(F.col("__pp_rn") == 1)
+           .select(*key_names, "__pp_b", *val_names))
+    # 2. per-key grid
+    span = base.groupBy(*keys).agg(
+        F.min(bucket).alias("__pp_lo"), F.max(bucket).alias("__pp_hi"))
+    grid = span.select(
+        *key_names,
+        F.explode(F.sequence(F.col("__pp_lo"), F.col("__pp_hi")))
+        .alias("__pp_b"))
+    # 3. forward fill over the grid
+    wf = (Window.partitionBy(*[F.col(k) for k in key_names])
+          .orderBy("__pp_b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    joined = grid.join(obs, on=key_names + ["__pp_b"], how="left")
+    filled = [F.last(F.col(v), ignorenulls=True).over(wf).alias(v)
+              for v in val_names]
+    return joined.select(
+        *key_names,
+        (F.col("__pp_b") * iv).alias("bucket_ts_us"),
+        *filled)

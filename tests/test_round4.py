@@ -1690,3 +1690,41 @@ class TestAttribution:
                                     tiebreak_col="event_id").collect()}
         assert got[10_000_000] == ("ad", "ad")
         assert got[20_000_000] == ("ad", "ad")
+
+
+class TestResampleFfill:
+    def test_grid_and_fill(self, spark):
+        from pigpen_spark.operators.windows import resample_ffill
+
+        rows = [(1, "a", 3, 10.0), (2, "a", 34, 20.0), (3, "a", 35, 25.0),
+                (4, "b", 100, 7.0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, k string, tsec long, v double")
+        ev = df.select("event_id", "k",
+                       F.timestamp_seconds(F.col("tsec")).alias("ts"), "v")
+        got = sorted(map(tuple, resample_ffill(
+            ev, ["k"], "ts", ["v"], interval_seconds=10,
+            tiebreak=["event_id"]).collect()))
+        assert got == [
+            ("a", 0, 10.0),            # bucket of the first obs
+            ("a", 10_000_000, 10.0),   # gap: forward-filled
+            ("a", 20_000_000, 10.0),
+            ("a", 30_000_000, 25.0),   # latest obs in bucket wins (ts=35)
+            ("b", 100_000_000, 7.0),   # keys never bleed into each other
+        ]
+
+    def test_multiple_value_columns_and_validation(self, spark):
+        from pigpen_spark.operators.windows import resample_ffill
+
+        df = spark.createDataFrame(
+            [(1, "k", 0, 1.0, 5), (2, "k", 25, 2.0, 6)],
+            "event_id long, k string, tsec long, a double, b long")
+        ev = df.select("event_id", "k",
+                       F.timestamp_seconds(F.col("tsec")).alias("ts"),
+                       "a", "b")
+        got = sorted(map(tuple, resample_ffill(
+            ev, ["k"], "ts", ["a", "b"], 10, ["event_id"]).collect()))
+        assert got == [("k", 0, 1.0, 5), ("k", 10_000_000, 1.0, 5),
+                       ("k", 20_000_000, 2.0, 6)]
+        with pytest.raises(ValueError, match="interval_seconds"):
+            resample_ffill(ev, ["k"], "ts", ["a"], 0)
