@@ -123,6 +123,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_audio_profile_mp3",     # MPEG-audio frame-chain profiling (header speed)
     "ext_attribution",           # first/last-touch attribution (range windows)
     "ext_resample_ffill",        # regular-grid resampling + forward fill
+    "ext_transitions",           # first-order journey transition matrix
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

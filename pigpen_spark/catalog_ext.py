@@ -4019,3 +4019,34 @@ def ext_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(e.df, ["user_id"], "ts", ["value"],
                           interval_seconds=3600,
                           tiebreak=["event_id"]).withColumnRenamed("value", "v")
+
+
+@register(
+    "ext_transitions",
+    """
+    WITH ordered AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT prev AS from_state, event_type AS to_state, count(*)::BIGINT AS n
+      FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n,
+           (n * 1000000 // sum(n) OVER (PARTITION BY from_state))::BIGINT
+             AS p_ppm
+    FROM c
+    """,
+)
+def ext_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order journey transition matrix over the event stream
+    (Markov-chain readout: which states precede which): per-user
+    consecutive pairs under a total (ts, event_id) order, global pair
+    counts, integer-ppm row-conditional probabilities.  One user-key
+    window shuffle + one vocabulary-sized groupBy."""
+    from pigpen_spark.operators.analytics import transition_matrix
+
+    e = tables(spark, sf_dir)["events"]
+    return transition_matrix(e.df, "user_id", "ts", "event_type", "event_id")

@@ -497,3 +497,36 @@ def attribution(events: DataFrame, user_col: str, ts_col: str,
         .select(F.col(user_col), F.col("__us").alias("conv_ts_us"),
                 "first_touch", "last_touch")
     )
+
+
+def transition_matrix(events: DataFrame, user_col: str, ts_col: str,
+                      state_col: str, tiebreak_col: str,
+                      scale: int = 1_000_000) -> DataFrame:
+    """First-order journey transition matrix — the Markov-chain readout
+    of an event stream (what precedes churn/purchase; which paths
+    dominate): per user, consecutive state pairs under a total
+    (ts, tiebreak) order, then global pair counts and integer-ppm row
+    probabilities p(to | from).
+
+    ONE user-key shuffle for the lag window + one small groupBy on the
+    (from, to) pairs (state-vocabulary sized).  Per-user journey length
+    is bounded by that user's events — the same posture as sessionize.
+
+    Returns (from_state, to_state, n, p_ppm)."""
+    us = F.unix_micros(_c(ts_col).cast("timestamp"))
+    w = Window.partitionBy(_c(user_col)).orderBy(us, _c(tiebreak_col))
+    prev = F.lag(_c(state_col)).over(w)
+    pairs = (
+        events.withColumn("__from", prev)
+        .filter(F.col("__from").isNotNull())
+        .select(F.col("__from").alias("from_state"),
+                _c(state_col).alias("to_state"))
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n"))
+    w2 = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state", "to_state", "n",
+        F.expr(f"n * {scale} DIV sum(n) OVER (PARTITION BY from_state)")
+         .cast("bigint").alias("p_ppm"),
+    )

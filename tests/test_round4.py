@@ -1728,3 +1728,24 @@ class TestResampleFfill:
                        ("k", 20_000_000, 2.0, 6)]
         with pytest.raises(ValueError, match="interval_seconds"):
             resample_ffill(ev, ["k"], "ts", ["a"], 0)
+
+
+class TestTransitionMatrix:
+    def test_counts_and_row_probabilities(self, spark):
+        from pigpen_spark.operators.analytics import transition_matrix
+
+        rows = [(1, 1, 0, "a"), (2, 1, 10, "b"), (3, 1, 20, "a"),
+                (4, 1, 30, "b"), (5, 2, 0, "a"), (6, 2, 5, "c")]
+        df = spark.createDataFrame(
+            rows, "event_id long, uid long, tsec long, s string")
+        ev = df.select("event_id", "uid",
+                       F.timestamp_seconds(F.col("tsec")).alias("ts"), "s")
+        got = {(r.from_state, r.to_state): (r.n, r.p_ppm)
+               for r in transition_matrix(ev, "uid", "ts", "s",
+                                          "event_id").collect()}
+        # a→b twice, a→c once (row a: 2/3 and 1/3), b→a once (row b: 1/1)
+        assert got[("a", "b")] == (2, 666666)
+        assert got[("a", "c")] == (1, 333333)
+        assert got[("b", "a")] == (1, 1000000)
+        # journeys never cross users: no c→anything
+        assert not any(f == "c" for f, _ in got)
