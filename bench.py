@@ -129,6 +129,14 @@ HEADLINE = [
     "ext_dsir",
     "ext_kmv_overlap",
     "ext_winnow_overlap",
+    # round-4 third pass: distinct plan shapes — range-frame touch
+    # attribution (one user shuffle, no self-join), sorted-collect
+    # conversation assembly, SCD2 window chain over the compacted change
+    # set, and grid resampling (sequence explode + ordered fill window)
+    "ext_attribution",
+    "ext_conversations",
+    "ext_scd2",
+    "ext_resample_ffill",
 ]
 
 
