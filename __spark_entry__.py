@@ -124,6 +124,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_attribution",           # first/last-touch attribution (range windows)
     "ext_resample_ffill",        # regular-grid resampling + forward fill
     "ext_transitions",           # first-order journey transition matrix
+    "ext_pii_profile",           # column-level PII exposure audit (shared pattern table)
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

@@ -4050,3 +4050,81 @@ def ext_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables(spark, sf_dir)["events"]
     return transition_matrix(e.df, "user_id", "ts", "event_type", "event_id")
+
+
+@register(
+    "ext_pii_profile",
+    """
+    WITH t AS (
+      SELECT
+        CASE WHEN doc_id % 3 = 0
+             THEN text || ' contact user' || doc_id || '@mail' || doc_id % 7 || '.com'
+             ELSE text END AS contact,
+        CASE WHEN doc_id % 4 = 0
+             THEN 'host ' || doc_id % 255 || '.0.0.' || doc_id % 200
+             ELSE 'host internal' END AS host,
+        'order ' || (1000000 + doc_id * 13) AS note,
+        text
+      FROM documents
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN regexp_matches(contact, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END)::BIGINT AS c_e,
+             sum(CASE WHEN regexp_matches(contact, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b') THEN 1 ELSE 0 END)::BIGINT AS c_i,
+             sum(CASE WHEN regexp_matches(contact, '\\b\\d{7,}\\b') THEN 1 ELSE 0 END)::BIGINT AS c_n,
+             sum(CASE WHEN regexp_matches(host, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END)::BIGINT AS h_e,
+             sum(CASE WHEN regexp_matches(host, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b') THEN 1 ELSE 0 END)::BIGINT AS h_i,
+             sum(CASE WHEN regexp_matches(host, '\\b\\d{7,}\\b') THEN 1 ELSE 0 END)::BIGINT AS h_n,
+             sum(CASE WHEN regexp_matches(note, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END)::BIGINT AS n_e,
+             sum(CASE WHEN regexp_matches(note, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b') THEN 1 ELSE 0 END)::BIGINT AS n_i,
+             sum(CASE WHEN regexp_matches(note, '\\b\\d{7,}\\b') THEN 1 ELSE 0 END)::BIGINT AS n_n,
+             sum(CASE WHEN regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END)::BIGINT AS t_e,
+             sum(CASE WHEN regexp_matches(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b') THEN 1 ELSE 0 END)::BIGINT AS t_i,
+             sum(CASE WHEN regexp_matches(text, '\\b\\d{7,}\\b') THEN 1 ELSE 0 END)::BIGINT AS t_n
+      FROM t
+    )
+    SELECT col AS "column", pattern, n AS n_rows, hits AS n_hits,
+           (hits * 1000000 // n)::BIGINT AS hit_ppm
+    FROM agg, (VALUES ('contact', 'email'), ('contact', 'ipv4'),
+                      ('contact', 'digit_run'), ('host', 'email'),
+                      ('host', 'ipv4'), ('host', 'digit_run'),
+                      ('note', 'email'), ('note', 'ipv4'),
+                      ('note', 'digit_run'), ('text', 'email'),
+                      ('text', 'ipv4'), ('text', 'digit_run')) v(col, pattern),
+         LATERAL (SELECT CASE col || '/' || pattern
+                    WHEN 'contact/email' THEN c_e WHEN 'contact/ipv4' THEN c_i
+                    WHEN 'contact/digit_run' THEN c_n
+                    WHEN 'host/email' THEN h_e WHEN 'host/ipv4' THEN h_i
+                    WHEN 'host/digit_run' THEN h_n
+                    WHEN 'note/email' THEN n_e WHEN 'note/ipv4' THEN n_i
+                    WHEN 'note/digit_run' THEN n_n
+                    WHEN 'text/email' THEN t_e WHEN 'text/ipv4' THEN t_i
+                    ELSE t_n END AS hits) h
+    """,
+)
+def ext_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level PII exposure audit (the pre-release governance pass):
+    one aggregate pass counts, per string column × pattern class, the
+    rows matching the SAME RE2-portable patterns ext_redact scrubs —
+    audit and scrub share the pattern table, so they cannot disagree.
+    The audited table derives deterministic PII-carrying columns from
+    documents (emails on doc_id%3, IPs on doc_id%4, a digit run
+    everywhere) plus the clean text as negative control; every counter
+    is hash-exact."""
+    docs = tables(spark, sf_dir)["documents"].df
+    t = docs.select(
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"), F.lit("@mail"),
+                        (F.col("doc_id") % 7).cast("string"), F.lit(".com")))
+         .otherwise(F.col("text")).alias("contact"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("host "), (F.col("doc_id") % 255).cast("string"),
+                        F.lit(".0.0."), (F.col("doc_id") % 200).cast("string")))
+         .otherwise(F.lit("host internal")).alias("host"),
+        F.concat(F.lit("order "),
+                 (F.lit(1000000) + F.col("doc_id") * 13).cast("string"))
+         .alias("note"),
+        F.col("text"),
+    )
+    return V.pii_profile(t)

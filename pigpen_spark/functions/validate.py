@@ -237,3 +237,46 @@ def k_anonymity_violations(df: DataFrame, quasi_cols: list[str],
     return (df.groupBy(*quasi_cols)
             .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
             .filter(F.col("class_size") < k))
+
+
+def pii_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column-level PII exposure audit — the governance pass a pipeline
+    runs before sharing a table: for every string column, how many rows
+    match each PII pattern class (email / IPv4 / long digit run, the
+    same RE2-portable patterns :func:`pigpen_spark.functions.text.
+    redact` scrubs — audit and scrub CANNOT disagree about what counts
+    as PII because they share the pattern table).
+
+    ONE aggregate pass over the data (every (column × pattern) counter
+    is a ``sum(rlike)`` with map-side partials — no per-column scans);
+    the unpivot to (column, pattern, n_rows, n_hits, hit_ppm) rows
+    happens on the 1-row aggregate.  Flag columns with hit_ppm above a
+    policy threshold, then route them through ``redact`` or a column
+    drop."""
+    from pigpen_spark.functions.text import REDACT_PATTERNS
+
+    if columns is None:
+        columns = [f.name for f in df.schema.fields
+                   if f.dataType.simpleString() == "string"]
+    if not columns:
+        raise ValueError("pii_profile: no string columns to audit")
+    pat_names = {"<EMAIL>": "email", "<IP>": "ipv4", "<NUM>": "digit_run"}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        for pat, repl in REDACT_PATTERNS:
+            aggs.append(
+                F.sum(F.when(F.col(c).rlike(pat), 1).otherwise(0))
+                .alias(f"__{c}__{pat_names[repl]}"))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(pat_names[repl]).alias("pattern"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col(f"__{c}__{pat_names[repl]}").cast("bigint").alias("n_hits"),
+            F.expr(f"CAST(__{c}__{pat_names[repl]} * 1000000 DIV __n AS BIGINT)")
+             .alias("hit_ppm"),
+        )
+        for c in columns for pat, repl in REDACT_PATTERNS
+    ])
+    return one.select(F.inline(rows))

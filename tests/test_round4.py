@@ -1749,3 +1749,36 @@ class TestTransitionMatrix:
         assert got[("b", "a")] == (1, 1000000)
         # journeys never cross users: no c→anything
         assert not any(f == "c" for f, _ in got)
+
+
+class TestPiiProfile:
+    def test_counts_and_ppm(self, spark):
+        from pigpen_spark.functions.validate import pii_profile
+
+        df = spark.createDataFrame(
+            [("a@b.com", "10.0.0.1"), ("clean", "also clean"),
+             ("x 12345678", "c@d.org")], ["u", "v"])
+        got = {(r["column"], r.pattern): (r.n_hits, r.hit_ppm)
+               for r in pii_profile(df).collect()}
+        assert got[("u", "email")] == (1, 333333)
+        assert got[("u", "digit_run")] == (1, 333333)
+        assert got[("v", "ipv4")] == (1, 333333)
+        assert got[("v", "email")] == (1, 333333)
+        assert got[("u", "ipv4")] == (0, 0)
+
+    def test_audit_agrees_with_redact(self, spark):
+        """A column the audit calls clean must be unchanged by redact."""
+        from pigpen_spark.functions.text import redact
+        from pigpen_spark.functions.validate import pii_profile
+
+        df = spark.createDataFrame(
+            [("hello world",), ("no pii here",)], ["t"])
+        prof = pii_profile(df).agg(F.sum("n_hits")).collect()[0][0]
+        changed = df.filter(redact(F.col("t")) != F.col("t")).count()
+        assert prof == 0 and changed == 0
+
+    def test_no_string_columns_raises(self, spark):
+        from pigpen_spark.functions.validate import pii_profile
+
+        with pytest.raises(ValueError, match="no string columns"):
+            pii_profile(spark.range(3))
