@@ -413,6 +413,17 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, keys: Sequence[str],
 
     open_rows = dim.filter(F.col(valid_to).isNull())
     touched_open = open_rows.join(ch_keys, on=ks, how="left_semi")
+    # corrupt-dimension guard: more than one OPEN version per key would
+    # silently emit duplicate histories — fail loudly instead (evaluated
+    # through the valid_from column so Catalyst cannot prune it)
+    n_open = F.count(F.lit(1)).over(Window.partitionBy(*[F.col(k) for k in ks]))
+    touched_open = touched_open.withColumn(
+        valid_from,
+        F.when(n_open > 1, F.raise_error(F.concat(
+            F.lit("scd2_apply: multiple open versions for key "),
+            F.concat_ws(",", *[F.col(k).cast("string") for k in ks]),
+            F.lit(" — the dimension is corrupt"))))
+        .otherwise(F.col(valid_from)))
     timeline = (
         touched_open.select(*ks, *attrs,
                             F.col(valid_from).alias("__ts"),
@@ -466,6 +477,14 @@ def attribution(events: DataFrame, user_col: str, ts_col: str,
     single-touch models; both emitted so their disagreement — a
     multi-touch journey — is visible).  Conversions with no touch in
     the window attribute NULL (organic).
+
+    Determinism bound: the tiebreak disambiguates up to 1000
+    same-microsecond events per user (it rides in the sub-µs digits of
+    the RANGE order key — a larger factor would overflow BIGINT against
+    epoch-µs).  Events beyond that collide to RANGE peers, where
+    first/last among peers is engine-defined — at µs resolution this
+    needs 1000 events in one microsecond, so it is a documented bound,
+    not a practical one.
 
     Plan: ONE shuffle on the user key; both touches come from RANGE
     window frames over integer microseconds (first/last_value with

@@ -352,7 +352,9 @@ def resample_ffill(df: DataFrame, key_cols: Sequence, ts_col: str,
     feeding.
 
     Returns (keys…, bucket_ts_us, values…) — bucket_ts_us is the
-    bucket's START."""
+    bucket's START.  Pre-epoch timestamps are out of contract (integer
+    DIV truncates toward zero, shifting pre-1970 bucket boundaries —
+    the repo-wide convention, see dedup_keyed_window)."""
     if interval_seconds < 1:
         raise ValueError(
             f"resample_ffill: interval_seconds must be >= 1, got {interval_seconds}")

@@ -1782,3 +1782,16 @@ class TestPiiProfile:
 
         with pytest.raises(ValueError, match="no string columns"):
             pii_profile(spark.range(3))
+
+
+class TestScd2CorruptDimension:
+    def test_multiple_open_versions_raise(self, spark):
+        from pigpen_spark.operators.analytics import scd2_apply
+
+        corrupt = spark.createDataFrame(
+            [(1, "a", 0, None), (1, "b", 5, None)],
+            "k long, attr string, valid_from long, valid_to long")
+        ch = spark.createDataFrame([(1, "c", 10)],
+                                   "k long, attr string, ts long")
+        with pytest.raises(Exception, match="multiple open versions"):
+            scd2_apply(corrupt, ch, ["k"], "ts", ["attr"]).collect()
