@@ -85,3 +85,15 @@ def test_sft_prep_pipeline(spark, sf_dir):
     assert 0 < report["after_gates"] <= report["conversations"]
     assert report["after_exact_dedup"] <= report["after_gates"]
     assert report["packed_sequences"] >= report["full_sequences"] > 0
+
+
+def test_feature_store_pipeline(spark, sf_dir):
+    from feature_store import build
+
+    report = build(spark, sf_dir)
+    assert report["labels"] > 0
+    # every label assembled, exactly one SCD2 version matched per label
+    assert report["training_rows"] == report["labels"]
+    assert report["versions_overlap"] is False
+    assert report["coverage_ppm"] == 1_000_000
+    assert report["dim_versions"] > 0 and report["feature_rows"] > 0
