@@ -125,6 +125,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_resample_ffill",        # regular-grid resampling + forward fill
     "ext_transitions",           # first-order journey transition matrix
     "ext_pii_profile",           # column-level PII exposure audit (shared pattern table)
+    "ext_dataset_checksum",      # mergeable order-insensitive corpus fingerprint
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

@@ -4128,3 +4128,33 @@ def ext_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     return V.pii_profile(t)
+
+
+@register(
+    "ext_dataset_checksum",
+    """
+    WITH h AS (
+      SELECT ('0x' || substring(md5(
+               'doc_id=' || coalesce(doc_id::VARCHAR, chr(0)) || chr(31) ||
+               'lang=' || coalesce(lang, chr(0)) || chr(31) ||
+               'n_chars=' || coalesce(n_chars::VARCHAR, chr(0)) || chr(31) ||
+               'source=' || coalesce(source, chr(0)) || chr(31) ||
+               'text=' || coalesce(text, chr(0))
+             ), 1, 15))::BIGINT AS x
+      FROM documents
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           coalesce(sum(x::HUGEINT), 0)::VARCHAR AS checksum
+    FROM h
+    """,
+)
+def ext_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive mergeable dataset fingerprint of the documents
+    table (sum of 60-bit md5 row hashes in DECIMAL(38,0)/HUGEINT) — the
+    lineage primitive: shard checksums ADD to the corpus checksum,
+    append deltas add incrementally, and multiset equality of two
+    tables is one (count, sum) comparison.  One aggregate pass with
+    map-side partials; columns enter in sorted order with NULL
+    markers."""
+    docs = tables(spark, sf_dir)["documents"].df
+    return V.dataset_checksum(docs)

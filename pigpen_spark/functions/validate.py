@@ -280,3 +280,32 @@ def pii_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         for c in columns for pat, repl in REDACT_PATTERNS
     ])
     return one.select(F.inline(rows))
+
+
+def dataset_checksum(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Order-insensitive, MERGEABLE dataset fingerprint — the
+    reproducibility primitive a lineage system stores next to every
+    materialized table: each row canonicalizes to
+    ``col=value`` pairs over the (sorted) column list with a NULL
+    marker, hashes to a 60-bit md5 integer, and the fingerprint is the
+    SUM of row hashes in DECIMAL(38,0) — commutative and associative,
+    so shard checksums ADD to the corpus checksum, an appended delta's
+    checksum adds to the old one, and two tables are row-multiset-equal
+    iff sums and counts both match (up to 60-bit collisions — a
+    fingerprint, not a proof).  One aggregate pass, map-side partials.
+
+    Returns one row: (n_rows, checksum) with checksum a decimal-string.
+    """
+    cols = sorted(columns if columns is not None else df.columns)
+    if not cols:
+        raise ValueError("dataset_checksum: no columns")
+    canon = F.concat_ws(
+        "\x1f", *[F.concat(F.lit(c + "="),
+                           F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+                  for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)"))
+         .cast("decimal(38,0)").cast("string").alias("checksum"),
+    )

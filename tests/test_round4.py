@@ -1795,3 +1795,38 @@ class TestScd2CorruptDimension:
                                    "k long, attr string, ts long")
         with pytest.raises(Exception, match="multiple open versions"):
             scd2_apply(corrupt, ch, ["k"], "ts", ["attr"]).collect()
+
+
+class TestDatasetChecksum:
+    def test_order_insensitive_and_mergeable(self, spark):
+        from pigpen_spark.functions.validate import dataset_checksum
+
+        a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+        b = spark.createDataFrame([(2, "y"), (1, "x")], ["id", "v"])
+        c = spark.createDataFrame([(3, "z")], ["id", "v"])
+        ra, rb, rc = (dataset_checksum(d).collect()[0] for d in (a, b, c))
+        rall = dataset_checksum(a.union(c)).collect()[0]
+        assert ra.checksum == rb.checksum            # row order irrelevant
+        assert int(ra.checksum) + int(rc.checksum) == int(rall.checksum)
+
+    def test_detects_any_cell_change_and_nulls(self, spark):
+        from pigpen_spark.functions.validate import dataset_checksum
+
+        a = spark.createDataFrame([(1, "x")], ["id", "v"])
+        b = spark.createDataFrame([(1, "y")], ["id", "v"])
+        n = spark.createDataFrame([(1, None)], "id long, v string")
+        e = spark.createDataFrame([(1, "")], "id long, v string")
+        sums = {dataset_checksum(d).collect()[0].checksum for d in (a, b, n, e)}
+        assert len(sums) == 4            # value, NULL and '' all distinct
+
+    def test_column_subset_and_empty(self, spark):
+        from pigpen_spark.functions.validate import dataset_checksum
+
+        a = spark.createDataFrame([(1, "x"), (2, "x")], ["id", "v"])
+        only_v = dataset_checksum(a, columns=["v"]).collect()[0]
+        assert only_v.n_rows == 2
+        empty = dataset_checksum(
+            spark.createDataFrame([], "id long")).collect()[0]
+        assert (empty.n_rows, empty.checksum) == (0, "0")
+        with pytest.raises(ValueError, match="no columns"):
+            dataset_checksum(a, columns=[])
