@@ -309,3 +309,30 @@ def dataset_checksum(df: DataFrame, columns: list[str] | None = None) -> DataFra
         F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)"))
          .cast("decimal(38,0)").cast("string").alias("checksum"),
     )
+
+
+def dataset_checksum_buckets(df: DataFrame, n_buckets: int = 256,
+                             columns: list[str] | None = None) -> DataFrame:
+    """Drill-down companion to :func:`dataset_checksum`: per-bucket
+    (md5-prefix hash buckets) row counts and hash sums.  When two
+    tables' total checksums differ, comparing their bucket vectors
+    localizes the difference to ~1/n_buckets of the rows per level —
+    recurse with a larger n_buckets over one bucket's rows to narrow
+    further (binary-search over content, no row-by-row diff shuffle
+    until the final bucket).  Same canonicalization as the total
+    checksum, so bucket sums ADD up to it."""
+    cols = sorted(columns if columns is not None else df.columns)
+    if not cols:
+        raise ValueError("dataset_checksum_buckets: no columns")
+    canon = F.concat_ws(
+        "\x1f", *[F.concat(F.lit(c + "="),
+                           F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+                  for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        df.withColumn("__h", h)
+        .groupBy((F.col("__h") % n_buckets).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.sum("__h").cast("decimal(38,0)").cast("string")
+              .alias("checksum"))
+    )

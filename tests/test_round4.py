@@ -1830,3 +1830,26 @@ class TestDatasetChecksum:
         assert (empty.n_rows, empty.checksum) == (0, "0")
         with pytest.raises(ValueError, match="no columns"):
             dataset_checksum(a, columns=[])
+
+
+class TestChecksumBuckets:
+    def test_buckets_sum_to_total_and_localize(self, spark):
+        from pigpen_spark.functions.validate import (
+            dataset_checksum, dataset_checksum_buckets)
+
+        a = spark.createDataFrame([(i, f"v{i}") for i in range(200)],
+                                  ["id", "v"])
+        total = int(dataset_checksum(a).collect()[0].checksum)
+        buckets = dataset_checksum_buckets(a, 16).collect()
+        assert sum(int(r.checksum) for r in buckets) == total
+        assert sum(r.n_rows for r in buckets) == 200
+        # a one-row change flips exactly one bucket's checksum
+        b = spark.createDataFrame(
+            [(i, "CHANGED" if i == 7 else f"v{i}") for i in range(200)],
+            ["id", "v"])
+        ba = {r.bucket: r.checksum
+              for r in dataset_checksum_buckets(a, 16).collect()}
+        bb = {r.bucket: r.checksum
+              for r in dataset_checksum_buckets(b, 16).collect()}
+        diff = {k for k in set(ba) | set(bb) if ba.get(k) != bb.get(k)}
+        assert 1 <= len(diff) <= 2   # old row's bucket and/or new row's
