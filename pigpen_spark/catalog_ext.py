@@ -4158,3 +4158,35 @@ def ext_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     markers."""
     docs = tables(spark, sf_dir)["documents"].df
     return V.dataset_checksum(docs)
+
+
+@register(
+    "ext_comoments",
+    """
+    SELECT l_returnflag, count(*)::BIGINT AS n,
+           sum(c_price::HUGEINT)::VARCHAR AS sum_x,
+           sum(c_qty::HUGEINT)::VARCHAR AS sum_y,
+           sum(c_price::HUGEINT * c_qty)::VARCHAR AS sum_xy,
+           sum(c_price::HUGEINT * c_price)::VARCHAR AS sum_x2,
+           sum(c_qty::HUGEINT * c_qty)::VARCHAR AS sum_y2
+    FROM (SELECT l_returnflag,
+                 round(l_extendedprice * 100)::BIGINT AS c_price,
+                 round(l_quantity)::BIGINT AS c_qty
+          FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def ext_comoments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable co-moment sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) for price vs quantity per return flag — the one-pass integer-
+    exact basis for covariance/correlation/OLS at 100 TB: shard
+    statistics add componentwise (merge_rollups maintains them
+    incrementally), floats appear only at readout.  DECIMAL(38,0)/
+    HUGEINT keeps squared-cents sums exact where BIGINT would
+    overflow."""
+    li = tables(spark, sf_dir)["lineitem"].df
+    return K.comoments(
+        li,
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"),
+        F.round(F.col("l_quantity"), 0).cast("bigint"),
+        group_cols=["l_returnflag"])

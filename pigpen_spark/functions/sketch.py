@@ -668,3 +668,32 @@ def mad_outliers(df: DataFrame, group_cols: list, value: Column,
             F.col("__dev") * threshold_den > F.lit(threshold_num) * F.col("__mad"))
         .drop("__v", "__med", "__dev", "__mad")
     )
+
+
+def comoments(df: DataFrame, x: Column, y: Column,
+              group_cols: list | None = None) -> DataFrame:
+    """Mergeable second-order sufficient statistics for a pair of
+    integer-valued expressions: (n, Σx, Σy, Σxy, Σx², Σy²) per group —
+    everything covariance, correlation, and OLS slope/intercept need,
+    in ONE map-side-combining pass, with the same merge-by-addition
+    posture as the other sketches (shard rows ADD componentwise; the
+    incremental-rollup machinery maintains them live).
+
+    All sums run in DECIMAL(38,0) so squared-cents products never
+    overflow BIGINT; downstream floats (corr needs a sqrt) are derived
+    AT READOUT from exact integers: n·Σxy − Σx·Σy is the exact
+    covariance numerator, n·Σx² − (Σx)² the variance numerators.
+    Emitted as decimal-strings (the catalog's no-float discipline).
+    """
+    gs = [F.col(g) for g in (group_cols or [])]
+    xi = x.cast("decimal(38,0)")
+    yi = y.cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xi).cast("decimal(38,0)").cast("string").alias("sum_x"),
+        F.sum(yi).cast("decimal(38,0)").cast("string").alias("sum_y"),
+        F.sum(xi * yi).cast("decimal(38,0)").cast("string").alias("sum_xy"),
+        F.sum(xi * xi).cast("decimal(38,0)").cast("string").alias("sum_x2"),
+        F.sum(yi * yi).cast("decimal(38,0)").cast("string").alias("sum_y2"),
+    ]
+    return df.groupBy(*gs).agg(*aggs) if gs else df.agg(*aggs)

@@ -1853,3 +1853,34 @@ class TestChecksumBuckets:
               for r in dataset_checksum_buckets(b, 16).collect()}
         diff = {k for k in set(ba) | set(bb) if ba.get(k) != bb.get(k)}
         assert 1 <= len(diff) <= 2   # old row's bucket and/or new row's
+
+
+class TestComoments:
+    def test_matches_python_and_derives_corr(self, spark):
+        from pigpen_spark.functions.sketch import comoments
+
+        xs = [1, 2, 3, 4, 10]
+        ys = [2, 4, 5, 4, 5]
+        df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+        r = comoments(df, F.col("x"), F.col("y")).collect()[0]
+        assert r.n == 5
+        assert int(r.sum_x) == sum(xs) and int(r.sum_y) == sum(ys)
+        assert int(r.sum_xy) == sum(a * b for a, b in zip(xs, ys))
+        assert int(r.sum_x2) == sum(a * a for a in xs)
+        # readout: exact integer covariance numerator
+        import statistics
+
+        cov_num = r.n * int(r.sum_xy) - int(r.sum_x) * int(r.sum_y)
+        assert cov_num == round(statistics.covariance(xs, ys) * 5 * 4)
+
+    def test_merge_by_addition(self, spark):
+        from pigpen_spark.functions.sketch import comoments
+
+        a = spark.createDataFrame([(1, 2), (3, 4)], ["x", "y"])
+        b = spark.createDataFrame([(5, 6)], ["x", "y"])
+        ra = comoments(a, F.col("x"), F.col("y")).collect()[0]
+        rb = comoments(b, F.col("x"), F.col("y")).collect()[0]
+        rall = comoments(a.union(b), F.col("x"), F.col("y")).collect()[0]
+        for f in ("sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"):
+            assert int(ra[f]) + int(rb[f]) == int(rall[f])
+        assert ra.n + rb.n == rall.n
