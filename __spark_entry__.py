@@ -127,6 +127,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_pii_profile",           # column-level PII exposure audit (shared pattern table)
     "ext_dataset_checksum",      # mergeable order-insensitive corpus fingerprint
     "ext_comoments",             # mergeable co-moment sufficient statistics
+    "ext_ols",                   # exact least-squares readout from co-moments
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

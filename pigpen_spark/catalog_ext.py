@@ -4190,3 +4190,51 @@ def ext_comoments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"),
         F.round(F.col("l_quantity"), 0).cast("bigint"),
         group_cols=["l_returnflag"])
+
+
+@register(
+    "ext_ols",
+    """
+    WITH s AS (
+      SELECT l_returnflag, count(*)::HUGEINT AS n,
+             sum(c_qty::HUGEINT) AS sx,
+             sum(c_price::HUGEINT) AS sy,
+             sum(c_qty::HUGEINT * c_price) AS sxy,
+             sum(c_qty::HUGEINT * c_qty) AS sx2
+      FROM (SELECT l_returnflag,
+                   round(l_extendedprice * 100)::BIGINT AS c_price,
+                   round(l_quantity)::BIGINT AS c_qty
+            FROM lineitem)
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ((1000000::HUGEINT * (n * sxy - sx * sy))
+            // (n * sx2 - sx * sx))::BIGINT AS slope_ppm,
+           ((1000000::HUGEINT * sy) // n
+            - (((1000000::HUGEINT * (n * sxy - sx * sy))
+                // (n * sx2 - sx * sx)) * sx) // n)::BIGINT
+             AS intercept_scaled,
+           (n * sxy - sx * sy)::VARCHAR AS cov_num,
+           (n * sx2 - sx * sx)::VARCHAR AS var_x_num
+    FROM s
+    """,
+)
+def ext_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least squares from sufficient statistics: price-on-
+    quantity slope/intercept per return flag, derived EXACTLY from the
+    one-pass integer co-moments (slope in ppm, intercept in cents×1e6;
+    cov/var numerators emitted for caller-side precision).  The
+    regression itself costs nothing beyond the comoments aggregate —
+    the readout is per-group scalar arithmetic, the pattern that makes
+    OLS free at 100 TB."""
+    from pigpen_spark.functions.sketch import comoments, ols_readout
+
+    li = tables(spark, sf_dir)["lineitem"].df
+    stats = comoments(
+        li,
+        F.round(F.col("l_quantity"), 0).cast("bigint"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"),
+        group_cols=["l_returnflag"])
+    return ols_readout(stats).select(
+        "l_returnflag", "slope_ppm", "intercept_scaled",
+        "cov_num", "var_x_num")

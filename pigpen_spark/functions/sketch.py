@@ -697,3 +697,43 @@ def comoments(df: DataFrame, x: Column, y: Column,
         F.sum(yi * yi).cast("decimal(38,0)").cast("string").alias("sum_y2"),
     ]
     return df.groupBy(*gs).agg(*aggs) if gs else df.agg(*aggs)
+
+
+def ols_readout(stats: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Least-squares readout from :func:`comoments` statistics — the
+    regression slope/intercept and correlation sign derived EXACTLY
+    from the integer sums (floats never enter):
+
+    - ``slope_ppm``  = scale·(n·Σxy − Σx·Σy) DIV (n·Σx² − (Σx)²)
+    - ``intercept_scaled`` = scale·Σy DIV n − slope_ppm·Σx DIV n
+      (intercept in y-units × scale)
+    - ``cov_num`` / ``var_x_num`` — the exact numerators, for callers
+      who want their own precision.
+
+    Degenerate groups (zero x-variance) read NULL slope/intercept.
+    Arithmetic stays in DECIMAL(38,0); inputs are the decimal-strings
+    comoments emits."""
+    d = "decimal(38,0)"
+    n = F.col("n").cast(d)
+    sx = F.col("sum_x").cast(d)
+    sy = F.col("sum_y").cast(d)
+    sxy = F.col("sum_xy").cast(d)
+    sx2 = F.col("sum_x2").cast(d)
+    cov_num = (n * sxy - sx * sy)
+    var_num = (n * sx2 - sx * sx)
+    slope = F.when(var_num != 0, F.expr(
+        f"CAST(CAST({scale} AS {d}) * (CAST(n AS {d}) * CAST(sum_xy AS {d})"
+        f" - CAST(sum_x AS {d}) * CAST(sum_y AS {d}))"
+        f" DIV (CAST(n AS {d}) * CAST(sum_x2 AS {d})"
+        f" - CAST(sum_x AS {d}) * CAST(sum_x AS {d})) AS BIGINT)"))
+    out = stats.withColumn("slope_ppm", slope)
+    return out.select(
+        *[c for c in stats.columns],
+        "slope_ppm",
+        F.when(F.col("slope_ppm").isNotNull(), F.expr(
+            f"CAST(CAST({scale} AS {d}) * CAST(sum_y AS {d}) DIV CAST(n AS {d})"
+            f" - CAST(slope_ppm AS {d}) * CAST(sum_x AS {d}) DIV CAST(n AS {d})"
+            f" AS BIGINT)")).alias("intercept_scaled"),
+        cov_num.cast("string").alias("cov_num"),
+        var_num.cast("string").alias("var_x_num"),
+    )

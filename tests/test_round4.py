@@ -1884,3 +1884,22 @@ class TestComoments:
         for f in ("sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"):
             assert int(ra[f]) + int(rb[f]) == int(rall[f])
         assert ra.n + rb.n == rall.n
+
+
+class TestOlsReadout:
+    def test_perfect_line_exact(self, spark):
+        from pigpen_spark.functions.sketch import comoments, ols_readout
+
+        df = spark.createDataFrame([(x, 2 * x + 3) for x in range(1, 8)],
+                                   ["x", "y"])
+        r = ols_readout(comoments(df, F.col("x"), F.col("y"))).collect()[0]
+        assert (r.slope_ppm, r.intercept_scaled) == (2_000_000, 3_000_000)
+        assert int(r.cov_num) // int(r.var_x_num) == 2
+
+    def test_zero_variance_reads_null(self, spark):
+        from pigpen_spark.functions.sketch import comoments, ols_readout
+
+        df = spark.createDataFrame([(5, 1), (5, 2)], ["x", "y"])
+        r = ols_readout(comoments(df, F.col("x"), F.col("y"))).collect()[0]
+        assert r.slope_ppm is None and r.intercept_scaled is None
+        assert int(r.var_x_num) == 0
