@@ -1903,3 +1903,51 @@ class TestOlsReadout:
         r = ols_readout(comoments(df, F.col("x"), F.col("y"))).collect()[0]
         assert r.slope_ppm is None and r.intercept_scaled is None
         assert int(r.var_x_num) == 0
+
+
+class TestChecksumStreamMaintenance:
+    def test_rollup_stream_maintains_checksum(self, spark, tmp_path):
+        """The checksum is a sum, so the EXISTING rollup_stream machinery
+        maintains it live — no dedicated twin needed (composition pin)."""
+        import json as _json
+        import os
+
+        from pigpen_spark.functions.validate import dataset_checksum
+        from pigpen_spark.streaming import core as st
+
+        src = tmp_path / "ck_src"
+        src.mkdir(parents=True)
+        batches = [[{"id": i, "v": f"x{i}"} for i in range(0, 40)],
+                   [{"id": i, "v": f"x{i}"} for i in range(40, 90)]]
+        for bi, rows in enumerate(batches):
+            p = src / f"b{bi}.json"
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            os.utime(p, (1000 + bi, 1000 + bi))
+
+        stream = (spark.readStream.schema("id long, v string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        canon = F.concat_ws(
+            "\x1f", F.concat(F.lit("id="), F.coalesce(
+                F.col("id").cast("string"), F.lit("\x00"))),
+            F.concat(F.lit("v="), F.coalesce(F.col("v"), F.lit("\x00"))))
+        h = (F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+             .cast("decimal(38,0)"))
+        q = st.rollup_stream(
+            stream.withColumn("g", F.lit(1)), ["g"],
+            aggs={"n": F.count(F.lit(1)),
+                  "s": F.sum(h).cast("decimal(38,0)")},
+            merges={"n": "count", "s": "sum"},
+            rollup_path=str(tmp_path / "ck_roll"),
+            checkpoint=str(tmp_path / "ck_ck"), available_now=True)
+        q.awaitTermination(120)
+
+        import os as _os
+        vs = sorted(_os.listdir(tmp_path / "ck_roll"))
+        live = spark.read.parquet(
+            str(tmp_path / "ck_roll" / vs[-1])).collect()[0]
+        full = spark.read.schema("id long, v string").json(str(src))
+        batch = dataset_checksum(full).collect()[0]
+        assert live.n == batch.n_rows == 90
+        assert str(int(live.s)) == batch.checksum
