@@ -360,8 +360,14 @@ def resample_ffill(df: DataFrame, key_cols: Sequence, ts_col: str,
             f"resample_ffill: interval_seconds must be >= 1, got {interval_seconds}")
     keys = [_c(k) for k in key_cols]
     key_names = [df.select(k).columns[0] for k in keys]
-    us = F.unix_micros(_c(ts_col).cast("timestamp"))
-    iv = int(interval_seconds) * 1_000_000
+    dt = df.select(_c(ts_col).alias("__t")).schema["__t"].dataType.simpleString()
+    is_ts = dt.startswith("timestamp")
+    # timestamps: integer µs; numeric ts columns keep the CALLER'S unit
+    # for both the interval and bucket_ts_us (the assemble_conversations
+    # unit discipline — no unit is invented for numeric inputs)
+    us = (F.unix_micros(_c(ts_col).cast("timestamp")) if is_ts
+          else _c(ts_col).cast("bigint"))
+    iv = int(interval_seconds) * (1_000_000 if is_ts else 1)
     bucket = F.expr(f"CAST({'__pp_us'} DIV {iv} AS BIGINT)")
     vals = [_c(v) for v in value_cols]
     val_names = [df.select(v).columns[0] for v in vals]

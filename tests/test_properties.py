@@ -759,3 +759,91 @@ class TestRound4Properties:
         pairs = winnow_overlap_pairs(df, "doc_id", "text",
                                      shingle_n=3, w=4, min_shared=1)
         assert pairs.count() == 1
+
+
+@pytest.mark.usefixtures("spark")
+class TestRound4ContinuationProperties:
+    """Python-model differentials for the continuation operators."""
+
+    @given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                                   st.integers(0, 9)),
+                         min_size=1, max_size=25, unique_by=lambda r: (r[0], r[1])))
+    @settings(**SET_SETTINGS)
+    def test_resample_ffill_matches_model(self, spark, rows):
+        from pigpen_spark.operators.windows import resample_ffill
+
+        df = spark.createDataFrame(
+            [(i, k, ts, float(v)) for i, (k, ts, v) in enumerate(rows)],
+            "event_id long, k long, ts long, v double")
+        got = {(r.k, r.bucket_ts_us): r.v for r in resample_ffill(
+            df, ["k"], "ts", ["v"], interval_seconds=10,
+            tiebreak=["event_id"]).collect()}
+        # model: per key, bucket b = ts // 10; latest (ts, event_id) per
+        # bucket wins; grid [min_b, max_b] forward-filled
+        want = {}
+        bykey = {}
+        for i, (k, ts, v) in enumerate(rows):
+            bykey.setdefault(k, []).append((ts, i, v))
+        for k, obs in bykey.items():
+            per_bucket = {}
+            for ts, i, v in obs:
+                b = ts // 10
+                if b not in per_bucket or (ts, i) > per_bucket[b][:2]:
+                    per_bucket[b] = (ts, i, v)
+            lo, hi = min(per_bucket), max(per_bucket)
+            cur = None
+            for b in range(lo, hi + 1):
+                if b in per_bucket:
+                    cur = per_bucket[b][2]
+                want[(k, b * 10)] = float(cur)
+        assert got == want
+
+    @given(rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30),
+                                   st.sampled_from("abc")),
+                         min_size=2, max_size=20))
+    @settings(**SET_SETTINGS)
+    def test_transition_matrix_matches_model(self, spark, rows):
+        from pigpen_spark.operators.analytics import transition_matrix
+        from pyspark.sql import functions as FF
+
+        df = spark.createDataFrame(
+            [(i, u, ts, s) for i, (u, ts, s) in enumerate(rows)],
+            "event_id long, uid long, tsec long, s string")
+        ev = df.select("event_id", "uid",
+                       FF.timestamp_seconds(FF.col("tsec")).alias("ts"), "s")
+        got = {(r.from_state, r.to_state): r.n for r in transition_matrix(
+            ev, "uid", "ts", "s", "event_id").collect()}
+        want = Counter()
+        byuser = {}
+        for i, (u, ts, s) in enumerate(rows):
+            byuser.setdefault(u, []).append((ts, i, s))
+        for u, evs in byuser.items():
+            evs.sort()
+            for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+                want[(a, b)] += 1
+        assert got == dict(want)
+
+    @given(xs=st.lists(st.tuples(st.integers(0, 5), st.text("xy", min_size=1, max_size=2)),
+                       min_size=0, max_size=15))
+    @settings(**SET_SETTINGS)
+    def test_checksum_permutation_and_merge(self, spark, xs):
+        from pigpen_spark.functions.validate import dataset_checksum
+
+        import random
+
+        if not xs:
+            return
+        perm = xs[:]
+        random.Random(42).shuffle(perm)
+        a = spark.createDataFrame(xs, ["id", "v"])
+        b = spark.createDataFrame(perm, ["id", "v"])
+        ca = dataset_checksum(a).collect()[0]
+        cb = dataset_checksum(b).collect()[0]
+        assert (ca.n_rows, ca.checksum) == (cb.n_rows, cb.checksum)
+        half = len(xs) // 2
+        if half and half < len(xs):
+            c1 = dataset_checksum(
+                spark.createDataFrame(xs[:half], ["id", "v"])).collect()[0]
+            c2 = dataset_checksum(
+                spark.createDataFrame(xs[half:], ["id", "v"])).collect()[0]
+            assert int(c1.checksum) + int(c2.checksum) == int(ca.checksum)
