@@ -847,3 +847,45 @@ class TestRound4ContinuationProperties:
             c2 = dataset_checksum(
                 spark.createDataFrame(xs[half:], ["id", "v"])).collect()[0]
             assert int(c1.checksum) + int(c2.checksum) == int(ca.checksum)
+
+    @given(rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40),
+                  st.sampled_from("abcP")),
+        min_size=1, max_size=20))
+    @settings(**SET_SETTINGS)
+    def test_attribution_matches_model(self, spark, rows):
+        from pigpen_spark.operators.analytics import attribution
+        from pyspark.sql import functions as FF
+
+        # distinct per-user second-offsets keep RANGE peers unambiguous
+        seen = set()
+        uniq = []
+        for u, ts, ch in rows:
+            if (u, ts) not in seen:
+                seen.add((u, ts))
+                uniq.append((u, ts, ch))
+        df = spark.createDataFrame(
+            [(i, u, ts, ch, ch == "P") for i, (u, ts, ch) in enumerate(uniq)],
+            "event_id long, uid long, tsec long, ch string, conv boolean")
+        ev = df.select("event_id", "uid",
+                       FF.timestamp_seconds(FF.col("tsec")).alias("ts"),
+                       "ch", "conv")
+        got = {(r.uid, r.conv_ts_us): (r.first_touch, r.last_touch)
+               for r in attribution(ev, "uid", "ts", "ch", FF.col("conv"),
+                                    lookback_seconds=15,
+                                    tiebreak_col="event_id").collect()}
+        want = {}
+        byuser = {}
+        for i, (u, ts, ch) in enumerate(uniq):
+            byuser.setdefault(u, []).append((ts, i, ch))
+        for u, evs in byuser.items():
+            evs.sort()
+            for ts, i, ch in evs:
+                if ch != "P":
+                    continue
+                win = [(t, j, c) for t, j, c in evs
+                       if c != "P" and ts - 15 <= t < ts]
+                first = win[0][2] if win else None
+                last = win[-1][2] if win else None
+                want[(u, ts * 1_000_000)] = (first, last)
+        assert got == want
