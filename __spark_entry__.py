@@ -128,6 +128,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dataset_checksum",      # mergeable order-insensitive corpus fingerprint
     "ext_comoments",             # mergeable co-moment sufficient statistics
     "ext_ols",                   # exact least-squares readout from co-moments
+    "ext_fertility",             # tokenizer fertility per language (mixture planning)
+    "ext_embed_diversity",       # pair-free embedding diversity (moment identity)
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

@@ -4238,3 +4238,77 @@ def ext_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_readout(stats).select(
         "l_returnflag", "slope_ppm", "intercept_scaled",
         "cov_num", "var_x_num")
+
+
+@register(
+    "ext_fertility",
+    f"""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(len({_TOKS}))::BIGINT AS n_tokens,
+           sum(len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]|[^a-z0-9\\s]')))::BIGINT AS n_bpe_tokens,
+           sum(length(text))::BIGINT AS n_chars,
+           (sum(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]|[^a-z0-9\\s]'))) * 1000000
+            // sum(length(text)))::BIGINT AS bpe_per_char_ppm,
+           (sum(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]|[^a-z0-9\\s]'))) * 1000000
+            // sum(len({_TOKS})))::BIGINT AS fertility_ppm
+    FROM documents GROUP BY lang
+    """,
+)
+def ext_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the mixture-planning metric
+    (languages a tokenizer fragments into more pieces per word consume
+    context budget faster, so their token counts overstate their
+    content): per lang, BPE-ish subword count over whitespace-word
+    count in integer ppm, plus tokens-per-char compression.  Pure HOF
+    aggregation, one groupBy on the language label."""
+    from pigpen_spark.functions import text as TT
+
+    docs = tables(spark, sf_dir)["documents"].df
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TT.token_count("text")).alias("n_tokens"),
+        F.sum(TT.bpe_token_count("text")).alias("n_bpe_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    return agg.select(
+        "lang", "n_docs", "n_tokens", "n_bpe_tokens", "n_chars",
+        F.expr("n_bpe_tokens * 1000000 DIV n_chars").alias("bpe_per_char_ppm"),
+        F.expr("n_bpe_tokens * 1000000 DIV n_tokens").alias("fertility_ppm"),
+    )
+
+
+@register(
+    "ext_embed_diversity",
+    """
+    WITH e AS (
+      SELECT unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT d, sum(v) AS s, sum(v * v) AS s2, count(*)::BIGINT AS n
+      FROM e GROUP BY d
+    )
+    SELECT max(n)::BIGINT AS n_vectors,
+           count(*)::INT AS dim,
+           round(sum(s2 / n), 6) AS mean_sq_norm,
+           round(sum((s / n) * (s / n)), 6) AS sq_norm_of_mean,
+           round(2 * (sum(s2 / n) - sum((s / n) * (s / n))), 6)
+             AS mean_pair_sq_dist
+    FROM dims
+    """,
+)
+def ext_embed_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus diversity without pairs: mean pairwise squared
+    distance from the moment identity E‖x−y‖² = 2·(E‖x‖² − ‖Ex‖²) —
+    the mode-collapse / duplication-pressure diagnostic a dedup or
+    generation pipeline tracks per release.  One posexplode + one
+    64-row dim groupBy; shard moments add, so the metric maintains
+    incrementally.  Aggregates rounded at readout (float-sum
+    discipline)."""
+    emb = tables(spark, sf_dir)["embeddings"].df
+    return S.embedding_diversity(emb)

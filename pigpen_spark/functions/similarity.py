@@ -1538,3 +1538,32 @@ def ann_mrr(approx: DataFrame, truth: DataFrame, q_col: str = "q_id",
         F.expr("sum(coalesce(1000000 DIV __best, 0)) DIV count(1)")
          .cast("bigint").alias("mrr_ppm"),
     )
+
+
+def embedding_diversity(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Corpus-level embedding diversity WITHOUT pairs: the identity
+    E‖x−y‖² = 2·(E‖x‖² − ‖E x‖²) turns the mean pairwise squared
+    distance — the mode-collapse / duplication-pressure diagnostic —
+    into per-dimension first/second moments: one posexplode + one
+    dim-keyed groupBy (dim rows total), never an n² join.  Shard
+    moments merge by addition, so the metric maintains incrementally
+    like the other sufficient statistics.
+
+    Returns one row: (n_vectors, dim, mean_sq_norm, sq_norm_of_mean,
+    mean_pair_sq_dist), aggregates rounded to 6 decimals (float sums
+    are association-ordered; rounding at readout is the repo's
+    cross-engine float discipline)."""
+    exploded = df.select(F.posexplode(to_double(F.col(vec_col)))
+                         .alias("d", "v"))
+    dims = exploded.groupBy("d").agg(
+        F.sum("v").alias("s"), F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.count(F.lit(1)).alias("n"))
+    return dims.agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("int").alias("dim"),
+        F.round(F.sum(F.expr("s2 / n")), 6).alias("mean_sq_norm"),
+        F.round(F.sum(F.expr("(s / n) * (s / n)")), 6).alias("sq_norm_of_mean"),
+        F.round(2 * (F.sum(F.expr("s2 / n"))
+                     - F.sum(F.expr("(s / n) * (s / n)"))), 6)
+         .alias("mean_pair_sq_dist"),
+    )

@@ -1951,3 +1951,51 @@ class TestChecksumStreamMaintenance:
         batch = dataset_checksum(full).collect()[0]
         assert live.n == batch.n_rows == 90
         assert str(int(live.s)) == batch.checksum
+
+
+class TestFertilityAndDiversity:
+    def test_fertility_ppm_semantics(self, spark):
+        import __spark_entry__ as e
+
+        out = {r.lang: r for r in e.queries()["ext_fertility"](
+            spark, "/root/testdata/sf0.001").collect()}
+        for r in out.values():
+            # bpe-ish tokens at least as many as whitespace words
+            assert r.fertility_ppm >= 1_000_000
+            assert r.n_chars > r.n_tokens > 0
+
+    def test_diversity_identity_against_bruteforce(self, spark):
+        import numpy as np
+
+        from pigpen_spark.functions.similarity import embedding_diversity
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(40, 8))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        r = embedding_diversity(df).collect()[0]
+        # brute-force E||x-y||^2 over ALL ordered pairs incl. self (the
+        # moment identity's population form)
+        sq = ((vecs[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+        want = sq.mean()
+        assert abs(r.mean_pair_sq_dist - want) < 1e-5
+        assert (r.n_vectors, r.dim) == (40, 8)
+
+    def test_duplicated_corpus_loses_no_diversity_but_collapse_does(self, spark):
+        import numpy as np
+
+        from pigpen_spark.functions.similarity import embedding_diversity
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(30, 4))
+        mk = lambda arr: spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(arr)],
+            "vec_id long, embedding array<double>")
+        base = embedding_diversity(mk(vecs)).collect()[0].mean_pair_sq_dist
+        dup = embedding_diversity(
+            mk(np.vstack([vecs, vecs]))).collect()[0].mean_pair_sq_dist
+        collapsed = embedding_diversity(
+            mk(np.vstack([vecs[:1]] * 30))).collect()[0].mean_pair_sq_dist
+        assert abs(dup - base) < 1e-6      # duplication: same distribution
+        assert collapsed == 0.0            # mode collapse reads zero
