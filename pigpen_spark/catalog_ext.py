@@ -4312,3 +4312,73 @@ def ext_embed_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline)."""
     emb = tables(spark, sf_dir)["embeddings"].df
     return S.embedding_diversity(emb)
+
+
+@register(
+    "ext_rrf_fuse",
+    f"""
+    WITH tagged AS (
+      SELECT vec_id AS id, embedding AS vec,
+             ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT id, vec, unnest({S.probe_buckets_sql('bucket', _PLANES)}) AS bucket
+      FROM tagged
+    ),
+    brute AS (
+      SELECT q_id, n_id, rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({S.cosine_sql('q.embedding', 'c.embedding')}, 6)
+                          DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rank <= 5
+    ),
+    approx AS (
+      SELECT q_id, n_id, rank FROM (
+        SELECT a.id AS q_id, b.id AS n_id,
+               row_number() OVER (
+                 PARTITION BY a.id
+                 ORDER BY round({S.cosine_sql('a.vec', 'b.vec')}, 6) DESC, b.id
+               ) AS rank
+        FROM probes a JOIN tagged b ON a.bucket = b.bucket AND a.id <> b.id
+        WHERE a.id < 10
+      ) WHERE rank <= 5
+    ),
+    u AS (
+      SELECT q_id, n_id, 1000000 // (60 + rank) AS c FROM brute
+      UNION ALL
+      SELECT q_id, n_id, 1000000 // (60 + rank) FROM approx
+    ),
+    fused AS (
+      SELECT q_id, n_id, sum(c)::BIGINT AS rrf_score FROM u GROUP BY 1, 2
+    )
+    SELECT q_id, n_id, rrf_score, fused_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY rrf_score DESC, n_id)
+                  AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 5
+    """,
+)
+def ext_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers over the same queries —
+    the standard hybrid-serving combiner (here: exact brute-force
+    cosine top-5 fused with multi-probe LSH top-5; in production the
+    same operator fuses BM25 with ANN): integer RRF scores
+    (10⁶ DIV (60+rank)), one union + groupBy + per-query
+    WindowGroupLimit.  Candidates retrieved by BOTH lists outrank
+    single-list candidates — consensus wins, the property that makes
+    RRF robust without score calibration."""
+    from pigpen_spark.functions.ranking import rrf_fuse
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    q = emb.df.filter(F.col("vec_id") < 10)
+    brute = S.brute_force_topk(emb.df, q, k=5)
+    approx = (S.lsh_topk(emb.df, k=5, n_planes=_PLANES, dim=_DIM,
+                         multi_probe=True)
+              .filter(F.col("q_id") < 10))
+    return rrf_fuse([brute, approx], topk=5)

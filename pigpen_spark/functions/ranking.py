@@ -224,3 +224,37 @@ def collocations_sql(text_col: str = "text", window: int = 2,
     JOIN wc w1 ON string_split(pair, ' ')[1] = w1.w
     JOIN wc w2 ON string_split(pair, ' ')[2] = w2.w
     """
+
+
+def rrf_fuse(rankings: Sequence[DataFrame], q_col: str = "q_id",
+             n_col: str = "n_id", rank_col: str = "rank",
+             k: int = 60, topk: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard hybrid-retrieval combiner (lexical BM25 + vector ANN, or
+    exact + approximate): per (query, candidate),
+    ``score = Σ_r 10⁶ DIV (k + rank_r)`` over every ranking that
+    retrieved it, then top-``topk`` per query.  Integer arithmetic →
+    hash-exact; candidates absent from a ranking simply contribute
+    nothing (no imputation).  The fusion is one union + one groupBy +
+    one per-query WindowGroupLimit — cost is the candidate lists, the
+    rankers already paid for the corpus.
+
+    Ties break by candidate id, so fused rankings are total."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k < 1:
+        raise ValueError(f"rrf_fuse: k must be >= 1, got {k}")
+    parts = [
+        r.select(F.col(q_col).alias("q_id"), F.col(n_col).alias("n_id"),
+                 F.expr(f"CAST(1000000 DIV ({k} + {rank_col}) AS BIGINT)")
+                 .alias("__c"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("q_id", "n_id").agg(F.sum("__c").alias("rrf_score"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_score").desc(), F.col("n_id"))
+    return (fused.withColumn("fused_rank", F.row_number().over(w))
+            .filter(F.col("fused_rank") <= topk))

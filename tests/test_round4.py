@@ -1999,3 +1999,31 @@ class TestFertilityAndDiversity:
             mk(np.vstack([vecs[:1]] * 30))).collect()[0].mean_pair_sq_dist
         assert abs(dup - base) < 1e-6      # duplication: same distribution
         assert collapsed == 0.0            # mode collapse reads zero
+
+
+class TestRrfFuse:
+    def test_consensus_outranks_single_list(self, spark):
+        from pigpen_spark.functions.ranking import rrf_fuse
+
+        # candidate 100 is rank 3 in BOTH lists; candidate 200 is rank 1
+        # in one list only — consensus wins under RRF
+        a = spark.createDataFrame(
+            [(1, 200, 1), (1, 101, 2), (1, 100, 3)], ["q_id", "n_id", "rank"])
+        b = spark.createDataFrame(
+            [(1, 300, 1), (1, 301, 2), (1, 100, 3)], ["q_id", "n_id", "rank"])
+        out = {r.n_id: (r.rrf_score, r.fused_rank)
+               for r in rrf_fuse([a, b], topk=10).collect()}
+        assert out[100][1] == 1                      # consensus first
+        assert out[100][0] == 2 * (1000000 // 63)
+        assert out[200][0] == 1000000 // 61
+
+    def test_single_ranking_is_order_preserving(self, spark):
+        from pigpen_spark.functions.ranking import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["q_id", "n_id", "rank"])
+        out = [r.n_id for r in rrf_fuse([a], topk=3)
+               .orderBy("fused_rank").collect()]
+        assert out == [10, 11, 12]
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
