@@ -131,6 +131,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_fertility",             # tokenizer fertility per language (mixture planning)
     "ext_embed_diversity",       # pair-free embedding diversity (moment identity)
     "ext_rrf_fuse",              # reciprocal-rank fusion (hybrid retrieval combiner)
+    "ext_markdown_sections",     # RAG-prep markdown structure splitting
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

@@ -4382,3 +4382,50 @@ def ext_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
                          multi_probe=True)
               .filter(F.col("q_id") < 10))
     return rrf_fuse([brute, approx], topk=5)
+
+
+@register(
+    "ext_markdown_sections",
+    f"""
+    WITH tk AS (SELECT doc_id, ({_TOKS}) AS t FROM documents),
+    secs AS (
+      SELECT doc_id, t,
+             unnest(range((len(t) + 11) // 12)) AS k
+      FROM tk
+    )
+    SELECT doc_id, k::INT AS section_idx,
+           's' || k AS heading,
+           md5(array_to_string(t[k * 12 + 1 : k * 12 + 12], ' '))
+             AS body_digest,
+           len(t[k * 12 + 1 : k * 12 + 12])::BIGINT AS n_body_tokens
+    FROM secs
+    """,
+)
+def ext_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown section splitting, verified the codec way: synthesize a
+    markdown document per row (heading '# s{{k}}' every 12 tokens —
+    pure HOFs), run the REAL lookahead splitter over it, and emit each
+    recovered section's heading + body digest + token count.  The
+    oracle predicts every field from the token array WITHOUT splitting
+    — a wrong split boundary, heading strip, or body slice breaks the
+    hash.  Zero shuffles: synth, split, explode and digest are all
+    per-row codegen."""
+    from pigpen_spark.functions.text import markdown_sections, tokens as _tok
+
+    docs = tables(spark, sf_dir)["documents"].df
+    toks = _tok(F.col("text"))
+    n_sec = F.ceil(F.size(toks) / 12).cast("int")
+    md = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_sec - 1),
+            lambda k: F.concat(
+                F.lit("# s"), k.cast("string"), F.lit("\n"),
+                F.array_join(F.slice(toks, k * 12 + 1, 12), " "))),
+        "\n")
+    synth = docs.select("doc_id", md.alias("text"))
+    secs = markdown_sections(synth, "doc_id", "text")
+    return secs.select(
+        F.col("id").alias("doc_id"), "section_idx",
+        "heading", F.md5(F.col("body")).alias("body_digest"),
+        F.size(F.split(F.col("body"), " ")).cast("bigint")
+         .alias("n_body_tokens"))

@@ -709,3 +709,31 @@ def url_domain(col) -> Column:
 
 def url_domain_sql(col: str) -> str:
     return f"regexp_replace({url_host_sql(col)}, '^www\\.', '')"
+
+
+def markdown_sections(df, id_col: str, text_col: str):
+    """RAG-prep structure extraction: split markdown-ish documents into
+    (id, section_idx, heading, body) rows at lines starting with ``#``
+    (lookahead split keeps the heading with its section); the heading
+    row is stripped of its leading hashes, text before any heading
+    becomes a NULL-heading preamble section.  Pure split + posexplode +
+    regexp — codegen, zero UDFs, zero shuffles (sections explode in
+    place; downstream chunkers/token budgets take over per section)."""
+    parts = F.split(_c(text_col), "\\n(?=#)")
+    sec = df.select(
+        _c(id_col).alias("id"),
+        F.posexplode(parts).alias("section_idx", "__s"),
+    )
+    has_heading = F.col("__s").startswith("#")
+    heading = F.when(
+        has_heading,
+        F.regexp_replace(F.regexp_extract(F.col("__s"), "^([^\\n]*)", 1),
+                         "^#+\\s*", ""))
+    body = F.when(
+        has_heading,
+        F.when(F.col("__s").contains("\n"),
+               F.expr("substring(__s, instr(__s, '\n') + 1)"))
+         .otherwise(F.lit("")),
+    ).otherwise(F.col("__s"))
+    return sec.select("id", "section_idx", heading.alias("heading"),
+                      body.alias("body"))

@@ -2027,3 +2027,30 @@ class TestRrfFuse:
         assert out == [10, 11, 12]
         with pytest.raises(ValueError, match="at least one"):
             rrf_fuse([])
+
+
+class TestMarkdownSections:
+    def test_split_semantics(self, spark):
+        from pigpen_spark.functions.text import markdown_sections
+
+        doc = "preamble line\n# Intro\nbody one\nmore\n## Sub\nbody two\n# End"
+        df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+        got = [(r.section_idx, r.heading, r.body)
+               for r in markdown_sections(df, "doc_id", "text")
+               .orderBy("section_idx").collect()]
+        assert got == [
+            (0, None, "preamble line"),          # preamble: NULL heading
+            (1, "Intro", "body one\nmore"),
+            (2, "Sub", "body two"),              # '##' stripped too
+            (3, "End", ""),                      # trailing empty section
+        ]
+
+    def test_hash_only_inside_line_does_not_split(self, spark):
+        from pigpen_spark.functions.text import markdown_sections
+
+        df = spark.createDataFrame(
+            [(1, "# Top\nissue #42 is fine\nstill same section")],
+            ["doc_id", "text"])
+        rows = markdown_sections(df, "doc_id", "text").collect()
+        assert len(rows) == 1
+        assert rows[0].body == "issue #42 is fine\nstill same section"
