@@ -132,6 +132,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_embed_diversity",       # pair-free embedding diversity (moment identity)
     "ext_rrf_fuse",              # reciprocal-rank fusion (hybrid retrieval combiner)
     "ext_markdown_sections",     # RAG-prep markdown structure splitting
+    "ext_content_chunks",        # content-defined chunking (insertion-local boundaries)
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

@@ -4429,3 +4429,39 @@ def ext_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         "heading", F.md5(F.col("body")).alias("body_digest"),
         F.size(F.split(F.col("body"), " ")).cast("bigint")
          .alias("n_body_tokens"))
+
+
+@register(
+    "ext_content_chunks",
+    f"""
+    WITH {P.content_chunks_cte_sql('documents', 'doc_id', 'text', divisor=8)}
+    SELECT id AS doc_id, (u.i - 1)::INT AS chunk_idx,
+           md5(u.ch) AS chunk_digest,
+           len(list_filter(string_split(u.ch, ' '), t -> t <> ''))::BIGINT
+             AS n_tokens
+    FROM cdc_chunks,
+         LATERAL (SELECT unnest(chunks) AS ch,
+                         generate_subscripts(chunks, 1) AS i) u
+    WHERE len(chunks) > 0
+    """,
+)
+def ext_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync at token level): chunk
+    boundaries fall where token hashes ≡ 0 mod 8, so an insertion
+    reshuffles only its own chunk while fixed windows shift everywhere
+    after it — the dedup-friendly chunker for incremental and
+    near-identical corpora (expected length ≈ 8 tokens).  Pure HOF cut
+    detection + zip_with reassembly, zero shuffles; the oracle replays
+    the cut/slice algebra exactly."""
+    from pigpen_spark.functions.pipeline import content_chunks
+
+    docs = tables(spark, sf_dir)["documents"].df
+    secs = docs.select(
+        "doc_id",
+        F.posexplode(content_chunks(F.col("text"), divisor=8))
+        .alias("chunk_idx", "__ch"))
+    from pigpen_spark.functions.text import tokens as _tok
+
+    return secs.select(
+        "doc_id", "chunk_idx", F.md5(F.col("__ch")).alias("chunk_digest"),
+        F.size(_tok(F.col("__ch"))).cast("bigint").alias("n_tokens"))

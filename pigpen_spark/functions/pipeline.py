@@ -964,3 +964,64 @@ def remove_frequent_spans_sql(table: str, id_col: str, text_col: str,
              AS n_removed
     FROM src CROSS JOIN ban
     """
+
+
+def content_chunks(col, divisor: int = 8) -> Column:
+    """CONTENT-DEFINED chunking (the FastCDC/rsync idea at token level):
+    a chunk boundary falls after every token whose 32-bit md5 hash is
+    ≡ 0 (mod ``divisor``) — so boundaries are decided by local content,
+    not position, and an insertion reshuffles only the chunk it lands
+    in while :func:`token_chunks`' fixed windows shift at every later
+    position (the property that makes CDC the dedup-friendly chunker
+    for incremental/near-identical corpora; expected chunk length ≈
+    divisor tokens).  Pure HOFs: cut positions by filter, chunk spans
+    by zip_with over consecutive cuts — tokenize/hash once per row.
+    Empty docs yield an empty array."""
+    from pigpen_spark.functions.dedup import token_hashes
+    from pigpen_spark.functions.text import _let, tokens
+
+    if divisor < 2:
+        raise ValueError(f"content_chunks: divisor must be >= 2, got {divisor}")
+
+    def body(toks: Column) -> Column:
+        th = F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("bigint"))
+        n = F.size(toks)
+        bpos = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (F.element_at(th, i) % divisor == 0) & (i < n))
+        cuts = F.concat(F.array(F.lit(0)), bpos, F.array(n))
+        return F.when(n > 0, F.zip_with(
+            F.slice(cuts, 1, F.size(cuts) - 1),
+            F.slice(cuts, 2, F.size(cuts) - 1),
+            lambda s, e: F.array_join(
+                F.slice(toks, s + 1, (e - s).cast("int")), " "),
+        )).otherwise(F.array().cast("array<string>"))
+
+    return _let(tokens(col), body)
+
+
+def content_chunks_cte_sql(table: str, id_col: str, text_col: str,
+                           divisor: int = 8) -> str:
+    """DuckDB CTE chain computing (id, chunks) per row of ``table`` —
+    the oracle mirror of :func:`content_chunks` (CTE let-binding keeps
+    the tokenizer and cut-list single-evaluation, like the minhash
+    oracle helpers)."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    return f"""
+      __cdc_t AS (SELECT {id_col} AS id, ({toks}) AS t FROM {table}),
+      __cdc_c AS (
+        SELECT id, t,
+               [0] || [i for i in range(1, len(t) + 1)
+                       if ('0x' || substring(md5(t[i]), 1, 8))::BIGINT
+                          % {divisor} = 0 and i < len(t)]
+                   || [len(t)] AS c
+        FROM __cdc_t
+      ),
+      cdc_chunks AS (
+        SELECT id, [array_to_string(t[c[j] + 1 : c[j + 1]], ' ')
+                    for j in range(1, len(c))] AS chunks
+        FROM __cdc_c
+      )
+    """

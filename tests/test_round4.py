@@ -2054,3 +2054,42 @@ class TestMarkdownSections:
         rows = markdown_sections(df, "doc_id", "text").collect()
         assert len(rows) == 1
         assert rows[0].body == "issue #42 is fine\nstill same section"
+
+
+class TestContentChunks:
+    def test_insertion_locality_vs_fixed_chunks(self, spark):
+        """The CDC property: one inserted token changes O(1) chunk
+        digests; fixed-width chunking shifts every later chunk."""
+        from pigpen_spark.functions.pipeline import content_chunks, token_chunks
+
+        base = " ".join(f"tok{i}" for i in range(200))
+        edited = " ".join(["tok0", "INSERTED"]
+                          + [f"tok{i}" for i in range(1, 200)])
+        df = spark.createDataFrame([(1, base), (2, edited)], ["id", "t"])
+        out = {r.id: r.c for r in df.select(
+            "id", content_chunks(F.col("t"), 8).alias("c")).collect()}
+        fixed = {r.id: r.c for r in df.select(
+            "id", token_chunks(F.col("t"), 8).alias("c")).collect()}
+        cdc_shared = len(set(out[1]) & set(out[2]))
+        fixed_shared = len(set(fixed[1]) & set(fixed[2]))
+        # CDC: all but O(1) chunks survive the insertion; fixed: almost none
+        assert cdc_shared >= len(out[1]) - 2
+        assert fixed_shared <= 1
+
+    def test_chunks_reassemble_exactly(self, spark):
+        from pigpen_spark.functions.pipeline import content_chunks
+
+        t = "a bb ccc dd e fff gg hh iii j"
+        df = spark.createDataFrame([(1, t)], ["id", "t"])
+        chunks = df.select(content_chunks(
+            F.col("t"), 4).alias("c")).collect()[0].c
+        assert " ".join(chunks) == t
+        empty = spark.createDataFrame([(1, "")], ["id", "t"])
+        assert empty.select(content_chunks(
+            F.col("t"), 4).alias("c")).collect()[0].c == []
+
+    def test_divisor_validated(self, spark):
+        from pigpen_spark.functions.pipeline import content_chunks
+
+        with pytest.raises(ValueError, match="divisor"):
+            content_chunks(F.col("t"), 1)
