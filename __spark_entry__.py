@@ -133,6 +133,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_rrf_fuse",              # reciprocal-rank fusion (hybrid retrieval combiner)
     "ext_markdown_sections",     # RAG-prep markdown structure splitting
     "ext_content_chunks",        # content-defined chunking (insertion-local boundaries)
+    "ext_novelty",               # per-doc novelty vs reference (soft decontamination)
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

@@ -4465,3 +4465,50 @@ def ext_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return secs.select(
         "doc_id", "chunk_idx", F.md5(F.col("__ch")).alias("chunk_digest"),
         F.size(_tok(F.col("__ch"))).cast("bigint").alias("n_tokens"))
+
+
+@register(
+    "ext_novelty",
+    f"""
+    WITH lab AS (
+      SELECT doc_id, text,
+             {P.split_by_hash_sql('doc_id', _DECON_SPLITS, salt='decon')} AS split
+      FROM documents
+    ),
+    ref AS (
+      SELECT DISTINCT unnest(({T._ngrams_sql('text', 3)})) AS g
+      FROM lab WHERE split = 'test'
+    ),
+    dg AS (
+      SELECT doc_id, unnest(list_distinct(({T._ngrams_sql('text', 3)}))) AS g
+      FROM lab WHERE split = 'train'
+    ),
+    tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM dg GROUP BY 1),
+    sh AS (
+      SELECT dg.doc_id, count(*)::BIGINT AS n_shared
+      FROM dg JOIN ref USING (g) GROUP BY 1
+    )
+    SELECT l.doc_id,
+           coalesce(t.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(s.n_shared, 0)::BIGINT AS n_shared,
+           (CASE WHEN coalesce(t.n_grams, 0) > 0
+                 THEN coalesce(s.n_shared, 0) * 1000000 // t.n_grams
+            END)::BIGINT AS overlap_ppm
+    FROM lab l LEFT JOIN tot t USING (doc_id) LEFT JOIN sh s USING (doc_id)
+    WHERE l.split = 'train'
+    """,
+)
+def ext_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty vs a reference corpus — the SOFT form of
+    decontamination (graded overlap instead of a threshold flag), the
+    memorization-risk / quote-density audit (Lee et al. 2022): fraction
+    of each train-split doc's distinct 3-grams present anywhere in the
+    test split, integer ppm.  Same plan as the scrubber: distinct-gram
+    explodes both sides, ONE well-distributed gram equi-join, map-side
+    partial counts — so the audit costs what the scrub costs."""
+    lab = P.split_by_hash(
+        tables(spark, sf_dir)["documents"].df.select("doc_id", "text"),
+        "doc_id", _DECON_SPLITS, salt="decon")
+    train = lab.filter(F.col("split") == "train")
+    test = lab.filter(F.col("split") == "test")
+    return D.novelty_scores(train, test, "doc_id", "text", n=3)

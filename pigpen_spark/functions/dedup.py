@@ -1224,3 +1224,49 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, content_col: str,
                 F.expr("shared * 1000000 DIV least(n_a, n_b)")
                  .alias("containment_ppm"))
     )
+
+
+def novelty_scores(corpus: DataFrame, reference: DataFrame, id_col: str,
+                   content_col: str, n: int = 5) -> DataFrame:
+    """Per-document NOVELTY against a reference corpus — the soft form
+    of :func:`decontaminate` (which flags at a threshold): for every
+    corpus doc, the fraction of its distinct word n-grams ALSO present
+    in the reference, in integer ppm.  High overlap_ppm = likely quote,
+    boilerplate, or memorization risk (the Lee et al. 2022 eval-audit
+    measure); novelty = 1e6 − overlap.
+
+    Same plan as decontaminate: both sides explode to distinct grams,
+    one well-distributed equi-join on the gram string, per-doc counts
+    partial-aggregate map-side.  Docs shorter than ``n`` tokens have no
+    grams: n_grams=0, NULL overlap (no evidence ≠ novel).
+
+    Returns (id, n_grams, n_shared, overlap_ppm)."""
+    from pigpen_spark.functions.text import _ngrams
+
+    ref_grams = (
+        reference.select(F.explode(F.array_distinct(
+            _ngrams(F.col(content_col), n))).alias("g"))
+        .distinct()
+        .transform(_persisted)
+    )
+    doc_grams = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(_ngrams(F.col(content_col), n)))
+        .alias("g"))
+    shared = (doc_grams.join(ref_grams, on="g", how="left_semi")
+              .groupBy("__id").agg(F.count(F.lit(1)).alias("n_shared")))
+    totals = doc_grams.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    return (
+        corpus.select(F.col(id_col).alias("__id"))
+        .join(totals, on="__id", how="left")
+        .join(shared, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.expr("CASE WHEN coalesce(n_grams, 0) > 0 THEN "
+                   "coalesce(n_shared, 0) * 1000000 DIV n_grams END")
+             .cast("bigint").alias("overlap_ppm"),
+        )
+    )

@@ -2093,3 +2093,24 @@ class TestContentChunks:
 
         with pytest.raises(ValueError, match="divisor"):
             content_chunks(F.col("t"), 1)
+
+
+class TestNoveltyScores:
+    def test_graded_overlap(self, spark):
+        from pigpen_spark.functions.dedup import novelty_scores
+
+        ref = spark.createDataFrame(
+            [(100, "the quick brown fox jumps high")], ["doc_id", "text"])
+        corpus = spark.createDataFrame([
+            (1, "the quick brown fox jumps high"),       # full overlap
+            (2, "the quick brown cat sleeps all day"),    # partial
+            (3, "entirely different words here now"),     # none
+            (4, "ab"),                                    # < n tokens
+        ], ["doc_id", "text"])
+        got = {r.doc_id: (r.n_grams, r.n_shared, r.overlap_ppm)
+               for r in novelty_scores(corpus, ref, "doc_id", "text",
+                                       n=3).collect()}
+        assert got[1] == (4, 4, 1_000_000)
+        assert got[2][1] == 1 and 0 < got[2][2] < 1_000_000  # 'the quick brown'
+        assert got[3] == (3, 0, 0)      # 5 tokens -> 3 trigrams
+        assert got[4] == (0, 0, None)        # no evidence, not "novel"
