@@ -134,6 +134,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_markdown_sections",     # RAG-prep markdown structure splitting
     "ext_content_chunks",        # content-defined chunking (insertion-local boundaries)
     "ext_novelty",               # per-doc novelty vs reference (soft decontamination)
+    "ext_stratified_split",      # exact-count per-stratum splitting (integer-ppm cuts)
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

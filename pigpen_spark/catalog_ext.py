@@ -4512,3 +4512,39 @@ def ext_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = lab.filter(F.col("split") == "train")
     test = lab.filter(F.col("split") == "test")
     return D.novelty_scores(train, test, "doc_id", "text", n=3)
+
+
+@register(
+    "ext_stratified_split",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {P.hash_unit_sql('doc_id', 'split')}, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    labeled AS (
+      SELECT lang,
+             CASE WHEN rk <= (700000 * n) // 1000000 THEN 'train'
+                  WHEN rk <= (900000 * n) // 1000000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ranked
+    )
+    SELECT lang, split, count(*)::BIGINT AS n_docs
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def ext_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count stratified 70/20/10 split per language: per stratum,
+    rows rank by salted id-hash and cut at floor(frac·n) boundaries —
+    split sizes exact to ±0 rows where hash assignment is proportional
+    only in expectation.  One rank window per stratum; deterministic
+    under re-partitioning.  The hash form (ext_split_hash) remains the
+    growing-corpus tool; this is the frozen-experiment-table tool."""
+    docs = tables(spark, sf_dir)["documents"].df
+    out = P.stratified_split(docs, "doc_id", ["lang"],
+                             {"train": 0.7, "val": 0.2, "test": 0.1})
+    return out.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"))

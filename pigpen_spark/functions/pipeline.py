@@ -1025,3 +1025,54 @@ def content_chunks_cte_sql(table: str, id_col: str, text_col: str,
         FROM __cdc_c
       )
     """
+
+
+def stratified_split(df: DataFrame, id_col: str, strata_cols: list,
+                     splits: Mapping[str, float], salt: str = "split",
+                     split_col: str = "split") -> DataFrame:
+    """EXACT-count stratified splitting — the companion
+    :func:`split_by_hash` can't be: hash assignment is proportional
+    only in expectation (a 10%-eval split of a 50-doc stratum can land
+    3 or 8 docs), while experiment design often needs every stratum
+    cut at exact counts.  Per stratum, rows are ranked by their salted
+    id-hash (deterministic, order-free) and the rank is cut at
+    ``floor(frac_cum · n_stratum)`` boundaries — each stratum's split
+    sizes are exact to ±0 rows (the last split absorbs remainders).
+
+    One rank window per stratum (partitions bounded by stratum size —
+    billions-per-stratum should pre-shard the stratum key); assignment
+    remains stable under re-partitioning and row order, but UNLIKE
+    split_by_hash it changes when the stratum's membership changes
+    (exactness requires knowing n) — use the hash form for growing
+    corpora, this form for frozen experiment tables.
+
+    Returns df + ``split_col``."""
+    fracs = list(splits.items())
+    if not fracs:
+        raise ValueError("stratified_split: need at least one split")
+    total = sum(f for _, f in fracs)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(
+            f"stratified_split: fractions sum to {total}, expected 1")
+    u = hash_unit(id_col, salt)
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        u, F.col(id_col))
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy(*[F.col(c) for c in strata_cols]))
+    rk = F.row_number().over(w)
+    # cumulative cut points in integer ppm — float accumulation dust
+    # (0.7 + 0.2 != 0.9 in binary) would shift boundaries by one row
+    cum_ppm = 0
+    cuts = []
+    for name, frac in fracs[:-1]:
+        cum_ppm += round(frac * 1_000_000)
+        cuts.append((name, cum_ppm))
+    expr = F.lit(fracs[-1][0])
+    for name, ppm in reversed(cuts):
+        # floor((ppm·n)/1e6): double-exact while ppm·n < 2^53, i.e.
+        # strata under ~9e9 rows — beyond that this rank-window form is
+        # out of contract anyway (pre-shard the stratum key)
+        expr = F.when(rk <= F.floor(F.lit(ppm).cast("bigint") * n
+                                    / F.lit(1_000_000)).cast("long"),
+                      F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

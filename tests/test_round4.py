@@ -2114,3 +2114,40 @@ class TestNoveltyScores:
         assert got[2][1] == 1 and 0 < got[2][2] < 1_000_000  # 'the quick brown'
         assert got[3] == (3, 0, 0)      # 5 tokens -> 3 trigrams
         assert got[4] == (0, 0, None)        # no evidence, not "novel"
+
+
+class TestStratifiedSplit:
+    def test_exact_counts_per_stratum(self, spark):
+        from pigpen_spark.functions.pipeline import stratified_split
+
+        from collections import Counter
+
+        rows = [(i, "a" if i < 50 else "b") for i in range(80)]
+        df = spark.createDataFrame(rows, ["id", "g"])
+        out = stratified_split(df, "id", ["g"],
+                               {"train": 0.7, "val": 0.2, "test": 0.1})
+        c = Counter((r.g, r.split) for r in out.collect())
+        # stratum a: 50 rows → 35/10/5 EXACT; stratum b: 30 → 21/6/3
+        assert c[("a", "train")] == 35 and c[("a", "val")] == 10 \
+            and c[("a", "test")] == 5
+        assert c[("b", "train")] == 21 and c[("b", "val")] == 6 \
+            and c[("b", "test")] == 3
+
+    def test_assignment_stable_under_shuffle(self, spark):
+        from pigpen_spark.functions.pipeline import stratified_split
+
+        rows = [(i, "g") for i in range(40)]
+        df = spark.createDataFrame(rows, ["id", "g"])
+        a = {r.id: r.split for r in stratified_split(
+            df, "id", ["g"], {"x": 0.5, "y": 0.5}).collect()}
+        b = {r.id: r.split for r in stratified_split(
+            df.repartition(7).orderBy(F.col("id").desc()), "id", ["g"],
+            {"x": 0.5, "y": 0.5}).collect()}
+        assert a == b
+
+    def test_fraction_validation(self, spark):
+        from pigpen_spark.functions.pipeline import stratified_split
+
+        df = spark.createDataFrame([(1, "g")], ["id", "g"])
+        with pytest.raises(ValueError, match="sum to"):
+            stratified_split(df, "id", ["g"], {"a": 0.5, "b": 0.2})
