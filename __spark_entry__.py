@@ -135,6 +135,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_content_chunks",        # content-defined chunking (insertion-local boundaries)
     "ext_novelty",               # per-doc novelty vs reference (soft decontamination)
     "ext_stratified_split",      # exact-count per-stratum splitting (integer-ppm cuts)
+    "ext_zipf_histogram",        # Zipf spectrum on a float-free log2 grid
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

@@ -4548,3 +4548,40 @@ def ext_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                              {"train": 0.7, "val": 0.2, "test": 0.1})
     return out.groupBy("lang", "split").agg(
         F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "ext_zipf_histogram",
+    f"""
+    WITH tf AS (
+      SELECT t, count(*)::BIGINT AS c
+      FROM (SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY t
+    )
+    SELECT length(bin(c))::INT AS log2_bucket,
+           count(*)::BIGINT AS n_terms,
+           min(c)::BIGINT AS min_count,
+           max(c)::BIGINT AS max_count,
+           sum(c)::BIGINT AS total_occurrences
+    FROM tf GROUP BY 1
+    """,
+)
+def ext_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency-spectrum histogram on an order-of-magnitude
+    grid — the Zipf/power-law diagnostic (a healthy natural corpus
+    shows geometric decay of term counts per doubling bucket; bot spam
+    and template floods bend it): term counts bucketed by integer
+    log₂ via ``length(bin(c))`` — the float-free logarithm both
+    engines compute identically, the same trick that keeps this
+    hash-exact where log() would not be.  One term groupBy + one
+    ≤64-row bucket groupBy."""
+    from pigpen_spark.functions.text import tokens as _tok
+
+    docs = tables(spark, sf_dir)["documents"].df
+    tf = (docs.select(F.explode(_tok(F.col("text"))).alias("t"))
+          .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    return tf.groupBy(
+        F.expr("length(bin(c))").cast("int").alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.min("c").alias("min_count"),
+        F.max("c").alias("max_count"),
+        F.sum("c").alias("total_occurrences"))
