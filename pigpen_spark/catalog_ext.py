@@ -3936,22 +3936,21 @@ def ext_audio_profile_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT user_id, event_id, event_type,
-             epoch_us(ts) * 1000 + event_id % 1000 AS ord,
              epoch_us(ts) AS us,
              event_type = 'purchase' AS conv
       FROM events
     ),
     t AS (
       SELECT *,
-             first_value(CASE WHEN NOT conv THEN event_type END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ord
-                     RANGE BETWEEN 3600000000000 PRECEDING AND 1 PRECEDING)
-               AS first_touch,
-             last_value(CASE WHEN NOT conv THEN event_type END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ord
-                     RANGE BETWEEN 3600000000000 PRECEDING AND 1 PRECEDING)
-               AS last_touch
+             (min(CASE WHEN NOT conv
+                       THEN {'t': us, 'i': event_id, 'c': event_type} END)
+                OVER w).c AS first_touch,
+             (max(CASE WHEN NOT conv
+                       THEN {'t': us, 'i': event_id, 'c': event_type} END)
+                OVER w).c AS last_touch
       FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
     )
     SELECT user_id, us AS conv_ts_us, first_touch, last_touch
     FROM t WHERE conv

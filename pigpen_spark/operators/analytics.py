@@ -472,43 +472,36 @@ def attribution(events: DataFrame, user_col: str, ts_col: str,
                 channel_col: str, conversion, lookback_seconds: int,
                 tiebreak_col: str | None = None) -> DataFrame:
     """Marketing/touchpoint attribution: for every conversion event,
-    the FIRST and LAST non-conversion touch of the same user within the
-    ``lookback_seconds`` window strictly before it (the two classic
-    single-touch models; both emitted so their disagreement — a
+    the FIRST and LAST non-conversion touch of the same user within
+    ``[conv − lookback, conv)`` — boundary-inclusive at exactly
+    lookback distance, strictly before the conversion instant (the two
+    classic single-touch models; both emitted so their disagreement — a
     multi-touch journey — is visible).  Conversions with no touch in
     the window attribute NULL (organic).
 
-    Determinism bound: the tiebreak disambiguates up to 1000
-    same-microsecond events per user (it rides in the sub-µs digits of
-    the RANGE order key — a larger factor would overflow BIGINT against
-    epoch-µs).  Events beyond that collide to RANGE peers, where
-    first/last among peers is engine-defined — at µs resolution this
-    needs 1000 events in one microsecond, so it is a documented bound,
-    not a practical one.
-
-    Plan: ONE shuffle on the user key; both touches come from RANGE
-    window frames over integer microseconds (first/last_value with
-    ignorenulls over [−lookback, −1µs]) — no per-conversion self-join,
-    so cost is O(events) regardless of conversion rate.  Order is made
-    total by (ts, tiebreak) when a tiebreak column is given; same-µs
-    touches without one keep window order semantics (pass event_id for
-    full determinism — the catalog query does).
+    Plan: ONE shuffle on the user key; both touches come from min/max
+    of (µs, tiebreak, channel) STRUCTS over a RANGE frame on integer
+    microseconds — struct ordering makes first/last among
+    same-microsecond touches deterministic WITHOUT perturbing the
+    window boundary (an order-key tiebreak fraction would shift which
+    events sit exactly at lookback distance — hypothesis-caught).
+    No per-conversion self-join, so cost is O(events) at any
+    conversion rate.
 
     Returns the conversion rows: (user, conv_ts_us, first_touch,
     last_touch)."""
     conv = conversion if isinstance(conversion, Column) else F.col(conversion)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     e = events.withColumn("__us", us).withColumn("__conv", conv)
-    # RANGE frames need a single numeric order expression; a µs-scale
-    # tiebreak fraction keeps the order total without changing the range
-    order = (F.col("__us") * 1000 + (F.col(tiebreak_col) % 1000)
-             if tiebreak_col else F.col("__us"))
-    lb = lookback_seconds * 1_000_000 * (1000 if tiebreak_col else 1)
-    w = (Window.partitionBy(F.col(user_col)).orderBy(order)
+    lb = lookback_seconds * 1_000_000
+    w = (Window.partitionBy(F.col(user_col)).orderBy(F.col("__us"))
          .rangeBetween(-lb, -1))
-    touch = F.when(~F.col("__conv"), F.col(channel_col))
-    first = F.first(touch, ignorenulls=True).over(w)
-    last = F.last(touch, ignorenulls=True).over(w)
+    tb = (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias("i")
+    touch = F.when(~F.col("__conv"),
+                   F.struct(F.col("__us").alias("t"), tb,
+                            F.col(channel_col).alias("c")))
+    first = F.min(touch).over(w)["c"]
+    last = F.max(touch).over(w)["c"]
     return (
         e.withColumn("first_touch", first)
         .withColumn("last_touch", last)
