@@ -4584,3 +4584,42 @@ def ext_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").alias("min_count"),
         F.max("c").alias("max_count"),
         F.sum("c").alias("total_occurrences"))
+
+
+@register(
+    "ext_class_balance",
+    """
+    WITH c AS (
+      SELECT source, lang, count(*)::BIGINT AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT source, sum(n)::BIGINT AS total,
+             sum(n::HUGEINT * n) AS sum_sq,
+             count(*)::BIGINT AS n_classes
+      FROM c GROUP BY source
+    )
+    SELECT source, total AS n_docs, n_classes,
+           (1000000 - (sum_sq * 1000000) // (total::HUGEINT * total))::BIGINT
+             AS gini_ppm
+    FROM s
+    """,
+)
+def ext_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source label-balance diagnostic via Gini impurity
+    (1 − Σp²) in integer ppm — the mixture-health readout entropy
+    can't give hash-exactly (ln is not bit-portable; Gini is pure
+    rational arithmetic, DECIMAL/HUGEINT for the squared counts).
+    0 = single-language source, (k−1)/k·10⁶ = perfectly balanced over
+    k languages.  Two nested groupBys, both map-side partial."""
+    docs = tables(spark, sf_dir)["documents"].df
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    s = c.groupBy("source").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_classes"))
+    return s.select(
+        "source", F.col("total").alias("n_docs"), "n_classes",
+        F.expr("CAST(1000000 - (sum_sq * 1000000) DIV "
+               "(CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)")
+         .alias("gini_ppm"))

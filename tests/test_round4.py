@@ -2151,3 +2151,28 @@ class TestStratifiedSplit:
         df = spark.createDataFrame([(1, "g")], ["id", "g"])
         with pytest.raises(ValueError, match="sum to"):
             stratified_split(df, "id", ["g"], {"a": 0.5, "b": 0.2})
+
+
+class TestClassBalance:
+    def test_gini_extremes(self, spark):
+        import __spark_entry__ as e
+
+        # engine semantics on a hand corpus via the registered callable's
+        # own building blocks: single-class → 0; balanced k=2 → 500000
+        from pyspark.sql import functions as FF
+
+        df = spark.createDataFrame(
+            [("s1", "en")] * 4 + [("s2", "en")] * 2 + [("s2", "de")] * 2,
+            ["source", "lang"])
+        c = df.groupBy("source", "lang").agg(FF.count(FF.lit(1)).alias("n"))
+        s = c.groupBy("source").agg(
+            FF.sum("n").alias("total"),
+            FF.sum(FF.col("n").cast("decimal(38,0)") * FF.col("n"))
+            .alias("sum_sq"))
+        out = {r.source: r.g for r in s.select(
+            "source",
+            FF.expr("CAST(1000000 - (sum_sq * 1000000) DIV "
+                    "(CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)")
+            .alias("g")).collect()}
+        assert out["s1"] == 0
+        assert out["s2"] == 500000
