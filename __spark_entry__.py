@@ -140,6 +140,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_stratified_split",      # exact-count per-stratum splitting (integer-ppm cuts)
     "ext_zipf_histogram",        # Zipf spectrum on a float-free log2 grid
     "ext_class_balance",         # Gini-impurity mixture balance (rational, exact)
+    "ext_embed_drift",           # embedding-space drift between corpus slices
     # --- the 3+1 remaining never-verified rows-only trained variants
     # (iterative training ⇒ weakest driver signal; each keeps an
     # in-window family rep + pytest coverage) ---

@@ -4623,3 +4623,80 @@ def ext_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1000000 - (sum_sq * 1000000) DIV "
                "(CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)")
          .alias("gini_ppm"))
+
+
+@register(
+    "ext_embed_drift",
+    """
+    WITH tagged AS (
+      SELECT embedding, vec_id % 2 AS half FROM embeddings
+    ),
+    e AS (
+      SELECT half, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM tagged
+    ),
+    dims AS (
+      SELECT half, d, sum(v) AS s, sum(v * v) AS s2, count(*)::BIGINT AS n
+      FROM e GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT half,
+             max(n)::BIGINT AS n_vectors,
+             sum(s2 / n) AS msn,
+             sum((s / n) * (s / n)) AS snm
+      FROM dims GROUP BY half
+    ),
+    shift AS (
+      SELECT sum((a.s / a.n - b.s / b.n) * (a.s / a.n - b.s / b.n)) AS ms
+      FROM dims a JOIN dims b ON a.d = b.d AND a.half = 0 AND b.half = 1
+    )
+    SELECT (SELECT n_vectors FROM per WHERE half = 0) AS n_a,
+           (SELECT n_vectors FROM per WHERE half = 1) AS n_b,
+           round((SELECT 2 * (msn - snm) FROM per WHERE half = 0), 6)
+             AS diversity_a,
+           round((SELECT 2 * (msn - snm) FROM per WHERE half = 1), 6)
+             AS diversity_b,
+           round((SELECT ms FROM shift), 6) AS mean_shift_sq
+    """,
+)
+def ext_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two corpus slices (release-to-
+    release monitoring): each slice's pair-free diversity plus the
+    squared distance between slice MEAN vectors — all from the same
+    per-dimension moment tables (shard moments add, so production
+    compares stored synopses, never re-reading old corpora).  A mean
+    shift ≫ 0 with stable diversity = the corpus moved; stable mean
+    with shrinking diversity = mode collapse.  Rounded aggregates
+    (float-sum discipline)."""
+    emb = tables(spark, sf_dir)["embeddings"].df
+    from pigpen_spark.functions.similarity import to_double
+
+    e = emb.select((F.col("vec_id") % 2).alias("half"),
+                   F.posexplode(to_double(F.col("embedding")))
+                   .alias("d", "v"))
+    dims = e.groupBy("half", "d").agg(
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.count(F.lit(1)).alias("n")).cache()
+    per = dims.groupBy("half").agg(
+        F.max("n").alias("n_vectors"),
+        F.sum(F.expr("s2 / n")).alias("msn"),
+        F.sum(F.expr("(s / n) * (s / n)")).alias("snm"))
+    a = per.filter(F.col("half") == 0)
+    b = per.filter(F.col("half") == 1)
+    shift = (dims.filter(F.col("half") == 0).alias("a")
+             .join(dims.filter(F.col("half") == 1).alias("b"), on="d")
+             .agg(F.sum(F.expr(
+                 "(a.s / a.n - b.s / b.n) * (a.s / a.n - b.s / b.n)"))
+                 .alias("ms")))
+    return (
+        a.select(F.col("n_vectors").alias("n_a"),
+                 F.round(2 * (F.col("msn") - F.col("snm")), 6)
+                 .alias("diversity_a"))
+        .crossJoin(b.select(F.col("n_vectors").alias("n_b"),
+                            F.round(2 * (F.col("msn") - F.col("snm")), 6)
+                            .alias("diversity_b")))
+        .crossJoin(shift.select(F.round("ms", 6).alias("mean_shift_sq")))
+        .select("n_a", "n_b", "diversity_a", "diversity_b", "mean_shift_sq")
+    )

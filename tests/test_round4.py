@@ -2176,3 +2176,32 @@ class TestClassBalance:
             .alias("g")).collect()}
         assert out["s1"] == 0
         assert out["s2"] == 500000
+
+
+class TestEmbedDrift:
+    def test_shift_and_collapse_signatures(self, spark):
+        import numpy as np
+
+        import __spark_entry__ as e
+
+        # semantic check via the registered query's building blocks:
+        # shifted corpus -> mean_shift_sq ~ shift^2 * dim; same corpus -> ~0
+        from pigpen_spark.functions.similarity import embedding_diversity
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(50, 8))
+        mk = lambda arr, off: [(i * 2 + off, [float(x) for x in v])
+                               for i, v in enumerate(arr)]
+        # half 0 = base, half 1 = base + 3.0 in every dim
+        rows = mk(base, 0) + mk(base + 3.0, 1)
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        import pigpen_spark.catalog as cat
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+        # reuse the catalog callable against the synthetic dir (it only
+        # reads embeddings.parquet)
+        r = e.queries()["ext_embed_drift"](spark, d).collect()[0]
+        assert r.n_a == r.n_b == 50
+        assert abs(r.mean_shift_sq - 9.0 * 8) < 0.1     # shift² · dim
+        assert abs(r.diversity_a - r.diversity_b) < 1e-6  # same spread
