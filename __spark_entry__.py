@@ -43,8 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ext_normalize_unicode (rows-only by design: DuckDB lacks ICU NFKC) —
 # bringing cumulative coverage to 150/153; the 3 remaining misses are
 # the rows-only trained variants listed directly below the window, each
-# with an in-window family rep.  The 37 queries ADDED in round 4
-# (catalog 153 → 190; every one verified green in the local oracle
+# with an in-window family rep.  The 38 queries ADDED in round 4
+# (catalog 153 → 191; every one verified green in the local oracle
 # replica this round) follow in registration order below the window and
 # lead the r5 rotation together with whatever the r4 driver run leaves
 # unverified.
