@@ -30,33 +30,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate samples the FIRST 50 registered queries
-# (VERDICT r2). Rotation ledger (audited against the actual r1-r3 files,
-# fixing the r3 comment error VERDICT r3 "What's wrong" #3 — q_moving_avg
-# and ext_ann_brute in fact have NO driver row in any round and are now
-# in-window): CORRECTNESS_r01+r02 cover the 47 catalog.py core queries
-# plus ext_text_stats/ext_lang_id/ext_quality_score and the r2 ext
-# window; r03 covers the 50 queries its file lists (2 of them RED on the
-# array-output defect, re-queued below after the stringify fix).
-# Cumulative driver coverage entering r4 = 100/153.  This round's window
-# = ALL 49 never-driver-verified hash-exact queries (incl. the 4
-# stringify fixes and the now-hash-exact ext_bpe_encode) +
-# ext_normalize_unicode (rows-only by design: DuckDB lacks ICU NFKC) —
-# bringing cumulative coverage to 150/153; the 3 remaining misses are
-# the rows-only trained variants listed directly below the window, each
-# with an in-window family rep.  The 38 queries ADDED in round 4
-# (catalog 153 → 191; every one verified green in the local oracle
-# replica this round) follow in registration order below the window and
-# lead the r5 rotation together with whatever the r4 driver run leaves
-# unverified.
+# (VERDICT r2). Rotation ledger, audited against the actual r1-r4
+# correctness files this round: cumulative driver coverage entering r5 =
+# 149/191 (r4's window recorded 48 green + ext_normalize_unicode
+# rows-only-by-design + ext_tokenize_pack hash-RED on oracle HUGEINT
+# typing — the windowed sum() in tokenize_pack_sql flowed HUGEINT into
+# seq_no; fixed this round with ::BIGINT casts, pipeline.py).  The 42
+# never-driver-verified queries (that red row + the 38 round-4 additions
+# + 3 rows-only trained variants, all green in the local 191-query
+# replica) fill the first 42 slots of this window; the remaining 8
+# slots go to queries ADDED in round 5 so every new row gets a driver
+# signal in its own round.  Below the window: r5 additions past the 8
+# slots (these lead the r6 rotation), then rows already green in r1-r4
+# in registration order.
 _DRIVER_PRIORITY: list[str] = [
-    # --- r4 window: the array-output fixes (r3 RED rows, must go green) ---
-    "ext_embed_quantize",
+    # --- r5 window slot 1: the r4 RED row (oracle HUGEINT cast fixed) ---
     "ext_tokenize_pack",
+    # --- r5 window: the 38 round-4 additions, never driver-verified ---
+    "ext_group_stream_digest",   # streaming huge-group fold (Accumulator parity)
+    "ext_cogroup_stream",        # streaming 2-ary cogroup, integer-cents fold
+    "ext_frame_sample_mp4",      # MJPEG-in-mp4 demux + JPEG decode per sample
+    "ext_skew_join_plain",       # skew-pair control (shared oracle)
+    "ext_skew_join_salted",      # salting lever on a ~20%-hot key
+    "ext_normalize_nfc",         # hash-exact NFC (DuckDB nfc_normalize)
+    "ext_pagerank",              # integer-exact iterative PageRank (unrolled-CTE oracle)
+    "ext_frame_sample_avi",      # RIFF-AVI DIB demux+decode (second video container)
+    "ext_dsir",                  # DSIR hashed n-gram importance weights (integer-ppm)
+    "ext_kmv_overlap",           # KMV/theta sketch set algebra (union+intersection)
+    "ext_k_anonymity",           # k-anonymity + l-diversity privacy audit
+    "ext_winnow_overlap",        # full-winnowing (MOSS) quote-level reuse pairs
+    "ext_conversations",         # multi-turn conversation assembly (SFT prep)
+    "ext_ann_mrr",               # MRR ordering-quality eval vs exact NN (integer ppm)
+    "ext_scd2",                  # SCD Type-2 dimension versioning (CDC family)
+    "ext_video_meta_webm",       # Matroska/WebM EBML container walk (3rd container)
+    "ext_outlier_mad",           # exact grouped MAD outlier audit (rational threshold)
+    "ext_audio_profile_mp3",     # MPEG-audio frame-chain profiling (+Xing/VBRI this round)
+    "ext_attribution",           # first/last-touch attribution (range windows)
+    "ext_resample_ffill",        # regular-grid resampling + forward fill
+    "ext_transitions",           # first-order journey transition matrix
+    "ext_pii_profile",           # column-level PII exposure audit (shared pattern table)
+    "ext_dataset_checksum",      # mergeable order-insensitive corpus fingerprint
+    "ext_comoments",             # mergeable co-moment sufficient statistics
+    "ext_ols",                   # exact least-squares readout from co-moments
+    "ext_fertility",             # tokenizer fertility per language (mixture planning)
+    "ext_embed_diversity",       # pair-free embedding diversity (moment identity)
+    "ext_rrf_fuse",              # reciprocal-rank fusion (hybrid retrieval combiner)
+    "ext_markdown_sections",     # RAG-prep markdown structure splitting
+    "ext_content_chunks",        # content-defined chunking (insertion-local boundaries)
+    "ext_novelty",               # per-doc novelty vs reference (soft decontamination)
+    "ext_stratified_split",      # exact-count per-stratum splitting (integer-ppm cuts)
+    "ext_zipf_histogram",        # Zipf spectrum on a float-free log2 grid
+    "ext_class_balance",         # Gini-impurity mixture balance (rational, exact)
+    "ext_embed_drift",           # embedding-space drift between corpus slices
+    "ext_image_decode_progressive",  # progressive-JPEG decode (closed-form oracle)
+    "ext_dedup_snm",             # sorted-neighborhood blocking near-dup
+    # --- r5 window: the 3 rows-only trained variants (iterative
+    # training ⇒ rows-only driver signal by design; each has an
+    # already-green hash-exact family rep + pytest coverage) ---
+    "ext_semdedup_trained",   # rep: ext_semdedup (r3 green; same search plan)
+    "ext_ann_opq_trained",    # reps: ext_ann_pq/ext_embed_rr_pq (rotation family)
+    "ext_ann_ivf_kmeans",     # rep: ext_ann_ivf (r3 green; same cell search)
+    "ext_bpe_encode_trained",  # rep: ext_bpe_encode (same encoder, hash-exact)
+    # --- r5 window: queries ADDED in round 5 (8 slots) ---
+    "ext_ann_lsh_auto",          # density-auto LSH plane sizing (production path)
+    "ext_embed_near_dup_auto",   # density-auto near-dup blocking (production path)
+    "ext_frame_sample_webm",     # Matroska SimpleBlock demux + MJPEG decode
+    "ext_multimodal_pipeline",   # flagship: decode→gate→near-dup→pack, mixed codecs
+    "ext_audio_profile_vbr",     # Xing/VBRI VBR header fast path vs chain walk
+    "ext_minhash_doc_sig",       # order-invariant MinHash doc signatures
+    "ext_session_stats",         # sessionization rollup (gap sessions → stats)
+    "ext_ngram_coverage",        # reference n-gram coverage score
+    # --- below the window: r5 additions past the 8 slots lead the r6
+    # rotation (appended here as they are registered) ---
+    # --- driver rows already green in r1-r4 (registration-order tail) ---
+    "ext_embed_quantize",
     "ext_embed_pq",
     "ext_embed_rr_pq",
-    # --- r4 window: ext_bpe_encode, rows-only → hash-exact this round ---
     "ext_bpe_encode",
-    # --- r4 window: never-driver-verified, hash-exact ---
     "ext_bloom_decontaminate",
     "ext_apply_changes",
     "ext_variant_extract",
@@ -101,54 +151,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_skew_profile",
     "ext_url_dedup",
     "q_moving_avg",
-    # --- r4 window: rows-only by design (ICU NFKC), last slot ---
-    "ext_normalize_unicode",
-    # --- below the window: queries ADDED in round 4 (hash-exact, green
-    # in the local replica) — they lead the r5 rotation together with
-    # whatever r4's driver run leaves unverified ---
-    "ext_group_stream_digest",   # streaming huge-group fold (Accumulator parity)
-    "ext_cogroup_stream",        # streaming 2-ary cogroup, integer-cents fold
-    "ext_frame_sample_mp4",      # MJPEG-in-mp4 demux + JPEG decode per sample
-    "ext_skew_join_plain",       # skew-pair control (shared oracle)
-    "ext_skew_join_salted",      # salting lever on a ~20%-hot key
-    "ext_normalize_nfc",         # hash-exact NFC (DuckDB nfc_normalize)
-    "ext_pagerank",              # integer-exact iterative PageRank (unrolled-CTE oracle)
-    "ext_frame_sample_avi",      # RIFF-AVI DIB demux+decode (second video container)
-    "ext_dsir",                  # DSIR hashed n-gram importance weights (integer-ppm)
-    "ext_kmv_overlap",           # KMV/theta sketch set algebra (union+intersection)
-    "ext_k_anonymity",           # k-anonymity + l-diversity privacy audit
-    "ext_winnow_overlap",        # full-winnowing (MOSS) quote-level reuse pairs
-    "ext_conversations",         # multi-turn conversation assembly (SFT prep)
-    "ext_ann_mrr",               # MRR ordering-quality eval vs exact NN (integer ppm)
-    "ext_scd2",                  # SCD Type-2 dimension versioning (CDC family)
-    "ext_video_meta_webm",       # Matroska/WebM EBML container walk (3rd container)
-    "ext_outlier_mad",           # exact grouped MAD outlier audit (rational threshold)
-    "ext_audio_profile_mp3",     # MPEG-audio frame-chain profiling (header speed)
-    "ext_attribution",           # first/last-touch attribution (range windows)
-    "ext_resample_ffill",        # regular-grid resampling + forward fill
-    "ext_transitions",           # first-order journey transition matrix
-    "ext_pii_profile",           # column-level PII exposure audit (shared pattern table)
-    "ext_dataset_checksum",      # mergeable order-insensitive corpus fingerprint
-    "ext_comoments",             # mergeable co-moment sufficient statistics
-    "ext_ols",                   # exact least-squares readout from co-moments
-    "ext_fertility",             # tokenizer fertility per language (mixture planning)
-    "ext_embed_diversity",       # pair-free embedding diversity (moment identity)
-    "ext_rrf_fuse",              # reciprocal-rank fusion (hybrid retrieval combiner)
-    "ext_markdown_sections",     # RAG-prep markdown structure splitting
-    "ext_content_chunks",        # content-defined chunking (insertion-local boundaries)
-    "ext_novelty",               # per-doc novelty vs reference (soft decontamination)
-    "ext_stratified_split",      # exact-count per-stratum splitting (integer-ppm cuts)
-    "ext_zipf_histogram",        # Zipf spectrum on a float-free log2 grid
-    "ext_class_balance",         # Gini-impurity mixture balance (rational, exact)
-    "ext_embed_drift",           # embedding-space drift between corpus slices
-    # --- the 3+1 remaining never-verified rows-only trained variants
-    # (iterative training ⇒ weakest driver signal; each keeps an
-    # in-window family rep + pytest coverage) ---
-    "ext_semdedup_trained",   # rep: ext_semdedup (r3 green; same search plan)
-    "ext_ann_opq_trained",    # reps: ext_ann_pq/ext_embed_rr_pq (rotation family)
-    "ext_ann_ivf_kmeans",     # rep: ext_ann_ivf (r3 green; same cell search)
-    "ext_bpe_encode_trained",  # rep: ext_bpe_encode (same encoder, hash-exact)
-    # --- driver rows already green in r1-r3 (registration-order tail) ---
+    "ext_normalize_unicode",  # rows-only by design (ICU NFKC), r4 row recorded
     "ext_fuzzy_join",
     "ext_boilerplate",
     "ext_url_normalize",

@@ -1182,7 +1182,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sample",
     """
-    SELECT count(*)::BIGINT AS n_total, 0.5 AS p, TRUE AS in_bounds
+    SELECT count(*)::BIGINT AS n_total, 0.5::DOUBLE AS p, TRUE AS in_bounds
     FROM lineitem
     """,
 )

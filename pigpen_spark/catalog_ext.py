@@ -575,6 +575,95 @@ def ext_ann_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb.df, k=5, n_planes=_PLANES, dim=_DIM, multi_probe=True)
 
 
+# Density-auto sizing (the PRODUCTION plane-count path — SCALE.md measured
+# fixed plane counts degrading ~quadratically at 10×; tuning.lsh_planes_for
+# is the fix).  Clamps chosen so the formula DISCRIMINATES at test scales:
+# target 32 → sf0.01 (500 vecs) resolves 4 planes, sf0.1 (2000) 6, the 10×
+# scale corpus ~10 — three different counts exercising the log sizing, not
+# a clamp.  The oracle derives np from count(*) with the same integer-exact
+# arithmetic (lsh_planes_sql) and prefixes the cap-length bucket — valid
+# because lsh_bucket at n planes IS the n-char prefix of the bucket at cap
+# planes (plane p's weights depend only on p).
+_AUTO_T, _AUTO_FLOOR, _AUTO_CAP = 32, 4, 12
+
+
+@register(
+    "ext_ann_lsh_auto",
+    f"""
+    WITH np_t AS ({S.lsh_planes_sql('embeddings', _AUTO_T, _AUTO_FLOOR, _AUTO_CAP)}),
+    tagged AS (
+      SELECT vec_id AS id, embedding AS vec, np,
+             substr({S.lsh_bucket_sql('embedding', _AUTO_CAP, _DIM)}, 1, np) AS bucket
+      FROM embeddings, np_t
+    ),
+    probes AS (
+      SELECT id, vec, unnest(list_append(
+        [substr(bucket, 1, i - 1)
+           || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+           || substr(bucket, i + 1, np - i)
+         for i in range(1, np + 1)], bucket)) AS bucket
+      FROM tagged
+    )
+    SELECT q_id, n_id, score, rank FROM (
+      SELECT a.id AS q_id, b.id AS n_id,
+             round({S.cosine_sql('a.vec', 'b.vec')}, 6) AS score,
+             row_number() OVER (
+               PARTITION BY a.id
+               ORDER BY round({S.cosine_sql('a.vec', 'b.vec')}, 6) DESC, b.id
+             ) AS rank
+      FROM probes a JOIN tagged b ON a.bucket = b.bucket AND a.id <> b.id
+    ) WHERE rank <= 5
+    """,
+)
+def ext_ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5 with DENSITY-AUTO plane sizing — the
+    production path for 100 TB (`resolve_planes` from one count();
+    SCALE.md: fixed planes blew up 17.5× at 10×, auto stays ~linear).
+    The sizing arithmetic is integer-exact so this row is hash-exact:
+    the oracle re-derives np from count(*) and takes the np-char prefix
+    of the cap-length bucket."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.lsh_topk(
+        emb.df, k=5, n_planes="auto", dim=_DIM, multi_probe=True,
+        auto_sizing=(_AUTO_T, _AUTO_FLOOR, _AUTO_CAP),
+    )
+
+
+@register(
+    "ext_embed_near_dup_auto",
+    f"""
+    WITH np_t AS ({S.lsh_planes_sql('embeddings', _AUTO_T, _AUTO_FLOOR, _AUTO_CAP)}),
+    base AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    home AS (
+      SELECT id, unnest(range(2)) AS tbl,
+             unnest([
+               substr({S.lsh_bucket_sql('vec', _AUTO_CAP, _DIM, plane_offset=0)}, 1, np),
+               substr({S.lsh_bucket_sql('vec', _AUTO_CAP, _DIM, plane_offset=_AUTO_CAP)}, 1, np)
+             ]) AS bucket
+      FROM base, np_t
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM home a JOIN home b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b, round({S.cosine_sql('va.vec', 'vb.vec')}, 6) AS score
+    FROM cand c JOIN base va ON c.id_a = va.id JOIN base vb ON c.id_b = vb.id
+    WHERE round({S.cosine_sql('va.vec', 'vb.vec')}, 6) >= 0.45
+    """,
+)
+def ext_embed_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with DENSITY-AUTO band sizing, 2 hash
+    tables.  ``plane_stride=cap`` anchors table t's plane set at
+    ``t*cap`` independent of the resolved count, so the oracle mirrors
+    the auto path with substr prefixes of the two cap-length buckets —
+    production sizing (SCALE.md's 8.3×-at-10× fix), hash-exact."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return S.embedding_near_dup_pairs(
+        emb.df, threshold=0.45, n_tables=2, n_planes="auto", dim=_DIM,
+        auto_sizing=(_AUTO_T, _AUTO_FLOOR, _AUTO_CAP), plane_stride=_AUTO_CAP,
+    )
+
+
 _IVF_C, _IVF_P = 16, 2
 
 

@@ -628,9 +628,12 @@ def tokenize_pack_sql(table: str, id_col: str, text_col: str,
       FROM {table}
     ),
     offsets AS (
+      -- windowed sum() is HUGEINT in DuckDB; cast to BIGINT so the
+      -- emitted seq_no/gpos types match Spark (ROUND_NOTES big-int rule)
       SELECT id, shard,
-             sum(len(toks)) OVER (PARTITION BY shard ORDER BY id
-                                  ROWS UNBOUNDED PRECEDING) - len(toks) AS off
+             (sum(len(toks)) OVER (PARTITION BY shard ORDER BY id
+                                   ROWS UNBOUNDED PRECEDING)
+              - len(toks))::BIGINT AS off
       FROM base
     ),
     tok AS (
@@ -638,9 +641,9 @@ def tokenize_pack_sql(table: str, id_col: str, text_col: str,
       FROM base
     ),
     placed AS (
-      SELECT tok.shard, o.off + tok.pos AS gpos,
+      SELECT tok.shard, (o.off + tok.pos)::BIGINT AS gpos,
              coalesce(v.token_id, 0) AS tid,
-             (o.off + tok.pos) // {seq_len} AS seq
+             ((o.off + tok.pos) // {seq_len})::BIGINT AS seq
       FROM tok
       JOIN offsets o ON tok.id = o.id
       LEFT JOIN vocab v ON tok.t = v.token

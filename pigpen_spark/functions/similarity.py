@@ -226,24 +226,42 @@ def _arrow_cosine() -> "Column":
     return F.pandas_udf(_score, "double")
 
 
-def resolve_planes(n_planes, corpus: DataFrame):
+def resolve_planes(n_planes, corpus: DataFrame,
+                   target_bucket: int = 200, floor: int = 8, cap: int = 32):
     """Resolve ``n_planes="auto"`` (or None) to a density-scaled count
     via :func:`pigpen_spark.tuning.lsh_planes_for` — one count() of the
     corpus buys scale-invariant bucket occupancy (fixed plane counts
     grow pair work ~quadratically with density; SCALE.md
-    §scaling-evidence).  Catalog queries pass explicit ints so their
-    DuckDB oracles stay reproducible; pipelines should pass "auto"."""
+    §scaling-evidence).  The sizing is integer-exact (ceil-div + bit
+    length), so :func:`lsh_planes_sql` mirrors it in DuckDB and the
+    auto path itself is oracle-checkable (ext_ann_lsh_auto /
+    ext_embed_near_dup_auto)."""
     if n_planes in (None, "auto"):
         from pigpen_spark.tuning import lsh_planes_for
 
-        return lsh_planes_for(corpus.count())
+        return lsh_planes_for(corpus.count(), target_bucket, floor, cap)
     return n_planes
+
+
+def lsh_planes_sql(table: str, target_bucket: int = 200,
+                   floor: int = 8, cap: int = 32) -> str:
+    """DuckDB mirror of :func:`pigpen_spark.tuning.lsh_planes_for` over
+    ``count(*)`` of ``table`` — a one-row SELECT (column ``np``) suitable
+    as a CTE.  ``length(bin(m-1))`` is exactly ``(m-1).bit_length()``;
+    no float log2 on either engine."""
+    return (
+        f"SELECT greatest({floor}, least({cap}, "
+        f"CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END))::INT AS np "
+        f"FROM (SELECT (count(*) + {target_bucket} - 1) // {target_bucket} AS m "
+        f"FROM {table})"
+    )
 
 
 def lsh_topk(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, n_planes: int | str | None = 6, dim: int | None = None,
     multi_probe: bool = False, score_mode: str = "expr",
+    auto_sizing: tuple[int, int, int] = (200, 8, 32),
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share an LSH bucket.
 
@@ -266,7 +284,7 @@ def lsh_topk(
     (numpy sum order), so oracle-checked callers keep ``"expr"``."""
     if score_mode not in ("expr", "arrow"):
         raise ValueError(f"lsh_topk: unknown score_mode {score_mode!r}")
-    n_planes = resolve_planes(n_planes, corpus)
+    n_planes = resolve_planes(n_planes, corpus, *auto_sizing)
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     # persist: bucket expressions would otherwise recompute on both sides
@@ -453,6 +471,8 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95, n_tables: int = 4,
     n_planes: int | str | None = 8,
     dim: int | None = None, exact: bool = False, multi_probe: bool = False,
+    auto_sizing: tuple[int, int, int] = (200, 8, 32),
+    plane_stride: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, blocked on multi-table
     hyperplane LSH — NEVER all-pairs unless ``exact=True`` is forced.
@@ -483,8 +503,18 @@ def embedding_near_dup_pairs(
 
     ``exact=True`` keeps the previous brute all-pairs form for small
     corpora / recall audits; norms are still computed once per vector
-    (persisted), not per pair."""
-    n_planes = resolve_planes(n_planes, corpus)
+    (persisted), not per pair.
+
+    ``n_planes="auto"`` sizes bands from the corpus count
+    (:func:`resolve_planes`, clamps from ``auto_sizing``).  Table t's
+    planes start at ``t * plane_stride`` (default stride = the resolved
+    n_planes, i.e. disjoint consecutive sets); auto callers pass
+    ``plane_stride = auto cap`` so each table's plane set is a FIXED
+    prefix family independent of the resolved count — that is what lets
+    the DuckDB oracle reproduce the auto path with a substr of the
+    cap-length bucket (ext_embed_near_dup_auto)."""
+    n_planes = resolve_planes(n_planes, corpus, *auto_sizing)
+    stride = plane_stride if plane_stride is not None else n_planes
     base = (
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
@@ -505,7 +535,7 @@ def embedding_near_dup_pairs(
     # slim candidate index: ids + buckets only — carrying vectors through
     # the explode would replicate every embedding n_tables× in the shuffle
     buckets = F.array(*[
-        lsh_bucket(F.col("vec"), n_planes, dim, plane_offset=t * n_planes)
+        lsh_bucket(F.col("vec"), n_planes, dim, plane_offset=t * stride)
         for t in range(n_tables)
     ])
     tagged = base.select("id", F.posexplode(buckets).alias("tbl", "bucket"))

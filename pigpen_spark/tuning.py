@@ -180,12 +180,18 @@ def lsh_planes_for(n_vectors: int, target_bucket: int = 200,
     [floor, cap]; 2^cap buckets ≫ any real corpus at cap=32.  Recall at
     a given plane count is governed by the probe strategy (multi_probe /
     n_tables), which is orthogonal to this sizing.
-    """
-    import math
 
+    Computed INTEGER-EXACTLY as ceil(log2(ceildiv(n, target))) via bit
+    length — equal to ceil(log2(n/target)) for every n (if
+    2^(k-1) < x <= 2^k then ceil(x) lands in the same dyadic interval),
+    but with no float log2, so the DuckDB oracle mirror
+    (similarity.lsh_planes_sql: ceil-div + length(bin(m-1))) agrees on
+    every count with no libm edge at exact powers of two.
+    """
     if n_vectors <= 0:
         raise ValueError(f"lsh_planes_for: n_vectors must be > 0, got {n_vectors}")
     if target_bucket < 1:
         raise ValueError(f"lsh_planes_for: target_bucket must be >= 1, got {target_bucket}")
-    planes = math.ceil(math.log2(max(n_vectors / target_bucket, 1.0)))
+    m = -(-n_vectors // target_bucket)  # ceildiv, integer-exact
+    planes = 0 if m <= 1 else (m - 1).bit_length()
     return max(floor, min(cap, planes))
