@@ -116,11 +116,17 @@ def decode_image_meta(df: DataFrame, id_col: str, payload_col: str = "payload") 
 
 def frame_sample(df: DataFrame, id_col: str, payload_col: str = "payload",
                  every_n: int = 10) -> DataFrame:
-    """Video frame sampling — STUB for containers that need external
-    codecs (mp4/webm via `av`/ffmpeg): emits (id, frame_index) rows for
-    the frames a decoder would keep, frame count faked from payload
-    length.  For GIF payloads use :func:`frame_sample_gif`, which REALLY
-    decodes (pure-stdlib LZW) in the same mapInPandas shape."""
+    """Video frame sampling — STUB for inter-frame codecs that need
+    external libraries (H.264/HEVC/VP8/VP9/AV1 via `av`/ffmpeg): emits
+    (id, frame_index) rows for the frames a decoder would keep, frame
+    count FAKED from payload length.  DO NOT ship this path for payloads
+    the repo decodes for real — GIF (:func:`frame_sample_gif`), MJPEG in
+    mp4/AVI/Matroska (:func:`frame_sample_mp4` / :func:`frame_sample_avi`
+    / :func:`frame_sample_webm`) all really decode in the same
+    mapInPandas shape.  Production order of operations: triage with
+    :func:`video_meta` (magic-byte dispatch, the pattern
+    synth_video_meta pins) and route each container to its real
+    decoder; only codecs outside the decodable set fall back here."""
     n_frames = (F.octet_length(F.col(payload_col)) % 100 + 1).alias("n_frames")
     src = df.select(F.col(id_col).alias("id"), n_frames)
     return src.select(
@@ -130,9 +136,14 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str = "payload",
 
 
 def audio_features(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
-    """Audio feature extraction — STUB behind import-guard (librosa absent);
-    deterministic fake duration/sample-rate from payload bytes, same
-    mapInPandas plumbing as decode_image_meta."""
+    """Audio feature extraction — STUB behind import-guard (librosa
+    absent); deterministic FAKE duration/sample-rate from payload bytes,
+    same mapInPandas plumbing as decode_image_meta.  DO NOT ship this
+    path for formats the repo handles for real: PCM-WAV decodes fully
+    (:func:`audio_features_wav`, :func:`audio_downsample`) and MP3
+    profiles at header speed (:func:`audio_profile_mp3`) — dispatch on
+    magic bytes first (the synth_video_meta pattern) and fall back here
+    only for genuinely codec-bound formats (AAC/Opus/Vorbis)."""
     try:  # pragma: no cover
         import librosa  # noqa: F401
         raise NotImplementedError("librosa path: wire librosa.load on BytesIO")
@@ -960,6 +971,91 @@ def synth_video_meta_webm(df: DataFrame, id_col: str) -> DataFrame:
     return _fused_synth(
         df, id_col, lambda i: _video_meta_row(i, _webm_payload(i)),
         VIDEO_META_SCHEMA,
+    )
+
+
+def _webm_mjpeg_payload(i: int) -> bytes:
+    """Synthetic MJPEG-in-Matroska clip i: 1 + (i//3)%4 frames of
+    (1+(i//2)%3)×(1+i%3) 8x8 blocks (geometry/count phases deliberately
+    DIFFERENT from _mjpeg_payload so the two containers' fixtures stay
+    disjoint), block (bx, by) of frame f constant at (i·7)%140 + f + bx
+    + by — JPEG's lossless subspace, closed-form per-frame pixel sums.
+    cluster_len=2 so clips with 3-4 frames span MULTIPLE Clusters and
+    the demuxer's cluster+block timecode combination is on the hash."""
+    import numpy as np
+
+    from pigpen_spark.functions import codecs as C
+
+    bw, bh, a = 1 + (i // 2) % 3, 1 + i % 3, (i * 7) % 140
+    samples = []
+    for f in range(1 + (i // 3) % 4):
+        blocks = a + f + np.arange(bw)[None, :] + np.arange(bh)[:, None]
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+        samples.append(C.jpeg_encode(img))
+    return C.webm_encode_mjpeg(samples, bw * 8, bh * 8, fps=24, cluster_len=2)
+
+
+def _webm_frame_rows(rid: int, data: bytes, every_n: int) -> list[dict]:
+    from pigpen_spark.functions import codecs as C
+
+    _w, _h, frames = C.webm_frames(data)
+    return [
+        {"id": rid, "frame_index": f,
+         "f_px_sum": int(frames[f].sum(dtype="int64"))}
+        for f in range(0, len(frames), every_n)
+    ]
+
+
+def frame_sample_webm(df: DataFrame, id_col: str, payload_col: str = "payload",
+                      every_n: int = 2) -> DataFrame:
+    """REAL Matroska frame sampling for V_MJPEG tracks: walk Clusters'
+    SimpleBlocks/Blocks, JPEG-decode every ``every_n``-th frame in
+    timecode order, emit (id, frame_index, f_px_sum) — the third
+    container next to :func:`frame_sample_mp4` / :func:`frame_sample_avi`.
+    VP8/VP9/AV1 payloads raise (triage codecs with :func:`video_meta`
+    first)."""
+    if every_n < 1:
+        raise ValueError(f"frame_sample_webm: every_n must be >= 1, got {every_n}")
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                rows.extend(_webm_frame_rows(int(rid), bytes(payload), every_n))
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(work, schema=FRAME_STATS_SCHEMA)
+
+
+def synth_webm_mjpeg(df: DataFrame, id_col: str, out_col: str = "payload") -> DataFrame:
+    """Deterministic synthetic MJPEG-in-Matroska payloads
+    (see _webm_mjpeg_payload)."""
+    src = df.select(F.col(id_col).alias("id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [{"id": (i := int(rid)), out_col: _webm_mjpeg_payload(i)}
+                 for rid in pdf["id"]]
+            )
+
+    return src.mapInPandas(gen, schema=f"id long, {out_col} binary")
+
+
+def synth_frame_stats_webm(df: DataFrame, id_col: str,
+                           every_n: int = 2) -> DataFrame:
+    """Fused synth→JPEG-encode→Matroska-mux→demux→decode→frame-sample."""
+    if every_n < 1:
+        raise ValueError(
+            f"synth_frame_stats_webm: every_n must be >= 1, got {every_n}")
+    return _fused_synth(
+        df, id_col, lambda i: _webm_frame_rows(i, _webm_mjpeg_payload(i), every_n),
+        FRAME_STATS_SCHEMA,
     )
 
 

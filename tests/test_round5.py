@@ -57,6 +57,21 @@ class TestLshPlanesAuto:
         assert S.resolve_planes("auto", df, 32, 4, 12) == 4
         assert S.resolve_planes(7, df, 32, 4, 12) == 7  # explicit passthrough
 
+    def test_lsh_topk_auto_end_to_end(self, spark):
+        # n_planes="auto" resolves from the corpus count and produces a
+        # valid top-k (candidates only within buckets, rank <= k)
+        import random
+
+        rng = random.Random(5)
+        df = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        out = S.lsh_topk(df, k=3, n_planes="auto", dim=8,
+                         auto_sizing=(16, 2, 10)).collect()
+        assert out, "auto-sized LSH returned no candidates"
+        assert all(r["rank"] <= 3 for r in out)
+
     def test_plane_stride_anchors_tables(self, spark):
         # with plane_stride=cap, table 1's bucket at auto planes is a
         # prefix of the cap-length bucket at offset cap — i.e. the plane
@@ -72,3 +87,141 @@ class TestLshPlanesAuto:
         ).collect()
         for r in out:
             assert r["full"][:4] == r["short"]
+
+
+def _mjpeg_samples(n, bw, bh, a):
+    import numpy as np
+
+    from pigpen_spark.functions import codecs as C
+
+    samples, sums = [], []
+    for f in range(n):
+        blocks = a + f + np.arange(bw)[None, :] + np.arange(bh)[:, None]
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype("uint8")
+        samples.append(C.jpeg_encode(img))
+        sums.append(int(img.sum(dtype="int64")))
+    return samples, sums
+
+
+class TestWebmFrames:
+    def test_roundtrip_multi_cluster(self):
+        from pigpen_spark.functions import codecs as C
+
+        samples, sums = _mjpeg_samples(5, 2, 3, 40)
+        data = C.webm_encode_mjpeg(samples, 16, 24, fps=24, cluster_len=2)
+        w, h, frames = C.webm_frames(data)
+        assert (w, h) == (16, 24)
+        assert [int(f.sum(dtype="int64")) for f in frames] == sums
+        # 5 frames at cluster_len=2 really spans 3 clusters
+        assert data.count(bytes.fromhex("1F43B675")) == 3
+
+    def test_blockgroup_block_form(self):
+        # demuxer accepts Block-inside-BlockGroup, not just SimpleBlock
+        import struct
+
+        from pigpen_spark.functions import codecs as C
+
+        samples, sums = _mjpeg_samples(2, 1, 1, 10)
+        blk0 = b"\x81" + struct.pack(">h", 0) + b"\x80" + samples[0]
+        blk1 = b"\x81" + struct.pack(">h", 41) + b"\x80" + samples[1]
+        body = (C._el_uint(0xE7, 0)
+                + C._el(0xA0, C._el(0xA1, blk0))
+                + C._el(0xA0, C._el(0xA1, blk1)))
+        ebml = C._el(0x1A45DFA3, C._el(0x4282, b"matroska"))
+        info = C._el(0x1549A966, C._el_uint(0x2AD7B1, 1_000_000)
+                     + C._el(0x4489, struct.pack(">d", 83.0)))
+        track = C._el(0xAE, C._el_uint(0xD7, 1) + C._el_uint(0x83, 1)
+                      + C._el(0x86, b"V_MJPEG")
+                      + C._el(0xE0, C._el_uint(0xB0, 8) + C._el_uint(0xBA, 8)))
+        seg = C._el(0x18538067, info + C._el(0x1654AE6B, track)
+                    + C._el(0x1F43B675, body))
+        w2, h2, frames2 = C.webm_frames(ebml + seg)
+        assert [int(f.sum(dtype="int64")) for f in frames2] == sums
+        assert (w2, h2) == (8, 8)
+
+    def test_timecode_order_not_storage_order(self):
+        # blocks stored out of presentation order come back sorted by
+        # cluster+block timecode
+        import struct
+
+        from pigpen_spark.functions import codecs as C
+
+        samples, sums = _mjpeg_samples(2, 1, 2, 20)
+        blk_late = b"\x81" + struct.pack(">h", 41) + b"\x80" + samples[1]
+        blk_early = b"\x81" + struct.pack(">h", 0) + b"\x80" + samples[0]
+        body = C._el_uint(0xE7, 0) + C._el(0xA3, blk_late) + C._el(0xA3, blk_early)
+        ebml = C._el(0x1A45DFA3, C._el(0x4282, b"matroska"))
+        info = C._el(0x1549A966, C._el_uint(0x2AD7B1, 1_000_000)
+                     + C._el(0x4489, struct.pack(">d", 83.0)))
+        track = C._el(0xAE, C._el_uint(0xD7, 1) + C._el_uint(0x83, 1)
+                      + C._el(0x86, b"V_MJPEG")
+                      + C._el(0xE0, C._el_uint(0xB0, 8) + C._el_uint(0xBA, 16)))
+        seg = C._el(0x18538067, info + C._el(0x1654AE6B, track)
+                    + C._el(0x1F43B675, body))
+        _, _, frames = C.webm_frames(ebml + seg)
+        assert [int(f.sum(dtype="int64")) for f in frames] == sums
+
+    def test_other_track_blocks_skipped(self):
+        import struct
+
+        from pigpen_spark.functions import codecs as C
+
+        samples, sums = _mjpeg_samples(1, 1, 1, 30)
+        vid = b"\x81" + struct.pack(">h", 0) + b"\x80" + samples[0]
+        aud = b"\x82" + struct.pack(">h", 0) + b"\x80" + b"\x00\x01garbage"
+        body = C._el_uint(0xE7, 0) + C._el(0xA3, aud) + C._el(0xA3, vid)
+        ebml = C._el(0x1A45DFA3, C._el(0x4282, b"matroska"))
+        info = C._el(0x1549A966, C._el_uint(0x2AD7B1, 1_000_000)
+                     + C._el(0x4489, struct.pack(">d", 41.0)))
+        tracks = (C._el(0xAE, C._el_uint(0xD7, 1) + C._el_uint(0x83, 1)
+                        + C._el(0x86, b"V_MJPEG")
+                        + C._el(0xE0, C._el_uint(0xB0, 8) + C._el_uint(0xBA, 8)))
+                  + C._el(0xAE, C._el_uint(0xD7, 2) + C._el_uint(0x83, 2)
+                          + C._el(0x86, b"A_OPUS")))
+        seg = C._el(0x18538067, info + C._el(0x1654AE6B, tracks)
+                    + C._el(0x1F43B675, body))
+        _, _, frames = C.webm_frames(ebml + seg)
+        assert [int(f.sum(dtype="int64")) for f in frames] == sums
+
+    def test_refusals(self):
+        import struct
+
+        import pytest
+
+        from pigpen_spark.functions import codecs as C
+
+        samples, _ = _mjpeg_samples(1, 1, 1, 5)
+        with pytest.raises(ValueError):
+            C.webm_frames(b"\x00" * 16)                  # no EBML magic
+        with pytest.raises(ValueError):
+            C.webm_encode_mjpeg([], 8, 8)                # empty clip
+        # VP9 skeleton (no MJPEG track) raises
+        skel = C.webm_encode_skeleton(1000, [
+            {"handler": "vide", "codec": "V_VP9", "width": 64, "height": 64,
+             "fps": 25}])
+        with pytest.raises(ValueError):
+            C.webm_frames(skel)
+        # laced block refused loudly
+        laced = b"\x81" + struct.pack(">h", 0) + b"\x06" + samples[0]
+        body = C._el_uint(0xE7, 0) + C._el(0xA3, laced)
+        ebml = C._el(0x1A45DFA3, C._el(0x4282, b"matroska"))
+        info = C._el(0x1549A966, C._el_uint(0x2AD7B1, 1_000_000)
+                     + C._el(0x4489, struct.pack(">d", 41.0)))
+        track = C._el(0xAE, C._el_uint(0xD7, 1) + C._el_uint(0x83, 1)
+                      + C._el(0x86, b"V_MJPEG")
+                      + C._el(0xE0, C._el_uint(0xB0, 8) + C._el_uint(0xBA, 8)))
+        seg = C._el(0x18538067, info + C._el(0x1654AE6B, track)
+                    + C._el(0x1F43B675, body))
+        with pytest.raises(ValueError):
+            C.webm_frames(ebml + seg)
+
+    def test_frame_sample_webm_operator(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.range(8).withColumnRenamed("id", "doc_id")
+        payloads = M.synth_webm_mjpeg(ids, "doc_id")
+        out = M.frame_sample_webm(payloads, "id", every_n=2).collect()
+        fused = M.synth_frame_stats_webm(ids, "doc_id", every_n=2).collect()
+        assert sorted([tuple(r) for r in out], key=lambda t: t[:2]) == \
+            sorted([tuple(r) for r in fused], key=lambda t: t[:2])
+        assert out, "no frames sampled"
