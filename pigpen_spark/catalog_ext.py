@@ -4056,6 +4056,43 @@ def ext_audio_profile_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms", "bitrate_kbps_min", "bitrate_kbps_max", "vbr")
 
 
+# VBR-fixture closed forms (phases differ from the CBR/alternating mp3
+# fixture above; the header frame reuses the even-frame bitrate index)
+_VBR_N = "(15 + doc_id % 20)"
+_VBR_RATE = "(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)"
+_VBR_KA = "(CASE doc_id % 5 WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192 WHEN 3 THEN 224 ELSE 256 END)"
+_VBR_KB = "(CASE (doc_id // 3) % 5 WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192 WHEN 3 THEN 224 ELSE 256 END)"
+
+
+@register(
+    "ext_audio_profile_vbr",
+    f"""
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'xing' ELSE 'vbri' END) AS method,
+           {_VBR_N}::BIGINT AS n_frames_fast,
+           ({_VBR_N} * 1152 * 1000 // {_VBR_RATE})::BIGINT AS duration_ms_fast,
+           ({_VBR_N} + 1)::BIGINT AS n_frames_walk,
+           (({_VBR_N} + 1) * 1152 * 1000 // {_VBR_RATE})::BIGINT AS duration_ms_walk,
+           ({_VBR_KA} <> {_VBR_KB}) AS vbr
+    FROM documents
+    """,
+)
+def ext_audio_profile_vbr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 VBR headers (VERDICT r4 next #5): synthesize streams with
+    REAL Xing (even ids) / VBRI (odd ids) header frames, profile each
+    through the O(1) header fast path (exact VBR duration from one
+    frame-header parse + one seek, never walking the stream — the
+    header-speed contract at 100 TB) AND the full chain walk as the
+    verification twin.  Oracle = closed-form per-field functions,
+    including the Xing convention delta (walk counts the header frame,
+    fast counts music frames) — a wrong side-info offset, field order,
+    or endianness breaks the hash."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    return M.synth_audio_profile_vbr(docs, "doc_id").select(
+        F.col("id").alias("doc_id"), "method", "n_frames_fast",
+        "duration_ms_fast", "n_frames_walk", "duration_ms_walk", "vbr")
+
+
 @register(
     "ext_attribution",
     """

@@ -2221,3 +2221,122 @@ def mp3_encode_skeleton(n_frames: int, rate_idx: int = 0,
         hdr = bytes([0xFF, 0xFB, (bi << 4) | (rate_idx << 2), 0])
         out += hdr + bytes(fb - 4)
     return bytes(out)
+
+
+def _mp3_id3_skip(data: bytes) -> int:
+    """Byte offset of the first audio frame (past an ID3v2 tag)."""
+    if data[:3] != b"ID3":
+        return 0
+    if len(data) < 10:
+        raise ValueError("mp3: truncated ID3v2 tag")
+    return 10 + ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                 | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+
+
+def mp3_vbr_info(data: bytes):
+    """Parse a Xing/Info/VBRI header inside the FIRST audio frame, if
+    present: ``{method: 'xing'|'vbri', n_frames, n_bytes}`` (fields the
+    header omits come back None) or None when the stream carries neither.
+
+    Layout per the public specs: Xing/Info magic sits after the side
+    info (MPEG-1: 32 bytes stereo/joint/dual, 17 mono; MPEG-2: 17/9),
+    followed by a flags u32 and the flagged u32 fields in order (frames,
+    bytes, TOC, quality); FhG's VBRI sits at a FIXED 32 bytes after the
+    header with bytes at +10 and frames at +14.  The Xing 'frames' field
+    counts the MUSIC frames (the header frame itself is excluded by
+    convention — mp3_meta's chain walk sees one more)."""
+    pos = _mp3_id3_skip(data)
+    h = mp3_frame_header(data, pos)
+    if h is None:
+        return None
+    fb = h[0]
+    end = min(pos + fb, len(data))
+    version = (data[pos + 1] >> 3) & 0x3
+    mode = (data[pos + 3] >> 6) & 0x3
+    side = (32 if mode != 3 else 17) if version == 3 else (17 if mode != 3 else 9)
+
+    def u32(p: int) -> int:
+        return int.from_bytes(data[p:p + 4], "big")
+
+    p = pos + 4 + side
+    if p + 8 <= end and data[p:p + 4] in (b"Xing", b"Info"):
+        flags = u32(p + 4)
+        q = p + 8
+        frames = n_bytes = None
+        if flags & 0x1:
+            frames = u32(q)
+            q += 4
+        if flags & 0x2:
+            n_bytes = u32(q)
+            q += 4
+        return {"method": "xing", "n_frames": frames, "n_bytes": n_bytes}
+    p = pos + 4 + 32
+    if p + 18 <= end and data[p:p + 4] == b"VBRI":
+        return {"method": "vbri", "n_frames": u32(p + 14),
+                "n_bytes": u32(p + 10)}
+    return None
+
+
+def mp3_meta_fast(data: bytes) -> dict:
+    """Header-SPEED MP3 profiling: O(1) via a Xing/VBRI header when the
+    stream carries one (one frame-header parse + one seek into the first
+    frame — exact VBR duration without walking the whole stream), else
+    the full :func:`mp3_meta` chain walk.  Returns ``{n_frames,
+    sample_rate, duration_ms, method: 'xing'|'vbri'|'chain'}``;
+    header-path frame counts follow the Xing convention (music frames,
+    excluding the header frame the chain walk also counts).  The chain
+    walk stays the verification path: tests cross-check both."""
+    info = mp3_vbr_info(data)
+    if info is None or info["n_frames"] is None:
+        m = mp3_meta(data)
+        return {"n_frames": m["n_frames"], "sample_rate": m["sample_rate"],
+                "duration_ms": m["duration_ms"], "method": "chain"}
+    pos = _mp3_id3_skip(data)
+    _fb, spf, rate, _kbps = mp3_frame_header(data, pos)
+    n = info["n_frames"]
+    return {"n_frames": n, "sample_rate": rate,
+            "duration_ms": n * spf * 1000 // rate, "method": info["method"]}
+
+
+def mp3_encode_vbr(n_frames: int, rate_idx: int = 0, bitrate_indices=None,
+                   header: str = "xing", header_bitrate_idx: int | None = None) -> bytes:
+    """VBR MP3 skeleton with a REAL Xing or VBRI header frame prepended
+    to the music chain: the header frame is itself a valid frame (so the
+    chain walk counts it) whose payload carries frames/bytes counts of
+    the MUSIC frames — the industry convention that makes
+    :func:`mp3_meta_fast` exact without the walk.  The inverse of
+    :func:`mp3_vbr_info`'s scope."""
+    if header not in ("xing", "vbri"):
+        raise ValueError(f"mp3_encode_vbr: unknown header kind {header!r}")
+    idxs = bitrate_indices or [9] * n_frames
+    hbi = header_bitrate_idx if header_bitrate_idx is not None else idxs[0]
+    music = mp3_encode_skeleton(n_frames, rate_idx, idxs)
+    tag_len = _mp3_id3_skip(music)
+    tag, chain = music[:tag_len], music[tag_len:]
+    rate = _MP3_RATES[3][rate_idx]
+    kbps = _MP3_BITRATES_V1L3[hbi]
+    if kbps == 0:
+        raise ValueError(f"mp3_encode_vbr: invalid header bitrate index {hbi}")
+    fb = 1152 // 8 * kbps * 1000 // rate
+    frame = bytearray(bytes([0xFF, 0xFB, (hbi << 4) | (rate_idx << 2), 0])
+                      + bytes(fb - 4))
+    total_bytes = fb + len(chain)
+    if header == "xing":
+        p = 4 + 32                                       # MPEG-1 stereo side info
+        frame[p:p + 4] = b"Xing"
+        frame[p + 4:p + 8] = (0x3).to_bytes(4, "big")    # frames | bytes
+        frame[p + 8:p + 12] = n_frames.to_bytes(4, "big")
+        frame[p + 12:p + 16] = total_bytes.to_bytes(4, "big")
+    else:
+        p = 4 + 32
+        frame[p:p + 4] = b"VBRI"
+        frame[p + 4:p + 6] = (1).to_bytes(2, "big")      # version
+        frame[p + 6:p + 8] = (0).to_bytes(2, "big")      # delay
+        frame[p + 8:p + 10] = (0).to_bytes(2, "big")     # quality
+        frame[p + 10:p + 14] = total_bytes.to_bytes(4, "big")
+        frame[p + 14:p + 18] = n_frames.to_bytes(4, "big")
+        frame[p + 18:p + 20] = (0).to_bytes(2, "big")    # TOC entries
+        frame[p + 20:p + 22] = (1).to_bytes(2, "big")    # scale
+        frame[p + 22:p + 24] = (2).to_bytes(2, "big")    # entry bytes
+        frame[p + 24:p + 26] = (1).to_bytes(2, "big")    # frames/entry
+    return tag + bytes(frame) + chain

@@ -1131,3 +1131,65 @@ def synth_audio_profile_mp3(df: DataFrame, id_col: str) -> DataFrame:
         df, id_col, lambda i: _mp3_meta_row(i, _mp3_payload(i)),
         MP3_META_SCHEMA,
     )
+
+
+MP3_VBR_SCHEMA = ("id long, method string, n_frames_fast long, "
+                  "duration_ms_fast long, n_frames_walk long, "
+                  "duration_ms_walk long, vbr boolean")
+
+
+def _mp3_vbr_payload(i: int) -> bytes:
+    """Synthetic VBR MP3 i with a REAL Xing (even i) / VBRI (odd i)
+    header frame: 15 + i%20 music frames at rate index i%3, bitrates
+    alternating indices 9 + i%5 / 9 + (i//3)%5 (phases differ from
+    _mp3_payload so the two MP3 fixtures stay disjoint); the header
+    frame reuses the even-frame bitrate index so the chain walk's
+    bitrate envelope keeps a clean closed form."""
+    from pigpen_spark.functions import codecs as C
+
+    n = 15 + i % 20
+    a, b = 9 + i % 5, 9 + (i // 3) % 5
+    return C.mp3_encode_vbr(
+        n, i % 3, [a if f % 2 == 0 else b for f in range(n)],
+        header="xing" if i % 2 == 0 else "vbri", header_bitrate_idx=a)
+
+
+def _mp3_vbr_row(rid: int, data: bytes) -> dict:
+    from pigpen_spark.functions import codecs as C
+
+    fast = C.mp3_meta_fast(data)
+    walk = C.mp3_meta(data)
+    return {"id": rid, "method": fast["method"],
+            "n_frames_fast": fast["n_frames"],
+            "duration_ms_fast": fast["duration_ms"],
+            "n_frames_walk": walk["n_frames"],
+            "duration_ms_walk": walk["duration_ms"], "vbr": walk["vbr"]}
+
+
+def audio_profile_vbr(df: DataFrame, id_col: str,
+                      payload_col: str = "payload") -> DataFrame:
+    """MP3 profiling through BOTH paths side by side: the O(1) Xing/VBRI
+    header fast path (production: one header parse per stream, exact VBR
+    duration with no walk) and the full frame-chain walk (verification).
+    Emits the Xing-convention frame-count delta explicitly
+    (n_frames_walk = n_frames_fast + 1 when a header frame is present)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_mp3_vbr_row(int(rid), bytes(payload))
+                 for rid, payload in zip(pdf["id"], pdf["payload"])]
+            )
+
+    return src.mapInPandas(work, schema=MP3_VBR_SCHEMA)
+
+
+def synth_audio_profile_vbr(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused synth→(Xing/VBRI fast path + chain-walk verify)."""
+    return _fused_synth(
+        df, id_col, lambda i: _mp3_vbr_row(i, _mp3_vbr_payload(i)),
+        MP3_VBR_SCHEMA,
+    )

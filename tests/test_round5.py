@@ -225,3 +225,79 @@ class TestWebmFrames:
         assert sorted([tuple(r) for r in out], key=lambda t: t[:2]) == \
             sorted([tuple(r) for r in fused], key=lambda t: t[:2])
         assert out, "no frames sampled"
+
+
+class TestMp3Vbr:
+    def test_xing_and_vbri_roundtrip(self):
+        from pigpen_spark.functions import codecs as C
+
+        for hdr in ("xing", "vbri"):
+            idxs = [9, 12, 10, 14, 9]
+            data = C.mp3_encode_vbr(5, 1, idxs, header=hdr)
+            info = C.mp3_vbr_info(data)
+            assert info["method"] == hdr
+            assert info["n_frames"] == 5
+            # bytes field covers header frame + music chain exactly
+            assert info["n_bytes"] == len(data) - C._mp3_id3_skip(data)
+            fast = C.mp3_meta_fast(data)
+            walk = C.mp3_meta(data)
+            assert fast["n_frames"] == 5 and walk["n_frames"] == 6
+            assert fast["duration_ms"] == 5 * 1152 * 1000 // 48000
+            assert walk["vbr"] is True
+
+    def test_info_tag_cbr(self):
+        # 'Info' magic (LAME's CBR variant of Xing) parses identically
+        from pigpen_spark.functions import codecs as C
+
+        data = bytearray(C.mp3_encode_vbr(4, 0, header="xing"))
+        pos = C._mp3_id3_skip(bytes(data))
+        p = pos + 4 + 32
+        assert bytes(data[p:p + 4]) == b"Xing"
+        data[p:p + 4] = b"Info"
+        info = C.mp3_vbr_info(bytes(data))
+        assert info["method"] == "xing" and info["n_frames"] == 4
+
+    def test_chain_fallback_no_header(self):
+        from pigpen_spark.functions import codecs as C
+
+        data = C.mp3_encode_skeleton(9, 2)
+        fast = C.mp3_meta_fast(data)
+        assert fast["method"] == "chain" and fast["n_frames"] == 9
+        assert fast["duration_ms"] == C.mp3_meta(data)["duration_ms"]
+
+    def test_corrupt_header_frame_raises_on_walk(self):
+        import pytest
+
+        from pigpen_spark.functions import codecs as C
+
+        data = bytearray(C.mp3_encode_vbr(3, 0, header="vbri"))
+        # corrupt the SECOND frame's sync header (first music frame):
+        # the walk must break the chain loudly; the fast path, which
+        # never visits it, still answers from the VBRI header
+        pos = C._mp3_id3_skip(bytes(data))
+        fb, _, _, _ = C.mp3_frame_header(bytes(data), pos)
+        data[pos + fb] = 0x00
+        fast = C.mp3_meta_fast(bytes(data))
+        assert fast["method"] == "vbri" and fast["n_frames"] == 3
+        with pytest.raises(ValueError):
+            C.mp3_meta(bytes(data))
+
+    def test_rejects_bad_args(self):
+        import pytest
+
+        from pigpen_spark.functions import codecs as C
+
+        with pytest.raises(ValueError):
+            C.mp3_encode_vbr(3, 0, header="toc")
+        with pytest.raises(ValueError):
+            C.mp3_encode_vbr(3, 0, header="xing", header_bitrate_idx=0)
+
+    def test_operator_parity(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.range(10).withColumnRenamed("id", "doc_id")
+        fused = M.synth_audio_profile_vbr(ids, "doc_id").collect()
+        assert len(fused) == 10
+        for r in fused:
+            assert r["n_frames_walk"] == r["n_frames_fast"] + 1
+            assert r["method"] in ("xing", "vbri")
