@@ -99,7 +99,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_audio_profile_vbr",     # Xing/VBRI VBR header fast path vs chain walk
     "ext_minhash_doc_sig",       # order-invariant MinHash doc signatures
     "ext_session_stats",         # sessionization rollup (gap sessions → stats)
-    "ext_ngram_coverage",        # reference n-gram coverage score
+    "ext_vocab_coverage",        # vocab-size coverage curve (tokenizer planning)
     # --- below the window: r5 additions past the 8 slots lead the r6
     # rotation (appended here as they are registered) ---
     # --- driver rows already green in r1-r4 (registration-order tail) ---

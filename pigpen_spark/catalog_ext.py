@@ -3976,6 +3976,89 @@ def ext_frame_sample_webm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "frame_index", "f_px_sum")
 
 
+# Mixed-codec fixture closed forms (multimodal._mm_payload): fmt by
+# doc_id%3 (png/jpeg/gif), content by k = (doc_id//3) % 40 — the 40-id
+# period creates REAL duplicate groups inside a 500-doc corpus.
+_MM_BUDGET, _MM_SHARDS = 1500, 4
+
+
+@register(
+    "ext_multimodal_pipeline",
+    f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 3 AS fmt, (doc_id // 3) % 40 AS k FROM documents
+    ),
+    geom AS (
+      SELECT doc_id, fmt,
+        CASE fmt WHEN 0 THEN 8 + k % 4
+                 WHEN 1 THEN 8 * (1 + k % 3)
+                 ELSE 6 + k % 5 END AS w,
+        CASE fmt WHEN 0 THEN 8 + (k // 4) % 5
+                 WHEN 1 THEN 8 * (1 + (k // 3) % 3)
+                 ELSE 6 + (k // 5) % 4 END AS h,
+        CASE fmt WHEN 1 THEN 1 ELSE 3 END AS ch,
+        CASE fmt WHEN 0 THEN (k * 9) % 120
+                 WHEN 1 THEN (k * 11) % 120
+                 ELSE (k * 13) % 120 END AS a
+      FROM base
+    ),
+    stats AS (
+      SELECT doc_id, w, h, ch,
+        CASE fmt
+          WHEN 0 THEN 3*a*w*h + 3*h*(w*(w-1)//2) + 3*w*(h*(h-1)//2) + 3*w*h
+          WHEN 1 THEN a*w*h + (h//8)*64*((w//8)*((w//8)-1)//2)
+                            + (w//8)*64*((h//8)*((h//8)-1)//2)
+          ELSE 3*(a*w*h + h*(w*(w-1)//2) + w*(h*(h-1)//2))
+        END AS px_sum
+      FROM geom
+    ),
+    gated AS (
+      SELECT * FROM stats
+      WHERE least(w, h) >= 8 AND px_sum < 70 * w * h * ch
+    ),
+    kept AS (
+      SELECT doc_id, (w * h * ch)::BIGINT AS npx FROM (
+        SELECT *, row_number() OVER (PARTITION BY w, h, ch, px_sum
+                                     ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    placed AS (
+      SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {_MM_SHARDS} AS shard,
+             doc_id, npx
+      FROM kept
+    ),
+    seqd AS (
+      SELECT shard, doc_id, npx,
+             ((sum(npx) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - npx)
+              // {_MM_BUDGET})::BIGINT AS seq_no
+      FROM placed
+    )
+    SELECT shard, seq_no,
+           count(*)::BIGINT AS n_images,
+           sum(npx)::BIGINT AS px_total,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
+    FROM seqd GROUP BY shard, seq_no
+    """,
+)
+def ext_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP multimodal pipeline (VERDICT r4 next #8) — the image
+    twin of ext_corpus_pipeline, one DAG over a MIXED png/jpeg/gif
+    corpus: magic-dispatch REAL decode (all three codecs) → quality
+    gate (geometry + integer-exact mean brightness) → near-dup
+    keep-first on the decoded-feature fingerprint (one WindowGroupLimit
+    shuffle; the 40-id fixture period makes genuine duplicate groups)
+    → tokenize_pack-style sharded pixel-budget packing (no global
+    window).  Oracle = the full composition in closed form from the
+    generation formulas: any decoder stage, gate arithmetic, dedup key,
+    shard hash, or cumsum boundary error breaks the hash."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    stats = M.synth_mixed_image_stats(docs, "doc_id")
+    return M.image_curation_pack(stats, "id", min_dim=8, max_mean=70,
+                                 budget=_MM_BUDGET, shards=_MM_SHARDS)
+
+
 @register(
     "ext_outlier_mad",
     """
@@ -4862,3 +4945,97 @@ def ext_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(shift.select(F.round("ms", 6).alias("mean_shift_sq")))
         .select("n_a", "n_b", "diversity_a", "diversity_b", "mean_shift_sq")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5: sessionization rollup, signature materialization, coverage curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_session_stats",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                          ORDER BY ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts))::BIGINT
+               AS sess_n
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, sess_n,
+             count(*)::BIGINT AS n,
+             ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT AS dur
+      FROM s GROUP BY user_id, sess_n
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_sessions,
+           sum(n)::BIGINT AS n_events,
+           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS bounces,
+           max(n)::BIGINT AS max_session_events,
+           max(dur)::BIGINT AS max_duration_s
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization rollup (windows.session_stats): 30-min
+    gap sessions → per-session scalars → per-user engagement profile
+    (session count, events, single-event bounces, longest session by
+    events and wall-clock).  The aggregate twin of ext_conversations:
+    same one user-keyed shuffle chain, but per-user state is five
+    integers, never a transcript — the shape that survives mega-users
+    at 100 TB."""
+    from pigpen_spark.operators.windows import session_stats
+
+    e = tables(spark, sf_dir)["events"]
+    return session_stats(e.df, "user_id", "ts", gap_seconds=1800)
+
+
+@register(
+    "ext_minhash_doc_sig",
+    f"""
+    WITH RECURSIVE {D.minhash_sigs_cte_sql('documents', 'doc_id', 'text', 12, 3)}
+    SELECT id AS doc_id, array_to_string(sig, ',') AS sig
+    FROM sigs
+    """,
+)
+def ext_minhash_doc_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature MATERIALIZATION — the reusable
+    index artifact every near-dup consumer (banded candidates,
+    incremental index, decontamination) derives from: k=12 min-hashes
+    over 3-gram shingles, emitted comma-joined (rule: no array outputs).
+    Persisting signatures instead of recomputing them is the 100 TB
+    posture — text is hashed ONCE per document forever; signatures are
+    ~96 bytes regardless of document size and are a function of the
+    shingle SET (repetition/order of shingle hashes changes nothing —
+    TestRound5Rows pins the set semantics and that this column equals
+    what the banded-candidate path computes)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.df.select(
+        "doc_id",
+        F.array_join(
+            F.transform(D.minhash_signature(F.col("text"), k=12, shingle_n=3),
+                        lambda h: h.cast("string")), ",").alias("sig"),
+    )
+
+
+@register(
+    "ext_vocab_coverage",
+    P.vocab_coverage_sql("documents", "text", sizes=(64, 256, 1024)),
+)
+def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (tokenizer planning): the fraction of
+    the corpus token stream covered by a top-V word vocabulary at
+    V ∈ {{64, 256, 1024}} — the OOV-budget sweep run before committing
+    to a vocab size.  One build_vocab pass + ONE conditional-sum
+    aggregate computes the whole curve (probing more sizes costs zero
+    extra passes); integer-ppm output, hash-exact oracle."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.vocab_coverage(docs.df, "text", sizes=(64, 256, 1024))

@@ -1193,3 +1193,127 @@ def synth_audio_profile_vbr(df: DataFrame, id_col: str) -> DataFrame:
         df, id_col, lambda i: _mp3_vbr_row(i, _mp3_vbr_payload(i)),
         MP3_VBR_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship multimodal pipeline: decode -> gate -> near-dup -> pack (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _mm_payload(i: int) -> bytes:
+    """Mixed-codec fixture i: format by i%3 (png/jpeg/gif), content
+    parameters by k = (i//3) % 40 — the DELIBERATE 40-id period makes
+    real duplicate groups inside a 500-doc corpus (ids 3m+fmt and
+    3m'+fmt collide whenever m ≡ m' mod 40), so the pipeline's near-dup
+    stage has genuine work.  Every format stays in its lossless
+    subspace (PNG any pixels; JPEG block-constant; GIF palette ramp) so
+    decoded stats have closed forms."""
+    import numpy as np
+
+    from pigpen_spark.functions import codecs as C
+
+    fmt, k = i % 3, (i // 3) % 40
+    if fmt == 0:
+        w, h, a = 8 + k % 4, 8 + (k // 4) % 5, (k * 9) % 120
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        return C.png_encode((a + x + y + c).astype(np.uint8),
+                            filter_type=2 * (k % 2))
+    if fmt == 1:
+        bw, bh, a = 1 + k % 3, 1 + (k // 3) % 3, (k * 11) % 120
+        blocks = a + np.arange(bw)[None, :] + np.arange(bh)[:, None]
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+        return C.jpeg_encode(img)
+    w, h, a = 6 + k % 5, 6 + (k // 5) % 4, (k * 13) % 120
+    frame = (a + np.arange(w)[None, :] + np.arange(h)[:, None]).astype(np.uint8)
+    return C.gif_encode([frame])
+
+
+def _mm_stats_row(rid: int, data: bytes) -> dict:
+    """Magic-sniff dispatch to the matching REAL decoder (the
+    synth_video_meta pattern): PNG/JPEG full decode, GIF first frame."""
+    from pigpen_spark.functions import codecs as C
+
+    if data[:2] == b"\xFF\xD8":
+        arr = C.jpeg_decode(data)
+    elif data[:4] == b"GIF8":
+        _w, _h, frames = C.gif_decode(data)
+        arr = frames[0]
+    else:
+        arr = C.png_decode(data)
+    ch = arr.shape[2] if arr.ndim == 3 else 1
+    return {
+        "id": rid, "width": int(arr.shape[1]), "height": int(arr.shape[0]),
+        "channels": ch, "px_sum": int(arr.sum(dtype="int64")),
+        "px_min": int(arr.min()), "px_max": int(arr.max()),
+    }
+
+
+def synth_mixed_image_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused synth(mixed png/jpeg/gif)→magic-dispatch decode→stats."""
+    return _fused_synth(df, id_col, lambda i: [_mm_stats_row(i, _mm_payload(i))],
+                        IMAGE_STATS_SCHEMA)
+
+
+def image_curation_pack(stats: DataFrame, id_col: str = "id",
+                        min_dim: int = 8, max_mean: int = 70,
+                        budget: int = 1500, shards: int = 4) -> DataFrame:
+    """The multimodal twin of the ext_corpus_pipeline flagship, fed by
+    decoded image stats (id, width, height, channels, px_sum):
+
+    1. quality gate — geometry (min dimension) and integer-exact mean
+       brightness (px_sum < max_mean · npx; no float division);
+    2. near-dup — feature-fingerprint dedup keep-first on (width,
+       height, channels, px_sum): ONE WindowGroupLimit shuffle, the
+       exact_keep posture (inside the synthetic ramp family the stats
+       tuple determines the pixels; production swaps the key for a
+       decoded-content digest or pHash — same plan);
+    3. pack — tokenize_pack's sharded greedy fill with pixels as the
+       budget unit: id-hash shard, per-shard id-order cumsum, sequence
+       s = floor(start_px / budget).  No global window anywhere — at
+       100 TB raise ``shards`` until a shard fits a task.
+
+    Returns (shard, seq_no, n_images, px_total, doc_ids) with doc_ids
+    comma-joined in id order (membership on the hash, no arrays)."""
+    from pyspark.sql import Window
+
+    cid = F.col(id_col)
+    npx = (F.col("width") * F.col("height") * F.col("channels")).cast("long")
+    gated = stats.filter(
+        (F.least(F.col("width"), F.col("height")) >= min_dim)
+        & (F.col("px_sum") < F.lit(max_mean) * F.col("width")
+           * F.col("height") * F.col("channels"))
+    )
+    w_dup = Window.partitionBy("width", "height", "channels", "px_sum").orderBy(cid)
+    kept = (
+        gated.withColumn("__rn", F.row_number().over(w_dup))
+        .filter(F.col("__rn") == 1)
+        .select(cid.alias("__id"), npx.alias("__npx"))
+    )
+    sharded = kept.withColumn(
+        "__shard",
+        F.conv(F.substring(F.md5(F.col("__id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % shards,
+    )
+    w_off = (
+        Window.partitionBy("__shard").orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sharded.withColumn(
+        "__seq",
+        F.floor((F.sum("__npx").over(w_off) - F.col("__npx")) / budget).cast("long"),
+    )
+    return (
+        placed.groupBy(F.col("__shard").alias("shard"), F.col("__seq").alias("seq_no"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("__npx").cast("long").alias("px_total"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__id"))),
+                    lambda s: s["__id"].cast("string"),
+                ), ",",
+            ).alias("doc_ids"),
+        )
+    )

@@ -549,6 +549,81 @@ def build_vocab_sql(table: str, text_col: str, min_count: int = 1) -> str:
     """
 
 
+def vocab_coverage(df: DataFrame, text_col: str,
+                   sizes: Sequence[int] = (64, 256, 1024)) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-planning sweep: what
+    fraction of the corpus TOKEN STREAM would a top-V word vocabulary
+    cover, for each candidate V?  (The budget question behind choosing a
+    vocab size / OOV-rate target before committing to a tokenizer.)
+
+    One :func:`build_vocab` pass (groupBy token, global rank over TYPES
+    not tokens), then a SINGLE aggregate computes every size's covered
+    count as a conditional sum — the curve costs one extra reduction of
+    the vocabulary regardless of how many sizes are probed.  Exact
+    integer arithmetic (coverage in ppm via DIV), so the DuckDB oracle
+    is hash-exact.
+
+    Returns one row per size: (vocab_size, n_types, covered_tokens,
+    total_tokens, coverage_ppm)."""
+    if not sizes or any(v < 1 for v in sizes):
+        raise ValueError(f"vocab_coverage: sizes must be positive, got {sizes!r}")
+    vocab = build_vocab(df, text_col)
+    one = vocab.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__types"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("token_id") <= int(v), F.col("n"))
+                      .otherwise(F.lit(0))), F.lit(0))
+            .cast("long").alias(f"__c{v}")
+            for v in sizes
+        ],
+    )
+    per_size = one.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(int(v)).cast("long").alias("vocab_size"),
+                     F.col(f"__c{v}").alias("covered_tokens"))
+            for v in sizes
+        ])).alias("s"),
+        "__types", "__total",
+    )
+    return per_size.select(
+        F.col("s.vocab_size").alias("vocab_size"),
+        F.col("__types").alias("n_types"),
+        F.col("s.covered_tokens").alias("covered_tokens"),
+        F.col("__total").alias("total_tokens"),
+        F.expr("CASE WHEN __total > 0 THEN s.covered_tokens * 1000000 DIV __total END")
+        .cast("long").alias("coverage_ppm"),
+    )
+
+
+def vocab_coverage_sql(table: str, text_col: str,
+                       sizes: Sequence[int] = (64, 256, 1024)) -> str:
+    """DuckDB oracle for :func:`vocab_coverage` (same rank + conditional
+    sums; windowed/CASE sums cast ::BIGINT per the big-int rule)."""
+    lits = ", ".join(str(int(v)) for v in sizes)
+    return f"""
+    WITH {build_vocab_sql(table, text_col)},
+    tot AS (
+      SELECT coalesce(sum(n), 0)::BIGINT AS total, count(*)::BIGINT AS n_types
+      FROM vocab
+    ),
+    per AS (
+      SELECT v.size AS vocab_size,
+             coalesce(sum(CASE WHEN token_id <= v.size THEN n ELSE 0 END), 0)::BIGINT
+               AS covered
+      FROM (SELECT unnest([{lits}]) AS size) v
+      LEFT JOIN vocab ON TRUE
+      GROUP BY v.size
+    )
+    SELECT vocab_size::BIGINT AS vocab_size, n_types,
+           covered AS covered_tokens, total AS total_tokens,
+           (CASE WHEN total > 0 THEN covered * 1000000 // total END)::BIGINT
+             AS coverage_ppm
+    FROM per, tot
+    """
+
+
 def tokenize_pack(df: DataFrame, id_col: str, text_col: str,
                   seq_len: int, shards: int = 8,
                   vocab: DataFrame | None = None) -> DataFrame:

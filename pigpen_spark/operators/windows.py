@@ -330,6 +330,44 @@ def assemble_conversations(df: DataFrame, user_col: str, ts_col: str,
     )
 
 
+def session_stats(df: DataFrame, user_col: str, ts_col: str,
+                  gap_seconds: int) -> DataFrame:
+    """Per-user sessionization ROLLUP — the engagement-profile pass next
+    to :func:`assemble_conversations` (which emits per-session rows):
+    gap-sessionize, aggregate each session to scalars, then roll the
+    sessions up per user.  Two groupBys over the same user-keyed shuffle
+    chain as the sessionize window (AQE-coalesced); per-user state is a
+    handful of integers, never a transcript.
+
+    Returns (user, n_sessions, n_events, bounces, max_session_events,
+    max_duration_s) — ``bounces`` = single-event sessions, durations in
+    integer seconds (µs DIV 1e6 for timestamps; the caller's own unit
+    for numeric ts columns, matching :func:`sessionize`'s gap unit)."""
+    sess = sessionize(df, user_col, ts_col, gap_seconds)
+    dt = sess.select(F.col(ts_col).alias("__t")).schema["__t"] \
+        .dataType.simpleString()
+    is_ts = dt.startswith("timestamp")
+    us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+          if is_ts else F.col(ts_col).cast("bigint"))
+    dur_div = 1_000_000 if is_ts else 1
+    per_sess = (
+        sess.withColumn("__us", us)
+        .groupBy(F.col(user_col), F.col("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.expr(f"CAST((max(__us) - min(__us)) DIV {dur_div} AS BIGINT)")
+             .alias("__dur"),
+        )
+    )
+    return per_sess.groupBy(F.col(user_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("__n").cast("long").alias("n_events"),
+        F.sum((F.col("__n") == 1).cast("long")).cast("long").alias("bounces"),
+        F.max("__n").cast("long").alias("max_session_events"),
+        F.max("__dur").cast("long").alias("max_duration_s"),
+    )
+
+
 def resample_ffill(df: DataFrame, key_cols: Sequence, ts_col: str,
                    value_cols: Sequence, interval_seconds: int,
                    tiebreak: Sequence = ()) -> DataFrame:

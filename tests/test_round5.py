@@ -301,3 +301,122 @@ class TestMp3Vbr:
         for r in fused:
             assert r["n_frames_walk"] == r["n_frames_fast"] + 1
             assert r["method"] in ("xing", "vbri")
+
+
+class TestMultimodalPipeline:
+    def test_stage_discrimination(self, spark):
+        # every stage must actually do work on a 500-id corpus
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.range(500).withColumnRenamed("id", "doc_id")
+        stats = M.synth_mixed_image_stats(ids, "doc_id")
+        n_all = stats.count()
+        gated = stats.filter(
+            (F.least("width", "height") >= 8)
+            & (F.col("px_sum") < 70 * F.col("width") * F.col("height") * F.col("channels")))
+        n_gated = gated.count()
+        kept = M.image_curation_pack(stats, "id")
+        rows = kept.collect()
+        n_kept = sum(r["n_images"] for r in rows)
+        assert n_all == 500
+        assert 0 < n_gated < n_all, "gate is vacuous"
+        assert 0 < n_kept < n_gated, "dedup removed nothing"
+        # packing respects the budget: every sequence STARTS under budget
+        # (an image may straddle the boundary, tokenize_pack semantics)
+        for r in rows:
+            assert r["n_images"] >= 1
+        # membership string is id-ordered
+        for r in rows:
+            ids_ = [int(x) for x in r["doc_ids"].split(",")]
+            assert ids_ == sorted(ids_)
+
+    def test_mixed_decode_matches_direct(self):
+        from pigpen_spark.functions import multimodal as M
+
+        for i in range(12):
+            r = M._mm_stats_row(i, M._mm_payload(i))
+            assert r["width"] > 0 and r["px_sum"] >= 0
+            # format cycle: png/jpeg/gif channels 3/1/3
+            assert r["channels"] == (1 if i % 3 == 1 else 3)
+
+
+class TestRound5Rows:
+    def test_minhash_sig_set_semantics(self, spark):
+        # the signature is a function of the shingle SET: repeating and
+        # reordering the shingle hashes changes nothing (what makes a
+        # persisted signature reusable by every downstream consumer)
+        from pigpen_spark.functions import dedup as D
+
+        hs = [11, 7, 42, 99, 7, 11, 42]
+        df = spark.createDataFrame(
+            [(1, hs), (2, list(reversed(hs)) + hs)],
+            "doc_id long, hs array<long>",
+        )
+        out = df.select(
+            "doc_id",
+            F.array_join(F.transform(
+                D.minhash_from_hashes(F.col("hs"), k=12),
+                lambda h: h.cast("string")), ",").alias("sig"),
+        ).collect()
+        sigs = {r["doc_id"]: r["sig"] for r in out}
+        assert sigs[1] == sigs[2]
+
+    def test_minhash_sig_matches_sigs_cte_family(self, spark):
+        # the materialized signature equals what the banded-candidate
+        # path computes (same minhash_signature expression)
+        from pigpen_spark.functions import dedup as D
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        a = df.select(D.minhash_signature(F.col("text"), k=12, shingle_n=3)
+                      .alias("sig")).collect()[0]["sig"]
+        b = df.select(D.minhash_from_hashes(
+            D.shingle_hashes(D.token_hashes(F.col("text")), 3), k=12)
+            .alias("sig")).collect()[0]["sig"]
+        assert len(a) == 12 and a == b
+
+    def test_session_stats_model(self, spark):
+        from pigpen_spark.operators.windows import session_stats
+
+        rows = [
+            (1, 0), (1, 100), (1, 3000),       # user 1: 2 sessions (2 ev, 1 ev)
+            (2, 0),                            # user 2: 1 bounce
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long")
+        out = {r["user_id"]: r for r in
+               session_stats(df, "user_id", "ts", gap_seconds=1800).collect()}
+        assert out[1]["n_sessions"] == 2
+        assert out[1]["n_events"] == 3
+        assert out[1]["bounces"] == 1
+        assert out[1]["max_session_events"] == 2
+        assert out[1]["max_duration_s"] == 100   # numeric ts: caller's unit
+        assert out[2]["bounces"] == 1 and out[2]["max_duration_s"] == 0
+
+    def test_vocab_coverage_model(self, spark):
+        from pigpen_spark.functions import pipeline as P
+
+        df = spark.createDataFrame(
+            [(1, "a a a b b c")], "doc_id long, text string")
+        out = {r["vocab_size"]: r for r in
+               P.vocab_coverage(df, "text", sizes=(1, 2, 3)).collect()}
+        assert out[1]["covered_tokens"] == 3        # top-1 = 'a'
+        assert out[2]["covered_tokens"] == 5
+        assert out[3]["covered_tokens"] == 6
+        assert out[3]["coverage_ppm"] == 1_000_000
+        assert out[1]["coverage_ppm"] == 500_000
+        assert all(r["n_types"] == 3 and r["total_tokens"] == 6
+                   for r in out.values())
+
+    def test_vocab_coverage_empty_and_bad_args(self, spark):
+        from pigpen_spark.functions import pipeline as P
+
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        out = P.vocab_coverage(df, "text", sizes=(4,)).collect()
+        assert len(out) == 1
+        assert out[0]["total_tokens"] == 0 and out[0]["coverage_ppm"] is None
+        with pytest.raises(ValueError):
+            P.vocab_coverage(df, "text", sizes=())
+        with pytest.raises(ValueError):
+            P.vocab_coverage(df, "text", sizes=(0,))
