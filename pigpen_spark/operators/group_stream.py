@@ -44,6 +44,29 @@ def _c(x) -> Column:
     return x if isinstance(x, Column) else F.col(x)
 
 
+#: Default per-key row bound for the AUTO fast/stream dispatch
+#: (grouped_auto_apply / cogroup_auto_apply).  Above it, a whole-group
+#: applyInPandas materialization is one Arrow table of >=250k rows per
+#: task — the regime where a wide row or a skewed key starts OOMing
+#: executors — so the dispatcher escalates to the chunked stream path.
+#: Below it the fast path wins on per-group machinery overhead.
+AUTO_STREAM_THRESHOLD_ROWS = 250_000
+
+
+def max_group_rows(df: DataFrame, keys: Sequence) -> int:
+    """The probe behind the auto dispatch: the largest per-key row count
+    (one counting groupBy + a 1-row max — counts only ever shuffle, the
+    payload never moves; same pattern as remove_frequent_spans(auto)'s
+    df probe)."""
+    row = (
+        df.groupBy(*[_c(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n"))
+        .first()
+    )
+    return int(row[0]) if row and row[0] is not None else 0
+
+
 def grouped_stream_apply(
     df: DataFrame,
     keys: Sequence,
@@ -119,6 +142,40 @@ def grouped_stream_apply(
     return keyed.mapInPandas(gen, schema=schema)
 
 
+def _union_align(inputs: Sequence[tuple[DataFrame, Sequence]],
+                 key_names: Sequence[str] | None, tag_col: str):
+    """Tag every input and align their value columns into one union
+    (missing columns → typed NULLs).  Shared by the streaming and the
+    fast cogroup paths so both see identical chunk shapes.  Returns
+    (key_names, union_df, [(col, type), ...])."""
+    first_keys = inputs[0][1]
+    knames = list(key_names or [f"k{i}" for i in range(len(first_keys))])
+    all_cols: list[tuple[str, str]] = []
+    seen = set()
+    for df, _ in inputs:
+        for f_ in df.schema.fields:
+            if f_.name not in seen:
+                seen.add(f_.name)
+                all_cols.append((f_.name, f_.dataType.simpleString()))
+    tagged = []
+    for i, (df, ks) in enumerate(inputs):
+        if len(ks) != len(knames):
+            raise ValueError(
+                f"cogroup: input {i} has {len(ks)} keys, expected {len(knames)}"
+            )
+        kcols = [_c(k).alias(n) for k, n in zip(ks, knames)]
+        have = set(df.columns)
+        vals = [
+            (F.col(n) if n in have else F.lit(None).cast(t)).alias(f"__v_{n}")
+            for n, t in all_cols
+        ]
+        tagged.append(df.select(*kcols, F.lit(i).alias(tag_col), *vals))
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    return knames, union, all_cols
+
+
 def cogroup_stream_apply(
     inputs: Sequence[tuple[DataFrame, Sequence]],
     init: Callable,
@@ -137,33 +194,7 @@ def cogroup_stream_apply(
     input, chunked, never materialized (the reference's multi-bag
     Accumulator shape, pig/runtime.clj:194-240).
     """
-    first_keys = inputs[0][1]
-    knames = list(key_names or [f"k{i}" for i in range(len(first_keys))])
-    # union-align: every input contributes (keys, tag, its own columns);
-    # columns absent from an input become typed NULLs
-    all_cols: list[tuple[str, str]] = []
-    seen = set()
-    for df, _ in inputs:
-        for f_ in df.schema.fields:
-            if f_.name not in seen:
-                seen.add(f_.name)
-                all_cols.append((f_.name, f_.dataType.simpleString()))
-    tagged = []
-    for i, (df, ks) in enumerate(inputs):
-        if len(ks) != len(knames):
-            raise ValueError(
-                f"cogroup_stream_apply: input {i} has {len(ks)} keys, expected {len(knames)}"
-            )
-        kcols = [_c(k).alias(n) for k, n in zip(ks, knames)]
-        have = set(df.columns)
-        vals = [
-            (F.col(n) if n in have else F.lit(None).cast(t)).alias(f"__v_{n}")
-            for n, t in all_cols
-        ]
-        tagged.append(df.select(*kcols, F.lit(i).alias(tag_col), *vals))
-    union = tagged[0]
-    for t in tagged[1:]:
-        union = union.unionByName(t)
+    knames, union, all_cols = _union_align(inputs, key_names, tag_col)
     parts = [num_partitions] if num_partitions else []
     keyed = (
         union.repartition(*parts, *[F.col(n) for n in knames])
@@ -213,3 +244,97 @@ def cogroup_stream_apply(
             yield pd.DataFrame(out)
 
     return keyed.mapInPandas(gen, schema=schema)
+
+
+def grouped_auto_apply(
+    df: DataFrame,
+    keys: Sequence,
+    init: Callable,
+    accumulate: Callable,
+    finish: Callable,
+    schema: str,
+    key_names: Sequence[str] | None = None,
+    order_by: Sequence = (),
+    num_partitions: int | None = None,
+    threshold_rows: int | None = None,
+) -> DataFrame:
+    """DATA-DRIVEN dispatch between the fast whole-group path and
+    :func:`grouped_stream_apply` (VERDICT r4 next #6): one counting
+    probe (:func:`max_group_rows`) decides — groups all under the
+    threshold run through ``applyInPandas`` with each group delivered to
+    ``accumulate`` as ONE chunk (lowest per-group overhead, no secondary
+    sort machinery); any giant key escalates the WHOLE job to the
+    chunked stream path, whose peak footprint is one Arrow batch.
+
+    Both paths drive the SAME accumulator trio — a single whole-group
+    chunk is a legal chunking, so the Accumulator contract (chunking-
+    insensitive ``accumulate``) already guarantees identical results;
+    tests pin fast == stream on the same input.  The probe costs one
+    count-only shuffle (the payload never moves), which is what makes
+    the threshold data-driven rather than caller-guessed."""
+    thr = AUTO_STREAM_THRESHOLD_ROWS if threshold_rows is None else threshold_rows
+    if max_group_rows(df, keys) > thr:
+        return grouped_stream_apply(
+            df, keys, init, accumulate, finish, schema,
+            key_names=key_names, order_by=order_by,
+            num_partitions=num_partitions,
+        )
+    knames = list(key_names or [f"k{i}" for i in range(len(keys))])
+    kcols = [_c(k).alias(n) for k, n in zip(keys, knames)]
+    base = df.select(*kcols, "*") if set(knames) - set(df.columns) else df
+    onames = [f"__o_{i}" for i in range(len(order_by))]
+    for n, o in zip(onames, order_by):
+        base = base.withColumn(n, _c(o))
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        if onames:
+            pdf = pdf.sort_values(onames, kind="stable").drop(columns=onames)
+        k = tuple(None if pd.isna(v) else v for v in key)
+        return pd.DataFrame([finish(k, accumulate(init(k), pdf))])
+
+    return base.groupBy(*[F.col(n) for n in knames]).applyInPandas(fn, schema=schema)
+
+
+def cogroup_auto_apply(
+    inputs: Sequence[tuple[DataFrame, Sequence]],
+    init: Callable,
+    accumulate: Callable,
+    finish: Callable,
+    schema: str,
+    key_names: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+    threshold_rows: int | None = None,
+    tag_col: str = "__pp_tag",
+) -> DataFrame:
+    """The cogroup twin of :func:`grouped_auto_apply`: probe the largest
+    per-key count across ALL inputs; under the threshold, ONE
+    ``applyInPandas`` over the tag-aligned union splits each group by
+    tag and drives ``accumulate(state, tag, chunk)`` input-by-input
+    (whole bags, one chunk each); any giant bag escalates to
+    :func:`cogroup_stream_apply`.  Identical chunk shapes on both paths
+    (shared :func:`_union_align`)."""
+    thr = AUTO_STREAM_THRESHOLD_ROWS if threshold_rows is None else threshold_rows
+    biggest = max(max_group_rows(df, ks) for df, ks in inputs)
+    if biggest > thr:
+        return cogroup_stream_apply(
+            inputs, init, accumulate, finish, schema,
+            key_names=key_names, num_partitions=num_partitions,
+            tag_col=tag_col,
+        )
+    knames, union, all_cols = _union_align(inputs, key_names, tag_col)
+    vnames = [f"__v_{n}" for n, _ in all_cols]
+    rename = dict(zip(vnames, [n for n, _ in all_cols]))
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        k = tuple(None if pd.isna(v) else v for v in key)
+        st = init(k)
+        for tag in sorted(pdf[tag_col].unique()):
+            chunk = pdf[pdf[tag_col] == tag][vnames].rename(columns=rename)
+            st = accumulate(st, int(tag), chunk)
+        return pd.DataFrame([finish(k, st)])
+
+    return union.groupBy(*[F.col(n) for n in knames]).applyInPandas(fn, schema=schema)

@@ -420,3 +420,158 @@ class TestRound5Rows:
             P.vocab_coverage(df, "text", sizes=())
         with pytest.raises(ValueError):
             P.vocab_coverage(df, "text", sizes=(0,))
+
+
+class TestAutoStreamDispatch:
+    """VERDICT r4 next #6: data-driven fast/stream escalation.  The
+    'tight memory cap' is simulated INSIDE accumulate: a guard raises
+    MemoryError on any chunk over the cap — the whole-group default
+    path must trip it on a giant key, the auto path must escalate to
+    the chunked stream and succeed."""
+
+    CAP = 20_000
+
+    @staticmethod
+    def _trio(cap):
+        def init(key):
+            return {"n": 0, "s": 0}
+
+        def accumulate(st, chunk):
+            if len(chunk) > cap:
+                raise MemoryError(
+                    f"chunk of {len(chunk)} rows over the {cap}-row cap")
+            st["n"] += len(chunk)
+            st["s"] += int(chunk["v"].sum())
+            return st
+
+        def finish(key, st):
+            return {"k": key[0], "n": st["n"], "s": st["s"]}
+
+        return init, accumulate, finish
+
+    def _giant(self, spark):
+        # one 60k-row key + a few small ones
+        from pigpen_spark.relation import Relation
+
+        df = spark.range(60_000).select(
+            F.lit(1).alias("g"), F.col("id").alias("v"),
+        ).unionAll(spark.range(50).select(
+            (F.col("id") % 5 + 2).alias("g"), F.col("id").alias("v")))
+        return Relation(df)
+
+    def test_default_path_trips_memory_cap(self, spark):
+        from py4j.protocol import Py4JJavaError  # noqa: F401
+
+        init, accumulate, finish = self._trio(self.CAP)
+
+        def whole(key, pdf):
+            import pandas as pd
+
+            st = accumulate(init(key), pdf.rename(columns={"v": "v"}))
+            return pd.DataFrame([finish(key, st)])
+
+        rel = self._giant(spark)
+        with pytest.raises(Exception, match="MemoryError|over the"):
+            rel.group_by("g").apply_py(whole, "k long, n long, s long").df.collect()
+
+    def test_auto_path_escalates_and_succeeds(self, spark):
+        init, accumulate, finish = self._trio(self.CAP)
+        rel = self._giant(spark)
+        out = rel.group_by("g").apply_auto(
+            init, accumulate, finish, "k long, n long, s long",
+            threshold_rows=self.CAP,
+        )
+        rows = {r["k"]: r for r in out.df.collect()}
+        assert rows[1]["n"] == 60_000
+        assert rows[1]["s"] == sum(range(60_000))
+        assert len(rows) == 6
+
+    def test_auto_fast_path_below_threshold(self, spark):
+        init, accumulate, finish = self._trio(cap=10**9)
+        rel = self._giant(spark)
+        fast = rel.group_by("g").apply_auto(
+            init, accumulate, finish, "k long, n long, s long",
+            threshold_rows=10**9)
+        plan = fast.df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan     # applyInPandas form
+        stream = rel.group_by("g").apply_auto(
+            init, accumulate, finish, "k long, n long, s long",
+            threshold_rows=10)
+        plan2 = stream.df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan2  # escalated: mapInPandas
+        a = sorted(tuple(r) for r in fast.df.collect())
+        b = sorted(tuple(r) for r in stream.df.collect())
+        assert a == b
+
+    def test_auto_order_by_matches_stream(self, spark):
+        # order-sensitive accumulator: running string of v in order
+        from pigpen_spark.relation import Relation
+
+        df = spark.createDataFrame(
+            [(1, 3), (1, 1), (1, 2), (2, 9), (2, 8)], "g long, v long")
+        rel = Relation(df)
+
+        def init(key):
+            return []
+
+        def accumulate(st, chunk):
+            st.extend(int(x) for x in chunk["v"])
+            return st
+
+        def finish(key, st):
+            return {"k": key[0], "seq": ",".join(map(str, st))}
+
+        fast = rel.group_by("g").apply_auto(
+            init, accumulate, finish, "k long, seq string",
+            order_by=[F.col("v")], threshold_rows=10**9)
+        stream = rel.group_by("g").apply_auto(
+            init, accumulate, finish, "k long, seq string",
+            order_by=[F.col("v")], threshold_rows=1)
+        a = sorted(tuple(r) for r in fast.df.collect())
+        b = sorted(tuple(r) for r in stream.df.collect())
+        assert a == b == [(1, "1,2,3"), (2, "8,9")]
+
+    def test_cogroup_auto_equivalence_and_escalation(self, spark):
+        from pigpen_spark.relation import Relation
+
+        left = Relation(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, name string"))
+        right = Relation(spark.range(30_000).select(
+            F.lit(1).alias("k"), F.col("id").alias("v")))
+
+        def init(key):
+            return {"name": None, "n": 0, "s": 0}
+
+        def accumulate(st, tag, chunk):
+            if tag == 0:
+                st["name"] = chunk["name"].iloc[0]
+            else:
+                st["n"] += len(chunk)
+                st["s"] += int(chunk["v"].sum())
+            return st
+
+        def finish(key, st):
+            return {"k": key[0], "name": st["name"], "n": st["n"], "s": st["s"]}
+
+        schema = "k long, name string, n long, s long"
+        fast = left.cogroup_auto([(right, F.col("k"))], F.col("k"),
+                                 init, accumulate, finish, schema,
+                                 threshold_rows=10**9)
+        stream = left.cogroup_auto([(right, F.col("k"))], F.col("k"),
+                                   init, accumulate, finish, schema,
+                                   threshold_rows=100)
+        plan_fast = fast.df._jdf.queryExecution().executedPlan().toString()
+        plan_stream = stream.df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan_fast
+        assert "FlatMapGroupsInPandas" not in plan_stream
+        a = sorted(tuple(r) for r in fast.df.collect())
+        b = sorted(tuple(r) for r in stream.df.collect())
+        assert a == b
+        assert (1, "a", 30_000, sum(range(30_000))) in a
+
+    def test_probe_max_group_rows(self, spark):
+        from pigpen_spark.operators.group_stream import max_group_rows
+
+        df = spark.createDataFrame([(1,), (1,), (2,)], "g long")
+        assert max_group_rows(df, ["g"]) == 2
+        assert max_group_rows(df.filter("g > 99"), ["g"]) == 0
