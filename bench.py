@@ -137,6 +137,22 @@ HEADLINE = [
     "ext_conversations",
     "ext_scd2",
     "ext_resample_ffill",
+    # round-5 additions: density-auto LSH sizing (the production plane
+    # count derives from one corpus count — the fix for the fixed-plane
+    # 10x blowups, now itself on the bench), Matroska MJPEG demux+decode
+    # (third container), Xing/VBRI header fast path + chain-walk verify,
+    # the flagship mixed-codec decode->gate->dedup->pack DAG, the
+    # per-user sessionization rollup, signature materialization (the
+    # persisted dedup index artifact), and the one-aggregate vocabulary
+    # coverage curve
+    "ext_ann_lsh_auto",
+    "ext_embed_near_dup_auto",
+    "ext_frame_sample_webm",
+    "ext_audio_profile_vbr",
+    "ext_multimodal_pipeline",
+    "ext_session_stats",
+    "ext_minhash_doc_sig",
+    "ext_vocab_coverage",
 ]
 
 
