@@ -37,12 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # typing — the windowed sum() in tokenize_pack_sql flowed HUGEINT into
 # seq_no; fixed this round with ::BIGINT casts, pipeline.py).  The 42
 # never-driver-verified queries (that red row + the 38 round-4 additions
-# + 3 rows-only trained variants, all green in the local 191-query
-# replica) fill the first 42 slots of this window; the remaining 8
-# slots go to queries ADDED in round 5 so every new row gets a driver
-# signal in its own round.  Below the window: r5 additions past the 8
-# slots (these lead the r6 rotation), then rows already green in r1-r4
-# in registration order.
+# + 3 rows-only trained variants, all green in the local replica — this
+# round's replica is 199/199 after the 8 round-5 additions) fill the
+# first 42 slots of this window; the remaining 8 slots are exactly the
+# 8 queries ADDED in round 5 (catalog 191 → 199) so every new row gets
+# a driver signal in its own round.  If the r5 window lands green,
+# cumulative driver coverage reaches 199/199.  Below the window: rows
+# already green in r1-r4 in registration order.
 _DRIVER_PRIORITY: list[str] = [
     # --- r5 window slot 1: the r4 RED row (oracle HUGEINT cast fixed) ---
     "ext_tokenize_pack",
