@@ -575,3 +575,65 @@ class TestAutoStreamDispatch:
         df = spark.createDataFrame([(1,), (1,), (2,)], "g long")
         assert max_group_rows(df, ["g"]) == 2
         assert max_group_rows(df.filter("g > 99"), ["g"]) == 0
+
+
+class TestRound5EmptyInputs:
+    """Degenerate-input net for the round-5 operators (Spark 4 ANSI:
+    sloppy division/cast raises at runtime — probe empty/edge inputs
+    the synthetic corpus never produces)."""
+
+    def test_image_curation_pack_empty_and_all_gated(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        empty = spark.createDataFrame(
+            [], "id long, width int, height int, channels int, px_sum long,"
+                " px_min int, px_max int")
+        assert M.image_curation_pack(empty, "id").count() == 0
+        # every row fails the gate -> empty output, no division errors
+        dark = spark.createDataFrame(
+            [(1, 4, 4, 3, 10_000, 0, 255)],
+            "id long, width int, height int, channels int, px_sum long,"
+            " px_min int, px_max int")
+        assert M.image_curation_pack(dark, "id", min_dim=8).count() == 0
+
+    def test_session_stats_empty_and_single_event(self, spark):
+        from pigpen_spark.operators.windows import session_stats
+
+        empty = spark.createDataFrame([], "user_id long, ts long")
+        assert session_stats(empty, "user_id", "ts", 1800).count() == 0
+
+    def test_apply_auto_empty_relation(self, spark):
+        from pigpen_spark.relation import Relation
+
+        rel = Relation(spark.createDataFrame([], "g long, v long"))
+        out = rel.group_by("g").apply_auto(
+            lambda k: 0, lambda st, c: st + len(c),
+            lambda k, st: {"k": k[0], "n": st}, "k long, n long")
+        assert out.df.count() == 0
+
+    def test_cogroup_auto_empty_inputs(self, spark):
+        from pigpen_spark.relation import Relation
+
+        a = Relation(spark.createDataFrame([], "k long, x long"))
+        b = Relation(spark.createDataFrame([], "k long, y long"))
+        out = a.cogroup_auto(
+            [(b, F.col("k"))], F.col("k"),
+            lambda k: 0, lambda st, tag, c: st + len(c),
+            lambda k, st: {"k": k[0], "n": st}, "k long, n long")
+        assert out.df.count() == 0
+
+    def test_webm_and_vbr_on_empty_frame(self, spark):
+        from pigpen_spark.functions import multimodal as M
+
+        none = spark.createDataFrame([], "doc_id long")
+        assert M.synth_frame_stats_webm(none, "doc_id").count() == 0
+        assert M.synth_audio_profile_vbr(none, "doc_id").count() == 0
+        assert M.synth_mixed_image_stats(none, "doc_id").count() == 0
+
+    def test_lsh_auto_single_vector(self, spark):
+        # resolve_planes on a 1-row corpus floor-clamps; no div-by-zero
+        df = spark.createDataFrame(
+            [(1, [1.0] * 4)], "vec_id long, embedding array<double>")
+        out = S.lsh_topk(df, k=3, n_planes="auto", dim=4,
+                         auto_sizing=(16, 2, 10))
+        assert out.count() == 0  # no pairs from one vector
