@@ -101,6 +101,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_minhash_doc_sig",       # order-invariant MinHash doc signatures
     "ext_session_stats",         # sessionization rollup (gap sessions → stats)
     "ext_vocab_coverage",        # vocab-size coverage curve (tokenizer planning)
+    # --- below the window: r5 additions past the 8 slots (lead the r6
+    # rotation) ---
+    "ext_weighted_sample",       # weight-biased per-stratum sample (integer priority)
     # --- below the window: r5 additions past the 8 slots lead the r6
     # rotation (appended here as they are registered) ---
     # --- driver rows already green in r1-r4 (registration-order tail) ---

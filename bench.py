@@ -153,6 +153,9 @@ HEADLINE = [
     "ext_session_stats",
     "ext_minhash_doc_sig",
     "ext_vocab_coverage",
+    # weight-biased per-stratum sampling (integer discretized priority,
+    # WindowGroupLimit; cost is the quality-score scan, not the window)
+    "ext_weighted_sample",
 ]
 
 

@@ -5039,3 +5039,35 @@ def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra passes); integer-ppm output, hash-exact oracle."""
     docs = tables(spark, sf_dir)["documents"]
     return P.vocab_coverage(docs.df, "text", sizes=(64, 256, 1024))
+
+
+@register(
+    "ext_weighted_sample",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round(({T.quality_score_sql('text')}) * 1000000)::BIGINT AS quality_ppm
+      FROM documents
+    ),
+    sampled AS (
+      {P.weighted_sample_per_group_sql('scored', 'lang', 'doc_id', 'quality_ppm', 20)}
+    )
+    SELECT doc_id, lang, quality_ppm FROM sampled
+    """,
+)
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHT-BIASED sampling: exactly 20 docs per
+    language with inclusion odds scaling with the quality score —
+    the curation stage between uniform per-group caps
+    (ext_sample_per_group) and hard quantile pruning
+    (ext_quality_prune).  Integer discretized priority sampling
+    (u·10⁶ DIV w — the Efraimidis-Spirakis shape without
+    transcendentals), one WindowGroupLimit shuffle, hash-exact."""
+    docs = tables(spark, sf_dir)["documents"]
+    scored = docs.df.select(
+        "doc_id", "lang",
+        F.round(T.quality_score("text") * 1e6).cast("long").alias("quality_ppm"),
+    )
+    return P.weighted_sample_per_group(
+        scored, "lang", "doc_id", "quality_ppm", k=20,
+    ).select("doc_id", "lang", "quality_ppm")

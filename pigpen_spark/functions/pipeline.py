@@ -276,6 +276,68 @@ def sample_per_group_sql(table: str, strata_col: str, id_col: str, k: int,
     """
 
 
+def weighted_sample_per_group(df: DataFrame, strata_col, id_col, weight_ppm,
+                              k: int, salt: str = "wsample") -> DataFrame:
+    """Deterministic WEIGHT-BIASED k-per-stratum sample — the curation
+    stage between uniform caps (:func:`sample_per_group`) and hard
+    quality pruning (prune_by_quantile): keep exactly ``k`` rows per
+    stratum with inclusion odds scaling with a per-row weight (quality
+    score, dedup-cluster size, source trust).
+
+    Discretized priority sampling (the integer form of the
+    Efraimidis-Spirakis u^(1/w) trick, which needs transcendentals both
+    engines would round differently): priority = u · 10⁶ DIV w where u
+    is the salted 32-bit id-hash and w the integer-ppm weight — doubling
+    w halves a row's priority, pushing it into the kept bottom-k;
+    ordering is all-integer so the DuckDB oracle is hash-exact.  Rows
+    with w ≤ 0 can never be sampled and are filtered up front (also what
+    keeps ANSI division happy).
+
+    Scale shape: identical to sample_per_group — the rank-≤-k window is
+    rewritten to WindowGroupLimit (map-side partial top-k before the
+    shuffle), so billion-row strata move ~k rows per task.  Determinism:
+    (id, salt) fully decide u; same salt → byte-identical sample across
+    reruns, partitionings, and engines."""
+    if k <= 0:
+        raise ValueError(f"weighted_sample_per_group: k must be positive, got {k}")
+    u = F.conv(
+        F.substring(F.md5(F.concat(_c(id_col).cast("string"), F.lit("|" + salt))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    tmp_u, tmp_w, tmp_p, tmp_r = "__pp_u", "__pp_w", "__pp_pri", "__pp_rn"
+    based = (
+        df.withColumn(tmp_w, _c(weight_ppm).cast("bigint"))
+        .filter(F.col(tmp_w) > 0)
+        .withColumn(tmp_u, u)
+        .withColumn(tmp_p, F.expr(f"({tmp_u} * 1000000) DIV {tmp_w}"))
+    )
+    w = Window.partitionBy(_c(strata_col)).orderBy(F.col(tmp_p), _c(id_col))
+    return (
+        based.withColumn(tmp_r, F.row_number().over(w))
+        .filter(F.col(tmp_r) <= k)
+        .drop(tmp_u, tmp_w, tmp_p, tmp_r)
+    )
+
+
+def weighted_sample_per_group_sql(table: str, strata_col: str, id_col: str,
+                                  weight_ppm_sql: str, k: int,
+                                  salt: str = "wsample") -> str:
+    """DuckDB oracle for :func:`weighted_sample_per_group` (same integer
+    priority; BIGINT throughout per the big-int rule)."""
+    return f"""
+    SELECT * EXCLUDE (__w, __pri, __rn) FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {strata_col} ORDER BY __pri, {id_col}
+      ) AS __rn FROM (
+        SELECT *, (('0x' || substring(md5({id_col}::VARCHAR || '|{salt}'), 1, 8))::BIGINT
+                   * 1000000 // __w)::BIGINT AS __pri
+        FROM (SELECT *, ({weight_ppm_sql})::BIGINT AS __w FROM {table})
+        WHERE __w > 0
+      )
+    ) WHERE __rn <= {k}
+    """
+
+
 def token_chunks(col, chunk: int) -> Column:
     """Consecutive ``chunk``-token blocks of a document, each re-joined
     with single spaces; the trailing partial block is kept.  The span

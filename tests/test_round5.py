@@ -637,3 +637,56 @@ class TestRound5EmptyInputs:
         out = S.lsh_topk(df, k=3, n_planes="auto", dim=4,
                          auto_sizing=(16, 2, 10))
         assert out.count() == 0  # no pairs from one vector
+
+
+class TestWeightedSample:
+    def test_weight_bias_and_exact_count(self, spark):
+        from pigpen_spark.functions import pipeline as P
+
+        # 200 rows, first 50 with 20x the weight of the rest
+        df = spark.createDataFrame(
+            [(i, "g", 200_000 if i < 50 else 10_000) for i in range(200)],
+            "id long, g string, w long",
+        )
+        out = P.weighted_sample_per_group(df, "g", "id", "w", k=40).collect()
+        assert len(out) == 40                       # exact count
+        heavy = sum(1 for r in out if r["id"] < 50)
+        # heavy rows are 25% of the population but 20x-weighted; they
+        # must be clearly overrepresented in the kept 40 (deterministic)
+        assert heavy > 20, f"only {heavy}/40 heavy rows kept"
+
+    def test_zero_weight_never_sampled(self, spark):
+        from pigpen_spark.functions import pipeline as P
+
+        df = spark.createDataFrame(
+            [(1, "g", 0), (2, "g", -5), (3, "g", 100)], "id long, g string, w long")
+        out = P.weighted_sample_per_group(df, "g", "id", "w", k=10).collect()
+        assert [r["id"] for r in out] == [3]
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        from pigpen_spark.functions import pipeline as P
+
+        df = spark.createDataFrame(
+            [(i, "g", 1000 + i) for i in range(100)], "id long, g string, w long")
+        a = {r["id"] for r in P.weighted_sample_per_group(df, "g", "id", "w", 10).collect()}
+        b = {r["id"] for r in P.weighted_sample_per_group(df, "g", "id", "w", 10).collect()}
+        c = {r["id"] for r in P.weighted_sample_per_group(df, "g", "id", "w", 10,
+                                                         salt="other").collect()}
+        assert a == b
+        assert a != c
+
+    def test_window_group_limit_plan(self, spark):
+        from pigpen_spark.functions import pipeline as P
+
+        df = spark.createDataFrame(
+            [(i, "g", 1000) for i in range(50)], "id long, g string, w long")
+        plan = P.weighted_sample_per_group(df, "g", "id", "w", 5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+    def test_rejects_bad_k(self, spark):
+        from pigpen_spark.functions import pipeline as P
+
+        df = spark.createDataFrame([(1, "g", 10)], "id long, g string, w long")
+        with pytest.raises(ValueError):
+            P.weighted_sample_per_group(df, "g", "id", "w", 0)
