@@ -1436,7 +1436,7 @@ def lsh_index(corpus: DataFrame, id_col: str = "vec_id",
 
 def lsh_topk_against(
     index: DataFrame, queries: DataFrame, id_col: str = "vec_id",
-    vec_col: str = "embedding", k: int = 5, n_planes: int = 6,
+    vec_col: str = "embedding", k: int = 5, n_planes: int | str = 6,
     dim: int | None = None, multi_probe: bool = False,
     exclude_self: bool = True,
     score_min: float | None = None, score_max: float | None = None,
@@ -1458,7 +1458,18 @@ def lsh_topk_against(
     query's shape).  For external query sets whose ids may coincidentally
     collide with corpus ids, pass ``exclude_self=False`` or a corpus
     vector sharing the query's id is silently dropped (same contract note
-    as pq_adc_topk)."""
+    as pq_adc_topk).
+
+    ``n_planes="index"`` reads the plane count OFF the stored index
+    (length of one bucket string, a 1-row probe) — the safe serving mode
+    for indexes built with ``n_planes="auto"``: a hand-passed count that
+    disagrees with the stored bucket width would silently match zero
+    buckets; deriving it from the artifact can't drift."""
+    if n_planes == "index":
+        row = index.select(F.length("bucket").alias("np")).first()
+        if row is None:
+            raise ValueError("lsh_topk_against: empty index, cannot derive n_planes")
+        n_planes = int(row["np"])
     if dim is None:
         dim = infer_dim(queries, vec_col)
     qt = (

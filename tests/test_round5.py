@@ -690,3 +690,37 @@ class TestWeightedSample:
         df = spark.createDataFrame([(1, "g", 10)], "id long, g string, w long")
         with pytest.raises(ValueError):
             P.weighted_sample_per_group(df, "g", "id", "w", 0)
+
+
+class TestIndexPlaneDerivation:
+    def test_serving_reads_plane_count_off_the_index(self, spark):
+        import random
+
+        rng = random.Random(11)
+        corpus = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)],
+            "vec_id long, embedding array<double>",
+        )
+        idx = S.lsh_index(corpus, n_planes="auto", dim=8).cache()
+        q = corpus.filter(F.col("vec_id") < 5)
+        # n_planes="index" must equal passing the resolved count by hand
+        resolved = S.resolve_planes("auto", corpus)
+        a = sorted(tuple(r) for r in
+                   S.lsh_topk_against(idx, q, k=3, n_planes="index").collect())
+        b = sorted(tuple(r) for r in
+                   S.lsh_topk_against(idx, q, k=3, n_planes=resolved).collect())
+        assert a == b and a
+        # a mismatched hand count silently matches nothing — the foot-gun
+        # "index" mode exists to remove
+        wrong = S.lsh_topk_against(idx, q, k=3, n_planes=resolved + 3)
+        assert wrong.count() == 0
+
+    def test_empty_index_raises(self, spark):
+        import pytest
+
+        empty = spark.createDataFrame(
+            [], "id long, vec array<double>, nrm double, bucket string")
+        q = spark.createDataFrame(
+            [(1, [1.0] * 4)], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="empty index"):
+            S.lsh_topk_against(empty, q, k=3, n_planes="index")
