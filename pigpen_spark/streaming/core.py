@@ -838,3 +838,106 @@ def scd2_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def session_stats_stream(
+    stream: DataFrame, user_col: str, ts_col: str, gap_seconds: int,
+    open_path: str, rollup_path: str, checkpoint: str,
+    available_now: bool = False,
+):
+    """Streaming twin of :func:`pigpen_spark.operators.windows.
+    session_stats`: an exactly-once per-user engagement rollup maintained
+    live.  Raw events of still-open sessions ride the versioned open
+    store (the :func:`conversation_stream` close machinery: union store
+    with the batch, re-sessionize, close every session more than
+    ``gap_seconds`` behind the max observed event time); each CLOSED
+    session folds to scalars and merges into the stored per-user profile
+    by associative re-aggregation (:func:`pigpen_spark.operators.
+    analytics.merge_rollups`: sessions/events/bounces by sum, maxima by
+    max) — the five measures were CHOSEN mergeable, which is what makes
+    a session operator incrementally maintainable at all.
+
+    Idempotence: the rollup version is written before the open store
+    (both ``errorifexists`` under v{batch_id}); a checkpoint replay
+    recomputes the same closed set from the same prior versions and
+    skips whichever write already landed.  A closed session's events
+    leave the open store in the same batch that merges it — each session
+    counts exactly once.
+
+    Returns the started StreamingQuery."""
+    import shutil
+
+    from pigpen_spark.operators.analytics import merge_rollups
+    from pigpen_spark.operators.windows import sessionize
+    from pigpen_spark.typeutil import epoch_seconds
+
+    slim = [user_col, ts_col]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vs_open = _parquet_versions(open_path)
+        vs_roll = _parquet_versions(rollup_path)
+        if batch_id in vs_open and batch_id in vs_roll:
+            return            # checkpoint replay of a fully applied batch
+        prior_open = [v for v in vs_open if v != batch_id]
+        prior_roll = [v for v in vs_roll if v != batch_id]
+        events = batch_df.select(*slim)
+        if prior_open:
+            events = events.unionByName(
+                spark.read.parquet(f"{open_path}/v{prior_open[-1]}"))
+        sess = sessionize(events, user_col, ts_col,
+                          gap_seconds).localCheckpoint(eager=True)
+        ts_num = epoch_seconds(sess, ts_col)
+        wm = sess.agg(F.max(ts_num).alias("__wm"))
+        last = sess.groupBy("session_id").agg(F.max(ts_num).alias("__last"))
+        closed_ids = (last.crossJoin(F.broadcast(wm))
+                      .filter(F.col("__wm") - F.col("__last")
+                              > F.lit(gap_seconds))
+                      .select("session_id"))
+        closed = sess.join(closed_ids, on="session_id", how="left_semi")
+        still_open = sess.join(closed_ids, on="session_id", how="left_anti")
+        if batch_id not in vs_roll:
+            # per-session scalars -> per-user partials, the same unit
+            # contract as windows.session_stats (µs DIV 1e6 for
+            # timestamps, the caller's own unit for numeric ts)
+            dt = closed.select(F.col(ts_col).alias("__t")).schema["__t"] \
+                .dataType.simpleString()
+            is_ts = dt.startswith("timestamp")
+            us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+                  if is_ts else F.col(ts_col).cast("bigint"))
+            dur_div = 1_000_000 if is_ts else 1
+            per_sess = (
+                closed.withColumn("__us", us)
+                .groupBy(F.col(user_col), F.col("session_id"))
+                .agg(F.count(F.lit(1)).alias("__n"),
+                     F.expr(f"CAST((max(__us) - min(__us)) DIV {dur_div} AS BIGINT)")
+                      .alias("__dur"))
+            )
+            part = per_sess.groupBy(F.col(user_col)).agg(
+                F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                F.sum("__n").cast("long").alias("n_events"),
+                F.sum((F.col("__n") == 1).cast("long")).cast("long").alias("bounces"),
+                F.max("__n").cast("long").alias("max_session_events"),
+                F.max("__dur").cast("long").alias("max_duration_s"),
+            )
+            parts = [part]
+            if prior_roll:
+                parts.append(spark.read.parquet(f"{rollup_path}/v{prior_roll[-1]}"))
+            merged = merge_rollups(parts, [user_col], {
+                "n_sessions": "sum", "n_events": "sum", "bounces": "sum",
+                "max_session_events": "max", "max_duration_s": "max",
+            })
+            merged.write.mode("errorifexists").parquet(f"{rollup_path}/v{batch_id}")
+            for v in prior_roll:
+                shutil.rmtree(f"{rollup_path}/v{v}", ignore_errors=True)
+        if batch_id not in vs_open:
+            still_open.select(*slim).write.mode("errorifexists").parquet(
+                f"{open_path}/v{batch_id}")
+            for v in prior_open:
+                shutil.rmtree(f"{open_path}/v{v}", ignore_errors=True)
+
+    w = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -724,3 +724,92 @@ class TestIndexPlaneDerivation:
             [(1, [1.0] * 4)], "vec_id long, embedding array<double>")
         with pytest.raises(ValueError, match="empty index"):
             S.lsh_topk_against(empty, q, k=3, n_planes="index")
+
+
+class TestSessionStatsStream:
+    def test_streamed_rollup_matches_batch_operator(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from pigpen_spark.operators.windows import session_stats
+        from pigpen_spark.streaming import core as st
+
+        src = tmp_path / "ss_src"
+        src.mkdir(parents=True)
+        # user 1: session (0..100) closed by batch-1 events; session
+        # (5000..5010) closed by the flush; user 2: one bounce at 40.
+        # Flush events at t=99999 open one final session per user that
+        # stays open (never counted) — so the rollup covers exactly the
+        # real sessions.
+        batches = [
+            [dict(uid=1, ts=0), dict(uid=1, ts=100), dict(uid=2, ts=40)],
+            [dict(uid=1, ts=5000), dict(uid=1, ts=5010)],
+            [dict(uid=1, ts=99999), dict(uid=2, ts=99999)],
+        ]
+        for bi, rows in enumerate(batches):
+            p = src / f"b{bi}.json"
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            os.utime(p, (1000 + bi, 1000 + bi))  # deterministic batch order
+
+        schema = "uid long, ts long"
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = st.session_stats_stream(
+            stream, "uid", "ts", gap_seconds=1800,
+            open_path=str(tmp_path / "ss_open"),
+            rollup_path=str(tmp_path / "ss_roll"),
+            checkpoint=str(tmp_path / "ss_ck"), available_now=True)
+        q.awaitTermination(120)
+
+        vs = sorted(os.listdir(tmp_path / "ss_roll"))
+        live = {r["uid"]: r for r in
+                spark.read.parquet(str(tmp_path / "ss_roll" / vs[-1])).collect()}
+        # batch operator over the REAL (non-flush) events is the truth
+        real = spark.createDataFrame(
+            [(r["uid"], r["ts"]) for b in batches[:2] for r in b], schema)
+        want = {r["uid"]: r for r in
+                session_stats(real, "uid", "ts", 1800).collect()}
+        assert set(live) == set(want)
+        for uid in want:
+            for c in ("n_sessions", "n_events", "bounces",
+                      "max_session_events", "max_duration_s"):
+                assert live[uid][c] == want[uid][c], (uid, c, live[uid], want[uid])
+        # open store holds exactly the two flush events
+        ovs = sorted(os.listdir(tmp_path / "ss_open"))
+        tail = spark.read.parquet(str(tmp_path / "ss_open" / ovs[-1]))
+        assert sorted(r["ts"] for r in tail.collect()) == [99999, 99999]
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from pigpen_spark.streaming import core as st
+
+        src = tmp_path / "ss2_src"
+        src.mkdir(parents=True)
+        rows = [dict(uid=1, ts=0), dict(uid=1, ts=50), dict(uid=1, ts=99999)]
+        p = src / "b0.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1000, 1000))
+        schema = "uid long, ts long"
+
+        def run():
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).json(str(src)))
+            q = st.session_stats_stream(
+                stream, "uid", "ts", gap_seconds=1800,
+                open_path=str(tmp_path / "ss2_open"),
+                rollup_path=str(tmp_path / "ss2_roll"),
+                checkpoint=str(tmp_path / "ss2_ck"), available_now=True)
+            q.awaitTermination(120)
+
+        run()
+        run()  # re-run over the same checkpoint: no double counting
+        vs = sorted(os.listdir(tmp_path / "ss2_roll"))
+        out = spark.read.parquet(str(tmp_path / "ss2_roll" / vs[-1])).collect()
+        assert len(out) == 1
+        assert out[0]["n_sessions"] == 1 and out[0]["n_events"] == 2
