@@ -38,12 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # seq_no; fixed this round with ::BIGINT casts, pipeline.py).  The 42
 # never-driver-verified queries (that red row + the 38 round-4 additions
 # + 3 rows-only trained variants, all green in the local replica — this
-# round's replica is 199/199 after the 8 round-5 additions) fill the
-# first 42 slots of this window; the remaining 8 slots are exactly the
-# 8 queries ADDED in round 5 (catalog 191 → 199) so every new row gets
-# a driver signal in its own round.  If the r5 window lands green,
-# cumulative driver coverage reaches 199/199.  Below the window: rows
-# already green in r1-r4 in registration order.
+# round's replica is 200/200 after the 9 round-5 additions) fill the
+# first 42 slots of this window; the remaining 8 slots are the first 8
+# queries ADDED in round 5 (catalog 191 → 200).  The 9th r5 addition,
+# ext_weighted_sample, landed after the window filled and sits at slot
+# 51 — so a fully green r5 run reaches cumulative driver coverage
+# 199/200, and ext_weighted_sample LEADS the r6 window (it is the only
+# never-driver-verified hash-exact query left).  Below it: rows already
+# green in r1-r4 in registration order.
 _DRIVER_PRIORITY: list[str] = [
     # --- r5 window slot 1: the r4 RED row (oracle HUGEINT cast fixed) ---
     "ext_tokenize_pack",

@@ -2263,10 +2263,17 @@ def mp3_vbr_info(data: bytes):
         flags = u32(p + 4)
         q = p + 8
         frames = n_bytes = None
+        # a present magic with truncated flagged fields must raise, not
+        # return garbage counts (the module's loud-refusal contract —
+        # int.from_bytes on a short slice would silently misparse)
         if flags & 0x1:
+            if q + 4 > end:
+                raise ValueError("mp3: truncated Xing header (frames field)")
             frames = u32(q)
             q += 4
         if flags & 0x2:
+            if q + 4 > end:
+                raise ValueError("mp3: truncated Xing header (bytes field)")
             n_bytes = u32(q)
             q += 4
         return {"method": "xing", "n_frames": frames, "n_bytes": n_bytes}

@@ -1301,8 +1301,12 @@ def image_curation_pack(stats: DataFrame, id_col: str = "id",
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     placed = sharded.withColumn(
-        "__seq",
-        F.floor((F.sum("__npx").over(w_off) - F.col("__npx")) / budget).cast("long"),
+        "__cum", F.sum("__npx").over(w_off)
+    ).withColumn(
+        # integer DIV, not float floor: a shard's pixel cumsum past 2^53
+        # would make float division inexact and diverge from the
+        # oracle's exact `//` (the repo's big-int rule)
+        "__seq", F.expr(f"(__cum - __npx) DIV {int(budget)}").cast("long"),
     )
     return (
         placed.groupBy(F.col("__shard").alias("shard"), F.col("__seq").alias("seq_no"))

@@ -737,7 +737,9 @@ def tokenize_pack(df: DataFrame, id_col: str, text_col: str,
     placed = (
         ids.join(offsets.select("__id", "__off"), on="__id")
         .withColumn("__gpos", F.col("__off") + F.col("__pos"))
-        .withColumn("__seq", F.floor(F.col("__gpos") / seq_len).cast("long"))
+        # integer DIV (not float floor): exact past 2^53 tokens/shard,
+        # matching the oracle's `//`
+        .withColumn("__seq", F.expr(f"__gpos DIV {int(seq_len)}").cast("long"))
     )
     return (
         placed.groupBy(F.col("__shard").alias("shard"), F.col("__seq").alias("seq_no"))

@@ -1470,6 +1470,12 @@ def lsh_topk_against(
         if row is None:
             raise ValueError("lsh_topk_against: empty index, cannot derive n_planes")
         n_planes = int(row["np"])
+    elif not isinstance(n_planes, int):
+        # "auto" is a BUILD-side mode; at serving time the only safe
+        # source of the plane count is the stored artifact itself
+        raise ValueError(
+            f"lsh_topk_against: n_planes must be an int or 'index', got "
+            f"{n_planes!r} (for an auto-built index pass n_planes='index')")
     if dim is None:
         dim = infer_dim(queries, vec_col)
     qt = (

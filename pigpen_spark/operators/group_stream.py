@@ -285,6 +285,10 @@ def grouped_auto_apply(
     onames = [f"__o_{i}" for i in range(len(order_by))]
     for n, o in zip(onames, order_by):
         base = base.withColumn(n, _c(o))
+    if num_partitions:
+        # honor the caller's width on BOTH paths (the stream path
+        # repartitions inside grouped_stream_apply)
+        base = base.repartition(num_partitions, *[F.col(n) for n in knames])
 
     def fn(key, pdf):
         import pandas as pd
@@ -309,21 +313,26 @@ def cogroup_auto_apply(
     tag_col: str = "__pp_tag",
 ) -> DataFrame:
     """The cogroup twin of :func:`grouped_auto_apply`: probe the largest
-    per-key count across ALL inputs; under the threshold, ONE
-    ``applyInPandas`` over the tag-aligned union splits each group by
-    tag and drives ``accumulate(state, tag, chunk)`` input-by-input
-    (whole bags, one chunk each); any giant bag escalates to
+    per-key row count over the tag-aligned UNION of all inputs (what the
+    fast path actually materializes per group — probing each input
+    separately would let a key with N near-threshold bags slip a
+    N×threshold group past the dispatcher); under the threshold, ONE
+    ``applyInPandas`` over the union splits each group by tag and drives
+    ``accumulate(state, tag, chunk)`` input-by-input (whole bags, one
+    chunk each); any giant combined bag escalates to
     :func:`cogroup_stream_apply`.  Identical chunk shapes on both paths
-    (shared :func:`_union_align`)."""
+    (shared :func:`_union_align`), and the union probe is ONE counting
+    job instead of one per input."""
     thr = AUTO_STREAM_THRESHOLD_ROWS if threshold_rows is None else threshold_rows
-    biggest = max(max_group_rows(df, ks) for df, ks in inputs)
-    if biggest > thr:
+    knames, union, all_cols = _union_align(inputs, key_names, tag_col)
+    if max_group_rows(union, knames) > thr:
         return cogroup_stream_apply(
             inputs, init, accumulate, finish, schema,
             key_names=key_names, num_partitions=num_partitions,
             tag_col=tag_col,
         )
-    knames, union, all_cols = _union_align(inputs, key_names, tag_col)
+    if num_partitions:
+        union = union.repartition(num_partitions, *[F.col(n) for n in knames])
     vnames = [f"__v_{n}" for n, _ in all_cols]
     rename = dict(zip(vnames, [n for n, _ in all_cols]))
 

@@ -343,7 +343,17 @@ def session_stats(df: DataFrame, user_col: str, ts_col: str,
     max_duration_s) — ``bounces`` = single-event sessions, durations in
     integer seconds (µs DIV 1e6 for timestamps; the caller's own unit
     for numeric ts columns, matching :func:`sessionize`'s gap unit)."""
-    sess = sessionize(df, user_col, ts_col, gap_seconds)
+    return session_profile(sessionize(df, user_col, ts_col, gap_seconds),
+                           user_col, ts_col)
+
+
+def session_profile(sess: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Per-user profile of an ALREADY-SESSIONIZED frame (``session_id``
+    present) — the shared aggregation behind :func:`session_stats` and
+    ``streaming.session_stats_stream``: both the batch operator and the
+    live rollup call THIS, so the bounce/duration definitions cannot
+    drift between them.  Every measure is associative (sums/maxima),
+    which is what lets the streaming twin merge per-batch partials."""
     dt = sess.select(F.col(ts_col).alias("__t")).schema["__t"] \
         .dataType.simpleString()
     is_ts = dt.startswith("timestamp")

@@ -897,29 +897,12 @@ def session_stats_stream(
         closed = sess.join(closed_ids, on="session_id", how="left_semi")
         still_open = sess.join(closed_ids, on="session_id", how="left_anti")
         if batch_id not in vs_roll:
-            # per-session scalars -> per-user partials, the same unit
-            # contract as windows.session_stats (µs DIV 1e6 for
-            # timestamps, the caller's own unit for numeric ts)
-            dt = closed.select(F.col(ts_col).alias("__t")).schema["__t"] \
-                .dataType.simpleString()
-            is_ts = dt.startswith("timestamp")
-            us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
-                  if is_ts else F.col(ts_col).cast("bigint"))
-            dur_div = 1_000_000 if is_ts else 1
-            per_sess = (
-                closed.withColumn("__us", us)
-                .groupBy(F.col(user_col), F.col("session_id"))
-                .agg(F.count(F.lit(1)).alias("__n"),
-                     F.expr(f"CAST((max(__us) - min(__us)) DIV {dur_div} AS BIGINT)")
-                      .alias("__dur"))
-            )
-            part = per_sess.groupBy(F.col(user_col)).agg(
-                F.count(F.lit(1)).cast("long").alias("n_sessions"),
-                F.sum("__n").cast("long").alias("n_events"),
-                F.sum((F.col("__n") == 1).cast("long")).cast("long").alias("bounces"),
-                F.max("__n").cast("long").alias("max_session_events"),
-                F.max("__dur").cast("long").alias("max_duration_s"),
-            )
+            # THE batch aggregation (windows.session_profile) over the
+            # closed sessions — live and batch share one definition of
+            # bounce/duration, so the twins cannot drift
+            from pigpen_spark.operators.windows import session_profile
+
+            part = session_profile(closed, user_col, ts_col)
             parts = [part]
             if prior_roll:
                 parts.append(spark.read.parquet(f"{rollup_path}/v{prior_roll[-1]}"))

@@ -813,3 +813,60 @@ class TestSessionStatsStream:
         out = spark.read.parquet(str(tmp_path / "ss2_roll" / vs[-1])).collect()
         assert len(out) == 1
         assert out[0]["n_sessions"] == 1 and out[0]["n_events"] == 2
+
+
+class TestReviewFixesR5:
+    def test_cogroup_auto_probes_the_union(self, spark):
+        # two inputs each under the threshold whose UNION is over it on
+        # one key: the dispatcher must escalate (the fast path would
+        # materialize the combined bag)
+        from pigpen_spark.relation import Relation
+
+        a = Relation(spark.range(900).select(F.lit(1).alias("k"),
+                                             F.col("id").alias("x")))
+        b = Relation(spark.range(900).select(F.lit(1).alias("k"),
+                                             F.col("id").alias("y")))
+        out = a.cogroup_auto(
+            [(b, F.col("k"))], F.col("k"),
+            lambda k: 0, lambda st, tag, c: st + len(c),
+            lambda k, st: {"k": k[0], "n": st}, "k long, n long",
+            threshold_rows=1000)   # each side 900 <= 1000, union 1800 > 1000
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan, "combined bag escaped escalation"
+        assert out.df.collect()[0]["n"] == 1800
+
+    def test_truncated_xing_header_raises(self):
+        import pytest
+
+        from pigpen_spark.functions import codecs as C
+
+        data = bytearray(C.mp3_encode_vbr(3, 0, header="xing"))
+        pos = C._mp3_id3_skip(bytes(data))
+        # cut the stream right after the Xing flags word: magic present,
+        # frames field truncated -> loud refusal, never garbage counts
+        cut = bytes(data[:pos + 4 + 32 + 8 + 1])
+        with pytest.raises(ValueError, match="truncated Xing"):
+            C.mp3_vbr_info(cut)
+
+    def test_serving_rejects_auto_mode(self, spark):
+        import pytest
+
+        idx = spark.createDataFrame(
+            [(1, [1.0] * 4, 2.0, "0101")],
+            "id long, vec array<double>, nrm double, bucket string")
+        q = spark.createDataFrame(
+            [(2, [1.0] * 4)], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="'index'"):
+            S.lsh_topk_against(idx, q, k=1, n_planes="auto")
+
+    def test_num_partitions_honored_on_fast_path(self, spark):
+        from pigpen_spark.relation import Relation
+
+        rel = Relation(spark.createDataFrame(
+            [(i % 3, i) for i in range(30)], "g long, v long"))
+        out = rel.group_by("g").apply_auto(
+            lambda k: 0, lambda st, c: st + len(c),
+            lambda k, st: {"k": k[0], "n": st}, "k long, n long",
+            num_partitions=7, threshold_rows=10**9)
+        assert out.df.rdd.getNumPartitions() == 7
+        assert sorted(r["n"] for r in out.df.collect()) == [10, 10, 10]

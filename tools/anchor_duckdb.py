@@ -26,9 +26,13 @@ QUERIES = ["q1_groupby_fold", "q6_filter_reduce", "q3_join_agg", "q5_multi_join"
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/tmp/scale_sf1"
-    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 3
+    argv = sys.argv[1:]
+    n = 3
+    if "--n" in argv:
+        i = argv.index("--n")
+        n = int(argv[i + 1])
+        del argv[i:i + 2]          # keep the value out of the positionals
+    sf_dir = argv[0] if argv else "/tmp/scale_sf1"
 
     import __spark_entry__ as entry
 
