@@ -74,6 +74,22 @@ def main() -> None:
             .fold(n=F.count(F.lit(1)), px=F.sum("sample_sum")).df)
     )
     acct.show(truncate=False)
+
+    # 6. (round 5) the OTHER containers, same triage-then-decode order:
+    #    Matroska MJPEG decodes frames for real; MP3 profiles at header
+    #    speed through the Xing/VBRI fast path
+    mkv_frames = M.synth_frame_stats_webm(docs.limit(500), "doc_id", every_n=2)
+    print("matroska frames sampled:", mkv_frames.count())
+    vbr = M.synth_audio_profile_vbr(docs.limit(500), "doc_id")
+    fast_exact = vbr.filter(
+        F.col("duration_ms_walk") - F.col("duration_ms_fast") >= 0).count()
+    print("mp3 VBR streams profiled (header fast path):", fast_exact)
+
+    # 7. (round 5) the flagship end-to-end: mixed png/jpeg/gif decode →
+    #    brightness gate → fingerprint dedup → pixel-budget packing
+    stats = M.synth_mixed_image_stats(docs.limit(500), "doc_id")
+    packed = M.image_curation_pack(stats, "id")
+    packed.orderBy("shard", "seq_no").show(8, truncate=60)
     spark.stop()
 
 
