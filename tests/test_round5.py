@@ -870,3 +870,68 @@ class TestReviewFixesR5:
             num_partitions=7, threshold_rows=10**9)
         assert out.df.rdd.getNumPartitions() == 7
         assert sorted(r["n"] for r in out.df.collect()) == [10, 10, 10]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_H_SETTINGS = dict(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+class TestCodecProperties:
+    @given(
+        n=st.integers(1, 6),
+        bw=st.integers(1, 3),
+        bh=st.integers(1, 3),
+        a=st.integers(0, 240),
+        cluster_len=st.integers(1, 4),
+        fps=st.sampled_from([12, 24, 25, 30]),
+    )
+    @settings(**_H_SETTINGS)
+    def test_webm_mjpeg_roundtrip_any_params(self, n, bw, bh, a, cluster_len, fps):
+        # any block-constant clip round-trips bit-exactly through
+        # encode->demux->decode at any cluster split / frame rate
+        import numpy as np
+
+        from pigpen_spark.functions import codecs as C
+
+        samples, sums = [], []
+        for f in range(n):
+            v = min(a + f, 255)
+            img = np.full((bh * 8, bw * 8), v, dtype=np.uint8)
+            samples.append(C.jpeg_encode(img))
+            sums.append(int(img.sum(dtype="int64")))
+        data = C.webm_encode_mjpeg(samples, bw * 8, bh * 8,
+                                   fps=fps, cluster_len=cluster_len)
+        w, h, frames = C.webm_frames(data)
+        assert (w, h) == (bw * 8, bh * 8)
+        assert [int(fr.sum(dtype="int64")) for fr in frames] == sums
+        # meta stays consistent with the same bytes
+        m = C.webm_meta(data)
+        assert m["tracks"][0]["codec"] == "V_MJPEG"
+
+    @given(
+        n=st.integers(1, 40),
+        rate_idx=st.integers(0, 2),
+        header=st.sampled_from(["xing", "vbri"]),
+        idxs=st.lists(st.integers(1, 14), min_size=1, max_size=40),
+    )
+    @settings(**_H_SETTINGS)
+    def test_mp3_vbr_fast_equals_walk_arithmetic(self, n, rate_idx, header, idxs):
+        from pigpen_spark.functions import codecs as C
+
+        bidx = (idxs * n)[:n]
+        data = C.mp3_encode_vbr(n, rate_idx, bidx, header=header)
+        fast = C.mp3_meta_fast(data)
+        walk = C.mp3_meta(data)
+        rate = [44100, 48000, 32000][rate_idx]
+        assert fast["method"] == header
+        assert fast["n_frames"] == n
+        assert walk["n_frames"] == n + 1
+        assert fast["duration_ms"] == n * 1152 * 1000 // rate
+        assert walk["duration_ms"] == (n + 1) * 1152 * 1000 // rate
+        info = C.mp3_vbr_info(data)
+        assert info["n_bytes"] == len(data) - C._mp3_id3_skip(data)
