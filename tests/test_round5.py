@@ -935,3 +935,60 @@ class TestCodecProperties:
         assert walk["duration_ms"] == (n + 1) * 1152 * 1000 // rate
         info = C.mp3_vbr_info(data)
         assert info["n_bytes"] == len(data) - C._mp3_id3_skip(data)
+
+
+class TestRound5Plans:
+    """Plan pins: the scale properties the round-5 operators claim."""
+
+    def test_session_stats_single_exchange_chain(self, spark, sf_dir):
+        # sessionize window + per-session groupBy + per-user groupBy all
+        # cluster on user_id: HashPartitioning(user) satisfies every
+        # downstream distribution -> ONE exchange for the whole chain
+        from pigpen_spark.catalog import tables
+        from pigpen_spark.operators.windows import session_stats
+
+        e = tables(spark, sf_dir)["events"]
+        p = session_stats(e.df, "user_id", "ts", 1800) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange") == 1, p
+
+    def test_minhash_doc_sig_pure_expression(self, spark, sf_dir):
+        # the signature column is JVM expression work only: no Python
+        # nodes, no shuffle — a scan-speed projection
+        from pigpen_spark.catalog import tables
+        from pigpen_spark.functions import dedup as D
+
+        docs = tables(spark, sf_dir)["documents"]
+        sig = docs.df.select(
+            "doc_id",
+            F.array_join(F.transform(
+                D.minhash_signature(F.col("text"), k=12, shingle_n=3),
+                lambda h: h.cast("string")), ",").alias("sig"))
+        p = sig._jdf.queryExecution().executedPlan().toString()
+        assert not any(x in p for x in
+                       ("BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"))
+        assert p.count("Exchange") == 0
+
+    def test_multimodal_pipeline_dedup_is_window_group_limit(self, spark):
+        # the keep-first dedup stage must compile to WindowGroupLimit
+        # (map-side partial top-1 before the shuffle), not a full sort
+        from pigpen_spark.functions import multimodal as M
+
+        ids = spark.range(100).withColumnRenamed("id", "doc_id")
+        stats = M.synth_mixed_image_stats(ids, "doc_id")
+        p = M.image_curation_pack(stats, "id") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in p
+
+    def test_vocab_coverage_two_exchanges(self, spark, sf_dir):
+        # one token-histogram shuffle + the vocabulary-sized rank/agg —
+        # probing more sizes must NOT add exchanges (single-pass curve)
+        from pigpen_spark.catalog import tables
+        from pigpen_spark.functions import pipeline as P
+
+        docs = tables(spark, sf_dir)["documents"]
+        p2 = P.vocab_coverage(docs.df, "text", sizes=(64, 256)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        p5 = P.vocab_coverage(docs.df, "text", sizes=(16, 64, 256, 1024, 4096)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert p2.count("Exchange") == p5.count("Exchange") == 2
