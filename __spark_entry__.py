@@ -38,14 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # seq_no; fixed this round with ::BIGINT casts, pipeline.py).  The 42
 # never-driver-verified queries (that red row + the 38 round-4 additions
 # + 3 rows-only trained variants, all green in the local replica — this
-# round's replica covers all 201 queries after the 10 round-5 additions) fill the
+# round's replica covers all 202 queries after the 11 round-5 additions) fill the
 # first 42 slots of this window; the remaining 8 slots are the first 8
-# queries ADDED in round 5 (catalog 191 → 201).  The 9th/10th r5
-# additions (ext_weighted_sample, ext_pack_spans) landed after the
-# window filled and sit at slots 51-52 — so a fully green r5 run
-# reaches cumulative driver coverage 199/201, and those two LEAD the r6
-# window (the only never-driver-verified hash-exact queries left).
-# Below them: rows already green in r1-r4 in registration order.
+# queries ADDED in round 5 (catalog 191 → 202).  The r5 additions past
+# the window (ext_weighted_sample, ext_pack_spans, ext_margin_mine)
+# sit at slots 51-53 — so a fully green r5 run reaches cumulative
+# driver coverage 199/202, and those three LEAD the r6 window (the
+# only never-driver-verified hash-exact queries left).  Below them:
+# rows already green in r1-r4 in registration order.
 _DRIVER_PRIORITY: list[str] = [
     # --- r5 window slot 1: the r4 RED row (oracle HUGEINT cast fixed) ---
     "ext_tokenize_pack",
@@ -107,6 +107,7 @@ _DRIVER_PRIORITY: list[str] = [
     # rotation) ---
     "ext_weighted_sample",       # weight-biased per-stratum sample (integer priority)
     "ext_pack_spans",            # packed-sequence doc-boundary map (attention contract)
+    "ext_margin_mine",           # ratio-margin cross-corpus pair mining (CCMatrix rule)
     # --- driver rows already green in r1-r4 (registration-order tail) ---
     "ext_embed_quantize",
     "ext_embed_pq",

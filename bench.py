@@ -159,6 +159,9 @@ HEADLINE = [
     # packed-sequence doc-boundary map: offset arithmetic only (one
     # per-doc Generate, never the token explode tokenize_pack pays)
     "ext_pack_spans",
+    # ratio-margin pair mining: stored-index candidates + rank-ordered
+    # rest-mean fold (per-query normalization, hash-exact float ratio)
+    "ext_margin_mine",
 ]
 
 

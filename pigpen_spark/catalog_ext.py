@@ -5088,3 +5088,67 @@ def ext_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle replays the shard hash, length cumsum, and span arithmetic."""
     docs = tables(spark, sf_dir)["documents"]
     return P.pack_doc_spans(docs.df, "doc_id", "text", seq_len=32, shards=8)
+
+
+_MM_K, _MM_THRESH = 4, 1.5
+
+
+@register(
+    "ext_margin_mine",
+    f"""
+    WITH tgt AS (
+      SELECT vec_id AS id, embedding AS vec,
+             ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bucket
+      FROM embeddings WHERE label >= 5
+    ),
+    q AS (
+      SELECT vec_id AS id, embedding AS vec,
+             ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bucket
+      FROM embeddings WHERE label < 5
+    ),
+    probes AS (
+      SELECT id, vec, unnest({S.probe_buckets_sql('bucket', _PLANES)}) AS bucket
+      FROM q
+    ),
+    scored AS (
+      SELECT p.id AS q_id, t.id AS n_id,
+             round({S.cosine_sql('p.vec', 't.vec')}, 6) AS score,
+             row_number() OVER (
+               PARTITION BY p.id
+               ORDER BY round({S.cosine_sql('p.vec', 't.vec')}, 6) DESC, t.id
+             ) AS rank
+      FROM probes p JOIN tgt t ON p.bucket = t.bucket
+    ),
+    top AS (SELECT * FROM scored WHERE rank <= {_MM_K}),
+    agg AS (
+      SELECT q_id,
+             max(CASE WHEN rank = 1 THEN n_id END) AS tgt_id,
+             max(CASE WHEN rank = 1 THEN score END) AS score,
+             list(score ORDER BY rank) FILTER (WHERE rank > 1) AS rest
+      FROM top GROUP BY q_id
+    )
+    SELECT q_id AS src_id, tgt_id, score,
+           round(score * len(rest) / list_reduce(rest, (a, b) -> a + b), 6)
+             AS margin
+    FROM agg
+    WHERE len(rest) >= 1
+      AND round(score * len(rest) / list_reduce(rest, (a, b) -> a + b), 6)
+          >= {_MM_THRESH}
+    """,
+)
+def ext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based cross-corpus pair mining (Artetxe & Schwenk's ratio
+    margin — the CCMatrix/LASER bitext selection rule): labels 0-4 play
+    the source corpus, 5-9 the target; a pair survives when its best
+    cosine STANDS OUT against the query's other LSH candidates
+    (best / mean(rest) >= 1.5), not when it clears an absolute bar —
+    the per-query normalization that survives domain shift and hubness.
+    Candidates from the stored-index path (target hashed once, queries
+    multi-probe); the rest-mean folds in RANK ORDER on both engines, so
+    the float ratio is hash-exact."""
+    emb = tables(spark, sf_dir)["embeddings"].df
+    return S.margin_mine(
+        emb.filter(F.col("label") < 5), emb.filter(F.col("label") >= 5),
+        k=_MM_K, n_planes=_PLANES, dim=_DIM, margin_threshold=_MM_THRESH,
+        multi_probe=True,
+    )

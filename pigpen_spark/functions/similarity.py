@@ -1614,3 +1614,49 @@ def embedding_diversity(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
                      - F.sum(F.expr("(s / n) * (s / n)"))), 6)
          .alias("mean_pair_sq_dist"),
     )
+
+
+def margin_mine(
+    src: DataFrame, tgt: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 4, n_planes: int | str | None = 6,
+    dim: int | None = None, margin_threshold: float = 1.0,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Margin-based cross-corpus pair mining — the ratio-margin
+    criterion of Artetxe & Schwenk (2019) that CCMatrix-style bitext
+    pipelines select pairs with: a (src, tgt) pair is kept not for a
+    HIGH absolute cosine but for how much its best match stands out
+    against the query's OTHER candidates — margin = score(best) /
+    mean(score(rest)).  Absolute thresholds break across domains and
+    hubness; the margin normalizes per query.
+
+    Candidates come from :func:`lsh_topk_against` over an index of the
+    TARGET side (blocked, never all-pairs; only the source batch hashes
+    per call).  Queries with fewer than 2 candidates have no margin
+    evidence and are absent.  The rest-mean is folded IN RANK ORDER
+    (ordered list fold, not a bare float sum) so both engines add the
+    same doubles in the same order — what keeps the margin hash-exact.
+
+    Returns (src_id, tgt_id, score, margin) for margin >= threshold."""
+    idx = lsh_index(tgt, id_col, vec_col, n_planes=n_planes, dim=dim)
+    nn = lsh_topk_against(
+        idx, src, id_col, vec_col, k=k,
+        n_planes="index", dim=dim, multi_probe=multi_probe,
+        exclude_self=False,
+    )
+    rest = F.array_sort(F.collect_list(
+        F.when(F.col("rank") > 1, F.struct("rank", "score"))))
+    agg = nn.groupBy("q_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("n_id"))).alias("tgt_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("score"))).alias("score"),
+        rest.alias("__rest"),
+    )
+    rest_sum = F.aggregate(F.col("__rest"), F.lit(0.0),
+                           lambda acc, s: acc + s["score"])
+    margin = F.round(F.col("score") * F.size("__rest") / rest_sum, 6)
+    return (
+        agg.filter(F.size("__rest") >= 1)
+        .withColumn("margin", margin)
+        .filter(F.col("margin") >= margin_threshold)
+        .select(F.col("q_id").alias("src_id"), "tgt_id", "score", "margin")
+    )

@@ -1048,3 +1048,55 @@ class TestPackDocSpans:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError):
             P.pack_doc_spans(df, "doc_id", "text", seq_len=0)
+
+
+class TestMarginMine:
+    def _pair_corpora(self, spark):
+        # target 10 has a standout match for query 0; queries 1's best
+        # is barely better than its other candidates (low margin)
+        import random
+
+        rng = random.Random(3)
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        near = [v + 0.01 for v in base]
+        far = [rng.uniform(-1, 1) for _ in range(8)]
+        src = spark.createDataFrame(
+            [(0, base), (1, far)], "vec_id long, embedding array<double>")
+        # tgt: 10 ~= base (standout), 11..13 random; 20..23 all ~= far
+        # (query 1 gets four nearly-equal candidates -> margin ~= 1)
+        tgts = [(10, near)] + [
+            (11 + j, [rng.uniform(-1, 1) for _ in range(8)]) for j in range(3)
+        ] + [(20 + j, [v + 0.02 * j for v in far]) for j in range(4)]
+        tgt = spark.createDataFrame(tgts, "vec_id long, embedding array<double>")
+        return src, tgt
+
+    def test_margin_separates_standout_from_crowd(self, spark):
+        src, tgt = self._pair_corpora(spark)
+        out = S.margin_mine(src, tgt, k=4, n_planes=2, dim=8,
+                            margin_threshold=0.0)
+        rows = {r["src_id"]: r for r in out.collect()}
+        if 0 in rows and 1 in rows:   # both got candidate evidence
+            assert rows[0]["margin"] > rows[1]["margin"]
+            assert rows[0]["tgt_id"] == 10
+            assert rows[1]["margin"] < 1.2   # crowd of near-equals
+
+    def test_threshold_and_determinism(self, spark):
+        src, tgt = self._pair_corpora(spark)
+        a = sorted(tuple(r) for r in
+                   S.margin_mine(src, tgt, k=4, n_planes=2, dim=8,
+                                 margin_threshold=1.2).collect())
+        b = sorted(tuple(r) for r in
+                   S.margin_mine(src, tgt, k=4, n_planes=2, dim=8,
+                                 margin_threshold=1.2).collect())
+        assert a == b
+        assert all(r[3] >= 1.2 for r in a)
+
+    def test_single_candidate_queries_absent(self, spark):
+        # one target total -> every query has at most 1 candidate -> no
+        # margin evidence -> empty output, no division errors
+        src = spark.createDataFrame(
+            [(0, [1.0] * 8)], "vec_id long, embedding array<double>")
+        tgt = spark.createDataFrame(
+            [(10, [1.0] * 8)], "vec_id long, embedding array<double>")
+        assert S.margin_mine(src, tgt, k=4, n_planes=2, dim=8,
+                             margin_threshold=0.0).count() == 0
