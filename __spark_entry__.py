@@ -38,14 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # seq_no; fixed this round with ::BIGINT casts, pipeline.py).  The 42
 # never-driver-verified queries (that red row + the 38 round-4 additions
 # + 3 rows-only trained variants, all green in the local replica — this
-# round's replica covers all 202 queries after the 11 round-5 additions) fill the
+# round's replica covers all 207 queries after the 16 round-5 additions) fill the
 # first 42 slots of this window; the remaining 8 slots are the first 8
-# queries ADDED in round 5 (catalog 191 → 202).  The r5 additions past
-# the window (ext_weighted_sample, ext_pack_spans, ext_margin_mine)
-# sit at slots 51-53 — so a fully green r5 run reaches cumulative
-# driver coverage 199/202, and those three LEAD the r6 window (the
-# only never-driver-verified hash-exact queries left).  Below them:
-# rows already green in r1-r4 in registration order.
+# queries ADDED in round 5 (catalog 191 → 207).  The r5 additions past
+# the window (ext_weighted_sample, ext_pack_spans, ext_margin_mine,
+# ext_label_prop, ext_graph_common, ext_sparse_cosine,
+# ext_target_encode, ext_shard_balance) sit at slots 51-58 — so a
+# fully green r5 run reaches cumulative driver coverage 199/207, and
+# those eight LEAD the r6 window (the only never-driver-verified
+# hash-exact queries left).  Below them: rows already green in r1-r4
+# in registration order.
 _DRIVER_PRIORITY: list[str] = [
     # --- r5 window slot 1: the r4 RED row (oracle HUGEINT cast fixed) ---
     "ext_tokenize_pack",
@@ -108,6 +110,11 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_weighted_sample",       # weight-biased per-stratum sample (integer priority)
     "ext_pack_spans",            # packed-sequence doc-boundary map (attention contract)
     "ext_margin_mine",           # ratio-margin cross-corpus pair mining (CCMatrix rule)
+    "ext_label_prop",            # synchronous label propagation (community detection)
+    "ext_graph_common",          # common-neighbor link prediction (recall recovery)
+    "ext_sparse_cosine",         # inverted-index all-pairs lexical cosine (Bayardo)
+    "ext_target_encode",         # m-estimate smoothed target encoding (tabular ML)
+    "ext_shard_balance",         # LPT-striped shard balance audit (packing planner)
     # --- driver rows already green in r1-r4 (registration-order tail) ---
     "ext_embed_quantize",
     "ext_embed_pq",

@@ -162,6 +162,18 @@ HEADLINE = [
     # ratio-margin pair mining: stored-index candidates + rank-ordered
     # rest-mean fold (per-query normalization, hash-exact float ratio)
     "ext_margin_mine",
+    # round-5b: candidate-graph analytics (synchronous LPA over the
+    # banded-LSH graph; triadic-closure link prediction on the SNM chain
+    # graph with a degree<=64 hub cut), inverted-index all-pairs lexical
+    # cosine (df<=50 vocabulary projection bounds the worst posting
+    # list), m-estimate target encoding (one category groupBy + one
+    # broadcast global), and LPT-striped shard balance audit (two-phase
+    # rank, never one reducer)
+    "ext_label_prop",
+    "ext_graph_common",
+    "ext_sparse_cosine",
+    "ext_target_encode",
+    "ext_shard_balance",
 ]
 
 

@@ -5152,3 +5152,133 @@ def ext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_MM_K, n_planes=_PLANES, dim=_DIM, margin_threshold=_MM_THRESH,
         multi_probe=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5b: graph analytics on the candidate-pair graph, lexical all-pairs
+# cosine, tabular target encoding, shard balance planning
+# ---------------------------------------------------------------------------
+
+# The minhash candidate-pair CTE shared by the graph oracles (same
+# construction as ext_dedup_clusters' prefix).
+_PAIRS_CTE = f"""{D.minhash_sigs_cte_sql('documents', 'doc_id', 'text', _K, 3)},
+    banded AS (
+      SELECT id, b.range AS band,
+             md5(array_to_string(sig[(b.range * {_R} + 1) : (b.range * {_R} + {_R})], '|')) AS bhash
+      FROM sigs, range({_BANDS}) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id
+    )"""
+
+
+@register(
+    "ext_label_prop",
+    D.label_propagation_cte_sql(_PAIRS_CTE, iterations=2),
+)
+def ext_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the near-dup candidate graph: 2 rounds of
+    deterministic synchronous label propagation (most-frequent neighbor
+    label, ties to the smallest) — the denser-than-connectivity
+    grouping next to ext_dedup_clusters' WCC: inside one giant
+    connected blob, LPA separates the locally-dense template families.
+    Fixed iteration count → pure function of the edge set → the
+    unrolled-CTE oracle is hash-exact (same doctrine as ext_pagerank)."""
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_candidates(docs.df, "doc_id", "text",
+                                 k=_K, bands=_BANDS, shingle_n=3)
+    return D.label_propagation(pairs, iterations=2)
+
+
+# SNM window-3 candidate pairs (same construction as ext_dedup_snm's
+# prefix) — a chain-shaped graph, so distance-2 neighborhoods are real
+# (the banded-LSH graph is clique-per-duplicate-group: every distance-2
+# pair is already adjacent and common_neighbor_pairs is vacuous there).
+_SNM_PAIRS_CTE = """rk AS (
+      SELECT doc_id, row_number() OVER (ORDER BY substr(lower(text), 1, 16), doc_id)
+               - 1 AS r
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 2
+    )"""
+
+
+@register(
+    "ext_graph_common",
+    D.common_neighbor_cte_sql(_SNM_PAIRS_CTE, min_common=2, max_degree=64),
+)
+def ext_graph_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction / recall recovery on a candidate-pair graph:
+    NON-adjacent document pairs sharing >= 2 candidate neighbors,
+    scored by neighborhood Jaccard (integer ppm) — the triadic-closure
+    second pass that recovers pairs a blocked generator missed whenever
+    their shared neighborhood found both.  Runs on the SNM window-3
+    graph (chain-shaped, so distance-2 structure exists; the banded-LSH
+    graph is a clique union where closure is vacuous).  Wedges
+    enumerate through centers with degree <= 64 (the hub cut bounding
+    the worst key at deg², applied identically in the oracle); true
+    degrees keep the score exact for survivors."""
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = D.sorted_neighborhood_pairs(
+        docs.df, "doc_id", F.substring(F.lower(F.col("text")), 1, 16),
+        window=3)
+    return D.common_neighbor_pairs(pairs, min_common=2, max_degree=64)
+
+
+@register(
+    "ext_sparse_cosine",
+    R.sparse_cosine_sql("documents", "doc_id", "text",
+                        threshold_num=4, threshold_den=5, max_df=50),
+)
+def ext_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical all-pairs similarity: document pairs whose whitespace-tf
+    vectors have cosine >= 0.8, via an inverted-index join (Bayardo
+    all-pairs shape) with a df <= 50 vocabulary projection bounding the
+    worst posting list — never a cartesian product.  The integer
+    contract (dot² · den² >= num² · norm_a · norm_b, all BIGINT) makes
+    the float-free oracle hash-exact; the lexical twin of
+    ext_embed_near_dup."""
+    docs = tables(spark, sf_dir)["documents"]
+    return R.sparse_cosine_pairs(docs.df, "doc_id", "text",
+                                 threshold_num=4, threshold_den=5, max_df=50)
+
+
+@register(
+    "ext_target_encode",
+    C.target_encode_sql("orders", "o_orderpriority",
+                        "o_orderstatus = 'F'", m=50),
+)
+def ext_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (m-estimate, m=50) of order priority
+    against the fulfilled-status label: per-category positive rate
+    shrunk toward the global prior — the leakage-safe tabular feature
+    CatBoost-style encoders compute.  One category groupBy + one
+    single-row global aggregate joined back via broadcast; integer-ppm
+    arithmetic end to end."""
+    orders = tables(spark, sf_dir)["orders"]
+    return C.target_encode(
+        orders.df, "o_orderpriority",
+        (F.col("o_orderstatus") == "F"), m=50)
+
+
+@register(
+    "ext_shard_balance",
+    P.shard_balance_sql(
+        "documents", "doc_id",
+        "len(list_filter(string_split(lower(text), ' '), t -> t <> ''))",
+        shards=8),
+)
+def ext_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard assignment audit: stripe documents across 8
+    shards in descending token-count order (sorted round-robin — the
+    LPT relaxation whose imbalance is bounded by one max document) and
+    report per-shard doc counts and token mass — the planning twin of
+    ext_tokenize_pack answering "will shard 7 finish last?".  Global
+    order computed with the scale-safe two-phase rank, never one
+    reducer."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.shard_balance(docs.df, "doc_id", T.token_count("text"), shards=8)

@@ -537,3 +537,64 @@ def dsir_score_corpus(df, id_col: str, text_col: str, target_pred,
                 F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
                 F.col("w_ppm"))
     )
+
+
+def target_encode(df, cat_col: str, target_col, m: int = 50):
+    """Smoothed TARGET (mean) encoding of a categorical column — the
+    standard leakage-safe tabular-ML feature: each category is encoded
+    by its empirical positive rate shrunk toward the global prior with
+    pseudo-count ``m`` (the "m-estimate" / add-m smoothing used by
+    CatBoost-style encoders; rare categories collapse to the prior,
+    frequent ones keep their own rate).
+
+    Arithmetic contract (mirrored by :func:`target_encode_sql`):
+    ``target_col`` must evaluate to 0/1 BIGINT;
+    ``prior_ppm = Σpos · 10⁶ DIV N`` and
+    ``enc_ppm = (pos · 10⁶ + m · prior_ppm) DIV (cnt + m)`` — all
+    operands non-negative BIGINTs, so Spark DIV (truncate) and DuckDB
+    // (floor) agree and the oracle is hash-exact.
+
+    Scale: ONE groupBy on the category plus a single-row global
+    aggregate that joins back via broadcast crossJoin — no windows, no
+    per-row state; applying the encoding to a fact table is a broadcast
+    join of this output (|categories| rows) against the facts.
+
+    Returns (category, cnt, pos, enc_ppm) — one row per category.
+    """
+    if m < 0:
+        raise ValueError(f"target_encode: m must be >= 0, got {m}")
+    base = df.select(F.col(cat_col).alias("category"),
+                     F.col(target_col).cast("long").alias("t")
+                     if isinstance(target_col, str) else
+                     target_col.cast("long").alias("t"))
+    per = base.groupBy("category").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("t").alias("pos"))
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("t").alias("tp")
+    ).select(F.expr("tp * 1000000 DIV n").alias("prior_ppm"))
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select("category",
+                F.col("cnt").cast("long").alias("cnt"),
+                F.col("pos").cast("long").alias("pos"),
+                F.expr(f"(pos * 1000000 + {m} * prior_ppm) DIV (cnt + {m})")
+                 .cast("long").alias("enc_ppm"))
+    )
+
+
+def target_encode_sql(table: str, cat_col: str, target_expr: str,
+                      m: int = 50) -> str:
+    """DuckDB mirror of :func:`target_encode`; ``target_expr`` is a SQL
+    expression evaluating to 0/1."""
+    return f"""WITH base AS (
+      SELECT {cat_col} AS category, ({target_expr})::BIGINT AS t
+      FROM {table}),
+    per AS (
+      SELECT category, count(*)::BIGINT AS cnt, sum(t)::BIGINT AS pos
+      FROM base GROUP BY category),
+    gl AS (
+      SELECT (sum(t) * 1000000 // count(*))::BIGINT AS prior_ppm FROM base)
+    SELECT category, cnt, pos,
+           ((pos * 1000000 + {m} * prior_ppm) // (cnt + {m}))::BIGINT
+             AS enc_ppm
+    FROM per, gl"""

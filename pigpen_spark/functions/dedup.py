@@ -1270,3 +1270,185 @@ def novelty_scores(corpus: DataFrame, reference: DataFrame, id_col: str,
              .cast("bigint").alias("overlap_ppm"),
         )
     )
+
+
+def label_propagation(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                      iterations: int = 2,
+                      checkpoint_every: int = 5) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. LPA)
+    over an undirected candidate-pair graph — COMMUNITY detection, the
+    denser-than-connectivity grouping next to :func:`dedup_clusters`
+    (WCC labels everything reachable; LPA splits a connected blob into
+    locally-dense communities, the granularity wanted for template
+    families / topical clusters inside one giant near-dup component).
+
+    Determinism contract (mirrored verbatim by
+    :func:`label_propagation_cte_sql`): ``label0(v) = v``; each
+    synchronous round every node adopts the label that is MOST FREQUENT
+    among its neighbors' previous-round labels, ties broken by the
+    SMALLEST label.  A fixed ``iterations`` count (no convergence test)
+    keeps the computation a pure function of the edge set, so the
+    DuckDB oracle replays it exactly — same policy as :func:`pagerank`.
+
+    Scale: per iteration ONE groupBy((node, label)) count + one struct
+    argmax per node — both keyed shuffles on the node id; the
+    both-direction edge list is hash-partitioned by ``src`` and
+    persisted once, so each round re-shuffles only the O(V) label
+    table.  Lineage truncated via localCheckpoint every
+    ``checkpoint_every`` rounds.  Never all-pairs; no driver state.
+
+    Returns (node, community) — one row per node appearing in pairs.
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"label_propagation: iterations must be >= 1, got {iterations}")
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b), F.col(id_a)))
+        .distinct()
+        .repartition("src")
+        .transform(_persisted)
+    )
+    labels = e.select(F.col("src").alias("node")).distinct() \
+        .select("node", F.col("node").alias("community"))
+    for i in range(iterations):
+        votes = (
+            e.join(labels, e["dst"] == labels["node"])
+            .groupBy(F.col("src"), F.col("community").alias("lbl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax by (count desc, label asc): max of (cnt, -label)
+        labels = (
+            votes.groupBy(F.col("src").alias("node"))
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl")))
+                 .alias("w"))
+            .select("node", (-F.col("w.nl")).cast("long").alias("community"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_cte_sql(pairs_cte: str, iterations: int = 2) -> str:
+    """DuckDB CTE chain replaying :func:`label_propagation` exactly —
+    the fixed round count unrolls to ``l0..l{iterations}`` (aggregates
+    are not allowed in recursive CTE members, so unrolling IS the
+    portable form, same as :func:`pagerank_cte_sql`).  ``pairs_cte``
+    must define ``pairs(id_a, id_b)``; the tie policy (max count, then
+    min label) is expressed as a row_number over the vote counts."""
+    parts = [
+        pairs_cte,
+        """edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs)""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS community FROM edges)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""l{i} AS (
+      SELECT src AS node, lbl AS community FROM (
+        SELECT e.src, l.community AS lbl, count(*) AS cnt,
+               row_number() OVER (
+                 PARTITION BY e.src
+                 ORDER BY count(*) DESC, l.community ASC) AS rn
+        FROM edges e JOIN l{i - 1} l ON e.dst = l.node
+        GROUP BY e.src, l.community) v
+      WHERE rn = 1)""")
+    return ("WITH " + ",\n    ".join(parts)
+            + f"\n    SELECT node, community::BIGINT AS community FROM l{iterations}")
+
+
+def common_neighbor_pairs(pairs: DataFrame, id_a: str = "id_a",
+                          id_b: str = "id_b", min_common: int = 2,
+                          max_degree: int = 64) -> DataFrame:
+    """LINK PREDICTION over an undirected pair graph: non-adjacent node
+    pairs ranked by common-neighbor count and neighborhood Jaccard —
+    "these two documents were never emitted as a candidate pair, but
+    they share k near-dup neighbors", the second-pass recall recovery
+    on top of any blocked candidate generator (LSH misses a pair; its
+    shared neighborhood finds it).  Also the classic triadic-closure
+    feature for record linkage.
+
+    Semantics (mirrored by :func:`common_neighbor_cte_sql`): wedges are
+    enumerated through CENTER nodes with degree ≤ ``max_degree`` (the
+    hub cut — a super-connector center contributes deg² wedges and
+    pair-bombs the plan; cutting it is the same explicit approximation
+    as ``winnow_overlap_pairs``'s max_df, applied identically on both
+    engines).  Degrees in the Jaccard denominator are TRUE degrees
+    (computed before the cut, so the score is exact for every surviving
+    pair); pairs already adjacent are anti-joined out; survivors need
+    ``common >= min_common`` centers.
+
+    jacc_ppm = common·10⁶ DIV (deg_a + deg_b − common) — integer, so
+    the oracle is hash-exact.
+
+    Scale: degree table is O(V); the wedge self-join is keyed on the
+    center node with the hub cut bounding the worst key at
+    max_degree²; the common-count groupBy is the only wide shuffle.
+    Returns (id_a, id_b, common, deg_a, deg_b, jacc_ppm), id_a < id_b.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b), F.col(id_a)))
+        .distinct()
+        .repartition("src")
+        .transform(_persisted)
+    )
+    deg = e.groupBy(F.col("src").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("deg")).transform(_persisted)
+    small = e.join(deg.filter(F.col("deg") <= max_degree),
+                   e["src"] == F.col("node")).select("src", "dst")
+    x, y = small.alias("x"), small.alias("y")
+    wedges = (
+        x.join(y, (F.col("x.src") == F.col("y.src"))
+               & (F.col("x.dst") < F.col("y.dst")))
+        .select(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+    )
+    common = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+    adj = pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("a"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("b")).distinct()
+    cand = common.join(adj, on=["a", "b"], how="left_anti") \
+        .filter(F.col("common") >= min_common)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(da, on="a").join(db, on="b")
+        .select(F.col("a").alias(id_a), F.col("b").alias(id_b),
+                F.col("common").cast("long").alias("common"),
+                F.col("deg_a").cast("long").alias("deg_a"),
+                F.col("deg_b").cast("long").alias("deg_b"),
+                F.expr("common * 1000000 DIV (deg_a + deg_b - common)")
+                 .cast("long").alias("jacc_ppm"))
+    )
+
+
+def common_neighbor_cte_sql(pairs_cte: str, min_common: int = 2,
+                            max_degree: int = 64) -> str:
+    """DuckDB mirror of :func:`common_neighbor_pairs`; ``pairs_cte``
+    must define ``pairs(id_a, id_b)``."""
+    return f"""WITH {pairs_cte},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+    small AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN deg d ON e.src = d.node AND d.deg <= {max_degree}),
+    common AS (
+      SELECT x.dst AS a, y.dst AS b, count(*)::BIGINT AS common
+      FROM small x JOIN small y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY x.dst, y.dst),
+    adj AS (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM pairs)
+    SELECT c.a AS id_a, c.b AS id_b, c.common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           (c.common * 1000000 // (da.deg + db.deg - c.common))::BIGINT
+             AS jacc_ppm
+    FROM common c
+    JOIN deg da ON c.a = da.node
+    JOIN deg db ON c.b = db.node
+    LEFT JOIN adj ON c.a = adj.a AND c.b = adj.b
+    WHERE adj.a IS NULL AND c.common >= {min_common}"""

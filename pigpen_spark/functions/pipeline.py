@@ -1311,3 +1311,59 @@ def stratified_split(df: DataFrame, id_col: str, strata_cols: list,
                                     / F.lit(1_000_000)).cast("long"),
                       F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def shard_balance(df: DataFrame, id_col: str, size_col, shards: int = 8
+                  ) -> DataFrame:
+    """Size-balanced SHARD ASSIGNMENT audit: stripe documents across
+    ``shards`` output shards in descending size order (rank % S — the
+    sorted round-robin relaxation of LPT scheduling: with items sorted
+    descending, striping bounds any shard's excess over the mean by one
+    max item, which is the balance guarantee a training-shard writer
+    needs) and report each shard's document count and token mass.
+
+    This is the PLANNING twin of ``pack_chunks``/``tokenize_pack``
+    (those pack a token stream into sequences; this balances whole
+    documents across shard files so no epoch reader strags behind) —
+    the deterministic answer to "will shard 7 finish last?".
+
+    Determinism (mirrored by :func:`shard_balance_sql`): global rank by
+    (size DESC, id ASC) — computed with the scale-safe two-phase rank
+    (range repartition + per-partition offsets, never one reducer) —
+    then ``shard = rank % shards``; per-shard aggregates are exact
+    BIGINTs, hash-exact oracle.
+
+    Returns (shard, n_docs, tokens) — one row per shard.
+    """
+    if shards < 1:
+        raise ValueError(f"shard_balance: shards must be >= 1, got {shards}")
+    from pigpen_spark.operators.windows import ranked
+
+    sized = df.select(_c(id_col).alias("__id"),
+                      _c(size_col).cast("long").alias("__sz"))
+    rk = ranked(sized, order_by=[F.col("__sz").desc(), F.col("__id")],
+                index_col="__rk")
+    return (
+        rk.withColumn("shard", (F.col("__rk") % shards).cast("long"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("__sz").alias("tokens"))
+        .select("shard", F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("tokens").cast("long").alias("tokens"))
+    )
+
+
+def shard_balance_sql(table: str, id_col: str, size_expr: str,
+                      shards: int = 8) -> str:
+    """DuckDB mirror of :func:`shard_balance`; ``size_expr`` is a SQL
+    expression for the document size."""
+    return f"""WITH sized AS (
+      SELECT {id_col} AS id, ({size_expr})::BIGINT AS sz FROM {table}),
+    rk AS (
+      SELECT id, sz,
+             row_number() OVER (ORDER BY sz DESC, id) - 1 AS r
+      FROM sized)
+    SELECT (r % {shards})::BIGINT AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(sz)::BIGINT AS tokens
+    FROM rk GROUP BY r % {shards}"""

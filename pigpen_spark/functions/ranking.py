@@ -25,6 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pigpen_spark.cache import persisted as _persisted
 from pigpen_spark.functions.text import token_count, tokens
 
 
@@ -258,3 +259,88 @@ def rrf_fuse(rankings: Sequence[DataFrame], q_col: str = "q_id",
         F.col("rrf_score").desc(), F.col("n_id"))
     return (fused.withColumn("fused_rank", F.row_number().over(w))
             .filter(F.col("fused_rank") <= topk))
+
+
+def sparse_cosine_pairs(docs: DataFrame, id_col: str, text_col: str,
+                        threshold_num: int = 4, threshold_den: int = 5,
+                        max_df: int = 50) -> DataFrame:
+    """All-pairs SPARSE cosine similarity over term-frequency vectors —
+    the lexical twin of the embedding near-dup family: pairs of
+    documents whose whitespace-token tf vectors have cosine ≥
+    threshold_num/threshold_den, found via an INVERTED-INDEX equi-join
+    (the Bayardo et al. 2007 all-pairs shape), never a cartesian
+    product.
+
+    Arithmetic contract (mirrored by :func:`sparse_cosine_sql`): tf,
+    dot products, and squared norms are exact BIGINTs; the threshold
+    test is the cross-multiplied integer inequality
+    ``dot² · den² ≥ num² · norm_a · norm_b`` (dot > 0 always — tf ≥ 0),
+    so the oracle is hash-exact with zero float traffic.  Tokens with
+    document frequency > ``max_df`` are dropped from the VOCABULARY
+    before anything else — norms and dots are both computed on the
+    projected space, so the score is a true cosine there (an explicit,
+    engine-identical vocabulary projection, not a per-pair
+    approximation; same hub-cut doctrine as ``winnow_overlap_pairs``).
+
+    Scale: posting lists are keyed by token with the worst list bounded
+    at ``max_df`` rows, so the self-join's worst key costs max_df²;
+    the pair aggregation is the one wide shuffle and partial-aggregates
+    map-side.  Returns (id_a, id_b, dot, norm_a, norm_b), id_a < id_b.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("sparse_cosine_pairs: need 0 < num <= den, got "
+                         f"{threshold_num}/{threshold_den}")
+    tf = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    kept = tf.join(dfreq.filter(F.col("df") <= max_df), on="tok") \
+        .select("id", "tok", "tf").transform(_persisted)
+    norms = kept.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nrm"))
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("norm_a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("norm_b"))
+    n2, d2 = threshold_num * threshold_num, threshold_den * threshold_den
+    return (
+        dots.join(na, on="id_a").join(nb, on="id_b")
+        .filter(F.expr(f"dot * dot * {d2} >= {n2} * norm_a * norm_b"))
+        .select("id_a", "id_b",
+                F.col("dot").cast("long").alias("dot"),
+                F.col("norm_a").cast("long").alias("norm_a"),
+                F.col("norm_b").cast("long").alias("norm_b"))
+    )
+
+
+def sparse_cosine_sql(table: str, id_col: str, text_col: str,
+                      threshold_num: int = 4, threshold_den: int = 5,
+                      max_df: int = 50) -> str:
+    """DuckDB mirror of :func:`sparse_cosine_pairs`."""
+    n2, d2 = threshold_num * threshold_num, threshold_den * threshold_den
+    toks = (f"list_filter(string_split(lower({text_col}), ' '), "
+            "t -> t <> '')")
+    return f"""WITH tf AS (
+      SELECT {id_col} AS id, tok, count(*)::BIGINT AS tf
+      FROM {table}, unnest({toks}) AS u(tok)
+      GROUP BY {id_col}, tok),
+    dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+    kept AS (
+      SELECT tf.id, tf.tok, tf.tf FROM tf
+      JOIN dfreq ON tf.tok = dfreq.tok AND dfreq.df <= {max_df}),
+    norms AS (SELECT id, sum(tf * tf)::BIGINT AS nrm FROM kept GROUP BY id),
+    dots AS (
+      SELECT a.id AS id_a, b.id AS id_b, sum(a.tf * b.tf)::BIGINT AS dot
+      FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT d.id_a, d.id_b, d.dot, na.nrm AS norm_a, nb.nrm AS norm_b
+    FROM dots d
+    JOIN norms na ON d.id_a = na.id
+    JOIN norms nb ON d.id_b = nb.id
+    WHERE d.dot * d.dot * {d2} >= {n2} * na.nrm * nb.nrm"""
