@@ -549,10 +549,14 @@ def target_encode(df, cat_col: str, target_col, m: int = 50):
 
     Arithmetic contract (mirrored by :func:`target_encode_sql`):
     ``target_col`` must evaluate to 0/1 BIGINT;
-    ``prior_ppm = Σpos · 10⁶ DIV N`` and
+    ``prior_ppm = Σpos · 10⁶ DIV greatest(N, 1)`` and
     ``enc_ppm = (pos · 10⁶ + m · prior_ppm) DIV (cnt + m)`` — all
     operands non-negative BIGINTs, so Spark DIV (truncate) and DuckDB
-    // (floor) agree and the oracle is hash-exact.
+    // (floor) agree and the oracle is hash-exact.  The ``greatest``
+    guard makes the empty-input case an empty RESULT on both engines
+    (without it Spark DIV-by-zero yields NULL while DuckDB ``//``
+    raises — an engine divergence even though no row would be
+    emitted).
 
     Scale: ONE groupBy on the category plus a single-row global
     aggregate that joins back via broadcast crossJoin — no windows, no
@@ -571,7 +575,7 @@ def target_encode(df, cat_col: str, target_col, m: int = 50):
         F.count(F.lit(1)).alias("cnt"), F.sum("t").alias("pos"))
     glob = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("t").alias("tp")
-    ).select(F.expr("tp * 1000000 DIV n").alias("prior_ppm"))
+    ).select(F.expr("tp * 1000000 DIV greatest(n, 1)").alias("prior_ppm"))
     return (
         per.crossJoin(F.broadcast(glob))
         .select("category",
@@ -593,7 +597,8 @@ def target_encode_sql(table: str, cat_col: str, target_expr: str,
       SELECT category, count(*)::BIGINT AS cnt, sum(t)::BIGINT AS pos
       FROM base GROUP BY category),
     gl AS (
-      SELECT (sum(t) * 1000000 // count(*))::BIGINT AS prior_ppm FROM base)
+      SELECT (sum(t) * 1000000 // greatest(count(*), 1))::BIGINT AS prior_ppm
+      FROM base)
     SELECT category, cnt, pos,
            ((pos * 1000000 + {m} * prior_ppm) // (cnt + {m}))::BIGINT
              AS enc_ppm

@@ -1317,12 +1317,15 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             .groupBy(F.col("src"), F.col("community").alias("lbl"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        # argmax by (count desc, label asc): max of (cnt, -label)
+        # argmax by (count desc, label asc) without negating the label
+        # (negation would silently NULL non-numeric node ids): min_by
+        # over the lexicographic struct (-cnt, lbl) — cnt is always a
+        # BIGINT count, so only IT is negated; the label keeps its own
+        # type and ordering, matching the oracle's ORDER BY community
+        # ASC for strings as well as ints.
         labels = (
             votes.groupBy(F.col("src").alias("node"))
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl")))
-                 .alias("w"))
-            .select("node", (-F.col("w.nl")).cast("long").alias("community"))
+            .agg(F.expr("min_by(lbl, struct(-cnt, lbl))").alias("community"))
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint(eager=True)
@@ -1354,8 +1357,10 @@ def label_propagation_cte_sql(pairs_cte: str, iterations: int = 2) -> str:
         FROM edges e JOIN l{i - 1} l ON e.dst = l.node
         GROUP BY e.src, l.community) v
       WHERE rn = 1)""")
+    # community keeps the node id's own type (no ::BIGINT — the Spark
+    # side's min_by does the same, so string node ids round-trip too)
     return ("WITH " + ",\n    ".join(parts)
-            + f"\n    SELECT node, community::BIGINT AS community FROM l{iterations}")
+            + f"\n    SELECT node, community FROM l{iterations}")
 
 
 def common_neighbor_pairs(pairs: DataFrame, id_a: str = "id_a",
@@ -1375,9 +1380,13 @@ def common_neighbor_pairs(pairs: DataFrame, id_a: str = "id_a",
     pair-bombs the plan; cutting it is the same explicit approximation
     as ``winnow_overlap_pairs``'s max_df, applied identically on both
     engines).  Degrees in the Jaccard denominator are TRUE degrees
-    (computed before the cut, so the score is exact for every surviving
-    pair); pairs already adjacent are anti-joined out; survivors need
-    ``common >= min_common`` centers.
+    (computed before the cut), but the ``common`` NUMERATOR counts only
+    centers that survived the cut — so when a hub (degree >
+    ``max_degree``) is itself a shared neighbor of a pair, ``common``
+    and hence ``jacc_ppm`` UNDERESTIMATE relative to the full graph
+    (the score is exact w.r.t. small centers only).  Pairs already
+    adjacent are anti-joined out; survivors need ``common >=
+    min_common`` surviving centers.
 
     jacc_ppm = common·10⁶ DIV (deg_a + deg_b − common) — integer, so
     the oracle is hash-exact.

@@ -275,7 +275,14 @@ def sparse_cosine_pairs(docs: DataFrame, id_col: str, text_col: str,
     dot products, and squared norms are exact BIGINTs; the threshold
     test is the cross-multiplied integer inequality
     ``dot² · den² ≥ num² · norm_a · norm_b`` (dot > 0 always — tf ≥ 0),
-    so the oracle is hash-exact with zero float traffic.  Tokens with
+    evaluated in WIDE integers — decimal(38,0) on Spark, HUGEINT on
+    DuckDB — because max_df bounds document FREQUENCY, not term
+    frequency: a doc repeating one rare token ~30k times already pushes
+    dot² · den² past BIGINT.  Both sides are exact while every product
+    stays under 10³⁸ (i.e. dot < 10¹⁹/den and norm_a·norm_b <
+    10³⁸/num² — astronomically past any real document); only the
+    boolean crosses back, so no wide type reaches the result and the
+    oracle is hash-exact with zero float traffic.  Tokens with
     document frequency > ``max_df`` are dropped from the VOCABULARY
     before anything else — norms and dots are both computed on the
     projected space, so the score is a true cosine there (an explicit,
@@ -311,7 +318,9 @@ def sparse_cosine_pairs(docs: DataFrame, id_col: str, text_col: str,
     n2, d2 = threshold_num * threshold_num, threshold_den * threshold_den
     return (
         dots.join(na, on="id_a").join(nb, on="id_b")
-        .filter(F.expr(f"dot * dot * {d2} >= {n2} * norm_a * norm_b"))
+        .filter(F.expr(
+            f"cast(dot as decimal(38,0)) * dot * {d2} "
+            f">= {n2} * cast(norm_a as decimal(38,0)) * norm_b"))
         .select("id_a", "id_b",
                 F.col("dot").cast("long").alias("dot"),
                 F.col("norm_a").cast("long").alias("norm_a"),
@@ -343,4 +352,4 @@ def sparse_cosine_sql(table: str, id_col: str, text_col: str,
     FROM dots d
     JOIN norms na ON d.id_a = na.id
     JOIN norms nb ON d.id_b = nb.id
-    WHERE d.dot * d.dot * {d2} >= {n2} * na.nrm * nb.nrm"""
+    WHERE d.dot::HUGEINT * d.dot * {d2} >= {n2} * na.nrm::HUGEINT * nb.nrm"""
