@@ -53,7 +53,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_shard_balance",         # LPT-striped shard balance audit (packing planner)
     # --- r6 window slots 9+: round-6 additions (never driver-verified;
     # names appended here as they are registered this round) ---
-    # (see the "round-6 additions" block below)
+    "ext_audio_profile_ogg",     # RFC 3533 page walk (Opus/Vorbis), CRC-verified
+    "ext_audio_profile_flac",    # STREAMINFO bit-unpack + block-chain walk
     # --- rows already driver-green (r1-r5), registration order ---
     "ext_tokenize_pack",
     "ext_group_stream_digest",   # streaming huge-group fold (Accumulator parity)

@@ -5239,8 +5239,9 @@ def ext_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors have cosine >= 0.8, via an inverted-index join (Bayardo
     all-pairs shape) with a df <= 50 vocabulary projection bounding the
     worst posting list — never a cartesian product.  The integer
-    contract (dot² · den² >= num² · norm_a · norm_b, all BIGINT) makes
-    the float-free oracle hash-exact; the lexical twin of
+    contract (dot² · den² >= num² · norm_a · norm_b, compared in
+    decimal(38,0)/HUGEINT so huge term frequencies can't overflow)
+    makes the float-free oracle hash-exact; the lexical twin of
     ext_embed_near_dup."""
     docs = tables(spark, sf_dir)["documents"]
     return R.sparse_cosine_pairs(docs.df, "doc_id", "text",
@@ -5282,3 +5283,89 @@ def ext_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer."""
     docs = tables(spark, sf_dir)["documents"]
     return P.shard_balance(docs.df, "doc_id", T.token_count("text"), shards=8)
+
+
+# ---------------------------------------------------------------------------
+# round 6: Ogg/FLAC header-speed audio profiling (the last common audio
+# formats off the fake fallback), ANN index lifecycle, unigram encoder
+# ---------------------------------------------------------------------------
+
+# Ogg fixture closed forms (see multimodal._ogg_payload)
+_OGG_PAGES = "(3 + doc_id % 5)"
+_OGG_PPP = "(2 + doc_id % 3)"
+_OGG_RATE = "(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)"
+_OGG_SKIP = "(CASE WHEN doc_id % 2 = 0 THEN 312 + (doc_id % 4) * 24 ELSE 0 END)"
+
+
+@register(
+    "ext_audio_profile_ogg",
+    f"""
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END) AS codec,
+           (1 + doc_id % 2)::INT AS channels,
+           {_OGG_RATE}::INT AS sample_rate,
+           {_OGG_SKIP}::INT AS pre_skip,
+           (2 + {_OGG_PAGES})::BIGINT AS n_pages,
+           ((CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END)
+             + {_OGG_PAGES} * {_OGG_PPP})::BIGINT AS n_packets,
+           (CASE WHEN doc_id % 2 = 0
+                 THEN {_OGG_SKIP} + {_OGG_PAGES} * {_OGG_PPP} * 960
+                 ELSE {_OGG_PAGES} * {_OGG_PPP} * 1024 END)::BIGINT
+             AS granule_last,
+           (CASE WHEN doc_id % 2 = 0
+                 THEN {_OGG_PAGES} * {_OGG_PPP} * 960 * 1000 // 48000
+                 ELSE {_OGG_PAGES} * {_OGG_PPP} * 1024 * 1000 // {_OGG_RATE}
+            END)::BIGINT AS duration_ms
+    FROM documents
+    """,
+)
+def ext_audio_profile_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg Opus/Vorbis profiling via the real RFC 3533 page walk —
+    capture pattern, page CRC (the spec's non-reflected 0x04c11db7
+    variant, deliberately not zlib's) and sequence numbers verified on
+    every page; codec identified from the OpusHead / Vorbis type-1 BOS
+    packet; exact duration from the final granule position (48 kHz
+    clock minus pre-skip for Opus per RFC 7845, declared-rate PCM
+    samples for Vorbis).  Closes the audio triage family: mp3/wav/ogg/
+    flac all profile for real, only raw ADTS AAC keeps the documented
+    fake fallback.  Oracle = closed-form per-field functions — a wrong
+    CRC table, lacing interpretation, or granule convention breaks the
+    hash."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    return M.synth_audio_profile_ogg(docs, "doc_id").select(
+        F.col("id").alias("doc_id"), "codec", "channels", "sample_rate",
+        "pre_skip", "n_pages", "n_packets", "granule_last", "duration_ms")
+
+
+_FLAC_RATE = "(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)"
+_FLAC_TOTAL = "(100000 + (doc_id * 137) % 50000)"
+
+
+@register(
+    "ext_audio_profile_flac",
+    f"""
+    SELECT doc_id,
+           {_FLAC_RATE}::INT AS sample_rate,
+           (1 + doc_id % 2)::INT AS channels,
+           (16 + (doc_id % 2) * 8)::INT AS bits_per_sample,
+           {_FLAC_TOTAL}::BIGINT AS total_samples,
+           ({_FLAC_TOTAL} * 1000 // {_FLAC_RATE})::BIGINT AS duration_ms,
+           4096::INT AS min_block_size,
+           4096::INT AS max_block_size,
+           (1 + doc_id % 3)::BIGINT AS n_meta_blocks
+    FROM documents
+    """,
+)
+def ext_audio_profile_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO profiling: the mandatory first metadata block's
+    bit-packed fields (20-bit rate, 3-bit channels-1, 5-bit bps-1,
+    36-bit total samples) give exact duration from the first 46 bytes;
+    the block-chain walk still follows every header to the last-block
+    flag so a misdeclared length raises.  Oracle = closed-form
+    per-field functions — an off-by-one in the bit unpacking breaks the
+    hash."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    return M.synth_audio_profile_flac(docs, "doc_id").select(
+        F.col("id").alias("doc_id"), "sample_rate", "channels",
+        "bits_per_sample", "total_samples", "duration_ms",
+        "min_block_size", "max_block_size", "n_meta_blocks")

@@ -2347,3 +2347,274 @@ def mp3_encode_vbr(n_frames: int, rate_idx: int = 0, bitrate_indices=None,
         frame[p + 22:p + 24] = (2).to_bytes(2, "big")    # entry bytes
         frame[p + 24:p + 26] = (1).to_bytes(2, "big")    # frames/entry
     return tag + bytes(frame) + chain
+
+
+# ---------------------------------------------------------------------------
+# Ogg container (RFC 3533) with Opus (RFC 7845) / Vorbis identification
+# headers — the page walk that extends header-speed audio profiling to
+# the two dominant open audio codecs (mp3/wav were rounds 4-5).
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE: list | None = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC32: polynomial 0x04c11db7, init 0, NO bit reflection,
+    no final xor (RFC 3533 §6 — deliberately not zlib's CRC32), computed
+    over the page with its CRC field zeroed."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) \
+                    & 0xFFFFFFFF
+            tbl.append(r)
+        _OGG_CRC_TABLE = tbl
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[(crc >> 24) ^ b]
+    return crc
+
+
+def _ogg_pages(data: bytes):
+    """Yield one dict per Ogg page: header fields + completed-packet
+    count + body bytes.  Validates capture pattern, stream structure
+    version 0, and the page CRC at every page — a flipped byte anywhere
+    raises instead of silently skewing the profile."""
+    pos = 0
+    while pos < len(data):
+        if data[pos:pos + 4] != b"OggS":
+            raise ValueError(f"ogg: bad capture pattern at byte {pos}")
+        if data[pos + 4] != 0:
+            raise ValueError(f"ogg: unsupported version {data[pos + 4]}")
+        htype = data[pos + 5]
+        granule = int.from_bytes(data[pos + 6:pos + 14], "little", signed=True)
+        serial = int.from_bytes(data[pos + 14:pos + 18], "little")
+        seq = int.from_bytes(data[pos + 18:pos + 22], "little")
+        crc = int.from_bytes(data[pos + 22:pos + 26], "little")
+        nseg = data[pos + 26]
+        lacing = data[pos + 27:pos + 27 + nseg]
+        if len(lacing) != nseg:
+            raise ValueError("ogg: truncated segment table")
+        body_len = sum(lacing)
+        end = pos + 27 + nseg + body_len
+        if end > len(data):
+            raise ValueError(f"ogg: truncated page at byte {pos}")
+        page = bytearray(data[pos:end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError(f"ogg: CRC mismatch on page {seq}")
+        yield {
+            "htype": htype, "granule": granule, "serial": serial,
+            "seq": seq,
+            # a packet COMPLETES at every lacing value < 255
+            "n_packets": sum(1 for v in lacing if v < 255),
+            "body": data[pos + 27 + nseg:end],
+            "first_lace": lacing[0] if nseg else 0,
+        }
+        pos = end
+
+
+@_valueerror_contract
+def ogg_meta(data: bytes) -> dict:
+    """Ogg stream profiling at header speed: walk every page (capture
+    pattern, version, CRC all verified), identify the codec from the
+    beginning-of-stream packet (OpusHead per RFC 7845 §5.1, or the
+    Vorbis type-1 identification header), and read the exact stream
+    duration from the LAST page's granule position — Opus granules tick
+    the 48 kHz clock and include pre-skip, Vorbis granules count PCM
+    samples at the declared rate.  One logical bitstream only
+    (multiplexed serials raise).  Returns ``{codec, channels,
+    sample_rate, pre_skip, n_pages, n_packets, granule_last,
+    duration_ms}``."""
+    pages = list(_ogg_pages(data))
+    if not pages:
+        raise ValueError("ogg: no pages")
+    if not pages[0]["htype"] & 0x02:
+        raise ValueError("ogg: first page is not beginning-of-stream")
+    if not pages[-1]["htype"] & 0x04:
+        raise ValueError("ogg: last page is not end-of-stream")
+    serial = pages[0]["serial"]
+    for i, p in enumerate(pages):
+        if p["serial"] != serial:
+            raise ValueError("ogg: multiplexed bitstreams not supported")
+        if p["seq"] != i:
+            raise ValueError(f"ogg: page sequence gap at page {i}")
+    head = pages[0]["body"][:pages[0]["first_lace"]]
+    if head[:8] == b"OpusHead":
+        codec = "opus"
+        channels = head[9]
+        pre_skip = int.from_bytes(head[10:12], "little")
+        rate = int.from_bytes(head[12:16], "little")   # informational
+        clock = 48000                                   # granule clock
+    elif head[:7] == b"\x01vorbis":
+        if int.from_bytes(head[7:11], "little") != 0:
+            raise ValueError("ogg: unsupported vorbis version")
+        codec = "vorbis"
+        channels = head[11]
+        pre_skip = 0
+        rate = int.from_bytes(head[12:16], "little")
+        clock = rate
+    else:
+        raise ValueError("ogg: unrecognized codec id header")
+    if channels < 1 or rate < 1:
+        raise ValueError("ogg: invalid channel count or sample rate")
+    granule_last = max((p["granule"] for p in pages if p["granule"] >= 0),
+                       default=0)
+    duration_ms = max(granule_last - pre_skip, 0) * 1000 // clock
+    return {"codec": codec, "channels": channels, "sample_rate": rate,
+            "pre_skip": pre_skip, "n_pages": len(pages),
+            "n_packets": sum(p["n_packets"] for p in pages),
+            "granule_last": granule_last, "duration_ms": duration_ms}
+
+
+def _ogg_page(serial: int, seq: int, granule: int, packets: list,
+              htype: int = 0) -> bytes:
+    """Assemble one Ogg page from whole packets (RFC 3533 §4: each
+    packet laced as ⌊n/255⌋ 255-values + one terminal n%255)."""
+    lacing = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        lacing += b"\xff" * (len(pkt) // 255) + bytes([len(pkt) % 255])
+        body += pkt
+    if len(lacing) > 255:
+        raise ValueError("ogg_page: too many segments for one page")
+    page = bytearray(b"OggS\x00" + bytes([htype])
+                     + granule.to_bytes(8, "little", signed=True)
+                     + serial.to_bytes(4, "little")
+                     + seq.to_bytes(4, "little")
+                     + b"\x00\x00\x00\x00"
+                     + bytes([len(lacing)]) + lacing + body)
+    page[22:26] = _ogg_crc(bytes(page)).to_bytes(4, "little")
+    return bytes(page)
+
+
+def ogg_encode_skeleton(codec: str, n_audio_pages: int,
+                        packets_per_page: int, channels: int = 2,
+                        sample_rate: int = 48000, pre_skip: int = 312,
+                        samples_per_packet: int | None = None,
+                        serial: int = 0x5043) -> bytes:
+    """Valid Ogg stream with real header packets and zero-filled audio
+    packets — pages, lacing, granule positions and CRCs are all real;
+    audio payloads are silence-shaped zeros (the honest inverse of
+    :func:`ogg_meta`'s header-speed scope, same doctrine as
+    mp3_encode_skeleton).  Opus granules include ``pre_skip`` and tick
+    48 kHz regardless of ``sample_rate`` (RFC 7845); Vorbis granules
+    count samples at ``sample_rate``."""
+    if codec == "opus":
+        spp = samples_per_packet if samples_per_packet is not None else 960
+        idhdr = (b"OpusHead\x01" + bytes([channels])
+                 + pre_skip.to_bytes(2, "little")
+                 + sample_rate.to_bytes(4, "little")
+                 + b"\x00\x00" + b"\x00")
+        comments = [b"OpusTags" + (4).to_bytes(4, "little") + b"pgpn"
+                    + (0).to_bytes(4, "little")]
+        base = pre_skip
+    elif codec == "vorbis":
+        spp = samples_per_packet if samples_per_packet is not None else 1024
+        idhdr = (b"\x01vorbis" + (0).to_bytes(4, "little")
+                 + bytes([channels]) + sample_rate.to_bytes(4, "little")
+                 + (0).to_bytes(12, "little") + b"\xb8\x01")
+        comments = [b"\x03vorbis" + (4).to_bytes(4, "little") + b"pgpn"
+                    + (0).to_bytes(4, "little") + b"\x01",
+                    b"\x05vorbis" + bytes(16)]
+        base = 0
+    else:
+        raise ValueError(f"ogg_encode_skeleton: unknown codec {codec!r}")
+    if n_audio_pages < 1 or packets_per_page < 1:
+        raise ValueError("ogg_encode_skeleton: need >=1 audio page/packet")
+    out = bytearray(_ogg_page(serial, 0, 0, [idhdr], htype=0x02))
+    out += _ogg_page(serial, 1, 0, comments)
+    for k in range(1, n_audio_pages + 1):
+        granule = base + k * packets_per_page * spp
+        out += _ogg_page(serial, 1 + k, granule,
+                         [bytes(20)] * packets_per_page,
+                         htype=0x04 if k == n_audio_pages else 0)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO (the format's mandatory first metadata block) — exact
+# duration/layout profiling without touching a single audio frame.
+# ---------------------------------------------------------------------------
+
+
+@_valueerror_contract
+def flac_streaminfo(data: bytes) -> dict:
+    """Parse the fLaC marker and walk the metadata-block chain: the spec
+    requires STREAMINFO first (34 bytes; 20-bit sample rate, 3-bit
+    channels-1, 5-bit bps-1, 36-bit total sample count bit-packed), so
+    duration is exact from the first 46 bytes regardless of file size.
+    The walk still follows every block header to the last-block flag —
+    a truncated or misdeclared block raises.  Returns ``{sample_rate,
+    channels, bits_per_sample, total_samples, duration_ms,
+    min_block_size, max_block_size, n_meta_blocks}``."""
+    if data[:4] != b"fLaC":
+        raise ValueError("flac: bad magic")
+    pos = 4
+    first = True
+    info = None
+    n_blocks = 0
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("flac: truncated metadata block header")
+        btype = data[pos] & 0x7F
+        last = bool(data[pos] & 0x80)
+        length = int.from_bytes(data[pos + 1:pos + 4], "big")
+        if pos + 4 + length > len(data):
+            raise ValueError(f"flac: truncated block of type {btype}")
+        if first:
+            if btype != 0:
+                raise ValueError("flac: first block is not STREAMINFO")
+            if length != 34:
+                raise ValueError(f"flac: STREAMINFO length {length} != 34")
+            b = data[pos + 4:pos + 38]
+            bits = int.from_bytes(b[10:18], "big")
+            rate = bits >> 44
+            channels = ((bits >> 41) & 0x7) + 1
+            bps = ((bits >> 36) & 0x1F) + 1
+            total = bits & ((1 << 36) - 1)
+            if rate == 0:
+                raise ValueError("flac: sample rate 0")
+            info = {
+                "sample_rate": rate, "channels": channels,
+                "bits_per_sample": bps, "total_samples": total,
+                "duration_ms": total * 1000 // rate,
+                "min_block_size": int.from_bytes(b[0:2], "big"),
+                "max_block_size": int.from_bytes(b[2:4], "big"),
+            }
+            first = False
+        n_blocks += 1
+        pos += 4 + length
+        if last:
+            break
+    info["n_meta_blocks"] = n_blocks
+    return info
+
+
+def flac_encode_streaminfo(sample_rate: int, channels: int,
+                           bits_per_sample: int, total_samples: int,
+                           block_size: int = 4096,
+                           n_padding_blocks: int = 0) -> bytes:
+    """fLaC header with a real STREAMINFO block (+ optional PADDING
+    blocks to exercise the chain walk) — the inverse of
+    :func:`flac_streaminfo`'s scope; no audio frames, which is exactly
+    the point: duration profiling must never need them."""
+    if not (1 <= channels <= 8 and 4 <= bits_per_sample <= 32):
+        raise ValueError("flac_encode_streaminfo: bad channels/bps")
+    if not (0 < sample_rate < (1 << 20)) or not (0 <= total_samples < (1 << 36)):
+        raise ValueError("flac_encode_streaminfo: rate/samples out of field range")
+    bits = (sample_rate << 44) | ((channels - 1) << 41) \
+        | ((bits_per_sample - 1) << 36) | total_samples
+    si = (block_size.to_bytes(2, "big") + block_size.to_bytes(2, "big")
+          + (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
+          + bits.to_bytes(8, "big") + bytes(16))
+    out = bytearray(b"fLaC")
+    last_flag = 0x80 if n_padding_blocks == 0 else 0
+    out += bytes([last_flag]) + (34).to_bytes(3, "big") + si
+    for i in range(n_padding_blocks):
+        flag = 0x80 if i == n_padding_blocks - 1 else 0
+        out += bytes([flag | 0x01]) + (8).to_bytes(3, "big") + bytes(8)
+    return bytes(out)

@@ -140,10 +140,13 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str = "payload") -> 
     absent); deterministic FAKE duration/sample-rate from payload bytes,
     same mapInPandas plumbing as decode_image_meta.  DO NOT ship this
     path for formats the repo handles for real: PCM-WAV decodes fully
-    (:func:`audio_features_wav`, :func:`audio_downsample`) and MP3
-    profiles at header speed (:func:`audio_profile_mp3`) — dispatch on
-    magic bytes first (the synth_video_meta pattern) and fall back here
-    only for genuinely codec-bound formats (AAC/Opus/Vorbis)."""
+    (:func:`audio_features_wav`, :func:`audio_downsample`); MP3
+    (:func:`audio_profile_mp3`), Ogg Opus/Vorbis
+    (:func:`audio_profile_ogg`) and FLAC (:func:`audio_profile_flac`)
+    all profile at header speed — dispatch on magic bytes first (the
+    synth_video_meta pattern: b"OggS" → ogg, b"fLaC" → flac, ID3/0xFFE
+    → mp3, RIFF/WAVE → wav) and fall back here only for genuinely
+    codec-bound raw formats (ADTS AAC)."""
     try:  # pragma: no cover
         import librosa  # noqa: F401
         raise NotImplementedError("librosa path: wire librosa.load on BytesIO")
@@ -1192,6 +1195,123 @@ def synth_audio_profile_vbr(df: DataFrame, id_col: str) -> DataFrame:
     return _fused_synth(
         df, id_col, lambda i: _mp3_vbr_row(i, _mp3_vbr_payload(i)),
         MP3_VBR_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ogg (Opus/Vorbis) page walk + FLAC STREAMINFO (round 6) — the last
+# two common audio formats leave the loudly-fake fallback: duration and
+# stream layout at header speed, CRC-verified, zero frame decode.
+# ---------------------------------------------------------------------------
+
+OGG_META_SCHEMA = ("id long, codec string, channels int, sample_rate int, "
+                   "pre_skip int, n_pages long, n_packets long, "
+                   "granule_last long, duration_ms long")
+
+
+def _ogg_payload(i: int) -> bytes:
+    """Synthetic Ogg stream i: Opus for even ids / Vorbis for odd,
+    3 + i%5 audio pages of 2 + i%3 packets, 1 + i%2 channels, sample
+    rate cycling {44100, 48000, 32000} by i%3, Opus pre-skip
+    312 + (i%4)·24 — every profiled field closed-form in i."""
+    from pigpen_spark.functions import codecs as C
+
+    return C.ogg_encode_skeleton(
+        "opus" if i % 2 == 0 else "vorbis",
+        n_audio_pages=3 + i % 5, packets_per_page=2 + i % 3,
+        channels=1 + i % 2,
+        sample_rate=(44100, 48000, 32000)[i % 3],
+        pre_skip=312 + (i % 4) * 24)
+
+
+def _ogg_row(rid: int, data: bytes) -> dict:
+    from pigpen_spark.functions import codecs as C
+
+    m = C.ogg_meta(data)
+    return {"id": rid, **m}
+
+
+def audio_profile_ogg(df: DataFrame, id_col: str,
+                      payload_col: str = "payload") -> DataFrame:
+    """Ogg (Opus/Vorbis) stream profiling over binary payloads: the real
+    RFC 3533 page walk — capture pattern, CRC and page sequencing
+    verified on every page, codec identified from the BOS packet, exact
+    duration from the final granule position (48 kHz clock minus
+    pre-skip for Opus, declared-rate samples for Vorbis).  Header
+    arithmetic only; corrupt pages raise for upstream quarantine."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_ogg_row(int(rid), bytes(payload))
+                 for rid, payload in zip(pdf["id"], pdf["payload"])]
+            )
+
+    return src.mapInPandas(work, schema=OGG_META_SCHEMA)
+
+
+def synth_audio_profile_ogg(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused synth→page walk (one Arrow crossing, id fan-out)."""
+    return _fused_synth(
+        df, id_col, lambda i: _ogg_row(i, _ogg_payload(i)),
+        OGG_META_SCHEMA,
+    )
+
+
+FLAC_META_SCHEMA = ("id long, sample_rate int, channels int, "
+                    "bits_per_sample int, total_samples long, "
+                    "duration_ms long, min_block_size int, "
+                    "max_block_size int, n_meta_blocks long")
+
+
+def _flac_payload(i: int) -> bytes:
+    """Synthetic FLAC header i: rate cycling {44100, 48000, 32000},
+    1 + i%2 channels, 16/24-bit by i%2, 100000 + (i·137)%50000 total
+    samples, i%3 padding blocks after STREAMINFO."""
+    from pigpen_spark.functions import codecs as C
+
+    return C.flac_encode_streaminfo(
+        sample_rate=(44100, 48000, 32000)[i % 3], channels=1 + i % 2,
+        bits_per_sample=16 + (i % 2) * 8,
+        total_samples=100_000 + (i * 137) % 50_000,
+        n_padding_blocks=i % 3)
+
+
+def _flac_row(rid: int, data: bytes) -> dict:
+    from pigpen_spark.functions import codecs as C
+
+    return {"id": rid, **C.flac_streaminfo(data)}
+
+
+def audio_profile_flac(df: DataFrame, id_col: str,
+                       payload_col: str = "payload") -> DataFrame:
+    """FLAC profiling over binary payloads: parse the mandatory
+    STREAMINFO block (bit-packed 20-bit rate / 3-bit channels / 5-bit
+    bps / 36-bit sample count) and walk the metadata chain to the
+    last-block flag — exact duration from the first 46 bytes, no audio
+    frame ever read."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_flac_row(int(rid), bytes(payload))
+                 for rid, payload in zip(pdf["id"], pdf["payload"])]
+            )
+
+    return src.mapInPandas(work, schema=FLAC_META_SCHEMA)
+
+
+def synth_audio_profile_flac(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused synth→STREAMINFO parse (one Arrow crossing)."""
+    return _fused_synth(
+        df, id_col, lambda i: _flac_row(i, _flac_payload(i)),
+        FLAC_META_SCHEMA,
     )
 
 

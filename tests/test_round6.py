@@ -71,3 +71,145 @@ class TestAdviceR5Regressions:
         sql = C.target_encode_sql(f"read_parquet('{p}/*.parquet')",
                                   "cat", "y", m=5)
         assert duckdb.sql(sql).fetchall() == []
+
+
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533) page walk + FLAC STREAMINFO — round-6 audio formats
+# ---------------------------------------------------------------------------
+
+import pytest
+from pyspark.sql import functions as F
+
+from pigpen_spark.functions import codecs as CX
+from pigpen_spark.functions import multimodal as M
+
+
+class TestOggCodec:
+    def test_opus_round_trip(self):
+        d = CX.ogg_encode_skeleton("opus", n_audio_pages=4,
+                                  packets_per_page=2, channels=2,
+                                  sample_rate=44100, pre_skip=312)
+        m = CX.ogg_meta(d)
+        assert m["codec"] == "opus"
+        assert (m["channels"], m["sample_rate"], m["pre_skip"]) == (2, 44100, 312)
+        assert m["n_pages"] == 6            # BOS + tags + 4 audio
+        assert m["n_packets"] == 2 + 8
+        assert m["granule_last"] == 312 + 4 * 2 * 960
+        # opus duration ticks the 48 kHz clock net of pre-skip
+        assert m["duration_ms"] == 4 * 2 * 960 * 1000 // 48000
+
+    def test_vorbis_round_trip(self):
+        d = CX.ogg_encode_skeleton("vorbis", n_audio_pages=3,
+                                  packets_per_page=3, channels=1,
+                                  sample_rate=32000)
+        m = CX.ogg_meta(d)
+        assert m["codec"] == "vorbis"
+        assert m["pre_skip"] == 0
+        assert m["n_packets"] == 3 + 9      # id + tags + setup + audio
+        assert m["duration_ms"] == 3 * 3 * 1024 * 1000 // 32000
+
+    def test_crc_is_the_spec_variant(self):
+        # RFC 3533 CRC of a known vector: non-reflected 0x04c11db7,
+        # init 0 — must NOT equal zlib.crc32
+        import zlib
+        v = b"OggS\x00\x02" + bytes(20) + b"\x01\x05hello"
+        assert CX._ogg_crc(v) != zlib.crc32(v)
+        # self-consistency: encoder pages verify under the walk
+        assert CX.ogg_meta(CX.ogg_encode_skeleton("opus", 1, 1))["n_pages"] == 3
+
+    def test_flipped_byte_raises(self):
+        d = bytearray(CX.ogg_encode_skeleton("opus", 2, 2))
+        d[-1] ^= 0x01                       # corrupt last audio byte
+        with pytest.raises(ValueError, match="CRC"):
+            CX.ogg_meta(bytes(d))
+
+    def test_truncated_page_raises(self):
+        d = CX.ogg_encode_skeleton("opus", 2, 2)
+        with pytest.raises(ValueError):
+            CX.ogg_meta(d[:-5])
+
+    def test_bad_magic_and_missing_bos_raise(self):
+        with pytest.raises(ValueError, match="capture"):
+            CX.ogg_meta(b"NotAnOggStream" + bytes(30))
+        d = CX.ogg_encode_skeleton("opus", 2, 2)
+        # drop the BOS page: walk fails on the sequence gap
+        second = d.index(b"OggS", 4)
+        with pytest.raises(ValueError):
+            CX.ogg_meta(d[second:])
+
+    def test_unknown_codec_raises(self):
+        page = CX._ogg_page(7, 0, 0, [b"FAKECODEC"], htype=0x02 | 0x04)
+        with pytest.raises(ValueError, match="codec"):
+            CX.ogg_meta(page)
+
+    def test_large_packet_lacing(self):
+        # a >255-byte header packet spans multiple 255 lacing values
+        d = CX.ogg_encode_skeleton("opus", 1, 1, samples_per_packet=960)
+        m = CX.ogg_meta(d)
+        assert m["n_packets"] == 3
+
+
+class TestFlacCodec:
+    def test_round_trip_all_fields(self):
+        d = CX.flac_encode_streaminfo(48000, 2, 24, 987654, block_size=1024,
+                                     n_padding_blocks=2)
+        m = CX.flac_streaminfo(d)
+        assert (m["sample_rate"], m["channels"], m["bits_per_sample"]) \
+            == (48000, 2, 24)
+        assert m["total_samples"] == 987654
+        assert m["duration_ms"] == 987654 * 1000 // 48000
+        assert m["min_block_size"] == m["max_block_size"] == 1024
+        assert m["n_meta_blocks"] == 3
+
+    def test_36bit_total_samples(self):
+        big = (1 << 36) - 1
+        m = CX.flac_streaminfo(CX.flac_encode_streaminfo(96000, 1, 16, big))
+        assert m["total_samples"] == big
+
+    def test_bad_magic_raises(self):
+        with pytest.raises(ValueError, match="magic"):
+            CX.flac_streaminfo(b"fLaK" + bytes(40))
+
+    def test_first_block_not_streaminfo_raises(self):
+        d = b"fLaC" + bytes([0x81]) + (8).to_bytes(3, "big") + bytes(8)
+        with pytest.raises(ValueError, match="STREAMINFO"):
+            CX.flac_streaminfo(d)
+
+    def test_truncated_block_raises(self):
+        d = CX.flac_encode_streaminfo(44100, 2, 16, 1000)
+        with pytest.raises(ValueError):
+            CX.flac_streaminfo(d[:-4])
+
+    def test_rate_zero_raises(self):
+        with pytest.raises(ValueError):
+            CX.flac_encode_streaminfo(0, 2, 16, 1000)
+        # hand-build a rate-0 STREAMINFO: parser must refuse too
+        bits = (0 << 44) | (1 << 41) | (15 << 36) | 1000
+        si = bytes(4) + bytes(6) + bits.to_bytes(8, "big") + bytes(16)
+        d = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+        with pytest.raises(ValueError, match="rate"):
+            CX.flac_streaminfo(d)
+
+
+class TestAudioProfileSparkPaths:
+    def test_ogg_fused_matches_unfused(self, spark):
+        ids = spark.range(12).select(F.col("id").alias("doc_id"))
+        payloads = spark.createDataFrame(
+            [(i, M._ogg_payload(i)) for i in range(12)],
+            "doc_id long, payload binary")
+        fused = {r["id"]: r for r in
+                 M.synth_audio_profile_ogg(ids, "doc_id").collect()}
+        unfused = {r["id"]: r for r in
+                   M.audio_profile_ogg(payloads, "doc_id").collect()}
+        assert fused == unfused and len(fused) == 12
+
+    def test_flac_fused_matches_unfused(self, spark):
+        ids = spark.range(9).select(F.col("id").alias("doc_id"))
+        payloads = spark.createDataFrame(
+            [(i, M._flac_payload(i)) for i in range(9)],
+            "doc_id long, payload binary")
+        fused = {r["id"]: r for r in
+                 M.synth_audio_profile_flac(ids, "doc_id").collect()}
+        unfused = {r["id"]: r for r in
+                   M.audio_profile_flac(payloads, "doc_id").collect()}
+        assert fused == unfused and len(fused) == 9
