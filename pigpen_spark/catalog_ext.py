@@ -4296,6 +4296,18 @@ def ext_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(e.df, "user_id", "ts", "event_type", "event_id")
 
 
+# per-(column, class) row-match counters built from the SAME pattern
+# table the Spark side (validate.pii_profile) and ext_redact use, so
+# the three surfaces cannot drift.  The Spark side gates each regex
+# behind a necessary-condition precheck (@ / . / digit) — a pure
+# evaluation shortcut, so the oracle needs no mirror of it.
+_PII_AGG_LINES = ",\n             ".join(
+    "sum(CASE WHEN regexp_matches(%s, '%s') THEN 1 ELSE 0 END)::BIGINT AS %s_%s"
+    % (col, pat, col[0], {"<EMAIL>": "e", "<IP>": "i", "<NUM>": "n"}[repl])
+    for col in ("contact", "host", "note", "text")
+    for pat, repl in T.REDACT_PATTERNS)
+
+
 @register(
     "ext_pii_profile",
     """
@@ -4313,18 +4325,7 @@ def ext_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT count(*)::BIGINT AS n,
-             sum(CASE WHEN regexp_matches(contact, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END)::BIGINT AS c_e,
-             sum(CASE WHEN regexp_matches(contact, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b') THEN 1 ELSE 0 END)::BIGINT AS c_i,
-             sum(CASE WHEN regexp_matches(contact, '\\b\\d{7,}\\b') THEN 1 ELSE 0 END)::BIGINT AS c_n,
-             sum(CASE WHEN regexp_matches(host, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END)::BIGINT AS h_e,
-             sum(CASE WHEN regexp_matches(host, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b') THEN 1 ELSE 0 END)::BIGINT AS h_i,
-             sum(CASE WHEN regexp_matches(host, '\\b\\d{7,}\\b') THEN 1 ELSE 0 END)::BIGINT AS h_n,
-             sum(CASE WHEN regexp_matches(note, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END)::BIGINT AS n_e,
-             sum(CASE WHEN regexp_matches(note, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b') THEN 1 ELSE 0 END)::BIGINT AS n_i,
-             sum(CASE WHEN regexp_matches(note, '\\b\\d{7,}\\b') THEN 1 ELSE 0 END)::BIGINT AS n_n,
-             sum(CASE WHEN regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END)::BIGINT AS t_e,
-             sum(CASE WHEN regexp_matches(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b') THEN 1 ELSE 0 END)::BIGINT AS t_i,
-             sum(CASE WHEN regexp_matches(text, '\\b\\d{7,}\\b') THEN 1 ELSE 0 END)::BIGINT AS t_n
+             """ + _PII_AGG_LINES + """
       FROM t
     )
     SELECT col AS "column", pattern, n AS n_rows, hits AS n_hits,

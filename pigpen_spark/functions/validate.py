@@ -242,14 +242,26 @@ def k_anonymity_violations(df: DataFrame, quasi_cols: list[str],
 def pii_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Column-level PII exposure audit — the governance pass a pipeline
     runs before sharing a table: for every string column, how many rows
-    match each PII pattern class (email / IPv4 / long digit run, the
+    carry each PII pattern class (email / IPv4 / long digit run, the
     same RE2-portable patterns :func:`pigpen_spark.functions.text.
     redact` scrubs — audit and scrub CANNOT disagree about what counts
     as PII because they share the pattern table).
 
     ONE aggregate pass over the data (every (column × pattern) counter
-    is a ``sum(rlike)`` with map-side partials — no per-column scans);
-    the unpivot to (column, pattern, n_rows, n_hits, hit_ppm) rows
+    is a ``sum(rlike)`` with map-side partials — no per-column scans),
+    and every expensive pattern is GATED behind a short-circuiting
+    necessary-condition precheck: an email needs an ``@``, an IPv4
+    needs a ``.``, a digit run needs a digit — all O(n) memchr-class
+    scans, so a clean column (the common governance case: most columns
+    have nothing to find) costs three cheap scans instead of three
+    NFA-regex scans.  Prechecks are strictly necessary conditions, so
+    counts are byte-identical to ungated matching on any input
+    (measured 2.0× on the 10× scale corpus — 4.7 → 2.3 s — even though
+    that fixture deliberately plants PII in most rows, keeping many
+    gates open; a clean column skips its NFA scans entirely.  SCALE.md
+    round 6).
+
+    The unpivot to (column, pattern, n_rows, n_hits, hit_ppm) rows
     happens on the 1-row aggregate.  Flag columns with hit_ppm above a
     policy threshold, then route them through ``redact`` or a column
     drop."""
@@ -261,11 +273,19 @@ def pii_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     if not columns:
         raise ValueError("pii_profile: no string columns to audit")
     pat_names = {"<EMAIL>": "email", "<IP>": "ipv4", "<NUM>": "digit_run"}
+    # necessary condition per class — a row failing it CANNOT match the
+    # class pattern, so the regex never runs on it
+    prechecks = {
+        "<EMAIL>": lambda col: col.contains("@"),
+        "<IP>": lambda col: col.contains(".") & col.rlike("[0-9]"),
+        "<NUM>": lambda col: col.rlike("[0-9]"),
+    }
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in columns:
         for pat, repl in REDACT_PATTERNS:
+            hit = prechecks[repl](F.col(c)) & F.col(c).rlike(pat)
             aggs.append(
-                F.sum(F.when(F.col(c).rlike(pat), 1).otherwise(0))
+                F.sum(F.when(hit, 1).otherwise(0))
                 .alias(f"__{c}__{pat_names[repl]}"))
     one = df.agg(*aggs)
     rows = F.array(*[
