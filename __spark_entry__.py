@@ -55,6 +55,7 @@ _DRIVER_PRIORITY: list[str] = [
     # names appended here as they are registered this round) ---
     "ext_audio_profile_ogg",     # RFC 3533 page walk (Opus/Vorbis), CRC-verified
     "ext_audio_profile_flac",    # STREAMINFO bit-unpack + block-chain walk
+    "ext_ann_index_update",      # incremental LSH append == full rebuild
     # --- rows already driver-green (r1-r5), registration order ---
     "ext_tokenize_pack",
     "ext_group_stream_digest",   # streaming huge-group fold (Accumulator parity)

@@ -5370,3 +5370,34 @@ def ext_audio_profile_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "sample_rate", "channels",
         "bits_per_sample", "total_samples", "duration_ms",
         "min_block_size", "max_block_size", "n_meta_blocks")
+
+
+@register(
+    "ext_ann_index_update",
+    f"""
+    SELECT vec_id AS id,
+           ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bucket,
+           round(sqrt({S.dot_sql('embedding', 'embedding')}), 6) AS nrm6
+    FROM embeddings
+    """,
+)
+def ext_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index LIFECYCLE (VERDICT r5 next #6): build the stored LSH
+    index on the corpus MINUS the newest 100 vectors, then
+    lsh_index_append the arrivals — only the delta is ever hashed, with
+    the plane count read off the stored artifact (the width probe, so
+    build and maintenance cannot disagree).  The oracle is the FULL
+    REBUILD over the whole corpus: hash-equality certifies
+    append == rebuild row for row, the invariant that makes daily index
+    maintenance at 100 TB a delta-scan instead of a corpus re-hash.
+    The companion staleness monitor (lsh_index_drift: cell-occupancy
+    histogram vs build-time baseline + re-derived auto plane count) is
+    pytest-pinned — it decides WHEN the frozen sizing warrants the one
+    real rebuild."""
+    emb = tables(spark, sf_dir)["embeddings"].df
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    batch = emb.filter(F.col("vec_id") < 100)
+    idx = S.lsh_index(corpus, n_planes=_PLANES, dim=_DIM)
+    appended = S.lsh_index_append(idx, batch, dim=_DIM)
+    return appended.select(
+        "id", "bucket", F.round(F.col("nrm"), 6).alias("nrm6"))

@@ -1514,6 +1514,88 @@ def lsh_topk_against(
     )
 
 
+def stored_plane_count(index: DataFrame) -> int:
+    """Plane count of a stored :func:`lsh_index` artifact, read off the
+    bucket width (1-row probe) — the only safe source at serving or
+    maintenance time (a hand-passed count that disagrees with the
+    stored width silently matches zero buckets)."""
+    row = index.select(F.length("bucket").alias("np")).first()
+    if row is None:
+        raise ValueError("stored_plane_count: empty index")
+    return int(row["np"])
+
+
+def lsh_index_append(index: DataFrame, batch: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int | None = None) -> DataFrame:
+    """INCREMENTAL index maintenance: hash ONLY the new batch (with the
+    plane count read off the stored artifact) and union it onto the
+    stored index — the lsh twin of :func:`pigpen_spark.functions.dedup.
+    minhash_candidates_against`'s write path.  At 100 TB the corpus is
+    hashed once ever; each day's delta costs one scan of the delta.
+
+    Contract (oracle-pinned by ext_ann_index_update): append == rebuild
+    — ``lsh_index_append(lsh_index(corpus, n), batch)`` is row-for-row
+    identical to ``lsh_index(corpus ∪ batch, n)``, because the planes
+    are pure functions of (plane index, dim) and the stored width pins
+    the plane count.  Appending NEVER resizes the plane count (an
+    auto-built index's density sizing is frozen at build time — by
+    design: resizing rewrites every bucket, i.e. a rebuild);
+    :func:`lsh_index_drift` is the monitor that says when the frozen
+    sizing has gone stale enough to warrant one."""
+    n_planes = stored_plane_count(index)
+    if dim is None:
+        dim = infer_dim(batch, vec_col)
+    new_rows = (
+        batch.select(
+            F.col(id_col).alias("id"),
+            to_double(F.col(vec_col)).alias("vec"),
+            lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        )
+        .withColumn("nrm", norm(F.col("vec")))
+    )
+    return index.select("id", "vec", "bucket", "nrm") \
+        .unionByName(new_rows.select("id", "vec", "bucket", "nrm"))
+
+
+def lsh_index_drift(baseline: DataFrame, live: DataFrame,
+                    target_bucket: int = 200, floor: int = 8,
+                    cap: int = 32) -> DataFrame:
+    """Staleness monitor for a stored :func:`lsh_index`: compares the
+    CELL-OCCUPANCY distribution of the live (typically appended) index
+    against the build-time baseline via the integer-exact histogram
+    drift sketch (bucket sign-patterns read as base-2 integers — the
+    cell id IS the bin), and re-derives what the density-auto sizing
+    WOULD pick for the live corpus size.  One ≤2^planes-row sketch per
+    side, no vector is ever re-read.
+
+    Returns one row: (n_old, n_new, l1_ppm, linf_ppm, n_bins_changed,
+    planes_stored, planes_auto, stale) — ``stale`` when the auto sizing
+    disagrees with the stored width (the corpus outgrew its bucket
+    count: occupancy is drifting up and candidate pair work with it) —
+    the trigger for scheduling the one real rebuild.  Shape drift with
+    ``stale=false`` (l1_ppm high, same plane count) instead means the
+    DATA moved — new vectors crowd different cells — the signal to
+    retrain centroids/codebooks downstream (SemDeDup cells, IVF lists,
+    PQ codebooks all inherit the same trigger)."""
+    from pigpen_spark.functions.sketch import histogram_drift
+    from pigpen_spark.tuning import lsh_planes_for
+
+    planes_stored = stored_plane_count(baseline)
+    n_cells = 1 << planes_stored
+    cell = F.conv(F.col("bucket"), 2, 10).cast("bigint")
+    drift = histogram_drift(baseline, live, cell, lo=0, hi=n_cells,
+                            n_bins=min(256, n_cells))
+    planes_auto = F.lit(lsh_planes_for(
+        live.count(), target_bucket, floor, cap)).cast("int")
+    return drift.select(
+        "n_old", "n_new", "l1_ppm", "linf_ppm", "n_bins_changed",
+        F.lit(planes_stored).cast("int").alias("planes_stored"),
+        planes_auto.alias("planes_auto"),
+        (planes_auto != planes_stored).alias("stale"),
+    )
+
+
 def negative_samples(df: DataFrame, id_col: str = "vec_id", k: int = 4,
                      n_total: int | None = None, salt: str = "neg") -> DataFrame:
     """Deterministic random negative sampling over a DENSE 0..N-1 id

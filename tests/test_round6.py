@@ -213,3 +213,86 @@ class TestAudioProfileSparkPaths:
         unfused = {r["id"]: r for r in
                    M.audio_profile_flac(payloads, "doc_id").collect()}
         assert fused == unfused and len(fused) == 9
+
+
+# ---------------------------------------------------------------------------
+# ANN index lifecycle: incremental append + staleness drift monitor
+# ---------------------------------------------------------------------------
+
+from pigpen_spark.functions import similarity as S
+
+
+def _vecs(spark, ids, dim=8, shift=0.0):
+    import hashlib
+
+    def v(i):
+        out = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{i}_{d}".encode()).hexdigest()[:6], 16)
+            out.append((h % 1000) / 500.0 - 1.0 + shift)
+        return out
+
+    return spark.createDataFrame([(i, v(i)) for i in ids],
+                                 "vec_id long, embedding array<double>")
+
+
+class TestAnnIndexLifecycle:
+    def test_append_equals_rebuild(self, spark):
+        corpus = _vecs(spark, range(50, 200))
+        batch = _vecs(spark, range(0, 50))
+        both = _vecs(spark, range(0, 200))
+        idx = S.lsh_index(corpus, n_planes=5, dim=8)
+        appended = S.lsh_index_append(idx, batch, dim=8)
+        rebuilt = S.lsh_index(both, n_planes=5, dim=8)
+        a = sorted((r["id"], r["bucket"], round(r["nrm"], 9))
+                   for r in appended.collect())
+        b = sorted((r["id"], r["bucket"], round(r["nrm"], 9))
+                   for r in rebuilt.collect())
+        assert a == b and len(a) == 200
+
+    def test_append_derives_planes_from_artifact(self, spark):
+        # the stored width pins the plane count: appending to a 7-plane
+        # index hashes the batch at 7 planes, whatever the default is
+        idx = S.lsh_index(_vecs(spark, range(20)), n_planes=7, dim=8)
+        out = S.lsh_index_append(idx, _vecs(spark, range(100, 110)), dim=8)
+        widths = {len(r["bucket"]) for r in out.collect()}
+        assert widths == {7}
+
+    def test_append_to_empty_index_raises(self, spark):
+        empty = S.lsh_index(_vecs(spark, []), n_planes=5, dim=8)
+        with pytest.raises(ValueError, match="empty index"):
+            S.lsh_index_append(empty, _vecs(spark, range(5)), dim=8)
+
+    def test_drift_identical_index_is_quiet(self, spark):
+        idx = S.lsh_index(_vecs(spark, range(100)), n_planes=4, dim=8)
+        r = S.lsh_index_drift(idx, idx, target_bucket=10, floor=2,
+                              cap=8).collect()[0]
+        # same occupancy, and auto sizing for n=100 at target 10 is
+        # bit_length(ceil(100/10)-1) = 4 = the stored width
+        assert (r["l1_ppm"], r["linf_ppm"], r["n_bins_changed"]) == (0, 0, 0)
+        assert (r["planes_stored"], r["planes_auto"]) == (4, 4)
+        assert not r["stale"]
+
+    def test_drift_flags_outgrown_sizing(self, spark):
+        # corpus grows 100 -> 800: auto sizing moves 4 -> 7 planes while
+        # the stored width stays 4 — the rebuild trigger fires
+        base = S.lsh_index(_vecs(spark, range(100)), n_planes=4, dim=8)
+        live = S.lsh_index_append(base, _vecs(spark, range(100, 800)),
+                                  dim=8)
+        r = S.lsh_index_drift(base, live, target_bucket=10, floor=2,
+                              cap=8).collect()[0]
+        assert (r["n_old"], r["n_new"]) == (100, 800)
+        assert (r["planes_stored"], r["planes_auto"]) == (4, 7)
+        assert r["stale"]
+
+    def test_drift_sees_data_shift_without_staleness(self, spark):
+        # same corpus SIZE, shifted distribution: occupancy moves
+        # (l1 > 0) but the sizing trigger stays quiet — the
+        # retrain-centroids signal, not the rebuild-index signal
+        base = S.lsh_index(_vecs(spark, range(100)), n_planes=4, dim=8)
+        live = S.lsh_index(_vecs(spark, range(100), shift=0.9),
+                           n_planes=4, dim=8)
+        r = S.lsh_index_drift(base, live, target_bucket=10, floor=2,
+                              cap=8).collect()[0]
+        assert r["l1_ppm"] > 0
+        assert not r["stale"]
