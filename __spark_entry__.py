@@ -56,6 +56,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_audio_profile_ogg",     # RFC 3533 page walk (Opus/Vorbis), CRC-verified
     "ext_audio_profile_flac",    # STREAMINFO bit-unpack + block-chain walk
     "ext_ann_index_update",      # incremental LSH append == full rebuild
+    "ext_unigram_encode",        # unigram-LM Viterbi encoder (frozen trained table)
+    "ext_unigram_encode_trained",  # rows-only by design (Viterbi-EM training)
     # --- rows already driver-green (r1-r5), registration order ---
     "ext_tokenize_pack",
     "ext_group_stream_digest",   # streaming huge-group fold (Accumulator parity)

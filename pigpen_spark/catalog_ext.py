@@ -5401,3 +5401,48 @@ def ext_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended = S.lsh_index_append(idx, batch, dim=_DIM)
     return appended.select(
         "id", "bucket", F.round(F.col("nrm"), 6).alias("nrm6"))
+
+
+from pigpen_spark.functions import unigram as UG  # noqa: E402
+
+
+@register(
+    "ext_unigram_encode",
+    UG.unigram_encode_fixed_sql("documents", "doc_id", "text",
+                                UG.FIXED_PIECES),
+)
+def ext_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-model) subword encoding under the
+    frozen FIXED_PIECES table (exactly what train_unigram produces on
+    this corpus, embedded as integer centi-nat literals): per word, the
+    GLOBAL-optimum segmentation by Viterbi DP over integer log-scores,
+    ties to the shortest last piece — BPE's complement (greedy merges
+    vs optimal segmentation) and tokenize_pack's second id-mapper.
+    Hash-exact: the oracle replays the identical DP as one chained CTE
+    per word position over the distinct-words table; a wrong tie-break,
+    score, or DP bound breaks the pieces string, count, AND the score
+    column.  The trained path is ext_unigram_encode_trained."""
+    docs = tables(spark, sf_dir)["documents"]
+    enc = UG.unigram_encode(docs.df, "doc_id", "text", UG.FIXED_PIECES)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.array_join("pieces", " ").alias("pieces"),
+        "n_pieces", "score")
+
+
+@register("ext_unigram_encode_trained", None)  # iterative EM: rows-only
+def ext_unigram_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer TRAINED on the corpus (Viterbi-EM with
+    vocabulary pruning — the SentencePiece recipe) and applied back to
+    it.  Counting is the only corpus-sized pass (the same one-groupBy
+    word histogram BPE training uses); EM runs driver-side over the
+    vocab-sized histogram.  Iterative training ⇒ rows-only; the ENCODER
+    it shares with ext_unigram_encode is hash-verified there, and the
+    trainer is pinned by pure-Python differential tests."""
+    docs = tables(spark, sf_dir)["documents"]
+    vocab = UG.train_unigram(docs.df, "text", vocab_size=48, em_rounds=3)
+    enc = UG.unigram_encode(docs.df, "doc_id", "text", vocab)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.array_join("pieces", " ").alias("pieces"),
+        "n_pieces", "score")

@@ -296,3 +296,125 @@ class TestAnnIndexLifecycle:
                               cap=8).collect()[0]
         assert r["l1_ppm"] > 0
         assert not r["stale"]
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-model) Viterbi encoder + trainer
+# ---------------------------------------------------------------------------
+
+from pigpen_spark.functions import unigram as U
+
+
+def _brute_best(word, vocab, max_piece=4):
+    """All-segmentations reference: enumerate every decomposition and
+    apply the documented policy (max score, ties to the segmentation
+    Viterbi's shortest-last-piece rule picks)."""
+    segs = []
+
+    def rec(pos, acc, score):
+        if pos == len(word):
+            segs.append((score, list(acc)))
+            return
+        for k in range(1, min(max_piece, len(word) - pos) + 1):
+            p = word[pos:pos + k]
+            if p in vocab:
+                acc.append(p)
+                rec(pos + k, acc, score + vocab[p])
+                acc.pop()
+
+    rec(0, [], 0)
+    return segs
+
+
+class TestUnigramEncoder:
+    def test_reconstruction_whole_corpus_vocab(self):
+        # pieces must concatenate back to the word, for every corpus word
+        words = ("batch part spark line column order small sort fast value "
+                 "scan hash slow group agg filter query big key window join "
+                 "customer merge row data table stream vector the a").split()
+        for w in words:
+            pieces, score = U.viterbi_encode_word(w, U.FIXED_PIECES)
+            assert "".join(pieces) == w
+            assert score == sum(U.FIXED_PIECES[p] for p in pieces)
+
+    def test_matches_brute_force_enumeration(self):
+        import random
+
+        rng = random.Random(13)
+        alphabet = "abcde"
+        vocab = {c: -700 for c in alphabet}
+        # random multi-char pieces with random scores (tie-prone: coarse
+        # score grid)
+        for _ in range(30):
+            k = rng.randint(2, 4)
+            p = "".join(rng.choice(alphabet) for _ in range(k))
+            vocab[p] = -100 * rng.randint(3, 14)
+        for _ in range(200):
+            w = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 10)))
+            pieces, score = U.viterbi_encode_word(w, vocab)
+            segs = _brute_best(w, vocab)
+            best = max(s for s, _ in segs)
+            assert score == best
+            assert "".join(pieces) == w
+
+    def test_tie_breaks_to_shortest_last_piece(self):
+        # 'ab'(-10) vs 'a'(-4)+'b'(-6): equal totals — DP at position 2
+        # tests k=1 first, so a|b wins
+        vocab = {"a": -4, "b": -6, "ab": -10}
+        pieces, score = U.viterbi_encode_word("ab", vocab)
+        assert pieces == ["a", "b"] and score == -10
+
+    def test_uncoverable_word_raises(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="not coverable"):
+            U.viterbi_encode_word("axe", {"a": -1, "e": -1})
+
+    def test_oracle_matches_python_on_adversarial_vocab(self):
+        import duckdb
+
+        vocab = {**{c: -700 for c in "abcdefgh"},
+                 "ab": -1400, "abc": -1350, "bc": -650, "cd": -700,
+                 "abcd": -2100, "d": -700}
+        rows = [(i, w) for i, w in enumerate(
+            ["abcd", "abcdabcd", "aabbccdd", "dcba", "abcabc", ""])]
+        vals = ", ".join(f"({i}, '{w}')" for i, w in rows)
+        sql = U.unigram_encode_fixed_sql(
+            f"(VALUES {vals}) t(doc_id, text)", "doc_id", "text", vocab)
+        got = {r[0]: (r[1], r[2], r[3])
+               for r in duckdb.sql(sql).fetchall()}
+        for i, w in rows:
+            if not w:
+                assert got[i] == ("", 0, 0)
+                continue
+            pieces, score = U.viterbi_encode_word(w, vocab)
+            assert got[i] == (" ".join(pieces), len(pieces), score), w
+
+    def test_spark_encode_matches_python(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "spark column sort"), (2, "the window merge"),
+             (3, ""), (4, None)],
+            "doc_id long, text string")
+        out = {r["id"]: r for r in
+               U.unigram_encode(docs, "doc_id", "text",
+                                U.FIXED_PIECES).collect()}
+        assert out[1]["pieces"] == ["s", "p", "a", "r", "k",
+                                    "colu", "mn", "sort"]
+        assert out[1]["score"] == -2892
+        assert out[3]["pieces"] == [] and out[3]["score"] == 0
+        assert out[4]["pieces"] == [] and out[4]["n_pieces"] == 0
+
+    def test_trainer_learns_corpus_pieces(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        vocab = U.train_unigram(docs, "text", vocab_size=48, em_rounds=2)
+        # coverage: every corpus word encodes, pieces reconstruct
+        multi = [p for p in vocab if len(p) > 1]
+        assert len(multi) > 10          # it actually learned subwords
+        enc = U.unigram_encode(docs, "doc_id", "text", vocab)
+        bad = enc.filter(F.size("pieces") <= 0).count()
+        total = docs.count()
+        assert bad == 0 and total > 0
+        # determinism: retraining reproduces the table bit for bit
+        assert vocab == U.train_unigram(docs, "text", vocab_size=48,
+                                        em_rounds=2)
