@@ -174,6 +174,14 @@ HEADLINE = [
     "ext_sparse_cosine",
     "ext_target_encode",
     "ext_shard_balance",
+    # round-6 additions: Ogg page walk + FLAC STREAMINFO (header-speed
+    # audio profiling, CRC-verified), incremental LSH index append
+    # (append == rebuild; only the delta is hashed), and the unigram-LM
+    # Viterbi encoder (global-optimum segmentation, integer scores)
+    "ext_audio_profile_ogg",
+    "ext_audio_profile_flac",
+    "ext_ann_index_update",
+    "ext_unigram_encode",
 ]
 
 
