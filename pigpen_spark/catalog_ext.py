@@ -5409,21 +5409,24 @@ from pigpen_spark.functions import unigram as UG  # noqa: E402
 @register(
     "ext_unigram_encode",
     UG.unigram_encode_fixed_sql("documents", "doc_id", "text",
-                                UG.FIXED_PIECES),
+                                UG.FIXED_PIECES, unk_score=-1500),
 )
 def ext_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-model) subword encoding under the
     frozen FIXED_PIECES table (exactly what train_unigram produces on
     this corpus, embedded as integer centi-nat literals): per word, the
     GLOBAL-optimum segmentation by Viterbi DP over integer log-scores,
-    ties to the shortest last piece — BPE's complement (greedy merges
-    vs optimal segmentation) and tokenize_pack's second id-mapper.
+    ties to the shortest last piece, out-of-charset characters at the
+    penalized -1500 fallback (SentencePiece byte-fallback analog,
+    mirrored in the oracle) — BPE's complement (greedy merges vs
+    optimal segmentation) and tokenize_pack's second id-mapper.
     Hash-exact: the oracle replays the identical DP as one chained CTE
     per word position over the distinct-words table; a wrong tie-break,
     score, or DP bound breaks the pieces string, count, AND the score
     column.  The trained path is ext_unigram_encode_trained."""
     docs = tables(spark, sf_dir)["documents"]
-    enc = UG.unigram_encode(docs.df, "doc_id", "text", UG.FIXED_PIECES)
+    enc = UG.unigram_encode(docs.df, "doc_id", "text", UG.FIXED_PIECES,
+                            unk_score=-1500)
     return enc.select(
         F.col("id").alias("doc_id"),
         F.array_join("pieces", " ").alias("pieces"),

@@ -15,9 +15,10 @@ piece scores are INTEGER log-score units (larger = more probable), the
 DP total is an integer sum, and the tie policy is fixed — among
 candidate last-pieces achieving the maximal total, the SHORTEST piece
 wins.  The DuckDB oracle (:func:`unigram_encode_fixed_sql`) replays the
-identical DP as an unrolled let-binding chain (one struct binding per
-word position, the same fixed-iteration-unrolling doctrine as
-pagerank_cte_sql), so Spark and the oracle agree piece-for-piece.
+identical DP unrolled as one chained CTE per word position over the
+distinct-words table (the same fixed-iteration-unrolling doctrine as
+pagerank_cte_sql), so Spark and the oracle agree piece-for-piece; the
+optional character fallback (``unk_score``) is mirrored on both sides.
 
 TRAINING (:func:`train_unigram`) is Viterbi-EM with vocabulary pruning
 — iterative, so the trained path is rows-only by design (same split as
@@ -39,13 +40,19 @@ MAX_WORD = 16          #: longest word the SQL unroll supports
 
 
 def viterbi_encode_word(word: str, vocab: Mapping[str, int],
-                        max_piece: int = MAX_PIECE) -> tuple[list[str], int]:
+                        max_piece: int = MAX_PIECE,
+                        unk_score: int | None = None) -> tuple[list[str], int]:
     """Optimal segmentation of one word under integer piece scores:
     maximizes total score; ties resolve to the SHORTEST last piece at
-    every DP position (a fixed, engine-portable policy).  Raises if no
-    segmentation covers the word (the single-char fallback pieces are
-    the caller's responsibility — same contract as SentencePiece's
-    required character coverage)."""
+    every DP position (a fixed, engine-portable policy).
+
+    ``unk_score`` is the character-fallback policy (SentencePiece's
+    byte-fallback analog): a single character absent from the vocabulary
+    becomes its own piece at that (heavily penalized) score, so corpora
+    whose charset drifted past the trained table still encode — set it
+    strictly below every trained score so known pieces always win.
+    With ``unk_score=None`` (default) an uncoverable word raises —
+    the strict mode for corpora whose coverage is a guarantee."""
     n = len(word)
     best: list[int | None] = [None] * (n + 1)
     back: list[list[str] | None] = [None] * (n + 1)
@@ -58,6 +65,8 @@ def viterbi_encode_word(word: str, vocab: Mapping[str, int],
             if prev is None:
                 continue
             s = vocab.get(word[j - k:j])
+            if s is None and k == 1:
+                s = unk_score
             if s is None:
                 continue
             c = prev + s
@@ -71,7 +80,8 @@ def viterbi_encode_word(word: str, vocab: Mapping[str, int],
 
 
 def unigram_encode(df: DataFrame, id_col: str, text_col: str,
-                   vocab: Mapping[str, int]) -> DataFrame:
+                   vocab: Mapping[str, int],
+                   unk_score: int | None = None) -> DataFrame:
     """Encode every document with a (trained or fixed) unigram piece
     table: Arrow-batched mapInPandas with a per-batch word→segmentation
     cache (Zipfian text re-encodes the same words constantly — the same
@@ -80,7 +90,8 @@ def unigram_encode(df: DataFrame, id_col: str, text_col: str,
 
     Returns (id, pieces array<string>, n_pieces, score) — ``score`` is
     the integer Viterbi total summed over the document's words, the
-    quantity the oracle pins alongside the pieces."""
+    quantity the oracle pins alongside the pieces.  ``unk_score``
+    is the character-fallback policy (see viterbi_encode_word)."""
     voc = dict(vocab)
 
     def work(batches: Iterator) -> Iterator:
@@ -96,7 +107,7 @@ def unigram_encode(df: DataFrame, id_col: str, text_col: str,
                     if not w:
                         continue
                     if w not in cache:
-                        cache[w] = viterbi_encode_word(w, voc)
+                        cache[w] = viterbi_encode_word(w, voc, unk_score=unk_score)
                     p, s = cache[w]
                     pieces.extend(p)
                     score += s
@@ -109,16 +120,21 @@ def unigram_encode(df: DataFrame, id_col: str, text_col: str,
         work, schema="id long, pieces array<string>, n_pieces long, score long")
 
 
-def _score_case_sql(w: str, k: int, vocab: Mapping[str, int], j: int) -> str:
-    """CASE mapping the k-char piece ending at position j to its score."""
+def _score_case_sql(w: str, k: int, vocab: Mapping[str, int], j: int,
+                    unk_score: int | None = None) -> str:
+    """CASE mapping the k-char piece ending at position j to its score;
+    single characters fall back to ``unk_score`` when set (mirror of
+    viterbi_encode_word's character-fallback policy)."""
     branches = "".join(
         f" WHEN '{p}' THEN {s}" for p, s in sorted(vocab.items())
         if len(p) == k)
-    return f"(CASE substr({w}, {j - k + 1}, {k}){branches} ELSE NULL END)"
+    els = unk_score if (k == 1 and unk_score is not None) else "NULL"
+    return f"(CASE substr({w}, {j - k + 1}, {k}){branches} ELSE {els} END)"
 
 
 def _stage_sql(j: int, vocab: Mapping[str, int],
-               max_piece: int = MAX_PIECE) -> str:
+               max_piece: int = MAX_PIECE,
+               unk_score: int | None = None) -> str:
     """Expression for DP stage ``j`` — a struct {b, p} column computed
     from the previous stages' columns ``s{j-1}..s{j-max_piece}`` of the
     distinct-words table.  Candidates are tested ascending-k first, so
@@ -126,7 +142,8 @@ def _stage_sql(j: int, vocab: Mapping[str, int],
     :func:`viterbi_encode_word`."""
     ks = list(range(1, min(max_piece, j) + 1))
     cands = "[" + ", ".join(
-        f"struct_extract(s{j - k}, 'b') + {_score_case_sql('w', k, vocab, j)}"
+        f"struct_extract(s{j - k}, 'b') + "
+        f"{_score_case_sql('w', k, vocab, j, unk_score)}"
         for k in ks) + "]"
     picks = "".join(
         f" WHEN cs[{i + 1}] = bj THEN (CASE WHEN struct_extract(s{j - k}, 'p') = '' "
@@ -140,7 +157,8 @@ def _stage_sql(j: int, vocab: Mapping[str, int],
 
 def unigram_encode_fixed_sql(table: str, id_col: str, text_col: str,
                              vocab: Mapping[str, int],
-                             max_word: int = MAX_WORD) -> str:
+                             max_word: int = MAX_WORD,
+                             unk_score: int | None = None) -> str:
     """DuckDB oracle for :func:`unigram_encode` under a FIXED piece
     table.  The Viterbi DP unrolls as one chained CTE per word position
     over the DISTINCT-WORDS table (each stage a plain projection adding
@@ -152,7 +170,7 @@ def unigram_encode_fixed_sql(table: str, id_col: str, text_col: str,
     bags stringify)."""
     toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
     stages = ",\n    ".join(
-        f"d{j} AS (SELECT *, {_stage_sql(j, vocab)} AS s{j} FROM d{j - 1})"
+        f"d{j} AS (SELECT *, {_stage_sql(j, vocab, unk_score=unk_score)} AS s{j} FROM d{j - 1})"
         for j in range(1, max_word + 1))
     final = ("(CASE len(w)"
              + "".join(f" WHEN {j} THEN s{j}" for j in range(1, max_word + 1))

@@ -418,3 +418,36 @@ class TestUnigramEncoder:
         # determinism: retraining reproduces the table bit for bit
         assert vocab == U.train_unigram(docs, "text", vocab_size=48,
                                         em_rounds=2)
+
+    def test_unk_fallback_policy(self):
+        # out-of-charset chars become their own pieces at unk_score;
+        # strict mode still raises
+        import pytest as _pt
+
+        pieces, score = U.viterbi_encode_word("copy0", U.FIXED_PIECES,
+                                              unk_score=-1500)
+        assert "".join(pieces) == "copy0" and "0" in pieces
+        assert score == sum(U.FIXED_PIECES.get(p, -1500) for p in pieces)
+        with _pt.raises(ValueError, match="not coverable"):
+            U.viterbi_encode_word("copy0", U.FIXED_PIECES)
+        # known pieces still always beat the fallback
+        assert U.viterbi_encode_word("sort", U.FIXED_PIECES,
+                                     unk_score=-1500)[0] == ["sort"]
+
+    def test_unk_fallback_oracle_parity(self):
+        import duckdb
+
+        rows = [(1, "copy0 spark"), (2, "x9z q8"), (3, "sort")]
+        vals = ", ".join(f"({i}, '{w}')" for i, w in rows)
+        sql = U.unigram_encode_fixed_sql(
+            f"(VALUES {vals}) t(doc_id, text)", "doc_id", "text",
+            U.FIXED_PIECES, unk_score=-1500)
+        got = {r[0]: (r[1], r[3]) for r in duckdb.sql(sql).fetchall()}
+        for i, text in rows:
+            pieces, score = [], 0
+            for w in text.split():
+                p, s = U.viterbi_encode_word(w, U.FIXED_PIECES,
+                                             unk_score=-1500)
+                pieces.extend(p)
+                score += s
+            assert got[i] == (" ".join(pieces), score)
