@@ -1316,6 +1316,109 @@ def synth_audio_profile_flac(df: DataFrame, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Generic audio triage: ONE magic-dispatch entry point over mixed
+# corpora — every common format routes to its REAL profiler (round 6);
+# unknown magics and corrupt payloads quarantine as tagged rows instead
+# of killing the batch (the image-triage doctrine).
+# ---------------------------------------------------------------------------
+
+AUDIO_AUTO_SCHEMA = ("id long, format string, codec string, "
+                     "sample_rate int, channels int, duration_ms long, "
+                     "detail long")
+
+
+def _audio_auto_row(rid: int, data: bytes) -> dict:
+    """Magic-byte dispatch: OggS → RFC 3533 walk, fLaC → STREAMINFO,
+    RIFF/WAVE → PCM header, ID3/0xFFEx → MPEG-audio fast path (Xing/
+    VBRI O(1) when present, chain walk otherwise).  ``detail`` is the
+    format's native size measure (PCM frames / MP3 frames / Ogg pages /
+    FLAC samples)."""
+    from pigpen_spark.functions import codecs as C
+
+    try:
+        if data[:4] == b"OggS":
+            m = C.ogg_meta(data)
+            return {"id": rid, "format": "ogg", "codec": m["codec"],
+                    "sample_rate": m["sample_rate"],
+                    "channels": m["channels"],
+                    "duration_ms": m["duration_ms"],
+                    "detail": m["n_pages"]}
+        if data[:4] == b"fLaC":
+            m = C.flac_streaminfo(data)
+            return {"id": rid, "format": "flac", "codec": "flac",
+                    "sample_rate": m["sample_rate"],
+                    "channels": m["channels"],
+                    "duration_ms": m["duration_ms"],
+                    "detail": m["total_samples"]}
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            rate, chans, _bits, n = C.wav_meta(data)
+            return {"id": rid, "format": "wav", "codec": "pcm",
+                    "sample_rate": rate, "channels": chans,
+                    "duration_ms": n * 1000 // rate, "detail": n}
+        if data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 0xFF
+                                  and (data[1] & 0xE0) == 0xE0):
+            m = C.mp3_meta_fast(data)
+            return {"id": rid, "format": "mp3", "codec": "mp3",
+                    "sample_rate": m["sample_rate"], "channels": 0,
+                    "duration_ms": m["duration_ms"],
+                    "detail": m["n_frames"]}
+    except ValueError:
+        return {"id": rid, "format": "corrupt", "codec": "",
+                "sample_rate": -1, "channels": -1, "duration_ms": -1,
+                "detail": -1}
+    # genuinely codec-bound raw formats (e.g. ADTS AAC) land here —
+    # tagged for routing to an external-decoder stage, never faked
+    return {"id": rid, "format": "unknown", "codec": "",
+            "sample_rate": -1, "channels": -1, "duration_ms": -1,
+            "detail": -1}
+
+
+def audio_profile_auto(df: DataFrame, id_col: str,
+                       payload_col: str = "payload") -> DataFrame:
+    """Audio profiling over a MIXED-format binary corpus: dispatch each
+    payload on magic bytes to its real header-speed profiler (wav / mp3
+    incl. VBR fast path / ogg opus+vorbis / flac) — the production
+    entry point for the triage step :func:`audio_features`'s docstring
+    prescribes, now an operator instead of an instruction.  Unknown
+    magics come back tagged ``format='unknown'`` and corrupt payloads
+    ``format='corrupt'`` (quarantine rows, batch never dies)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_audio_auto_row(int(rid), bytes(payload))
+                 for rid, payload in zip(pdf["id"], pdf["payload"])]
+            )
+
+    return src.mapInPandas(work, schema=AUDIO_AUTO_SCHEMA)
+
+
+def _audio_auto_payload(i: int) -> bytes:
+    """Mixed-format fixture: i%4 picks wav/mp3/ogg/flac; the ogg/flac
+    branches re-index by i//4 so both Ogg codecs and every FLAC padding
+    arity appear within one corpus."""
+    k = i % 4
+    if k == 0:
+        return _wav_payload(i)
+    if k == 1:
+        return _mp3_payload(i)
+    if k == 2:
+        return _ogg_payload(i // 4)
+    return _flac_payload(i // 4)
+
+
+def synth_audio_profile_auto(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused synth(mixed wav/mp3/ogg/flac)→magic dispatch→profile."""
+    return _fused_synth(
+        df, id_col, lambda i: _audio_auto_row(i, _audio_auto_payload(i)),
+        AUDIO_AUTO_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship multimodal pipeline: decode -> gate -> near-dup -> pack (round 5)
 # ---------------------------------------------------------------------------
 

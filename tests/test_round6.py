@@ -451,3 +451,39 @@ class TestUnigramEncoder:
                 pieces.extend(p)
                 score += s
             assert got[i] == (" ".join(pieces), score)
+
+
+class TestAudioProfileAuto:
+    def test_dispatch_and_quarantine(self, spark):
+        rows = [
+            (0, M._wav_payload(0)),
+            (1, M._mp3_payload(1)),
+            (2, M._ogg_payload(0)),
+            (3, M._flac_payload(0)),
+            (4, b"\x00\x01\x02 not audio at all"),          # unknown
+            (5, b"OggS" + bytes(40)),                        # corrupt ogg
+            (6, b"fLaC" + b"\x81" + (8).to_bytes(3, "big")), # truncated flac
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["id"]: r for r in
+               M.audio_profile_auto(df, "doc_id").collect()}
+        assert out[0]["format"] == "wav" and out[0]["codec"] == "pcm"
+        assert out[1]["format"] == "mp3" and out[1]["detail"] == 21
+        assert out[2]["format"] == "ogg" and out[2]["codec"] == "opus"
+        assert out[3]["format"] == "flac" and out[3]["channels"] == 1
+        assert out[4]["format"] == "unknown"
+        assert out[5]["format"] == "corrupt"
+        assert out[6]["format"] == "corrupt"
+
+    def test_fused_matches_unfused(self, spark):
+        ids = spark.range(16).select(F.col("id").alias("doc_id"))
+        payloads = spark.createDataFrame(
+            [(i, M._audio_auto_payload(i)) for i in range(16)],
+            "doc_id long, payload binary")
+        fused = {r["id"]: r for r in
+                 M.synth_audio_profile_auto(ids, "doc_id").collect()}
+        unfused = {r["id"]: r for r in
+                   M.audio_profile_auto(payloads, "doc_id").collect()}
+        assert fused == unfused and len(fused) == 16
+        assert {r["format"] for r in fused.values()} \
+            == {"wav", "mp3", "ogg", "flac"}
