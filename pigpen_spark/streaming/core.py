@@ -392,6 +392,55 @@ def dedup_stream_incremental(
     return w.start()
 
 
+def ann_index_stream(
+    stream: DataFrame, index_path: str, checkpoint: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int | str = 6, dim: int | None = None,
+    available_now: bool = False,
+):
+    """Streaming ANN index maintenance — the live twin of
+    :func:`pigpen_spark.functions.similarity.lsh_index_append`: each
+    micro-batch of vectors is hashed ALONE (never the stored corpus)
+    and appended to the parquet index that
+    :func:`similarity.lsh_topk_against` serves from.
+
+    The plane count comes OFF the stored artifact once it exists (the
+    bucket-width probe — build and maintenance cannot disagree); the
+    first batch seeds the index at ``n_planes`` (``"auto"`` density-
+    sizes from that batch).  Batches write to ``batch={id}``
+    subdirectories with overwrite, so a checkpoint replay rewrites its
+    own directory instead of double-appending — exactly-once index
+    contents without a transactional store.  The append==rebuild
+    invariant is inherited from the batch operator and pinned by the
+    streamed==one-shot pytest.
+
+    Staleness stays a MONITORING decision, not a per-batch one: run
+    :func:`similarity.lsh_index_drift` on a schedule; when it flags
+    ``stale``, rebuild once and restart the stream on the new artifact.
+
+    Returns the started StreamingQuery."""
+    from pyspark.errors import AnalysisException
+
+    from pigpen_spark.functions.similarity import (
+        lsh_index, resolve_planes, stored_plane_count,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            np_ = stored_plane_count(spark.read.parquet(index_path))
+        except AnalysisException:
+            np_ = resolve_planes(n_planes, batch_df)
+        rows = lsh_index(batch_df, id_col, vec_col, n_planes=np_, dim=dim)
+        rows.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+
+    w = stream.writeStream.foreachBatch(handle) \
+        .option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def _parquet_versions(base_path: str) -> list[int]:
     """Committed versions of a versioned-parquet state dir: v{N}
     subdirectories that contain a _SUCCESS marker.  A crash mid-write

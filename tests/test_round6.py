@@ -487,3 +487,63 @@ class TestAudioProfileAuto:
         assert fused == unfused and len(fused) == 16
         assert {r["format"] for r in fused.values()} \
             == {"wav", "mp3", "ogg", "flac"}
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN index maintenance (live twin of lsh_index_append)
+# ---------------------------------------------------------------------------
+
+
+class TestAnnIndexStream:
+    def test_streamed_index_equals_one_shot_build(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from pigpen_spark.streaming import core as stc
+
+        def vec(i):
+            import hashlib
+            return [(int(hashlib.md5(f"{i}_{d}".encode()).hexdigest()[:6],
+                         16) % 1000) / 500.0 - 1.0 for d in range(8)]
+
+        src = tmp_path / "in"
+        src.mkdir()
+        with open(src / "b0.json", "w") as f:
+            for i in range(0, 40):
+                f.write(_json.dumps({"vec_id": i, "embedding": vec(i)}) + "\n")
+        with open(src / "b1.json", "w") as f:
+            for i in range(40, 70):
+                f.write(_json.dumps({"vec_id": i, "embedding": vec(i)}) + "\n")
+        os.utime(src / "b0.json", (1_700_000_000, 1_700_000_000))
+        os.utime(src / "b1.json", (1_700_000_100, 1_700_000_100))
+
+        stream = (
+            spark.readStream
+            .schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        idx_path = str(tmp_path / "index")
+        q = stc.ann_index_stream(
+            stream, idx_path, str(tmp_path / "ckpt"),
+            n_planes=5, dim=8, available_now=True)
+        q.awaitTermination(120)
+
+        from pigpen_spark.functions import similarity as S
+
+        streamed = spark.read.parquet(idx_path)
+        both = spark.createDataFrame(
+            [(i, vec(i)) for i in range(70)],
+            "vec_id long, embedding array<double>")
+        rebuilt = S.lsh_index(both, n_planes=5, dim=8)
+        a = sorted((r["id"], r["bucket"], round(r["nrm"], 9))
+                   for r in streamed.collect())
+        b = sorted((r["id"], r["bucket"], round(r["nrm"], 9))
+                   for r in rebuilt.collect())
+        assert a == b and len(a) == 70
+        # the streamed artifact serves queries with the width-derived
+        # plane count (the safe serving mode)
+        batch = both.filter(F.col("vec_id") < 3)
+        hits = S.lsh_topk_against(streamed, batch, k=3,
+                                  n_planes="index", dim=8)
+        assert hits.count() > 0
