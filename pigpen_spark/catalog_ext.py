@@ -5507,3 +5507,30 @@ def ext_audio_profile_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.synth_audio_profile_auto(docs, "doc_id").select(
         F.col("id").alias("doc_id"), "format", "codec", "sample_rate",
         "channels", "duration_ms", "detail")
+
+
+@register(
+    "ext_unigram_pack",
+    P.tokenize_pack_sql(
+        "(" + UG.unigram_encode_fixed_sql(
+            "documents", "doc_id", "text", UG.FIXED_PIECES,
+            unk_score=-1500) + ") ug",
+        "doc_id", "pieces", seq_len=32, shards=8),
+)
+def ext_unigram_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram pieces feeding sequence packing — the composition VERDICT
+    r5 #8 asked for (tokenize_pack's second id-mapper next to BPE):
+    Viterbi-encode every document under FIXED_PIECES, then id-map and
+    pack the PIECE stream into fixed-32 sequences across 8 shards.  The
+    oracle composes mechanically because pieces are space-joined text:
+    tokenize_pack_sql over the unigram oracle subquery — zero new
+    oracle machinery, which is itself the design point (subword streams
+    are just token streams to the packer)."""
+    docs = tables(spark, sf_dir)["documents"]
+    enc = UG.unigram_encode(docs.df, "doc_id", "text", UG.FIXED_PIECES,
+                            unk_score=-1500)
+    pieces_text = enc.select(
+        F.col("id").alias("doc_id"),
+        F.array_join("pieces", " ").alias("pieces"))
+    return P.tokenize_pack(pieces_text, "doc_id", "pieces",
+                           seq_len=32, shards=8)
