@@ -182,6 +182,9 @@ HEADLINE = [
     "ext_audio_profile_flac",
     "ext_ann_index_update",
     "ext_unigram_encode",
+    # mixed-corpus magic-dispatch triage and the unigram->pack composition
+    "ext_audio_profile_auto",
+    "ext_unigram_pack",
 ]
 
 
