@@ -5451,62 +5451,99 @@ def ext_unigram_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pieces", "score")
 
 
-# mixed-corpus audio triage closed forms (j = doc_id // 4 re-index for
+# mixed-corpus audio triage closed forms (j = doc_id // 5 re-index for
 # the ogg/flac branches — see multimodal._audio_auto_payload)
 _AA_RATE_I = "(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)"
-_AA_RATE_J = "(CASE (doc_id // 4) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)"
+_AA_RATE_J = "(CASE (doc_id // 5) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)"
+_AA_RATE_A = "(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 16000 ELSE 8000 END)"
 _AA_WAV_N = "(100 + doc_id % 50)"
 _AA_MP3_N = "(20 + doc_id % 30)"
-_AA_OGG_PG = "(3 + (doc_id // 4) % 5)"
-_AA_OGG_PP = "(2 + (doc_id // 4) % 3)"
-_AA_FLAC_T = "(100000 + ((doc_id // 4) * 137) % 50000)"
+_AA_AAC_N = "(10 + doc_id % 25)"
+_AA_OGG_PG = "(3 + (doc_id // 5) % 5)"
+_AA_OGG_PP = "(2 + (doc_id // 5) % 3)"
+_AA_FLAC_T = "(100000 + ((doc_id // 5) * 137) % 50000)"
 
 
 @register(
     "ext_audio_profile_auto",
     f"""
     SELECT doc_id,
-           (CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3'
-                            WHEN 2 THEN 'ogg' ELSE 'flac' END) AS format,
-           (CASE doc_id % 4
+           (CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3'
+                            WHEN 2 THEN 'ogg' WHEN 3 THEN 'flac'
+                            ELSE 'aac' END) AS format,
+           (CASE doc_id % 5
               WHEN 0 THEN 'pcm' WHEN 1 THEN 'mp3'
-              WHEN 2 THEN (CASE WHEN (doc_id // 4) % 2 = 0
+              WHEN 2 THEN (CASE WHEN (doc_id // 5) % 2 = 0
                                 THEN 'opus' ELSE 'vorbis' END)
-              ELSE 'flac' END) AS codec,
-           (CASE doc_id % 4
+              WHEN 3 THEN 'flac' ELSE 'aac' END) AS codec,
+           (CASE doc_id % 5
               WHEN 0 THEN 8000 WHEN 1 THEN {_AA_RATE_I}
+              WHEN 4 THEN {_AA_RATE_A}
               ELSE {_AA_RATE_J} END)::INT AS sample_rate,
-           (CASE doc_id % 4
+           (CASE doc_id % 5
               WHEN 0 THEN 1 WHEN 1 THEN 0
-              ELSE 1 + (doc_id // 4) % 2 END)::INT AS channels,
-           (CASE doc_id % 4
+              WHEN 4 THEN 1 + doc_id % 2
+              ELSE 1 + (doc_id // 5) % 2 END)::INT AS channels,
+           (CASE doc_id % 5
               WHEN 0 THEN {_AA_WAV_N} * 1000 // 8000
               WHEN 1 THEN {_AA_MP3_N} * 1152 * 1000 // {_AA_RATE_I}
-              WHEN 2 THEN (CASE WHEN (doc_id // 4) % 2 = 0
+              WHEN 2 THEN (CASE WHEN (doc_id // 5) % 2 = 0
                                 THEN {_AA_OGG_PG} * {_AA_OGG_PP} * 960 * 1000 // 48000
                                 ELSE {_AA_OGG_PG} * {_AA_OGG_PP} * 1024 * 1000 // {_AA_RATE_J} END)
-              ELSE {_AA_FLAC_T} * 1000 // {_AA_RATE_J} END)::BIGINT AS duration_ms,
-           (CASE doc_id % 4
+              WHEN 3 THEN {_AA_FLAC_T} * 1000 // {_AA_RATE_J}
+              ELSE {_AA_AAC_N} * 1024 * 1000 // {_AA_RATE_A} END)::BIGINT
+             AS duration_ms,
+           (CASE doc_id % 5
               WHEN 0 THEN {_AA_WAV_N} WHEN 1 THEN {_AA_MP3_N}
               WHEN 2 THEN 2 + {_AA_OGG_PG}
-              ELSE {_AA_FLAC_T} END)::BIGINT AS detail
+              WHEN 3 THEN {_AA_FLAC_T}
+              ELSE {_AA_AAC_N} END)::BIGINT AS detail
     FROM documents
     """,
 )
 def ext_audio_profile_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generic audio triage over a MIXED wav/mp3/ogg/flac corpus: ONE
-    magic-dispatch entry point routes every payload to its real
+    """Generic audio triage over a MIXED wav/mp3/ogg/flac/aac corpus:
+    ONE magic-dispatch entry point routes every payload to its real
     header-speed profiler (PCM header / MPEG fast path / RFC 3533 page
-    walk / STREAMINFO) — the production operator behind the triage
-    instruction the audio_features fallback documents; unknown magics
-    and corrupt payloads quarantine as tagged rows.  Oracle =
-    closed-form per-branch functions, so a wrong dispatch, a wrong
-    clock (Opus 48 kHz vs Vorbis declared rate), or a wrong native
-    size measure breaks the hash."""
+    walk / STREAMINFO / ADTS chain) — the production operator behind
+    the triage instruction the audio_features fallback documents; with
+    ADTS in the set, NO common audio format hits a fake path anymore.
+    Unknown magics and corrupt payloads quarantine as tagged rows.
+    Oracle = closed-form per-branch functions, so a wrong dispatch
+    (ADTS vs MP3 differ only in the layer bits), a wrong clock, or a
+    wrong native size measure breaks the hash."""
     docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
     return M.synth_audio_profile_auto(docs, "doc_id").select(
         F.col("id").alias("doc_id"), "format", "codec", "sample_rate",
         "channels", "duration_ms", "detail")
+
+
+_AAC_RATE = "(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 16000 ELSE 8000 END)"
+
+
+@register(
+    "ext_audio_profile_aac",
+    f"""
+    SELECT doc_id,
+           (10 + doc_id % 25)::BIGINT AS n_frames,
+           {_AAC_RATE}::INT AS sample_rate,
+           (1 + doc_id % 2)::INT AS channels,
+           1::INT AS profile,
+           ((10 + doc_id % 25) * 1024 * 1000 // {_AAC_RATE})::BIGINT
+             AS duration_ms
+    FROM documents
+    """,
+)
+def ext_audio_profile_aac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADTS AAC profiling via the real frame-header chain walk (13-bit
+    frame lengths locate each next header, 1024 samples per raw data
+    block, sampling-frequency-index table) — the aac sibling of
+    ext_audio_profile_mp3, closing the LAST common audio format that
+    had no real path.  Oracle = closed-form per-field functions."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    return M.synth_audio_profile_aac(docs, "doc_id").select(
+        F.col("id").alias("doc_id"), "n_frames", "sample_rate",
+        "channels", "profile", "duration_ms")
 
 
 @register(

@@ -2618,3 +2618,91 @@ def flac_encode_streaminfo(sample_rate: int, channels: int,
         flag = 0x80 if i == n_padding_blocks - 1 else 0
         out += bytes([flag | 0x01]) + (8).to_bytes(3, "big") + bytes(8)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# ADTS AAC (ISO/IEC 14496-3 §1.A.3) — the transport framing raw AAC
+# ships in; header-speed profiling like the MP3 chain walk (the last
+# common audio format off the fake fallback).
+# ---------------------------------------------------------------------------
+
+#: ADTS sampling_frequency_index table (ISO/IEC 14496-3)
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000,
+               24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+
+def adts_frame_header(data: bytes, pos: int):
+    """Parse the 7/9-byte ADTS header at ``pos``: (frame_bytes,
+    samples_in_frame, sample_rate, channels, profile) or None if pos
+    doesn't hold a valid ADTS header.  ADTS sync is the 12-bit 0xFFF
+    with layer '00' — which is exactly what distinguishes it from an
+    MPEG-audio (MP3) header, whose layer bits are nonzero."""
+    if pos + 7 > len(data) or data[pos] != 0xFF or (data[pos + 1] & 0xF6) != 0xF0:
+        return None
+    profile = (data[pos + 2] >> 6) & 0x3
+    sr_idx = (data[pos + 2] >> 2) & 0xF
+    if sr_idx >= len(_ADTS_RATES):
+        return None
+    channels = ((data[pos + 2] & 0x1) << 2) | ((data[pos + 3] >> 6) & 0x3)
+    frame_bytes = (((data[pos + 3] & 0x3) << 11)
+                   | (data[pos + 4] << 3) | (data[pos + 5] >> 5))
+    blocks = (data[pos + 6] & 0x3) + 1
+    if frame_bytes < 7:
+        return None
+    return frame_bytes, blocks * 1024, _ADTS_RATES[sr_idx], channels, profile
+
+
+@_valueerror_contract
+def adts_meta(data: bytes) -> dict:
+    """ADTS AAC stream profiling via the real frame-header walk (the
+    aac sibling of :func:`mp3_meta`): each header carries its frame
+    length, which locates the next; 1024 samples per raw data block.
+    ``{n_frames, sample_rate, channels, profile, duration_ms}``; a
+    broken chain raises, never undercounts."""
+    pos = 0
+    n = 0
+    rate = chans = prof = None
+    total = 0
+    while pos < len(data):
+        h = adts_frame_header(data, pos)
+        if h is None:
+            raise ValueError(f"adts: bad frame header at byte {pos}")
+        fb, samples, r, c, p = h
+        if pos + fb > len(data):
+            raise ValueError(f"adts: truncated frame at byte {pos}")
+        if rate is None:
+            rate, chans, prof = r, c, p
+        elif r != rate:
+            raise ValueError("adts: sample-rate change mid-stream")
+        total += samples
+        n += 1
+        pos += fb
+    if n == 0:
+        raise ValueError("adts: no frames")
+    return {"n_frames": n, "sample_rate": rate, "channels": chans,
+            "profile": prof, "duration_ms": total * 1000 // rate}
+
+
+def adts_encode_skeleton(n_frames: int, rate_idx: int = 3,
+                         channels: int = 2, profile: int = 1,
+                         payload_bytes: int = 64) -> bytes:
+    """Valid ADTS frame chain with zeroed AAC payloads — headers real,
+    audio silence-shaped zeros (the honest inverse of
+    :func:`adts_meta`'s scope, same doctrine as mp3_encode_skeleton)."""
+    if n_frames < 1:
+        raise ValueError("adts_encode_skeleton: need at least one frame")
+    if not (0 <= rate_idx < len(_ADTS_RATES)) or not (1 <= channels <= 7):
+        raise ValueError("adts_encode_skeleton: bad rate index or channels")
+    fb = 7 + payload_bytes
+    out = bytearray()
+    for _ in range(n_frames):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1                               # MPEG-4, layer 00, no CRC
+        h[2] = (profile << 6) | (rate_idx << 2) | ((channels >> 2) & 0x1)
+        h[3] = ((channels & 0x3) << 6) | ((fb >> 11) & 0x3)
+        h[4] = (fb >> 3) & 0xFF
+        h[5] = ((fb & 0x7) << 5) | 0x1F           # fullness high bits
+        h[6] = 0xFC                               # fullness low | 1 block
+        out += h + bytes(payload_bytes)
+    return bytes(out)

@@ -143,10 +143,11 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str = "payload") -> 
     (:func:`audio_features_wav`, :func:`audio_downsample`); MP3
     (:func:`audio_profile_mp3`), Ogg Opus/Vorbis
     (:func:`audio_profile_ogg`) and FLAC (:func:`audio_profile_flac`)
-    all profile at header speed — dispatch on magic bytes first (the
-    synth_video_meta pattern: b"OggS" → ogg, b"fLaC" → flac, ID3/0xFFE
-    → mp3, RIFF/WAVE → wav) and fall back here only for genuinely
-    codec-bound raw formats (ADTS AAC)."""
+    all profile at header speed, as does ADTS AAC
+    (:func:`audio_profile_aac`) — :func:`audio_profile_auto` IS that
+    magic-byte dispatch as an operator, so no common audio format needs
+    this fallback anymore; it remains only for genuinely non-audio or
+    exotic payloads."""
     try:  # pragma: no cover
         import librosa  # noqa: F401
         raise NotImplementedError("librosa path: wire librosa.load on BytesIO")
@@ -1315,6 +1316,54 @@ def synth_audio_profile_flac(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+AAC_META_SCHEMA = ("id long, n_frames long, sample_rate int, "
+                   "channels int, profile int, duration_ms long")
+
+
+def _aac_payload(i: int) -> bytes:
+    """Synthetic ADTS chain i: 10 + i%25 frames at rate index
+    (3, 8, 11)[i%3] (48000/16000/8000 Hz), 1 + i%2 channels — every
+    profiled field closed-form in i."""
+    from pigpen_spark.functions import codecs as C
+
+    return C.adts_encode_skeleton(10 + i % 25, rate_idx=(3, 8, 11)[i % 3],
+                                  channels=1 + i % 2, profile=1)
+
+
+def _aac_row(rid: int, data: bytes) -> dict:
+    from pigpen_spark.functions import codecs as C
+
+    return {"id": rid, **C.adts_meta(data)}
+
+
+def audio_profile_aac(df: DataFrame, id_col: str,
+                      payload_col: str = "payload") -> DataFrame:
+    """ADTS AAC stream profiling: the real frame-header chain walk
+    (13-bit frame lengths locate each next header; 1024 samples per raw
+    data block) — the aac sibling of audio_profile_mp3; broken chains
+    raise for upstream quarantine."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_aac_row(int(rid), bytes(payload))
+                 for rid, payload in zip(pdf["id"], pdf["payload"])]
+            )
+
+    return src.mapInPandas(work, schema=AAC_META_SCHEMA)
+
+
+def synth_audio_profile_aac(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused synth→ADTS chain walk (one Arrow crossing)."""
+    return _fused_synth(
+        df, id_col, lambda i: _aac_row(i, _aac_payload(i)),
+        AAC_META_SCHEMA,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Generic audio triage: ONE magic-dispatch entry point over mixed
 # corpora — every common format routes to its REAL profiler (round 6);
@@ -1355,6 +1404,16 @@ def _audio_auto_row(rid: int, data: bytes) -> dict:
             return {"id": rid, "format": "wav", "codec": "pcm",
                     "sample_rate": rate, "channels": chans,
                     "duration_ms": n * 1000 // rate, "detail": n}
+        if (len(data) >= 2 and data[0] == 0xFF
+                and (data[1] & 0xF6) == 0xF0):
+            # 0xFFF sync with layer '00' = ADTS; MPEG-audio layers are
+            # nonzero, so the two frame families cannot collide
+            m = C.adts_meta(data)
+            return {"id": rid, "format": "aac", "codec": "aac",
+                    "sample_rate": m["sample_rate"],
+                    "channels": m["channels"],
+                    "duration_ms": m["duration_ms"],
+                    "detail": m["n_frames"]}
         if data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 0xFF
                                   and (data[1] & 0xE0) == 0xE0):
             m = C.mp3_meta_fast(data)
@@ -1366,8 +1425,9 @@ def _audio_auto_row(rid: int, data: bytes) -> dict:
         return {"id": rid, "format": "corrupt", "codec": "",
                 "sample_rate": -1, "channels": -1, "duration_ms": -1,
                 "detail": -1}
-    # genuinely codec-bound raw formats (e.g. ADTS AAC) land here —
-    # tagged for routing to an external-decoder stage, never faked
+    # no common audio format lands here anymore (wav/mp3/aac/ogg/flac
+    # all profile for real) — non-audio payloads are tagged for routing,
+    # never faked
     return {"id": rid, "format": "unknown", "codec": "",
             "sample_rate": -1, "channels": -1, "duration_ms": -1,
             "detail": -1}
@@ -1377,7 +1437,7 @@ def audio_profile_auto(df: DataFrame, id_col: str,
                        payload_col: str = "payload") -> DataFrame:
     """Audio profiling over a MIXED-format binary corpus: dispatch each
     payload on magic bytes to its real header-speed profiler (wav / mp3
-    incl. VBR fast path / ogg opus+vorbis / flac) — the production
+    incl. VBR fast path / ogg opus+vorbis / flac / adts aac) — the production
     entry point for the triage step :func:`audio_features`'s docstring
     prescribes, now an operator instead of an instruction.  Unknown
     magics come back tagged ``format='unknown'`` and corrupt payloads
@@ -1397,17 +1457,19 @@ def audio_profile_auto(df: DataFrame, id_col: str,
 
 
 def _audio_auto_payload(i: int) -> bytes:
-    """Mixed-format fixture: i%4 picks wav/mp3/ogg/flac; the ogg/flac
-    branches re-index by i//4 so both Ogg codecs and every FLAC padding
-    arity appear within one corpus."""
-    k = i % 4
+    """Mixed-format fixture: i%5 picks wav/mp3/ogg/flac/aac; the
+    ogg/flac branches re-index by i//5 so both Ogg codecs and every
+    FLAC padding arity appear within one corpus."""
+    k = i % 5
     if k == 0:
         return _wav_payload(i)
     if k == 1:
         return _mp3_payload(i)
     if k == 2:
-        return _ogg_payload(i // 4)
-    return _flac_payload(i // 4)
+        return _ogg_payload(i // 5)
+    if k == 3:
+        return _flac_payload(i // 5)
+    return _aac_payload(i)
 
 
 def synth_audio_profile_auto(df: DataFrame, id_col: str) -> DataFrame:

@@ -191,6 +191,35 @@ class TestFlacCodec:
             CX.flac_streaminfo(d)
 
 
+class TestAdtsCodec:
+    def test_round_trip(self):
+        d = CX.adts_encode_skeleton(10, rate_idx=3, channels=2, profile=1)
+        m = CX.adts_meta(d)
+        assert m == {"n_frames": 10, "sample_rate": 48000, "channels": 2,
+                     "profile": 1, "duration_ms": 10 * 1024 * 1000 // 48000}
+
+    def test_layer_bits_separate_adts_from_mp3(self):
+        # the two 0xFFF-sync families must never cross-parse
+        mp3 = CX.mp3_encode_skeleton(3)
+        pos = CX._mp3_id3_skip(mp3)
+        assert CX.adts_frame_header(mp3, pos) is None
+        aac = CX.adts_encode_skeleton(3)
+        assert CX.mp3_frame_header(aac, 0) is None
+
+    def test_broken_chain_raises(self):
+        d = CX.adts_encode_skeleton(5)
+        with pytest.raises(ValueError, match="adts"):
+            CX.adts_meta(d[:-3])
+        with pytest.raises(ValueError, match="adts"):
+            CX.adts_meta(b"\xff\xf1" + bytes(5))   # frame_length < 7
+
+    def test_rate_change_mid_stream_raises(self):
+        d = CX.adts_encode_skeleton(2, rate_idx=3) \
+            + CX.adts_encode_skeleton(1, rate_idx=8)
+        with pytest.raises(ValueError, match="rate"):
+            CX.adts_meta(d)
+
+
 class TestAudioProfileSparkPaths:
     def test_ogg_fused_matches_unfused(self, spark):
         ids = spark.range(12).select(F.col("id").alias("doc_id"))
@@ -463,6 +492,7 @@ class TestAudioProfileAuto:
             (4, b"\x00\x01\x02 not audio at all"),          # unknown
             (5, b"OggS" + bytes(40)),                        # corrupt ogg
             (6, b"fLaC" + b"\x81" + (8).to_bytes(3, "big")), # truncated flac
+            (7, CX.adts_encode_skeleton(6, rate_idx=3, channels=2)),
         ]
         df = spark.createDataFrame(rows, "doc_id long, payload binary")
         out = {r["id"]: r for r in
@@ -474,19 +504,20 @@ class TestAudioProfileAuto:
         assert out[4]["format"] == "unknown"
         assert out[5]["format"] == "corrupt"
         assert out[6]["format"] == "corrupt"
+        assert out[7]["format"] == "aac" and out[7]["detail"] == 6
 
     def test_fused_matches_unfused(self, spark):
-        ids = spark.range(16).select(F.col("id").alias("doc_id"))
+        ids = spark.range(20).select(F.col("id").alias("doc_id"))
         payloads = spark.createDataFrame(
-            [(i, M._audio_auto_payload(i)) for i in range(16)],
+            [(i, M._audio_auto_payload(i)) for i in range(20)],
             "doc_id long, payload binary")
         fused = {r["id"]: r for r in
                  M.synth_audio_profile_auto(ids, "doc_id").collect()}
         unfused = {r["id"]: r for r in
                    M.audio_profile_auto(payloads, "doc_id").collect()}
-        assert fused == unfused and len(fused) == 16
+        assert fused == unfused and len(fused) == 20
         assert {r["format"] for r in fused.values()} \
-            == {"wav", "mp3", "ogg", "flac"}
+            == {"wav", "mp3", "ogg", "flac", "aac"}
 
 
 # ---------------------------------------------------------------------------
