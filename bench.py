@@ -185,6 +185,8 @@ HEADLINE = [
     # mixed-corpus magic-dispatch triage and the unigram->pack composition
     "ext_audio_profile_auto",
     "ext_unigram_pack",
+    # ADTS AAC chain walk (the last common audio format made real)
+    "ext_audio_profile_aac",
 ]
 
 
