@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_audio_profile_auto",    # mixed-corpus magic-dispatch audio triage
     "ext_unigram_pack",          # unigram pieces -> tokenize_pack composition
     "ext_audio_profile_aac",     # ADTS frame-chain walk (last audio format real)
+    "ext_kcore",                 # k-core peeling (unrolled-CTE oracle, MATERIALIZED)
     # --- rows already driver-green (r1-r5), registration order ---
     "ext_tokenize_pack",
     "ext_group_stream_digest",   # streaming huge-group fold (Accumulator parity)

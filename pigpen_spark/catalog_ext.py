@@ -5571,3 +5571,23 @@ def ext_unigram_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("pieces", " ").alias("pieces"))
     return P.tokenize_pack(pieces_text, "doc_id", "pieces",
                            seq_len=32, shards=8)
+
+
+@register(
+    "ext_kcore",
+    D.kcore_cte_sql(_PAIRS_CTE, k=2, rounds=8),
+)
+def ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2, 8 synchronous peels) of the near-dup
+    candidate graph — the density diagnostic between ext_dedup_clusters
+    (WCC: any connectivity) and ext_label_prop (local majorities): only
+    nodes with ≥2 surviving neighbors stand, so pairwise-only
+    duplicates peel away and what remains are the template FAMILIES
+    (every banded-LSH duplicate group of size ≥3 is a clique and
+    survives whole).  Fixed round budget ⇒ pure function of the edge
+    set ⇒ the unrolled-CTE oracle is hash-exact (the pagerank/LPA
+    doctrine)."""
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_candidates(docs.df, "doc_id", "text",
+                                 k=_K, bands=_BANDS, shingle_n=3)
+    return D.kcore(pairs, k=2, rounds=8)

@@ -1461,3 +1461,100 @@ def common_neighbor_cte_sql(pairs_cte: str, min_common: int = 2,
     JOIN deg db ON c.b = db.node
     LEFT JOIN adj ON c.a = adj.a AND c.b = adj.b
     WHERE adj.a IS NULL AND c.common >= {min_common}"""
+
+
+def kcore(pairs: DataFrame, k: int, id_a: str = "id_a", id_b: str = "id_b",
+          rounds: int = 8, checkpoint_every: int = 4) -> DataFrame:
+    """k-CORE decomposition of an undirected candidate-pair graph by
+    synchronous peeling: each round deletes every node whose degree in
+    the SURVIVING subgraph is < ``k``, until the fixed round budget is
+    spent — the density diagnostic between WCC (any connectivity) and
+    :func:`label_propagation` (local majorities): the k-core is the
+    maximal subgraph where every member has ≥ k surviving neighbors,
+    i.e. the template families / botnets / mirror farms inside a
+    near-dup graph, with the stragglers peeled away.
+
+    Determinism contract (mirrored by :func:`kcore_cte_sql`): a FIXED
+    ``rounds`` count, so the result is a pure function of the edge set
+    and the oracle replays it exactly (the pagerank/LPA doctrine).
+    Peeling converges in ≤ rounds(graph) rounds — for near-dup graphs
+    (dense cores, shallow tendrils) a handful suffices; a path graph
+    peels one layer per round, so callers wanting the true fixpoint on
+    adversarial shapes raise ``rounds`` (membership shrinks
+    monotonically, so extra rounds are idempotent after convergence).
+
+    Scale: per round one degree groupBy over the surviving edges + two
+    semi-joins to filter the edge list — all keyed on node ids, no
+    driver state, never all-pairs; lineage truncated via
+    localCheckpoint every ``checkpoint_every`` rounds.
+
+    Returns (node, degree) — degree within the surviving subgraph —
+    for every node still standing after ``rounds`` peels.
+    """
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"kcore: rounds must be >= 1, got {rounds}")
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b), F.col(id_a)))
+        .distinct()
+        .repartition("src")
+        .transform(_persisted)
+    )
+    prev_edges: int | None = None
+    for i in range(rounds):
+        deg = e.groupBy(F.col("src").alias("node")) \
+            .agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), on="src",
+                   how="left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), on="dst",
+                  how="left_semi")
+        ).transform(_persisted)
+        # convergence probe: peeling is idempotent once no edge drops,
+        # so breaking early returns EXACTLY the fixed-round result the
+        # oracle computes — a pure plan optimization, not a semantics
+        # fork (the scalar count is the only driver state)
+        n_edges = e.count()
+        if n_edges == prev_edges:
+            break
+        prev_edges = n_edges
+        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            e = e.localCheckpoint(eager=True)
+    return (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def kcore_cte_sql(pairs_cte: str, k: int, rounds: int = 8) -> str:
+    """DuckDB CTE chain replaying :func:`kcore` exactly — the fixed
+    round count unrolls to ``e0..e{rounds}`` (same portable form as
+    pagerank_cte_sql).  ``pairs_cte`` must define ``pairs(id_a,
+    id_b)``.
+
+    The edge CTEs are MATERIALIZED: each round references e{i-1}
+    TWICE (once to derive the surviving nodes, once to filter the
+    edges), so DuckDB's default CTE inlining would expand the chain
+    into 2^rounds copies of the base scan — measured as "too many open
+    files" at rounds=8 before the plan even runs."""
+    parts = [
+        pairs_cte,
+        """e0 AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""n{i} AS (
+      SELECT src AS node FROM e{i - 1} GROUP BY src
+      HAVING count(*) >= {k})""")
+        parts.append(f"""e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN n{i} a ON e.src = a.node
+      JOIN n{i} b ON e.dst = b.node)""")
+    return ("WITH " + ",\n    ".join(parts)
+            + f"\n    SELECT src AS node, count(*)::BIGINT AS degree "
+              f"FROM e{rounds} GROUP BY src")

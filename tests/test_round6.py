@@ -578,3 +578,74 @@ class TestAnnIndexStream:
         hits = S.lsh_topk_against(streamed, batch, k=3,
                                   n_planes="index", dim=8)
         assert hits.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (graph-family completion)
+# ---------------------------------------------------------------------------
+
+
+class TestKcore:
+    def test_barbell_with_tail(self, spark):
+        # two 4-cliques + bridge + path tail: the 3-core keeps both
+        # cliques AND the bridge edge between core members; the tail
+        # peels away
+        clique = lambda o: [(o + i, o + j)
+                            for i in range(4) for j in range(i + 1, 4)]
+        pairs = spark.createDataFrame(
+            clique(0) + clique(10) + [(3, 10), (3, 20), (20, 21), (21, 22)],
+            "id_a long, id_b long")
+        from pigpen_spark.functions import dedup as DD
+
+        out = {r["node"]: r["degree"]
+               for r in DD.kcore(pairs, k=3).collect()}
+        assert set(out) == {0, 1, 2, 3, 10, 11, 12, 13}
+        assert out[3] == 4 and out[10] == 4        # bridge survives
+        assert out[0] == 3
+
+    def test_matches_python_model(self, spark):
+        import random
+
+        rng = random.Random(11)
+        edges = sorted({tuple(sorted(rng.sample(range(16), 2)))
+                        for _ in range(28)})
+
+        def model(es, k):
+            es = {frozenset(e) for e in es}
+            while True:
+                deg: dict = {}
+                for e in es:
+                    for n in e:
+                        deg[n] = deg.get(n, 0) + 1
+                keep = {n for n, d in deg.items() if d >= k}
+                nes = {e for e in es if e <= keep}
+                if nes == es:
+                    return {n: sum(1 for e in es if n in e) for n in keep}
+                es = nes
+
+        from pigpen_spark.functions import dedup as DD
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["degree"]
+               for r in DD.kcore(pairs, k=2, rounds=16).collect()}
+        assert got == model(edges, 2)
+
+    def test_path_graph_needs_rounds(self, spark):
+        # a 6-node path peels one endpoint layer per round at k=2 and
+        # dies entirely; a triangle appended survives
+        edges = [(i, i + 1) for i in range(5)] + [(100, 101), (101, 102),
+                                                  (100, 102)]
+        from pigpen_spark.functions import dedup as DD
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = {r["node"] for r in DD.kcore(pairs, k=2, rounds=8).collect()}
+        assert out == {100, 101, 102}
+
+    def test_bad_args_raise(self, spark):
+        from pigpen_spark.functions import dedup as DD
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError):
+            DD.kcore(pairs, k=0)
+        with pytest.raises(ValueError):
+            DD.kcore(pairs, k=2, rounds=0)
