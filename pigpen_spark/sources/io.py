@@ -328,3 +328,89 @@ def load_tar_shards(spark: SparkSession, path: str,
 
     return Relation(src.mapInPandas(
         untar, schema="shard string, name string, payload binary, meta_json string"))
+
+
+def store_arrow_ipc(df, path: str, shards: int | None = None,
+                    compression: str | None = None) -> None:
+    """Arrow IPC (Feather v2) shard sink — the zero-parse interchange
+    format ML dataloaders mmap directly: each partition writes one
+    ``part-NNNNN.arrow`` IPC FILE under ``path`` through ``mapInArrow``,
+    so record batches go executor→disk without ever becoming Python
+    rows (the same no-driver-bytes contract as store_tar_shards).
+    ``shards`` resizes the fan-out; ``compression`` is pyarrow's IPC
+    codec (None / "lz4" / "zstd" as available).  Local-FS path here; on
+    a cluster point at a shared mount (object stores want the
+    staging-committer equivalent, documented contract)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    src = df.repartition(shards) if shards else df
+
+    def write(batches):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        writer = None
+        n = 0
+        try:
+            for batch in batches:
+                if writer is None:
+                    opts = (ipc.IpcWriteOptions(compression=compression)
+                            if compression else None)
+                    writer = ipc.new_file(
+                        os.path.join(path, f"part-{pid:05d}.arrow"),
+                        batch.schema, options=opts)
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        yield pa.RecordBatch.from_pydict({"n": pa.array([n], pa.int64())})
+
+    # the summary collect is the ACTION that drives the writes; empty
+    # partitions write no file and report 0
+    src.mapInArrow(write, schema="n long").agg({"n": "sum"}).collect()
+
+
+def load_arrow_ipc(spark: SparkSession, path: str, schema=None) -> Relation:
+    """Arrow IPC (Feather v2) shard source: ``binaryFile`` scan of
+    ``part-*.arrow`` + a per-file pyarrow IPC read in mapInPandas —
+    files stay executor-local, parallelism = shard count.  ``schema``
+    defaults to the first file's embedded Arrow schema (one driver-side
+    footer probe, converted via from_arrow_schema — the avro-fallback
+    pattern)."""
+    import glob as _glob
+    import os
+
+    if schema is None:
+        import pyarrow.ipc as ipc
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        first = sorted(_glob.glob(os.path.join(path, "part-*.arrow")))
+        if not first:
+            raise ValueError(f"load_arrow_ipc: no part-*.arrow under {path}")
+        with ipc.open_file(first[0]) as r:
+            schema = from_arrow_schema(r.schema)
+
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*.arrow")
+        .load(path)
+        .select("content")
+    )
+
+    def read(batches):
+        import io as _io
+
+        import pyarrow.ipc as ipc
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                with ipc.open_file(_io.BytesIO(bytes(content))) as r:
+                    yield r.read_pandas()
+
+    return Relation(src.mapInPandas(read, schema=schema))

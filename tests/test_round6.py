@@ -649,3 +649,56 @@ class TestKcore:
             DD.kcore(pairs, k=0)
         with pytest.raises(ValueError):
             DD.kcore(pairs, k=2, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC (Feather v2) shard source/sink
+# ---------------------------------------------------------------------------
+
+
+class TestArrowIpc:
+    def test_round_trip(self, spark, tmp_path):
+        from pigpen_spark.sources import io as pio
+
+        df = spark.range(500).select(
+            F.col("id"),
+            (F.col("id") % 7).cast("string").alias("tag"),
+            F.array(F.col("id") * 1.5, F.col("id") * 2.5).alias("vec"))
+        p = str(tmp_path / "ipc")
+        pio.store_arrow_ipc(df, p, shards=4)
+        import glob
+        files = glob.glob(p + "/part-*.arrow")
+        assert 1 <= len(files) <= 4
+        back = pio.load_arrow_ipc(spark, p)
+        assert back.df.count() == 500
+        a = sorted((r["id"], r["tag"], tuple(r["vec"]))
+                   for r in back.df.collect())
+        b = sorted((r["id"], r["tag"], tuple(r["vec"]))
+                   for r in df.collect())
+        assert a == b
+        # schema preserved through the arrow footer probe
+        assert dict(back.df.dtypes) == dict(df.dtypes)
+
+    def test_files_are_real_ipc(self, spark, tmp_path):
+        # readable by plain pyarrow — the interchange contract
+        import glob
+
+        import pyarrow.ipc as ipc
+
+        from pigpen_spark.sources import io as pio
+
+        df = spark.range(50).select(F.col("id"))
+        p = str(tmp_path / "ipc2")
+        pio.store_arrow_ipc(df, p, shards=2)
+        total = 0
+        for f in glob.glob(p + "/part-*.arrow"):
+            with ipc.open_file(f) as r:
+                total += r.read_all().num_rows
+        assert total == 50
+
+    def test_empty_dir_raises(self, spark, tmp_path):
+        from pigpen_spark.sources import io as pio
+
+        (tmp_path / "empty").mkdir()
+        with pytest.raises(ValueError, match="no part-"):
+            pio.load_arrow_ipc(spark, str(tmp_path / "empty"))
