@@ -187,6 +187,9 @@ HEADLINE = [
     "ext_unigram_pack",
     # ADTS AAC chain walk (the last common audio format made real)
     "ext_audio_profile_aac",
+    # k-core peeling over the candidate graph (degree groupBy + two
+    # semi-joins per round, convergence early-exit)
+    "ext_kcore",
 ]
 
 
