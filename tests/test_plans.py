@@ -283,3 +283,49 @@ def test_pagerank_edges_partitioned_once(plans):
     p = plans("ext_pagerank")
     assert "InMemoryTableScan" in p
     assert "CartesianProduct" not in p
+
+
+def test_unigram_pack_no_global_window_over_tokens(plans):
+    # the pack offsets are per-shard windows — a window without a
+    # partition key over the TOKEN STREAM would funnel everything
+    # through one task.  (The one legal global window ranks the
+    # vocabulary — |distinct pieces| rows, identified by its token
+    # ordering key.)
+    p = plans("ext_unigram_pack")
+    assert "Window" in p
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        spec = m.group(1)
+        assert "__shard" in spec or "token#" in spec
+
+
+def test_pii_profile_is_one_aggregate_pass(plans):
+    # 12 counters, ONE corpus scan: a single partial/final aggregate
+    # pair over the derived columns — no per-pattern scans, no joins
+    p = plans("ext_pii_profile")
+    assert p.count("Scan ") == 1
+    assert "Join" not in p
+
+
+def test_ann_index_update_hashes_delta_separately(plans):
+    # append = union of the stored index and the delta batch: both
+    # sides are scans + projections, NO join and NO aggregate — the
+    # maintenance path must not touch corpus-wide state
+    p = plans("ext_ann_index_update")
+    assert "Union" in p
+    assert "Join" not in p and "HashAggregate" not in p
+
+
+def test_audio_profile_auto_single_python_crossing(plans):
+    # fused synth->dispatch->profile: exactly one Arrow boundary
+    p = plans("ext_audio_profile_auto")
+    assert p.count("MapInPandas") == 1
+
+
+def test_kcore_rounds_are_semi_joins(plans):
+    # every peel filters the edge list with LeftSemi joins keyed on the
+    # node id — no inner-join pair blowups, no cartesian
+    p = plans("ext_kcore")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
