@@ -5591,3 +5591,34 @@ def ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_candidates(docs.df, "doc_id", "text",
                                  k=_K, bands=_BANDS, shingle_n=3)
     return D.kcore(pairs, k=2, rounds=8)
+
+
+@register(
+    "ext_image_triage",
+    """
+    SELECT doc_id,
+           (CASE doc_id % 4
+              WHEN 0 THEN 8 + doc_id % 16
+              WHEN 1 THEN (1 + doc_id % 3) * 8
+              WHEN 2 THEN 6 + doc_id % 8
+              ELSE 4 + doc_id % 9 END)::INT AS width,
+           (CASE doc_id % 4
+              WHEN 0 THEN 8 + (doc_id // 3) % 16
+              WHEN 1 THEN (1 + (doc_id // 2) % 3) * 8
+              WHEN 2 THEN 6 + (doc_id // 2) % 8
+              ELSE 3 + (doc_id // 2) % 7 END)::INT AS height,
+           (CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                            WHEN 2 THEN 'gif' ELSE 'bmp' END) AS format
+    FROM documents
+    """,
+)
+def ext_image_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image triage over a MIXED png/jpeg/gif/bmp corpus: magic-byte
+    dispatch to each format's real header parse (IHDR / SOFn / logical
+    screen descriptor / BITMAPINFOHEADER) — the image twin of
+    ext_audio_profile_auto, pinning that decode_image_meta's dispatch
+    covers all four formats for real (GIF and BMP joined the real set
+    in round 6).  Oracle = closed-form per-branch dimensions."""
+    docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
+    return M.synth_image_triage(docs, "doc_id").select(
+        F.col("id").alias("doc_id"), "width", "height", "format")

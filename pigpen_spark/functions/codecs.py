@@ -2706,3 +2706,69 @@ def adts_encode_skeleton(n_frames: int, rate_idx: int = 3,
         h[6] = 0xFC                               # fullness low | 1 block
         out += h + bytes(payload_bytes)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB in a file wrapper) — trivial uncompressed 24-bit
+# format; rounds out the image triage set (png/jpeg/gif/bmp all real).
+# ---------------------------------------------------------------------------
+
+
+@_valueerror_contract
+def bmp_meta(data: bytes) -> tuple[int, int, int]:
+    """(width, height, bits_per_pixel) from the BITMAPINFOHEADER.
+    Height is reported positive whether the file is bottom-up (positive
+    in the header) or top-down (negative)."""
+    if data[:2] != b"BM":
+        raise ValueError("bmp: bad magic")
+    if len(data) < 54:
+        raise ValueError("bmp: truncated header")
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"bmp: unsupported header size {hdr_size}")
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    if planes != 1 or w <= 0 or h == 0:
+        raise ValueError("bmp: invalid planes/dimensions")
+    return w, abs(h), bpp
+
+
+@_valueerror_contract
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BI_RGB bitmap to an (h, w, 3) RGB
+    uint8 array (rows un-flipped from the bottom-up layout, BGR→RGB)."""
+    w, h, bpp = bmp_meta(data)
+    comp = struct.unpack("<I", data[30:34])[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"bmp: only 24-bit BI_RGB supported (bpp={bpp}, "
+                         f"compression={comp})")
+    off = struct.unpack("<I", data[10:14])[0]
+    stride = (w * 3 + 3) & ~3
+    raw_h = struct.unpack("<i", data[22:26])[0]
+    if off + stride * h > len(data):
+        raise ValueError("bmp: truncated pixel data")
+    rows = []
+    for r in range(h):
+        line = data[off + r * stride: off + r * stride + w * 3]
+        rows.append(np.frombuffer(line, dtype=np.uint8).reshape(w, 3)[:, ::-1])
+    img = np.stack(rows)
+    return img[::-1] if raw_h > 0 else img        # bottom-up → top-down
+
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as an uncompressed 24-bit
+    bottom-up BI_RGB bitmap — the inverse of :func:`bmp_decode`."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("bmp_encode: need (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):                # bottom-up
+        line = arr[r, :, ::-1].tobytes()          # RGB → BGR
+        body += line + bytes(stride - len(line))
+    off = 14 + 40
+    size = off + len(body)
+    hdr = (b"BM" + struct.pack("<IHHI", size, 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                         2835, 2835, 0, 0))
+    return hdr + bytes(body)

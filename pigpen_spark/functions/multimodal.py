@@ -94,6 +94,15 @@ def decode_image_meta(df: DataFrame, id_col: str, payload_col: str = "payload") 
                         # progressive streams the full decoder refuses
                         w, h, _nc = C.jpeg_meta(data)
                         fmt = "jpeg"
+                    elif data[:4] in (b"GIF8",):
+                        # REAL path: logical-screen descriptor + frame
+                        # count (codecs.gif_meta walks the block chain)
+                        w, h, _nf = C.gif_meta(data)
+                        fmt = "gif"
+                    elif data[:2] == b"BM":
+                        # REAL path: BITMAPINFOHEADER parse
+                        w, h, _bpp = C.bmp_meta(data)
+                        fmt = "bmp"
                     elif real:  # pragma: no cover
                         raise NotImplementedError(
                             "PIL decode path: wire Image.open(BytesIO(data))")
@@ -1605,4 +1614,53 @@ def image_curation_pack(stats: DataFrame, id_col: str = "id",
                 ), ",",
             ).alias("doc_ids"),
         )
+    )
+
+
+def _bmp_payload(i: int) -> bytes:
+    """Synthetic 24-bit bitmap i: (4 + i%9) × (3 + (i//2)%7) RGB ramp."""
+    import numpy as np
+
+    from pigpen_spark.functions import codecs as C
+
+    w, h, a = 4 + i % 9, 3 + (i // 2) % 7, (i * 7) % 200
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return C.bmp_encode((a + x + y + c).astype(np.uint8))
+
+
+def _image_triage_payload(i: int) -> bytes:
+    """Mixed-format image fixture: i%4 picks png/jpeg/gif/bmp."""
+    return (_png_payload, _jpeg_payload, _gif_payload, _bmp_payload)[i % 4](i)
+
+
+def _image_triage_row(rid: int, data: bytes) -> dict:
+    from pigpen_spark.functions import codecs as C
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, _d, _c = C.png_meta(data)
+        fmt = "png"
+    elif data[:2] == b"\xFF\xD8":
+        w, h, _nc = C.jpeg_meta(data)
+        fmt = "jpeg"
+    elif data[:4] == b"GIF8":
+        w, h, _nf = C.gif_meta(data)
+        fmt = "gif"
+    elif data[:2] == b"BM":
+        w, h, _bpp = C.bmp_meta(data)
+        fmt = "bmp"
+    else:
+        raise ValueError("image triage fixture: unknown magic")
+    return {"id": rid, "width": w, "height": h, "format": fmt}
+
+
+def synth_image_triage(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused synth(mixed png/jpeg/gif/bmp)→magic-dispatch header parse
+    — the image twin of synth_audio_profile_auto, pinning that all four
+    image formats take their REAL header path in decode_image_meta's
+    dispatch (same parse calls, closed-form oracle fields only)."""
+    return _fused_synth(
+        df, id_col, lambda i: _image_triage_row(i, _image_triage_payload(i)),
+        "id long, width int, height int, format string",
     )

@@ -702,3 +702,33 @@ class TestArrowIpc:
         (tmp_path / "empty").mkdir()
         with pytest.raises(ValueError, match="no part-"):
             pio.load_arrow_ipc(spark, str(tmp_path / "empty"))
+
+
+class TestImageTriage:
+    def test_decode_image_meta_dispatches_gif_and_bmp(self, spark):
+        rows = [(0, M._png_payload(3)), (1, M._jpeg_payload(4)),
+                (2, M._gif_payload(5)), (3, M._bmp_payload(6)),
+                (4, b"\x00garbage")]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["id"]: r for r in
+               M.decode_image_meta(df, "doc_id").collect()}
+        assert out[0]["format"] == "png"
+        assert out[1]["format"] == "jpeg"
+        assert out[2]["format"] == "gif"
+        assert (out[2]["width"], out[2]["height"]) == (6 + 5 % 8, 6 + 2 % 8)
+        assert out[3]["format"] == "bmp"
+        assert (out[3]["width"], out[3]["height"]) == (4 + 6 % 9, 3 + 3 % 7)
+        # non-image bytes take the documented fake path, not an error
+        assert out[4]["format"] not in ("png", "jpeg", "gif", "bmp", "corrupt")
+
+    def test_bmp_codec_round_trip_and_raises(self):
+        import numpy as np
+
+        a = (np.arange(6 * 9 * 3) % 251).reshape(6, 9, 3).astype(np.uint8)
+        d = CX.bmp_encode(a)
+        assert CX.bmp_meta(d) == (9, 6, 24)
+        assert (CX.bmp_decode(d) == a).all()
+        with pytest.raises(ValueError, match="magic"):
+            CX.bmp_meta(b"XX" + bytes(60))
+        with pytest.raises(ValueError):
+            CX.bmp_decode(d[:-10])
