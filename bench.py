@@ -190,6 +190,8 @@ HEADLINE = [
     # k-core peeling over the candidate graph (degree groupBy + two
     # semi-joins per round, convergence early-exit)
     "ext_kcore",
+    # mixed-image magic-dispatch header triage (png/jpeg/gif/bmp)
+    "ext_image_triage",
 ]
 
 
