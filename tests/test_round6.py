@@ -732,3 +732,62 @@ class TestImageTriage:
             CX.bmp_meta(b"XX" + bytes(60))
         with pytest.raises(ValueError):
             CX.bmp_decode(d[:-10])
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis differentials for the round-6 codecs (pure Python, no JVM)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestRound6Properties:
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=600),
+                    min_size=1, max_size=6))
+    def test_ogg_page_lacing_round_trip(self, packets):
+        # any packet sizes (incl. 0 and >255, which lace across
+        # multiple 255-values) survive page assembly + walk: the
+        # completed-packet count and the body bytes both round-trip
+        page = CX._ogg_page(7, 0, 0, packets, htype=0x02 | 0x04)
+        got = list(CX._ogg_pages(page))
+        assert len(got) == 1
+        assert got[0]["n_packets"] == len(packets)
+        assert got[0]["body"] == b"".join(packets)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 40), st.integers(0, 12), st.integers(1, 7),
+           st.integers(0, 3))
+    def test_adts_chain_round_trip(self, n, rate_idx, channels, profile):
+        d = CX.adts_encode_skeleton(n, rate_idx=rate_idx,
+                                    channels=channels, profile=profile)
+        m = CX.adts_meta(d)
+        rate = CX._ADTS_RATES[rate_idx]
+        assert m == {"n_frames": n, "sample_rate": rate,
+                     "channels": channels, "profile": profile,
+                     "duration_ms": n * 1024 * 1000 // rate}
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 17))
+    def test_bmp_round_trip_arbitrary_dims(self, w, h, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d = CX.bmp_encode(a)
+        assert CX.bmp_meta(d) == (w, h, 24)
+        assert (CX.bmp_decode(d) == a).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, (1 << 20) - 1), st.integers(1, 8),
+           st.integers(4, 32), st.integers(0, (1 << 36) - 1),
+           st.integers(0, 3))
+    def test_flac_streaminfo_bitpack_round_trip(self, rate, ch, bps,
+                                                total, pads):
+        d = CX.flac_encode_streaminfo(rate, ch, bps, total,
+                                      n_padding_blocks=pads)
+        m = CX.flac_streaminfo(d)
+        assert (m["sample_rate"], m["channels"], m["bits_per_sample"],
+                m["total_samples"]) == (rate, ch, bps, total)
+        assert m["n_meta_blocks"] == 1 + pads
