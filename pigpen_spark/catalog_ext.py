@@ -5548,11 +5548,16 @@ def ext_audio_profile_aac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_unigram_pack",
-    P.tokenize_pack_sql(
+    f"""
+    SELECT shard, seq_no,
+           coalesce(array_to_string(token_ids, ','), '') AS token_ids,
+           n_tokens
+    FROM ({P.tokenize_pack_sql(
         "(" + UG.unigram_encode_fixed_sql(
             "documents", "doc_id", "text", UG.FIXED_PIECES,
             unk_score=-1500) + ") ug",
-        "doc_id", "pieces", seq_len=32, shards=8),
+        "doc_id", "pieces", seq_len=32, shards=8)})
+    """,
 )
 def ext_unigram_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram pieces feeding sequence packing — the composition VERDICT
@@ -5569,8 +5574,15 @@ def ext_unigram_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces_text = enc.select(
         F.col("id").alias("doc_id"),
         F.array_join("pieces", " ").alias("pieces"))
-    return P.tokenize_pack(pieces_text, "doc_id", "pieces",
-                           seq_len=32, shards=8)
+    out = P.tokenize_pack(pieces_text, "doc_id", "pieces",
+                          seq_len=32, shards=8)
+    # catalog determinism rule #4: arrays stringify for the driver hash
+    return out.select(
+        "shard", "seq_no",
+        F.array_join(F.transform("token_ids", lambda x: x.cast("string")),
+                     ",").alias("token_ids"),
+        "n_tokens",
+    )
 
 
 @register(
