@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_audio_profile_aac",     # ADTS frame-chain walk (last audio format real)
     "ext_kcore",                 # k-core peeling (unrolled-CTE oracle, MATERIALIZED)
     "ext_image_triage",          # mixed png/jpeg/gif/bmp magic-dispatch headers
+    "ext_partition_manifest",    # partition checksum manifests + diff worklist
     # --- rows already driver-green (r1-r5), registration order ---
     "ext_tokenize_pack",
     "ext_group_stream_digest",   # streaming huge-group fold (Accumulator parity)

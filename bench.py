@@ -192,6 +192,9 @@ HEADLINE = [
     "ext_kcore",
     # mixed-image magic-dispatch header triage (png/jpeg/gif/bmp)
     "ext_image_triage",
+    # partition manifest diff (two grouped checksum passes + one
+    # |partitions|-row full-outer join)
+    "ext_partition_manifest",
 ]
 
 

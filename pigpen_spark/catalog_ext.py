@@ -5634,3 +5634,77 @@ def ext_image_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"].df.select("doc_id")
     return M.synth_image_triage(docs, "doc_id").select(
         F.col("id").alias("doc_id"), "width", "height", "format")
+
+
+# deterministic "next snapshot" of documents for the manifest diff: one
+# in-97 text edit (changed partitions), one-in-101 delete (count
+# moves), and a 5-row clone into a brand-new source (added partitions)
+_MANIFEST_NEW = """(
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN text || ' edited' ELSE text END AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 101 <> 0
+      UNION ALL
+      SELECT doc_id, text, lang, 'wiki_new' AS source, n_chars
+      FROM documents WHERE doc_id < 5
+    )"""
+
+_MANIFEST_CANON = ("'doc_id=' || coalesce(doc_id::VARCHAR, chr(0)) || chr(31) || "
+                   "'n_chars=' || coalesce(n_chars::VARCHAR, chr(0)) || chr(31) || "
+                   "'text=' || coalesce(text, chr(0))")
+
+
+def _manifest_sql(table: str) -> str:
+    return f"""SELECT lang, source, count(*)::BIGINT AS n_rows,
+           sum(('0x' || substring(md5({_MANIFEST_CANON}), 1, 15))::BIGINT::HUGEINT)::VARCHAR
+             AS checksum
+    FROM {table} GROUP BY lang, source"""
+
+
+@register(
+    "ext_partition_manifest",
+    f"""
+    WITH o AS ({_manifest_sql('documents')}),
+    n AS ({_manifest_sql(_MANIFEST_NEW)})
+    SELECT coalesce(o.lang, n.lang) AS lang,
+           coalesce(o.source, n.source) AS source,
+           (CASE WHEN o.lang IS NULL THEN 'added'
+                 WHEN n.lang IS NULL THEN 'removed'
+                 WHEN o.n_rows <> n.n_rows OR o.checksum <> n.checksum
+                 THEN 'changed' END) AS status,
+           coalesce(o.n_rows, 0)::BIGINT AS n_rows_old,
+           coalesce(n.n_rows, 0)::BIGINT AS n_rows_new
+    FROM o FULL OUTER JOIN n ON o.lang = n.lang AND o.source = n.source
+    WHERE (CASE WHEN o.lang IS NULL THEN 'added'
+                WHEN n.lang IS NULL THEN 'removed'
+                WHEN o.n_rows <> n.n_rows OR o.checksum <> n.checksum
+                THEN 'changed' END) IS NOT NULL
+    """,
+)
+def ext_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-manifest diff — the 100 TB pre-filter in front of
+    row-level snapshot diffing: per (lang, source) partition, an
+    order-insensitive checksum manifest of each snapshot (one grouped
+    aggregate per side, partition sums ADD to ext_dataset_checksum's
+    total), then ONE |partitions|-sized full-outer join classifying
+    added/removed/changed — only those partitions need ext_snapshot_diff
+    or revalidation.  The 'new' snapshot derives deterministically from
+    documents (1/97 edits, 1/101 deletes, a cloned new source), so
+    every status class appears and the oracle is hash-exact."""
+    docs = tables(spark, sf_dir)["documents"].df
+    new = (
+        docs.filter(F.col("doc_id") % 101 != 0)
+        .select("doc_id",
+                F.when(F.col("doc_id") % 97 == 0,
+                       F.concat(F.col("text"), F.lit(" edited")))
+                 .otherwise(F.col("text")).alias("text"),
+                "lang", "source", "n_chars")
+        .unionByName(
+            docs.filter(F.col("doc_id") < 5)
+            .select("doc_id", "text", "lang",
+                    F.lit("wiki_new").alias("source"), "n_chars"))
+    )
+    parts = ["lang", "source"]
+    old_m = V.partition_checksums(docs, parts)
+    new_m = V.partition_checksums(new, parts)
+    return V.manifest_diff(old_m, new_m, parts)

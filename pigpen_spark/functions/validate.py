@@ -356,3 +356,69 @@ def dataset_checksum_buckets(df: DataFrame, n_buckets: int = 256,
              F.sum("__h").cast("decimal(38,0)").cast("string")
               .alias("checksum"))
     )
+
+
+def partition_checksums(df: DataFrame, part_cols: list[str],
+                        columns: list[str] | None = None) -> DataFrame:
+    """Partition-level MANIFEST: per business partition (date, source,
+    lang, …) the row count and the order-insensitive hash sum — the
+    same canonicalization as :func:`dataset_checksum`, grouped, so
+    partition checksums ADD up to the table checksum.
+
+    This is the cheap pre-filter in front of :func:`snapshot diffing
+    <pigpen_spark.functions.analytics.snapshot_diff>` at 100 TB:
+    compare two snapshots' manifests (|partitions| rows each), and only
+    the partitions whose (n_rows, checksum) moved need the row-level
+    diff or a re-validation pass — the incremental-audit contract
+    lakehouse table formats get from file-level stats, expressed over
+    logical partitions.
+
+    ``columns`` defaults to every NON-partition column (the content
+    being fingerprinted); partition columns are identity here, hashing
+    them too would be noise.  Returns (part_cols…, n_rows, checksum).
+    """
+    if not part_cols:
+        raise ValueError("partition_checksums: need partition columns")
+    cols = sorted(columns if columns is not None
+                  else [c for c in df.columns if c not in set(part_cols)])
+    if not cols:
+        raise ValueError("partition_checksums: no content columns")
+    canon = F.concat_ws(
+        "\x1f", *[F.concat(F.lit(c + "="),
+                           F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+                  for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        df.groupBy(*part_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"))
+    )
+
+
+def manifest_diff(old: DataFrame, new: DataFrame,
+                  part_cols: list[str]) -> DataFrame:
+    """Compare two partition manifests (as produced by
+    :func:`partition_checksums`): one full-outer join over
+    |partitions|-sized frames — never row data — classifying each
+    partition as ``added`` / ``removed`` / ``changed`` (count or
+    checksum moved); unchanged partitions are dropped (the whole point:
+    what's left is the reprocessing worklist).  Returns (part_cols…,
+    status, n_rows_old, n_rows_new)."""
+    o = old.select(*part_cols, F.col("n_rows").alias("__no"),
+                   F.col("checksum").alias("__co"))
+    n = new.select(*part_cols, F.col("n_rows").alias("__nn"),
+                   F.col("checksum").alias("__cn"))
+    j = o.join(n, on=part_cols, how="full_outer")
+    status = (
+        F.when(F.col("__no").isNull(), F.lit("added"))
+        .when(F.col("__nn").isNull(), F.lit("removed"))
+        .when((F.col("__no") != F.col("__nn"))
+              | (F.col("__co") != F.col("__cn")), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*part_cols, "status",
+                F.coalesce("__no", F.lit(0)).cast("bigint").alias("n_rows_old"),
+                F.coalesce("__nn", F.lit(0)).cast("bigint").alias("n_rows_new"))
+    )

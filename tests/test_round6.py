@@ -791,3 +791,53 @@ class TestRound6Properties:
         assert (m["sample_rate"], m["channels"], m["bits_per_sample"],
                 m["total_samples"]) == (rate, ch, bps, total)
         assert m["n_meta_blocks"] == 1 + pads
+
+
+# ---------------------------------------------------------------------------
+# Partition manifests (the 100 TB pre-filter for snapshot diffs)
+# ---------------------------------------------------------------------------
+
+from pigpen_spark.functions import validate as V
+
+
+class TestPartitionManifest:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, part string, v string")
+
+    def test_partition_sums_add_to_table_checksum(self, spark):
+        df = self._df(spark, [(i, f"p{i % 3}", f"v{i}") for i in range(30)])
+        parts = {r["part"]: r for r in
+                 V.partition_checksums(df, ["part"]).collect()}
+        total = V.dataset_checksum(df, columns=["id", "v"]).collect()[0]
+        assert sum(int(r["checksum"]) for r in parts.values()) \
+            == int(total["checksum"])
+        assert sum(r["n_rows"] for r in parts.values()) == total["n_rows"]
+
+    def test_diff_classifies_all_statuses(self, spark):
+        old = self._df(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z"),
+                               (4, "c", "w")])
+        new = self._df(spark, [(1, "a", "x"), (2, "a", "EDITED"),   # changed
+                               (4, "c", "w"),                        # same
+                               (5, "d", "n")])                       # added; b removed
+        d = {r["part"]: r for r in V.manifest_diff(
+            V.partition_checksums(old, ["part"]),
+            V.partition_checksums(new, ["part"]), ["part"]).collect()}
+        assert d["a"]["status"] == "changed"
+        assert d["b"]["status"] == "removed" and d["b"]["n_rows_new"] == 0
+        assert d["d"]["status"] == "added" and d["d"]["n_rows_old"] == 0
+        assert "c" not in d                      # unchanged drops out
+
+    def test_reordered_rows_are_unchanged(self, spark):
+        rows = [(i, "p", f"v{i}") for i in range(20)]
+        old = self._df(spark, rows).repartition(8)
+        new = self._df(spark, list(reversed(rows))).repartition(3)
+        assert V.manifest_diff(
+            V.partition_checksums(old, ["part"]),
+            V.partition_checksums(new, ["part"]), ["part"]).count() == 0
+
+    def test_arg_validation(self, spark):
+        df = self._df(spark, [(1, "a", "x")])
+        with pytest.raises(ValueError):
+            V.partition_checksums(df, [])
+        with pytest.raises(ValueError):
+            V.partition_checksums(df.select("part"), ["part"])
