@@ -1,0 +1,89 @@
+"""Tokenizer lab on pigpen_spark — the train/compare/pack loop a team
+runs before committing to a tokenizer:
+
+    raw documents
+      → train BPE merges + unigram piece table       (bpe / unigram)
+      → encode the corpus with BOTH                  (Arrow-batched)
+      → compare fertility (pieces per word)          (one readout agg)
+      → pack the winner's piece stream               (tokenize_pack)
+      → audit shard balance + manifest the output    (shard_balance,
+                                                      partition_checksums)
+
+Run:  python examples/tokenizer_lab.py [sf_dir]
+
+Training counts the corpus ONCE (the shared word histogram); encoding
+and packing are Arrow-batched, shard-partitioned plans — at 100 TB the
+same script runs unchanged on a cluster master.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from pigpen_spark import get_spark
+from pigpen_spark.functions import bpe as B
+from pigpen_spark.functions import pipeline as P
+from pigpen_spark.functions import unigram as U
+from pigpen_spark.functions import validate as V
+
+
+def lab(spark, sf_dir: str) -> dict:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # -- train both tokenizers (one corpus-sized histogram pass each) --
+    merges = B.train_bpe(docs, "text", n_merges=60)
+    pieces = U.train_unigram(docs, "text", vocab_size=48, em_rounds=2)
+
+    # -- encode the corpus with both, compare fertility ----------------
+    bpe_enc = B.bpe_encode(docs, "doc_id", "text", merges)
+    uni_enc = U.unigram_encode(docs, "doc_id", "text", pieces,
+                               unk_score=-1500)
+    n_words = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), " +"))).alias("w")
+    ).collect()[0]["w"]
+    bpe_pieces = bpe_enc.agg(F.sum("n_pieces")).collect()[0][0]
+    uni_pieces = uni_enc.agg(F.sum("n_pieces")).collect()[0][0]
+    winner = "unigram" if uni_pieces <= bpe_pieces else "bpe"
+
+    # -- pack the winner's piece stream into training rows -------------
+    enc = uni_enc if winner == "unigram" else bpe_enc
+    pieces_text = enc.select(
+        F.col("id").alias("doc_id"),
+        F.array_join("pieces", " ").alias("pieces"))
+    packed = P.tokenize_pack(pieces_text, "doc_id", "pieces",
+                             seq_len=64, shards=8)
+
+    # -- audits: shard balance + output manifest -----------------------
+    balance = P.shard_balance(
+        pieces_text, "doc_id",
+        F.size(F.split(F.trim("pieces"), " +")), shards=8).collect()
+    masses = [r["tokens"] for r in balance]
+    manifest = V.partition_checksums(
+        packed.select(F.col("shard").cast("string").alias("shard"),
+                      "seq_no", "n_tokens"),
+        ["shard"]).collect()
+
+    return {
+        "n_words": int(n_words),
+        "bpe_pieces": int(bpe_pieces),
+        "unigram_pieces": int(uni_pieces),
+        "bpe_fertility_ppm": int(bpe_pieces) * 1_000_000 // int(n_words),
+        "unigram_fertility_ppm": int(uni_pieces) * 1_000_000 // int(n_words),
+        "winner": winner,
+        "packed_sequences": packed.count(),
+        "shard_imbalance_ppm": (max(masses) - min(masses)) * 1_000_000
+        // max(max(masses), 1),
+        "manifest_partitions": len(manifest),
+    }
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = lab(get_spark("tokenizer-lab"), sf)
+    for k, v in out.items():
+        print(f"{k}: {v}")

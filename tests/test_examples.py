@@ -97,3 +97,18 @@ def test_feature_store_pipeline(spark, sf_dir):
     assert report["versions_overlap"] is False
     assert report["coverage_ppm"] == 1_000_000
     assert report["dim_versions"] > 0 and report["feature_rows"] > 0
+
+
+def test_tokenizer_lab_pipeline(spark, sf_dir):
+    from tokenizer_lab import lab
+
+    report = lab(spark, sf_dir)
+    assert report["n_words"] > 0
+    # subword tokenizers must beat character-splitting but cost >= 1
+    # piece per word
+    assert report["bpe_pieces"] >= report["n_words"]
+    assert report["unigram_pieces"] >= report["n_words"]
+    assert report["winner"] in ("bpe", "unigram")
+    assert report["packed_sequences"] > 0
+    assert 0 <= report["shard_imbalance_ppm"] < 1_000_000
+    assert report["manifest_partitions"] == 8
