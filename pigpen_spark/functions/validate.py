@@ -404,11 +404,19 @@ def manifest_diff(old: DataFrame, new: DataFrame,
     checksum moved); unchanged partitions are dropped (the whole point:
     what's left is the reprocessing worklist).  Returns (part_cols…,
     status, n_rows_old, n_rows_new)."""
-    o = old.select(*part_cols, F.col("n_rows").alias("__no"),
+    o = old.select(*[F.col(c).alias(f"__o_{c}") for c in part_cols],
+                   F.col("n_rows").alias("__no"),
                    F.col("checksum").alias("__co"))
-    n = new.select(*part_cols, F.col("n_rows").alias("__nn"),
+    n = new.select(*[F.col(c).alias(f"__n_{c}") for c in part_cols],
+                   F.col("n_rows").alias("__nn"),
                    F.col("checksum").alias("__cn"))
-    j = o.join(n, on=part_cols, how="full_outer")
+    # null-safe key equality: a NULL partition value is a real partition
+    # (a plain join would report it as removed+added every run)
+    cond = None
+    for c in part_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, on=cond, how="full_outer")
     status = (
         F.when(F.col("__no").isNull(), F.lit("added"))
         .when(F.col("__nn").isNull(), F.lit("removed"))
@@ -418,7 +426,9 @@ def manifest_diff(old: DataFrame, new: DataFrame,
     return (
         j.withColumn("status", status)
         .filter(F.col("status").isNotNull())
-        .select(*part_cols, "status",
+        .select(*[F.coalesce(f"__o_{c}", f"__n_{c}").alias(c)
+                  for c in part_cols],
+                "status",
                 F.coalesce("__no", F.lit(0)).cast("bigint").alias("n_rows_old"),
                 F.coalesce("__nn", F.lit(0)).cast("bigint").alias("n_rows_new"))
     )

@@ -973,3 +973,58 @@ def session_stats_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def manifest_stream(
+    stream: DataFrame, part_cols: Sequence[str], manifest_path: str,
+    checkpoint: str, columns: Sequence[str] | None = None,
+    available_now: bool = False,
+):
+    """Streaming partition-manifest maintenance — the live twin of
+    :func:`pigpen_spark.functions.validate.partition_checksums`: each
+    micro-batch fingerprints ONLY itself and merges into the stored
+    manifest by associative re-aggregation (row-hash checksums are
+    SUMS, so batch manifests ADD — the property the batch operator
+    already guarantees; live and backfill share one canonicalization
+    and cannot drift).  Downstream, :func:`validate.manifest_diff`
+    against yesterday's stored manifest yields the reprocessing
+    worklist without ever re-reading row data.
+
+    Storage/idempotence contract inherited from :func:`rollup_stream`
+    (versioned parquet, replayed batches skipped).  Read the current
+    manifest back with :func:`read_manifest`.
+
+    Returns the started StreamingQuery."""
+    cols = sorted(columns if columns is not None
+                  else [c for c in stream.columns if c not in set(part_cols)])
+    if not cols:
+        raise ValueError("manifest_stream: no content columns")
+    canon = F.concat_ws(
+        "\x1f", *[F.concat(F.lit(c + "="),
+                           F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+                  for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    aggs = {
+        "n_rows": F.count(F.lit(1)).cast("bigint"),
+        "checksum_dec": F.sum(h).cast("decimal(38,0)"),
+    }
+    merges = {"n_rows": "sum", "checksum_dec": "sum"}
+    return rollup_stream(stream, list(part_cols), aggs, merges,
+                         manifest_path, checkpoint,
+                         available_now=available_now)
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Current stored manifest (highest committed version) in
+    :func:`validate.partition_checksums`' shape — feed two of these to
+    :func:`validate.manifest_diff`."""
+    vs = _parquet_versions(manifest_path)
+    if not vs:
+        raise ValueError(f"read_manifest: no committed manifest under "
+                         f"{manifest_path}")
+    df = spark.read.parquet(f"{manifest_path}/v{vs[-1]}")
+    return df.select(*[c for c in df.columns
+                       if c not in ("n_rows", "checksum_dec")],
+                     "n_rows",
+                     F.col("checksum_dec").cast("decimal(38,0)")
+                      .cast("string").alias("checksum"))

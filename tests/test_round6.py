@@ -841,3 +841,64 @@ class TestPartitionManifest:
             V.partition_checksums(df, [])
         with pytest.raises(ValueError):
             V.partition_checksums(df.select("part"), ["part"])
+
+    def test_null_partition_values_are_stable(self, spark):
+        # a NULL partition value is a real partition: identical
+        # manifests must diff to EMPTY (plain equi-join would emit it
+        # as removed+added forever)
+        df = spark.createDataFrame(
+            [(1, None, "x"), (2, None, "y"), (3, "b", "z")],
+            "id long, part string, v string")
+        m = V.partition_checksums(df, ["part"])
+        assert V.manifest_diff(m, m, ["part"]).count() == 0
+        # and a change inside the NULL partition is still seen
+        df2 = spark.createDataFrame(
+            [(1, None, "x"), (2, None, "EDIT"), (3, "b", "z")],
+            "id long, part string, v string")
+        d = V.manifest_diff(m, V.partition_checksums(df2, ["part"]),
+                            ["part"]).collect()
+        assert len(d) == 1 and d[0]["status"] == "changed" \
+            and d[0]["part"] is None
+
+
+class TestManifestStream:
+    def test_streamed_manifest_equals_batch(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from pigpen_spark.streaming import core as stc
+
+        src = tmp_path / "in"
+        src.mkdir()
+        rows0 = [{"id": i, "part": f"p{i % 3}", "v": f"v{i}"}
+                 for i in range(40)]
+        rows1 = [{"id": i, "part": f"p{i % 4}", "v": f"w{i}"}
+                 for i in range(40, 70)]
+        for name, rows, ts in (("b0.json", rows0, 1_700_000_000),
+                               ("b1.json", rows1, 1_700_000_100)):
+            with open(src / name, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            os.utime(src / name, (ts, ts))
+
+        stream = (
+            spark.readStream.schema("id long, part string, v string")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        mpath = str(tmp_path / "manifest")
+        q = stc.manifest_stream(stream, ["part"], mpath,
+                                str(tmp_path / "ckpt"), available_now=True)
+        q.awaitTermination(120)
+
+        streamed = {r["part"]: (r["n_rows"], r["checksum"]) for r in
+                    stc.read_manifest(spark, mpath).collect()}
+        both = spark.createDataFrame(
+            [(r["id"], r["part"], r["v"]) for r in rows0 + rows1],
+            "id long, part string, v string")
+        batch = {r["part"]: (r["n_rows"], r["checksum"]) for r in
+                 V.partition_checksums(both, ["part"]).collect()}
+        assert streamed == batch
+        # the live manifest diffs cleanly against a batch-side manifest
+        assert V.manifest_diff(
+            stc.read_manifest(spark, mpath),
+            V.partition_checksums(both, ["part"]), ["part"]).count() == 0
