@@ -195,6 +195,8 @@ HEADLINE = [
     # partition manifest diff (two grouped checksum passes + one
     # |partitions|-row full-outer join)
     "ext_partition_manifest",
+    # two Arrow-batched encoders joined per doc (tokenizer bake-off)
+    "ext_tokenizer_compare",
 ]
 
 

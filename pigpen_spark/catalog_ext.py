@@ -5708,3 +5708,48 @@ def ext_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_m = V.partition_checksums(docs, parts)
     new_m = V.partition_checksums(new, parts)
     return V.manifest_diff(old_m, new_m, parts)
+
+
+@register(
+    "ext_tokenizer_compare",
+    f"""
+    WITH b AS ({B.bpe_encode_fixed_sql('documents', 'doc_id', 'text',
+                                       B.FIXED_MERGES)}),
+    u AS ({UG.unigram_encode_fixed_sql('documents', 'doc_id', 'text',
+                                       UG.FIXED_PIECES, unk_score=-1500)}),
+    w AS (SELECT doc_id,
+                 len(list_filter(string_split(lower(text), ' '),
+                                 t -> t <> ''))::BIGINT AS n_words
+          FROM documents)
+    SELECT w.doc_id, w.n_words,
+           b.n_pieces AS bpe_pieces, u.n_pieces AS unigram_pieces,
+           (CASE WHEN u.n_pieces < b.n_pieces THEN 'unigram'
+                 WHEN b.n_pieces < u.n_pieces THEN 'bpe'
+                 ELSE 'tie' END) AS winner
+    FROM w JOIN b ON w.doc_id = b.doc_id JOIN u ON w.doc_id = u.doc_id
+    """,
+)
+def ext_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenizer bake-off: encode every document with BOTH
+    fixed-table tokenizers (BPE greedy merges vs unigram Viterbi
+    global-optimum) and emit piece counts side by side with the
+    per-doc winner — the fertility-comparison query a team runs before
+    committing to a tokenizer (examples/tokenizer_lab.py is the
+    trained-path script twin).  One join of two Arrow-batched encoder
+    outputs; hash-exact because both encoders are."""
+    docs = tables(spark, sf_dir)["documents"].df
+    b = B.bpe_encode(docs, "doc_id", "text", B.FIXED_MERGES) \
+        .select(F.col("id").alias("doc_id"),
+                F.col("n_pieces").alias("bpe_pieces"))
+    u = UG.unigram_encode(docs, "doc_id", "text", UG.FIXED_PIECES,
+                          unk_score=-1500) \
+        .select(F.col("id").alias("doc_id"),
+                F.col("n_pieces").alias("unigram_pieces"))
+    w = docs.select("doc_id", T.token_count("text").alias("n_words"))
+    winner = (
+        F.when(F.col("unigram_pieces") < F.col("bpe_pieces"), "unigram")
+        .when(F.col("bpe_pieces") < F.col("unigram_pieces"), "bpe")
+        .otherwise("tie"))
+    return (w.join(b, on="doc_id").join(u, on="doc_id")
+            .select("doc_id", "n_words", "bpe_pieces", "unigram_pieces",
+                    winner.alias("winner")))
