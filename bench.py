@@ -197,6 +197,9 @@ HEADLINE = [
     "ext_partition_manifest",
     # two Arrow-batched encoders joined per doc (tokenizer bake-off)
     "ext_tokenizer_compare",
+    # density-auto margin mining (production twin of the fixed-plane
+    # ext_margin_mine instrument, which the 10x run caught at 36.7x)
+    "ext_margin_mine_auto",
 ]
 
 

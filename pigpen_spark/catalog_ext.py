@@ -5753,3 +5753,72 @@ def ext_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (w.join(b, on="doc_id").join(u, on="doc_id")
             .select("doc_id", "n_words", "bpe_pieces", "unigram_pieces",
                     winner.alias("winner")))
+
+
+@register(
+    "ext_margin_mine_auto",
+    f"""
+    WITH np_t AS ({S.lsh_planes_sql(
+        '(SELECT * FROM embeddings WHERE label >= 5)',
+        _AUTO_T, _AUTO_FLOOR, _AUTO_CAP)}),
+    tgt AS (
+      SELECT vec_id AS id, embedding AS vec,
+             substr({S.lsh_bucket_sql('embedding', _AUTO_CAP, _DIM)}, 1, np)
+               AS bucket
+      FROM embeddings, np_t WHERE label >= 5
+    ),
+    q AS (
+      SELECT vec_id AS id, embedding AS vec, np,
+             substr({S.lsh_bucket_sql('embedding', _AUTO_CAP, _DIM)}, 1, np)
+               AS bucket
+      FROM embeddings, np_t WHERE label < 5
+    ),
+    probes AS (
+      SELECT id, vec, unnest(list_append(
+        [substr(bucket, 1, i - 1)
+           || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+           || substr(bucket, i + 1, np - i)
+         for i in range(1, np + 1)], bucket)) AS bucket
+      FROM q
+    ),
+    scored AS (
+      SELECT p.id AS q_id, t.id AS n_id,
+             round({S.cosine_sql('p.vec', 't.vec')}, 6) AS score,
+             row_number() OVER (
+               PARTITION BY p.id
+               ORDER BY round({S.cosine_sql('p.vec', 't.vec')}, 6) DESC, t.id
+             ) AS rank
+      FROM probes p JOIN tgt t ON p.bucket = t.bucket
+    ),
+    top AS (SELECT * FROM scored WHERE rank <= {_MM_K}),
+    agg AS (
+      SELECT q_id,
+             max(CASE WHEN rank = 1 THEN n_id END) AS tgt_id,
+             max(CASE WHEN rank = 1 THEN score END) AS score,
+             list(score ORDER BY rank) FILTER (WHERE rank > 1) AS rest
+      FROM top GROUP BY q_id
+    )
+    SELECT q_id AS src_id, tgt_id, score,
+           round(score * len(rest) / list_reduce(rest, (a, b) -> a + b), 6)
+             AS margin
+    FROM agg
+    WHERE len(rest) >= 1
+      AND round(score * len(rest) / list_reduce(rest, (a, b) -> a + b), 6)
+          >= {_MM_THRESH}
+    """,
+)
+def ext_margin_mine_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin pair mining with DENSITY-AUTO index sizing — the
+    production twin of ext_margin_mine (kept as the fixed-plane
+    instrument): the r6 full-suite 10× escalation caught the fixed form
+    at 36.7× (99 s — candidate pairs grow quadratically with bucket
+    density), exactly the regime the auto sizing exists for; one
+    count() of the target side re-derives the plane count and the
+    serving side reads it off the artifact.  Hash-exact via the
+    cap-width-bucket prefix trick (ext_ann_lsh_auto's oracle form)."""
+    emb = tables(spark, sf_dir)["embeddings"].df
+    return S.margin_mine(
+        emb.filter(F.col("label") < 5), emb.filter(F.col("label") >= 5),
+        k=_MM_K, n_planes="auto", dim=_DIM, margin_threshold=_MM_THRESH,
+        multi_probe=True, auto_sizing=(_AUTO_T, _AUTO_FLOOR, _AUTO_CAP),
+    )

@@ -1410,7 +1410,8 @@ def ann_recall(approx: DataFrame, exact: DataFrame,
 def lsh_index(corpus: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding",
               n_planes: int | str | None = 6,
-              dim: int | None = None) -> DataFrame:
+              dim: int | None = None,
+              auto_sizing: tuple[int, int, int] | None = None) -> DataFrame:
     """Materializable ANN index: ``(id, vec double[], nrm, bucket)`` —
     the corpus hashed ONCE.  Store it (parquet, ideally partitioned or
     bucketed by ``bucket``) and serve every future query batch from
@@ -1420,8 +1421,13 @@ def lsh_index(corpus: DataFrame, id_col: str = "vec_id",
     once per index build, not once per query batch.  ``n_planes="auto"``
     density-sizes the bucket count (resolve_planes); the SERVING side
     (lsh_topk_against) must then use the index's plane count — store it
-    alongside the index."""
-    n_planes = resolve_planes(n_planes, corpus)
+    alongside the index.  ``auto_sizing=(target_bucket, floor, cap)``
+    overrides the density-sizing knobs (same triple as lsh_topk's)."""
+    if auto_sizing is not None and n_planes in (None, "auto"):
+        t, fl, cap = auto_sizing
+        n_planes = resolve_planes(n_planes, corpus, t, fl, cap)
+    else:
+        n_planes = resolve_planes(n_planes, corpus)
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     return (
@@ -1703,6 +1709,7 @@ def margin_mine(
     vec_col: str = "embedding", k: int = 4, n_planes: int | str | None = 6,
     dim: int | None = None, margin_threshold: float = 1.0,
     multi_probe: bool = True,
+    auto_sizing: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Margin-based cross-corpus pair mining — the ratio-margin
     criterion of Artetxe & Schwenk (2019) that CCMatrix-style bitext
@@ -1719,8 +1726,14 @@ def margin_mine(
     (ordered list fold, not a bare float sum) so both engines add the
     same doubles in the same order — what keeps the margin hash-exact.
 
-    Returns (src_id, tgt_id, score, margin) for margin >= threshold."""
-    idx = lsh_index(tgt, id_col, vec_col, n_planes=n_planes, dim=dim)
+    Returns (src_id, tgt_id, score, margin) for margin >= threshold.
+    ``n_planes="auto"`` (with optional ``auto_sizing``) density-sizes
+    the target index from one count — at scale the fixed-plane form's
+    candidate work grows quadratically with density (SCALE.md round 6:
+    36.7× at 10× for the fixed instrument), the auto form's does not;
+    the serving side always reads the plane count off the index."""
+    idx = lsh_index(tgt, id_col, vec_col, n_planes=n_planes, dim=dim,
+                    auto_sizing=auto_sizing)
     nn = lsh_topk_against(
         idx, src, id_col, vec_col, k=k,
         n_planes="index", dim=dim, multi_probe=multi_probe,
