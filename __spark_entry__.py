@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_partition_manifest",    # partition checksum manifests + diff worklist
     "ext_tokenizer_compare",     # per-doc BPE vs unigram fertility bake-off
     "ext_margin_mine_auto",      # density-auto margin mining (fixed twin: 36.7x at 10x)
+    "ext_ann_index_drift",       # occupancy-drift staleness monitor readout
     # --- rows already driver-green (r1-r5), registration order ---
     "ext_tokenize_pack",
     "ext_group_stream_digest",   # streaming huge-group fold (Accumulator parity)

@@ -200,6 +200,8 @@ HEADLINE = [
     # density-auto margin mining (production twin of the fixed-plane
     # ext_margin_mine instrument, which the 10x run caught at 36.7x)
     "ext_margin_mine_auto",
+    # staleness-monitor readout (two <=2^planes-row occupancy sketches)
+    "ext_ann_index_drift",
 ]
 
 

@@ -5822,3 +5822,68 @@ def ext_margin_mine_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_MM_K, n_planes="auto", dim=_DIM, margin_threshold=_MM_THRESH,
         multi_probe=True, auto_sizing=(_AUTO_T, _AUTO_FLOOR, _AUTO_CAP),
     )
+
+
+# bucket sign-pattern read as a base-2 integer (no conv() in DuckDB)
+_CELL_INT = ("list_sum([CASE WHEN substr(bk, i, 1) = '1' "
+             f"THEN (1 << ({_PLANES} - i)) ELSE 0 END "
+             f"for i in range(1, {_PLANES} + 1)])")
+
+
+@register(
+    "ext_ann_index_drift",
+    f"""
+    WITH bo AS (
+      SELECT {_CELL_INT} AS cell
+      FROM (SELECT ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bk
+            FROM embeddings WHERE vec_id >= 100)
+    ),
+    bn AS (
+      SELECT {_CELL_INT} AS cell
+      FROM (SELECT ({S.lsh_bucket_sql('embedding', _PLANES, _DIM)}) AS bk
+            FROM embeddings)
+    ),
+    ho AS (SELECT cell, count(*)::BIGINT AS c_old FROM bo GROUP BY cell),
+    hn AS (SELECT cell, count(*)::BIGINT AS c_new FROM bn GROUP BY cell),
+    j AS (
+      SELECT coalesce(ho.c_old, 0) AS c_old, coalesce(hn.c_new, 0) AS c_new
+      FROM ho FULL OUTER JOIN hn ON ho.cell = hn.cell
+    ),
+    tot AS (SELECT sum(c_old)::BIGINT AS n_old, sum(c_new)::BIGINT AS n_new
+            FROM j),
+    np_t AS ({S.lsh_planes_sql('embeddings', _AUTO_T, _AUTO_FLOOR, _AUTO_CAP)}),
+    d AS (
+      SELECT n_old, n_new,
+             abs((CASE WHEN n_old = 0 THEN 0
+                       ELSE c_old * 1000000 // n_old END)
+                 - (CASE WHEN n_new = 0 THEN 0
+                         ELSE c_new * 1000000 // n_new END))::BIGINT AS dd,
+             (CASE WHEN c_old <> c_new THEN 1 ELSE 0 END)::BIGINT AS chg
+      FROM j, tot
+    )
+    SELECT n_old, n_new,
+           sum(dd)::BIGINT AS l1_ppm, max(dd)::BIGINT AS linf_ppm,
+           sum(chg)::BIGINT AS n_bins_changed,
+           {_PLANES}::INT AS planes_stored, np::INT AS planes_auto,
+           (np <> {_PLANES}) AS stale
+    FROM d, np_t
+    GROUP BY n_old, n_new, np
+    """,
+)
+def ext_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index STALENESS MONITOR as a query (companion to
+    ext_ann_index_update's append path): cell-occupancy histogram drift
+    between the build-time index (corpus minus the newest 100 vectors)
+    and the live appended index — integer-ppm L1/L∞ over the 2^planes
+    cells — plus the re-derived density-auto plane count vs the stored
+    width.  At this corpus size the sizing still agrees (stale=false)
+    while the occupancy shift from the appended batch registers in
+    l1_ppm — both directions of the monitor are pinned by the hash.
+    One ≤2^planes-row sketch per side; no vector re-read."""
+    emb = tables(spark, sf_dir)["embeddings"].df
+    base = S.lsh_index(emb.filter(F.col("vec_id") >= 100),
+                       n_planes=_PLANES, dim=_DIM)
+    live = S.lsh_index_append(base, emb.filter(F.col("vec_id") < 100),
+                              dim=_DIM)
+    return S.lsh_index_drift(base, live, target_bucket=_AUTO_T,
+                             floor=_AUTO_FLOOR, cap=_AUTO_CAP)
