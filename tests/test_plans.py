@@ -329,3 +329,12 @@ def test_kcore_rounds_are_semi_joins(plans):
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_margin_mine_auto_is_bucket_equi_join(plans):
+    # the production margin-mining path: candidates via bucket equi-join
+    # (never a cartesian), one groupBy for the rank-ordered rest fold
+    p = plans("ext_margin_mine_auto")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p

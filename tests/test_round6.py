@@ -902,3 +902,19 @@ class TestManifestStream:
         assert V.manifest_diff(
             stc.read_manifest(spark, mpath),
             V.partition_checksums(both, ["part"]), ["part"]).count() == 0
+
+
+class TestAutoSizingPlumbing:
+    def test_lsh_index_auto_sizing_overrides_defaults(self, spark):
+        vecs = _vecs(spark, range(100), dim=8)
+        # defaults (200, 8, 32): 100 vectors -> floor 8 planes
+        assert len(S.lsh_index(vecs, n_planes="auto", dim=8)
+                   .first()["bucket"]) == 8
+        # custom sizing (10, 2, 8): ceil(100/10)=10 -> bit_length(9)=4
+        assert len(S.lsh_index(vecs, n_planes="auto", dim=8,
+                               auto_sizing=(10, 2, 8))
+                   .first()["bucket"]) == 4
+        # explicit int ignores auto_sizing
+        assert len(S.lsh_index(vecs, n_planes=5, dim=8,
+                               auto_sizing=(10, 2, 8))
+                   .first()["bucket"]) == 5
