@@ -249,13 +249,23 @@ def main() -> None:
             print(f"# pass{_pass + 1} {name}: {elapsed:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    payload = json.dumps({
         "metric": "headline-suite-sec",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": dict(sorted(times.items())),
         "sf": sf,
-    }))
+    }, separators=(",", ":"))
+    # The driver's capture keeps only a bounded tail of stdout, which has
+    # truncated the per-query map mid-number in past rounds (BENCH_r06:
+    # "parsed": null).  Write the COMPLETE record to a file first — the
+    # durable artifact — then print the same line LAST so a sufficient
+    # tail still parses.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOCAL.json")
+    with open(out_path, "w") as fh:
+        fh.write(payload + "\n")
+    print(payload)
 
 
 if __name__ == "__main__":

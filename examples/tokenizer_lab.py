@@ -43,8 +43,13 @@ def lab(spark, sf_dir: str) -> dict:
     bpe_enc = B.bpe_encode(docs, "doc_id", "text", merges)
     uni_enc = U.unigram_encode(docs, "doc_id", "text", pieces,
                                unk_score=-1500)
+    # count words the way the encoders do: empty/whitespace-only docs are
+    # 0 words (size(split('')) would say 1) and NULL text is 0 (F.size of
+    # NULL is -1) — otherwise the fertility-ppm readout skews vs n_pieces
     n_words = docs.select(
-        F.sum(F.size(F.split(F.trim("text"), " +"))).alias("w")
+        F.sum(F.size(F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), " +"),
+            lambda x: x != ""))).alias("w")
     ).collect()[0]["w"]
     bpe_pieces = bpe_enc.agg(F.sum("n_pieces")).collect()[0][0]
     uni_pieces = uni_enc.agg(F.sum("n_pieces")).collect()[0][0]

@@ -783,10 +783,13 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: every-10th frame index per payload."""
+    """Frame-sampling plumbing: every-10th frame index per payload.
+    allow_stub=True is the deliberate instrument opt-in — this catalog
+    row pins the STUB's Spark-side plumbing (schema, explode shape);
+    real containers go through frame_sample_gif/mp4/avi/webm."""
     docs = tables(spark, sf_dir)["documents"]
     with_payload = M.attach_binary_payload(docs.df, "text")
-    out = M.frame_sample(with_payload, "doc_id", every_n=10)
+    out = M.frame_sample(with_payload, "doc_id", every_n=10, allow_stub=True)
     return out.select("id", F.col("frame_index").cast("long").alias("frame_index"))
 
 
@@ -800,10 +803,12 @@ def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature plumbing (stubbed codec, real schema/batching)."""
+    """Audio feature plumbing (stubbed codec, real schema/batching).
+    allow_stub=True is the deliberate instrument opt-in — real formats
+    go through audio_profile_auto / audio_features_wav."""
     docs = tables(spark, sf_dir)["documents"]
     with_payload = M.attach_binary_payload(docs.df, "text")
-    return M.audio_features(with_payload, "doc_id")
+    return M.audio_features(with_payload, "doc_id", allow_stub=True)
 
 
 # ---------------------------------------------------------------------------

@@ -124,18 +124,26 @@ def decode_image_meta(df: DataFrame, id_col: str, payload_col: str = "payload") 
 
 
 def frame_sample(df: DataFrame, id_col: str, payload_col: str = "payload",
-                 every_n: int = 10) -> DataFrame:
+                 every_n: int = 10, allow_stub: bool = False) -> DataFrame:
     """Video frame sampling — STUB for inter-frame codecs that need
     external libraries (H.264/HEVC/VP8/VP9/AV1 via `av`/ffmpeg): emits
     (id, frame_index) rows for the frames a decoder would keep, frame
-    count FAKED from payload length.  DO NOT ship this path for payloads
-    the repo decodes for real — GIF (:func:`frame_sample_gif`), MJPEG in
-    mp4/AVI/Matroska (:func:`frame_sample_mp4` / :func:`frame_sample_avi`
-    / :func:`frame_sample_webm`) all really decode in the same
-    mapInPandas shape.  Production order of operations: triage with
-    :func:`video_meta` (magic-byte dispatch, the pattern
-    synth_video_meta pins) and route each container to its real
-    decoder; only codecs outside the decodable set fall back here."""
+    count FAKED from payload length.  The fake path is
+    DEFAULT-UNREACHABLE: calling without ``allow_stub=True`` raises,
+    pointing at the REAL decoders — GIF (:func:`frame_sample_gif`),
+    MJPEG in mp4/AVI/Matroska (:func:`frame_sample_mp4` /
+    :func:`frame_sample_avi` / :func:`frame_sample_webm`) all really
+    decode in the same mapInPandas shape.  Production order of
+    operations: triage with :func:`video_meta` (magic-byte dispatch, the
+    pattern synth_video_meta pins) and route each container to its real
+    decoder; only codecs outside the decodable set opt in here, and the
+    fabricated frame counts stay confined to tests."""
+    if not allow_stub:
+        raise NotImplementedError(
+            "frame_sample fabricates frame counts (inter-frame codecs need "
+            "external decoders). Route real containers to frame_sample_gif/"
+            "frame_sample_mp4/frame_sample_avi/frame_sample_webm via "
+            "video_meta triage, or pass allow_stub=True for test fixtures.")
     n_frames = (F.octet_length(F.col(payload_col)) % 100 + 1).alias("n_frames")
     src = df.select(F.col(id_col).alias("id"), n_frames)
     return src.select(
@@ -144,24 +152,31 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str = "payload",
     )
 
 
-def audio_features(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+def audio_features(df: DataFrame, id_col: str, payload_col: str = "payload",
+                   allow_stub: bool = False) -> DataFrame:
     """Audio feature extraction — STUB behind import-guard (librosa
     absent); deterministic FAKE duration/sample-rate from payload bytes,
-    same mapInPandas plumbing as decode_image_meta.  DO NOT ship this
-    path for formats the repo handles for real: PCM-WAV decodes fully
+    same mapInPandas plumbing as decode_image_meta.  The fake path is
+    DEFAULT-UNREACHABLE: calling without ``allow_stub=True`` raises,
+    because every common format has a REAL path: PCM-WAV decodes fully
     (:func:`audio_features_wav`, :func:`audio_downsample`); MP3
     (:func:`audio_profile_mp3`), Ogg Opus/Vorbis
     (:func:`audio_profile_ogg`) and FLAC (:func:`audio_profile_flac`)
     all profile at header speed, as does ADTS AAC
     (:func:`audio_profile_aac`) — :func:`audio_profile_auto` IS that
-    magic-byte dispatch as an operator, so no common audio format needs
-    this fallback anymore; it remains only for genuinely non-audio or
-    exotic payloads."""
+    magic-byte dispatch as an operator.  The stub remains only for
+    genuinely exotic payloads in test fixtures."""
     try:  # pragma: no cover
         import librosa  # noqa: F401
         raise NotImplementedError("librosa path: wire librosa.load on BytesIO")
     except ImportError:
         pass
+    if not allow_stub:
+        raise NotImplementedError(
+            "audio_features fabricates duration/sample-rate. Use "
+            "audio_profile_auto (wav/mp3/aac/ogg/flac all real) or "
+            "audio_features_wav for full decode; pass allow_stub=True "
+            "only for test fixtures.")
     return df.select(
         F.col(id_col).alias("id"),
         (F.octet_length(F.col(payload_col)).cast("double") / 16000.0).alias("duration_sec"),

@@ -125,9 +125,12 @@ def _score_case_sql(w: str, k: int, vocab: Mapping[str, int], j: int,
     """CASE mapping the k-char piece ending at position j to its score;
     single characters fall back to ``unk_score`` when set (mirror of
     viterbi_encode_word's character-fallback policy)."""
+    # escape single quotes in piece literals — a trained vocabulary can
+    # contain apostrophes (e.g. "n't" from word_histogram over natural
+    # text), which would otherwise break the generated SQL
     branches = "".join(
-        f" WHEN '{p}' THEN {s}" for p, s in sorted(vocab.items())
-        if len(p) == k)
+        f" WHEN '{p.replace(chr(39), chr(39) * 2)}' THEN {s}"
+        for p, s in sorted(vocab.items()) if len(p) == k)
     els = unk_score if (k == 1 and unk_score is not None) else "NULL"
     return f"(CASE substr({w}, {j - k + 1}, {k}){branches} ELSE {els} END)"
 
@@ -172,9 +175,13 @@ def unigram_encode_fixed_sql(table: str, id_col: str, text_col: str,
     stages = ",\n    ".join(
         f"d{j} AS (SELECT *, {_stage_sql(j, vocab, unk_score=unk_score)} AS s{j} FROM d{j - 1})"
         for j in range(1, max_word + 1))
+    # words longer than max_word must FAIL LOUDLY, not silently drop out
+    # of the per-doc aggregates (sum/array_to_string skip NULLs) while
+    # Spark encodes them — error() raises at evaluation time
     final = ("(CASE len(w)"
              + "".join(f" WHEN {j} THEN s{j}" for j in range(1, max_word + 1))
-             + " ELSE NULL END)")
+             + " ELSE error('unigram oracle: word exceeds MAX_WORD="
+             + str(max_word) + "') END)")
     return f"""
     WITH base AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}),
     words AS (SELECT DISTINCT unnest(toks) AS w FROM base),

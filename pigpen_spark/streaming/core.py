@@ -426,6 +426,11 @@ def ann_index_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # empty micro-batches are normal under processing-time triggers;
+        # without this guard the FIRST-ever empty batch with
+        # n_planes='auto' would call lsh_planes_for(0) and kill the stream
+        if batch_df.isEmpty():
+            return
         spark = batch_df.sparkSession
         try:
             np_ = stored_plane_count(spark.read.parquet(index_path))

@@ -435,16 +435,27 @@ class TestMultimodal:
         assert rows[1]["digest"] == rows[4]["digest"]  # exact dups share digest
 
     def test_frame_sample(self, docs):
-        out = M.frame_sample(M.attach_binary_payload(docs, "text"), "doc_id", every_n=10)
+        out = M.frame_sample(M.attach_binary_payload(docs, "text"), "doc_id",
+                             every_n=10, allow_stub=True)
         per_doc = out.groupBy("id").count().collect()
         n = {r["id"]: r["count"] for r in per_doc}
         # doc 1: 43 bytes → 44 frames → ceil(44/10)=5 sampled
         assert n[1] == 5
 
     def test_audio_features(self, docs):
-        out = M.audio_features(M.attach_binary_payload(docs, "text"), "doc_id")
+        out = M.audio_features(M.attach_binary_payload(docs, "text"), "doc_id",
+                               allow_stub=True)
         [r] = out.filter(F.col("id") == 1).collect()
         assert math.isclose(r["duration_sec"], 43 / 16000.0)
+
+    def test_stub_paths_default_unreachable(self, docs):
+        # VERDICT r6 #5: the fabricated-number paths must raise without
+        # the explicit test-only opt-in, pointing at the real decoders
+        src = M.attach_binary_payload(docs, "text")
+        with pytest.raises(NotImplementedError, match="frame_sample_gif"):
+            M.frame_sample(src, "doc_id", every_n=10)
+        with pytest.raises(NotImplementedError, match="audio_profile_auto"):
+            M.audio_features(src, "doc_id")
 
 
 class TestRepetition:
