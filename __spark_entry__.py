@@ -30,144 +30,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate samples the FIRST 50 registered queries
-# (VERDICT r2). Rotation ledger, round-6 state: CORRECTNESS_r05 recorded
-# the full r5 window green (46 hash-exact + 4 rows-only-by-design, 0
-# red), taking cumulative driver coverage to 199/207.  The ONLY
-# never-driver-verified queries left are the 8 round-5 additions past
-# that window (all 8 hash-matched DuckDB in the judge's own replica run,
-# VERDICT r5) — they lead this window (slots 1-8).  Slots 9+ are the
-# round-6 additions (new this round, local replica green), then rows
-# already green in r1-r5 in registration order fill the rest.  A green
-# r6 run reaches terminal cumulative coverage: every catalog query
-# driver-verified at least once.
+# (VERDICT r2). Rotation ledger, round-7 state: cumulative driver
+# coverage reached its TERMINAL state in r6 — every catalog query has
+# been driver-verified at least once across r1-r6 (VERDICT r6).  From
+# r7 onward the window rotates as a FRESHNESS guard: new registrations
+# lead, then the stalest driver greens (oldest last-verified round
+# first), so no row's driver record ages more than a few rounds even
+# though the local 221/221 replica re-checks everything at HEAD.
 _DRIVER_PRIORITY: list[str] = [
-    # --- r6 window slots 1-8: the last never-driver-verified queries
-    # (r5 additions past the r5 window; judge-replica green) ---
-    "ext_weighted_sample",       # weight-biased per-stratum sample (integer priority)
-    "ext_pack_spans",            # packed-sequence doc-boundary map (attention contract)
-    "ext_margin_mine",           # ratio-margin cross-corpus pair mining (CCMatrix rule)
-    "ext_label_prop",            # synchronous label propagation (community detection)
-    "ext_graph_common",          # common-neighbor link prediction (recall recovery)
-    "ext_sparse_cosine",         # inverted-index all-pairs lexical cosine (Bayardo)
-    "ext_target_encode",         # m-estimate smoothed target encoding (tabular ML)
-    "ext_shard_balance",         # LPT-striped shard balance audit (packing planner)
-    # --- r6 window slots 9+: round-6 additions (never driver-verified;
-    # names appended here as they are registered this round) ---
-    "ext_audio_profile_ogg",     # RFC 3533 page walk (Opus/Vorbis), CRC-verified
-    "ext_audio_profile_flac",    # STREAMINFO bit-unpack + block-chain walk
-    "ext_ann_index_update",      # incremental LSH append == full rebuild
-    "ext_unigram_encode",        # unigram-LM Viterbi encoder (frozen trained table)
-    "ext_unigram_encode_trained",  # rows-only by design (Viterbi-EM training)
-    "ext_audio_profile_auto",    # mixed-corpus magic-dispatch audio triage
-    "ext_unigram_pack",          # unigram pieces -> tokenize_pack composition
-    "ext_audio_profile_aac",     # ADTS frame-chain walk (last audio format real)
-    "ext_kcore",                 # k-core peeling (unrolled-CTE oracle, MATERIALIZED)
-    "ext_image_triage",          # mixed png/jpeg/gif/bmp magic-dispatch headers
-    "ext_partition_manifest",    # partition checksum manifests + diff worklist
-    "ext_tokenizer_compare",     # per-doc BPE vs unigram fertility bake-off
-    "ext_margin_mine_auto",      # density-auto margin mining (fixed twin: 36.7x at 10x)
-    "ext_ann_index_drift",       # occupancy-drift staleness monitor readout
-    # --- rows already driver-green (r1-r5), registration order ---
-    "ext_tokenize_pack",
-    "ext_group_stream_digest",   # streaming huge-group fold (Accumulator parity)
-    "ext_cogroup_stream",        # streaming 2-ary cogroup, integer-cents fold
-    "ext_frame_sample_mp4",      # MJPEG-in-mp4 demux + JPEG decode per sample
-    "ext_skew_join_plain",       # skew-pair control (shared oracle)
-    "ext_skew_join_salted",      # salting lever on a ~20%-hot key
-    "ext_normalize_nfc",         # hash-exact NFC (DuckDB nfc_normalize)
-    "ext_pagerank",              # integer-exact iterative PageRank (unrolled-CTE oracle)
-    "ext_frame_sample_avi",      # RIFF-AVI DIB demux+decode (second video container)
-    "ext_dsir",                  # DSIR hashed n-gram importance weights (integer-ppm)
-    "ext_kmv_overlap",           # KMV/theta sketch set algebra (union+intersection)
-    "ext_k_anonymity",           # k-anonymity + l-diversity privacy audit
-    "ext_winnow_overlap",        # full-winnowing (MOSS) quote-level reuse pairs
-    "ext_conversations",         # multi-turn conversation assembly (SFT prep)
-    "ext_ann_mrr",               # MRR ordering-quality eval vs exact NN (integer ppm)
-    "ext_scd2",                  # SCD Type-2 dimension versioning (CDC family)
-    "ext_video_meta_webm",       # Matroska/WebM EBML container walk (3rd container)
-    "ext_outlier_mad",           # exact grouped MAD outlier audit (rational threshold)
-    "ext_audio_profile_mp3",     # MPEG-audio frame-chain profiling (+Xing/VBRI this round)
-    "ext_attribution",           # first/last-touch attribution (range windows)
-    "ext_resample_ffill",        # regular-grid resampling + forward fill
-    "ext_transitions",           # first-order journey transition matrix
-    "ext_pii_profile",           # column-level PII exposure audit (shared pattern table)
-    "ext_dataset_checksum",      # mergeable order-insensitive corpus fingerprint
-    "ext_comoments",             # mergeable co-moment sufficient statistics
-    "ext_ols",                   # exact least-squares readout from co-moments
-    "ext_fertility",             # tokenizer fertility per language (mixture planning)
-    "ext_embed_diversity",       # pair-free embedding diversity (moment identity)
-    "ext_rrf_fuse",              # reciprocal-rank fusion (hybrid retrieval combiner)
-    "ext_markdown_sections",     # RAG-prep markdown structure splitting
-    "ext_content_chunks",        # content-defined chunking (insertion-local boundaries)
-    "ext_novelty",               # per-doc novelty vs reference (soft decontamination)
-    "ext_stratified_split",      # exact-count per-stratum splitting (integer-ppm cuts)
-    "ext_zipf_histogram",        # Zipf spectrum on a float-free log2 grid
-    "ext_class_balance",         # Gini-impurity mixture balance (rational, exact)
-    "ext_embed_drift",           # embedding-space drift between corpus slices
-    "ext_image_decode_progressive",  # progressive-JPEG decode (closed-form oracle)
-    "ext_dedup_snm",             # sorted-neighborhood blocking near-dup
-    # (rows-only by design — trained variants; r5 rows recorded) ---
-    "ext_semdedup_trained",   # rep: ext_semdedup (r3 green; same search plan)
-    "ext_ann_opq_trained",    # reps: ext_ann_pq/ext_embed_rr_pq (rotation family)
-    "ext_ann_ivf_kmeans",     # rep: ext_ann_ivf (r3 green; same cell search)
-    "ext_bpe_encode_trained",  # rep: ext_bpe_encode (same encoder, hash-exact)
-    "ext_ann_lsh_auto",          # density-auto LSH plane sizing (production path)
-    "ext_embed_near_dup_auto",   # density-auto near-dup blocking (production path)
-    "ext_frame_sample_webm",     # Matroska SimpleBlock demux + MJPEG decode
-    "ext_multimodal_pipeline",   # flagship: decode→gate→near-dup→pack, mixed codecs
-    "ext_audio_profile_vbr",     # Xing/VBRI VBR header fast path vs chain walk
-    "ext_minhash_doc_sig",       # order-invariant MinHash doc signatures
-    "ext_session_stats",         # sessionization rollup (gap sessions → stats)
-    "ext_vocab_coverage",        # vocab-size coverage curve (tokenizer planning)
-    "ext_embed_quantize",
-    "ext_embed_pq",
-    "ext_embed_rr_pq",
-    "ext_bpe_encode",
-    "ext_bloom_decontaminate",
-    "ext_apply_changes",
-    "ext_variant_extract",
-    "ext_profile",
-    "ext_histogram_drift",
-    "ext_exact_kth",
-    "ext_normalize",
-    "ext_quality_classifier_tbl",
-    "ext_lm_filter",
-    "ext_dedup_jaccard",
-    "ext_dedup_simhash",
-    "ext_dedup_spans",
-    "ext_dedup_incremental",
-    "ext_dedup_clusters",
-    "ext_knn_label",
-    "ext_ann_brute",
-    "ext_ann_lsh_mp",
-    "ext_embed_centroids",
-    "ext_multimodal_decode",
-    "ext_frame_sample",
-    "ext_audio_features",
-    "ext_audio_downsample",
-    "ext_audio_downsample_aa",
-    "ext_video_meta",
-    "ext_stratified_sample",
-    "ext_sample_per_group",
-    "ext_pack_chunks",
-    "ext_chunk_overlap",
-    "ext_shuffle_det",
-    "ext_source_mix",
-    "ext_source_cap",
-    "ext_repetition_stats",
-    "ext_redact",
-    "ext_cohort_retention",
-    "ext_top_terms",
-    "ext_vocab",
-    "ext_approx_distinct",
-    "ext_quantiles_by_lang",
-    "ext_triangles",
-    "ext_heavy_exact",
-    "ext_join_cardinality",
-    "ext_skew_profile",
-    "ext_url_dedup",
-    "q_moving_avg",
-    "ext_normalize_unicode",  # rows-only by design (ICU NFKC), r4 row recorded
+    # --- r7 window head: NEW round-7 registrations (never driver-
+    # verified; names inserted here as they are registered) ---
+    # --- r7 re-verification backlog: cumulative driver coverage is
+    # TERMINAL (all 221 queries sampled at least once across r1-r6), so
+    # the window now re-verifies the OLDEST driver greens first
+    # (VERDICT r6 item #7) — r1/r2-era rows whose last driver check is
+    # 4+ rounds old lead, guarding against silent rot the local replica
+    # covers but the driver record would not.  Ordered by
+    # (last-verified round, original registration order), computed from
+    # the union of CORRECTNESS_r01..r06.json. ---
+    # --- last driver-verified round 1 ---
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    # --- last driver-verified round 2 ---
+    "q1_groupby_fold",
+    "q6_filter_reduce",
+    "q_reduce_empty",
+    "q_group_collect",
+    "q_minmax_fold",
+    "q_minmax_comparator",
+    "q_map_project",
+    "q_mapcat_tokens",
+    "q_rank",
+    "q_sort_take",
+    "q3_join_agg",
+    "q5_multi_join",
+    "q5_multi_join_bucketed",
+    "q_join_left",
+    "q_join_nulls_std",
+    "q_join_nils",
+    "q_full_outer",
+    "q_semi_filter_by",
+    "q_filter_by_dups",
+    "q_anti_remove_by",
+    "q_cogroup",
+    "q_concat",
+    "q_union_distinct",
+    "q_distinct",
+    "q_intersection",
+    "q_intersection_multiset",
+    "q_difference",
+    "q_difference_multiset",
+    "q_events_window",
+    "q_sessionize",
+    "q_top_per_group",
+    "q_rollup",
+    "q_cogroup_fold",
+    "q_into",
+    "q_map_py",
+    "q_cogroup3",
+    "q_join_multi",
+    "q_asof_join",
+    "q_salted_join",
+    "q_range_join",
+    "q_interval_overlap",
+    "q_quantiles",
+    "q_pivot",
+    "q_window_analytics",
+    "q_json_extract",
+    "q_cube",
+    "q_sample",
+    "ext_text_stats",
+    "ext_lang_id",
+    "ext_quality_score",
+    # --- last driver-verified round 3 ---
     "ext_fuzzy_join",
     "ext_boilerplate",
     "ext_url_normalize",
@@ -216,7 +151,130 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_hll_merge",
     "ext_bm25",
     "ext_funnel",
-    "q1_groupby_fold",        # r1+r2 driver rows both green
+    # --- last driver-verified round 4 ---
+    "ext_embed_quantize",
+    "ext_embed_pq",
+    "ext_embed_rr_pq",
+    "ext_bpe_encode",
+    "ext_bloom_decontaminate",
+    "ext_apply_changes",
+    "ext_variant_extract",
+    "ext_profile",
+    "ext_histogram_drift",
+    "ext_exact_kth",
+    "ext_normalize",
+    "ext_quality_classifier_tbl",
+    "ext_lm_filter",
+    "ext_dedup_jaccard",
+    "ext_dedup_simhash",
+    "ext_dedup_spans",
+    "ext_dedup_incremental",
+    "ext_dedup_clusters",
+    "ext_knn_label",
+    "ext_ann_brute",
+    "ext_ann_lsh_mp",
+    "ext_embed_centroids",
+    "ext_multimodal_decode",
+    "ext_frame_sample",
+    "ext_audio_features",
+    "ext_audio_downsample",
+    "ext_audio_downsample_aa",
+    "ext_video_meta",
+    "ext_stratified_sample",
+    "ext_sample_per_group",
+    "ext_pack_chunks",
+    "ext_chunk_overlap",
+    "ext_shuffle_det",
+    "ext_source_mix",
+    "ext_source_cap",
+    "ext_repetition_stats",
+    "ext_redact",
+    "ext_cohort_retention",
+    "ext_top_terms",
+    "ext_vocab",
+    "ext_approx_distinct",
+    "ext_quantiles_by_lang",
+    "ext_triangles",
+    "ext_heavy_exact",
+    "ext_join_cardinality",
+    "ext_skew_profile",
+    "ext_url_dedup",
+    "q_moving_avg",
+    "ext_normalize_unicode",
+    # --- last driver-verified round 5 ---
+    "ext_rrf_fuse",
+    "ext_markdown_sections",
+    "ext_content_chunks",
+    "ext_novelty",
+    "ext_stratified_split",
+    "ext_zipf_histogram",
+    "ext_class_balance",
+    "ext_embed_drift",
+    "ext_image_decode_progressive",
+    "ext_dedup_snm",
+    "ext_semdedup_trained",
+    "ext_ann_opq_trained",
+    "ext_ann_ivf_kmeans",
+    "ext_bpe_encode_trained",
+    "ext_ann_lsh_auto",
+    "ext_embed_near_dup_auto",
+    "ext_frame_sample_webm",
+    "ext_multimodal_pipeline",
+    "ext_audio_profile_vbr",
+    "ext_minhash_doc_sig",
+    "ext_session_stats",
+    "ext_vocab_coverage",
+    # --- last driver-verified round 6 ---
+    "ext_weighted_sample",
+    "ext_pack_spans",
+    "ext_margin_mine",
+    "ext_label_prop",
+    "ext_graph_common",
+    "ext_sparse_cosine",
+    "ext_target_encode",
+    "ext_shard_balance",
+    "ext_audio_profile_ogg",
+    "ext_audio_profile_flac",
+    "ext_ann_index_update",
+    "ext_unigram_encode",
+    "ext_unigram_encode_trained",
+    "ext_audio_profile_auto",
+    "ext_unigram_pack",
+    "ext_audio_profile_aac",
+    "ext_kcore",
+    "ext_image_triage",
+    "ext_partition_manifest",
+    "ext_tokenizer_compare",
+    "ext_margin_mine_auto",
+    "ext_ann_index_drift",
+    "ext_tokenize_pack",
+    "ext_group_stream_digest",
+    "ext_cogroup_stream",
+    "ext_frame_sample_mp4",
+    "ext_skew_join_plain",
+    "ext_skew_join_salted",
+    "ext_normalize_nfc",
+    "ext_pagerank",
+    "ext_frame_sample_avi",
+    "ext_dsir",
+    "ext_kmv_overlap",
+    "ext_k_anonymity",
+    "ext_winnow_overlap",
+    "ext_conversations",
+    "ext_ann_mrr",
+    "ext_scd2",
+    "ext_video_meta_webm",
+    "ext_outlier_mad",
+    "ext_audio_profile_mp3",
+    "ext_attribution",
+    "ext_resample_ffill",
+    "ext_transitions",
+    "ext_pii_profile",
+    "ext_dataset_checksum",
+    "ext_comoments",
+    "ext_ols",
+    "ext_fertility",
+    "ext_embed_diversity",
 ]
 
 

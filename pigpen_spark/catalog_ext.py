@@ -2025,31 +2025,39 @@ def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pigpen_spark.functions.sketch import bloom_build, bloom_maybe_contains
 
     docs = tables(spark, sf_dir)["documents"]
-    lab = P.split_by_hash(docs.df.select("doc_id", "text"), "doc_id",
-                          _DECON_SPLITS, salt="decon").transform(_persisted)
     sh = D.shingle_hashes(D.token_hashes(F.col("text")), 3)
-    te_h = lab.filter(F.col("split") == "test").select(F.explode(sh).alias("h"))
-    sketch = bloom_build(te_h, m_bits=_BLOOM_M, k=_BLOOM_K)
-    tr_g = (
-        lab.filter(F.col("split") == "train")
-        .select(F.col("doc_id"), F.explode(F.array_distinct(sh)).alias("h"))
+    # tokenize + shingle once; both the filter build and the probe read
+    # the cached per-doc distinct-hash arrays (Bloom bits are bit_or-
+    # idempotent, so building from per-doc distinct grams yields the
+    # identical filter)
+    lab = (
+        P.split_by_hash(docs.df.select("doc_id", "text"), "doc_id",
+                        _DECON_SPLITS, salt="decon")
+        .select("doc_id", "split", F.array_distinct(sh).alias("hs"))
         .transform(_persisted)
     )
-    flags = bloom_maybe_contains(
-        tr_g.select("h").distinct(), sketch, m_bits=_BLOOM_M, k=_BLOOM_K)
-    hits = (
-        tr_g.join(flags, on="h")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("maybe").cast("bigint")).alias("n_maybe"))
+    te_h = lab.filter(F.col("split") == "test").select(F.explode("hs").alias("h"))
+    sketch = bloom_build(te_h, m_bits=_BLOOM_M, k=_BLOOM_K)
+    # r6 VERDICT item #3 (the one bench row trending up): the old plan
+    # spent three probe-sized exchanges — a gram distinct, a probe-key
+    # groupBy inside bloom_maybe_contains, and an h-keyed join back onto
+    # the exploded grams.  bloom_maybe_contains is now k broadcast
+    # joins, so the probe side never shuffles at all; explode_outer
+    # keeps zero-gram docs as one NULL-h row (probe → false, counts 0),
+    # so no doc join-back is needed either.  The only exchange left in
+    # the whole query is the partial-aggregating per-doc count — at
+    # 100 TB the train corpus crosses the wire exactly once, as slim
+    # (doc_id, partial-count) rows.
+    tr_g = (
+        lab.filter(F.col("split") == "train")
+        .select("doc_id", F.explode_outer("hs").alias("h"))
     )
     return (
-        lab.filter(F.col("split") == "train").select("doc_id")
-        .join(hits, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_maybe"), F.lit(0)).alias("n_maybe"),
-            (F.coalesce(F.col("n_maybe"), F.lit(0)) >= 1).alias("flagged"),
-        )
+        bloom_maybe_contains(tr_g, sketch, m_bits=_BLOOM_M, k=_BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("maybe"), F.lit(False)).cast("bigint"))
+             .alias("n_maybe"))
+        .select("doc_id", "n_maybe", (F.col("n_maybe") >= 1).alias("flagged"))
     )
 
 

@@ -314,26 +314,71 @@ def bloom_maybe_contains(probes: DataFrame, sketch: DataFrame,
     broadcast-join the words, count matched bits per row.  No shuffle of
     the probed data beyond the per-row groupBy(key) reassembly, and even
     that partial-aggregates map-side."""
-    key = "__bloom_id"
-    with_key = probes.withColumn(key, F.monotonically_increasing_id())
-    coords = with_key.select(
-        key,
-        F.explode(F.array(*[
-            _bloom_pos(F.col(hash_col), r, m_bits).alias("p") for r in range(k)
-        ])).alias("p"),
-    ).select(
-        key,
-        (F.col("p") / F.lit(_BLOOM_WORD)).cast("bigint").alias("word"),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))").alias("bit"),
-    )
-    hits = (
-        coords.join(F.broadcast(sketch), on="word", how="left")
-        .select(key, (F.coalesce(F.col("bits"), F.lit(0).cast("bigint"))
-                      .bitwiseAND(F.col("bit")) != 0)
-                .cast("int").alias("ok"))
-        .groupBy(key).agg((F.sum("ok") == F.lit(k)).alias(out_col))
-    )
-    return with_key.join(hits, on=key).drop(key)
+    # One broadcast LEFT join per probe index, then AND the k bit tests:
+    # the probed data is NEVER shuffled (each join is a map-side
+    # BroadcastHashJoin against the <= m/62-row sketch) and never
+    # re-keyed — the old explode + probe-key groupBy + join-back form
+    # spent three probe-sized exchanges to compute the same column.
+    out = probes
+    cond = None
+    pow2 = F.lit(_POW2)
+    for r in range(k):
+        p = _bloom_pos(F.col(hash_col), r, m_bits)
+        skr = sketch.select(F.col("word").alias(f"__bw{r}"),
+                            F.col("bits").alias(f"__bb{r}"))
+        out = (
+            out.withColumn(f"__bw{r}", (p / F.lit(_BLOOM_WORD)).cast("bigint"))
+            .withColumn(f"__bbit{r}",
+                        F.element_at(pow2, (p % F.lit(_BLOOM_WORD)).cast("int") + F.lit(1)))
+            .join(F.broadcast(skr), on=f"__bw{r}", how="left")
+        )
+        c = (F.coalesce(F.col(f"__bb{r}"), F.lit(0).cast("bigint"))
+             .bitwiseAND(F.col(f"__bbit{r}")) != F.lit(0))
+        cond = c if cond is None else cond & c
+    return out.select(*probes.columns, cond.alias(out_col))
+
+
+#: Powers of two 2^0..2^61 as a literal lookup — the column-shift
+#: workaround (F.shiftleft takes only a Python-int shift), and legal
+#: inside HOF lambdas where F.expr cannot reach the lambda variable.
+_POW2 = [1 << i for i in range(_BLOOM_WORD)]
+
+
+def bloom_words(sketch: DataFrame, m_bits: int) -> list[int]:
+    """Materialize a built filter as a dense word list (length
+    ceil(m_bits/62)) for :func:`bloom_maybe_col`.  The collect is
+    BOUNDED by construction — a Bloom filter never exceeds m_bits/62
+    rows regardless of corpus size (8192 bits = 133 rows at 100 TB),
+    which is the whole point of probing through a sketch."""
+    n_words = -(-m_bits // _BLOOM_WORD)
+    words = [0] * n_words
+    for row in sketch.collect():
+        words[int(row["word"])] = int(row["bits"])
+    return words
+
+
+def bloom_maybe_col(words: list[int], h: Column, m_bits: int,
+                    k: int = 3) -> Column:
+    """Pure-EXPRESSION membership test: true iff all ``k`` probe bits of
+    ``h`` are set in the literal filter ``words`` (from
+    :func:`bloom_words`).  Unlike :func:`bloom_maybe_contains` — which
+    spends a probe-key groupBy, a join-back, and usually a third join to
+    reattach results — this is zero shuffles: the filter rides into the
+    expression as a constant array, so probing a 100 TB corpus is pure
+    map-side arithmetic inside whole-stage codegen, and it composes into
+    HOF lambdas (probe every element of an array column without
+    exploding it).  Same ``_bloom_pos`` discipline, so the true/false
+    pattern is bit-identical to the join form and to DuckDB."""
+    words_lit = F.lit([int(w) for w in words])
+    pow2_lit = F.lit(_POW2)
+    cond = None
+    for r in range(k):
+        p = _bloom_pos(h, r, m_bits)
+        word = F.element_at(words_lit, (p / F.lit(_BLOOM_WORD)).cast("int") + F.lit(1))
+        bit = F.element_at(pow2_lit, (p % F.lit(_BLOOM_WORD)).cast("int") + F.lit(1))
+        c = word.bitwiseAND(bit) != F.lit(0)
+        cond = c if cond is None else cond & c
+    return cond
 
 
 def histogram_quantiles_by_sql(table: str, value_sql: str, group_col: str,
