@@ -381,6 +381,34 @@ def bloom_maybe_col(words: list[int], h: Column, m_bits: int,
     return cond
 
 
+def bloom_gate(df: DataFrame, id_col: str, text_col: str, words: list[int],
+               n: int = 3, m_bits: int = 8192, k: int = 3) -> DataFrame:
+    """Decontamination gate against a STORED filter (the serving path):
+    per document, count the distinct ``n``-gram hashes whose membership
+    test passes in the literal filter ``words`` (from
+    :func:`bloom_words`), and flag any document with at least one —
+    (id, n_maybe, flagged).  The probe is the pure expression form
+    (:func:`bloom_maybe_col`), so gating a corpus of any size is one
+    map-side scan + a partial-aggregating per-doc count; no join, no
+    gram shuffle.  Shares the gram definition with
+    ``ext_bloom_decontaminate`` (shingled token hashes), so a filter
+    built by :func:`bloom_build` over a benchmark's grams gates batch
+    and stream identically."""
+    from pigpen_spark.functions.dedup import shingle_hashes, token_hashes
+
+    sh = F.array_distinct(shingle_hashes(token_hashes(F.col(text_col)), n))
+    maybe = F.when(
+        bloom_maybe_col(words, F.col("__h"), m_bits=m_bits, k=k),
+        F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode_outer(sh).alias("__h"))
+        .select("doc_id", maybe.alias("__m"))
+        .groupBy("doc_id").agg(F.sum("__m").alias("n_maybe"))
+        .select("doc_id", "n_maybe", (F.col("n_maybe") >= 1).alias("flagged"))
+    )
+
+
 def histogram_quantiles_by_sql(table: str, value_sql: str, group_col: str,
                                lo: int, hi: int, n_bins: int = 256,
                                ps_permille: tuple[int, ...] = (500, 900, 990),

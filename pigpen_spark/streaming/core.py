@@ -755,6 +755,69 @@ def kmv_stream(
     return w.start()
 
 
+def publish_bloom_filter(sketch: DataFrame, filter_path: str,
+                         version: int = 0) -> None:
+    """Publish a built Bloom filter (:func:`pigpen_spark.functions.
+    sketch.bloom_build`) into the versioned sketch store that
+    :func:`decontaminate_stream` serves from — ``v{N}`` directory with
+    the _SUCCESS-marker commit discipline of every other versioned
+    parquet store here.  Re-publishing a refreshed benchmark is writing
+    ``v{N+1}``; in-flight batches keep reading the version they saw, the
+    next batch picks up the new one."""
+    sketch.write.mode("overwrite").parquet(f"{filter_path}/v{version}")
+
+
+def decontaminate_stream(
+    stream: DataFrame, id_col: str, text_col: str, filter_path: str,
+    out_path: str, checkpoint: str, n: int = 3, m_bits: int = 8192,
+    k: int = 3, available_now: bool = False,
+):
+    """Streaming decontamination — the live twin of
+    ``ext_bloom_decontaminate``'s gate: each micro-batch of incoming
+    training documents is probed against the STORED benchmark Bloom
+    filter (published via :func:`publish_bloom_filter`; ≤ m_bits/62
+    rows, collected once per batch — a bounded driver read at any
+    corpus size) and the per-doc verdicts land in a batch-keyed sink.
+
+    The probe is :func:`pigpen_spark.functions.sketch.bloom_gate` — the
+    SAME operator a batch backfill runs, so live gating and backfill
+    cannot drift (streamed == batch pinned by test).  No shuffle
+    carries benchmark data: the filter rides into the probe expression
+    as a literal.  Batches write ``batch={id}`` directories with
+    overwrite-on-replay (the ann_index_stream discipline), so a
+    checkpoint replay rewrites its own directory instead of
+    double-emitting — exactly-once verdicts without a transactional
+    sink.  Each emitted row records the filter version it was gated
+    against, so a benchmark refresh (new version published) leaves an
+    auditable seam instead of silently mixing filters.
+
+    Returns the started StreamingQuery."""
+    from pigpen_spark.functions.sketch import bloom_gate, bloom_words
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # empty micro-batches are normal under processing-time triggers
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        vs = _parquet_versions(filter_path)
+        if not vs:
+            raise ValueError(
+                "decontaminate_stream: no committed filter version at "
+                f"{filter_path}; publish one with publish_bloom_filter()")
+        sketch = spark.read.parquet(f"{filter_path}/v{vs[-1]}")
+        words = bloom_words(sketch, m_bits)
+        out = bloom_gate(batch_df, id_col, text_col, words,
+                         n=n, m_bits=m_bits, k=k)
+        out.withColumn("filter_version", F.lit(vs[-1])) \
+            .write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    w = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def conversation_stream(
     stream: DataFrame, user_col: str, ts_col: str, role_col: str,
     content_col: str, event_id_col: str, gap_seconds: int,

@@ -1,0 +1,129 @@
+"""Round-7 additions: streaming decontamination twin, stored-filter
+bloom gate, expression-probe differential, stub gating."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pigpen_spark.functions import sketch as K
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pigpen_spark.session import get_spark
+
+    s = get_spark("test-round7")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+BENCH = [
+    (100, "the quick brown fox jumps over the lazy dog today"),
+    (101, "pack my box with five dozen liquor jugs for delivery"),
+]
+TRAIN = [
+    # doc 1 quotes benchmark doc 100 verbatim -> must flag
+    (1, "intro words then the quick brown fox jumps over the lazy dog today and more"),
+    # clean docs -> must not flag (modulo deterministic Bloom FPs, which
+    # are identical in the batch twin by construction)
+    (2, "completely unrelated text about distributed query engines"),
+    (3, "another clean document with its own vocabulary entirely"),
+    (4, ""),          # zero-gram doc: must survive as n_maybe=0
+]
+
+
+class TestBloomGate:
+    def test_gate_flags_contamination(self, spark):
+        bench = spark.createDataFrame(BENCH, "doc_id long, text string")
+        train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+        from pigpen_spark.functions.dedup import shingle_hashes, token_hashes
+
+        grams = bench.select(F.explode(
+            shingle_hashes(token_hashes(F.col("text")), 3)).alias("h"))
+        words = K.bloom_words(K.bloom_build(grams, m_bits=1 << 14, k=3),
+                              m_bits=1 << 14)
+        out = {r["doc_id"]: (r["n_maybe"], r["flagged"])
+               for r in K.bloom_gate(train, "doc_id", "text", words,
+                                     n=3, m_bits=1 << 14, k=3).collect()}
+        assert len(out) == 4
+        assert out[1][1] is True and out[1][0] >= 8   # verbatim quote
+        assert out[4] == (0, False)                   # zero-gram doc kept
+
+    def test_expression_probe_matches_join_probe(self, spark):
+        # bloom_maybe_col (literal expression) and bloom_maybe_contains
+        # (k broadcast joins) must agree bit-for-bit on every probe
+        # probe hashes stay within the shingle-hash contract (mod _P)
+        items = spark.range(0, 500).select(
+            ((F.col("id") * F.lit(2654435761)) % F.lit(K._P)).alias("h"))
+        sketch = K.bloom_build(items.filter(F.col("h") % 3 == 0),
+                               m_bits=1 << 12, k=3)
+        words = K.bloom_words(sketch, m_bits=1 << 12)
+        joined = {r["h"]: r["maybe"] for r in K.bloom_maybe_contains(
+            items, sketch, m_bits=1 << 12, k=3).collect()}
+        expr = {r["h"]: r["maybe"] for r in items.select(
+            "h", K.bloom_maybe_col(words, F.col("h"), m_bits=1 << 12, k=3)
+            .alias("maybe")).collect()}
+        assert joined == expr
+        assert sum(expr.values()) >= len(expr) // 4   # members all pass
+
+
+class TestDecontaminateStream:
+    def test_streamed_equals_batch(self, spark, tmp_path):
+        from pigpen_spark.streaming import core as stc
+
+        m_bits, k, n = 1 << 14, 3, 3
+        bench = spark.createDataFrame(BENCH, "doc_id long, text string")
+        from pigpen_spark.functions.dedup import shingle_hashes, token_hashes
+
+        grams = bench.select(F.explode(
+            shingle_hashes(token_hashes(F.col("text")), n)).alias("h"))
+        filter_path = str(tmp_path / "filter")
+        stc.publish_bloom_filter(
+            K.bloom_build(grams, m_bits=m_bits, k=k), filter_path, version=0)
+
+        src = tmp_path / "in"
+        src.mkdir()
+        with open(src / "b0.json", "w") as f:
+            for did, text in TRAIN[:2]:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        with open(src / "b1.json", "w") as f:
+            for did, text in TRAIN[2:]:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        os.utime(src / "b0.json", (1_700_000_000, 1_700_000_000))
+        os.utime(src / "b1.json", (1_700_000_100, 1_700_000_100))
+
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        out_path = str(tmp_path / "verdicts")
+        q = stc.decontaminate_stream(
+            stream, "doc_id", "text", filter_path, out_path,
+            str(tmp_path / "ckpt"), n=n, m_bits=m_bits, k=k,
+            available_now=True)
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(out_path)
+        assert streamed.count() == 4
+        assert set(streamed.select("filter_version").distinct()
+                   .toPandas()["filter_version"]) == {0}
+
+        train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+        words = K.bloom_words(
+            spark.read.parquet(f"{filter_path}/v0"), m_bits)
+        batch = K.bloom_gate(train, "doc_id", "text", words,
+                             n=n, m_bits=m_bits, k=k)
+        a = sorted((r["doc_id"], r["n_maybe"], r["flagged"])
+                   for r in streamed.collect())
+        b = sorted((r["doc_id"], r["n_maybe"], r["flagged"])
+                   for r in batch.collect())
+        assert a == b
+
+        # replay idempotence: a second availableNow pass over the same
+        # checkpoint emits nothing new
+        q2 = stc.decontaminate_stream(
+            stream, "doc_id", "text", filter_path, out_path,
+            str(tmp_path / "ckpt"), n=n, m_bits=m_bits, k=k,
+            available_now=True)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out_path).count() == 4
