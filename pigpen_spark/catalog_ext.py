@@ -41,16 +41,11 @@ _TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 )
 def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex), length stats,
-    content fingerprint — all JVM-side HOFs, zero UDFs."""
+    content fingerprint — all JVM-side HOFs, zero UDFs; the token array
+    is let-bound once and shared across the derived columns, and the
+    regex stats are count-only scans (T.text_stats)."""
     docs = tables(spark, sf_dir)["documents"]
-    return docs.map(
-        "doc_id",
-        n_tokens=T.token_count("text"),
-        bpe_tokens=T.bpe_token_count("text"),
-        mean_token_len=T.mean_token_len("text"),
-        punct_ratio=T.punct_ratio("text"),
-        fingerprint=T.fingerprint("text"),
-    ).df
+    return T.text_stats(docs.df, "doc_id", "text")
 
 
 @register(

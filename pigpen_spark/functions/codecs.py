@@ -102,6 +102,20 @@ def png_decode(data: bytes) -> np.ndarray:
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("png: wrong decompressed size")
+    grid = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = grid[:, 0]
+    # whole-image fast paths for the filters with no left-neighbor
+    # dependency: all-None is a reshape, all-Up is one column-wise
+    # cumulative sum mod 256 (row y = Σ rows 0..y of the filtered
+    # bytes).  Small images pay per-scanline numpy call overhead far
+    # above the data cost, so collapsing h rows into one vector op is
+    # the decode-CPU lever (r6 VERDICT item #4: ext_image_decode 11x at
+    # the 10x corpus was per-payload Python row loops, not plan).
+    if not ftypes.any():                      # every scanline filter 0
+        return grid[:, 1:].reshape(h, w, ch).copy()
+    if (ftypes == 2).all():                   # every scanline filter 2
+        return (np.cumsum(grid[:, 1:], axis=0, dtype=np.uint32)
+                & 0xFF).astype(np.uint8).reshape(h, w, ch)
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
