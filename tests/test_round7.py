@@ -69,6 +69,106 @@ class TestBloomGate:
         assert sum(expr.values()) >= len(expr) // 4   # members all pass
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pigpen_spark.functions import codecs as CX
+
+
+def _mutate(data: bytes, pos: int, val: int) -> bytes:
+    pos %= len(data)
+    if data[pos] == val:
+        val ^= 0xFF
+    return data[:pos] + bytes([val]) + data[pos + 1:]
+
+
+class TestCodecMutationFuzz:
+    """Adversarial-input hardening for the r6 codecs (VERDICT r6 #8):
+    mutate LENGTH FIELDS, CRCs and LACING VALUES specifically — not just
+    truncate — and pin the quarantine contract: ValueError or a clean
+    parse, never any other exception, always terminating.  At Arrow-
+    batch scope this is the 100 TB safety property (one hostile payload
+    must quarantine its row, not kill the task)."""
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(1, 6), st.integers(0, 4000), st.integers(0, 255))
+    def test_ogg_arbitrary_byte_mutation(self, pages, pos, val):
+        d = CX.ogg_encode_skeleton("opus", n_audio_pages=pages,
+                                   packets_per_page=2)
+        try:
+            m = CX.ogg_meta(_mutate(d, pos, val))
+            assert m["codec"] in ("opus", "vorbis")
+        except ValueError:
+            pass
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 4), st.integers(0, 3), st.integers(0, 255))
+    def test_ogg_crc_mutation_always_detected(self, pages, which_byte, val):
+        # the 4 CRC bytes sit at offset 22 of each page header; a
+        # mutated CRC must RAISE (the whole point of verifying it)
+        d = CX.ogg_encode_skeleton("opus", n_audio_pages=pages,
+                                   packets_per_page=2)
+        assert d[:4] == b"OggS"
+        with pytest.raises(ValueError):
+            CX.ogg_meta(_mutate(d, 22 + which_byte, val))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 4), st.integers(0, 255))
+    def test_ogg_lacing_mutation(self, pages, val):
+        # byte 26 is the segment count; 27.. are the lacing values —
+        # mutating them must desync lengths into a ValueError (CRC
+        # covers the header, so any change is caught) and never loop
+        d = CX.ogg_encode_skeleton("opus", n_audio_pages=pages,
+                                   packets_per_page=2)
+        for off in (26, 27):
+            try:
+                CX.ogg_meta(_mutate(d, off, val))
+            except ValueError:
+                pass
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 300), st.integers(0, 255), st.integers(0, 5))
+    def test_flac_block_length_mutation(self, pos, val, pads):
+        d = CX.flac_encode_streaminfo(44100, 2, 16, 1 << 20,
+                                      n_padding_blocks=pads)
+        try:
+            m = CX.flac_streaminfo(_mutate(d, pos, val))
+            assert m["n_meta_blocks"] >= 1
+        except ValueError:
+            pass
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(1, 20), st.integers(0, 2000), st.integers(0, 255))
+    def test_adts_length_field_mutation(self, frames, pos, val):
+        d = CX.adts_encode_skeleton(frames, rate_idx=4, channels=2)
+        try:
+            m = CX.adts_meta(_mutate(d, pos, val))
+            assert 1 <= m["n_frames"] <= frames + 2
+        except ValueError:
+            pass
+
+    def test_mutated_rows_quarantine_in_auto_triage(self, spark):
+        # Arrow-batch scope: hostile payloads flow THROUGH the fused
+        # operator as quarantined rows; clean rows in the same batch
+        # still profile
+        from pigpen_spark.functions import multimodal as M
+
+        good = CX.ogg_encode_skeleton("opus", n_audio_pages=3,
+                                      packets_per_page=2)
+        rows = [
+            (1, good),
+            (2, _mutate(good, 22, 0x55)),            # CRC hit
+            (3, _mutate(good, 27, 0x7F)),            # lacing hit
+            (4, CX.adts_encode_skeleton(5, rate_idx=4)[:9]),  # truncated
+            (5, b"\x00" * 40),                        # not audio at all
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["id"]: r["format"]
+               for r in M.audio_profile_auto(df, "doc_id").collect()}
+        assert out[1] == "ogg"
+        assert all(out[i] in ("corrupt", "unknown") for i in (2, 3, 4, 5))
+
+
 class TestDecontaminateStream:
     def test_streamed_equals_batch(self, spark, tmp_path):
         from pigpen_spark.streaming import core as stc

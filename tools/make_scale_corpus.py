@@ -20,7 +20,9 @@ SCALE-FACTOR ESCALATION MEASUREMENT (SCALE.md §scaling-evidence):
 This is a PERFORMANCE corpus only — the sf0.01 DuckDB oracle gate is
 the correctness surface; nothing here feeds CORRECTNESS runs.
 
-Usage:  python tools/make_scale_corpus.py [out_dir]   (default /tmp/scale_sf1)
+Usage:  python tools/make_scale_corpus.py [out_dir] [copies]
+        (default /tmp/scale_sf1, 10 copies; 100 copies ≈ "sf10" — the
+        100× point for the scaling-exponent table in SCALE.md)
 Then:   SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
 """
 
@@ -50,7 +52,10 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
 def main() -> None:
+    global COPIES
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1"
+    if len(sys.argv) > 2:
+        COPIES = int(sys.argv[2])
     spark = get_spark("make-scale-corpus")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
