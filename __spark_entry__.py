@@ -40,6 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # --- r7 window head: NEW round-7 registrations (never driver-
     # verified; names inserted here as they are registered) ---
+    "ext_wordpiece_encode",        # BERT greedy longest-match tokenizer (3rd of the triple)
+    "ext_wordpiece_encode_trained",  # rows-only by design (trained twin)
     # --- r7 re-verification backlog: cumulative driver coverage is
     # TERMINAL (all 221 queries sampled at least once across r1-r6), so
     # the window now re-verifies the OLDEST driver greens first

@@ -5412,6 +5412,7 @@ def ext_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from pigpen_spark.functions import unigram as UG  # noqa: E402
+from pigpen_spark.functions import wordpiece as WP  # noqa: E402
 
 
 @register(
@@ -5439,6 +5440,52 @@ def ext_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.array_join("pieces", " ").alias("pieces"),
         "n_pieces", "score")
+
+
+@register(
+    "ext_wordpiece_encode",
+    WP.wordpiece_encode_fixed_sql("documents", "doc_id", "text",
+                                  WP.FIXED_START, WP.FIXED_CONT),
+)
+def ext_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece (BERT-tokenizer) subword encoding under the frozen
+    FIXED_START/FIXED_CONT inventories (exactly what train_wordpiece
+    produces on this corpus at vocab_size 72, seed alphabet included):
+    per word, greedy LONGEST-match-first segmentation with ##-marked
+    continuations; an uncoverable or >16-char word becomes [UNK] whole
+    (the HuggingFace max_input_chars_per_word contract — over-long
+    words fail LOUDLY as a counted [UNK], never silently, the failure
+    mode ADVICE r6 flagged in the unigram oracle).  Completes the
+    tokenizer triple: BPE = greedy merges, unigram = global-optimum
+    Viterbi, WordPiece = greedy longest prefix.  Hash-exact: the oracle
+    replays the identical greedy walk as one chained CTE per step over
+    the distinct-words table; a wrong match order, marker, or UNK rule
+    breaks the pieces string, count, AND the n_unk_words column."""
+    docs = tables(spark, sf_dir)["documents"]
+    enc = WP.wordpiece_encode(docs.df, "doc_id", "text",
+                              WP.FIXED_START, WP.FIXED_CONT)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.array_join("pieces", " ").alias("pieces"),
+        "n_pieces", "n_unk_words")
+
+
+@register("ext_wordpiece_encode_trained", None)  # trained twin: rows-only
+def ext_wordpiece_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece inventory TRAINED on the corpus (the published
+    count(ab)/(count(a)·count(b)) merge criterion, cross-multiplied
+    integer argmax, driver-side over the one-groupBy word histogram)
+    and applied back to it.  Rows-only by the trained-variant
+    convention; the ENCODER it shares with ext_wordpiece_encode is
+    hash-verified there, and the trainer is pinned by pure-Python
+    differential tests."""
+    docs = tables(spark, sf_dir)["documents"]
+    start, cont = WP.train_wordpiece(docs.df, "text", vocab_size=72)
+    enc = WP.wordpiece_encode(docs.df, "doc_id", "text", start, cont)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.array_join("pieces", " ").alias("pieces"),
+        "n_pieces", "n_unk_words")
 
 
 @register("ext_unigram_encode_trained", None)  # iterative EM: rows-only

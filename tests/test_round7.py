@@ -73,6 +73,89 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from pigpen_spark.functions import codecs as CX
+from pigpen_spark.functions import wordpiece as W
+
+
+class TestWordPiece:
+    def test_greedy_longest_match(self):
+        p, u = W.greedy_encode_word("hashing", ["hash", "h"], ["ing", "i", "n", "g"])
+        assert (p, u) == (["hash", "##ing"], 0)
+
+    def test_unk_whole_word(self):
+        assert W.greedy_encode_word("xyz", ["x"], []) == (["[UNK]"], 1)
+        # > max_word chars -> [UNK] by contract (max_input_chars_per_word)
+        assert W.greedy_encode_word("a" * 17, ["a"], ["a"]) == (["[UNK]"], 1)
+        assert W.greedy_encode_word("a" * 16, ["a"], ["a"])[1] == 0
+
+    def test_start_and_cont_inventories_are_distinct(self):
+        # "ab": 'a' is a start piece but 'b' is NOT a continuation
+        assert W.greedy_encode_word("ab", ["a", "b"], ["a"]) == (["[UNK]"], 1)
+        assert W.greedy_encode_word("aa", ["a"], ["a"]) == (["a", "##a"], 0)
+
+    def test_oracle_matches_encoder_on_random_words(self):
+        # brute-force differential: the SQL oracle segments exactly like
+        # the Python encoder on 400 random words, batched into ONE query
+        # so the 16-stage CTE binds once (per-example binds are ~0.5s)
+        import random
+
+        import duckdb
+
+        rng = random.Random(13)
+        words = ["".join(rng.choice("abcdefgh")
+                         for _ in range(rng.randint(1, 20)))
+                 for _ in range(400)]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+                    ",".join(f"({i}, '{w}')" for i, w in enumerate(words)) +
+                    ") t(doc_id, text)")
+        sql = W.wordpiece_encode_fixed_sql(
+            "documents", "doc_id", "text", W.FIXED_START, W.FIXED_CONT)
+        got = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+        for i, word in enumerate(words):
+            p, u = W.greedy_encode_word(word, W.FIXED_START, W.FIXED_CONT)
+            assert got[i] == (" ".join(p), len(p), u), word
+
+    def test_trainer_reproducible_and_alphabet_covered(self):
+        hist = [("banana", 9), ("bandana", 4), ("nab", 7), ("ban", 5)]
+        s1, c1 = W.learn_wordpiece(hist, vocab_size=12)
+        s2, c2 = W.learn_wordpiece(list(hist), vocab_size=12)
+        assert (s1, c1) == (s2, c2)
+        # seed alphabet present in both inventories
+        assert {"a", "b", "n", "d"} <= set(s1) and {"a", "b", "n", "d"} <= set(c1)
+        # the trained inventory actually compresses the training words
+        p, u = W.greedy_encode_word("banana", s1, c1)
+        assert u == 0 and len(p) < 6
+
+    def test_merge_criterion_prefers_likelihood_not_count(self):
+        # pair (x,##y) appears 5x with rare sides: 5/(5*5)=0.2;
+        # (a,##b) appears 6x with very common sides: 6/(100*100) — the
+        # WordPiece argmax must pick (x,##y) where raw-count BPE would
+        # pick the higher-count (a,##b)
+        sym = {"x": 5, "##y": 5, "a": 100, "##b": 100}
+        pair = {("x", "##y"): 5, ("a", "##b"): 6}
+        assert W._best_pair(sym, pair, max_piece=4) == ("x", "##y")
+        # and ties break lexicographically
+        sym2 = {"x": 2, "##y": 2, "a": 2, "##b": 2}
+        pair2 = {("x", "##y"): 2, ("a", "##b"): 2}
+        assert W._best_pair(sym2, pair2, max_piece=4) == ("a", "##b")
+
+    def test_spark_encoder_matches_python(self, spark):
+        rows = [(1, "the quick brown fox"), (2, ""),
+                (3, "hash join supercalifragilisticexpialidocious"),
+                (4, None), (5, "data dup the the")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["id"]: (r["pieces"], r["n_pieces"], r["n_unk_words"])
+               for r in W.wordpiece_encode(
+                   df, "doc_id", "text", W.FIXED_START, W.FIXED_CONT).collect()}
+        for did, text in rows:
+            pieces, unks = [], 0
+            for w in ("" if text is None else text).lower().split(" "):
+                if not w:
+                    continue
+                p, u = W.greedy_encode_word(w, W.FIXED_START, W.FIXED_CONT)
+                pieces.extend(p)
+                unks += u
+            assert got[did] == (pieces, len(pieces), unks)
 
 
 def _mutate(data: bytes, pos: int, val: int) -> bytes:
