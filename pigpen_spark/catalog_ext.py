@@ -3496,6 +3496,35 @@ _PAGERANK_EDGES_CTE = """edges AS (
     )"""
 
 
+_HITS_EDGES_CTE = """edges AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )"""
+
+
+@register("ext_hits", D.hits_cte_sql(_HITS_EDGES_CTE, iterations=2))
+def ext_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS (2 iterations, pure-integer renormalization on
+    a 1e9 grid) over the DIRECTED customer→supplier trade graph — the
+    two-sided complement of ext_pagerank: hub scores rank customers by
+    how broadly they reach strong suppliers, authority scores rank
+    suppliers by the strength of the hubs reaching them.  Training-data
+    use: on a crawl link graph, authority = fetch-worthy content
+    domains, hub = directory pages whose outlinks seed discovery.
+    Hash-exact by the pagerank doctrine: fixed iterations + integer
+    DIV normalization (a quotient by a precomputed total — never a
+    product, so no int64 overflow and no decimal rounding seam)."""
+    t = tables(spark, sf_dir)
+    orders, li = t["orders"].df, t["lineitem"].df
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select((F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"))
+        .distinct()
+    )
+    return D.hits(edges, iterations=2)
+
+
 @register("ext_pagerank", D.pagerank_cte_sql(_PAGERANK_EDGES_CTE, iterations=3))
 def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (3 power-method iterations, damping 0.85 on

@@ -1142,6 +1142,117 @@ def pagerank_cte_sql(edges_cte: str, iterations: int = 3,
     return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, rank FROM r{iterations}"
 
 
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iterations: int = 2, scale: int = 10**9,
+         checkpoint_every: int = 5) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999) over a directed edge list —
+    hubs point at good authorities, authorities are pointed at by good
+    hubs — completing the graph family next to :func:`pagerank` (global
+    stationary authority), :func:`label_propagation` (communities) and
+    :func:`kcore` (density).  Training-data use: on a crawl link graph,
+    authority ranks the fetch-worthy content domains while hub ranks
+    the directory/aggregator pages whose outlinks seed discovery — the
+    two-sided complement of PageRank's one number.
+
+    Arithmetic contract (mirrored verbatim by :func:`hits_cte_sql`):
+    hubs start at ``scale`` units; each iteration computes raw
+    authority ``a_raw(v) = Σ_{u→v} h(u)``, renormalizes with PURE
+    INTEGER ops as ``a = a_raw DIV greatest(1, T_a DIV scale)``
+    (T_a = Σ a_raw — a division by a precomputed integer, never a
+    product, so nothing can overflow int64 and no decimal rounding
+    seam exists), then the same for hubs from the new authorities.
+    All operands non-negative ⇒ Spark DIV (truncate) and DuckDB //
+    (floor) agree bit-for-bit.  Like pagerank, the POINT is exactness
+    of the fixed computation, not convergence to the real-valued
+    eigenvector.
+
+    Scale: per iteration two slim-score equi-joins against the
+    persisted edge list and two groupBys; the normalization total is a
+    1-row broadcast (crossJoin of an aggregate — never a driver
+    action).  Lineage truncates every ``checkpoint_every`` iterations.
+
+    Returns (node, hub, authority) — one row per node in src ∪ dst."""
+    if iterations < 1:
+        raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .transform(_persisted)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(_persisted)
+    )
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("h"))
+    auth = None
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(F.sum("raw").alias("t"))
+        return (
+            nodes.join(raw, on="node", how="left")
+            .crossJoin(F.broadcast(tot))
+            .select("node", F.expr(
+                f"coalesce(raw, 0) DIV greatest(1, t DIV {scale})"
+            ).cast("long").alias(col))
+        )
+
+    for i in range(iterations):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy(e["dst"].alias("node")).agg(F.sum("h").alias("raw"))
+        )
+        auth = _norm(a_raw, "a")
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy(e["src"].alias("node")).agg(F.sum("a").alias("raw"))
+        )
+        hubs = _norm(h_raw, "h")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            hubs = hubs.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    return (
+        hubs.join(auth, on="node")
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
+    )
+
+
+def hits_cte_sql(edges_cte: str, iterations: int = 2,
+                 scale: int = 10**9) -> str:
+    """DuckDB CTE chain replaying :func:`hits` exactly — fixed
+    iterations unroll (the pagerank doctrine); every sum casts
+    ``::BIGINT`` before reaching arithmetic (DuckDB sums to HUGEINT).
+    ``edges_cte`` must define ``edges(src, dst)`` already distinct."""
+    parts = [
+        edges_cte,
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT node, {scale}::BIGINT AS h FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""araw{i} AS (
+      SELECT e.dst AS node, sum(h.h)::BIGINT AS raw
+      FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst)""")
+        parts.append(f"ta{i} AS (SELECT sum(raw)::BIGINT AS t FROM araw{i})")
+        parts.append(f"""a{i} AS (
+      SELECT n.node,
+             (coalesce(r.raw, 0)
+              // greatest(1, (SELECT t FROM ta{i}) // {scale}))::BIGINT AS a
+      FROM nodes n LEFT JOIN araw{i} r ON n.node = r.node)""")
+        parts.append(f"""hraw{i} AS (
+      SELECT e.src AS node, sum(a.a)::BIGINT AS raw
+      FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)""")
+        parts.append(f"th{i} AS (SELECT sum(raw)::BIGINT AS t FROM hraw{i})")
+        parts.append(f"""h{i} AS (
+      SELECT n.node,
+             (coalesce(r.raw, 0)
+              // greatest(1, (SELECT t FROM th{i}) // {scale}))::BIGINT AS h
+      FROM nodes n LEFT JOIN hraw{i} r ON n.node = r.node)""")
+    return ("WITH " + ",\n    ".join(parts)
+            + f"\n    SELECT h.node, h.h AS hub, a.a AS authority"
+            f"\n    FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node")
+
+
 def winnow_fingerprints(hs: Column, w: int = 4) -> Column:
     """FULL winnowing (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     algorithm), upgrading :func:`~pigpen_spark.functions.text.

@@ -252,6 +252,54 @@ class TestCodecMutationFuzz:
         assert all(out[i] in ("corrupt", "unknown") for i in (2, 3, 4, 5))
 
 
+class TestHits:
+    @staticmethod
+    def _model(edges, iterations=2, scale=10**9):
+        nodes = {x for e in edges for x in e}
+        h = {v: scale for v in nodes}
+        a = {v: 0 for v in nodes}
+        for _ in range(iterations):
+            araw = {v: 0 for v in nodes}
+            for u, v in edges:
+                araw[v] += h[u]
+            d = max(1, sum(araw.values()) // scale)
+            a = {v: araw[v] // d for v in nodes}
+            hraw = {v: 0 for v in nodes}
+            for u, v in edges:
+                hraw[u] += a[v]
+            d = max(1, sum(hraw.values()) // scale)
+            h = {v: hraw[v] // d for v in nodes}
+        return h, a
+
+    def test_matches_python_model(self, spark):
+        import random
+
+        from pigpen_spark.functions import dedup as D
+
+        rng = random.Random(19)
+        edges = sorted({(rng.randrange(12), 12 + rng.randrange(8))
+                        for _ in range(40)})
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: (r["hub"], r["authority"])
+               for r in D.hits(df, iterations=3).collect()}
+        h, a = self._model(edges, iterations=3)
+        assert got == {v: (h[v], a[v]) for v in h}
+
+    def test_star_graph_roles(self, spark):
+        # one center pointing at 5 leaves: the center is THE hub
+        # (all hub mass), leaves split authority evenly
+        from pigpen_spark.functions import dedup as D
+
+        edges = [(0, i) for i in range(1, 6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r["node"]: (r["hub"], r["authority"])
+               for r in D.hits(df, iterations=2).collect()}
+        assert out[0][0] > 0 and out[0][1] == 0
+        assert all(out[i][0] == 0 for i in range(1, 6))
+        leaf_auth = {out[i][1] for i in range(1, 6)}
+        assert len(leaf_auth) == 1 and leaf_auth.pop() > 0
+
+
 class TestDecontaminateStream:
     def test_streamed_equals_batch(self, spark, tmp_path):
         from pigpen_spark.streaming import core as stc
