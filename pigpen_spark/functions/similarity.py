@@ -1497,6 +1497,17 @@ def lsh_topk_against(
             "q_id", "q_vec", "q_nrm",
             F.explode(probe_buckets(F.col("bucket"), n_planes)).alias("bucket"),
         )
+    # pin the bucket-join parallelism with an explicit partition COUNT:
+    # the map-side shuffle data is tiny (ids + hashes), so AQE's
+    # post-shuffle coalescing folds it into 1-2 partitions — but the
+    # join OUTPUT is the candidate set (queries × bucket density) and
+    # every dot product lands on those 1-2 cores.  Caught by the 100×
+    # scaling run (a 2-task stage scoring ~30M candidates); an explicit
+    # repartition-by-num is exempt from AQE coalescing, so candidate
+    # scoring keeps cluster-wide parallelism at any corpus size.
+    n_part = max(qt.sparkSession.sparkContext.defaultParallelism,
+                 int(qt.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    qt = qt.repartition(n_part, "bucket")
     cond = [qt["bucket"] == index["bucket"]]
     if exclude_self:
         cond.append(qt["q_id"] != index["id"])
