@@ -202,6 +202,11 @@ HEADLINE = [
     "ext_margin_mine_auto",
     # staleness-monitor readout (two <=2^planes-row occupancy sketches)
     "ext_ann_index_drift",
+    # round-7 additions: the third tokenizer (greedy longest-match
+    # WordPiece, Arrow-cached words) and integer-exact HITS (two slim
+    # equi-joins + two groupBys per iteration, 1-row broadcast totals)
+    "ext_wordpiece_encode",
+    "ext_hits",
 ]
 
 

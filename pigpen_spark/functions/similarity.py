@@ -303,9 +303,17 @@ def lsh_topk(
         a = tagged.select(
             "id", "vec", "nrm",
             F.explode(probe_buckets(F.col("bucket"), n_planes)).alias("bucket"),
-        ).alias("a")
+        )
     else:
-        a = tagged.alias("a")
+        a = tagged
+    # pin the self-join parallelism (the lsh_topk_against lesson, caught
+    # by the 100× scaling run there and confirmed here: the bucket
+    # exchange carries slim rows, so AQE coalesces it to 1-2 partitions,
+    # and the exploding candidate-scoring output runs on 1-2 cores).
+    # Explicit repartition-by-num is exempt from AQE coalescing.
+    n_part = max(corpus.sparkSession.sparkContext.defaultParallelism,
+                 int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    a = a.repartition(n_part, "bucket").alias("a")
     b = tagged.alias("b")
     if score_mode == "arrow":
         score = _arrow_cosine()(

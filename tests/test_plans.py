@@ -338,3 +338,28 @@ def test_margin_mine_auto_is_bucket_equi_join(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashAggregate" in p
+
+
+def test_wordpiece_encode_single_python_crossing(plans):
+    # the greedy encoder is ONE Arrow mapInPandas over the doc scan —
+    # no shuffle, no second Python boundary
+    p = plans("ext_wordpiece_encode")
+    assert p.count("MapInPandas") == 1
+    assert "Exchange" not in p
+
+
+def test_hits_totals_broadcast_and_no_probe_shuffle_blowup(plans):
+    # each normalization total is a 1-row broadcast (nested-loop join of
+    # an aggregate), never a driver action; per iteration the score
+    # tables join the edge list as hash/merge equi-joins
+    p = plans("ext_hits")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_candidate_scoring_parallelism_pinned(plans):
+    # the 100x-run catch: AQE must NOT coalesce the bucket-join stage
+    # (tiny shuffle input, exploding join output) — the explicit
+    # repartition-by-num shows as REPARTITION_BY_NUM in the plan
+    p = plans("ext_margin_mine_auto")
+    assert "REPARTITION_BY_NUM" in p
