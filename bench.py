@@ -207,6 +207,9 @@ HEADLINE = [
     # equi-joins + two groupBys per iteration, 1-row broadcast totals)
     "ext_wordpiece_encode",
     "ext_hits",
+    # Hilbert clustering key: 16 let-bound LUT levels of pure bit math
+    # per row (the layout family's expression-throughput row)
+    "ext_hilbert_key",
 ]
 
 

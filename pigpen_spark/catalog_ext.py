@@ -1262,6 +1262,34 @@ def ext_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_hilbert_key",
+    L.hilbert_cte_sql(
+        "(SELECT o_orderkey, o_custkey AS hx0, "
+        "datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS hy0 "
+        "FROM orders)",
+        ["o_orderkey"], "hx0", "hy0", out_col="hkey", bits=16),
+)
+def ext_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the SAME (custkey, epoch-day)
+    pair as ext_zorder_key — the better-locality layout sibling: the
+    Hilbert curve never jumps (consecutive keys are always grid
+    neighbors, pinned by test), so range-partitioned files get tighter
+    min/max boxes than the Z-curve's quadrant seams.  The curve behind
+    Delta/Iceberg liquid-style clustering, feeding the same
+    cluster_by_zorder write path.  Hash-exact: the 4-state machine is
+    derived mechanically from the classic rotate/reflect algorithm and
+    unrolled per bit level on both engines (Spark: let-bound literal-
+    array lookups; DuckDB: chained CTEs — nested lambdas would make
+    the binder superlinear)."""
+    o = tables(spark, sf_dir)["orders"]
+    epoch_day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    return o.df.select(
+        "o_orderkey",
+        L.hilbert_key(F.col("o_custkey"), epoch_day, 16).alias("hkey"),
+    )
+
+
+@register(
     "ext_approx_distinct",
     """
     SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_exact,

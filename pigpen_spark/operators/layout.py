@@ -63,6 +63,107 @@ def zorder_key_sql(cols: Sequence[str], bits: int = 16) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
+#: 2-D Hilbert state machine, derived mechanically from the classic
+#: rotate/reflect algorithm (state = the dihedral transform pending on
+#: all FUTURE bits; only 4 states are reachable) and verified
+#: exhaustively against it in tests.  Entry index = state·4 + xbit·2 +
+#: ybit; value packs (digit << 2) | next_state — one lookup per level
+#: yields both outputs.
+_HILBERT_CODE = [
+    # state 0            state 1            state 2            state 3
+    0 * 4 + 1, 1 * 4 + 0, 3 * 4 + 2, 2 * 4 + 0,
+    0 * 4 + 0, 3 * 4 + 3, 1 * 4 + 1, 2 * 4 + 1,
+    2 * 4 + 2, 1 * 4 + 2, 3 * 4 + 0, 0 * 4 + 3,
+    2 * 4 + 3, 3 * 4 + 1, 1 * 4 + 3, 0 * 4 + 2,
+]
+
+
+def hilbert_key_py(x: int, y: int, bits: int = 16) -> int:
+    """Pure-Python model of :func:`hilbert_key` (tests + documentation)."""
+    w = 0
+    for i in range(bits - 1, -1, -1):
+        idx = ((w & 3) << 2) | (((x >> i) & 1) << 1) | ((y >> i) & 1)
+        cd = _HILBERT_CODE[idx]
+        w = ((w >> 2) << 4) | ((cd >> 2) << 2) | (cd & 3)
+    return w >> 2
+
+
+def hilbert_key(col_x, col_y, bits: int = 16) -> Column:
+    """Hilbert-curve clustering key over two non-negative integer
+    columns (low ``bits`` bits each; 2·bits ≤ 62) — the
+    better-locality sibling of :func:`zorder_key`: the Hilbert curve
+    never jumps (adjacent d values are always grid neighbors), so
+    range-partitioned files get strictly tighter per-file min/max
+    boxes than the Z-curve's quadrant seams allow.  This is the curve
+    behind Delta/Iceberg liquid-style clustering.
+
+    Computed MSB-first through the 4-state machine above: per level,
+    ONE literal-array lookup (constant-folded — the bloom_maybe_col
+    lesson) yields the output digit and the next state; the running
+    (d, state) pack into one long ``w = (d << 2) | r`` so each level
+    is pure shift/and/or arithmetic.  Every level let-binds its inputs
+    (``w`` and the code byte are each referenced twice), keeping the
+    expression tree linear in ``bits`` — unbound, it would double per
+    level.  Same pre-bucketing caveat as zorder_key: feed dense
+    non-negative ints (quantile bins for unbounded domains)."""
+    from pigpen_spark.functions.text import _let
+
+    if 2 * bits > 62:
+        raise ValueError(f"hilbert_key: 2 x {bits} bits exceeds a signed long")
+    x = _c(col_x).cast("long")
+    y = _c(col_y).cast("long")
+    code_lit = F.lit(_HILBERT_CODE)
+    w: Column = F.lit(0).cast("long")
+
+    def level(i: int):
+        def outer(ww: Column) -> Column:
+            bx = F.shiftright(x, i).bitwiseAND(F.lit(1))
+            by = F.shiftright(y, i).bitwiseAND(F.lit(1))
+            idx = (F.shiftleft(ww.bitwiseAND(F.lit(3)), 2)
+                   .bitwiseOR(F.shiftleft(bx, 1)).bitwiseOR(by))
+            code = F.element_at(code_lit, (idx + F.lit(1)).cast("int"))
+
+            def inner(cd: Column) -> Column:
+                return (F.shiftleft(F.shiftright(ww, 2), 4)
+                        .bitwiseOR(F.shiftleft(F.shiftright(cd, 2), 2))
+                        .bitwiseOR(cd.bitwiseAND(F.lit(3))))
+
+            return _let(code.cast("long"), inner)
+
+        return outer
+
+    for i in range(bits - 1, -1, -1):
+        w = _let(w, level(i))
+    return F.shiftright(w, 2)
+
+
+def hilbert_cte_sql(source_sql: str, keep_cols: Sequence[str], x_sql: str,
+                    y_sql: str, out_col: str = "hkey",
+                    bits: int = 16) -> str:
+    """DuckDB oracle for :func:`hilbert_key`: the same state machine
+    unrolled as one chained CTE per bit level over the source rows —
+    NOT as nested lambda let-bindings, which make DuckDB's binder
+    superlinear in depth (the unigram-oracle lesson).  Each stage's
+    single-element list comprehension binds the code byte once.
+    ``source_sql`` is a relation expression; ``keep_cols`` ride along."""
+    code = "[" + ", ".join(str(c) for c in _HILBERT_CODE) + "]"
+    keep = ", ".join(keep_cols)
+    parts = [
+        f"hsrc AS (SELECT {keep}, ({x_sql})::BIGINT AS hx, "
+        f"({y_sql})::BIGINT AS hy FROM {source_sql})",
+        f"w0 AS (SELECT {keep}, hx, hy, 0::BIGINT AS w FROM hsrc)",
+    ]
+    for n, i in enumerate(range(bits - 1, -1, -1), start=1):
+        idx = (f"(((w & 3) << 2) | (((hx >> {i}) & 1) << 1) "
+               f"| ((hy >> {i}) & 1))")
+        parts.append(
+            f"w{n} AS (SELECT {keep}, hx, hy, "
+            f"[(((w >> 2) << 4) | (((cd >> 2) & 3) << 2) | (cd & 3))::BIGINT "
+            f"for cd in [{code}[{idx} + 1]]][1] AS w FROM w{n - 1})")
+    return ("WITH " + ",\n    ".join(parts)
+            + f"\n    SELECT {keep}, (w >> 2)::BIGINT AS {out_col} FROM w{bits}")
+
+
 def cluster_by_zorder(df: DataFrame, cols: Sequence, bits: int = 16,
                       num_partitions: int | None = None) -> DataFrame:
     """Physically cluster ``df`` on the Z-curve: range-partition + sort

@@ -300,6 +300,58 @@ class TestHits:
         assert len(leaf_auth) == 1 and leaf_auth.pop() > 0
 
 
+class TestHilbertKey:
+    def test_lut_matches_classic_algorithm(self):
+        # the 4-state machine vs the textbook rotate/reflect form,
+        # exhaustive over a 64x64 grid
+        from pigpen_spark.operators.layout import hilbert_key_py
+
+        def classic(x, y, bits):
+            d = 0
+            s = 1 << (bits - 1)
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = s - 1 - x, s - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        assert all(hilbert_key_py(x, y, 6) == classic(x, y, 6)
+                   for x in range(64) for y in range(64))
+
+    def test_no_jumps(self):
+        # THE Hilbert property (what Z-order lacks): consecutive keys
+        # are always grid neighbors — tight min/max boxes per file
+        from pigpen_spark.operators.layout import hilbert_key_py
+
+        inv = {hilbert_key_py(x, y, 5): (x, y)
+               for x in range(32) for y in range(32)}
+        assert len(inv) == 1024          # bijective on the grid
+        assert all(abs(inv[d][0] - inv[d + 1][0])
+                   + abs(inv[d][1] - inv[d + 1][1]) == 1
+                   for d in range(1023))
+
+    def test_spark_matches_python(self, spark):
+        from pigpen_spark.operators.layout import hilbert_key, hilbert_key_py
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(0, 1 << 16, 4099)
+             for y in range(0, 1 << 16, 5077)], "x long, y long")
+        got = {(r["x"], r["y"]): r["h"] for r in df.select(
+            "x", "y", hilbert_key("x", "y", 16).alias("h")).collect()}
+        assert got == {(x, y): hilbert_key_py(x, y, 16) for x, y in got}
+
+    def test_bits_bound(self):
+        from pigpen_spark.operators.layout import hilbert_key
+
+        with pytest.raises(ValueError, match="signed long"):
+            hilbert_key("x", "y", 32)
+
+
 class TestDecontaminateStream:
     def test_streamed_equals_batch(self, spark, tmp_path):
         from pigpen_spark.streaming import core as stc
