@@ -5868,6 +5868,62 @@ def ext_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_tokenizer_compare3",
+    f"""
+    WITH b AS ({B.bpe_encode_fixed_sql('documents', 'doc_id', 'text',
+                                       B.FIXED_MERGES)}),
+    u AS ({UG.unigram_encode_fixed_sql('documents', 'doc_id', 'text',
+                                       UG.FIXED_PIECES, unk_score=-1500)}),
+    wp AS ({WP.wordpiece_encode_fixed_sql('documents', 'doc_id', 'text',
+                                          WP.FIXED_START, WP.FIXED_CONT)})
+    SELECT b.doc_id,
+           b.n_pieces AS bpe_pieces, u.n_pieces AS unigram_pieces,
+           wp.n_pieces AS wordpiece_pieces, wp.n_unk_words,
+           (CASE WHEN wp.n_unk_words = 0
+                      AND wp.n_pieces < least(b.n_pieces, u.n_pieces)
+                      THEN 'wordpiece'
+                 WHEN u.n_pieces < b.n_pieces THEN 'unigram'
+                 WHEN b.n_pieces < u.n_pieces THEN 'bpe'
+                 ELSE 'tie' END) AS winner
+    FROM b JOIN u ON b.doc_id = u.doc_id JOIN wp ON b.doc_id = wp.doc_id
+    """,
+)
+def ext_tokenizer_compare3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way per-document tokenizer bake-off — the compare surface
+    for the full triple (BPE greedy merges / unigram Viterbi optimum /
+    WordPiece greedy longest-match): piece counts side by side and a
+    per-doc winner, with WordPiece eligible only where it fully covers
+    the document (a low piece count bought by collapsing words to
+    [UNK] is not fertility — same rule as the tokenizer lab).  Two
+    joins of three Arrow-batched encoder outputs; hash-exact because
+    all three encoders are."""
+    docs = tables(spark, sf_dir)["documents"].df
+    b = B.bpe_encode(docs, "doc_id", "text", B.FIXED_MERGES) \
+        .select(F.col("id").alias("doc_id"),
+                F.col("n_pieces").alias("bpe_pieces"))
+    u = UG.unigram_encode(docs, "doc_id", "text", UG.FIXED_PIECES,
+                          unk_score=-1500) \
+        .select(F.col("id").alias("doc_id"),
+                F.col("n_pieces").alias("unigram_pieces"))
+    wp = WP.wordpiece_encode(docs, "doc_id", "text",
+                             WP.FIXED_START, WP.FIXED_CONT) \
+        .select(F.col("id").alias("doc_id"),
+                F.col("n_pieces").alias("wordpiece_pieces"),
+                "n_unk_words")
+    winner = (
+        F.when((F.col("n_unk_words") == 0)
+               & (F.col("wordpiece_pieces")
+                  < F.least("bpe_pieces", "unigram_pieces")), "wordpiece")
+        .when(F.col("unigram_pieces") < F.col("bpe_pieces"), "unigram")
+        .when(F.col("bpe_pieces") < F.col("unigram_pieces"), "bpe")
+        .otherwise("tie"))
+    return (b.join(u, on="doc_id").join(wp, on="doc_id")
+            .select("doc_id", "bpe_pieces", "unigram_pieces",
+                    "wordpiece_pieces", "n_unk_words",
+                    winner.alias("winner")))
+
+
+@register(
     "ext_margin_mine_auto",
     f"""
     WITH np_t AS ({S.lsh_planes_sql(
