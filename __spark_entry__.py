@@ -45,6 +45,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_hits",                    # integer-exact HITS hubs/authorities (graph family)
     "ext_hilbert_key",             # Hilbert clustering key (no-jump locality vs Z-order)
     "ext_tokenizer_compare3",      # 3-way bake-off (UNK-coverage-guarded winner)
+    "ext_record_linkage",          # Fellegi-Sunter probabilistic ER (match/review/non-match)
     # --- r7 re-verification backlog: cumulative driver coverage is
     # TERMINAL (all 221 queries sampled at least once across r1-r6), so
     # the window now re-verifies the OLDEST driver greens first

@@ -2516,6 +2516,100 @@ def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("id_l") < F.col("id_r"))
 
 
+#: Fellegi-Sunter field parameters for ext_record_linkage: (m, u) in
+#: ppm — P(field agrees | same entity) vs P(agrees | different).  The
+#: log-odds weights derive DRIVER-side (integer literals in the plan),
+#: so the score is hash-exact by construction.
+_FS_FIELDS = {
+    "segment": (900_000, 200_000),     # same market segment
+    "balance": (800_000, 200_000),     # acctbal within 100 units
+    "name_tail": (700_000, 100_000),   # same trailing name digit
+}
+_FS_SCALE = 1000
+_FS_UPPER, _FS_LOWER = 6000, -3000
+
+
+def _fs_weights_sql() -> dict[str, tuple[int, int]]:
+    from pigpen_spark.operators.joins import fs_weights
+
+    return {k: fs_weights(m, u, _FS_SCALE) for k, (m, u) in _FS_FIELDS.items()}
+
+
+def _fs_case(agree_sql: str, w: tuple[int, int]) -> str:
+    return (f"(CASE WHEN {agree_sql} THEN {w[0]} "
+            f"WHEN NOT ({agree_sql}) THEN {w[1]} ELSE 0 END)")
+
+
+def _record_linkage_sql() -> str:
+    w = _fs_weights_sql()
+    score = " + ".join([
+        _fs_case("a.c_mktsegment = b.c_mktsegment", w["segment"]),
+        _fs_case("abs(a.c_acctbal - b.c_acctbal) < 100", w["balance"]),
+        _fs_case("substr(a.c_name, -1, 1) = substr(b.c_name, -1, 1)",
+                 w["name_tail"]),
+    ])
+    return f"""
+    WITH pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             ({score})::BIGINT AS score
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       -- +1000 makes the floored balance non-negative BEFORE the
+       -- integer division, so floor (DuckDB //) and truncate (Spark
+       -- DIV) agree; floor() first because double->int CASTS disagree
+       -- across engines (truncate vs round-half-even)
+       AND (floor(a.c_acctbal)::BIGINT + 1000) // 2000
+           = (floor(b.c_acctbal)::BIGINT + 1000) // 2000
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT id_a, id_b, score,
+           (CASE WHEN score >= {_FS_UPPER} THEN 'match'
+                 WHEN score <= {_FS_LOWER} THEN 'non_match'
+                 ELSE 'review' END) AS decision
+    FROM pairs
+    """
+
+
+@register("ext_record_linkage", _record_linkage_sql())
+def ext_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (the 1969 decision
+    model behind every production ER system): candidate pairs from a
+    cheap blocking equi-join (nation + coarse balance band — linkage
+    NEVER generates pairs itself, so the all-pairs trap is structurally
+    impossible), then each pair scores the SUM of per-field integer
+    log-odds weights (agree: +log2(m/u), disagree: +log2((1-m)/(1-u)),
+    computed driver-side so the engine sums literals) and thresholds
+    into match / review / non_match — the clerical-review band is the
+    point of the model.  Completes entity resolution next to
+    fuzzy_join (candidate generation) and dedup_keep (survivorship).
+    One map-side expression over the blocked pairs; hash-exact."""
+    from pigpen_spark.operators.joins import record_linkage
+
+    c = tables(spark, sf_dir)["customer"].df
+    a = c.select(F.col("c_custkey").alias("id_a"),
+                 *[F.col(x).alias(f"a_{x}") for x in
+                   ("c_nationkey", "c_mktsegment", "c_acctbal", "c_name")])
+    b = c.select(F.col("c_custkey").alias("id_b"),
+                 *[F.col(x).alias(f"b_{x}") for x in
+                   ("c_nationkey", "c_mktsegment", "c_acctbal", "c_name")])
+    bal_bin = lambda side: F.expr(  # noqa: E731 — mirrors the oracle form
+        f"(CAST(floor({side}_c_acctbal) AS BIGINT) + 1000) DIV 2000")
+    pairs = a.join(b, (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+                   & (bal_bin("a") == bal_bin("b"))
+                   & (F.col("id_a") < F.col("id_b")))
+    w = _fs_weights_sql()
+    fields = {
+        "segment": (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"),
+                    w["segment"]),
+        "balance": (F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal"))
+                    < F.lit(100), w["balance"]),
+        "name_tail": (F.substring("a_c_name", -1, 1)
+                      == F.substring("b_c_name", -1, 1), w["name_tail"]),
+    }
+    out = record_linkage(pairs, fields, upper=_FS_UPPER, lower=_FS_LOWER)
+    return out.select("id_a", "id_b", "score", "decision")
+
+
 from pigpen_spark.functions import ranking as R  # noqa: E402
 
 _HTML_PRE = '<html><!-- crawl-hdr --><body class="c">'

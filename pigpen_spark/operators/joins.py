@@ -332,3 +332,59 @@ def interval_overlap_join(
     if on is not None and (right_on or on) == on:
         joined = joined.drop(r_tag[on])
     return joined
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi & Sunter 1969)
+# ---------------------------------------------------------------------------
+
+
+def fs_weights(m_ppm: int, u_ppm: int, scale: int = 1000) -> tuple[int, int]:
+    """Fellegi-Sunter field weights as INTEGER literals: agreement adds
+    round(scale*log2(m/u)), disagreement round(scale*log2((1-m)/(1-u))),
+    with m = P(agree | match) and u = P(agree | non-match) given in ppm.
+    The logs run DRIVER-side in Python at plan-construction time, so the
+    engine-side score is a sum of integer literals — hash-exact across
+    engines by construction (the same trick as the integer-scaled
+    classifier weights).  m must exceed u or the field carries no
+    linkage signal (raises)."""
+    import math
+
+    if not (0 < u_ppm < m_ppm < 1_000_000):
+        raise ValueError(
+            f"fs_weights: need 0 < u < m < 1e6 ppm, got m={m_ppm} u={u_ppm}")
+    w_a = round(scale * math.log2(m_ppm / u_ppm))
+    w_d = round(scale * math.log2((1_000_000 - m_ppm) / (1_000_000 - u_ppm)))
+    return w_a, w_d
+
+
+def record_linkage(pairs: DataFrame, fields: dict, upper: int,
+                   lower: int) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over CANDIDATE PAIRS
+    (produced by any blocking join — fuzzy_join, minhash_candidates, an
+    equi-join on a blocking key; linkage never generates pairs itself,
+    so the all-pairs trap stays structurally impossible).
+
+    ``fields`` maps field name → (agreement Column (boolean),
+    (w_agree, w_disagree) from :func:`fs_weights`).  Each pair's score
+    is the sum of its per-field integer weights (NULL agreement — a
+    missing value on either side — contributes 0, the standard
+    treatment); the decision thresholds the score: ≥ upper → 'match',
+    ≤ lower → 'non_match', else 'review' (the clerical band).  One
+    map-side expression over the pair table, no shuffle beyond what the
+    blocking join already paid.
+
+    Returns ``pairs`` + (score bigint, decision string)."""
+    if upper < lower:
+        raise ValueError(f"record_linkage: upper {upper} < lower {lower}")
+    score = F.lit(0).cast("long")
+    for name, (agree, (w_a, w_d)) in fields.items():
+        score = score + F.when(agree, F.lit(w_a)) \
+            .when(~agree, F.lit(w_d)).otherwise(F.lit(0)).cast("long")
+    decision = (
+        F.when(F.col("__fs_score") >= upper, "match")
+        .when(F.col("__fs_score") <= lower, "non_match")
+        .otherwise("review"))
+    return (pairs.withColumn("__fs_score", score)
+            .withColumn("decision", decision)
+            .withColumnRenamed("__fs_score", "score"))

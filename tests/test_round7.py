@@ -352,6 +352,52 @@ class TestHilbertKey:
             hilbert_key("x", "y", 32)
 
 
+class TestRecordLinkage:
+    def test_weights_sign_and_validation(self):
+        from pigpen_spark.operators.joins import fs_weights
+
+        w_a, w_d = fs_weights(900_000, 40_000)
+        assert w_a > 0 > w_d
+        # a field with m <= u carries no signal
+        with pytest.raises(ValueError, match="0 < u < m"):
+            fs_weights(40_000, 900_000)
+
+    def test_decisions_and_null_neutrality(self, spark):
+        from pigpen_spark.operators.joins import fs_weights, record_linkage
+
+        w = fs_weights(900_000, 100_000, scale=1000)   # (+3170, -3170)
+        pairs = spark.createDataFrame(
+            [(1, 2, "x", "x"), (3, 4, "x", "y"), (5, 6, None, "x")],
+            "id_a long, id_b long, fa string, fb string")
+        out = {(r["id_a"], r["id_b"]): (r["score"], r["decision"])
+               for r in record_linkage(
+                   pairs, {"f": (F.col("fa") == F.col("fb"), w)},
+                   upper=3000, lower=-3000).collect()}
+        assert out[(1, 2)] == (w[0], "match")
+        assert out[(3, 4)] == (w[1], "non_match")
+        # NULL agreement (missing value) contributes 0 -> clerical band
+        assert out[(5, 6)] == (0, "review")
+
+    def test_score_is_sum_of_field_weights(self, spark):
+        import random
+
+        from pigpen_spark.operators.joins import fs_weights, record_linkage
+
+        rng = random.Random(23)
+        rows = [(i, i + 1000, rng.randint(0, 2), rng.randint(0, 2),
+                 rng.randint(0, 9), rng.randint(0, 9)) for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "id_a long, id_b long, s1 int, s2 int, t1 int, t2 int")
+        w1, w2 = fs_weights(800_000, 200_000), fs_weights(600_000, 50_000)
+        out = {r["id_a"]: r["score"] for r in record_linkage(
+            df, {"f1": (F.col("s1") == F.col("s2"), w1),
+                 "f2": (F.col("t1") == F.col("t2"), w2)},
+            upper=10**9, lower=-10**9).collect()}
+        for (ia, _, s1, s2, t1, t2) in rows:
+            exp = (w1[0] if s1 == s2 else w1[1]) + (w2[0] if t1 == t2 else w2[1])
+            assert out[ia] == exp
+
+
 class TestDecontaminateStream:
     def test_streamed_equals_batch(self, spark, tmp_path):
         from pigpen_spark.streaming import core as stc
