@@ -210,6 +210,11 @@ HEADLINE = [
     # Hilbert clustering key: 16 let-bound LUT levels of pure bit math
     # per row (the layout family's expression-throughput row)
     "ext_hilbert_key",
+    # Fellegi-Sunter scoring over blocked customer pairs (one map-side
+    # expression on ~0.7M candidate rows at sf0.1)
+    "ext_record_linkage",
+    # three-encoder join (BPE + unigram + WordPiece, Arrow-batched)
+    "ext_tokenizer_compare3",
 ]
 
 

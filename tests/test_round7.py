@@ -345,6 +345,18 @@ class TestHilbertKey:
             "x", "y", hilbert_key("x", "y", 16).alias("h")).collect()}
         assert got == {(x, y): hilbert_key_py(x, y, 16) for x, y in got}
 
+    def test_spark_matches_python_odd_bits(self, spark):
+        # bits=6 exercises one fused 4-level step PLUS two single-level
+        # remainder steps (the non-multiple-of-4 path)
+        from pigpen_spark.operators.layout import hilbert_key, hilbert_key_py
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(0, 64, 3) for y in range(0, 64, 5)],
+            "x long, y long")
+        got = {(r["x"], r["y"]): r["h"] for r in df.select(
+            "x", "y", hilbert_key("x", "y", 6).alias("h")).collect()}
+        assert got == {(x, y): hilbert_key_py(x, y, 6) for x, y in got}
+
     def test_bits_bound(self):
         from pigpen_spark.operators.layout import hilbert_key
 
