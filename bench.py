@@ -274,8 +274,11 @@ def main() -> None:
     # "parsed": null).  Write the COMPLETE record to a file first — the
     # durable artifact — then print the same line LAST so a sufficient
     # tail still parses.
+    # non-default SF runs (verify smoke tests etc.) get their own file so
+    # they can never clobber the round's durable sf0.1 record
+    suffix = "" if sf == 0.1 else f"_sf{sf}"
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_LOCAL.json")
+                            f"BENCH_LOCAL{suffix}.json")
     with open(out_path, "w") as fh:
         fh.write(payload + "\n")
     print(payload)
