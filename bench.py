@@ -211,8 +211,10 @@ HEADLINE = [
     # per row (the layout family's expression-throughput row)
     "ext_hilbert_key",
     # Fellegi-Sunter scoring over blocked customer pairs (one map-side
-    # expression on ~0.7M candidate rows at sf0.1)
+    # expression on ~0.7M candidate rows at sf0.1) + the density-auto
+    # blocking twin (count-derived bin width — pair work stays linear)
     "ext_record_linkage",
+    "ext_record_linkage_auto",
     # three-encoder join (BPE + unigram + WordPiece, Arrow-batched)
     "ext_tokenizer_compare3",
 ]

@@ -2610,6 +2610,92 @@ def ext_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "score", "decision")
 
 
+#: balance span after the +1000 non-negativity shift (TPC-H acctbal
+#: ∈ [-999.99, 9999.99] → floored+shifted ∈ [0, 10999]) and the
+#: density target: rows per blocking cell the auto sizing aims for.
+_FS_RANGE, _FS_CELL_T = 11000, 32
+
+
+def _fs_auto_width_sql() -> str:
+    """Count-derived balance-bin width (integer ceil-divs only, the
+    lsh_planes_for doctrine): cells_needed = ceil(n/T), bins_per_nation
+    = ceil(cells/25), width = ceil(RANGE/bins) — both engines compute
+    it from count(*) with identical truncating division on positives."""
+    n = "(SELECT count(*) FROM customer)"
+    cells = f"(({n} + {_FS_CELL_T - 1}) // {_FS_CELL_T})"
+    bins = f"(({cells} + 24) // 25)"
+    return f"greatest(1, ({_FS_RANGE} + {bins} - 1) // {bins})"
+
+
+def _record_linkage_auto_sql() -> str:
+    w = _fs_weights_sql()
+    score = " + ".join([
+        _fs_case("a.c_mktsegment = b.c_mktsegment", w["segment"]),
+        _fs_case("abs(a.c_acctbal - b.c_acctbal) < 100", w["balance"]),
+        _fs_case("substr(a.c_name, -1, 1) = substr(b.c_name, -1, 1)",
+                 w["name_tail"]),
+    ])
+    return f"""
+    WITH ww AS (SELECT {_fs_auto_width_sql()} AS bw),
+    pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             ({score})::BIGINT AS score
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND (floor(a.c_acctbal)::BIGINT + 1000) // (SELECT bw FROM ww)
+           = (floor(b.c_acctbal)::BIGINT + 1000) // (SELECT bw FROM ww)
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT id_a, id_b, score,
+           (CASE WHEN score >= {_FS_UPPER} THEN 'match'
+                 WHEN score <= {_FS_LOWER} THEN 'non_match'
+                 ELSE 'review' END) AS decision
+    FROM pairs
+    """
+
+
+@register("ext_record_linkage_auto", _record_linkage_auto_sql())
+def ext_record_linkage_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with DENSITY-AUTO blocking — the production twin
+    of ext_record_linkage (kept as the fixed-blocking instrument, the
+    margin_mine doctrine): the fixed row's 150 cells make candidate
+    pairs grow O(n²/150), exactly the regime the 10×/100× scaling runs
+    exist to catch; here the balance-bin width derives from ONE
+    count(*) so cells track ceil(n/32) and pair work stays ~linear.
+    Integer ceil-div sizing mirrored verbatim in the oracle
+    (lsh_planes_for doctrine).  Same fields, weights and decision
+    bands as the instrument."""
+    from pigpen_spark.operators.joins import record_linkage
+
+    c = tables(spark, sf_dir)["customer"].df
+    n = c.count()
+    cells = -(-n // _FS_CELL_T)
+    bins = -(-cells // 25)
+    bw = max(1, -(-_FS_RANGE // bins))
+    a = c.select(F.col("c_custkey").alias("id_a"),
+                 *[F.col(x).alias(f"a_{x}") for x in
+                   ("c_nationkey", "c_mktsegment", "c_acctbal", "c_name")])
+    b = c.select(F.col("c_custkey").alias("id_b"),
+                 *[F.col(x).alias(f"b_{x}") for x in
+                   ("c_nationkey", "c_mktsegment", "c_acctbal", "c_name")])
+    bal_bin = lambda side: F.expr(  # noqa: E731 — mirrors the oracle form
+        f"(CAST(floor({side}_c_acctbal) AS BIGINT) + 1000) DIV {bw}")
+    pairs = a.join(b, (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+                   & (bal_bin("a") == bal_bin("b"))
+                   & (F.col("id_a") < F.col("id_b")))
+    w = _fs_weights_sql()
+    fields = {
+        "segment": (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"),
+                    w["segment"]),
+        "balance": (F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal"))
+                    < F.lit(100), w["balance"]),
+        "name_tail": (F.substring("a_c_name", -1, 1)
+                      == F.substring("b_c_name", -1, 1), w["name_tail"]),
+    }
+    out = record_linkage(pairs, fields, upper=_FS_UPPER, lower=_FS_LOWER)
+    return out.select("id_a", "id_b", "score", "decision")
+
+
 from pigpen_spark.functions import ranking as R  # noqa: E402
 
 _HTML_PRE = '<html><!-- crawl-hdr --><body class="c">'
