@@ -818,6 +818,52 @@ def decontaminate_stream(
     return w.start()
 
 
+def linkage_stream(
+    stream: DataFrame, roster_path: str, out_path: str, checkpoint: str,
+    pair_fn, fields: dict, upper: int, lower: int,
+    available_now: bool = False,
+):
+    """Streaming record linkage — the live twin of
+    :func:`pigpen_spark.operators.joins.record_linkage`: each
+    micro-batch of NEW records is blocked against the STORED reference
+    roster (``pair_fn(batch_df, roster_df) -> candidate pairs`` — the
+    caller owns blocking, so the all-pairs trap stays impossible here
+    exactly as in batch), scored through the SAME operator with the
+    same integer field weights, and the match/review/non_match
+    verdicts land in a batch-keyed sink.
+
+    The roster lives in the ``v{N}``/_SUCCESS versioned store (publish
+    with a plain ``df.write.parquet(f"{roster_path}/v0")``); each batch
+    reads the latest committed version and stamps it on its verdicts,
+    so a roster refresh leaves an auditable seam.  Batches write
+    ``batch={id}`` directories with overwrite-on-replay — exactly-once
+    verdicts without a transactional sink (the decontaminate_stream
+    discipline).
+
+    Returns the started StreamingQuery."""
+    from pigpen_spark.operators.joins import record_linkage
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        vs = _parquet_versions(roster_path)
+        if not vs:
+            raise ValueError(
+                f"linkage_stream: no committed roster version at {roster_path}")
+        roster = spark.read.parquet(f"{roster_path}/v{vs[-1]}")
+        pairs = pair_fn(batch_df, roster)
+        out = record_linkage(pairs, fields, upper=upper, lower=lower)
+        out.withColumn("roster_version", F.lit(vs[-1])) \
+            .write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    w = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def conversation_stream(
     stream: DataFrame, user_col: str, ts_col: str, role_col: str,
     content_col: str, event_id_col: str, gap_seconds: int,

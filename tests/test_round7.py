@@ -410,6 +410,66 @@ class TestRecordLinkage:
             assert out[ia] == exp
 
 
+class TestLinkageStream:
+    def test_streamed_equals_batch(self, spark, tmp_path):
+        from pigpen_spark.operators.joins import (
+            fs_weights, record_linkage,
+        )
+        from pigpen_spark.streaming import core as stc
+
+        roster_rows = [(100 + i, i % 5, f"t{i % 7}") for i in range(30)]
+        roster = spark.createDataFrame(
+            roster_rows, "r_id long, r_blk int, r_tag string")
+        roster.write.parquet(str(tmp_path / "roster" / "v0"))
+
+        incoming = [(i, i % 5, f"t{i % 3}") for i in range(12)]
+        src = tmp_path / "in"
+        src.mkdir()
+        for b, lo in ((0, 0), (1, 6)):
+            with open(src / f"b{b}.json", "w") as f:
+                for rid, blk, tag in incoming[lo:lo + 6]:
+                    f.write(json.dumps(
+                        {"n_id": rid, "n_blk": blk, "n_tag": tag}) + "\n")
+            os.utime(src / f"b{b}.json",
+                     (1_700_000_000 + b * 100,) * 2)
+
+        w = fs_weights(800_000, 100_000)
+        fields = {"tag": (F.col("n_tag") == F.col("r_tag"), w)}
+
+        def pair_fn(batch, ros):
+            return batch.join(ros, batch["n_blk"] == ros["r_blk"])
+
+        stream = (spark.readStream.schema("n_id long, n_blk int, n_tag string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        out_path = str(tmp_path / "verdicts")
+        q = stc.linkage_stream(
+            stream, str(tmp_path / "roster"), out_path,
+            str(tmp_path / "ckpt"), pair_fn, fields,
+            upper=2000, lower=-2000, available_now=True)
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(out_path)
+        batch_all = record_linkage(
+            pair_fn(spark.createDataFrame(
+                incoming, "n_id long, n_blk int, n_tag string"), roster),
+            fields, upper=2000, lower=-2000)
+        a = sorted((r["n_id"], r["r_id"], r["score"], r["decision"])
+                   for r in streamed.collect())
+        b = sorted((r["n_id"], r["r_id"], r["score"], r["decision"])
+                   for r in batch_all.collect())
+        assert a == b and len(a) > 0
+        assert set(streamed.select("roster_version").distinct()
+                   .toPandas()["roster_version"]) == {0}
+
+        # replay idempotence
+        q2 = stc.linkage_stream(
+            stream, str(tmp_path / "roster"), out_path,
+            str(tmp_path / "ckpt"), pair_fn, fields,
+            upper=2000, lower=-2000, available_now=True)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out_path).count() == len(a)
+
+
 class TestDecontaminateStream:
     def test_streamed_equals_batch(self, spark, tmp_path):
         from pigpen_spark.streaming import core as stc
