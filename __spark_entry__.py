@@ -47,6 +47,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_tokenizer_compare3",      # 3-way bake-off (UNK-coverage-guarded winner)
     "ext_record_linkage",          # Fellegi-Sunter probabilistic ER (match/review/non-match)
     "ext_record_linkage_auto",     # density-auto blocking twin (count-derived bin width)
+    "ext_doc_linkage",             # FS scoring over minhash-blocked doc pairs (facts-scaled ER)
     # --- r7 re-verification backlog: cumulative driver coverage is
     # TERMINAL (all 221 queries sampled at least once across r1-r6), so
     # the window now re-verifies the OLDEST driver greens first

@@ -215,6 +215,9 @@ HEADLINE = [
     # blocking twin (count-derived bin width — pair work stays linear)
     "ext_record_linkage",
     "ext_record_linkage_auto",
+    # FS scoring composed onto the minhash blocking generator (documents
+    # scale in the perf corpora, so this row has a measured curve)
+    "ext_doc_linkage",
     # three-encoder join (BPE + unigram + WordPiece, Arrow-batched)
     "ext_tokenizer_compare3",
 ]
