@@ -114,10 +114,17 @@ def main() -> None:
             r["ratio_100x_vs_10x"] = round(t100 / t10, 2)
             r["alpha"] = round(math.log(t100 / t10) / math.log(10), 2)
 
+    # MERGE into the existing table — a partial re-measure (one query)
+    # must never clobber the full sweep's record
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "scale_exponents.json")
+    merged: dict[str, dict] = {}
+    if os.path.exists(out):
+        with open(out) as fh:
+            merged = json.load(fh)
+    merged.update(results)
     with open(out, "w") as fh:
-        json.dump(results, fh, indent=1, sort_keys=True)
+        json.dump(merged, fh, indent=1, sort_keys=True)
     print(json.dumps(results, sort_keys=True))
 
 
