@@ -30,6 +30,21 @@ def to_double(vec) -> Column:
     return F.transform(_c(vec), lambda x: x.cast("double"))
 
 
+def _pinned_parallelism(df: DataFrame) -> int:
+    """Partition count for the explicit repartition-by-num that shields
+    exploding bucket joins from AQE post-shuffle coalescing (see the
+    lsh_topk_against comment).  `spark.sql.shuffle.partitions` may be
+    non-numeric on managed platforms ("auto" under AQE auto-tuning), so
+    fall back to the cluster's default parallelism rather than raising.
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        conf_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_n = 0
+    return max(sc.defaultParallelism, conf_n)
+
+
 def dot(a, b) -> Column:
     """Σ a[i]·b[i] in float64, left-to-right (portable association order)."""
     return F.aggregate(
@@ -311,8 +326,7 @@ def lsh_topk(
     # exchange carries slim rows, so AQE coalesces it to 1-2 partitions,
     # and the exploding candidate-scoring output runs on 1-2 cores).
     # Explicit repartition-by-num is exempt from AQE coalescing.
-    n_part = max(corpus.sparkSession.sparkContext.defaultParallelism,
-                 int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    n_part = _pinned_parallelism(corpus)
     a = a.repartition(n_part, "bucket").alias("a")
     b = tagged.alias("b")
     if score_mode == "arrow":
@@ -1513,8 +1527,7 @@ def lsh_topk_against(
     # scaling run (a 2-task stage scoring ~30M candidates); an explicit
     # repartition-by-num is exempt from AQE coalescing, so candidate
     # scoring keeps cluster-wide parallelism at any corpus size.
-    n_part = max(qt.sparkSession.sparkContext.defaultParallelism,
-                 int(qt.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    n_part = _pinned_parallelism(qt)
     qt = qt.repartition(n_part, "bucket")
     cond = [qt["bucket"] == index["bucket"]]
     if exclude_self:

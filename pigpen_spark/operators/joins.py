@@ -377,6 +377,15 @@ def record_linkage(pairs: DataFrame, fields: dict, upper: int,
     Returns ``pairs`` + (score bigint, decision string)."""
     if upper < lower:
         raise ValueError(f"record_linkage: upper {upper} < lower {lower}")
+    taken = {c for c in ("score", "decision") if c in pairs.columns}
+    if taken:
+        # blocking outputs often carry their own `score`; silently
+        # renaming over it would only surface later as an
+        # ambiguous-reference error — fail loudly at the boundary
+        raise ValueError(
+            f"record_linkage: pairs already has column(s) {sorted(taken)}; "
+            "rename or drop them before linkage (outputs are 'score' and "
+            "'decision')")
     score = F.lit(0).cast("long")
     for name, (agree, (w_a, w_d)) in fields.items():
         score = score + F.when(agree, F.lit(w_a)) \

@@ -42,10 +42,22 @@ def main() -> None:
     src = open(path).read()
     s_lit = "[" + ", ".join(repr(x) for x in start) + "]"
     c_lit = "[" + ", ".join(repr(x) for x in cont) + "]"
-    src = re.sub(r"FIXED_START: list\[str\] = \[[^\]]*\].*?\n",
-                 f"FIXED_START: list[str] = {s_lit}\n", src, count=1)
-    src = re.sub(r"FIXED_CONT: list\[str\] = \[[^\]]*\]\n",
-                 f"FIXED_CONT: list[str] = {c_lit}\n", src, count=1)
+    # Anchor on the LINE (re.M), not on a [^\]]* bracket scan — a piece
+    # containing ']' or a quote edge case must not truncate the match
+    # and corrupt the module.  repr() keeps every literal single-line,
+    # so whole-line replacement is exact.  Refuse to write a module the
+    # generated source can't re-import.
+    src, n_s = re.subn(r"^FIXED_START: list\[str\] = .*$",
+                       f"FIXED_START: list[str] = {s_lit}", src,
+                       count=1, flags=re.M)
+    src, n_c = re.subn(r"^FIXED_CONT: list\[str\] = .*$",
+                       f"FIXED_CONT: list[str] = {c_lit}", src,
+                       count=1, flags=re.M)
+    if n_s != 1 or n_c != 1:
+        raise SystemExit(
+            f"freeze_wordpiece: expected exactly one FIXED_START and one "
+            f"FIXED_CONT line, matched {n_s}/{n_c} — refusing to write")
+    compile(src, path, "exec")  # syntax check BEFORE overwriting
     open(path, "w").write(src)
     print(f"froze {len(start)} start + {len(cont)} cont pieces")
 

@@ -105,27 +105,31 @@ def main() -> None:
                 results[name][sf_name] = None
                 print(f"# {sf_name} {name}: FAILED {e}", file=sys.stderr)
 
-    for name, r in results.items():
-        t10, t100 = r.get("10x"), r.get("100x")
-        t1 = r.get("sf0.1")
-        if t1 and t10:
-            r["ratio_10x"] = round(t10 / t1, 2)
-        if t10 and t100:
-            r["ratio_100x_vs_10x"] = round(t100 / t10, 2)
-            r["alpha"] = round(math.log(t100 / t10) / math.log(10), 2)
-
-    # MERGE into the existing table — a partial re-measure (one query)
-    # must never clobber the full sweep's record
+    # MERGE into the existing table per SCALE FACTOR — a partial
+    # re-measure (one query, or a run with a scale corpus dir missing)
+    # must never clobber another scale factor's prior record, and a
+    # failed measurement (None) must never erase a prior success.
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "scale_exponents.json")
     merged: dict[str, dict] = {}
     if os.path.exists(out):
         with open(out) as fh:
             merged = json.load(fh)
-    merged.update(results)
+    for name, r in results.items():
+        row = merged.setdefault(name, {})
+        row.update({k: v for k, v in r.items() if v is not None})
+    # recompute derived ratios/alpha from the MERGED rows, so a re-run
+    # of just the 100x point picks up the stored sf0.1/10x timings
+    for name, row in merged.items():
+        t1, t10, t100 = row.get("sf0.1"), row.get("10x"), row.get("100x")
+        if t1 and t10:
+            row["ratio_10x"] = round(t10 / t1, 2)
+        if t10 and t100:
+            row["ratio_100x_vs_10x"] = round(t100 / t10, 2)
+            row["alpha"] = round(math.log(t100 / t10) / math.log(10), 2)
     with open(out, "w") as fh:
         json.dump(merged, fh, indent=1, sort_keys=True)
-    print(json.dumps(results, sort_keys=True))
+    print(json.dumps({n: merged[n] for n in results}, sort_keys=True))
 
 
 if __name__ == "__main__":
