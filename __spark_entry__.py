@@ -38,6 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # first), so no row's driver record ages more than a few rounds even
 # though the local 221/221 replica re-checks everything at HEAD.
 _DRIVER_PRIORITY: list[str] = [
+    # --- r8 window head: NEW round-8 registrations (never driver-
+    # verified; names inserted here as they are registered) ---
+    "ext_record_linkage_em",       # EM-trained FS weights, frozen (hash-exact representative)
+    "ext_record_linkage_trained",  # runtime EM fit: rows-only (trained twin)
     # --- r7 window head: NEW round-7 registrations (never driver-
     # verified; names inserted here as they are registered) ---
     "ext_wordpiece_encode",        # BERT greedy longest-match tokenizer (3rd of the triple)

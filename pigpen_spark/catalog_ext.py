@@ -2791,6 +2791,185 @@ def ext_record_linkage_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "score", "decision")
 
 
+# --- EM-trained Fellegi-Sunter (documents) -------------------------------
+#
+# The trained twin of the linkage family (tokenizer-twin doctrine:
+# wordpiece.py FIXED_* is the template).  m/u below are FROZEN from the
+# sf0.001 EM fit (tools/freeze_fs_em.py regenerates them); the runtime
+# EM lives in ext_record_linkage_trained.  Blocking is scale-linear by
+# construction: sorted-neighborhood over (lang, n_chars) — O(n·window)
+# pairs via the two-phase rank — unioned with minhash LSH bands
+# (similarity-driven, so the match class is recalled at ANY corpus size,
+# where pure SNM loses near-dups separated by many same-length docs).
+# TPC-H customers can NOT support this row: they have no latent
+# duplicate class, so EM correctly converges onto noise and fs_weights
+# raises — pinned as a negative test (tests/test_round8.py).
+_FS_EM_FIELDS = ("jaccard", "prefix", "len8", "lang", "source")
+_FS_EM_M_PPM = [999999, 999999, 964286, 285715, 71429]
+_FS_EM_U_PPM = [1, 404, 392814, 975777, 45216]
+#: thresholds placed at the discriminating score levels of the frozen
+#: weights at sf0.01 (doc-linkage doctrine: every decision band must
+#: match some rows and never all): match=19, review=121, non_match≈2360
+_FS_EM_UPPER, _FS_EM_LOWER = 35000, -40000
+_SNM_WINDOW = 6
+
+
+def _fs_em_weights_frozen() -> dict[str, tuple[int, int]]:
+    from pigpen_spark.operators.joins import fs_weights
+
+    return {name: fs_weights(_FS_EM_M_PPM[i], _FS_EM_U_PPM[i], _FS_SCALE,
+                             signed=True)
+            for i, name in enumerate(_FS_EM_FIELDS)}
+
+
+def _doc_em_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enriched candidate pairs for the EM linkage rows: SNM ∪ LSH
+    blocking, both linear, then one attribute+signature join per side.
+    est_jaccard is recomputed uniformly on the union (the LSH pass's own
+    estimate only covers its half)."""
+    docs = tables(spark, sf_dir)["documents"].df
+    sig = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.substring("text", 1, 16).alias("pre"),
+        D.minhash_signature(F.col("text"), k=_K, shingle_n=3).alias("sig"))
+    snm = D.sorted_neighborhood_pairs(
+        docs, "doc_id", F.struct(F.col("lang"), F.col("n_chars")),
+        window=_SNM_WINDOW,
+    ).select(F.least("id_a", "id_b").alias("id_a"),
+             F.greatest("id_a", "id_b").alias("id_b"))
+    mh = D.minhash_candidates(docs, "doc_id", "text", k=_K, bands=_BANDS,
+                              shingle_n=3).select("id_a", "id_b")
+    pairs = snm.unionByName(mh).distinct()
+    a = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
+    b = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
+    est = (F.size(F.filter(
+        F.zip_with("a_sig", "b_sig", lambda x, y: (x == y).cast("int")),
+        lambda m: m == 1)).cast("double") / F.lit(_K))
+    return (pairs.join(a, pairs["id_a"] == a["a_doc_id"])
+            .join(b, pairs["id_b"] == b["b_doc_id"])
+            .withColumn("est_jaccard", est))
+
+
+def _doc_em_agreements() -> dict:
+    return {
+        "jaccard": F.col("est_jaccard") >= F.lit(0.5),
+        "prefix": F.col("a_pre") == F.col("b_pre"),
+        "len8": F.abs(F.col("a_n_chars") - F.col("b_n_chars")) <= F.lit(8),
+        "lang": F.col("a_lang") == F.col("b_lang"),
+        "source": F.col("a_source") == F.col("b_source"),
+    }
+
+
+def _record_linkage_em_sql() -> str:
+    w = _fs_em_weights_frozen()
+    score = " + ".join([
+        _fs_case("e.est_jaccard >= 0.5", w["jaccard"]),
+        _fs_case("e.a_pre = e.b_pre", w["prefix"]),
+        _fs_case("abs(e.a_n_chars - e.b_n_chars) <= 8", w["len8"]),
+        _fs_case("e.a_lang = e.b_lang", w["lang"]),
+        _fs_case("e.a_source = e.b_source", w["source"]),
+    ])
+    return f"""
+    WITH {D.minhash_sigs_cte_sql('documents', 'doc_id', 'text', _K, 3)},
+    rnk AS (
+      SELECT doc_id, row_number() OVER (ORDER BY lang, n_chars, doc_id) AS rn
+      FROM documents
+    ),
+    snm AS (
+      SELECT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+      FROM rnk a JOIN rnk b ON b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW - 1}
+    ),
+    banded AS (
+      SELECT id, sig, b.range AS band,
+             md5(array_to_string(sig[(b.range * {_R} + 1) : (b.range * {_R} + {_R})], '|')) AS bhash
+      FROM sigs, range({_BANDS}) b
+    ),
+    mh AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id
+    ),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT * FROM snm UNION ALL SELECT * FROM mh)
+    ),
+    enriched AS (
+      SELECT p.id_a, p.id_b,
+             da.lang AS a_lang, db.lang AS b_lang,
+             da.source AS a_source, db.source AS b_source,
+             da.n_chars AS a_n_chars, db.n_chars AS b_n_chars,
+             substr(da.text, 1, 16) AS a_pre, substr(db.text, 1, 16) AS b_pre,
+             len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, {_K} + 1)], m -> m))::DOUBLE / {_K} AS est_jaccard
+      FROM cand p
+      JOIN documents da ON p.id_a = da.doc_id
+      JOIN documents db ON p.id_b = db.doc_id
+      JOIN sigs sa ON p.id_a = sa.id
+      JOIN sigs sb ON p.id_b = sb.id
+    ),
+    scored AS (
+      SELECT e.id_a, e.id_b, ({score})::BIGINT AS score
+      FROM enriched e
+    )
+    SELECT id_a, id_b, score,
+           (CASE WHEN score >= {_FS_EM_UPPER} THEN 'match'
+                 WHEN score <= {_FS_EM_LOWER} THEN 'non_match'
+                 ELSE 'review' END) AS decision
+    FROM scored
+    """
+
+
+@register("ext_record_linkage_em", _record_linkage_em_sql())
+def ext_record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with EM-TRAINED Fellegi-Sunter weights, FROZEN
+    (the hash-exact representative of the trained family — the
+    wordpiece FIXED_* doctrine): m/u estimated once by
+    tools/freeze_fs_em.py's unsupervised EM fit over the sf0.001
+    agreement-pattern histogram, then embedded as integer ppm literals
+    so the score is a cross-engine-exact sum of integer CASEs.
+
+    What EM found is the point of the row: this corpus's
+    near-duplicates systematically CROSS languages, so same-language
+    agreement carries a NEGATIVE weight (-1772) — a structure no
+    hand-set weight table would encode, and exactly the behavior the
+    signed fs_weights path exists for.  Blocking is the scale-linear
+    SNM ∪ LSH union (see _doc_em_pairs)."""
+    from pigpen_spark.operators.joins import record_linkage
+
+    pairs = _doc_em_pairs(spark, sf_dir)
+    w = _fs_em_weights_frozen()
+    ag = _doc_em_agreements()
+    fields = {k: (ag[k], w[k]) for k in _FS_EM_FIELDS}
+    out = record_linkage(pairs, fields, upper=_FS_EM_UPPER,
+                         lower=_FS_EM_LOWER)
+    return out.select("id_a", "id_b", "score", "decision")
+
+
+@register("ext_record_linkage_trained", None)  # EM at runtime: rows-only
+def ext_record_linkage_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with Fellegi-Sunter weights EM-TRAINED on the
+    corpus at runtime (Winkler 1988's unsupervised fit): one
+    distributed groupBy collapses the blocked pairs to the ≤2^k
+    agreement-pattern histogram, EM runs driver-side on that tiny
+    integer table (the tokenizer-trainer shape), and the learned
+    integer weights score the same pairs.  Decision thresholds derive
+    deterministically from the learned weight table (fs_thresholds).
+    Rows-only by the trained-variant convention; the SCORER it shares
+    with ext_record_linkage_em is hash-verified there, and the EM
+    estimator is pinned by pure-Python differential tests against a
+    planted two-class mixture."""
+    from pigpen_spark.operators.joins import (fs_thresholds, fs_weights_em,
+                                              record_linkage)
+
+    pairs = _doc_em_pairs(spark, sf_dir).transform(_persisted)
+    ag = _doc_em_agreements()
+    w = fs_weights_em(pairs, ag, scale=_FS_SCALE)
+    upper, lower = fs_thresholds(w)
+    out = record_linkage(pairs, {k: (ag[k], w[k]) for k in ag},
+                         upper=upper, lower=lower)
+    return out.select("id_a", "id_b", "score", "decision")
+
+
 from pigpen_spark.functions import ranking as R  # noqa: E402
 
 _HTML_PRE = '<html><!-- crawl-hdr --><body class="c">'

@@ -339,7 +339,8 @@ def interval_overlap_join(
 # ---------------------------------------------------------------------------
 
 
-def fs_weights(m_ppm: int, u_ppm: int, scale: int = 1000) -> tuple[int, int]:
+def fs_weights(m_ppm: int, u_ppm: int, scale: int = 1000,
+               signed: bool = False) -> tuple[int, int]:
     """Fellegi-Sunter field weights as INTEGER literals: agreement adds
     round(scale*log2(m/u)), disagreement round(scale*log2((1-m)/(1-u))),
     with m = P(agree | match) and u = P(agree | non-match) given in ppm.
@@ -347,15 +348,145 @@ def fs_weights(m_ppm: int, u_ppm: int, scale: int = 1000) -> tuple[int, int]:
     engine-side score is a sum of integer literals — hash-exact across
     engines by construction (the same trick as the integer-scaled
     classifier weights).  m must exceed u or the field carries no
-    linkage signal (raises)."""
+    linkage signal (raises).
+
+    ``signed=True`` lifts the m > u requirement: log2(m/u) is simply
+    NEGATIVE for a field where agreement is evidence AGAINST a match —
+    which trained (EM) weights legitimately produce (e.g. a corpus
+    whose near-duplicates systematically cross languages makes
+    same-language agreement anti-informative).  Hand-set weights keep
+    the strict default: specifying m < u by hand is almost always a
+    transposed pair, not a real anti-informative field."""
     import math
 
-    if not (0 < u_ppm < m_ppm < 1_000_000):
+    if signed:
+        if not (0 < u_ppm < 1_000_000 and 0 < m_ppm < 1_000_000) \
+                or m_ppm == u_ppm:
+            raise ValueError(
+                f"fs_weights: need distinct m, u in (0, 1e6) ppm, "
+                f"got m={m_ppm} u={u_ppm}")
+    elif not (0 < u_ppm < m_ppm < 1_000_000):
         raise ValueError(
             f"fs_weights: need 0 < u < m < 1e6 ppm, got m={m_ppm} u={u_ppm}")
     w_a = round(scale * math.log2(m_ppm / u_ppm))
     w_d = round(scale * math.log2((1_000_000 - m_ppm) / (1_000_000 - u_ppm)))
     return w_a, w_d
+
+
+def agreement_histogram(pairs: DataFrame,
+                        agreements: dict) -> list[tuple[tuple[int, ...], int]]:
+    """Collapse blocked candidate pairs to the AGREEMENT-PATTERN
+    HISTOGRAM the EM weight estimator consumes: one groupBy over the
+    boolean agreement vector (NULL — a missing value on either side —
+    counts as disagreement, matching record_linkage's 0-contribution
+    treatment closely enough for frequency estimation), yielding at most
+    2^k rows for k fields.  This is the ONLY corpus-sized pass of
+    training — the same one-aggregation shape as the tokenizer trainers'
+    word histogram — so the artifact collected to the driver is a tiny
+    integer table no matter how many candidate pairs the blocking
+    produced."""
+    k = len(agreements)
+    if not (1 <= k <= 20):
+        raise ValueError(f"agreement_histogram: need 1..20 fields, got {k}")
+    cols = [F.coalesce(agree.cast("int"), F.lit(0)).alias(f"__g{i}")
+            for i, (name, agree) in enumerate(agreements.items())]
+    rows = (pairs.select(*cols)
+            .groupBy(*[f"__g{i}" for i in range(k)])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect())
+    return [(tuple(int(r[f"__g{i}"]) for i in range(k)), int(r["__n"]))
+            for r in rows]
+
+
+def fs_em(hist: list[tuple[tuple[int, ...], int]],
+          iters: int = 200, tol: float = 1e-10,
+          init_p: float = 0.1, init_m: float = 0.9, init_u: float = 0.1,
+          ) -> tuple[list[int], list[int], float]:
+    """Estimate per-field Fellegi-Sunter m/u probabilities by EM over
+    the agreement-pattern histogram (Winkler 1988's unsupervised fit of
+    the two-class conditional-independence mixture; Fellegi & Sunter
+    1969 §3 is the model).  Pure Python on ≤2^k integer rows — exactly
+    the tokenizer-trainer doctrine: the corpus pass is one aggregation,
+    the iterative algorithm runs driver-side on a tiny artifact.
+
+    E-step: responsibility of the match class for pattern γ is
+    p·Π m_i^γi(1-m_i)^(1-γi) over the two-class mixture; M-step
+    re-estimates p, m_i, u_i from responsibility-weighted counts.
+    Classes are label-symmetric, so if EM converges onto the majority
+    class as "matches" (p > 0.5) the labels are swapped — true links
+    are always the minority of blocked pairs.  Returns (m_ppm, u_ppm,
+    p) with probabilities clamped to [1, 999_999] ppm so fs_weights'
+    domain check is the only remaining gate (a field with m ≤ u after
+    training carries no signal and fs_weights raises, loudly)."""
+    if not hist:
+        raise ValueError("fs_em: empty agreement histogram")
+    k = len(hist[0][0])
+    n_total = float(sum(n for _, n in hist))
+    p, m, u = init_p, [init_m] * k, [init_u] * k
+    clamp = lambda x: min(max(x, 1e-6), 1.0 - 1e-6)  # noqa: E731
+    for _ in range(iters):
+        # E-step
+        sum_w = 0.0
+        m_num = [0.0] * k
+        u_num = [0.0] * k
+        sum_wn = 0.0
+        for gamma, n in hist:
+            pm, pu = p, 1.0 - p
+            for i, g in enumerate(gamma):
+                pm *= m[i] if g else (1.0 - m[i])
+                pu *= u[i] if g else (1.0 - u[i])
+            w = pm / (pm + pu) if (pm + pu) > 0 else 0.5
+            sum_w += w * n
+            sum_wn += (1.0 - w) * n
+            for i, g in enumerate(gamma):
+                if g:
+                    m_num[i] += w * n
+                    u_num[i] += (1.0 - w) * n
+        # M-step
+        new_p = clamp(sum_w / n_total)
+        new_m = [clamp(m_num[i] / sum_w) if sum_w > 0 else m[i]
+                 for i in range(k)]
+        new_u = [clamp(u_num[i] / sum_wn) if sum_wn > 0 else u[i]
+                 for i in range(k)]
+        delta = max(abs(new_p - p),
+                    max(abs(new_m[i] - m[i]) for i in range(k)),
+                    max(abs(new_u[i] - u[i]) for i in range(k)))
+        p, m, u = new_p, new_m, new_u
+        if delta < tol:
+            break
+    if p > 0.5:  # label swap: matches must be the minority class
+        p, m, u = 1.0 - p, u, m
+    to_ppm = lambda x: min(max(int(round(x * 1_000_000)), 1), 999_999)  # noqa: E731
+    return [to_ppm(x) for x in m], [to_ppm(x) for x in u], p
+
+
+def fs_weights_em(pairs: DataFrame, agreements: dict, scale: int = 1000,
+                  iters: int = 200, signed: bool = True) -> dict:
+    """End-to-end TRAINED Fellegi-Sunter weights: distributed
+    agreement-pattern histogram → driver-side EM → integer log-odds
+    weights via :func:`fs_weights`.  ``agreements`` maps field name →
+    boolean agreement Column (the same dict shape record_linkage takes,
+    minus the weights it is about to learn).  Trained weights default
+    to ``signed`` (an EM fit may legitimately find anti-informative
+    fields; see fs_weights); pass signed=False to demand every field be
+    positively informative and fail loudly otherwise.  Returns field
+    name → (w_agree, w_disagree)."""
+    hist = agreement_histogram(pairs, agreements)
+    m_ppm, u_ppm, _p = fs_em(hist, iters=iters)
+    return {name: fs_weights(m_ppm[i], u_ppm[i], scale, signed=signed)
+            for i, name in enumerate(agreements)}
+
+
+def fs_thresholds(weights: dict, upper_frac: float = 0.5,
+                  lower_frac: float = 0.5) -> tuple[int, int]:
+    """Deterministic decision thresholds from a weight table: ``upper``
+    is ``upper_frac`` of the maximum attainable score (every field at
+    its most match-favorable value), ``lower`` is ``lower_frac`` of the
+    minimum.  Pure integer arithmetic on the driver, so trained rows
+    get reproducible thresholds without hand-placing constants."""
+    score_max = sum(max(w_a, w_d, 0) for w_a, w_d in weights.values())
+    score_min = sum(min(w_a, w_d, 0) for w_a, w_d in weights.values())
+    return int(score_max * upper_frac), int(score_min * lower_frac)
 
 
 def record_linkage(pairs: DataFrame, fields: dict, upper: int,

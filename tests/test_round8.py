@@ -1,0 +1,174 @@
+"""Round-8 additions: EM-trained Fellegi-Sunter linkage, signed weights,
+deterministic thresholds, and the trained/frozen twin consistency."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pigpen_spark.operators.joins import (agreement_histogram, fs_em,
+                                          fs_thresholds, fs_weights,
+                                          fs_weights_em, record_linkage)
+
+
+# ---------------------------------------------------------------------------
+# fs_em: pure-Python differential tests on planted mixtures
+# ---------------------------------------------------------------------------
+
+
+def _planted_hist(m, u, p, n, seed):
+    rng = random.Random(seed)
+    hist = {}
+    for _ in range(n):
+        probs = m if rng.random() < p else u
+        g = tuple(1 if rng.random() < pr else 0 for pr in probs)
+        hist[g] = hist.get(g, 0) + 1
+    return list(hist.items())
+
+
+class TestFsEm:
+    def test_recovers_planted_mixture(self):
+        m, u, p = [0.9, 0.8, 0.7], [0.2, 0.2, 0.1], 0.05
+        hist = _planted_hist(m, u, p, 200_000, seed=7)
+        m_hat, u_hat, p_hat = fs_em(hist)
+        assert abs(p_hat - p) < 0.01
+        for i in range(3):
+            assert abs(m_hat[i] / 1e6 - m[i]) < 0.03
+            assert abs(u_hat[i] / 1e6 - u[i]) < 0.03
+
+    def test_label_swap_keeps_matches_minority(self):
+        # init biased toward the inverted solution: EM must still return
+        # the minority class as "matches" (p <= 0.5)
+        m, u, p = [0.95, 0.9], [0.1, 0.15], 0.04
+        hist = _planted_hist(m, u, p, 100_000, seed=11)
+        m_hat, u_hat, p_hat = fs_em(hist, init_p=0.9, init_m=0.1, init_u=0.9)
+        assert p_hat <= 0.5
+        assert abs(p_hat - p) < 0.02
+        assert m_hat[0] > u_hat[0] and m_hat[1] > u_hat[1]
+
+    def test_deterministic(self):
+        hist = _planted_hist([0.9, 0.7], [0.2, 0.1], 0.1, 50_000, seed=3)
+        assert fs_em(hist) == fs_em(hist)
+
+    def test_empty_hist_raises(self):
+        with pytest.raises(ValueError, match="empty"):
+            fs_em([])
+
+    def test_ppm_clamped_to_domain(self):
+        # a perfectly-separated field converges to 0/1 probability; the
+        # ppm output must stay inside fs_weights' open interval
+        hist = [((1,), 100), ((0,), 9900)]
+        m_hat, u_hat, _ = fs_em(hist)
+        assert 1 <= u_hat[0] <= 999_999 and 1 <= m_hat[0] <= 999_999
+
+
+class TestFsWeightsSigned:
+    def test_strict_rejects_anti_informative(self):
+        with pytest.raises(ValueError, match="need 0 < u < m"):
+            fs_weights(240_000, 975_000)
+
+    def test_signed_allows_negative_agreement_weight(self):
+        w_a, w_d = fs_weights(240_000, 975_000, signed=True)
+        assert w_a < 0 < w_d  # agreement is evidence AGAINST a match
+
+    def test_signed_rejects_equal(self):
+        with pytest.raises(ValueError, match="distinct"):
+            fs_weights(500_000, 500_000, signed=True)
+
+    def test_thresholds_integer_and_ordered(self):
+        w = {"a": (19932, -19932), "b": (-1772, 4882), "c": (660, -40)}
+        upper, lower = fs_thresholds(w)
+        assert isinstance(upper, int) and isinstance(lower, int)
+        assert lower < 0 < upper
+        # upper = half of best attainable, lower = half of worst
+        assert upper == (19932 + 4882 + 660) // 2
+        assert lower == (-19932 - 1772 - 40) // 2
+
+
+class TestRecordLinkageGuard:
+    def test_existing_score_column_raises(self, spark):
+        pairs = spark.createDataFrame([(1, 2, 5)], "id_a int, id_b int, score int")
+        with pytest.raises(ValueError, match="already has column"):
+            record_linkage(pairs, {"f": (F.lit(True), (10, -10))},
+                           upper=5, lower=-5)
+
+
+class TestAgreementHistogram:
+    def test_nulls_count_as_disagreement(self, spark):
+        df = spark.createDataFrame(
+            [(True,), (None,), (False,)], "g boolean")
+        hist = dict(agreement_histogram(df, {"g": F.col("g")}))
+        assert hist == {(1,): 1, (0,): 2}
+
+    def test_field_count_guard(self, spark):
+        df = spark.createDataFrame([(1,)], "x int")
+        with pytest.raises(ValueError, match="1..20"):
+            agreement_histogram(df, {})
+
+
+# ---------------------------------------------------------------------------
+# The corpus rows: trained == frozen provenance, and the negative case
+# ---------------------------------------------------------------------------
+
+
+class TestEmLinkageRows:
+    def test_trained_weights_match_frozen(self, spark, sf_dir):
+        # the runtime EM on the freeze corpus must reproduce the frozen
+        # constants bit-for-bit (same histogram, same deterministic EM)
+        from pigpen_spark.catalog_ext import (_FS_EM_FIELDS, _FS_EM_M_PPM,
+                                              _FS_EM_U_PPM,
+                                              _doc_em_agreements,
+                                              _doc_em_pairs)
+        from pigpen_spark.operators.joins import fs_em
+
+        pairs = _doc_em_pairs(spark, sf_dir)
+        hist = agreement_histogram(pairs, _doc_em_agreements())
+        m_hat, u_hat, _p = fs_em(hist)
+        assert m_hat == _FS_EM_M_PPM
+        assert u_hat == _FS_EM_U_PPM
+        assert len(_FS_EM_FIELDS) == len(m_hat)
+
+    def test_em_discovers_cross_language_dups(self, spark, sf_dir):
+        # the load-bearing discovery: near-dups cross languages, so the
+        # learned lang agreement weight is NEGATIVE
+        from pigpen_spark.catalog_ext import _fs_em_weights_frozen
+
+        w = _fs_em_weights_frozen()
+        assert w["lang"][0] < 0 < w["lang"][1]
+        assert w["jaccard"][0] > 0 > w["jaccard"][1]
+
+    def test_trained_row_all_bands_at_sf0001(self, spark, sf_dir):
+        from pigpen_spark.catalog_ext import ext_record_linkage_trained
+
+        out = ext_record_linkage_trained(spark, sf_dir)
+        decisions = {r["decision"] for r in out.select("decision").distinct().collect()}
+        assert decisions == {"match", "review", "non_match"}
+
+    def test_customers_have_no_latent_match_class(self, spark, sf_dir):
+        # TPC-H customers carry no duplicate entities: EM converges onto
+        # noise and the STRICT weight path refuses to ship it — pinned
+        # so the trained row never silently migrates to a corpus where
+        # the model is meaningless
+        from pigpen_spark.catalog_ext import tables
+
+        c = tables(spark, sf_dir)["customer"].df
+        a = c.select(F.col("c_custkey").alias("id_a"),
+                     F.col("c_mktsegment").alias("a_seg"),
+                     F.col("c_acctbal").alias("a_bal"),
+                     F.col("c_name").alias("a_name"),
+                     F.col("c_nationkey").alias("a_nat"))
+        b = c.select(F.col("c_custkey").alias("id_b"),
+                     F.col("c_mktsegment").alias("b_seg"),
+                     F.col("c_acctbal").alias("b_bal"),
+                     F.col("c_name").alias("b_name"),
+                     F.col("c_nationkey").alias("b_nat"))
+        pairs = a.join(b, (F.col("a_nat") == F.col("b_nat"))
+                       & (F.col("id_a") < F.col("id_b")))
+        ag = {
+            "segment": F.col("a_seg") == F.col("b_seg"),
+            "balance": F.abs(F.col("a_bal") - F.col("b_bal")) < F.lit(100),
+            "name_tail": F.substring("a_name", -1, 1)
+            == F.substring("b_name", -1, 1),
+        }
+        with pytest.raises(ValueError, match="fs_weights"):
+            fs_weights_em(pairs, ag, signed=False)
