@@ -42,6 +42,7 @@ _DRIVER_PRIORITY: list[str] = [
     # verified; names inserted here as they are registered) ---
     "ext_record_linkage_em",       # EM-trained FS weights, frozen (hash-exact representative)
     "ext_record_linkage_trained",  # runtime EM fit: rows-only (trained twin)
+    "ext_hilbert3_key",            # 3-D Hilbert key (12-state Hamilton machine, fused 2-level LUT)
     # --- r7 window head: NEW round-7 registrations (never driver-
     # verified; names inserted here as they are registered) ---
     "ext_wordpiece_encode",        # BERT greedy longest-match tokenizer (3rd of the triple)

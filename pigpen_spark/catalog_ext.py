@@ -1290,6 +1290,37 @@ def ext_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_hilbert3_key",
+    L.hilbert_nd_cte_sql(
+        "(SELECT o_orderkey, o_custkey AS d0, "
+        "datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS d1, "
+        "floor(o_totalprice)::BIGINT // 16 AS d2 FROM orders)",
+        ["o_orderkey"], ["d0", "d1", "d2"], out_col="hkey", bits=16),
+)
+def ext_hilbert3_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D Hilbert clustering key over (custkey, epoch-day, price band)
+    — the N-dimensional generalization of ext_hilbert_key for layouts
+    clustering three columns at once.  The state machine is derived
+    MECHANICALLY from Hamilton's Gray-code construction (Compact
+    Hilbert Indices, CS-2006-07): BFS reaches only 12 states in 3-D,
+    so each fused 2-level step is one 768-entry constant-folded
+    literal-array lookup — the same plan shape as the 2-D row.
+    Bijectivity, the per-dim-pair no-jump property, and tighter
+    per-chunk min/max boxes than the 3-D Z-order key are all
+    pytest-pinned; the oracle walks the same flat LUT as chained CTEs
+    (binder-superlinearity lesson)."""
+    o = tables(spark, sf_dir)["orders"]
+    epoch_day = F.datediff(F.col("o_orderdate").cast("date"),
+                           F.lit("1970-01-01"))
+    price_band = F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 16")
+    return o.df.select(
+        "o_orderkey",
+        L.hilbert_key_nd([F.col("o_custkey"), epoch_day, price_band],
+                         16).alias("hkey"),
+    )
+
+
+@register(
     "ext_approx_distinct",
     """
     SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_exact,

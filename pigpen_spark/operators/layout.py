@@ -196,6 +196,228 @@ def hilbert_cte_sql(source_sql: str, keep_cols: Sequence[str], x_sql: str,
             + f"\n    SELECT {keep}, (w >> 2)::BIGINT AS {out_col} FROM w{bits}")
 
 
+# ---------------------------------------------------------------------------
+# N-dimensional Hilbert key (Hamilton's compact-Hilbert construction)
+# ---------------------------------------------------------------------------
+#
+# The 2-D machine above was derived by hand; for N dims the state machine
+# is derived MECHANICALLY from Hamilton's Gray-code algorithm ("Compact
+# Hilbert Indices", Dalhousie TR CS-2006-07; Butz 1971 is the ancestor):
+# a state is the pending (entry-point e, direction d) transform, and BFS
+# from the initial state reaches only 4 / 12 / 32 states for N = 2/3/4 —
+# so the per-level transition stays one constant-folded literal-array
+# lookup, exactly the 2-D plan shape.
+
+
+def _gc(i: int) -> int:
+    return i ^ (i >> 1)
+
+
+def _gc_inv(g: int) -> int:
+    i, j = g, 1
+    while g >> j:
+        i ^= g >> j
+        j += 1
+    return i
+
+
+def _tob(i: int) -> int:  # trailing one-bits
+    c = 0
+    while i & 1:
+        c += 1
+        i >>= 1
+    return c
+
+
+def _hilbert_nd_machine(n: int) -> tuple[list[int], int, int]:
+    """Flat transition table for the N-D Hilbert state machine:
+    BFS-enumerate the reachable (e, d) states from (0, 0), then
+    ``lut[s · 2^n + l] = (w << sb) | s_next`` with ``l`` the N input
+    bits (dim j at bit j), ``w`` the output digit and ``sb`` the state
+    width in bits.  Returns (lut, sb, n_states).  Deterministic: BFS
+    order fixes state ids, so frozen keys never shift between runs."""
+    mask = (1 << n) - 1
+
+    def rotr(b: int, k: int) -> int:
+        k %= n
+        return ((b >> k) | (b << (n - k))) & mask
+
+    def rotl(b: int, k: int) -> int:
+        return rotr(b, n - (k % n))
+
+    def entry(w: int) -> int:
+        return 0 if w == 0 else _gc(2 * ((w - 1) // 2))
+
+    def direction(w: int) -> int:
+        if w == 0:
+            return 0
+        return _tob(w - 1) % n if w % 2 == 0 else _tob(w) % n
+
+    ids: dict[tuple[int, int], int] = {(0, 0): 0}
+    order: list[tuple[int, int]] = [(0, 0)]
+    i = 0
+    while i < len(order):
+        e, d = order[i]
+        i += 1
+        for l in range(1 << n):
+            t = rotr(l ^ e, d + 1)
+            w = _gc_inv(t)
+            e2 = e ^ rotl(entry(w), d + 1)
+            d2 = (d + direction(w) + 1) % n
+            if (e2, d2) not in ids:
+                ids[(e2, d2)] = len(order)
+                order.append((e2, d2))
+    n_states = len(order)
+    sb = max(1, (n_states - 1).bit_length())
+    lut = [0] * (n_states << n)
+    for (e, d), s in ids.items():
+        for l in range(1 << n):
+            t = rotr(l ^ e, d + 1)
+            w = _gc_inv(t)
+            e2 = e ^ rotl(entry(w), d + 1)
+            d2 = (d + direction(w) + 1) % n
+            lut[(s << n) | l] = (w << sb) | ids[(e2, d2)]
+    return lut, sb, n_states
+
+
+def _hilbert_nd_super_lut(n: int, k: int) -> tuple[list[int], int]:
+    """Fuse ``k`` levels of the N-D machine into one lookup (the 2-D
+    _hilbert_super_lut trick): index = s·2^(nk) + dim0_bits·2^((n-1)k)
+    + … + dim_{n-1}_bits, value = (digits << sb) | next_state.  Sized
+    n_states · 2^(n·k) — callers keep it ≲1000 entries so the literal
+    array stays constant-folded and cheap (the element_at lesson)."""
+    lut, sb, n_states = _hilbert_nd_machine(n)
+    out = []
+    for s in range(n_states):
+        for grp in range(1 << (n * k)):
+            # grp packs dim j's k bits at offset (n-1-j)·k (dim 0 MSB)
+            st, d = s, 0
+            for i in range(k - 1, -1, -1):
+                l = 0
+                for j in range(n):
+                    bit = (grp >> ((n - 1 - j) * k + i)) & 1
+                    l |= bit << j
+                cd = lut[(st << n) | l]
+                d = (d << n) | (cd >> sb)
+                st = cd & ((1 << sb) - 1)
+            out.append((d << sb) | st)
+    return out, sb
+
+
+def hilbert_key_nd_py(coords: Sequence[int], bits: int = 16) -> int:
+    """Pure-Python model of :func:`hilbert_key_nd` (tests + docs)."""
+    n = len(coords)
+    lut, sb, _ = _hilbert_nd_machine(n)
+    smask = (1 << sb) - 1
+    w = 0
+    for i in range(bits - 1, -1, -1):
+        l = 0
+        for j in range(n):
+            l |= ((coords[j] >> i) & 1) << j
+        cd = lut[((w & smask) << n) | l]
+        w = ((w >> sb) << (n + sb)) | cd
+    return w >> sb
+
+
+def hilbert_key_nd(cols: Sequence, bits: int = 16) -> Column:
+    """Hilbert-curve clustering key over N non-negative integer columns
+    (low ``bits`` bits each) — the N-dimensional generalization of
+    :func:`hilbert_key`, for layouts clustering on 3-4 columns at once
+    (e.g. customer × day × price band).  Same no-jump guarantee per
+    dimension pair (pinned by test), same plan shape: per step one
+    constant-folded literal-array lookup through the rolling
+    ``w = (digits << sb) | state`` pack, let-bound so the expression
+    tree stays linear in ``bits``.  Levels are fused ``k`` per step
+    with the largest k that keeps the fused table ≤ 1024 entries
+    (N=3 → k=2, 768 entries; N=4 → k=1, 512).
+
+    Capacity: N·bits digit bits + state bits must fit a signed long
+    (N=3 allows bits ≤ 19, N=4 ≤ 14).  Same pre-bucketing caveat as
+    zorder_key: feed dense non-negative ints."""
+    from pigpen_spark.functions.text import _let
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("hilbert_key_nd: need at least two columns")
+    _, sb, _ = _hilbert_nd_machine(n)
+    if n * bits + sb > 63:
+        raise ValueError(
+            f"hilbert_key_nd: {n} dims x {bits} bits + {sb} state bits "
+            "exceeds a signed long")
+    k = 1
+    while k < bits and _lut_entries(n, k + 1) <= 1024:
+        k += 1
+    vs = [_c(c).cast("long") for c in cols]
+    smask = F.lit((1 << sb) - 1)
+    w: Column = F.lit(0).cast("long")
+
+    def step(i: int, kk: int, lut_lit: Column):
+        mask = (1 << kk) - 1
+
+        def outer(ww: Column) -> Column:
+            idx = F.shiftleft(ww.bitwiseAND(smask), n * kk)
+            for j, v in enumerate(vs):
+                bj = F.shiftright(v, i).bitwiseAND(F.lit(mask))
+                idx = idx.bitwiseOR(F.shiftleft(bj, (n - 1 - j) * kk))
+            code = F.element_at(lut_lit, (idx + F.lit(1)).cast("int"))
+
+            def inner(cd: Column) -> Column:
+                return (F.shiftleft(F.shiftright(ww, sb), n * kk + sb)
+                        .bitwiseOR(cd))
+
+            return _let(code.cast("long"), inner)
+
+        return outer
+
+    super_lut, _ = _hilbert_nd_super_lut(n, k)
+    super_lit = F.lit(super_lut)
+    base_lut, _, _ = _hilbert_nd_machine(n)
+    base_lit = F.lit(base_lut)
+    i = bits
+    while i >= k:
+        i -= k
+        w = _let(w, step(i, k, super_lit))
+    while i > 0:
+        i -= 1
+        w = _let(w, step(i, 1, base_lit))
+    return F.shiftright(w, sb)
+
+
+def _lut_entries(n: int, k: int) -> int:
+    _, _, n_states = _hilbert_nd_machine(n)
+    return n_states << (n * k)
+
+
+def hilbert_nd_cte_sql(source_sql: str, keep_cols: Sequence[str],
+                       dim_sqls: Sequence[str], out_col: str = "hkey",
+                       bits: int = 16) -> str:
+    """DuckDB oracle for :func:`hilbert_key_nd`: the same flat LUT
+    walked one chained CTE per bit level (never nested lambdas — the
+    binder-superlinearity lesson), single-element list comprehension
+    binding the code word once per stage."""
+    n = len(dim_sqls)
+    lut, sb, _ = _hilbert_nd_machine(n)
+    code = "[" + ", ".join(str(c) for c in lut) + "]"
+    smask = (1 << sb) - 1
+    keep = ", ".join(keep_cols)
+    dims = ", ".join(f"({d})::BIGINT AS h{j}" for j, d in enumerate(dim_sqls))
+    dcols = ", ".join(f"h{j}" for j in range(n))
+    parts = [
+        f"hsrc AS (SELECT {keep}, {dims} FROM {source_sql})",
+        f"w0 AS (SELECT {keep}, {dcols}, 0::BIGINT AS w FROM hsrc)",
+    ]
+    for st, i in enumerate(range(bits - 1, -1, -1), start=1):
+        l = " | ".join(f"(((h{j} >> {i}) & 1) << {j})" for j in range(n))
+        idx = f"(((w & {smask}) << {n}) | ({l}))"
+        parts.append(
+            f"w{st} AS (SELECT {keep}, {dcols}, "
+            f"[(((w >> {sb}) << {n + sb}) | cd)::BIGINT "
+            f"for cd in [{code}[{idx} + 1]]][1] AS w FROM w{st - 1})")
+    return ("WITH " + ",\n    ".join(parts)
+            + f"\n    SELECT {keep}, (w >> {sb})::BIGINT AS {out_col} "
+              f"FROM w{bits}")
+
+
 def cluster_by_zorder(df: DataFrame, cols: Sequence, bits: int = 16,
                       num_partitions: int | None = None) -> DataFrame:
     """Physically cluster ``df`` on the Z-curve: range-partition + sort
