@@ -1415,6 +1415,33 @@ def ext_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.dedup_substrings(docs.df, "doc_id", "text", n=4)
 
 
+from pigpen_spark.functions.suffix import (maximal_repeats as _sa_max_repeats,  # noqa: E402
+                                           maximal_repeats_sql as _sa_max_repeats_sql)
+
+
+@register(
+    "ext_maximal_repeats",
+    _sa_max_repeats_sql("documents", "doc_id", "text", min_len=6, rounds=16),
+)
+def ext_maximal_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE suffix-array/LCP maximal repeats over the packed token
+    corpus (Lee et al. 2021's ExactSubstr primitive, exact at every
+    alignment and length — completing the substring-dedup family whose
+    other members are fixed-window approximations): distributed
+    prefix-doubling suffix array (the published distributed-memory SA
+    construction — O(log L) rounds of offset-join + scale-safe dense
+    rank, lineage-truncated per round), LCP by the sparse-rank descent
+    over the same round tables, then left-maximality via the preceding
+    symbol.  Reports (doc_a, off_a, doc_b, off_b, rep_len) per
+    left-maximal adjacent-suffix repeat ≥ 6 tokens.  The oracle mirrors
+    every stage as chained MATERIALIZED CTEs with a FIXED 16 rounds —
+    exact for corpora under 65536 tokens (the sf0.01 gate regime;
+    extra rounds past rank-uniqueness are fixpoint no-ops, which is
+    also why the Spark side's early exit cannot diverge)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return _sa_max_repeats(docs.df, "doc_id", "text", min_len=6)
+
+
 @register(
     "ext_max_repeats",
     P.max_repeats_sql("documents", "doc_id", "text", min_len=6),

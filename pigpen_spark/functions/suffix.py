@@ -1,0 +1,274 @@
+"""Corpus-scale suffix-array / LCP maximal repeats.
+
+The substring-dedup family's exact form (Lee et al. 2021 "Deduplicating
+Training Data Makes Language Models Better", the ExactSubstr suffix-array
+pass): build ONE suffix array over the whole packed token corpus, take
+the LCP of adjacent suffixes, and every adjacent pair with LCP ≥ L marks
+a repeated span at its exact maximal length — catching repeats at every
+alignment and every length, where the fixed-window forms
+(pipeline.dedup_substrings / max_repeats) only see multiples of the
+window size.
+
+Architecture choice (Spark-first, not a port): the suffix array is built
+by PREFIX DOUBLING expressed entirely in DataFrame ops — O(log L) rounds
+of (self-join at offset 2^k → distinct pair-rank → two-phase scale-safe
+dense rank → join back), the published distributed-memory SA
+construction (Flick & Aluru, SC'15).  A per-shard DC3 in Arrow batches
+was considered and rejected: a monolithic in-batch SA caps the corpus at
+one executor's memory, and sharding it silently loses every cross-shard
+repeat — the doubling form shuffles but is exact at any scale.  LCP then
+falls out of the SAME per-round rank tables (the sparse-table descent:
+walk k from high to low, extend by 2^k whenever rank_k matches at the
+current offset), so no suffix is ever re-compared symbol by symbol.
+
+Separators: each document is terminated by a per-doc UNIQUE negative
+sentinel symbol, so no repeat can span a document boundary, while
+repeats ACROSS documents (the corpus-dedup target) are found naturally.
+
+Oracle: the identical computation as chained DuckDB CTEs with a FIXED
+round count (16 ⇒ exact for corpora shorter than 65536 tokens, the
+sf0.01 regime) — extra rounds past rank-uniqueness are fixpoint no-ops,
+which is also why the Spark side may stop early without divergence.
+Round CTEs are referenced four times each (next round + descent), so
+they are AS MATERIALIZED (the CTE-inlining landmine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pigpen_spark.cache import persisted as _persisted
+from pigpen_spark.functions.dedup import token_hashes, token_hashes_sql
+from pigpen_spark.operators.windows import ranked
+
+#: out-of-range sentinels for rank/symbol lookups past either end; two
+#: DISTINCT values per side so a missing left neighbour never "equals" a
+#: missing right neighbour (left-maximality at position 0)
+_MISS_A, _MISS_B = -9_000_000_001, -9_000_000_002
+
+
+def pack_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(pos, sym, doc_id, loc): the corpus as one global symbol sequence.
+
+    Tokens carry the portable 32-bit md5 hash (dedup.token_hashes — the
+    repo-wide hash contract, non-negative), each doc is closed by the
+    unique negative sentinel ``-(doc_id) - 1``, and the doc's global
+    offset is an EXCLUSIVE prefix sum of (n_tokens + 1) in doc_id order
+    — computed two-phase (range repartition + per-partition offsets),
+    never a one-partition global window."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(
+            token_hashes(F.col(text_col)),
+            F.array((-F.col(id_col) - F.lit(1)).cast("bigint")),
+        ).alias("syms"),
+    ).withColumn("n", F.size("syms").cast("bigint"))
+    pid = "__sa_pid"
+    ranged = (toks.repartitionByRange("doc_id")
+              .withColumn(pid, F.spark_partition_id())
+              .transform(_persisted))
+    # per-partition SIZE offsets (sum of n, not row counts — the
+    # take_budget shape): one bounded driver-side vector
+    sums = {r["p"]: r["s"] for r in ranged.groupBy(F.col(pid).alias("p"))
+            .agg(F.sum("n").alias("s")).collect()}
+    offsets, acc = {}, 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p]
+    off = (F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col(pid)) if offsets else F.lit(0))
+    from pyspark.sql import Window
+    w = Window.partitionBy(pid).orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    doc_off = (F.coalesce(F.sum("n").over(w), F.lit(0)) + off).alias("off")
+    with_off = ranged.select("doc_id", "syms", doc_off)
+    return with_off.select(
+        "doc_id", "off",
+        F.posexplode("syms").alias("loc", "sym"),
+    ).select(
+        (F.col("off") + F.col("loc")).alias("pos"),
+        F.col("sym").cast("bigint").alias("sym"),
+        "doc_id",
+        F.col("loc").cast("long").alias("loc"),
+    )
+
+
+def _dense_rank(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Scale-safe dense rank of ``cols``: distinct keys → two-phase
+    ranked() → join back (a global dense_rank window would funnel the
+    corpus through one partition)."""
+    keys = df.select(*cols).distinct()
+    rk = ranked(keys, order_by=[F.col(c) for c in cols], index_col="rank")
+    return df.join(rk, on=cols, how="inner")
+
+
+def suffix_ranks(positions: DataFrame) -> list[tuple[int, DataFrame]]:
+    """Prefix-doubling rank tables: returns [(width, ranks)] where
+    ``ranks`` maps pos → dense rank of the suffix's first ``width``
+    symbols; the last table's ranks are UNIQUE (it IS the suffix
+    array: rank == SA index).  Each round is one offset self-join plus
+    one scale-safe dense rank; rounds stop as soon as ranks are unique
+    (further doubling is a fixpoint, so a fixed-round mirror — the
+    oracle — computes identical final ranks)."""
+    # localCheckpoint per round TRUNCATES THE LINEAGE — the canonical
+    # posture for iterative DataFrame algorithms here (dedup_clusters,
+    # pagerank, hits): with persist alone each round's plan nests the
+    # previous round's, and by round ~8 plan construction itself
+    # (AQE re-planning, tree stringification) dominates or overflows
+    r = _dense_rank(positions.select("pos", "sym"), ["sym"]) \
+        .select("pos", "rank").localCheckpoint(eager=True)
+    out = [(1, r)]
+    n = r.count()
+    width = 1
+    while True:
+        distinct_ranks = r.select("rank").distinct().count()
+        if distinct_ranks == n:
+            break
+        if width > 2 * n:  # safety: cannot exceed corpus length
+            raise RuntimeError("suffix_ranks: doubling failed to converge")
+        b = r.select(F.col("pos").alias("__bp"), F.col("rank").alias("r2"))
+        paired = (r.join(b, F.col("__bp") == F.col("pos") + F.lit(width),
+                         "left")
+                  .select("pos", F.col("rank").alias("r1"),
+                          F.coalesce("r2", F.lit(-1)).alias("r2")))
+        r = _dense_rank(paired, ["r1", "r2"]) \
+            .select("pos", "rank").localCheckpoint(eager=True)
+        width *= 2
+        out.append((width, r))
+    return out
+
+
+def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]]) -> DataFrame:
+    """(pos_a, pos_b, lcp) for every ADJACENT suffix-array pair, via the
+    sparse-rank descent: for k from the widest half-table down, extend
+    the match by ``width`` whenever rank_k agrees at the current
+    offset.  Exact: the final table's uniqueness bounds every LCP below
+    the last width, so the descent's reach always covers it."""
+    final = rank_tables[-1][1]
+    b = final.select(F.col("pos").alias("pos_b"),
+                     F.col("rank").alias("__rb"))
+    adj = (final.join(b, F.col("__rb") == F.col("rank") + F.lit(1))
+           .select(F.col("pos").alias("pos_a"), "pos_b"))
+    d = adj.withColumn("lcp", F.lit(0).cast("long")) \
+        .localCheckpoint(eager=True)
+    for width, rk in reversed(rank_tables[:-1] if len(rank_tables) > 1
+                              else rank_tables):
+        ra = rk.select(F.col("pos").alias("__pa"), F.col("rank").alias("__ra"))
+        rb = rk.select(F.col("pos").alias("__pb"), F.col("rank").alias("__rb2"))
+        d = (d.join(ra, F.col("__pa") == F.col("pos_a") + F.col("lcp"), "left")
+             .join(rb, F.col("__pb") == F.col("pos_b") + F.col("lcp"), "left")
+             .select(
+                 "pos_a", "pos_b",
+                 (F.col("lcp") + F.when(
+                     F.coalesce("__ra", F.lit(_MISS_A))
+                     == F.coalesce("__rb2", F.lit(_MISS_B)),
+                     F.lit(width)).otherwise(F.lit(0))).alias("lcp"))
+             .localCheckpoint(eager=True))  # per-level lineage truncation
+    return d
+
+
+def maximal_repeats(docs: DataFrame, id_col: str, text_col: str,
+                    min_len: int = 6) -> DataFrame:
+    """Left-maximal repeated spans of EXACT maximal length ≥ min_len
+    from the corpus suffix array: adjacent SA pairs with LCP ≥ min_len
+    (right-maximal by LCP construction), kept only when the preceding
+    symbols differ (left-maximal — extending left would break the
+    match; document starts and position 0 count as distinct).  Returns
+    (doc_a, off_a, doc_b, off_b, rep_len) with the lower corpus
+    position first — token offsets into each doc's whitespace
+    tokenization."""
+    positions = pack_positions(docs, id_col, text_col) \
+        .transform(_persisted)
+    tables = suffix_ranks(positions)
+    d = adjacent_lcp(tables).filter(F.col("lcp") >= F.lit(min_len))
+    d = d.select(
+        F.least("pos_a", "pos_b").alias("p_lo"),
+        F.greatest("pos_a", "pos_b").alias("p_hi"),
+        F.col("lcp").alias("rep_len"),
+    )
+    sym = positions.select("pos", "sym")
+    pa = sym.select(F.col("pos").alias("__qa"), F.col("sym").alias("__sa"))
+    pb = sym.select(F.col("pos").alias("__qb"), F.col("sym").alias("__sb"))
+    d = (d.join(pa, F.col("__qa") == F.col("p_lo") - F.lit(1), "left")
+         .join(pb, F.col("__qb") == F.col("p_hi") - F.lit(1), "left")
+         .filter(F.coalesce("__sa", F.lit(_MISS_A))
+                 != F.coalesce("__sb", F.lit(_MISS_B)))
+         .select("p_lo", "p_hi", "rep_len"))
+    loc = positions.select("pos", "doc_id", "loc")
+    la = loc.select(F.col("pos").alias("p_lo"), F.col("doc_id").alias("doc_a"),
+                    F.col("loc").alias("off_a"))
+    lb = loc.select(F.col("pos").alias("p_hi"), F.col("doc_id").alias("doc_b"),
+                    F.col("loc").alias("off_b"))
+    return (d.join(la, on="p_lo").join(lb, on="p_hi")
+            .select("doc_a", "off_a", "doc_b", "off_b", "rep_len"))
+
+
+def maximal_repeats_sql(table: str, id_col: str, text_col: str,
+                        min_len: int = 6, rounds: int = 16) -> str:
+    """DuckDB oracle for :func:`maximal_repeats`: the same packing,
+    ``rounds`` fixed prefix-doubling rounds (exact while the corpus is
+    shorter than 2^rounds — extra rounds are fixpoint no-ops), the same
+    sparse-rank LCP descent and left-maximality filter.  Round CTEs are
+    AS MATERIALIZED: each is referenced by the next round (twice) and
+    by the descent (twice), and inlining would double the plan per
+    round."""
+    parts = [
+        f"""__sa_toks AS (
+      SELECT {id_col} AS doc_id,
+             list_append({token_hashes_sql(text_col)}, -({id_col})::BIGINT - 1) AS syms
+      FROM {table})""",
+        """__sa_docs AS (
+      SELECT doc_id, syms, len(syms)::BIGINT AS n FROM __sa_toks)""",
+        """__sa_offs AS (
+      SELECT doc_id, syms,
+             (sum(n) OVER (ORDER BY doc_id) - n)::BIGINT AS off
+      FROM __sa_docs)""",
+        """__sa_pos AS MATERIALIZED (
+      SELECT doc_id,
+             (off + generate_subscripts(syms, 1) - 1)::BIGINT AS pos,
+             unnest(syms)::BIGINT AS sym,
+             (generate_subscripts(syms, 1) - 1)::BIGINT AS loc
+      FROM __sa_offs)""",
+        """__sa_r0 AS MATERIALIZED (
+      SELECT pos, (dense_rank() OVER (ORDER BY sym) - 1)::BIGINT AS rank
+      FROM __sa_pos)""",
+    ]
+    for j in range(rounds):
+        width = 1 << j
+        parts.append(f"""__sa_r{j + 1} AS MATERIALIZED (
+      SELECT a.pos,
+             (dense_rank() OVER (ORDER BY a.rank, coalesce(b.rank, -1)) - 1)::BIGINT AS rank
+      FROM __sa_r{j} a LEFT JOIN __sa_r{j} b ON b.pos = a.pos + {width})""")
+    parts.append(f"""__sa_adj AS (
+      SELECT a.pos AS pos_a, b.pos AS pos_b
+      FROM __sa_r{rounds} a JOIN __sa_r{rounds} b ON b.rank = a.rank + 1)""")
+    parts.append("""__sa_d0 AS (
+      SELECT pos_a, pos_b, 0::BIGINT AS lcp FROM __sa_adj)""")
+    for t, j in enumerate(range(rounds - 1, -1, -1), start=1):
+        width = 1 << j
+        parts.append(f"""__sa_d{t} AS MATERIALIZED (
+      SELECT d.pos_a, d.pos_b,
+             (d.lcp + CASE WHEN coalesce(ra.rank, {_MISS_A})
+                              = coalesce(rb.rank, {_MISS_B})
+                           THEN {width} ELSE 0 END)::BIGINT AS lcp
+      FROM __sa_d{t - 1} d
+      LEFT JOIN __sa_r{j} ra ON ra.pos = d.pos_a + d.lcp
+      LEFT JOIN __sa_r{j} rb ON rb.pos = d.pos_b + d.lcp)""")
+    parts.append(f"""__sa_res AS (
+      SELECT least(pos_a, pos_b) AS p_lo, greatest(pos_a, pos_b) AS p_hi,
+             lcp AS rep_len
+      FROM __sa_d{rounds} WHERE lcp >= {min_len})""")
+    parts.append(f"""__sa_lmax AS (
+      SELECT r.p_lo, r.p_hi, r.rep_len
+      FROM __sa_res r
+      LEFT JOIN __sa_pos pa ON pa.pos = r.p_lo - 1
+      LEFT JOIN __sa_pos pb ON pb.pos = r.p_hi - 1
+      WHERE coalesce(pa.sym, {_MISS_A}) <> coalesce(pb.sym, {_MISS_B}))""")
+    return ("WITH " + ",\n    ".join(parts) + """
+    SELECT la.doc_id AS doc_a, la.loc AS off_a,
+           lb.doc_id AS doc_b, lb.loc AS off_b, m.rep_len
+    FROM __sa_lmax m
+    JOIN __sa_pos la ON la.pos = m.p_lo
+    JOIN __sa_pos lb ON lb.pos = m.p_hi""")

@@ -304,3 +304,95 @@ class TestHilbertNd:
         assert total_box_volume(h, 64) == total_box_volume(z, 64) == 4096
         # unaligned (real-file) chunks: Hilbert strictly tighter
         assert total_box_volume(h, 100) * 2 < total_box_volume(z, 100)
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array / LCP maximal repeats
+# ---------------------------------------------------------------------------
+
+
+class TestMaximalRepeats:
+    DOCS = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox jumps over a sleepy cat"),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "completely unrelated text with no overlap whatsoever"),
+        (5, "again and again and again"),
+    ]
+
+    @staticmethod
+    def _brute(docs, min_len):
+        # reference: direct suffix sort + symbol-by-symbol LCP
+        import hashlib
+
+        corpus, meta = [], []
+        for d, t in sorted(docs):
+            tt = [w for w in t.lower().split(" ") if w]
+            for i, w in enumerate(tt):
+                corpus.append(int(hashlib.md5(w.encode()).hexdigest()[:8], 16))
+                meta.append((d, i))
+            corpus.append(-d - 1)
+            meta.append((d, len(tt)))
+        L = len(corpus)
+        sa = sorted(range(L), key=lambda i: corpus[i:])
+        out = []
+        for t in range(L - 1):
+            i, j = sa[t], sa[t + 1]
+            n = 0
+            while i + n < L and j + n < L and corpus[i + n] == corpus[j + n]:
+                n += 1
+            if n >= min_len:
+                pa = corpus[i - 1] if i > 0 else None
+                pb = corpus[j - 1] if j > 0 else None
+                if (pa is None) != (pb is None) or pa != pb:
+                    lo, hi = min(i, j), max(i, j)
+                    out.append((meta[lo][0], meta[lo][1],
+                                meta[hi][0], meta[hi][1], n))
+        return sorted(out)
+
+    def test_spark_matches_brute_force(self, spark):
+        from pigpen_spark.functions.suffix import maximal_repeats
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = sorted(tuple(r) for r in
+                     maximal_repeats(df, "doc_id", "text", min_len=3).collect())
+        assert got == self._brute(self.DOCS, 3)
+        # the 9-token cross-doc repeat is found at its EXACT maximal
+        # length — the property fixed-window dedup cannot deliver
+        assert (1, 0, 3, 0, 9) in got
+
+    def test_duckdb_oracle_matches_brute_force(self):
+        import duckdb
+        import pandas as pd
+
+        from pigpen_spark.functions.suffix import maximal_repeats_sql
+
+        con = duckdb.connect()
+        con.register("documents",
+                     pd.DataFrame(self.DOCS, columns=["doc_id", "text"]))
+        sql = maximal_repeats_sql("documents", "doc_id", "text",
+                                  min_len=3, rounds=8)
+        got = sorted(tuple(int(x) for x in r)
+                     for r in con.execute(sql).fetchall())
+        assert got == self._brute(self.DOCS, 3)
+
+    def test_no_repeats_corpus_is_empty(self, spark):
+        from pigpen_spark.functions.suffix import maximal_repeats
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+            "doc_id long, text string")
+        assert maximal_repeats(df, "doc_id", "text", min_len=2).count() == 0
+
+    def test_repeat_never_crosses_doc_boundary(self, spark):
+        # two docs that would chain into a fake repeat if separators
+        # were shared: "x y | x y" vs "y x y" — the repeat "x y" is
+        # found, but nothing spans the boundary
+        from pigpen_spark.functions.suffix import maximal_repeats
+
+        df = spark.createDataFrame(
+            [(1, "p q r"), (2, "p q r")], "doc_id long, text string")
+        got = sorted(tuple(r) for r in
+                     maximal_repeats(df, "doc_id", "text", min_len=3).collect())
+        # exactly the full-doc repeat at len 3, never 4+ (sep would add)
+        assert got == [(1, 0, 2, 0, 3)]
