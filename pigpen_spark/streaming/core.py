@@ -1142,3 +1142,62 @@ def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
                      "n_rows",
                      F.col("checksum_dec").cast("decimal(38,0)")
                       .cast("string").alias("checksum"))
+
+
+def tokenize_stream(
+    stream: DataFrame, id_col: str, text_col: str, out_path: str,
+    checkpoint: str, encoder: str = "wordpiece",
+    available_now: bool = False,
+):
+    """Streaming tokenizer-encode sink — the live SFT-prep twin of the
+    batch encoders (``encoder`` picks wordpiece / bpe / unigram), each
+    against its FROZEN inventory, completing the 3-tokenizer family's
+    streaming story: live ingestion and the batch backfill run the SAME
+    encode function with the same frozen pieces, so a document tokenizes
+    identically whichever path it arrived by (pinned streamed == batch).
+
+    The frozen inventory is the deliberate choice for a stream: a
+    tokenizer that retrains as data arrives would silently shift the
+    token ids of everything already packed — inventory updates belong in
+    a versioned batch re-freeze (tools/freeze_*.py), never mid-stream.
+
+    Batches write ``batch={id}`` directories with overwrite-on-replay —
+    exactly-once encodes without a transactional sink (the
+    decontaminate_stream discipline).  Returns the started
+    StreamingQuery."""
+    from pigpen_spark.functions import bpe as BP
+    from pigpen_spark.functions import unigram as UG
+    from pigpen_spark.functions import wordpiece as WP
+
+    def encode(df: DataFrame) -> DataFrame:
+        if encoder == "wordpiece":
+            enc = WP.wordpiece_encode(df, id_col, text_col,
+                                      WP.FIXED_START, WP.FIXED_CONT)
+            return enc.select(
+                F.col("id").alias(id_col),
+                F.array_join("pieces", " ").alias("pieces"),
+                "n_pieces", "n_unk_words")
+        if encoder == "bpe":
+            enc = BP.bpe_encode(df, id_col, text_col, BP.FIXED_MERGES)
+            return enc.select(
+                F.col("id").alias(id_col),
+                F.array_join("pieces", " ").alias("pieces"), "n_pieces")
+        if encoder == "unigram":
+            enc = UG.unigram_encode(df, id_col, text_col, UG.FIXED_PIECES)
+            return enc.select(
+                F.col("id").alias(id_col),
+                F.array_join("pieces", " ").alias("pieces"), "n_pieces")
+        raise ValueError(f"tokenize_stream: unknown encoder {encoder!r} "
+                         "(wordpiece | bpe | unigram)")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        encode(batch_df).write.mode("overwrite") \
+            .parquet(f"{out_path}/batch={batch_id}")
+
+    w = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

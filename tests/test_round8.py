@@ -396,3 +396,105 @@ class TestMaximalRepeats:
                      maximal_repeats(df, "doc_id", "text", min_len=3).collect())
         # exactly the full-doc repeat at len 3, never 4+ (sep would add)
         assert got == [(1, 0, 2, 0, 3)]
+
+
+# ---------------------------------------------------------------------------
+# Streaming tokenizer-encode sink (the live SFT-prep twin)
+# ---------------------------------------------------------------------------
+
+
+class TestWordpieceStream:
+    def _source(self, spark, tmp_path, rows):
+        import json
+        import os
+
+        src = tmp_path / "in"
+        src.mkdir(parents=True)
+        half = len(rows) // 2
+        for b, chunk in ((0, rows[:half]), (1, rows[half:])):
+            with open(src / f"b{b}.json", "w") as f:
+                for rid, text in chunk:
+                    f.write(json.dumps({"doc_id": rid, "text": text}) + "\n")
+            os.utime(src / f"b{b}.json", (1_700_000_000 + b * 100,) * 2)
+        return (spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1).json(str(src)))
+
+    def test_streamed_equals_batch(self, spark, tmp_path):
+        from pigpen_spark.functions import wordpiece as WP
+        from pigpen_spark.streaming import core as stc
+
+        rows = [(i, t) for i, t in enumerate([
+            "the customer table joins fast",
+            "a big slow query scans the data",
+            "sort the rows by key and merge",
+            "zzz unknown word here",
+            "hash the value and group",
+            "filter the stream by window",
+        ])]
+        stream = self._source(spark, tmp_path, rows)
+        out_path = str(tmp_path / "enc")
+        q = stc.tokenize_stream(stream, "doc_id", "text", out_path,
+                                str(tmp_path / "ckpt"),
+                                encoder="wordpiece", available_now=True)
+        q.awaitTermination(120)
+
+        streamed = {r["doc_id"]: (r["pieces"], r["n_pieces"], r["n_unk_words"])
+                    for r in spark.read.parquet(out_path).collect()}
+        batch = WP.wordpiece_encode(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text", WP.FIXED_START, WP.FIXED_CONT)
+        expected = {r["id"]: (" ".join(r["pieces"]), r["n_pieces"],
+                              r["n_unk_words"]) for r in batch.collect()}
+        assert streamed == expected and len(streamed) == len(rows)
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        from pigpen_spark.streaming import core as stc
+
+        rows = [(i, f"join the table {i}") for i in range(4)]
+        stream = self._source(spark, tmp_path, rows)
+        out_path = str(tmp_path / "enc")
+        for _ in range(2):  # second run replays from the checkpoint
+            q = stc.tokenize_stream(stream, "doc_id", "text", out_path,
+                                    str(tmp_path / "ckpt"),
+                                    encoder="wordpiece", available_now=True)
+            q.awaitTermination(120)
+        assert spark.read.parquet(out_path).count() == len(rows)
+
+    def test_bpe_and_unigram_encoders(self, spark, tmp_path):
+        from pigpen_spark.functions import bpe as BP
+        from pigpen_spark.functions import unigram as UG
+        from pigpen_spark.streaming import core as stc
+
+        rows = [(1, "the quick data table"), (2, "sort and merge rows")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for enc, mod, frozen in (
+                ("bpe", BP, lambda d: BP.bpe_encode(
+                    d, "doc_id", "text", BP.FIXED_MERGES)),
+                ("unigram", UG, lambda d: UG.unigram_encode(
+                    d, "doc_id", "text", UG.FIXED_PIECES))):
+            stream = self._source(spark, tmp_path / enc, rows)
+            out_path = str(tmp_path / enc / "out")
+            q = stc.tokenize_stream(stream, "doc_id", "text", out_path,
+                                    str(tmp_path / enc / "ckpt"),
+                                    encoder=enc, available_now=True)
+            q.awaitTermination(120)
+            streamed = {r["doc_id"]: (r["pieces"], r["n_pieces"])
+                        for r in spark.read.parquet(out_path).collect()}
+            exp = {r["id"]: (" ".join(r["pieces"]), r["n_pieces"])
+                   for r in frozen(df).collect()}
+            assert streamed == exp and len(streamed) == 2
+
+    def test_unknown_encoder_raises(self, spark, tmp_path):
+        from pigpen_spark.streaming import core as stc
+
+        rows = [(1, "x")]
+        stream = self._source(spark, tmp_path, rows)
+        q = stc.tokenize_stream(stream, "doc_id", "text",
+                                str(tmp_path / "out"),
+                                str(tmp_path / "ckpt"),
+                                encoder="sentencepiece", available_now=True)
+        with pytest.raises(Exception, match="unknown encoder"):
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
