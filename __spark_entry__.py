@@ -30,81 +30,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate samples the FIRST 50 registered queries
-# (VERDICT r2). Rotation ledger, round-7 state: cumulative driver
+# (VERDICT r2). Rotation ledger, round-8 state: cumulative driver
 # coverage reached its TERMINAL state in r6 — every catalog query has
 # been driver-verified at least once across r1-r6 (VERDICT r6).  From
 # r7 onward the window rotates as a FRESHNESS guard: new registrations
 # lead, then the stalest driver greens (oldest last-verified round
 # first), so no row's driver record ages more than a few rounds even
-# though the local 221/221 replica re-checks everything at HEAD.
+# though the local full replica re-checks everything at HEAD.
 _DRIVER_PRIORITY: list[str] = [
     # --- r8 window head: NEW round-8 registrations (never driver-
-    # verified; names inserted here as they are registered) ---
+    # verified) ---
     "ext_record_linkage_em",       # EM-trained FS weights, frozen (hash-exact representative)
     "ext_record_linkage_trained",  # runtime EM fit: rows-only (trained twin)
     "ext_hilbert3_key",            # 3-D Hilbert key (12-state Hamilton machine, fused 2-level LUT)
-    # --- r7 window head: NEW round-7 registrations (never driver-
-    # verified; names inserted here as they are registered) ---
-    "ext_wordpiece_encode",        # BERT greedy longest-match tokenizer (3rd of the triple)
-    "ext_wordpiece_encode_trained",  # rows-only by design (trained twin)
-    "ext_hits",                    # integer-exact HITS hubs/authorities (graph family)
-    "ext_hilbert_key",             # Hilbert clustering key (no-jump locality vs Z-order)
-    "ext_tokenizer_compare3",      # 3-way bake-off (UNK-coverage-guarded winner)
-    "ext_record_linkage",          # Fellegi-Sunter probabilistic ER (match/review/non-match)
-    "ext_record_linkage_auto",     # density-auto blocking twin (count-derived bin width)
-    "ext_doc_linkage",             # FS scoring over minhash-blocked doc pairs (facts-scaled ER)
-    # --- r7 re-verification backlog: cumulative driver coverage is
-    # TERMINAL (all 221 queries sampled at least once across r1-r6), so
-    # the window now re-verifies the OLDEST driver greens first
-    # (VERDICT r6 item #7) — r1/r2-era rows whose last driver check is
-    # 4+ rounds old lead, guarding against silent rot the local replica
-    # covers but the driver record would not.  Ordered by
-    # (last-verified round, original registration order), computed from
-    # the union of CORRECTNESS_r01..r06.json. ---
-    # --- last driver-verified round 1 ---
-    "ext_dedup_exact",
-    "ext_dedup_minhash",
+    "ext_maximal_repeats",         # suffix-array/LCP maximal repeats (prefix-doubling SA)
+    # --- freshness backlog: every remaining query ordered by
+    # (last driver-verified round, prior ledger order) — computed
+    # from the union of CORRECTNESS_r01..r07.json.  The window is
+    # the first 50, so the r2/r3-era tail (stalest greens) fills
+    # slots 5-50 this round; later rounds keep rotating. ---
     # --- last driver-verified round 2 ---
-    "q1_groupby_fold",
-    "q6_filter_reduce",
-    "q_reduce_empty",
-    "q_group_collect",
-    "q_minmax_fold",
-    "q_minmax_comparator",
-    "q_map_project",
-    "q_mapcat_tokens",
-    "q_rank",
-    "q_sort_take",
-    "q3_join_agg",
-    "q5_multi_join",
-    "q5_multi_join_bucketed",
-    "q_join_left",
-    "q_join_nulls_std",
-    "q_join_nils",
-    "q_full_outer",
-    "q_semi_filter_by",
-    "q_filter_by_dups",
-    "q_anti_remove_by",
-    "q_cogroup",
-    "q_concat",
-    "q_union_distinct",
-    "q_distinct",
-    "q_intersection",
-    "q_intersection_multiset",
-    "q_difference",
-    "q_difference_multiset",
-    "q_events_window",
-    "q_sessionize",
-    "q_top_per_group",
-    "q_rollup",
-    "q_cogroup_fold",
-    "q_into",
-    "q_map_py",
-    "q_cogroup3",
-    "q_join_multi",
-    "q_asof_join",
-    "q_salted_join",
-    "q_range_join",
     "q_interval_overlap",
     "q_quantiles",
     "q_pivot",
@@ -288,6 +233,57 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_ols",
     "ext_fertility",
     "ext_embed_diversity",
+    # --- last driver-verified round 7 ---
+    "ext_wordpiece_encode",
+    "ext_wordpiece_encode_trained",
+    "ext_hits",
+    "ext_hilbert_key",
+    "ext_tokenizer_compare3",
+    "ext_record_linkage",
+    "ext_record_linkage_auto",
+    "ext_doc_linkage",
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "q1_groupby_fold",
+    "q6_filter_reduce",
+    "q_reduce_empty",
+    "q_group_collect",
+    "q_minmax_fold",
+    "q_minmax_comparator",
+    "q_map_project",
+    "q_mapcat_tokens",
+    "q_rank",
+    "q_sort_take",
+    "q3_join_agg",
+    "q5_multi_join",
+    "q5_multi_join_bucketed",
+    "q_join_left",
+    "q_join_nulls_std",
+    "q_join_nils",
+    "q_full_outer",
+    "q_semi_filter_by",
+    "q_filter_by_dups",
+    "q_anti_remove_by",
+    "q_cogroup",
+    "q_concat",
+    "q_union_distinct",
+    "q_distinct",
+    "q_intersection",
+    "q_intersection_multiset",
+    "q_difference",
+    "q_difference_multiset",
+    "q_events_window",
+    "q_sessionize",
+    "q_top_per_group",
+    "q_rollup",
+    "q_cogroup_fold",
+    "q_into",
+    "q_map_py",
+    "q_cogroup3",
+    "q_join_multi",
+    "q_asof_join",
+    "q_salted_join",
+    "q_range_join",
 ]
 
 

@@ -220,6 +220,14 @@ HEADLINE = [
     "ext_doc_linkage",
     # three-encoder join (BPE + unigram + WordPiece, Arrow-batched)
     "ext_tokenizer_compare3",
+    # EM-trained linkage: frozen hash-exact representative + the runtime
+    # EM twin (histogram groupBy + driver-side fit + scoring pass)
+    "ext_record_linkage_em",
+    "ext_record_linkage_trained",
+    # 3-D Hilbert key (12-state Hamilton machine, fused 2-level LUT)
+    "ext_hilbert3_key",
+    # suffix-array/LCP maximal repeats (prefix-doubling SA + rank descent)
+    "ext_maximal_repeats",
 ]
 
 
