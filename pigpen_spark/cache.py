@@ -63,3 +63,26 @@ def release() -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     return len(held)
+
+
+def mark() -> int:
+    """Position marker for :func:`release_since` — take it BEFORE a
+    bounded piece of work whose engine persists should not outlive it."""
+    with _LOCK:
+        return len(_HELD)
+
+
+def release_since(marker: int) -> int:
+    """Unpersist exactly the engine holdings registered after ``marker``
+    (scoped release for iterative operators: each prefix-doubling /
+    peeling round's intermediates die with the round, without touching
+    caches other operators still depend on the way :func:`release`
+    would).  Returns how many were released."""
+    with _LOCK:
+        held, _HELD[marker:] = _HELD[marker:], []
+    for df in held:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return len(held)

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pigpen_spark import cache as _cache
 from pigpen_spark.cache import persisted as _persisted
 from pigpen_spark.functions.dedup import token_hashes, token_hashes_sql
 from pigpen_spark.operators.windows import ranked
@@ -95,13 +96,16 @@ def pack_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _dense_rank(df: DataFrame, cols: list[str]) -> DataFrame:
+def _dense_rank(df: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
     """Scale-safe dense rank of ``cols``: distinct keys → two-phase
     ranked() → join back (a global dense_rank window would funnel the
-    corpus through one partition)."""
-    keys = df.select(*cols).distinct()
+    corpus through one partition).  Also returns the DISTINCT-KEY COUNT
+    — the caller's rank-uniqueness check rides on the distinct pass the
+    rank already pays for, instead of a separate count job per round."""
+    keys = df.select(*cols).distinct().transform(_persisted)
+    n_keys = keys.count()
     rk = ranked(keys, order_by=[F.col(c) for c in cols], index_col="rank")
-    return df.join(rk, on=cols, how="inner")
+    return df.join(rk, on=cols, how="inner"), n_keys
 
 
 def suffix_ranks(positions: DataFrame) -> list[tuple[int, DataFrame]]:
@@ -117,15 +121,18 @@ def suffix_ranks(positions: DataFrame) -> list[tuple[int, DataFrame]]:
     # pagerank, hits): with persist alone each round's plan nests the
     # previous round's, and by round ~8 plan construction itself
     # (AQE re-planning, tree stringification) dominates or overflows
-    r = _dense_rank(positions.select("pos", "sym"), ["sym"]) \
-        .select("pos", "rank").localCheckpoint(eager=True)
+    # Memory discipline (the 100x OOM lesson): each round's registry
+    # persists (distinct keys + two-phase rank internals) die with the
+    # round via the scoped cache release — only the round's CHECKPOINTED
+    # rank table survives, because the LCP descent still needs it.
+    m0 = _cache.mark()
+    ranked0, n_ranks = _dense_rank(positions.select("pos", "sym"), ["sym"])
+    r = ranked0.select("pos", "rank").localCheckpoint(eager=True)
+    _cache.release_since(m0)
     out = [(1, r)]
     n = r.count()
     width = 1
-    while True:
-        distinct_ranks = r.select("rank").distinct().count()
-        if distinct_ranks == n:
-            break
+    while n_ranks != n:
         if width > 2 * n:  # safety: cannot exceed corpus length
             raise RuntimeError("suffix_ranks: doubling failed to converge")
         b = r.select(F.col("pos").alias("__bp"), F.col("rank").alias("r2"))
@@ -133,8 +140,10 @@ def suffix_ranks(positions: DataFrame) -> list[tuple[int, DataFrame]]:
                          "left")
                   .select("pos", F.col("rank").alias("r1"),
                           F.coalesce("r2", F.lit(-1)).alias("r2")))
-        r = _dense_rank(paired, ["r1", "r2"]) \
-            .select("pos", "rank").localCheckpoint(eager=True)
+        m = _cache.mark()
+        rr, n_ranks = _dense_rank(paired, ["r1", "r2"])
+        r = rr.select("pos", "rank").localCheckpoint(eager=True)
+        _cache.release_since(m)
         width *= 2
         out.append((width, r))
     return out
@@ -157,6 +166,7 @@ def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]]) -> DataFrame:
                               else rank_tables):
         ra = rk.select(F.col("pos").alias("__pa"), F.col("rank").alias("__ra"))
         rb = rk.select(F.col("pos").alias("__pb"), F.col("rank").alias("__rb2"))
+        prev = d
         d = (d.join(ra, F.col("__pa") == F.col("pos_a") + F.col("lcp"), "left")
              .join(rb, F.col("__pb") == F.col("pos_b") + F.col("lcp"), "left")
              .select(
@@ -166,6 +176,7 @@ def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]]) -> DataFrame:
                      == F.coalesce("__rb2", F.lit(_MISS_B)),
                      F.lit(width)).otherwise(F.lit(0))).alias("lcp"))
              .localCheckpoint(eager=True))  # per-level lineage truncation
+        prev.unpersist()  # superseded level's blocks die immediately
     return d
 
 
@@ -182,7 +193,14 @@ def maximal_repeats(docs: DataFrame, id_col: str, text_col: str,
     positions = pack_positions(docs, id_col, text_col) \
         .transform(_persisted)
     tables = suffix_ranks(positions)
-    d = adjacent_lcp(tables).filter(F.col("lcp") >= F.lit(min_len))
+    d_final = adjacent_lcp(tables)
+    # the descent output is checkpointed, so the rank tables' blocks are
+    # dead weight from here — free them NOW (the 100x OOM lesson:
+    # ~log(L) corpus-sized cached tables × multiple bench passes
+    # otherwise accumulate until the heap gives out)
+    for _w, rk in tables:
+        rk.unpersist()
+    d = d_final.filter(F.col("lcp") >= F.lit(min_len))
     d = d.select(
         F.least("pos_a", "pos_b").alias("p_lo"),
         F.greatest("pos_a", "pos_b").alias("p_hi"),
