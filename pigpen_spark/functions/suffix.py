@@ -37,6 +37,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+#: serialized + spillable blocks for every checkpoint here: the rank
+#: tables are corpus-sized and ALL retained for the LCP descent, so the
+#: default deserialized storage exhausts the heap at the 100x corpus
+#: (measured: 27.6M tokens x ~10 round tables OOM'd a 16g driver);
+#: PySpark's MEMORY_AND_DISK is serialized-with-spill — memory-safe at
+#: ~10x less footprint
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 from pigpen_spark import cache as _cache
 from pigpen_spark.cache import persisted as _persisted
@@ -127,7 +136,7 @@ def suffix_ranks(positions: DataFrame) -> list[tuple[int, DataFrame]]:
     # rank table survives, because the LCP descent still needs it.
     m0 = _cache.mark()
     ranked0, n_ranks = _dense_rank(positions.select("pos", "sym"), ["sym"])
-    r = ranked0.select("pos", "rank").localCheckpoint(eager=True)
+    r = ranked0.select("pos", "rank").localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     _cache.release_since(m0)
     out = [(1, r)]
     n = r.count()
@@ -142,7 +151,7 @@ def suffix_ranks(positions: DataFrame) -> list[tuple[int, DataFrame]]:
                           F.coalesce("r2", F.lit(-1)).alias("r2")))
         m = _cache.mark()
         rr, n_ranks = _dense_rank(paired, ["r1", "r2"])
-        r = rr.select("pos", "rank").localCheckpoint(eager=True)
+        r = rr.select("pos", "rank").localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
         _cache.release_since(m)
         width *= 2
         out.append((width, r))
@@ -161,7 +170,7 @@ def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]]) -> DataFrame:
     adj = (final.join(b, F.col("__rb") == F.col("rank") + F.lit(1))
            .select(F.col("pos").alias("pos_a"), "pos_b"))
     d = adj.withColumn("lcp", F.lit(0).cast("long")) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     for width, rk in reversed(rank_tables[:-1] if len(rank_tables) > 1
                               else rank_tables):
         ra = rk.select(F.col("pos").alias("__pa"), F.col("rank").alias("__ra"))
@@ -175,7 +184,7 @@ def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]]) -> DataFrame:
                      F.coalesce("__ra", F.lit(_MISS_A))
                      == F.coalesce("__rb2", F.lit(_MISS_B)),
                      F.lit(width)).otherwise(F.lit(0))).alias("lcp"))
-             .localCheckpoint(eager=True))  # per-level lineage truncation
+             .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL))  # per-level lineage truncation
         prev.unpersist()  # superseded level's blocks die immediately
     return d
 
