@@ -224,8 +224,9 @@ HEADLINE = [
     # EM twin (histogram groupBy + driver-side fit + scoring pass)
     "ext_record_linkage_em",
     "ext_record_linkage_trained",
-    # 3-D Hilbert key (12-state Hamilton machine, fused 2-level LUT)
+    # 3-D / 4-D Hilbert keys (12/32-state Hamilton machines)
     "ext_hilbert3_key",
+    "ext_hilbert4_key",
     # suffix-array/LCP maximal repeats (prefix-doubling SA + rank descent)
     "ext_maximal_repeats",
 ]
