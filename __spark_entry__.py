@@ -45,6 +45,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_hilbert3_key",            # 3-D Hilbert key (12-state Hamilton machine, fused 2-level LUT)
     "ext_maximal_repeats",         # suffix-array/LCP maximal repeats (prefix-doubling SA)
     "ext_hilbert4_key",            # 4-D Hilbert key (32-state machine, capacity-capped bits=14)
+    "ext_ann_ivf_kmeans_auto",     # count-capped k-means training (production twin of the full-fit instrument)
     # --- freshness backlog: every remaining query ordered by
     # (last driver-verified round, prior ledger order) — computed
     # from the union of CORRECTNESS_r01..r07.json.  The window is

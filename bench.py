@@ -229,6 +229,9 @@ HEADLINE = [
     "ext_hilbert4_key",
     # suffix-array/LCP maximal repeats (prefix-doubling SA + rank descent)
     "ext_maximal_repeats",
+    # count-capped trained-IVF (the r8 sweep caught the full fit at
+    # 15.5x per decade; this twin restores linear)
+    "ext_ann_ivf_kmeans_auto",
 ]
 
 

@@ -709,6 +709,39 @@ def ext_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_kmeans(emb.df, k=5, n_centroids=_IVF_C, n_probe=_IVF_P, seed=7)
 
 
+#: production IVF sizing, both count-derived: the training sample caps
+#: at ~20k vectors (coarse centroids stabilize long before a full
+#: pass), and the CENTROID COUNT targets ~1250 vectors/cell (matching
+#: the instrument's 16 cells at sf0.1) — the density-auto doctrine the
+#: LSH family already follows.  Fixed n_centroids is the quadratic:
+#: cells grow linearly with the corpus, so every probed query scans
+#: linearly more candidates.
+_IVF_TRAIN_CAP, _IVF_CELL_T = 20_000, 1_250
+
+
+@register("ext_ann_ivf_kmeans_auto", None)  # iterative k-means: rows-only
+def ext_ann_ivf_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF with COUNT-DERIVED sizing — the production twin of
+    ext_ann_ivf_kmeans (margin_mine instrument/production doctrine).
+    The r8 scaling sweep measured the instrument at 15.5× for 10× data,
+    and decomposing it showed BOTH halves scale wrong when the corpus
+    grows under fixed parameters: the full-corpus pyspark.ml KMeans fit
+    (kmeans|| init + 10 Lloyd passes over every vector), and — the
+    dominant term, still 89.7 s at 10× with training capped — the FIXED
+    16-centroid index, whose cells grow linearly so every probed query
+    scans linearly more candidates (the LSH family's density-auto
+    lesson replayed on IVF).  Here train_fraction caps the fitted
+    sample at ~20k vectors AND n_centroids targets ~1250 vectors/cell,
+    both from ONE count; per-query candidate work is then constant and
+    the assignment + search passes are the only corpus-sized stages."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    n = emb.df.count()
+    frac = min(1.0, _IVF_TRAIN_CAP / max(n, 1))
+    n_cents = max(_IVF_C, -(-n // _IVF_CELL_T))
+    return S.ivf_topk_kmeans(emb.df, k=5, n_centroids=n_cents,
+                             n_probe=_IVF_P, train_fraction=frac, seed=7)
+
+
 @register("ext_ann_ivf_pq_trained", None)  # iterative k-means training: rows-only
 def ext_ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL trained IVF-PQ (FAISS IndexIVFPQ with both quantizers
