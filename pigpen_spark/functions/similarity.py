@@ -438,27 +438,89 @@ def train_coarse_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def nearest_cells(
+    frame: DataFrame, cents: DataFrame,
+    key: str = "id", vec: str = "vec", nrm: str = "nrm", max_rank: int = 1,
+) -> DataFrame:
+    """Coarse-quantizer assignment: rank the centroid table per vector and
+    emit the ``max_rank`` nearest as slim (key, cent_id, crank) rows —
+    one Arrow/numpy pass per batch, no shuffle.
+
+    Replaces the crossJoin(broadcast) + row_number form used through
+    round 8: that plan materializes n×k scored rows and shuffles them
+    for the per-id window, and its HOF dot runs INTERPRETED per
+    (vector, centroid) pair — at 200k×160×64 the ranking alone
+    dominated the whole IVF family (89.7 s at the 10× corpus with
+    training already capped; SCALE.md round-8 addendum).  Vectorized
+    here it is one rank-1 update per dimension.
+
+    Bit-compatibility contract: the cosine is accumulated as the SAME
+    left-to-right fold as :func:`dot` — ``acc += V[:, j] * C[:, j]``
+    per dimension j, each element one IEEE-754 multiply then one add,
+    no FMA, no reassociation — so ranks are bit-identical to the
+    expression form and to the DuckDB oracles' sequential ``list_sum``
+    (a BLAS matmul would reassociate and could flip near-tie ranks).
+    Ties break by cent_id via a stable argsort over the cent_id-sorted
+    centroid matrix; zero-norm denominators rank last (NaN ≍ the
+    expression form's try_divide NULL under DESC NULLS LAST).
+
+    ``cents`` is collected driver-side — bounded by design: the coarse
+    quantizer is n_centroids×dim doubles (~160×64 at the 100× corpus),
+    the same artifact :func:`ivf_topk_kmeans` already holds on the
+    driver."""
+    crows = sorted(
+        cents.select("cent_id", "cent_vec", "cent_nrm").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    cent_ids = [int(r["cent_id"]) for r in crows]
+    cvecs = [[float(x) for x in r["cent_vec"]] for r in crows]
+    cnrms = [float(r["cent_nrm"]) if r["cent_nrm"] is not None else float("nan")
+             for r in crows]
+    take = min(max_rank, len(cent_ids))
+    key_type = frame.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, cent_id int, crank int"
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cvecs, dtype=np.float64)          # k × d
+        cn = np.asarray(cnrms, dtype=np.float64)         # k
+        ids = np.asarray(cent_ids, dtype=np.int64)
+        n_cents, d = C.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            nr = pdf[nrm].to_numpy(dtype=np.float64)
+            acc = np.zeros((len(pdf), n_cents))
+            for j in range(d):   # strict left fold — see bit contract above
+                acc += V[:, j, None] * C[None, :, j]
+            denom = nr[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                csim = np.where(denom != 0.0, acc / denom, np.nan)
+            order = np.argsort(-csim, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame({
+                key: np.repeat(pdf[key].to_numpy(), take),
+                "cent_id": ids[order].ravel(),
+                "crank": np.tile(np.arange(1, take + 1, dtype=np.int32), len(pdf)),
+            })
+
+    return frame.select(key, vec, nrm).mapInPandas(assign, out_schema)
+
+
 def _ivf_search(base: DataFrame, cents: DataFrame, k: int, n_probe: int) -> DataFrame:
-    """Shared IVF search: broadcast centroid assignment (data + probes),
-    candidate join keyed by cell, per-query top-k window.  ``base`` must
-    be persisted (id, vec, nrm); ``cents`` must be (cent_id, cent_vec,
-    cent_nrm) and small enough to broadcast."""
-    sim_to_cent = F.try_divide(
-        dot(F.col("vec"), F.col("cent_vec")), F.col("nrm") * F.col("cent_nrm")
-    )
-    scored_cells = base.crossJoin(F.broadcast(cents)).select(
-        "id", "cent_id", sim_to_cent.alias("csim")
-    )
-    w_cell = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    """Shared IVF search: Arrow-batched centroid assignment (data +
+    probes), candidate join keyed by cell, per-query top-k window.
+    ``base`` must be persisted (id, vec, nrm); ``cents`` must be
+    (cent_id, cent_vec, cent_nrm) and coarse-quantizer-small."""
     # persist: assigned and probes both consume this — without a barrier
-    # the centroid-similarity cross join recomputes on each side.  Keep it
-    # SLIM (ids + rank only): carrying the vectors here would replicate
-    # every embedding n_centroids× in cache (observed GC thrash at 20k×64).
-    ranked_cells = (
-        scored_cells.withColumn("crank", F.row_number().over(w_cell))
-        .select("id", "cent_id", "crank")
-        .transform(_persisted)
-    )
+    # the assignment pass recomputes on each side.  Keep it SLIM (ids +
+    # rank only): carrying the vectors here would replicate every
+    # embedding n_probe× in cache (observed GC thrash at 20k×64).
+    ranked_cells = nearest_cells(
+        base, cents, "id", "vec", "nrm", max_rank=max(n_probe, 1)
+    ).transform(_persisted)
     assigned = (
         ranked_cells.filter(F.col("crank") == 1)
         .select("id", F.col("cent_id").alias("cell"))
@@ -679,15 +741,8 @@ def semantic_dedup(
             .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"),
                     F.col("nrm").alias("cent_nrm"))
         )
-    csim = F.try_divide(
-        dot(F.col("vec"), F.col("cent_vec")), F.col("nrm") * F.col("cent_nrm")
-    )
-    w_cell = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cent_id"))
     assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .select("id", "cent_id", csim.alias("csim"))
-        .withColumn("crank", F.row_number().over(w_cell))
-        .filter(F.col("crank") == 1)
+        nearest_cells(base, cents, "id", "vec", "nrm", max_rank=1)
         .select("id", F.col("cent_id").alias("cell"))
         .join(base, "id")
         .transform(_persisted)
@@ -1130,16 +1185,10 @@ def ivf_pq_topk(
         )
 
     def probe_cells(frame, key: str, vec: str, nrm: str, max_rank: int):
-        csim = F.try_divide(
-            dot(F.col(vec), F.col("cent_vec")), F.col(nrm) * F.col("cent_nrm")
-        )
-        w_cell = Window.partitionBy(key).orderBy(F.col("csim").desc(), F.col("cent_id"))
-        return (
-            frame.crossJoin(F.broadcast(cents))
-            .select(key, "cent_id", csim.alias("csim"))
-            .withColumn("crank", F.row_number().over(w_cell))
-            .filter(F.col("crank") <= max_rank)
-            .select(key, F.col("cent_id").alias("cell"))
+        # Arrow-batched assignment (nearest_cells) — one numpy pass,
+        # bit-identical ranks to the expression form; see its docstring.
+        return nearest_cells(frame, cents, key, vec, nrm, max_rank).select(
+            key, F.col("cent_id").alias("cell")
         )
 
     if codebook is None:

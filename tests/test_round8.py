@@ -561,3 +561,78 @@ class TestLayoutPruningFiles:
                        for d in b))
         assert read["hilbert"] <= read["zorder"]
         assert read["hilbert"] < len(boxes) * 16  # pruning actually fires
+
+
+class TestNearestCells:
+    """Arrow-batched coarse-quantizer assignment (similarity.nearest_cells)
+    must be bit-equivalent to the crossJoin+window expression form it
+    replaced — same ranks, same tie-breaks, same zero-norm handling."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        from pyspark.sql import functions as F
+        from pigpen_spark.functions import similarity as S
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.7, 0.7, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),        # zero norm -> NULL cosine
+            (4, [-1.0, 0.5, 0.25, 0.125]),
+            (5, [0.3, 0.3, 0.3, 0.3]),
+        ]
+        base = (
+            spark.createDataFrame(rows, "id long, vec array<double>")
+            .withColumn("nrm", S.norm(F.col("vec")))
+            .persist()
+        )
+        # duplicate centroid vector (ids 2 and 3) forces a csim TIE -> the
+        # cent_id tie-break must match the window's ORDER BY cent_id
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [0.5, 0.5, 0.0, 0.0]), (3, [0.5, 0.5, 0.0, 0.0])],
+            "cent_id int, cent_vec array<double>",
+        ).withColumn("cent_nrm", S.norm(F.col("cent_vec")))
+        return base, cents
+
+    def _expression_form(self, base, cents, max_rank):
+        """The pre-round-8 crossJoin + row_number plan, verbatim."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from pigpen_spark.functions.similarity import dot
+        csim = F.try_divide(
+            dot(F.col("vec"), F.col("cent_vec")),
+            F.col("nrm") * F.col("cent_nrm"))
+        w = Window.partitionBy("id").orderBy(
+            F.col("csim").desc(), F.col("cent_id"))
+        return (
+            base.crossJoin(F.broadcast(cents))
+            .select("id", "cent_id", csim.alias("csim"))
+            .withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= max_rank)
+            .select("id", "cent_id", "crank"))
+
+    def test_matches_expression_form_all_ranks(self, frames):
+        from pigpen_spark.functions import similarity as S
+        base, cents = frames
+        for max_rank in (1, 2, 4):
+            got = sorted(
+                S.nearest_cells(base, cents, "id", "vec", "nrm", max_rank)
+                .collect())
+            want = sorted(self._expression_form(base, cents, max_rank)
+                          .collect())
+            assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_zero_norm_ranks_last(self, frames):
+        from pigpen_spark.functions import similarity as S
+        base, cents = frames
+        out = S.nearest_cells(base, cents, "id", "vec", "nrm", 4).collect()
+        # the zero vector's csim is NULL/NaN against every centroid, so its
+        # ranking degenerates to the cent_id tie-break order
+        zero = sorted((r["crank"], r["cent_id"]) for r in out if r["id"] == 3)
+        assert zero == [(1, 0), (2, 1), (3, 2), (4, 3)]
+
+    def test_max_rank_clamped_to_centroid_count(self, frames):
+        from pigpen_spark.functions import similarity as S
+        base, cents = frames
+        out = S.nearest_cells(base, cents, "id", "vec", "nrm", 99)
+        assert out.groupBy("id").count().select("count").distinct().collect()[0][0] == 4
