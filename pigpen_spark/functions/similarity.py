@@ -84,18 +84,16 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         to_double(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("q_nrm", norm(F.col("q_vec")))
+    ).withColumn("q_nrm", arrow_norm(F.col("q_vec")))
     # scoring is CPU-bound; small single-file corpora arrive in one scan
     # partition — spread() widens only when needed.  Norms precomputed
     # once per vector, not per pair.
     c = (
         spread(corpus)
         .select(F.col(id_col).alias("n_id"), to_double(F.col(vec_col)).alias("n_vec"))
-        .withColumn("n_nrm", norm(F.col("n_vec")))
+        .withColumn("n_nrm", arrow_norm(F.col("n_vec")))
     )
-    score = F.round(
-        F.try_divide(dot(F.col("q_vec"), F.col("n_vec")), F.col("q_nrm") * F.col("n_nrm")), 6
-    )
+    score = arrow_cosine(F.col("q_vec"), F.col("n_vec"), F.col("q_nrm"), F.col("n_nrm"))
     scored = (
         c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id", score.alias("score"))
@@ -125,14 +123,12 @@ def plane_values(plane: int, dim: int) -> list[float]:
     ]
 
 
-def lsh_bucket(vec, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
-    """Sign-pattern bucket id: one char per hyperplane.
-
-    The planes are deterministic constants, so they are computed ONCE on
-    the driver (hashlib) and injected as array LITERALS — the previous
-    in-plan formulation re-evaluated n_planes × dim md5 expressions for
-    every corpus row.  ``plane_offset`` selects an independent plane set
-    (multi-table LSH: table t uses planes [t·n_planes, (t+1)·n_planes))."""
+def lsh_bucket_expr(vec, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
+    """:func:`lsh_bucket` as a pure Catalyst expression — the
+    differential-test reference form (and the shape
+    :func:`lsh_bucket_sql` mirrors in DuckDB).  The planes are
+    deterministic constants computed ONCE on the driver (hashlib) and
+    injected as array LITERALS."""
     v = to_double(vec)
     chars = []
     for p in range(plane_offset, plane_offset + n_planes):
@@ -155,6 +151,86 @@ def lsh_bucket(vec, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
             )
         )
     )
+
+
+def lsh_bucket(vec, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
+    """Sign-pattern bucket id: one char per hyperplane, Arrow-batched.
+
+    Hashing is n·n_planes·dim multiply-adds over the whole corpus — with
+    the per-element interpreted HOF fold it was the dominant CPU constant
+    of every LSH-family operator (the same lesson as
+    :func:`_arrow_cosine_raw`, one stage earlier).  This form computes
+    all plane signs in one numpy pass per Arrow batch under the strict
+    left-fold bit contract — ``acc += V[:, j] * plane[j]`` per dimension,
+    sign via ``acc >= 0`` (NaN → '0', matching the expression form's
+    false branch) — so buckets are digit-identical to
+    :func:`lsh_bucket_expr` and :func:`lsh_bucket_sql` (pinned by
+    TestArrowLshBucket).
+
+    ``plane_offset`` selects an independent plane set (multi-table LSH:
+    table t uses planes [t·n_planes, (t+1)·n_planes))."""
+    import numpy as np
+    import pandas as pd
+
+    planes = [plane_values(p, dim)
+              for p in range(plane_offset, plane_offset + n_planes)]
+
+    def _bucket(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        arrs = []
+        for v in vs:
+            if v is None or len(v) != dim:
+                got = "NULL" if v is None else str(len(v))
+                raise ValueError(
+                    f"lsh_bucket: dim={dim} != vector length {got}")
+            arrs.append(np.asarray(v, dtype=np.float64))
+        V = np.stack(arrs)
+        bits = np.empty((len(vs), len(planes)), dtype="<U1")
+        for i, pl in enumerate(planes):
+            acc = np.zeros(len(vs), dtype=np.float64)
+            for j in range(dim):   # strict left fold — see bit contract
+                acc += V[:, j] * pl[j]
+            bits[:, i] = np.where(acc >= 0.0, "1", "0")
+        return pd.Series(["".join(row) for row in bits])
+
+    _bucket.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_bucket, "string")(to_double(vec))
+
+
+def arrow_norm(vec) -> Column:
+    """`‖v‖₂` Arrow-batched under the same strict-left-fold contract as
+    :func:`_arrow_cosine_raw` (``np.sqrt`` and ``Math.sqrt`` are both
+    correctly rounded, so the result is bit-identical to
+    :func:`norm`) — the base-prep sibling of :func:`arrow_cosine`."""
+    import numpy as np
+    import pandas as pd
+
+    def _norm(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="float64")
+        # vectors carry no dim contract here (unlike lsh_bucket) — batch
+        # per distinct length; NULL vectors yield NULL (NaN → Arrow mask)
+        lens = np.asarray([-1 if v is None else len(v) for v in vs])
+        out = np.empty(len(vs), dtype=np.float64)
+        vals = vs.to_numpy()
+        for ln in np.unique(lens):
+            idx = np.nonzero(lens == ln)[0]
+            if ln < 0:
+                out[idx] = np.nan
+                continue
+            if ln == 0:
+                out[idx] = 0.0
+                continue
+            V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in idx])
+            acc = np.zeros(len(idx), dtype=np.float64)
+            for j in range(ln):   # strict left fold
+                acc += V[:, j] * V[:, j]
+            out[idx] = np.sqrt(acc)
+        return pd.Series(out)
+
+    _norm.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_norm, "double")(to_double(vec))
 
 
 def lsh_bucket_sql(vec: str, n_planes: int, dim: int, plane_offset: int = 0) -> str:
@@ -214,31 +290,60 @@ def infer_dim(df: DataFrame, vec_col) -> int:
     return int(row["d"]) if row is not None else 1
 
 
-def _arrow_cosine() -> "Column":
-    """Arrow-batched cosine scorer: numpy dot over whole candidate
-    batches instead of the interpreted zip_with/aggregate fold.  NOT
-    hash-exact vs the expression path (numpy sums pairwise/SIMD-order;
-    the HOF fold is strictly left-associated) — callers that need the
-    DuckDB oracle keep the expression path; this exists as the measured
-    alternative for the re-ranking hot loop."""
+def _arrow_cosine_raw() -> "Column":
+    """Arrow-batched cosine scorer, BIT-EXACT vs the expression path.
+
+    One vectorized pass per candidate batch replaces the interpreted
+    zip_with/aggregate fold — the same interpreted-HOF-vs-Arrow lever as
+    :func:`nearest_cells` (round 8: coarse assignment) applied to the
+    pair-scoring joins, the last hot loop still paying per-element
+    expression interpretation.
+
+    Bit-compatibility contract (the :func:`nearest_cells` doctrine):
+
+    - the dot is accumulated as the SAME strict left-to-right fold —
+      ``acc += A[:, j] * B[:, j]`` per dimension j, one IEEE-754 multiply
+      then one add per element, no FMA, no reassociation — so every score
+      is bit-identical to :func:`dot` and to the DuckDB oracles'
+      sequential ``list_sum`` (a BLAS matmul would reassociate and could
+      flip near-tie ranks);
+    - division is a single IEEE divide (identical on numpy and the JVM);
+      a zero denominator yields NaN, which Arrow's ``from_pandas``
+      masking turns into SQL NULL — exactly ``try_divide``'s contract
+      (pinned by TestArrowCosineExact);
+    - NO rounding here: ``F.round`` is HALF_UP BigDecimal while
+      ``np.round`` is banker's — callers apply ``F.round(·, 6)`` JVM-side
+      (:func:`arrow_cosine`), keeping the rounding engine-identical too.
+    """
     import numpy as np
     import pandas as pd
 
     def _score(va, vb, na, nb):
         if len(va) == 0:
             return pd.Series([], dtype="float64")
-        A = np.asarray(va.tolist(), dtype=np.float64)
-        B = np.asarray(vb.tolist(), dtype=np.float64)
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        acc = np.zeros(len(va), dtype=np.float64)
+        for j in range(A.shape[1]):   # strict left fold — see contract
+            acc += A[:, j] * B[:, j]
         denom = na.to_numpy(dtype=np.float64) * nb.to_numpy(dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
-            s = np.where(denom != 0.0, (A * B).sum(axis=1) / denom, np.nan)
-        return pd.Series(np.round(s, 6))
+            s = np.where(denom != 0.0, acc / denom, np.nan)
+        return pd.Series(s)
 
     _score.__annotations__ = {
         "va": pd.Series, "vb": pd.Series, "na": pd.Series, "nb": pd.Series,
         "return": pd.Series,
     }
     return F.pandas_udf(_score, "double")
+
+
+def arrow_cosine(a_vec, b_vec, a_nrm, b_nrm) -> "Column":
+    """``round(try_divide(dot(a,b), |a|·|b|), 6)`` with the O(pairs·d)
+    fold vectorized in Arrow and the rounding kept JVM-side — the
+    default pair scorer for the ANN family (hash-exact per
+    :func:`_arrow_cosine_raw`'s contract)."""
+    return F.round(_arrow_cosine_raw()(_c(a_vec), _c(b_vec), _c(a_nrm), _c(b_nrm)), 6)
 
 
 def resolve_planes(n_planes, corpus: DataFrame,
@@ -275,7 +380,7 @@ def lsh_planes_sql(table: str, target_bucket: int = 200,
 def lsh_topk(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, n_planes: int | str | None = 6, dim: int | None = None,
-    multi_probe: bool = False, score_mode: str = "expr",
+    multi_probe: bool = False, score_mode: str = "arrow",
     auto_sizing: tuple[int, int, int] = (200, 8, 32),
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share an LSH bucket.
@@ -293,10 +398,11 @@ def lsh_topk(
     Each (q, n) candidate arises from exactly one probe slot (the flip
     positions are distinct), so the probe join needs no dedup shuffle.
 
-    ``score_mode="arrow"`` swaps the interpreted HOF cosine for an
-    Arrow-batched numpy scorer (:func:`_arrow_cosine`) — same candidate
-    plan, different float path; results can differ in the last ulp
-    (numpy sum order), so oracle-checked callers keep ``"expr"``."""
+    ``score_mode`` picks the scorer for the candidate join: ``"arrow"``
+    (default) is the Arrow-batched strict-left-fold cosine — bit-exact
+    vs the expression form per :func:`_arrow_cosine_raw`'s contract, so
+    oracle hashes are unaffected; ``"expr"`` keeps the interpreted HOF
+    expression (the differential-test reference path)."""
     if score_mode not in ("expr", "arrow"):
         raise ValueError(f"lsh_topk: unknown score_mode {score_mode!r}")
     n_planes = resolve_planes(n_planes, corpus, *auto_sizing)
@@ -311,7 +417,7 @@ def lsh_topk(
             F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"),
             lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
         )
-        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("nrm", arrow_norm(F.col("vec")))
         .transform(_persisted)
     )
     if multi_probe:
@@ -330,7 +436,7 @@ def lsh_topk(
     a = a.repartition(n_part, "bucket").alias("a")
     b = tagged.alias("b")
     if score_mode == "arrow":
-        score = _arrow_cosine()(
+        score = arrow_cosine(
             F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
         )
     else:
@@ -371,7 +477,7 @@ def ivf_topk(
     base = (
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
-        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("nrm", arrow_norm(F.col("vec")))
         .transform(_persisted)
     )
     cents = (
@@ -404,7 +510,7 @@ def ivf_topk_kmeans(
     base = (
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
-        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("nrm", arrow_norm(F.col("vec")))
         .transform(_persisted)
     )
     train = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
@@ -534,8 +640,7 @@ def _ivf_search(base: DataFrame, cents: DataFrame, k: int, n_probe: int) -> Data
         .select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
                 F.col("nrm").alias("q_nrm"), "cell")
     )
-    score = F.round(
-        F.try_divide(dot(F.col("q_vec"), F.col("vec")), F.col("q_nrm") * F.col("nrm")), 6)
+    score = arrow_cosine(F.col("q_vec"), F.col("vec"), F.col("q_nrm"), F.col("nrm"))
     cand = (
         probes.join(assigned, on="cell")
         .filter(F.col("q_id") != F.col("id"))
@@ -602,10 +707,10 @@ def embedding_near_dup_pairs(
     base = (
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
-        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("nrm", arrow_norm(F.col("vec")))
         .transform(_persisted)
     )
-    score = F.round(F.try_divide(dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a") * F.col("nrm_b")), 6)
+    score = arrow_cosine(F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b"))
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"))
     if exact:
@@ -727,7 +832,7 @@ def semantic_dedup(
     base = (
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
-        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("nrm", arrow_norm(F.col("vec")))
         .transform(_persisted)
     )
     if centroids is not None:
@@ -747,8 +852,8 @@ def semantic_dedup(
         .join(base, "id")
         .transform(_persisted)
     )
-    score = F.round(
-        F.try_divide(dot(F.col("a.vec"), F.col("b.vec")), F.col("a.nrm") * F.col("b.nrm")), 6
+    score = arrow_cosine(
+        F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
     )
     pairs = (
         assigned.alias("a").join(
@@ -1167,7 +1272,7 @@ def ivf_pq_topk(
     base = (
         spread(corpus)
         .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
-        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("nrm", arrow_norm(F.col("vec")))
         .transform(_persisted)
     )
     if coarse_centroids is not None:
@@ -1202,7 +1307,7 @@ def ivf_pq_topk(
         queries.select(
             F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("q_vec")
         )
-        .withColumn("q_nrm", norm(F.col("q_vec")))
+        .withColumn("q_nrm", arrow_norm(F.col("q_vec")))
         .transform(_persisted)
     )
     probes = (
@@ -1507,7 +1612,7 @@ def lsh_index(corpus: DataFrame, id_col: str = "vec_id",
             to_double(F.col(vec_col)).alias("vec"),
             lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
         )
-        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("nrm", arrow_norm(F.col("vec")))
     )
 
 
@@ -1561,7 +1666,7 @@ def lsh_topk_against(
             to_double(F.col(vec_col)).alias("q_vec"),
             lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
         )
-        .withColumn("q_nrm", norm(F.col("q_vec")))
+        .withColumn("q_nrm", arrow_norm(F.col("q_vec")))
     )
     if multi_probe:
         qt = qt.select(
@@ -1581,9 +1686,7 @@ def lsh_topk_against(
     cond = [qt["bucket"] == index["bucket"]]
     if exclude_self:
         cond.append(qt["q_id"] != index["id"])
-    score = F.round(
-        F.try_divide(dot(qt["q_vec"], index["vec"]), qt["q_nrm"] * index["nrm"]), 6
-    )
+    score = arrow_cosine(qt["q_vec"], index["vec"], qt["q_nrm"], index["nrm"])
     scored = qt.join(index, on=cond[0] if len(cond) == 1 else cond[0] & cond[1]) \
                .select("q_id", index["id"].alias("n_id"), score.alias("score"))
     # score band BEFORE ranking: [score_min, score_max) — the semi-hard
@@ -1639,7 +1742,7 @@ def lsh_index_append(index: DataFrame, batch: DataFrame,
             to_double(F.col(vec_col)).alias("vec"),
             lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
         )
-        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("nrm", arrow_norm(F.col("vec")))
     )
     return index.select("id", "vec", "bucket", "nrm") \
         .unionByName(new_rows.select("id", "vec", "bucket", "nrm"))

@@ -222,21 +222,17 @@ class TestNormalizeTextUnicode:
 
 
 # ---------------------------------------------------------------------------
-# lsh_topk score_mode="arrow": same candidates, tolerance-equal scores
+# lsh_topk score_mode: the Arrow default is BIT-identical to "expr"
+# (strict-left-fold contract, similarity._arrow_cosine_raw) — full rows,
+# ranks included, not a tolerance comparison
 # ---------------------------------------------------------------------------
 
 
 class TestArrowScoreMode:
-    def test_matches_expr_within_tolerance(self, spark, emb):
-        ex = S.lsh_topk(emb, k=5, n_planes=6, dim=64).collect()
-        ar = S.lsh_topk(emb, k=5, n_planes=6, dim=64, score_mode="arrow").collect()
-        exd = {(r["q_id"], r["n_id"]): r["score"] for r in ex}
-        ard = {(r["q_id"], r["n_id"]): r["score"] for r in ar}
-        # same candidate plan → same pair set (ranks can swap only if two
-        # scores differ in the last ulp AND straddle the k boundary —
-        # compare the pair sets and the scores, not the ranks)
-        assert set(exd) == set(ard)
-        assert all(abs(exd[p] - ard[p]) <= 1e-6 for p in exd)
+    def test_arrow_default_bit_identical_to_expr(self, spark, emb):
+        ex = S.lsh_topk(emb, k=5, n_planes=6, dim=64, score_mode="expr").collect()
+        ar = S.lsh_topk(emb, k=5, n_planes=6, dim=64).collect()
+        assert sorted(map(tuple, ex)) == sorted(map(tuple, ar))
 
     def test_unknown_mode_raises(self, spark, emb):
         with pytest.raises(ValueError, match="score_mode"):

@@ -636,3 +636,136 @@ class TestNearestCells:
         base, cents = frames
         out = S.nearest_cells(base, cents, "id", "vec", "nrm", 99)
         assert out.groupBy("id").count().select("count").distinct().collect()[0][0] == 4
+
+
+class TestArrowCosineExact:
+    """The Arrow pair scorer (similarity.arrow_cosine) must be
+    BIT-identical to the expression form it replaced across the ANN
+    family — round(try_divide(dot(a,b), |a||b|), 6) with the HOF fold's
+    strict left association, NULL (not NaN) for zero norms, and HALF_UP
+    rounding (kept JVM-side)."""
+
+    @pytest.fixture(scope="class")
+    def pairs(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+        from pigpen_spark.functions import similarity as S
+        rng = random.Random(813)
+        rows = []
+        for i in range(300):
+            # adversarial spread: tiny/huge magnitudes, negatives, exact
+            # ties, and a zero vector every 50 rows (NULL-score path)
+            scale = 10.0 ** rng.randint(-12, 12)
+            a = [rng.uniform(-1, 1) * scale for _ in range(17)]
+            b = [rng.uniform(-1, 1) * scale for _ in range(17)]
+            if i % 50 == 7:
+                a = [0.0] * 17
+            if i % 71 == 3:
+                b = a[:]          # cosine exactly 1 (rounding edge)
+            rows.append((i, a, b))
+        df = spark.createDataFrame(
+            rows, "id long, va array<double>, vb array<double>"
+        ).withColumn("na", S.norm(F.col("va"))).withColumn("nb", S.norm(F.col("vb")))
+        return df.persist()
+
+    def test_bit_identical_to_expression_form(self, pairs):
+        from pyspark.sql import functions as F
+        from pigpen_spark.functions import similarity as S
+        got = pairs.select(
+            "id",
+            S.arrow_cosine("va", "vb", "na", "nb").alias("s"),
+        ).collect()
+        want = pairs.select(
+            "id",
+            F.round(F.try_divide(
+                S.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 6
+            ).alias("s"),
+        ).collect()
+        gm = {r["id"]: r["s"] for r in got}
+        wm = {r["id"]: r["s"] for r in want}
+        assert set(gm) == set(wm)
+        for i in gm:
+            if wm[i] is None:
+                assert gm[i] is None, f"id {i}: expected NULL, got {gm[i]}"
+            else:
+                # bit equality, not tolerance
+                import struct
+                assert struct.pack("<d", gm[i]) == struct.pack("<d", wm[i]), \
+                    f"id {i}: {gm[i]!r} != {wm[i]!r}"
+
+    def test_zero_norm_is_null_not_nan(self, pairs):
+        from pigpen_spark.functions import similarity as S
+        out = pairs.filter("id % 50 = 7").select(
+            S.arrow_cosine("va", "vb", "na", "nb").alias("s")).collect()
+        assert len(out) > 0 and all(r["s"] is None for r in out)
+
+    def test_lsh_topk_arrow_default_matches_expr(self, spark):
+        from pigpen_spark.functions import similarity as S
+        emb = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .limit(400)
+        )
+        ar = S.lsh_topk(emb, k=5, n_planes=6, dim=64).collect()
+        ex = S.lsh_topk(emb, k=5, n_planes=6, dim=64, score_mode="expr").collect()
+        assert sorted(map(tuple, ar)) == sorted(map(tuple, ex))
+
+
+class TestArrowLshBucket:
+    """lsh_bucket's Arrow form must be digit-identical to the expression
+    form (lsh_bucket_expr) it replaced — same strict-left-fold signs,
+    same multi-table plane offsets, same loud dim-mismatch failure."""
+
+    def test_buckets_digit_identical(self, spark):
+        from pyspark.sql import functions as F
+        from pigpen_spark.functions import similarity as S
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet").limit(300)
+        out = emb.select(
+            S.lsh_bucket("embedding", 8, 64).alias("a"),
+            S.lsh_bucket_expr("embedding", 8, 64).alias("e"),
+            S.lsh_bucket("embedding", 6, 64, plane_offset=12).alias("a2"),
+            S.lsh_bucket_expr("embedding", 6, 64, plane_offset=12).alias("e2"),
+        ).collect()
+        assert len(out) == 300
+        assert all(r["a"] == r["e"] and r["a2"] == r["e2"] for r in out)
+
+    def test_zero_vector_all_ones(self, spark):
+        # acc == 0.0 for every plane -> '>= 0' -> all-'1' bucket, both forms
+        from pigpen_spark.functions import similarity as S
+        df = spark.createDataFrame([([0.0] * 8,)], "v array<double>")
+        r = df.select(S.lsh_bucket("v", 5, 8).alias("b"),
+                      S.lsh_bucket_expr("v", 5, 8).alias("e")).collect()[0]
+        assert r["b"] == "11111" == r["e"]
+
+    def test_dim_mismatch_raises(self, spark):
+        import pytest as _pytest
+        from pigpen_spark.functions import similarity as S
+        df = spark.createDataFrame([([1.0, 2.0],)], "v array<double>")
+        with _pytest.raises(Exception, match="lsh_bucket"):
+            df.select(S.lsh_bucket("v", 4, dim=8)).collect()
+
+
+class TestArrowNorm:
+    def test_bit_identical_incl_edge_vectors(self, spark):
+        import struct
+        from pyspark.sql import functions as F
+        from pigpen_spark.functions import similarity as S
+        rows = [
+            (0, [3.0, 4.0]),
+            (1, [0.0, 0.0]),
+            (2, []),                       # empty vector -> 0.0
+            (3, None),                     # NULL vector -> NULL
+            (4, [1e-160, -1e160, 0.5]),    # ragged length + huge magnitude
+            (5, [7.25] * 64),
+        ]
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        out = df.select(
+            "id", S.arrow_norm("v").alias("a"), S.norm(F.col("v")).alias("e")
+        ).collect()
+        for r in out:
+            if r["e"] is None:
+                assert r["a"] is None, f'id {r["id"]}'
+            else:
+                assert struct.pack("<d", r["a"]) == struct.pack("<d", r["e"]), \
+                    f'id {r["id"]}: {r["a"]!r} != {r["e"]!r}'
