@@ -68,10 +68,17 @@ def main() -> None:
     argv = sys.argv[1:]
     n = 2
     names: list[str] = []
+    only_sfs: set[str] | None = None
     i = 0
     while i < len(argv):
         if argv[i] == "--n":
             n = int(argv[i + 1]); i += 2
+        elif argv[i] == "--sfs":
+            # e.g. --sfs sf0.1,10x — restrict the sweep (per-SF merge
+            # keeps the other scale factors' stored records intact);
+            # lets an instrument row whose 100x point is training-bound
+            # skip the half-hour run the production twin doesn't pay
+            only_sfs = set(argv[i + 1].split(",")); i += 2
         else:
             names.append(argv[i]); i += 1
     if not names:
@@ -83,6 +90,8 @@ def main() -> None:
 
     results: dict[str, dict] = {name: {} for name in names}
     for sf_name, sf_dir, _ratio in SFS:
+        if only_sfs is not None and sf_name not in only_sfs:
+            continue
         if not os.path.isdir(sf_dir):
             print(f"# skipping {sf_name}: {sf_dir} missing", file=sys.stderr)
             continue
