@@ -427,26 +427,33 @@ def lsh_topk(
         )
     else:
         a = tagged
-    # pin the self-join parallelism (the lsh_topk_against lesson, caught
-    # by the 100× scaling run there and confirmed here: the bucket
-    # exchange carries slim rows, so AQE coalesces it to 1-2 partitions,
-    # and the exploding candidate-scoring output runs on 1-2 cores).
-    # Explicit repartition-by-num is exempt from AQE coalescing.
-    n_part = _pinned_parallelism(corpus)
-    a = a.repartition(n_part, "bucket").alias("a")
-    b = tagged.alias("b")
     if score_mode == "arrow":
-        score = arrow_cosine(
-            F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+        # cogrouped per-bucket kernel: ships each vector once per side
+        # instead of materializing q×m vector-carrying join rows — see
+        # _cogroup_scored (parallelism pin included there)
+        scored = _cogroup_scored(
+            a.select(F.col("bucket"), F.col("id").alias("q_id"),
+                     F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm")),
+            tagged.select("bucket", "id", "vec", "nrm"),
+            "bucket",
         )
     else:
+        # the differential-reference join + expression form.  Pin the
+        # self-join parallelism (the lsh_topk_against lesson, caught by
+        # the 100× scaling run there and confirmed here: the bucket
+        # exchange carries slim rows, so AQE coalesces it to 1-2
+        # partitions, and the exploding candidate-scoring output runs on
+        # 1-2 cores).  Explicit repartition-by-num is AQE-exempt.
+        n_part = _pinned_parallelism(corpus)
+        a = a.repartition(n_part, "bucket").alias("a")
+        b = tagged.alias("b")
         score = F.round(
             F.try_divide(dot(F.col("a.vec"), F.col("b.vec")), F.col("a.nrm") * F.col("b.nrm")), 6
         )
-    scored = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")))
-        .select(F.col("a.id").alias("q_id"), F.col("b.id").alias("n_id"), score.alias("score"))
-    )
+        scored = (
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")))
+            .select(F.col("a.id").alias("q_id"), F.col("b.id").alias("n_id"), score.alias("score"))
+        )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -617,9 +624,26 @@ def nearest_cells(
 
 def _ivf_search(base: DataFrame, cents: DataFrame, k: int, n_probe: int) -> DataFrame:
     """Shared IVF search: Arrow-batched centroid assignment (data +
-    probes), candidate join keyed by cell, per-query top-k window.
-    ``base`` must be persisted (id, vec, nrm); ``cents`` must be
-    (cent_id, cent_vec, cent_nrm) and coarse-quantizer-small."""
+    probes), then a COGROUPED per-cell scoring kernel, then the
+    per-query top-k window.  ``base`` must be persisted (id, vec, nrm);
+    ``cents`` must be (cent_id, cent_vec, cent_nrm) and
+    coarse-quantizer-small.
+
+    Why cogroup instead of a candidate join: the join form materializes
+    q×m pair ROWS per cell, each carrying BOTH embeddings — at density
+    ~1250/cell that is ~2·d·8 bytes × n·n_probe·1250 of shuffle/Arrow
+    traffic (≈ 0.5 TB per 1M vectors at d=64) just to feed the scorer.
+    Cogrouping by cell ships each cell's members and probing queries
+    ONCE (m+q vectors), scores the q×m block in numpy inside the
+    kernel, and emits slim (q_id, n_id, dot, den) rows — a ~60×
+    reduction in scoring-stage traffic at d=64, with identical
+    results: the dot is the strict left fold (bit contract at
+    :func:`_arrow_cosine_raw`), den = q_nrm·n_nrm is one IEEE multiply,
+    and round + try_divide + ranking stay JVM-side exactly as before.
+
+    No pair dedup is needed: each member belongs to exactly ONE cell
+    (crank == 1) and a query's probed cells are distinct centroid
+    ranks, so a (q, n) pair can only arise once."""
     # persist: assigned and probes both consume this — without a barrier
     # the assignment pass recomputes on each side.  Keep it SLIM (ids +
     # rank only): carrying the vectors here would replicate every
@@ -631,27 +655,80 @@ def _ivf_search(base: DataFrame, cents: DataFrame, k: int, n_probe: int) -> Data
         ranked_cells.filter(F.col("crank") == 1)
         .select("id", F.col("cent_id").alias("cell"))
         .join(base, "id")
-        .select("id", "vec", "nrm", "cell")
+        .select("cell", "id", "vec", "nrm")
     )
     probes = (
         ranked_cells.filter(F.col("crank") <= n_probe)
         .select("id", F.col("cent_id").alias("cell"))
         .join(base, "id")
-        .select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
-                F.col("nrm").alias("q_nrm"), "cell")
+        .select("cell", F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
+                F.col("nrm").alias("q_nrm"))
     )
-    score = arrow_cosine(F.col("q_vec"), F.col("vec"), F.col("q_nrm"), F.col("nrm"))
-    cand = (
-        probes.join(assigned, on="cell")
-        .filter(F.col("q_id") != F.col("id"))
-        .select("q_id", F.col("id").alias("n_id"), score.alias("score"))
-        .dropDuplicates(["q_id", "n_id"])
-    )
+    cand = _cogroup_scored(probes, assigned, "cell")
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _cogroup_scored(probes: DataFrame, members: DataFrame, key: str,
+                    exclude_self: bool = True) -> DataFrame:
+    """Shared block-scoring kernel: cogroup ``probes`` (key, q_id, q_vec,
+    q_nrm) with ``members`` (key, id, vec, nrm) on ``key``, score each
+    q×m block in numpy (strict left fold — bit contract at
+    :func:`_arrow_cosine_raw`; den = q_nrm·n_nrm is one IEEE multiply),
+    and return slim (q_id, n_id, score) rows with the
+    ``round(try_divide(·), 6)`` applied JVM-side — bit-identical to the
+    candidate-join + expression form across IVF cells, LSH buckets, and
+    stored-index serving.
+
+    Parallelism is pinned with an explicit repartition-by-num on BOTH
+    sides (the lsh_topk_against lesson): the shuffled rows are
+    one-vector-each and SMALL relative to the q×m work each block fans
+    out to, so AQE's byte-sized coalescing would fold the kernel onto
+    1-2 cores; repartition-by-num is AQE-exempt and satisfies the
+    cogroup's co-partitioning requirement, so no further exchange is
+    inserted.  (Kernel parallelism is also bounded by the number of
+    distinct blocks — density-auto sizing keeps that growing with the
+    corpus.)"""
+    import numpy as np
+    import pandas as pd
+
+    n_part = _pinned_parallelism(probes)
+    probes = probes.repartition(n_part, key)
+    members = members.repartition(n_part, key)
+    q_type = probes.schema["q_id"].dataType.simpleString()
+    n_type = members.schema["id"].dataType.simpleString()
+    out_schema = f"q_id {q_type}, n_id {n_type}, dot double, den double"
+
+    def score_block(qdf, mdf):
+        if len(qdf) == 0 or len(mdf) == 0:
+            return pd.DataFrame(
+                {"q_id": [], "n_id": [], "dot": [], "den": []})
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["q_vec"]])
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in mdf["vec"]])
+        acc = np.zeros((len(qdf), len(mdf)), dtype=np.float64)
+        for j in range(Q.shape[1]):   # strict left fold — see bit contract
+            acc += Q[:, j, None] * M[None, :, j]
+        den = (qdf["q_nrm"].to_numpy(dtype=np.float64)[:, None]
+               * mdf["nrm"].to_numpy(dtype=np.float64)[None, :])
+        q_ids = np.repeat(qdf["q_id"].to_numpy(), len(mdf))
+        n_ids = np.tile(mdf["id"].to_numpy(), len(qdf))
+        dots, dens = acc.ravel(), den.ravel()
+        if exclude_self:
+            keep = q_ids != n_ids
+            q_ids, n_ids = q_ids[keep], n_ids[keep]
+            dots, dens = dots[keep], dens[keep]
+        return pd.DataFrame(
+            {"q_id": q_ids, "n_id": n_ids, "dot": dots, "den": dens})
+
+    return (
+        probes.groupBy(key).cogroup(members.groupBy(key))
+        .applyInPandas(score_block, out_schema)
+        .select("q_id", "n_id",
+                F.round(F.try_divide(F.col("dot"), F.col("den")), 6).alias("score"))
     )
 
 
@@ -808,8 +885,9 @@ def semantic_dedup(
 
     Plan shape: broadcast centroid assignment (the IVF coarse-quantizer
     pass — here the deterministic first-``n_centroids``-by-id table, swap
-    in k-means output without touching the plan) → within-cell self-join
-    (cosine ≥ threshold) → WCC min-label via :func:`dedup_clusters` →
+    in k-means output without touching the plan) → within-cell pair
+    scoring via the grouped Arrow kernel (cosine ≥ threshold;
+    :func:`_intra_cell_scored_pairs`) → WCC min-label via :func:`dedup_clusters` →
     broadcast keep/drop labels back onto the corpus.  Pair work is
     Σ|cell|² instead of n²; at scale ``n_centroids`` grows with the
     corpus so cells stay bounded (SemDeDup's own posture — 50k clusters
@@ -852,20 +930,62 @@ def semantic_dedup(
         .join(base, "id")
         .transform(_persisted)
     )
-    score = arrow_cosine(
-        F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
-    )
     pairs = (
-        assigned.alias("a").join(
-            assigned.alias("b"),
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), score.alias("score"))
+        _intra_cell_scored_pairs(assigned)
+        .select("id_a", "id_b",
+                F.round(F.try_divide(F.col("dot"), F.col("den")), 6).alias("score"))
         .filter(F.col("score") >= threshold)
     )
     labeled = dedup_keep(assigned.select("id", "cell"), pairs, "id")
     return labeled.select(
         F.col("id").alias(id_col), "cell", "cluster", "kept"
+    )
+
+
+def _intra_cell_scored_pairs(assigned: DataFrame) -> DataFrame:
+    """Within-cell i<j pair scoring as a grouped Arrow kernel — the
+    self-join sibling of :func:`_ivf_search`'s cogroup kernel.
+
+    The cell self-join form materializes Σ|cell|² pair ROWS each
+    carrying two embeddings; grouping by cell ships each member ONCE,
+    scores the m×m block in numpy (strict left fold — bit contract at
+    :func:`_arrow_cosine_raw`), and emits slim (id_a, id_b, dot, den)
+    rows for the upper triangle in id order (id_a < id_b, matching the
+    join form's ordering).  round + try_divide + thresholding stay
+    JVM-side, so scores are bit-identical to the join form
+    (TestSemanticDedupKernel pins the equivalence).
+
+    ``assigned`` must carry (cell, id, vec, nrm)."""
+    import numpy as np
+    import pandas as pd
+
+    key_type = assigned.schema["id"].dataType.simpleString()
+    out_schema = f"id_a {key_type}, id_b {key_type}, dot double, den double"
+
+    def score_cell(pdf):
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "dot": [], "den": []})
+        pdf = pdf.sort_values("id")   # upper triangle == id_a < id_b
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        acc = np.zeros((m, m), dtype=np.float64)
+        for j in range(V.shape[1]):   # strict left fold — see bit contract
+            acc += V[:, j, None] * V[None, :, j]
+        den = nr[:, None] * nr[None, :]
+        ids = pdf["id"].to_numpy()
+        iu, ju = np.triu_indices(m, 1)
+        return pd.DataFrame({
+            "id_a": ids[iu], "id_b": ids[ju],
+            "dot": acc[iu, ju], "den": den[iu, ju]})
+
+    # explicit repartition-by-num: AQE-exempt parallelism pin, same
+    # rationale as _ivf_search's cogroup (slim shuffle, m² kernel work)
+    n_part = _pinned_parallelism(assigned)
+    return (
+        assigned.select("cell", "id", "vec", "nrm")
+        .repartition(n_part, "cell")
+        .groupBy("cell").applyInPandas(score_cell, out_schema)
     )
 
 
@@ -1673,22 +1793,16 @@ def lsh_topk_against(
             "q_id", "q_vec", "q_nrm",
             F.explode(probe_buckets(F.col("bucket"), n_planes)).alias("bucket"),
         )
-    # pin the bucket-join parallelism with an explicit partition COUNT:
-    # the map-side shuffle data is tiny (ids + hashes), so AQE's
-    # post-shuffle coalescing folds it into 1-2 partitions — but the
-    # join OUTPUT is the candidate set (queries × bucket density) and
-    # every dot product lands on those 1-2 cores.  Caught by the 100×
-    # scaling run (a 2-task stage scoring ~30M candidates); an explicit
-    # repartition-by-num is exempt from AQE coalescing, so candidate
-    # scoring keeps cluster-wide parallelism at any corpus size.
-    n_part = _pinned_parallelism(qt)
-    qt = qt.repartition(n_part, "bucket")
-    cond = [qt["bucket"] == index["bucket"]]
-    if exclude_self:
-        cond.append(qt["q_id"] != index["id"])
-    score = arrow_cosine(qt["q_vec"], index["vec"], qt["q_nrm"], index["nrm"])
-    scored = qt.join(index, on=cond[0] if len(cond) == 1 else cond[0] & cond[1]) \
-               .select("q_id", index["id"].alias("n_id"), score.alias("score"))
+    # cogrouped per-bucket kernel (parallelism pin inside
+    # _cogroup_scored — the pin was first added HERE after the 100×
+    # scaling run caught a 2-task stage scoring ~30M candidates): each
+    # query and index vector crosses the shuffle once, the q×m block
+    # scores in numpy, slim scored rows come back
+    scored = _cogroup_scored(
+        qt.select("bucket", "q_id", "q_vec", "q_nrm"),
+        index.select("bucket", "id", "vec", "nrm"),
+        "bucket", exclude_self=exclude_self,
+    )
     # score band BEFORE ranking: [score_min, score_max) — the semi-hard
     # negative-mining window (close enough to be informative, far enough
     # to not be a duplicate); rank is then within the band

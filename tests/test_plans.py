@@ -201,12 +201,14 @@ def test_strip_markup_is_shuffle_free(spark, sf_dir):
 
 def test_ann_index_search_hashes_query_side_only(spark, sf_dir):
     # the stored-index contract: buckets on the index side come from the
-    # index relation itself; the serving join is a bucket equi-join (no
-    # nested loop), and only ONE side of the join recomputes lsh hashing
+    # index relation itself; serving is the cogrouped per-bucket scoring
+    # kernel (similarity._cogroup_scored) — never a nested loop, and
+    # both cogroup sides arrive via the AQE-exempt REPARTITION_BY_NUM pin
     qs = catalog.queries()
     p = qs["ext_ann_index_search"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "FlatMapCoGroupsInPandas" in p
+    assert p.count("REPARTITION_BY_NUM") >= 2
 
 
 def test_token_budget_has_no_single_partition_exchange(spark, sf_dir):

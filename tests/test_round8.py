@@ -769,3 +769,93 @@ class TestArrowNorm:
             else:
                 assert struct.pack("<d", r["a"]) == struct.pack("<d", r["e"]), \
                     f'id {r["id"]}: {r["a"]!r} != {r["e"]!r}'
+
+
+class TestCellKernels:
+    """The grouped/cogrouped Arrow scoring kernels must emit exactly the
+    pairs and bit-exact scores of the join forms they replaced."""
+
+    @pytest.fixture(scope="class")
+    def assigned(self, spark):
+        from pigpen_spark.functions import similarity as S
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet").limit(300)
+        base = (
+            emb.select(F.col("vec_id").alias("id"),
+                       S.to_double(F.col("embedding")).alias("vec"))
+            .withColumn("nrm", S.arrow_norm(F.col("vec")))
+        )
+        cents = (
+            base.orderBy("id").limit(8)
+            .select(F.col("id").alias("cent_id"),
+                    F.col("vec").alias("cent_vec"),
+                    F.col("nrm").alias("cent_nrm"))
+        )
+        return (
+            S.nearest_cells(base, cents, "id", "vec", "nrm", max_rank=1)
+            .select("id", F.col("cent_id").alias("cell"))
+            .join(base, "id")
+            .select("cell", "id", "vec", "nrm")
+            .persist()
+        )
+
+    def test_intra_cell_pairs_match_join_form(self, assigned):
+        from pigpen_spark.functions import similarity as S
+        got = (
+            S._intra_cell_scored_pairs(assigned)
+            .select("id_a", "id_b",
+                    F.round(F.try_divide(F.col("dot"), F.col("den")), 6)
+                    .alias("score"))
+            .collect()
+        )
+        score = F.round(F.try_divide(
+            S.dot(F.col("a.vec"), F.col("b.vec")),
+            F.col("a.nrm") * F.col("b.nrm")), 6)
+        want = (
+            assigned.alias("a").join(
+                assigned.alias("b"),
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"), score.alias("score"))
+            .collect()
+        )
+        assert len(got) > 50   # pairs actually generated
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_ivf_cogroup_matches_join_form(self, assigned, spark):
+        """_ivf_search (cogroup kernel) vs the candidate-join construction,
+        rebuilt verbatim, on the same base + centroids."""
+        from pyspark.sql import Window
+        from pigpen_spark.functions import similarity as S
+        base = assigned.select("id", "vec", "nrm").persist()
+        cents = (
+            base.orderBy("id").limit(8)
+            .select(F.col("id").alias("cent_id"),
+                    F.col("vec").alias("cent_vec"),
+                    F.col("nrm").alias("cent_nrm"))
+        )
+        got = S._ivf_search(base, cents, k=5, n_probe=2).collect()
+        ranked = S.nearest_cells(base, cents, "id", "vec", "nrm", 2).persist()
+        a = (ranked.filter(F.col("crank") == 1)
+             .select("id", F.col("cent_id").alias("cell")).join(base, "id"))
+        q = (ranked.filter(F.col("crank") <= 2)
+             .select("id", F.col("cent_id").alias("cell")).join(base, "id")
+             .select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
+                     F.col("nrm").alias("q_nrm"), "cell"))
+        score = F.round(F.try_divide(
+            S.dot(F.col("q_vec"), F.col("vec")),
+            F.col("q_nrm") * F.col("nrm")), 6)
+        cand = (q.join(a, on="cell")
+                .filter(F.col("q_id") != F.col("id"))
+                .select("q_id", F.col("id").alias("n_id"),
+                        score.alias("score")))
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("score").desc(), F.col("n_id"))
+        want = (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 5)
+                .select("q_id", "n_id", "score",
+                        F.col("rank").cast("long").alias("rank"))
+                .collect())
+        assert len(got) > 100
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
