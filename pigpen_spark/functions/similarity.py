@@ -79,24 +79,63 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector (self excluded).
 
-    The queries side is broadcast — corpus-side scan stays fully parallel
-    and shuffle-free until the tiny per-query top-k window."""
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        to_double(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("q_nrm", arrow_norm(F.col("q_vec")))
-    # scoring is CPU-bound; small single-file corpora arrive in one scan
-    # partition — spread() widens only when needed.  Norms precomputed
-    # once per vector, not per pair.
+    The query side is DRIVER-COLLECTED (the same bounded-artifact
+    contract as :func:`nearest_cells`'s coarse quantizer — this operator
+    exists for small query sets against an unbounded corpus); each
+    corpus batch then scores against the whole query matrix in ONE
+    numpy pass (strict left fold — bit contract at
+    :func:`_arrow_cosine_raw`), emitting slim (q_id, n_id, dot, den)
+    rows.  The corpus scan stays fully parallel and shuffle-free until
+    the per-query top-k window, and — unlike the broadcast-join +
+    per-pair scorer form — no q×n vector-carrying pair rows ever
+    materialize."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            to_double(F.col(vec_col)).alias("q_vec"),
+        ).collect()
+    )
+    q_ids_drv = [r["q_id"] for r in qrows]
+    q_vecs = [[float(x) for x in r["q_vec"]] for r in qrows]
     c = (
         spread(corpus)
         .select(F.col(id_col).alias("n_id"), to_double(F.col(vec_col)).alias("n_vec"))
         .withColumn("n_nrm", arrow_norm(F.col("n_vec")))
     )
-    score = arrow_cosine(F.col("q_vec"), F.col("n_vec"), F.col("q_nrm"), F.col("n_nrm"))
+    q_type = queries.schema[id_col].dataType.simpleString()
+    n_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"q_id {q_type}, n_id {n_type}, dot double, den double"
+
+    def score_batches(batches):
+        Q = np.asarray(q_vecs, dtype=np.float64)          # q × d
+        q_nrm = np.zeros(len(q_vecs), dtype=np.float64)
+        for j in range(Q.shape[1] if len(q_vecs) else 0):  # strict left fold
+            q_nrm += Q[:, j] * Q[:, j]
+        q_nrm = np.sqrt(q_nrm)
+        q_ids = np.asarray(q_ids_drv)
+        for pdf in batches:
+            if pdf.empty or not len(q_vecs):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["n_vec"]])
+            acc = np.zeros((len(q_vecs), len(pdf)), dtype=np.float64)
+            for j in range(V.shape[1]):   # strict left fold — bit contract
+                acc += Q[:, j, None] * V[None, :, j]
+            den = q_nrm[:, None] * pdf["n_nrm"].to_numpy(dtype=np.float64)[None, :]
+            qq = np.repeat(q_ids, len(pdf))
+            nn = np.tile(pdf["n_id"].to_numpy(), len(q_vecs))
+            keep = qq != nn               # self-pair exclusion
+            yield pd.DataFrame({
+                "q_id": qq[keep], "n_id": nn[keep],
+                "dot": acc.ravel()[keep], "den": den.ravel()[keep]})
+
     scored = (
-        c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", score.alias("score"))
+        c.select("n_id", "n_vec", "n_nrm")
+        .mapInPandas(score_batches, out_schema)
+        .select("q_id", "n_id",
+                F.round(F.try_divide(F.col("dot"), F.col("den")), 6).alias("score"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
     return (

@@ -116,6 +116,50 @@ def hilbert_key(col_x, col_y, bits: int = 16) -> Column:
     boxes than the Z-curve's quadrant seams allow.  This is the curve
     behind Delta/Iceberg liquid-style clustering.
 
+    Arrow-batched: the 4-state machine walks all rows at once in int64
+    numpy (one fancy-index lookup + shifts per level) — integer
+    arithmetic, so equality with the expression form is exact, not a
+    float contract (TestArrowHilbert pins it against
+    :func:`hilbert_key_expr` and :func:`hilbert_key_py`).  The
+    expression form pays ~1 µs/row per interpreted let-binding even
+    with 4 levels fused per step; the numpy walk is ~ns/row/level.
+    NULL in either column yields a NULL key (the expression form's
+    NULL propagation).  Same pre-bucketing caveat as zorder_key: feed
+    dense non-negative ints (quantile bins for unbounded domains)."""
+    import numpy as np
+    import pandas as pd
+
+    if 2 * bits > 62:
+        raise ValueError(f"hilbert_key: 2 x {bits} bits exceeds a signed long")
+    code = _HILBERT_CODE
+
+    def _key(xs, ys):
+        if len(xs) == 0:
+            return pd.Series([], dtype="Int64")
+        C = np.asarray(code, dtype=np.int64)
+        null = xs.isna().to_numpy() | ys.isna().to_numpy()
+        x = xs.fillna(0).to_numpy(dtype=np.int64)
+        y = ys.fillna(0).to_numpy(dtype=np.int64)
+        w = np.zeros(len(xs), dtype=np.int64)
+        for i in range(bits - 1, -1, -1):
+            idx = ((w & 3) << 2) | (((x >> i) & 1) << 1) | ((y >> i) & 1)
+            cd = C[idx]
+            w = ((w >> 2) << 4) | ((cd >> 2) << 2) | (cd & 3)
+        out = pd.Series(w >> 2, dtype="Int64")
+        out[null] = None
+        return out
+
+    _key.__annotations__ = {"xs": pd.Series, "ys": pd.Series,
+                            "return": pd.Series}
+    return F.pandas_udf(_key, "long")(
+        _c(col_x).cast("long"), _c(col_y).cast("long"))
+
+
+def hilbert_key_expr(col_x, col_y, bits: int = 16) -> Column:
+    """:func:`hilbert_key` as a pure Catalyst expression — the
+    differential-test reference form (the shape
+    :func:`hilbert_cte_sql` mirrors in DuckDB).
+
     Computed MSB-first through the 4-state machine above: per level,
     ONE literal-array lookup (constant-folded — the bloom_maybe_col
     lesson) yields the output digit and the next state; the running
@@ -324,16 +368,63 @@ def hilbert_key_nd(cols: Sequence, bits: int = 16) -> Column:
     (low ``bits`` bits each) — the N-dimensional generalization of
     :func:`hilbert_key`, for layouts clustering on 3-4 columns at once
     (e.g. customer × day × price band).  Same no-jump guarantee per
-    dimension pair (pinned by test), same plan shape: per step one
-    constant-folded literal-array lookup through the rolling
-    ``w = (digits << sb) | state`` pack, let-bound so the expression
-    tree stays linear in ``bits``.  Levels are fused ``k`` per step
-    with the largest k that keeps the fused table ≤ 1024 entries
-    (N=3 → k=2, 768 entries; N=4 → k=1, 512).
+    dimension pair (pinned by test).
+
+    Arrow-batched like :func:`hilbert_key`: the 2^N-state machine's
+    flat LUT walks all rows at once in int64 numpy — exact integer
+    equality with :func:`hilbert_key_nd_expr` /
+    :func:`hilbert_key_nd_py` (pinned), NULL in any column → NULL key.
 
     Capacity: N·bits digit bits + state bits must fit a signed long
     (N=3 allows bits ≤ 19, N=4 ≤ 14).  Same pre-bucketing caveat as
     zorder_key: feed dense non-negative ints."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("hilbert_key_nd: need at least two columns")
+    lut, sb, _ = _hilbert_nd_machine(n)
+    if n * bits + sb > 63:
+        raise ValueError(
+            f"hilbert_key_nd: {n} dims x {bits} bits + {sb} state bits "
+            "exceeds a signed long")
+    smask = (1 << sb) - 1
+
+    def _key(sdf):
+        if len(sdf) == 0:
+            return pd.Series([], dtype="Int64")
+        L = np.asarray(lut, dtype=np.int64)
+        names = [f"d{j}" for j in range(n)]
+        null = np.zeros(len(sdf), dtype=bool)
+        for c in names:
+            null |= sdf[c].isna().to_numpy()
+        dims = [sdf[c].fillna(0).to_numpy(dtype=np.int64) for c in names]
+        w = np.zeros(len(sdf), dtype=np.int64)
+        for i in range(bits - 1, -1, -1):
+            l = np.zeros_like(w)
+            for j, d in enumerate(dims):
+                l |= ((d >> i) & 1) << j
+            cd = L[((w & smask) << n) | l]
+            w = ((w >> sb) << (n + sb)) | cd
+        out = pd.Series(w >> sb, dtype="Int64")
+        out[null] = None
+        return out
+
+    _key.__annotations__ = {"sdf": pd.DataFrame, "return": pd.Series}
+    return F.pandas_udf(_key, "long")(F.struct(
+        *[_c(c).cast("long").alias(f"d{j}") for j, c in enumerate(cols)]))
+
+
+def hilbert_key_nd_expr(cols: Sequence, bits: int = 16) -> Column:
+    """:func:`hilbert_key_nd` as a pure Catalyst expression — the
+    differential-test reference form (the shape
+    :func:`hilbert_nd_cte_sql` mirrors in DuckDB): per step one
+    constant-folded literal-array lookup through the rolling
+    ``w = (digits << sb) | state`` pack, let-bound so the expression
+    tree stays linear in ``bits``.  Levels are fused ``k`` per step
+    with the largest k that keeps the fused table ≤ 1024 entries
+    (N=3 → k=2, 768 entries; N=4 → k=1, 512)."""
     from pigpen_spark.functions.text import _let
 
     n = len(cols)
@@ -371,15 +462,21 @@ def hilbert_key_nd(cols: Sequence, bits: int = 16) -> Column:
 
     super_lut, _ = _hilbert_nd_super_lut(n, k)
     super_lit = F.lit(super_lut)
-    base_lut, _, _ = _hilbert_nd_machine(n)
-    base_lit = F.lit(base_lut)
+    # remainder levels must use the k=1 SUPER table, not the raw machine
+    # LUT: step() packs dim j at bit (n-1-j) (dim 0 MSB — the super-LUT
+    # convention) while the raw machine table expects dim j at bit j.
+    # Mixing them produced wrong keys for N=3 at odd bits (the catalog
+    # rows use even bits, so the oracle never saw it; caught by the
+    # exhaustive N=3/bits=3 Arrow-equivalence test).
+    rem_lut, _ = _hilbert_nd_super_lut(n, 1)
+    rem_lit = F.lit(rem_lut)
     i = bits
     while i >= k:
         i -= k
         w = _let(w, step(i, k, super_lit))
     while i > 0:
         i -= 1
-        w = _let(w, step(i, 1, base_lit))
+        w = _let(w, step(i, 1, rem_lit))
     return F.shiftright(w, sb)
 
 

@@ -859,3 +859,64 @@ class TestCellKernels:
                 .collect())
         assert len(got) > 100
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+class TestArrowHilbert:
+    """The Arrow Hilbert walks must equal the expression forms and the
+    pure-Python models exactly (integer arithmetic — no float contract),
+    with NULL propagation preserved."""
+
+    def test_2d_exhaustive_vs_expr_and_py(self, spark):
+        from pigpen_spark.operators.layout import (hilbert_key,
+                                                   hilbert_key_expr,
+                                                   hilbert_key_py)
+        rows = [(x, y) for x in range(32) for y in range(32)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        out = df.select(
+            "x", "y",
+            hilbert_key("x", "y", 5).alias("a"),
+            hilbert_key_expr("x", "y", 5).alias("e"),
+        ).collect()
+        assert len(out) == 1024
+        for r in out:
+            assert r["a"] == r["e"] == hilbert_key_py(r["x"], r["y"], 5)
+
+    def test_2d_null_propagates(self, spark):
+        from pigpen_spark.operators.layout import hilbert_key
+        df = spark.createDataFrame(
+            [(1, None), (None, 2), (3, 4)], "x long, y long")
+        out = {(r["x"], r["y"]): r["h"] for r in
+               df.select("x", "y", hilbert_key("x", "y", 8).alias("h"))
+               .collect()}
+        assert out[(1, None)] is None and out[(None, 2)] is None
+        assert out[(3, 4)] is not None
+
+    def test_nd_vs_expr_and_py(self, spark):
+        from pigpen_spark.operators.layout import (hilbert_key_nd,
+                                                   hilbert_key_nd_expr,
+                                                   hilbert_key_nd_py)
+        rows = [(x, y, z) for x in range(8) for y in range(8)
+                for z in range(8)]
+        df = spark.createDataFrame(rows, "x long, y long, z long")
+        out = df.select(
+            "x", "y", "z",
+            hilbert_key_nd(["x", "y", "z"], 3).alias("a"),
+            hilbert_key_nd_expr(["x", "y", "z"], 3).alias("e"),
+        ).collect()
+        assert len(out) == 512
+        for r in out:
+            assert r["a"] == r["e"] == hilbert_key_nd_py(
+                [r["x"], r["y"], r["z"]], 3)
+
+    def test_4d_spot_vs_py(self, spark):
+        from pigpen_spark.operators.layout import (hilbert_key_nd,
+                                                   hilbert_key_nd_py)
+        rows = [(x, y, z, t) for x in range(4) for y in range(4)
+                for z in range(4) for t in range(4)]
+        df = spark.createDataFrame(rows, "x long, y long, z long, t long")
+        out = df.select(
+            "x", "y", "z", "t",
+            hilbert_key_nd(["x", "y", "z", "t"], 4).alias("a")).collect()
+        for r in out:
+            assert r["a"] == hilbert_key_nd_py(
+                [r["x"], r["y"], r["z"], r["t"]], 4)
