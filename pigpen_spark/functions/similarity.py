@@ -826,7 +826,15 @@ def embedding_near_dup_pairs(
         .withColumn("nrm", arrow_norm(F.col("vec")))
         .transform(_persisted)
     )
-    score = arrow_cosine(F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b"))
+    # expression dot, deliberately NOT the Arrow scorer: this operator
+    # dedups SLIM id pairs first and fetches vectors by id-join, so both
+    # vectors are JVM-resident at scoring time — a row-wise Arrow scorer
+    # would pay 2·d·8 bytes/pair of transfer it doesn't need (measured
+    # +40% on the _mp row), while the block kernels don't fit a
+    # dedup-before-score shape
+    score = F.round(
+        F.try_divide(dot(F.col("vec_a"), F.col("vec_b")),
+                     F.col("nrm_a") * F.col("nrm_b")), 6)
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"))
     if exact:
