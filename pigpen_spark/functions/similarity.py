@@ -45,6 +45,16 @@ def _pinned_parallelism(df: DataFrame) -> int:
     return max(sc.defaultParallelism, conf_n)
 
 
+# Per-tile element budget for the block-scoring kernels: the member side
+# is chunked so a q×tile float64 score matrix stays ≈32 MB regardless of
+# group size — LSH sign-pattern buckets are skew-prone (correlated
+# embeddings can collapse into one pattern), and an unbounded q×m
+# allocation would OOM the executor where the join form it replaced
+# merely spilled.  Tiling never changes results: each (q, n) element's
+# fold is independent of the tile boundaries.
+_BLOCK_TILE = 4_000_000
+
+
 def dot(a, b) -> Column:
     """Σ a[i]·b[i] in float64, left-to-right (portable association order)."""
     return F.aggregate(
@@ -76,19 +86,22 @@ def cosine_sql(a: str, b: str) -> str:
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 5,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector (self excluded).
 
     The query side is DRIVER-COLLECTED (the same bounded-artifact
     contract as :func:`nearest_cells`'s coarse quantizer — this operator
-    exists for small query sets against an unbounded corpus); each
-    corpus batch then scores against the whole query matrix in ONE
-    numpy pass (strict left fold — bit contract at
+    exists for small query sets against an unbounded corpus;
+    ``max_queries`` makes the bound LOUD instead of a silent driver
+    OOM); each corpus batch then scores against the whole query matrix
+    in ONE numpy pass (strict left fold — bit contract at
     :func:`_arrow_cosine_raw`), emitting slim (q_id, n_id, dot, den)
     rows.  The corpus scan stays fully parallel and shuffle-free until
     the per-query top-k window, and — unlike the broadcast-join +
     per-pair scorer form — no q×n vector-carrying pair rows ever
-    materialize."""
+    materialize.  NULL query vectors raise; NaN elements are out of
+    contract (see :func:`_stack_checked`)."""
     import numpy as np
     import pandas as pd
 
@@ -96,9 +109,17 @@ def brute_force_topk(
         queries.select(
             F.col(id_col).alias("q_id"),
             to_double(F.col(vec_col)).alias("q_vec"),
-        ).collect()
+        ).limit(max_queries + 1).collect()
     )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk: query side exceeds max_queries={max_queries} "
+            "— this operator driver-collects the queries (bounded-artifact "
+            "contract); shard the query set or raise max_queries explicitly")
     q_ids_drv = [r["q_id"] for r in qrows]
+    if any(r["q_vec"] is None for r in qrows):
+        raise ValueError("brute_force_topk: NULL query vector — filter "
+                         "NULL vecs before querying")
     q_vecs = [[float(x) for x in r["q_vec"]] for r in qrows]
     c = (
         spread(corpus)
@@ -119,7 +140,7 @@ def brute_force_topk(
         for pdf in batches:
             if pdf.empty or not len(q_vecs):
                 continue
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["n_vec"]])
+            V = _stack_vecs(pdf["n_vec"], "brute_force_topk")
             acc = np.zeros((len(q_vecs), len(pdf)), dtype=np.float64)
             for j in range(V.shape[1]):   # strict left fold — bit contract
                 acc += Q[:, j, None] * V[None, :, j]
@@ -241,7 +262,13 @@ def arrow_norm(vec) -> Column:
     """`‖v‖₂` Arrow-batched under the same strict-left-fold contract as
     :func:`_arrow_cosine_raw` (``np.sqrt`` and ``Math.sqrt`` are both
     correctly rounded, so the result is bit-identical to
-    :func:`norm`) — the base-prep sibling of :func:`arrow_cosine`."""
+    :func:`norm`) — the base-prep sibling of :func:`arrow_cosine`.
+
+    NaN ELEMENTS are out of contract: a vector containing NaN norms to
+    NaN, which Arrow's from_pandas masking returns as SQL NULL where the
+    expression form would keep a NaN double — callers must scrub NaN
+    elements upstream if they need that distinction (zero-norm and NULL
+    vectors ARE covered: 0.0 and NULL respectively, test-pinned)."""
     import numpy as np
     import pandas as pd
 
@@ -533,10 +560,22 @@ def ivf_topk(
     return _ivf_search(base, cents, k, n_probe)
 
 
+#: Full-fit guard for :func:`ivf_topk_kmeans`: an UNCAPPED pyspark.ml
+#: KMeans fit (kmeans|| init + Lloyd passes over every vector) heaps the
+#: whole training set through the driver-coordinated aggregations — it
+#: OOM'd a 16 GiB local JVM at the 200k-vector 100× corpus (SCALE.md
+#: round-8 addendum).  Above this corpus size, a full fit must be an
+#: EXPLICIT choice (the allow_stub doctrine), never a default a caller
+#: stumbles into; the production sizing is the count-capped
+#: ``train_fraction`` (ext_ann_ivf_kmeans_auto).
+_FULL_FIT_CAP = 100_000
+
+
 def ivf_topk_kmeans(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, n_centroids: int = 16, n_probe: int = 2,
     train_fraction: float = 1.0, seed: int = 7, max_iter: int = 10,
+    allow_full_fit: bool = False,
 ) -> DataFrame:
     """IVF top-k with REAL k-means centroids (pyspark.ml KMeans).
 
@@ -547,6 +586,12 @@ def ivf_topk_kmeans(
     trained centers live on the driver (n_centroids × dim doubles — tiny)
     and re-enter the plan as a broadcast literal table, so search remains
     a single cell-keyed shuffle.
+
+    ``train_fraction=1.0`` (the demonstration-instrument configuration)
+    REFUSES above :data:`_FULL_FIT_CAP` corpus vectors unless
+    ``allow_full_fit=True`` — cap the sample instead (the
+    ext_ann_ivf_kmeans_auto sizing); the guard's one count() only runs
+    on the full-fit path.
 
     Non-SQL-expressible (iterative training) — no DuckDB oracle; tests
     assert recall against :func:`brute_force_topk` instead."""
@@ -559,6 +604,15 @@ def ivf_topk_kmeans(
         .withColumn("nrm", arrow_norm(F.col("vec")))
         .transform(_persisted)
     )
+    if train_fraction >= 1.0 and not allow_full_fit:
+        n = base.count()
+        if n > _FULL_FIT_CAP:
+            raise ValueError(
+                f"ivf_topk_kmeans: full-corpus k-means fit on {n} vectors "
+                f"(> {_FULL_FIT_CAP}) — pass train_fraction to cap the "
+                "training sample (see ext_ann_ivf_kmeans_auto's "
+                "count-derived sizing), or allow_full_fit=True to force "
+                "the demonstration instrument")
     train = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
     feats = train.select(array_to_vector(F.col("vec")).alias("features"))
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
@@ -643,7 +697,7 @@ def nearest_cells(
         for pdf in batches:
             if pdf.empty:
                 continue
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            V = _stack_vecs(pdf[vec], "nearest_cells")
             nr = pdf[nrm].to_numpy(dtype=np.float64)
             acc = np.zeros((len(pdf), n_cents))
             for j in range(d):   # strict left fold — see bit contract above
@@ -731,37 +785,56 @@ def _cogroup_scored(probes: DataFrame, members: DataFrame, key: str,
     cogroup's co-partitioning requirement, so no further exchange is
     inserted.  (Kernel parallelism is also bounded by the number of
     distinct blocks — density-auto sizing keeps that growing with the
-    corpus.)"""
+    corpus.)
+
+    Contracts: per-task memory is bounded by TILING the member side
+    (:data:`_BLOCK_TILE` elements per q×tile matrix), so a skew-hot
+    bucket costs time, never an executor OOM.  NULL keys are dropped on
+    both sides (the equi-join semantics of the join form this replaced
+    — cogroup would otherwise group NULL-key probes with NULL-key
+    members).  NULL vectors raise (:func:`_stack_checked`) — callers'
+    base prep (`arrow_norm` + `lsh_bucket`) already rejects or marks
+    them; a dirty-corpus caller must filter NULL vecs before blocking."""
     import numpy as np
     import pandas as pd
 
     n_part = _pinned_parallelism(probes)
-    probes = probes.repartition(n_part, key)
-    members = members.repartition(n_part, key)
+    probes = probes.filter(F.col(key).isNotNull()).repartition(n_part, key)
+    members = members.filter(F.col(key).isNotNull()).repartition(n_part, key)
     q_type = probes.schema["q_id"].dataType.simpleString()
     n_type = members.schema["id"].dataType.simpleString()
     out_schema = f"q_id {q_type}, n_id {n_type}, dot double, den double"
 
     def score_block(qdf, mdf):
-        if len(qdf) == 0 or len(mdf) == 0:
+        nq = len(qdf)
+        if nq == 0 or len(mdf) == 0:
             return pd.DataFrame(
                 {"q_id": [], "n_id": [], "dot": [], "den": []})
-        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["q_vec"]])
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in mdf["vec"]])
-        acc = np.zeros((len(qdf), len(mdf)), dtype=np.float64)
-        for j in range(Q.shape[1]):   # strict left fold — see bit contract
-            acc += Q[:, j, None] * M[None, :, j]
-        den = (qdf["q_nrm"].to_numpy(dtype=np.float64)[:, None]
-               * mdf["nrm"].to_numpy(dtype=np.float64)[None, :])
-        q_ids = np.repeat(qdf["q_id"].to_numpy(), len(mdf))
-        n_ids = np.tile(mdf["id"].to_numpy(), len(qdf))
-        dots, dens = acc.ravel(), den.ravel()
-        if exclude_self:
-            keep = q_ids != n_ids
-            q_ids, n_ids = q_ids[keep], n_ids[keep]
-            dots, dens = dots[keep], dens[keep]
-        return pd.DataFrame(
-            {"q_id": q_ids, "n_id": n_ids, "dot": dots, "den": dens})
+        Q = _stack_vecs(qdf["q_vec"], "_cogroup_scored")
+        q_nrm = qdf["q_nrm"].to_numpy(dtype=np.float64)
+        q_ids_all = qdf["q_id"].to_numpy()
+        m_vals = mdf["vec"].to_numpy()
+        m_nrm_all = mdf["nrm"].to_numpy(dtype=np.float64)
+        m_ids_all = mdf["id"].to_numpy()
+        tile = max(1, _BLOCK_TILE // max(nq, 1))
+        outs = []
+        for lo in range(0, len(mdf), tile):
+            hi = min(lo + tile, len(mdf))
+            M = _stack_vecs(m_vals[lo:hi], "_cogroup_scored")
+            acc = np.zeros((nq, hi - lo), dtype=np.float64)
+            for j in range(Q.shape[1]):   # strict left fold — bit contract
+                acc += Q[:, j, None] * M[None, :, j]
+            den = q_nrm[:, None] * m_nrm_all[None, lo:hi]
+            q_ids = np.repeat(q_ids_all, hi - lo)
+            n_ids = np.tile(m_ids_all[lo:hi], nq)
+            dots, dens = acc.ravel(), den.ravel()
+            if exclude_self:
+                keep = q_ids != n_ids
+                q_ids, n_ids = q_ids[keep], n_ids[keep]
+                dots, dens = dots[keep], dens[keep]
+            outs.append(pd.DataFrame(
+                {"q_id": q_ids, "n_id": n_ids, "dot": dots, "den": dens}))
+        return pd.concat(outs, ignore_index=True)
 
     return (
         probes.groupBy(key).cogroup(members.groupBy(key))
@@ -1014,17 +1087,27 @@ def _intra_cell_scored_pairs(assigned: DataFrame) -> DataFrame:
         if m < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "dot": [], "den": []})
         pdf = pdf.sort_values("id")   # upper triangle == id_a < id_b
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        V = _stack_vecs(pdf["vec"], "_intra_cell_scored_pairs")
         nr = pdf["nrm"].to_numpy(dtype=np.float64)
-        acc = np.zeros((m, m), dtype=np.float64)
-        for j in range(V.shape[1]):   # strict left fold — see bit contract
-            acc += V[:, j, None] * V[None, :, j]
-        den = nr[:, None] * nr[None, :]
         ids = pdf["id"].to_numpy()
-        iu, ju = np.triu_indices(m, 1)
-        return pd.DataFrame({
-            "id_a": ids[iu], "id_b": ids[ju],
-            "dot": acc[iu, ju], "den": den[iu, ju]})
+        # tile over row blocks (the _BLOCK_TILE memory bound — a skew-hot
+        # cell costs time, never an executor OOM); per tile score rows
+        # [lo,hi) against columns [lo,m) and keep the strict upper
+        # triangle.  Fold order per element is unchanged by tiling.
+        tile = max(1, _BLOCK_TILE // m)
+        outs = []
+        for lo in range(0, m - 1, tile):
+            hi = min(lo + tile, m)
+            acc = np.zeros((hi - lo, m - lo), dtype=np.float64)
+            for j in range(V.shape[1]):   # strict left fold — bit contract
+                acc += V[lo:hi, j, None] * V[None, lo:, j]
+            den = nr[lo:hi, None] * nr[None, lo:]
+            iu, ju = np.nonzero(
+                np.arange(lo, hi)[:, None] < np.arange(lo, m)[None, :])
+            outs.append(pd.DataFrame({
+                "id_a": ids[lo:hi][iu], "id_b": ids[lo:][ju],
+                "dot": acc[iu, ju], "den": den[iu, ju]}))
+        return pd.concat(outs, ignore_index=True)
 
     # explicit repartition-by-num: AQE-exempt parallelism pin, same
     # rationale as _ivf_search's cogroup (slim shuffle, m² kernel work)
@@ -1206,7 +1289,8 @@ def _subspace_dist2(vec_name: str, j: int, d: int, cent: list[float]) -> Column:
 def _adc_tables(codebook: list[list[float]], m: int, d: int):
     """(tables, adist) for ADC scoring: per-subspace distance-table array
     columns over a materialized ``q_vec``, and the m-lookup sum against a
-    ``codes`` column.  Shared by :func:`pq_adc_topk` / :func:`ivf_pq_topk`."""
+    ``codes`` column.  Shared by :func:`pq_adc_topk_expr` /
+    :func:`ivf_pq_topk_expr` (the differential-reference forms)."""
     tables = [
         F.array(*[_subspace_dist2("q_vec", j, d, c) for c in codebook]).alias(f"__t{j}")
         for j in range(m)
@@ -1216,6 +1300,87 @@ def _adc_tables(codebook: list[list[float]], m: int, d: int):
         t = F.element_at(F.col(f"__t{j}"), F.element_at("codes", j + 1) + 1)
         adist = t if adist is None else adist + t
     return tables, adist
+
+
+def _np_adc_tables(Q, codebook: list[list[float]], m: int, d: int):
+    """numpy ADC tables for a query matrix ``Q`` (q × dim float64):
+    returns T (q × m × n_codes) where ``T[:, j, c]`` is the squared L2
+    distance between subspace j of each query and codebook entry c,
+    accumulated with EXACTLY :func:`_subspace_dist2`'s flat
+    left-associated term order (``t_i0 + t_i1 + …``, each term one
+    subtract + one multiply) — so every table entry is bit-identical to
+    the expression form and the DuckDB oracles' sequential list_sum."""
+    import numpy as np
+
+    n_codes = len(codebook)
+    T = np.empty((Q.shape[0], m, n_codes), dtype=np.float64)
+    for j in range(m):
+        for ci, c in enumerate(codebook):
+            acc = None
+            for i in range(j * d, (j + 1) * d):   # strict left fold
+                diff = Q[:, i] - c[i]
+                t = diff * diff
+                acc = t if acc is None else acc + t
+            T[:, j, ci] = acc
+    return T
+
+
+def _np_pq_codes(V, codebook: list[list[float]], m: int, d: int):
+    """numpy PQ coding for a vector matrix ``V`` (n × dim float64):
+    returns (codes n × m int32, sse n float64) under the SAME bit
+    contract as the expression form — per-subspace distances via
+    :func:`_np_adc_tables`'s left fold, code = FIRST minimal entry
+    (``np.argmin`` first-occurrence == ``array_position(dj,
+    array_min(dj))`` under exact float equality), sse = the m subspace
+    minima summed left-associated in subspace order."""
+    import numpy as np
+
+    D = _np_adc_tables(V, codebook, m, d)           # n × m × n_codes
+    codes = np.argmin(D, axis=2).astype(np.int32)   # first minimal
+    rows = np.arange(V.shape[0])
+    sse = None
+    for j in range(m):                               # strict left fold
+        mn = D[rows, j, codes[:, j]]
+        sse = mn if sse is None else sse + mn
+    return codes, sse
+
+
+def _stack_vecs(values, who: str):
+    """Stack a pandas column of vectors into an (n × d) float64 matrix
+    with LOUD errors on NULL or ragged vectors (no dim contract — the
+    variable-dim sibling of :func:`_stack_checked`)."""
+    import numpy as np
+
+    arrs = []
+    for v in values:
+        if v is None:
+            raise ValueError(
+                f"{who}: NULL vector in block — filter NULL vecs before blocking")
+        arrs.append(np.asarray(v, dtype=np.float64))
+    try:
+        return np.stack(arrs)
+    except ValueError:
+        raise ValueError(f"{who}: ragged vector lengths in block") from None
+
+
+def _stack_checked(values, dim: int, who: str):
+    """Stack a pandas column of vectors into an (n × dim) float64 matrix,
+    failing LOUDLY on NULL or wrong-length vectors — the Arrow kernels'
+    input contract (the expression forms raise under ANSI element_at for
+    short vectors and emit NULL-poisoned rows for NULL ones; the kernels
+    make both cases an explicit error, same posture as
+    :func:`lsh_bucket`).  NaN ELEMENTS are out of contract: they flow
+    through as IEEE NaN here but comparisons order them differently
+    JVM-side."""
+    import numpy as np
+
+    arrs = []
+    for v in values:
+        if v is None or len(v) != dim:
+            got = "NULL" if v is None else str(len(v))
+            raise ValueError(f"{who}: dim={dim} != vector length {got}")
+        arrs.append(np.asarray(v, dtype=np.float64))
+    return np.stack(arrs)
 
 
 def product_quantize(
@@ -1239,9 +1404,59 @@ def product_quantize(
     Ties in the argmin break to the FIRST minimal code (array_position
     semantics).  Returns (id, codes array of m ints, mse = per-vector
     mean squared reconstruction error — the subspace-min distances
-    summed, free because they're already computed).  Vectors shorter
-    than ``dim`` raise under ANSI element_at, same contract as
-    :func:`scalar_quantize`."""
+    summed, free because they're already computed).
+
+    Execution: one Arrow/numpy pass per batch (:func:`_np_pq_codes` —
+    coding is m·n_codes·dim multiply-adds per ROW, and the unrolled
+    expression tree was the PQ family's dominant interpreted constant:
+    10.3 s for 20k×64 at sf0.1, 0.5 s vectorized).  Bit-identical to
+    :func:`product_quantize_expr` (the retained differential reference)
+    under :func:`_np_adc_tables`'s left-fold contract; the final
+    ``/ dim`` stays a single IEEE divide on both paths.  NULL or
+    wrong-length vectors raise (:func:`_stack_checked`)."""
+    import pandas as pd
+
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"product_quantize: m ({m}) must divide dim ({dim})")
+    d = dim // m
+    base = spread(corpus).select(
+        F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec")
+    )
+    if codebook is None:
+        codebook = _default_codebook(corpus, id_col, vec_col, n_codes)
+    if any(len(c) != dim for c in codebook):
+        raise ValueError("product_quantize: codebook entries must have length dim")
+    cb = [list(map(float, c)) for c in codebook]
+    id_type = base.schema["id"].dataType.simpleString()
+    out_schema = f"id {id_type}, codes array<int>, mse double"
+    fdim = float(dim)
+
+    def code_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = _stack_checked(pdf["vec"], dim, "product_quantize")
+            codes, sse = _np_pq_codes(V, cb, m, d)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "codes": list(codes),
+                "mse": sse / fdim,
+            })
+
+    return base.mapInPandas(code_batches, out_schema)
+
+
+def product_quantize_expr(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, m: int = 8, n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """:func:`product_quantize` as pure Catalyst expressions — the
+    differential-test reference form (bit-equality vs the Arrow kernel
+    pinned by TestArrowPqCodes) and the shape
+    :func:`product_quantize_sql` mirrors in DuckDB."""
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     if dim % m != 0:
@@ -1312,6 +1527,7 @@ def pq_adc_topk(
     m: int = 8, n_codes: int = 16,
     codebook: list[list[float]] | None = None,
     exclude_self: bool = True,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes — the search half of an
     IVF-PQ index: the corpus is its :func:`product_quantize` codes (m
@@ -1320,12 +1536,19 @@ def pq_adc_topk(
     approximate distance is just m table lookups summed:
     Σⱼ table[j][code_j].
 
-    Plan shape: corpus codes are per-row expressions (zero shuffles, as
-    in product_quantize); the query side carries its distance tables as
-    array columns and BROADCASTS (queries ≪ corpus); scoring is m
-    element_at lookups per (query, candidate) — no float dot products on
-    the corpus side at all, which is the point: at 10^10 vectors the
-    scan reads 8 bytes of codes instead of 256+ bytes of floats.
+    Execution: the query side is DRIVER-COLLECTED (the
+    :func:`brute_force_topk` bounded-artifact contract — this operator
+    serves small query sets against an unbounded corpus; ``max_queries``
+    makes the bound LOUD instead of a silent driver OOM) and its ADC
+    tables are computed once in numpy; the corpus is then coded AND
+    scored in ONE fused Arrow pass per batch (:func:`_np_pq_codes` +
+    q×n table lookups summed left-associated), emitting slim
+    (q_id, n_id, adist) rows — no q×n pair rows carrying m table
+    arrays, no giant coding expression.  ``F.round(·, 6)`` and the
+    rank window stay JVM-side, so every row is bit-identical to
+    :func:`pq_adc_topk_expr` (the retained differential reference) and
+    the DuckDB oracle.  At 10^10 vectors the scan still reads only the
+    vector column once and ships 3 small columns per candidate.
 
     Returns (q_id, n_id, adist, rank) ranked by ascending approximate
     distance (ties by n_id).  ``exclude_self=True`` (default) drops the
@@ -1333,6 +1556,9 @@ def pq_adc_topk(
     queries, but an EXTERNAL query set whose ids coincidentally overlap
     corpus ids would silently lose that candidate: pass
     ``exclude_self=False`` when query ids aren't corpus row ids."""
+    import numpy as np
+    import pandas as pd
+
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     if dim % m != 0:
@@ -1340,7 +1566,81 @@ def pq_adc_topk(
     d = dim // m
     if codebook is None:
         codebook = _default_codebook(corpus, id_col, vec_col, n_codes)
-    coded = product_quantize(
+    cb = [list(map(float, c)) for c in codebook]
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("q_vec")
+        ).limit(max_queries + 1).collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_adc_topk: query side exceeds max_queries={max_queries} — "
+            "this operator driver-collects the queries (bounded-artifact "
+            "contract); shard the query set or raise max_queries explicitly")
+    q_ids_drv = [r["q_id"] for r in qrows]
+    q_vecs = [[float(x) for x in r["q_vec"]] for r in qrows]
+    base = spread(corpus).select(
+        F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec")
+    )
+    q_type = queries.schema[id_col].dataType.simpleString()
+    n_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"q_id {q_type}, n_id {n_type}, araw double"
+
+    def score_batches(batches):
+        if not q_vecs:
+            return
+        Q = np.asarray(q_vecs, dtype=np.float64)
+        T = _np_adc_tables(Q, cb, m, d)            # q × m × n_codes
+        q_ids = np.asarray(q_ids_drv)
+        nq = len(q_vecs)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = _stack_checked(pdf["vec"], dim, "pq_adc_topk")
+            codes, _ = _np_pq_codes(V, cb, m, d)   # n × m
+            acc = None
+            for j in range(m):                     # strict left fold
+                t = T[:, j, codes[:, j]]           # q × n lookups
+                acc = t if acc is None else acc + t
+            qq = np.repeat(q_ids, len(pdf))
+            nn = np.tile(pdf["id"].to_numpy(), nq)
+            araw = acc.ravel()
+            if exclude_self:
+                keep = qq != nn
+                qq, nn, araw = qq[keep], nn[keep], araw[keep]
+            yield pd.DataFrame({"q_id": qq, "n_id": nn, "araw": araw})
+
+    scored = (
+        base.mapInPandas(score_batches, out_schema)
+        .select("q_id", "n_id", F.round(F.col("araw"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pq_adc_topk_expr(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5, dim: int | None = None,
+    m: int = 8, n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """:func:`pq_adc_topk` as a broadcast join over expression-computed
+    codes and ADC table columns — the differential-test reference form
+    (bit-equality vs the Arrow kernel pinned by TestArrowPqAdc) and the
+    shape :func:`pq_adc_topk_sql` mirrors in DuckDB."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"pq_adc_topk: m ({m}) must divide dim ({dim})")
+    d = dim // m
+    if codebook is None:
+        codebook = _default_codebook(corpus, id_col, vec_col, n_codes)
+    coded = product_quantize_expr(
         corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, codebook=codebook
     ).select("id", "codes")
     tables, adist = _adc_tables(codebook, m, d)
@@ -1430,7 +1730,19 @@ def ivf_pq_topk(
     ``exclude_self=False`` if external query ids can collide with
     corpus ids, else the colliding candidate is silently dropped).
     Queries whose probed cells are empty of others return fewer than
-    k rows."""
+    k rows.
+
+    Execution (the :func:`_ivf_search` doctrine applied to ADC):
+    Arrow-coded corpus (:func:`product_quantize`) and Arrow cell
+    assignment (:func:`nearest_cells`), then a COGROUPED per-cell ADC
+    kernel (:func:`_cogroup_adc_scored`) — each cell ships its members'
+    codes and its probing queries' vectors ONCE, the kernel builds the
+    block's ADC tables in numpy and scores the q×m block with table
+    lookups, emitting slim (q_id, n_id, araw) rows.  The join form it
+    replaces materialized a q×m pair row per candidate, each carrying
+    the query's m×n_codes table arrays (~1 KB/pair at the defaults).
+    round + rank stay JVM-side — bit-identical to
+    :func:`ivf_pq_topk_expr` (the retained differential reference)."""
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     if dim % m != 0:
@@ -1469,12 +1781,149 @@ def ivf_pq_topk(
         corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, codebook=codebook
     ).select("id", "codes")
     assigned = probe_cells(base, "id", "vec", "nrm", 1).join(coded, "id")
-    tables, adist = _adc_tables(codebook, m, d)
     qbase = (
         queries.select(
             F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("q_vec")
         )
         .withColumn("q_nrm", arrow_norm(F.col("q_vec")))
+        .transform(_persisted)
+    )
+    probes = (
+        qbase.select("q_id", "q_vec")
+        .join(probe_cells(qbase, "q_id", "q_vec", "q_nrm", n_probe), on="q_id")
+        .select("cell", "q_id", "q_vec")
+    )
+    cand = _cogroup_adc_scored(
+        probes, assigned.select("cell", "id", "codes"), "cell",
+        codebook, m, d, dim, exclude_self=exclude_self,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _cogroup_adc_scored(probes: DataFrame, members: DataFrame, key: str,
+                        codebook: list[list[float]], m: int, d: int, dim: int,
+                        exclude_self: bool = True) -> DataFrame:
+    """ADC sibling of :func:`_cogroup_scored`: cogroup ``probes``
+    (key, q_id, q_vec) with ``members`` (key, id, codes) on ``key``,
+    build the block's ADC tables in numpy (:func:`_np_adc_tables` — the
+    bit contract), score each q×m block by m table lookups summed
+    left-associated, and return slim (q_id, n_id, adist) rows with the
+    ``round(·, 6)`` applied JVM-side.
+
+    Per-task memory is bounded by TILING the member side
+    (:data:`_BLOCK_TILE` elements per q×tile score matrix) — a skew-hot
+    key costs more time, never an executor OOM.  NULL keys are dropped
+    on both sides (equi-join semantics of the form this replaces), and
+    NULL/ragged q_vecs raise (:func:`_stack_checked`)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = [list(map(float, c)) for c in codebook]
+    n_part = _pinned_parallelism(probes)
+    probes = probes.filter(F.col(key).isNotNull()).repartition(n_part, key)
+    members = members.filter(F.col(key).isNotNull()).repartition(n_part, key)
+    q_type = probes.schema["q_id"].dataType.simpleString()
+    n_type = members.schema["id"].dataType.simpleString()
+    out_schema = f"q_id {q_type}, n_id {n_type}, araw double"
+
+    def score_block(qdf, mdf):
+        nq = len(qdf)
+        if nq == 0 or len(mdf) == 0:
+            return pd.DataFrame({"q_id": [], "n_id": [], "araw": []})
+        Q = _stack_checked(qdf["q_vec"], dim, "_cogroup_adc_scored")
+        T = _np_adc_tables(Q, cb, m, d)            # q × m × n_codes
+        q_ids_all = qdf["q_id"].to_numpy()
+        codes_all = np.stack([np.asarray(c, dtype=np.int64) for c in mdf["codes"]])
+        ids_all = mdf["id"].to_numpy()
+        tile = max(1, _BLOCK_TILE // max(nq, 1))
+        outs = []
+        for lo in range(0, len(mdf), tile):
+            codes = codes_all[lo:lo + tile]
+            acc = None
+            for j in range(m):                     # strict left fold
+                t = T[:, j, codes[:, j]]           # q × tile lookups
+                acc = t if acc is None else acc + t
+            qq = np.repeat(q_ids_all, len(codes))
+            nn = np.tile(ids_all[lo:lo + tile], nq)
+            araw = acc.ravel()
+            if exclude_self:
+                keep = qq != nn
+                qq, nn, araw = qq[keep], nn[keep], araw[keep]
+            outs.append(pd.DataFrame({"q_id": qq, "n_id": nn, "araw": araw}))
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        probes.groupBy(key).cogroup(members.groupBy(key))
+        .applyInPandas(score_block, out_schema)
+        .select("q_id", "n_id", F.round(F.col("araw"), 6).alias("adist"))
+    )
+
+
+def ivf_pq_topk_expr(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5, dim: int | None = None,
+    n_centroids: int = 16, n_probe: int = 2, m: int = 8, n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+    exclude_self: bool = True,
+    coarse_centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """:func:`ivf_pq_topk` as the candidate join over expression-computed
+    codes and ADC table columns — the differential-test reference form
+    (bit-equality vs the cogroup kernel pinned by TestArrowPqAdc) and
+    the shape :func:`ivf_pq_topk_sql` mirrors in DuckDB."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"ivf_pq_topk: m ({m}) must divide dim ({dim})")
+    d = dim // m
+    base = (
+        spread(corpus)
+        .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
+        .withColumn("nrm", norm(F.col("vec")))
+        .transform(_persisted)
+    )
+    if coarse_centroids is not None:
+        cents = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(coarse_centroids)],
+            "cent_id int, cent_vec array<double>",
+        ).withColumn("cent_nrm", norm(F.col("cent_vec")))
+    else:
+        cents = (
+            base.orderBy("id").limit(n_centroids)
+            .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"),
+                    F.col("nrm").alias("cent_nrm"))
+        )
+
+    def probe_cells(frame, key: str, vec: str, nrm: str, max_rank: int):
+        csim = F.try_divide(
+            dot(F.col(vec), F.col("cent_vec")), F.col(nrm) * F.col("cent_nrm")
+        )
+        w_cell = Window.partitionBy(key).orderBy(F.col("csim").desc(), F.col("cent_id"))
+        return (
+            frame.crossJoin(F.broadcast(cents))
+            .select(key, "cent_id", csim.alias("csim"))
+            .withColumn("crank", F.row_number().over(w_cell))
+            .filter(F.col("crank") <= max_rank)
+            .select(key, F.col("cent_id").alias("cell"))
+        )
+
+    if codebook is None:
+        codebook = _default_codebook(corpus, id_col, vec_col, n_codes)
+    coded = product_quantize_expr(
+        corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, codebook=codebook
+    ).select("id", "codes")
+    assigned = probe_cells(base, "id", "vec", "nrm", 1).join(coded, "id")
+    tables, adist = _adc_tables(codebook, m, d)
+    qbase = (
+        queries.select(
+            F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn("q_nrm", norm(F.col("q_vec")))
         .transform(_persisted)
     )
     probes = (

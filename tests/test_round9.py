@@ -1,0 +1,224 @@
+"""Round-9 pins: the PQ family's Arrow kernels vs their retained
+expression references (bit equality), the block-kernel tiling bound,
+NULL-key cogroup semantics, and the driver-collect guards."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from pigpen_spark.functions import similarity as S
+
+
+def _rows_equal(a, b):
+    return sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(400)
+        .persist()
+    )
+
+
+class TestArrowPqCodes:
+    """product_quantize's Arrow kernel must be BIT-identical to
+    product_quantize_expr — same left-fold subspace distances, same
+    first-minimal argmin, same left-associated sse and single final
+    divide."""
+
+    @pytest.fixture(scope="class")
+    def adversarial(self, spark):
+        import random
+
+        rng = random.Random(909)
+        rows = []
+        for i in range(300):
+            scale = 10.0 ** rng.randint(-12, 12)
+            rows.append((i, [rng.uniform(-1, 1) * scale for _ in range(16)]))
+        # exact duplicates of codebook seeds (ids 0..3): distance-0 ties
+        for i in range(300, 308):
+            rows.append((i, list(rows[i % 4][1])))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>").persist()
+
+    def test_codes_and_mse_bit_identical(self, adversarial):
+        got = S.product_quantize(adversarial, dim=16, m=4, n_codes=4).collect()
+        want = S.product_quantize_expr(adversarial, dim=16, m=4, n_codes=4).collect()
+        gm = {r["id"]: (list(r["codes"]), r["mse"]) for r in got}
+        wm = {r["id"]: (list(r["codes"]), r["mse"]) for r in want}
+        assert set(gm) == set(wm)
+        for i in gm:
+            assert gm[i][0] == wm[i][0], f"id {i}: codes differ"
+            assert struct.pack("<d", gm[i][1]) == struct.pack("<d", wm[i][1]), \
+                f"id {i}: mse {gm[i][1]!r} != {wm[i][1]!r}"
+
+    def test_trained_codebook_bit_identical(self, emb):
+        cb = S.train_pq_codebook(emb, dim=64, m=8, n_codes=8, max_iter=2)
+        got = S.product_quantize(emb, dim=64, m=8, n_codes=8, codebook=cb).collect()
+        want = S.product_quantize_expr(emb, dim=64, m=8, n_codes=8, codebook=cb).collect()
+        assert _rows_equal(
+            [(r["id"], tuple(r["codes"]), struct.pack("<d", r["mse"])) for r in got],
+            [(r["id"], tuple(r["codes"]), struct.pack("<d", r["mse"])) for r in want],
+        )
+
+    def test_null_vector_raises(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0] * 8), (1, None)], "vec_id long, embedding array<double>")
+        with pytest.raises(Exception, match="product_quantize"):
+            S.product_quantize(df, dim=8, m=2, n_codes=1).collect()
+
+    def test_short_vector_raises(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0] * 8), (1, [1.0] * 5)], "vec_id long, embedding array<double>")
+        with pytest.raises(Exception, match="product_quantize"):
+            S.product_quantize(df, dim=8, m=2, n_codes=1).collect()
+
+
+class TestArrowPqAdc:
+    """pq_adc_topk / ivf_pq_topk (Arrow + cogroup-ADC kernels) must
+    return exactly the rows of their _expr references."""
+
+    def test_pq_adc_matches_expr(self, emb):
+        q = emb.filter(F.col("vec_id") < 10)
+        got = S.pq_adc_topk(emb, q, k=5, dim=64).collect()
+        want = S.pq_adc_topk_expr(emb, q, k=5, dim=64).collect()
+        assert len(got) == 50 and _rows_equal(got, want)
+
+    def test_pq_adc_trained_and_no_self_exclusion(self, emb):
+        cb = S.train_pq_codebook(emb, dim=64, m=8, n_codes=8, max_iter=2)
+        q = emb.filter(F.col("vec_id") < 6)
+        got = S.pq_adc_topk(emb, q, k=3, dim=64, m=8, n_codes=8,
+                            codebook=cb, exclude_self=False).collect()
+        want = S.pq_adc_topk_expr(emb, q, k=3, dim=64, m=8, n_codes=8,
+                                  codebook=cb, exclude_self=False).collect()
+        assert _rows_equal(got, want)
+        # self-pairs rank first at adist 0 when not excluded
+        firsts = {r["n_id"] for r in got if r["rank"] == 1}
+        assert firsts == {r["q_id"] for r in got if r["rank"] == 1}
+
+    def test_ivf_pq_matches_expr(self, emb):
+        q = emb.filter(F.col("vec_id") < 10)
+        got = S.ivf_pq_topk(emb, q, k=5, dim=64).collect()
+        want = S.ivf_pq_topk_expr(emb, q, k=5, dim=64).collect()
+        assert len(got) == 50 and _rows_equal(got, want)
+
+    def test_ivf_pq_trained_quantizers_match_expr(self, emb):
+        cb = S.train_pq_codebook(emb, dim=64, m=8, n_codes=8, max_iter=2)
+        cents = S.train_coarse_centroids(emb, n_centroids=8, max_iter=2)
+        q = emb.filter(F.col("vec_id") < 6)
+        got = S.ivf_pq_topk(emb, q, k=3, dim=64, m=8, n_codes=8, codebook=cb,
+                            coarse_centroids=cents).collect()
+        want = S.ivf_pq_topk_expr(emb, q, k=3, dim=64, m=8, n_codes=8, codebook=cb,
+                                  coarse_centroids=cents).collect()
+        assert _rows_equal(got, want)
+
+    def test_max_queries_guard(self, emb):
+        with pytest.raises(ValueError, match="max_queries"):
+            S.pq_adc_topk(emb, emb, k=1, dim=64, max_queries=10)
+        with pytest.raises(ValueError, match="max_queries"):
+            S.brute_force_topk(emb, emb, k=1, max_queries=10)
+
+
+class TestBlockTileBound:
+    """The block kernels chunk the member side at _BLOCK_TILE elements
+    per q×tile matrix — results must be invariant under any tile size
+    (per-element fold order is untouched by tiling)."""
+
+    def test_cogroup_and_intra_cell_invariant_under_tiny_tiles(
+            self, emb, monkeypatch):
+        big = S.lsh_topk(emb, k=5, n_planes=4, dim=64).collect()
+        pairs_big = S.semantic_dedup(emb, threshold=0.4, n_centroids=4).collect()
+        monkeypatch.setattr(S, "_BLOCK_TILE", 7)
+        small = S.lsh_topk(emb, k=5, n_planes=4, dim=64).collect()
+        pairs_small = S.semantic_dedup(emb, threshold=0.4, n_centroids=4).collect()
+        assert _rows_equal(big, small)
+        assert _rows_equal(pairs_big, pairs_small)
+
+    def test_adc_cogroup_invariant_under_tiny_tiles(self, emb, monkeypatch):
+        q = emb.filter(F.col("vec_id") < 10)
+        big = S.ivf_pq_topk(emb, q, k=5, dim=64).collect()
+        monkeypatch.setattr(S, "_BLOCK_TILE", 3)
+        small = S.ivf_pq_topk(emb, q, k=5, dim=64).collect()
+        assert _rows_equal(big, small)
+
+
+class TestFullFitGuard:
+    """ivf_topk_kmeans's train_fraction=1.0 instrument configuration must
+    REFUSE above _FULL_FIT_CAP corpus vectors (the 100× corpus OOM'd the
+    local JVM on the uncapped fit) unless explicitly forced."""
+
+    def test_guard_fires_above_cap(self, emb, monkeypatch):
+        monkeypatch.setattr(S, "_FULL_FIT_CAP", 100)
+        with pytest.raises(ValueError, match="allow_full_fit"):
+            S.ivf_topk_kmeans(emb, k=1, n_centroids=4)
+
+    def test_allow_full_fit_forces_instrument(self, emb, monkeypatch):
+        monkeypatch.setattr(S, "_FULL_FIT_CAP", 100)
+        out = S.ivf_topk_kmeans(emb, k=1, n_centroids=4, max_iter=1,
+                                allow_full_fit=True)
+        assert out.count() > 0
+
+    def test_capped_fraction_skips_guard(self, emb, monkeypatch):
+        monkeypatch.setattr(S, "_FULL_FIT_CAP", 100)
+        out = S.ivf_topk_kmeans(emb, k=1, n_centroids=4, max_iter=1,
+                                train_fraction=0.3)
+        assert out.count() > 0
+
+
+class TestDiffQueriesDetectDefects:
+    """The catalog_diff invariants must actually TRIP on a defect — a
+    diff query that can't go red verifies nothing."""
+
+    def test_flat_mismatch_counts_bit_differences(self):
+        from pigpen_spark import catalog_diff as D
+        assert D._flat_mismatch([[1.0, 2.0]], [[1.0, 2.0]]) == 0
+        assert D._flat_mismatch([[1.0, 2.0]], [[1.0, 2.0 + 1e-15]]) == 1
+        assert D._flat_mismatch([[1.0]], [[1.0, 2.0]]) >= 1
+        assert D._flat_mismatch([[0.0]], [[-0.0]]) == 1   # bit, not ==
+
+    def test_df_mismatch_catches_row_drift(self, spark):
+        from pigpen_spark import catalog_diff as D
+        a = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id long, v double")
+        b = spark.createDataFrame([(1, 2.0), (2, 3.5)], "id long, v double")
+        assert D._df_mismatch(a, a) == 0
+        assert D._df_mismatch(a, b) == 2
+
+    def test_recon_fail_catches_lost_pieces(self, spark):
+        from pigpen_spark import catalog_diff as D
+        docs = spark.createDataFrame(
+            [(1, "ab cd"), (2, "ef")], "doc_id long, text string")
+        good = spark.createDataFrame(
+            [(1, ["ab", "cd"]), (2, ["e", "f"])],
+            "id long, pieces array<string>")
+        bad = spark.createDataFrame(
+            [(1, ["ab"]), (2, ["e", "f"])], "id long, pieces array<string>")
+        assert D._recon_fail(good, docs, None) == 0
+        assert D._recon_fail(bad, docs, None) == 1
+
+
+class TestCogroupNullKey:
+    """NULL keys must be DROPPED on both cogroup sides (the equi-join
+    semantics of the join form the kernel replaced) — NULL-bucket probes
+    never score against NULL-bucket members."""
+
+    def test_null_keys_dropped(self, spark):
+        probes = spark.createDataFrame(
+            [(None, 1, [1.0, 0.0], 1.0), ("b", 2, [1.0, 0.0], 1.0)],
+            "bucket string, q_id long, q_vec array<double>, q_nrm double")
+        members = spark.createDataFrame(
+            [(None, 10, [1.0, 0.0], 1.0), ("b", 20, [0.0, 1.0], 1.0)],
+            "bucket string, id long, vec array<double>, nrm double")
+        out = S._cogroup_scored(probes, members, "bucket").collect()
+        assert [(r["q_id"], r["n_id"]) for r in out] == [(2, 20)]
+
+    def test_null_vec_raises_loudly(self, spark):
+        probes = spark.createDataFrame(
+            [("b", 1, None, 1.0)],
+            "bucket string, q_id long, q_vec array<double>, q_nrm double")
+        members = spark.createDataFrame(
+            [("b", 20, [0.0, 1.0], 1.0)],
+            "bucket string, id long, vec array<double>, nrm double")
+        with pytest.raises(Exception, match="NULL vector"):
+            S._cogroup_scored(probes, members, "bucket").collect()
