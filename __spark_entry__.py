@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pigpen_spark import catalog  # noqa: E402
 from pigpen_spark import catalog_ext  # noqa: E402,F401 — registers extension queries
+from pigpen_spark import catalog_diff  # noqa: E402,F401 — registers differential oracles for the rows-only twins
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -38,65 +39,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # first), so no row's driver record ages more than a few rounds even
 # though the local full replica re-checks everything at HEAD.
 _DRIVER_PRIORITY: list[str] = [
-    # --- r8 window head: NEW round-8 registrations (never driver-
-    # verified) ---
-    "ext_record_linkage_em",       # EM-trained FS weights, frozen (hash-exact representative)
-    "ext_record_linkage_trained",  # runtime EM fit: rows-only (trained twin)
-    "ext_hilbert3_key",            # 3-D Hilbert key (12-state Hamilton machine, fused 2-level LUT)
-    "ext_maximal_repeats",         # suffix-array/LCP maximal repeats (prefix-doubling SA)
-    "ext_hilbert4_key",            # 4-D Hilbert key (32-state machine, capacity-capped bits=14)
-    "ext_ann_ivf_kmeans_auto",     # count-capped k-means training (production twin of the full-fit instrument)
+    # --- r9 window head: NEW round-9 registrations (never driver-
+    # verified) — the differential oracles that close VERDICT r8's
+    # "no_oracle rows" item: every rows-only twin now has a
+    # hash-checkable 1-row invariant query (see catalog_diff.py). ---
+    "ext_ann_pq_trained_diff",
+    "ext_ann_ivf_pq_trained_diff",
+    "ext_ann_opq_trained_diff",
+    "ext_semdedup_trained_diff",
+    "ext_ann_ivf_kmeans_diff",
+    "ext_ann_ivf_kmeans_auto_diff",
+    "ext_record_linkage_trained_diff",
+    "ext_bpe_encode_trained_diff",
+    "ext_wordpiece_encode_trained_diff",
+    "ext_unigram_encode_trained_diff",
+    "ext_normalize_unicode_diff",
     # --- freshness backlog: every remaining query ordered by
-    # (last driver-verified round, prior ledger order) — computed
-    # from the union of CORRECTNESS_r01..r07.json.  The window is
-    # the first 50, so the r2/r3-era tail (stalest greens) fills
-    # slots 5-50 this round; later rounds keep rotating. ---
-    # --- last driver-verified round 2 ---
-    "q_interval_overlap",
-    "q_quantiles",
-    "q_pivot",
-    "q_window_analytics",
-    "q_json_extract",
-    "q_cube",
-    "q_sample",
-    "ext_text_stats",
-    "ext_lang_id",
-    "ext_quality_score",
+    # (last driver-verified round, prior ledger order) — the r8 window
+    # re-verified the old head through ext_decontaminate, so the
+    # stalest greens are the r3-era leftovers below, then the r4-era
+    # block.  The r3-era leftovers include the ENTIRE reworked PQ/ANN
+    # family (ext_ann_pq, ext_ann_ivf_pq, ext_semdedup …) — exactly the
+    # rows this round's Arrow/ADC kernels touched. ---
     # --- last driver-verified round 3 ---
-    "ext_fuzzy_join",
-    "ext_boilerplate",
-    "ext_url_normalize",
-    "ext_dedup_keep_best",
-    "ext_token_budget",
-    "ext_image_decode",
-    "ext_image_thumb",
-    "ext_audio_decode",
-    "ext_frame_sample_gif",
-    "ext_negative_pairs",
-    "ext_hard_negatives",
-    "ext_image_decode_jpeg",
-    "ext_strip_markup",
-    "ext_collocations",
-    "ext_ann_index_search",
-    "ext_heavy_hitters",
-    "ext_embed_near_dup_mp",
-    "ext_ann_pq_trained",
-    "ext_ann_ivf_pq_trained",
-    "ext_max_repeats",
-    "ext_dedup_clusters_star",
-    "ext_snapshot_diff",
-    "ext_perplexity_buckets",
-    "ext_quantile_sketch",
-    "ext_dedup_events_window",
-    "ext_validate",
-    "ext_incremental_rollup",
-    "ext_dedup_eval",
-    "ext_lm_trained",
-    "ext_blocklist",
-    "ext_corpus_pipeline",
-    "ext_dedup_keep",
-    "ext_dedup_substr",
-    "ext_decontaminate",
     "ext_split_leakage",
     "ext_embed_near_dup",
     "ext_semdedup",
@@ -286,6 +251,58 @@ _DRIVER_PRIORITY: list[str] = [
     "q_asof_join",
     "q_salted_join",
     "q_range_join",
+    # --- last driver-verified round 8 (the freshest greens — the whole
+    # CORRECTNESS_r08 window, in its r8 order) ---
+    "ext_record_linkage_em",
+    "ext_record_linkage_trained",
+    "ext_hilbert3_key",
+    "ext_maximal_repeats",
+    "ext_hilbert4_key",
+    "ext_ann_ivf_kmeans_auto",
+    "q_interval_overlap",
+    "q_quantiles",
+    "q_pivot",
+    "q_window_analytics",
+    "q_json_extract",
+    "q_cube",
+    "q_sample",
+    "ext_text_stats",
+    "ext_lang_id",
+    "ext_quality_score",
+    "ext_fuzzy_join",
+    "ext_boilerplate",
+    "ext_url_normalize",
+    "ext_dedup_keep_best",
+    "ext_token_budget",
+    "ext_image_decode",
+    "ext_image_thumb",
+    "ext_audio_decode",
+    "ext_frame_sample_gif",
+    "ext_negative_pairs",
+    "ext_hard_negatives",
+    "ext_image_decode_jpeg",
+    "ext_strip_markup",
+    "ext_collocations",
+    "ext_ann_index_search",
+    "ext_heavy_hitters",
+    "ext_embed_near_dup_mp",
+    "ext_ann_pq_trained",
+    "ext_ann_ivf_pq_trained",
+    "ext_max_repeats",
+    "ext_dedup_clusters_star",
+    "ext_snapshot_diff",
+    "ext_perplexity_buckets",
+    "ext_quantile_sketch",
+    "ext_dedup_events_window",
+    "ext_validate",
+    "ext_incremental_rollup",
+    "ext_dedup_eval",
+    "ext_lm_trained",
+    "ext_blocklist",
+    "ext_corpus_pipeline",
+    "ext_dedup_keep",
+    "ext_dedup_substr",
+    "ext_decontaminate",
 ]
 
 
