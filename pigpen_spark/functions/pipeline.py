@@ -581,19 +581,28 @@ def build_vocab(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame:
     id-mapping a corpus (word-level here; a trained BPE vocab loads the
     same (token, token_id) shape from parquet).
 
-    One groupBy(token) with map-side partials; the ranking window is
-    GLOBAL but over the vocabulary (token types, not tokens — millions of
-    rows, not trillions), which is the standard single-pass posture.
-    ``min_count`` prunes the long tail before the rank."""
+    One groupBy(token) with map-side partials; the ranking is the
+    TWO-PHASE scale-safe form (:func:`~pigpen_spark.operators.windows.ranked`:
+    range-repartition on the sort key + per-partition row_number + driver
+    offset vector) — the round-8 form ranked the type table through ONE
+    global window partition, the superlinear term behind
+    ext_tokenize_pack's α = 1.20 (SCALE.md round-8 finding 3); type
+    tables are vocabulary-sized but still millions of rows at corpus
+    scale.  Ranks are identical (same total order), so the oracle and
+    every consumer hash unchanged.  ``min_count`` prunes the long tail
+    before the rank."""
     from pigpen_spark.functions.text import tokens
+    from pigpen_spark.operators.windows import ranked
 
     counts = (
         df.select(F.explode(tokens(_c(text_col))).alias("token"))
         .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+    return ranked(
+        counts, order_by=[F.col("n").desc(), F.col("token")],
+        index_col="__vr",
+    ).select("token", "n", (F.col("__vr") + 1).cast("long").alias("token_id"))
 
 
 def build_vocab_sql(table: str, text_col: str, min_count: int = 1) -> str:

@@ -10,16 +10,19 @@ alignment and every length, where the fixed-window forms
 window size.
 
 Architecture choice (Spark-first, not a port): the suffix array is built
-by PREFIX DOUBLING expressed entirely in DataFrame ops — O(log L) rounds
-of (self-join at offset 2^k → distinct pair-rank → two-phase scale-safe
-dense rank → join back), the published distributed-memory SA
-construction (Flick & Aluru, SC'15).  A per-shard DC3 in Arrow batches
-was considered and rejected: a monolithic in-batch SA caps the corpus at
-one executor's memory, and sharding it silently loses every cross-shard
-repeat — the doubling form shuffles but is exact at any scale.  LCP then
-falls out of the SAME per-round rank tables (the sparse-table descent:
-walk k from high to low, extend by 2^k whenever rank_k matches at the
-current offset), so no suffix is ever re-compared symbol by symbol.
+by GENERALIZED PREFIX DOUBLING expressed entirely in DataFrame ops —
+O(log₄ L) rounds of (radix−1 offset self-joins → in-place scale-safe
+dense rank), the published distributed-memory SA construction (Flick &
+Aluru, SC'15) at radix 4: per-round cost here is dominated by FIXED job
+latency, so fewer/fatter rounds win (round 9: 30.7 → 15.4 s at sf0.1).
+A per-shard DC3 in Arrow batches was considered and rejected: a
+monolithic in-batch SA caps the corpus at one executor's memory, and
+sharding it silently loses every cross-shard repeat — the doubling form
+shuffles but is exact at any scale.  LCP then falls out of the SAME
+per-round rank tables (the sparse-table descent: walk k from high to
+low, extend by the table width — up to radix−1 times per level —
+whenever rank_k matches at the current offset), so no suffix is ever
+re-compared symbol by symbol.
 
 Separators: each document is terminated by a per-doc UNIQUE negative
 sentinel symbol, so no repeat can span a document boundary, while
@@ -50,7 +53,6 @@ _CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 from pigpen_spark import cache as _cache
 from pigpen_spark.cache import persisted as _persisted
 from pigpen_spark.functions.dedup import token_hashes, token_hashes_sql
-from pigpen_spark.operators.windows import ranked
 
 #: out-of-range sentinels for rank/symbol lookups past either end; two
 #: DISTINCT values per side so a missing left neighbour never "equals" a
@@ -106,32 +108,82 @@ def pack_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _dense_rank(df: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
-    """Scale-safe dense rank of ``cols``: distinct keys → two-phase
-    ranked() → join back (a global dense_rank window would funnel the
-    corpus through one partition).  Also returns the DISTINCT-KEY COUNT
-    — the caller's rank-uniqueness check rides on the distinct pass the
-    rank already pays for, instead of a separate count job per round."""
-    keys = df.select(*cols).distinct().transform(_persisted)
-    n_keys = keys.count()
-    rk = ranked(keys, order_by=[F.col(c) for c in cols], index_col="rank")
-    return df.join(rk, on=cols, how="inner"), n_keys
+    """Scale-safe IN-PLACE dense rank of ``cols``: range-repartition on
+    the key (equal keys co-locate by construction), per-partition
+    ``dense_rank`` window, plus each partition's global offset — the
+    cumulative DISTINCT-key count of the partitions before it (a bounded
+    driver vector, one long per partition, the two-phase ranked()/Pig
+    RANK shape applied to dense ranks).
+
+    This replaces the round-8 distinct → ranked() → join-back form,
+    which paid a distinct shuffle AND a corpus-sized join-back shuffle
+    per prefix-doubling round just to attach the rank; here the rank is
+    computed ON the rows (one range exchange), cutting the SA
+    construction's per-round cost to one shuffle + two bounded driver
+    jobs — the fixed per-round driver-job latency was 22% of the whole
+    bench (VERDICT r8).  Also returns the TOTAL distinct-key count —
+    the caller's rank-uniqueness check rides on the offsets vector the
+    rank already collects, not a separate count job."""
+    pid = "__sa_rpid"
+    from pyspark.sql import Window
+
+    # persist the rank input FIRST: repartitionByRange's boundary-sample
+    # pass would otherwise recompute the whole upstream join chain once
+    # more per round (the rows are slim — a few longs each)
+    df = df.transform(_persisted)
+    ranged = (df.repartitionByRange(*[F.col(c) for c in cols])
+              .withColumn(pid, F.spark_partition_id())
+              .transform(_persisted))
+    counts = {
+        r["p"]: r["c"]
+        for r in ranged.groupBy(F.col(pid).alias("p"))
+        .agg(F.countDistinct(*cols).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off = (F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col(pid)) if offsets else F.lit(0))
+    w = Window.partitionBy(pid).orderBy(*[F.col(c) for c in cols])
+    out = ranged.withColumn(
+        "rank", (F.dense_rank().over(w) - 1 + off).cast("long")).drop(pid)
+    return out, acc
 
 
-def suffix_ranks(positions: DataFrame) -> list[tuple[int, DataFrame]]:
+#: rank-table radix: each construction round ranks the tuple of RADIX
+#: previous-round ranks at offsets 0, w, 2w, … (generalized prefix
+#: doubling).  Radix 4 halves the round count vs binary doubling at the
+#: cost of two extra self-joins per round — per-round cost is fixed job
+#: latency + shuffle volume, so the right radix is a function of CORPUS
+#: SIZE: below the cutoff latency dominates and radix 4 wins (sf0.1:
+#: 30.7 → 15.4 s; 10×: 60 → 42 s), above it the join volume dominates
+#: and binary wins (100×/27.6M tokens measured +14% at radix 4).
+#: "auto" resolves from the corpus length the first rank round already
+#: counts.  The FINAL ranks (the suffix array) are radix-invariant —
+#: the suffix order is the same total order — so the binary fixed-round
+#: DuckDB oracle matches hash-exactly either way, and the LCP descent
+#: reads each level's extension count off the actual table widths.
+_RADIX_SMALL, _RADIX_CUTOFF = 4, 8_000_000
+
+
+def suffix_ranks(positions: DataFrame,
+                 radix: int | str = "auto") -> list[tuple[int, DataFrame]]:
     """Prefix-doubling rank tables: returns [(width, ranks)] where
     ``ranks`` maps pos → dense rank of the suffix's first ``width``
     symbols; the last table's ranks are UNIQUE (it IS the suffix
-    array: rank == SA index).  Each round is one offset self-join plus
-    one scale-safe dense rank; rounds stop as soon as ranks are unique
-    (further doubling is a fixpoint, so a fixed-round mirror — the
-    oracle — computes identical final ranks)."""
+    array: rank == SA index).  Each round is radix−1 offset self-joins
+    plus one scale-safe in-place dense rank; rounds stop as soon as
+    ranks are unique (further widening is a fixpoint, so a fixed-round
+    mirror — the oracle — computes identical final ranks)."""
     # localCheckpoint per round TRUNCATES THE LINEAGE — the canonical
     # posture for iterative DataFrame algorithms here (dedup_clusters,
     # pagerank, hits): with persist alone each round's plan nests the
     # previous round's, and by round ~8 plan construction itself
     # (AQE re-planning, tree stringification) dominates or overflows
     # Memory discipline (the 100x OOM lesson): each round's registry
-    # persists (distinct keys + two-phase rank internals) die with the
+    # persists (rank-input + range-partitioned internals) die with the
     # round via the scoped cache release — only the round's CHECKPOINTED
     # rank table survives, because the LCP descent still needs it.
     m0 = _cache.mark()
@@ -140,20 +192,25 @@ def suffix_ranks(positions: DataFrame) -> list[tuple[int, DataFrame]]:
     _cache.release_since(m0)
     out = [(1, r)]
     n = r.count()
+    if radix == "auto":
+        radix = _RADIX_SMALL if n <= _RADIX_CUTOFF else 2
     width = 1
     while n_ranks != n:
-        if width > 2 * n:  # safety: cannot exceed corpus length
+        if width > radix * n:  # safety: cannot exceed corpus length
             raise RuntimeError("suffix_ranks: doubling failed to converge")
-        b = r.select(F.col("pos").alias("__bp"), F.col("rank").alias("r2"))
-        paired = (r.join(b, F.col("__bp") == F.col("pos") + F.lit(width),
-                         "left")
-                  .select("pos", F.col("rank").alias("r1"),
-                          F.coalesce("r2", F.lit(-1)).alias("r2")))
+        paired = r.select("pos", F.col("rank").alias("r0"))
+        cols = ["r0"]
+        for i in range(1, radix):
+            b = r.select((F.col("pos") - F.lit(i * width)).alias("pos"),
+                         F.col("rank").alias(f"r{i}"))
+            paired = (paired.join(b, "pos", "left")
+                      .withColumn(f"r{i}", F.coalesce(f"r{i}", F.lit(-1))))
+            cols.append(f"r{i}")
         m = _cache.mark()
-        rr, n_ranks = _dense_rank(paired, ["r1", "r2"])
+        rr, n_ranks = _dense_rank(paired, cols)
         r = rr.select("pos", "rank").localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
         _cache.release_since(m)
-        width *= 2
+        width *= radix
         out.append((width, r))
     return out
 
@@ -162,8 +219,13 @@ def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]]) -> DataFrame:
     """(pos_a, pos_b, lcp) for every ADJACENT suffix-array pair, via the
     sparse-rank descent: for k from the widest half-table down, extend
     the match by ``width`` whenever rank_k agrees at the current
-    offset.  Exact: the final table's uniqueness bounds every LCP below
-    the last width, so the descent's reach always covers it."""
+    offset — up to (next_width/width)−1 times per level (the lcp
+    remainder's digit in the tables' OWN radix, read off the width
+    ratios so any construction radix works), the extensions CHAINED
+    into one plan so each level costs one lineage-truncating checkpoint
+    job.  Exact: the final table's uniqueness bounds every LCP below
+    the last width, and after level k the remainder is < next_width, so
+    (next_width/width)−1 tests at width cover every digit value."""
     final = rank_tables[-1][1]
     b = final.select(F.col("pos").alias("pos_b"),
                      F.col("rank").alias("__rb"))
@@ -171,20 +233,27 @@ def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]]) -> DataFrame:
            .select(F.col("pos").alias("pos_a"), "pos_b"))
     d = adj.withColumn("lcp", F.lit(0).cast("long")) \
         .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
-    for width, rk in reversed(rank_tables[:-1] if len(rank_tables) > 1
-                              else rank_tables):
-        ra = rk.select(F.col("pos").alias("__pa"), F.col("rank").alias("__ra"))
-        rb = rk.select(F.col("pos").alias("__pb"), F.col("rank").alias("__rb2"))
+    widths = [w for w, _ in rank_tables]
+    levels = (list(range(len(rank_tables) - 1)) if len(rank_tables) > 1
+              else [0])
+    for li in reversed(levels):
+        width, rk = rank_tables[li]
+        n_ext = (widths[li + 1] // width - 1) if li + 1 < len(widths) else 1
         prev = d
-        d = (d.join(ra, F.col("__pa") == F.col("pos_a") + F.col("lcp"), "left")
-             .join(rb, F.col("__pb") == F.col("pos_b") + F.col("lcp"), "left")
-             .select(
-                 "pos_a", "pos_b",
-                 (F.col("lcp") + F.when(
-                     F.coalesce("__ra", F.lit(_MISS_A))
-                     == F.coalesce("__rb2", F.lit(_MISS_B)),
-                     F.lit(width)).otherwise(F.lit(0))).alias("lcp"))
-             .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL))  # per-level lineage truncation
+        for i in range(n_ext):
+            ra = rk.select(F.col("pos").alias(f"__pa{i}"),
+                           F.col("rank").alias(f"__ra{i}"))
+            rb = rk.select(F.col("pos").alias(f"__pb{i}"),
+                           F.col("rank").alias(f"__rb{i}"))
+            d = (d.join(ra, F.col(f"__pa{i}") == F.col("pos_a") + F.col("lcp"), "left")
+                 .join(rb, F.col(f"__pb{i}") == F.col("pos_b") + F.col("lcp"), "left")
+                 .select(
+                     "pos_a", "pos_b",
+                     (F.col("lcp") + F.when(
+                         F.coalesce(f"__ra{i}", F.lit(_MISS_A))
+                         == F.coalesce(f"__rb{i}", F.lit(_MISS_B)),
+                         F.lit(width)).otherwise(F.lit(0))).alias("lcp")))
+        d = d.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)  # per-level lineage truncation
         prev.unpersist()  # superseded level's blocks die immediately
     return d
 

@@ -198,6 +198,57 @@ class TestDiffQueriesDetectDefects:
         assert D._recon_fail(bad, docs, None) == 1
 
 
+class TestSuffixRadixInvariance:
+    """The suffix array's construction radix (auto: 4 small / 2 large)
+    must not change results — final ranks are the same total order and
+    the descent reads extension counts off the table widths."""
+
+    def test_radix2_and_radix4_identical_repeats(self, spark, monkeypatch):
+        from pigpen_spark.functions import suffix as X
+        docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .limit(120))
+        r4 = X.maximal_repeats(docs, "doc_id", "text", min_len=6).collect()
+        monkeypatch.setattr(X, "_RADIX_CUTOFF", 0)   # force the binary path
+        r2 = X.maximal_repeats(docs, "doc_id", "text", min_len=6).collect()
+        assert len(r4) > 0
+        assert sorted(map(tuple, r4)) == sorted(map(tuple, r2))
+
+
+class TestUntestedCoverageRows:
+    """Dedicated pins for the three rows COVERAGE.md marked '—'
+    (VERDICT r8 #7): load_lazy, dump_lazy, set_options."""
+
+    def test_load_lazy_reads_tsv(self, spark, tmp_path):
+        from pigpen_spark.sources import io as pio
+        p = tmp_path / "lazy.tsv"
+        p.write_text("a\t1\nb\t2\n")
+        rel = pio.load_lazy(spark, str(p))
+        # load-tsv contract: one vector-of-strings column per line
+        rows = sorted(tuple(r["value"]) for r in rel.collect())
+        assert rows == [("a", "1"), ("b", "2")]
+
+    def test_dump_lazy_is_backpressured_iterator(self, spark):
+        from pigpen_spark.relation import Relation
+        rel = Relation(spark.range(10).selectExpr("id"))
+        it = rel.dump_lazy()
+        # an iterator, not a materialized list — pull two, stop early
+        first = next(it)
+        second = next(it)
+        assert first["id"] != second["id"]
+        assert sorted(r["id"] for r in [first, second]
+                      + list(it)) == list(range(10))
+
+    def test_set_options_round_trip(self, spark):
+        from pigpen_spark.session import set_options
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            set_options(spark, {"spark.sql.shuffle.partitions": "7"})
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        finally:
+            set_options(spark, {"spark.sql.shuffle.partitions": old})
+        assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
 class TestCogroupNullKey:
     """NULL keys must be DROPPED on both cogroup sides (the equi-join
     semantics of the join form the kernel replaced) — NULL-bucket probes
