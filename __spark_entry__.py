@@ -54,6 +54,10 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_wordpiece_encode_trained_diff",
     "ext_unigram_encode_trained_diff",
     "ext_normalize_unicode_diff",
+    # --- r9 head (cont.): PQ index-as-data lifecycle (build/serve/append
+    # with the codebook read off the stored artifact) ---
+    "ext_ann_pq_index",
+    "ext_ann_pq_index_update",
     # --- freshness backlog: every remaining query ordered by
     # (last driver-verified round, prior ledger order) — the r8 window
     # re-verified the old head through ext_decontaminate, so the

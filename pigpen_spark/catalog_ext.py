@@ -443,6 +443,79 @@ def ext_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk(emb.df, q.df, k=5, dim=64)
 
 
+def _pq_codes_sql(cb_where: str, dim: int = 64, m: int = 8,
+                  n_codes: int = 16) -> str:
+    """Codes of EVERY corpus vector under a codebook drawn from the rows
+    satisfying ``cb_where`` (the frozen-codebook append contract's
+    oracle: the codebook comes from the BASE corpus only)."""
+    d = dim // m
+
+    def dists(j: int) -> str:
+        lo = j * d + 1
+        return (
+            "[list_sum([(vec[i] - c[i]) * (vec[i] - c[i]) "
+            f"for i in range({lo}, {lo + d})]) for c in cbs]"
+        )
+
+    code = ", ".join(
+        f"(list_position({dists(j)}, list_min({dists(j)})) - 1)::INT"
+        for j in range(m)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, [x::DOUBLE for x in embedding] AS vec FROM embeddings
+    ),
+    cb AS (
+      SELECT list(vec ORDER BY id) AS cbs FROM (
+        SELECT id, vec FROM base WHERE {cb_where} ORDER BY id LIMIT {n_codes}
+      )
+    )
+    SELECT id AS vec_id,
+           coalesce(array_to_string([{code}], ','), '') AS codes
+    FROM base, cb
+    """
+
+
+@register(
+    "ext_ann_pq_index",
+    S.pq_adc_topk_sql("embeddings", "vec_id", "embedding", dim=64,
+                      query_pred="id < 10"),
+)
+def ext_ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index-as-data SERVING: the corpus coded ONCE into the stored
+    (codes, codebook) artifact pair, then a query batch ADC-searched
+    against it (pq_topk_against — m and the codebook read OFF the
+    artifacts, raw vectors never touched at serving time).  Same result
+    contract as ext_ann_pq; this row exercises the FAISS-IndexPQ-on-
+    parquet lifecycle seam (the compressed sibling of
+    ext_ann_index_search)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    idx, cb_df = S.pq_index(emb.df, dim=64)
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk_against(idx, cb_df, q.df, k=5)
+
+
+@register("ext_ann_pq_index_update", _pq_codes_sql("id >= 100"))
+def ext_ann_pq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index LIFECYCLE: build the stored codes on the corpus MINUS
+    the newest 100 vectors, then pq_index_append the arrivals — only
+    the delta is ever coded, against the codebook read OFF the stored
+    artifact.  The oracle recomputes every row's codes under the
+    BASE-corpus codebook: hash-equality certifies append ==
+    rebuild-with-the-frozen-codebook row for row (coding is a pure
+    function of (vector, codebook)), the invariant that makes daily
+    compressed-index maintenance a delta scan.  Retraining the codebook
+    IS a rebuild by contract; lsh_index_drift's shape-drift signal is
+    the shared retrain trigger."""
+    emb = tables(spark, sf_dir)["embeddings"].df
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    batch = emb.filter(F.col("vec_id") < 100)
+    idx, cb_df = S.pq_index(corpus, dim=64)
+    appended = S.pq_index_append(idx, cb_df, batch)
+    return _stringify_codes(appended).select(
+        F.col("id").alias("vec_id"), "codes")
+
+
 @register(
     "ext_semdedup",
     f"""

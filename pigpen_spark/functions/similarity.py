@@ -2396,6 +2396,156 @@ def lsh_index_drift(baseline: DataFrame, live: DataFrame,
     )
 
 
+def pq_index(corpus: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int | None = None,
+             m: int = 8, n_codes: int = 16,
+             codebook: list[list[float]] | None = None,
+             ) -> tuple[DataFrame, DataFrame]:
+    """Materializable COMPRESSED ANN index — the PQ sibling of
+    :func:`lsh_index`: the corpus coded ONCE into (id, codes m×int) plus
+    the codebook as a tiny (code_id, cb_vec) table.  Store both (codes
+    parquet + codebook parquet — the codebook is the artifact every
+    serving/append call must reuse, the analog of the LSH index's
+    stored plane count) and serve every future query batch from
+    :func:`pq_topk_against` without touching the raw vectors again.
+    At 10^10 vectors the index reads 8 bytes of codes per candidate
+    instead of 256+ bytes of floats — FAISS's on-disk IndexPQ posture
+    as two plain tables."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"pq_index: m ({m}) must divide dim ({dim})")
+    if codebook is None:
+        codebook = _default_codebook(corpus, id_col, vec_col, n_codes)
+    codes = product_quantize(
+        corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes,
+        codebook=codebook,
+    ).select("id", "codes")
+    cb_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(codebook)],
+        "code_id int, cb_vec array<double>",
+    )
+    return codes, cb_df
+
+
+def stored_codebook(cb_df: DataFrame) -> list[list[float]]:
+    """Codebook artifact of a stored :func:`pq_index`, collected in
+    code_id order (bounded by design: n_codes × dim doubles) — the only
+    safe source at serving/append time, same doctrine as
+    :func:`stored_plane_count` (a hand-passed codebook that disagrees
+    with the stored codes scores garbage distances silently)."""
+    rows = cb_df.select("code_id", "cb_vec").orderBy("code_id").collect()
+    if not rows:
+        raise ValueError("stored_codebook: empty codebook table")
+    return [[float(x) for x in r["cb_vec"]] for r in rows]
+
+
+def stored_code_width(index: DataFrame) -> int:
+    """Subspace count ``m`` of a stored :func:`pq_index`, read off the
+    codes width (1-row probe)."""
+    row = index.select(F.size("codes").alias("m")).first()
+    if row is None:
+        raise ValueError("stored_code_width: empty index")
+    return int(row["m"])
+
+
+def pq_topk_against(
+    index: DataFrame, cb_df: DataFrame, queries: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5,
+    exclude_self: bool = True, max_queries: int = 65536,
+) -> DataFrame:
+    """ADC top-k of a query batch against a STORED :func:`pq_index` —
+    the serving sibling of :func:`pq_adc_topk` (which codes the corpus
+    inline).  ``m`` and the codebook are read OFF the stored artifacts;
+    queries are driver-collected (bounded-artifact contract, loud
+    ``max_queries`` cap) and their ADC tables computed once in numpy;
+    the kernel then scores each codes batch by m table lookups — the
+    raw corpus vectors are never touched.  Bit-identical to
+    :func:`pq_adc_topk` on the same codebook (the codes and the
+    left-fold lookup sum are the same arithmetic)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = stored_codebook(cb_df)
+    m = stored_code_width(index)
+    dim = len(cb[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_topk_against: stored code width m={m} does not divide "
+            f"the stored codebook dim={dim}")
+    d = dim // m
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("q_vec")
+        ).limit(max_queries + 1).collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk_against: query side exceeds max_queries={max_queries} "
+            "— shard the query set or raise max_queries explicitly")
+    q_ids_drv = [r["q_id"] for r in qrows]
+    q_vecs = [[float(x) for x in r["q_vec"]] for r in qrows]
+    q_type = queries.schema[id_col].dataType.simpleString()
+    n_type = index.schema["id"].dataType.simpleString()
+    out_schema = f"q_id {q_type}, n_id {n_type}, araw double"
+
+    def score_batches(batches):
+        if not q_vecs:
+            return
+        Q = np.asarray(q_vecs, dtype=np.float64)
+        T = _np_adc_tables(Q, cb, m, d)
+        q_ids = np.asarray(q_ids_drv)
+        nq = len(q_vecs)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64)
+                              for c in pdf["codes"]])
+            acc = None
+            for j in range(m):                 # strict left fold
+                t = T[:, j, codes[:, j]]
+                acc = t if acc is None else acc + t
+            qq = np.repeat(q_ids, len(pdf))
+            nn = np.tile(pdf["id"].to_numpy(), nq)
+            araw = acc.ravel()
+            if exclude_self:
+                keep = qq != nn
+                qq, nn, araw = qq[keep], nn[keep], araw[keep]
+            yield pd.DataFrame({"q_id": qq, "n_id": nn, "araw": araw})
+
+    scored = (
+        index.select("id", "codes").mapInPandas(score_batches, out_schema)
+        .select("q_id", "n_id", F.round(F.col("araw"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pq_index_append(index: DataFrame, cb_df: DataFrame, batch: DataFrame,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> DataFrame:
+    """INCREMENTAL PQ index maintenance: code ONLY the new batch against
+    the STORED codebook and union it onto the stored codes — the PQ twin
+    of :func:`lsh_index_append`.  Contract: append == rebuild-with-the-
+    frozen-codebook (coding is a pure function of (vector, codebook)),
+    so ``pq_index_append(idx, cb, batch)`` is row-identical to coding
+    ``corpus ∪ batch`` under the build-time codebook.  Appending NEVER
+    retrains the codebook (retraining re-codes every vector — a
+    rebuild); :func:`lsh_index_drift`'s shape-drift signal is the
+    shared retrain trigger."""
+    cb = stored_codebook(cb_df)
+    m = stored_code_width(index)
+    dim = len(cb[0])
+    new_codes = product_quantize(
+        batch, id_col, vec_col, dim=dim, m=m, n_codes=len(cb), codebook=cb,
+    ).select("id", "codes")
+    return index.select("id", "codes").unionByName(new_codes)
+
+
 def negative_samples(df: DataFrame, id_col: str = "vec_id", k: int = 4,
                      n_total: int | None = None, salt: str = "neg") -> DataFrame:
     """Deterministic random negative sampling over a DENSE 0..N-1 id

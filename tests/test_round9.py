@@ -198,6 +198,51 @@ class TestDiffQueriesDetectDefects:
         assert D._recon_fail(bad, docs, None) == 1
 
 
+class TestPqIndexLifecycle:
+    """The PQ index-as-data seam: (codes, codebook) stored as plain
+    parquet tables must serve bit-identically to inline coding, and
+    appending a delta under the stored codebook must equal the rebuild
+    with that codebook."""
+
+    def test_parquet_round_trip_serving_matches_inline(self, emb, tmp_path):
+        idx, cb_df = S.pq_index(emb, dim=64)
+        idx.write.parquet(str(tmp_path / "codes"))
+        cb_df.write.parquet(str(tmp_path / "cb"))
+        spark = emb.sparkSession
+        idx2 = spark.read.parquet(str(tmp_path / "codes"))
+        cb2 = spark.read.parquet(str(tmp_path / "cb"))
+        q = emb.filter(F.col("vec_id") < 8)
+        served = S.pq_topk_against(idx2, cb2, q, k=4).collect()
+        inline = S.pq_adc_topk(emb, q, k=4, dim=64).collect()
+        assert len(served) == 32 and _rows_equal(served, inline)
+
+    def test_append_equals_rebuild_with_frozen_codebook(self, emb):
+        corpus = emb.filter(F.col("vec_id") >= 50)
+        batch = emb.filter(F.col("vec_id") < 50)
+        idx, cb_df = S.pq_index(corpus, dim=64)
+        appended = S.pq_index_append(idx, cb_df, batch).collect()
+        cb = S.stored_codebook(cb_df)
+        rebuilt = S.product_quantize(emb, dim=64, codebook=cb) \
+            .select("id", "codes").collect()
+        assert _rows_equal(
+            [(r["id"], tuple(r["codes"])) for r in appended],
+            [(r["id"], tuple(r["codes"])) for r in rebuilt])
+
+    def test_trained_codebook_flows_through(self, emb):
+        cb = S.train_pq_codebook(emb, dim=64, m=8, n_codes=8, max_iter=2)
+        idx, cb_df = S.pq_index(emb, dim=64, m=8, n_codes=8, codebook=cb)
+        assert S.stored_codebook(cb_df) == [[float(x) for x in c] for c in cb]
+        assert S.stored_code_width(idx) == 8
+
+    def test_empty_artifact_guards(self, spark, emb):
+        empty_cb = spark.createDataFrame([], "code_id int, cb_vec array<double>")
+        with pytest.raises(ValueError, match="empty codebook"):
+            S.stored_codebook(empty_cb)
+        empty_idx = spark.createDataFrame([], "id long, codes array<int>")
+        with pytest.raises(ValueError, match="empty index"):
+            S.stored_code_width(empty_idx)
+
+
 class TestSuffixRadixInvariance:
     """The suffix array's construction radix (auto: 4 small / 2 large)
     must not change results — final ranks are the same total order and
