@@ -446,6 +446,73 @@ def ann_index_stream(
     return w.start()
 
 
+def pq_index_stream(
+    stream: DataFrame, codes_path: str, codebook_path: str, checkpoint: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    m: int = 8, n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+    available_now: bool = False,
+):
+    """Streaming COMPRESSED-index maintenance — the live twin of
+    :func:`pigpen_spark.functions.similarity.pq_index_append`: each
+    micro-batch of vectors is PQ-coded ALONE against the STORED
+    codebook and appended to the codes parquet that
+    :func:`similarity.pq_topk_against` serves from.
+
+    The codebook comes OFF the stored artifact once it exists (the
+    :func:`similarity.stored_codebook` probe — build and maintenance
+    cannot disagree); the FIRST batch seeds it (``codebook=`` for a
+    trained one, else the deterministic first-``n_codes``-by-id rows of
+    that batch) and writes it to ``codebook_path``.  ``m`` is fixed per
+    index by construction (codes are m-wide forever — changing it is a
+    rebuild).  Batches write to ``batch={id}`` subdirectories with
+    overwrite, so a checkpoint replay rewrites its own directory
+    instead of double-appending — exactly-once index contents without a
+    transactional store.  append == rebuild-with-the-frozen-codebook is
+    inherited from the batch operator (coding is a pure function of
+    (vector, codebook)) and pinned by the streamed==one-shot pytest.
+
+    Codebook retraining stays a MONITORING decision (the
+    :func:`similarity.lsh_index_drift` shape-drift signal): retraining
+    re-codes every vector — rebuild once, restart the stream on the new
+    artifacts.
+
+    Returns the started StreamingQuery."""
+    from pyspark.errors import AnalysisException
+
+    from pigpen_spark.functions.similarity import (
+        _default_codebook, product_quantize, stored_codebook,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # empty micro-batches are normal under processing-time triggers;
+        # seeding a codebook from one would collect zero rows and wedge
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            cb = stored_codebook(spark.read.parquet(codebook_path))
+        except AnalysisException:
+            cb = ([list(map(float, c)) for c in codebook]
+                  if codebook is not None
+                  else _default_codebook(batch_df, id_col, vec_col, n_codes))
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cb)],
+                "code_id int, cb_vec array<double>",
+            ).write.mode("overwrite").parquet(codebook_path)
+        codes = product_quantize(
+            batch_df, id_col, vec_col, dim=len(cb[0]), m=m,
+            n_codes=len(cb), codebook=cb,
+        ).select("id", "codes")
+        codes.write.mode("overwrite").parquet(f"{codes_path}/batch={batch_id}")
+
+    w = stream.writeStream.foreachBatch(handle) \
+        .option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def _parquet_versions(base_path: str) -> list[int]:
     """Committed versions of a versioned-parquet state dir: v{N}
     subdirectories that contain a _SUCCESS marker.  A crash mid-write

@@ -117,3 +117,23 @@ def test_tokenizer_lab_pipeline(spark, sf_dir):
     assert report["packed_sequences"] > 0
     assert 0 <= report["shard_imbalance_ppm"] < 1_000_000
     assert report["manifest_partitions"] == 8
+
+
+def test_ann_serving_lifecycle(spark, sf_dir, tmp_path):
+    from ann_serving import run
+
+    report = run(spark, sf_dir, str(tmp_path / "work"))
+    assert report["n_base"] == 400 and report["n_delta"] == 100
+    # day-0 serving finds SOMETHING relevant and nothing from the
+    # unadmitted delta
+    assert report["recall_ppm_day0"] > 0
+    assert report["pre_maintenance_hits"] == 0
+    # maintenance admits the delta: every probed delta vector retrieves
+    # itself at rank 1, and the stored codes cover the whole corpus
+    assert report["delta_self_retrieved"] == 3
+    assert report["index_rows"] == 500
+    # auto-sized build: +25% growth must NOT flag a rebuild, while the
+    # occupancy shape registers the new mass (the retrain signal)
+    assert report["stale"] is False
+    assert report["planes_stored"] == report["planes_auto"]
+    assert report["l1_ppm"] > 0

@@ -243,6 +243,65 @@ class TestPqIndexLifecycle:
             S.stored_code_width(empty_idx)
 
 
+class TestPqIndexStream:
+    """Streaming PQ index maintenance: streamed codes == one-shot build
+    under the seed codebook, and the stored artifacts serve queries."""
+
+    def _vec(self, i):
+        import hashlib
+        return [(int(hashlib.md5(f"{i}_{d}".encode()).hexdigest()[:6],
+                     16) % 1000) / 500.0 - 1.0 for d in range(8)]
+
+    def test_streamed_equals_one_shot_and_serves(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from pigpen_spark.streaming import core as stc
+
+        src = tmp_path / "in"
+        src.mkdir()
+        with open(src / "b0.json", "w") as f:
+            for i in range(0, 40):
+                f.write(_json.dumps(
+                    {"vec_id": i, "embedding": self._vec(i)}) + "\n")
+        with open(src / "b1.json", "w") as f:
+            for i in range(40, 70):
+                f.write(_json.dumps(
+                    {"vec_id": i, "embedding": self._vec(i)}) + "\n")
+        os.utime(src / "b0.json", (1_700_000_000, 1_700_000_000))
+        os.utime(src / "b1.json", (1_700_000_100, 1_700_000_100))
+
+        stream = (
+            spark.readStream
+            .schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        codes_path = str(tmp_path / "codes")
+        cb_path = str(tmp_path / "cb")
+        q = stc.pq_index_stream(
+            stream, codes_path, cb_path, str(tmp_path / "ckpt"),
+            m=4, n_codes=8, available_now=True)
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(codes_path)
+        cb_df = spark.read.parquet(cb_path)
+        cb = S.stored_codebook(cb_df)
+        # seed codebook = first 8 by id of BATCH 0 == first 8 of the union
+        both = spark.createDataFrame(
+            [(i, self._vec(i)) for i in range(70)],
+            "vec_id long, embedding array<double>")
+        rebuilt = S.product_quantize(both, dim=8, m=4, n_codes=8,
+                                     codebook=cb).select("id", "codes")
+        a = sorted((r["id"], tuple(r["codes"])) for r in streamed.collect())
+        b = sorted((r["id"], tuple(r["codes"])) for r in rebuilt.collect())
+        assert a == b and len(a) == 70
+        # the streamed artifacts serve ADC queries directly
+        queries = both.filter(F.col("vec_id") < 3)
+        hits = S.pq_topk_against(streamed, cb_df, queries, k=3)
+        assert hits.count() == 9
+
+
 class TestSuffixRadixInvariance:
     """The suffix array's construction radix (auto: 4 small / 2 large)
     must not change results — final ranks are the same total order and
