@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     # with the codebook read off the stored artifact) ---
     "ext_ann_pq_index",
     "ext_ann_pq_index_update",
+    "ext_ann_ivf_pq_index",
     # --- freshness backlog: every remaining query ordered by
     # (last driver-verified round, prior ledger order) — the r8 window
     # re-verified the old head through ext_decontaminate, so the

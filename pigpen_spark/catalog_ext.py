@@ -495,6 +495,25 @@ def ext_ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk_against(idx, cb_df, q.df, k=5)
 
 
+@register(
+    "ext_ann_ivf_pq_index",
+    S.ivf_pq_topk_sql("embeddings", "vec_id", "embedding", dim=64,
+                      query_pred="id < 10"),
+)
+def ext_ann_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index-as-data SERVING: the corpus persisted as the full
+    FAISS IndexIVFPQ artifact triple — (cell, id, codes) inverted
+    lists + codebook + coarse centroids — then a query batch served
+    through the cogrouped ADC kernel against the STORED lists (m and
+    both quantizers read off the artifacts).  Same result contract as
+    ext_ann_ivf_pq; at scale each query batch reads only its probed
+    cells' code bytes."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    lists, cb_df, cents_df = S.ivf_pq_index(emb.df, dim=64)
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_pq_topk_against(lists, cb_df, cents_df, q.df, k=5)
+
+
 @register("ext_ann_pq_index_update", _pq_codes_sql("id >= 100"))
 def ext_ann_pq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ index LIFECYCLE: build the stored codes on the corpus MINUS

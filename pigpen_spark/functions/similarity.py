@@ -2525,6 +2525,109 @@ def pq_topk_against(
     )
 
 
+def ivf_pq_index(corpus: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", dim: int | None = None,
+                 n_centroids: int = 16, m: int = 8, n_codes: int = 16,
+                 codebook: list[list[float]] | None = None,
+                 coarse_centroids: list[list[float]] | None = None,
+                 ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Materializable IVF-PQ index — the full FAISS ``IndexIVFPQ``
+    persisted as three plain tables: (cell, id, codes) inverted lists,
+    the PQ codebook, and the coarse-centroid table.  Store all three
+    (the lists ideally partitioned by ``cell``) and serve query batches
+    from :func:`ivf_pq_topk_against`; at scale each query batch reads
+    only its probed cells' code bytes."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"ivf_pq_index: m ({m}) must divide dim ({dim})")
+    base = (
+        spread(corpus)
+        .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
+        .withColumn("nrm", arrow_norm(F.col("vec")))
+        .transform(_persisted)
+    )
+    spark = corpus.sparkSession
+    if coarse_centroids is not None:
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(coarse_centroids)],
+            "cent_id int, cent_vec array<double>",
+        ).withColumn("cent_nrm", norm(F.col("cent_vec")))
+    else:
+        cents = (
+            base.orderBy("id").limit(n_centroids)
+            .select(F.col("id").cast("int").alias("cent_id"),
+                    F.col("vec").alias("cent_vec"),
+                    F.col("nrm").alias("cent_nrm"))
+        )
+    if codebook is None:
+        codebook = _default_codebook(corpus, id_col, vec_col, n_codes)
+    coded = product_quantize(
+        corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, codebook=codebook
+    ).select("id", "codes")
+    lists = (
+        nearest_cells(base, cents, "id", "vec", "nrm", max_rank=1)
+        .select("id", F.col("cent_id").alias("cell"))
+        .join(coded, "id")
+        .select("cell", "id", "codes")
+    )
+    cb_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(codebook)],
+        "code_id int, cb_vec array<double>",
+    )
+    cents_df = cents.select("cent_id", "cent_vec", "cent_nrm")
+    return lists, cb_df, cents_df
+
+
+def ivf_pq_topk_against(
+    lists: DataFrame, cb_df: DataFrame, cents_df: DataFrame,
+    queries: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_probe: int = 2, exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ serving off a STORED :func:`ivf_pq_index`: queries rank
+    the stored centroid table (Arrow assignment), probe their
+    ``n_probe`` nearest cells' inverted lists, and ADC-score the cells'
+    stored codes through the cogrouped block kernel — m and the
+    codebook read OFF the artifacts, the raw corpus never touched.
+    Bit-identical to :func:`ivf_pq_topk` under the same quantizers."""
+    cb = stored_codebook(cb_df)
+    m = stored_code_width(lists)
+    dim = len(cb[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"ivf_pq_topk_against: stored code width m={m} does not divide "
+            f"the stored codebook dim={dim}")
+    d = dim // m
+    qbase = (
+        queries.select(
+            F.col(id_col).alias("q_id"), to_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn("q_nrm", arrow_norm(F.col("q_vec")))
+        .transform(_persisted)
+    )
+    probes = (
+        qbase.select("q_id", "q_vec")
+        .join(
+            nearest_cells(qbase, cents_df, "q_id", "q_vec", "q_nrm",
+                          max_rank=max(n_probe, 1))
+            .filter(F.col("crank") <= n_probe)
+            .select("q_id", F.col("cent_id").alias("cell")),
+            on="q_id",
+        )
+        .select("cell", "q_id", "q_vec")
+    )
+    cand = _cogroup_adc_scored(
+        probes, lists.select("cell", "id", "codes"), "cell",
+        cb, m, d, dim, exclude_self=exclude_self,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def pq_index_append(index: DataFrame, cb_df: DataFrame, batch: DataFrame,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     ) -> DataFrame:

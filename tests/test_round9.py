@@ -228,6 +228,21 @@ class TestPqIndexLifecycle:
             [(r["id"], tuple(r["codes"])) for r in appended],
             [(r["id"], tuple(r["codes"])) for r in rebuilt])
 
+    def test_ivf_pq_artifact_round_trip_matches_inline(self, emb, tmp_path):
+        lists, cb_df, cents_df = S.ivf_pq_index(emb, dim=64)
+        lists.write.partitionBy("cell").parquet(str(tmp_path / "lists"))
+        cb_df.write.parquet(str(tmp_path / "cb"))
+        cents_df.write.parquet(str(tmp_path / "cents"))
+        spark = emb.sparkSession
+        q = emb.filter(F.col("vec_id") < 8)
+        served = S.ivf_pq_topk_against(
+            spark.read.parquet(str(tmp_path / "lists")),
+            spark.read.parquet(str(tmp_path / "cb")),
+            spark.read.parquet(str(tmp_path / "cents")),
+            q, k=4).collect()
+        inline = S.ivf_pq_topk(emb, q, k=4, dim=64).collect()
+        assert len(served) == 32 and _rows_equal(served, inline)
+
     def test_trained_codebook_flows_through(self, emb):
         cb = S.train_pq_codebook(emb, dim=64, m=8, n_codes=8, max_iter=2)
         idx, cb_df = S.pq_index(emb, dim=64, m=8, n_codes=8, codebook=cb)
