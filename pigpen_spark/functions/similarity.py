@@ -2628,6 +2628,38 @@ def ivf_pq_topk_against(
     )
 
 
+def ivf_pq_index_append(lists: DataFrame, cb_df: DataFrame,
+                        cents_df: DataFrame, batch: DataFrame,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        ) -> DataFrame:
+    """INCREMENTAL IVF-PQ maintenance: assign + code ONLY the new batch
+    against the STORED quantizers (coarse centroids for the cell, the
+    codebook for the codes — both pure functions of the vector) and
+    union it onto the stored inverted lists.  append == rebuild under
+    the frozen quantizers, the same contract as
+    :func:`pq_index_append`; retraining either quantizer re-codes or
+    re-assigns every vector — a rebuild by definition."""
+    cb = stored_codebook(cb_df)
+    m = stored_code_width(lists)
+    dim = len(cb[0])
+    base = (
+        spread(batch)
+        .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
+        .withColumn("nrm", arrow_norm(F.col("vec")))
+        .transform(_persisted)
+    )
+    coded = product_quantize(
+        batch, id_col, vec_col, dim=dim, m=m, n_codes=len(cb), codebook=cb,
+    ).select("id", "codes")
+    new_rows = (
+        nearest_cells(base, cents_df, "id", "vec", "nrm", max_rank=1)
+        .select("id", F.col("cent_id").alias("cell"))
+        .join(coded, "id")
+        .select("cell", "id", "codes")
+    )
+    return lists.select("cell", "id", "codes").unionByName(new_rows)
+
+
 def pq_index_append(index: DataFrame, cb_df: DataFrame, batch: DataFrame,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     ) -> DataFrame:

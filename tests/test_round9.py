@@ -243,6 +243,31 @@ class TestPqIndexLifecycle:
         inline = S.ivf_pq_topk(emb, q, k=4, dim=64).collect()
         assert len(served) == 32 and _rows_equal(served, inline)
 
+    def test_ivf_pq_append_equals_rebuild_frozen_quantizers(self, emb):
+        corpus = emb.filter(F.col("vec_id") >= 50)
+        batch = emb.filter(F.col("vec_id") < 50)
+        lists, cb_df, cents_df = S.ivf_pq_index(corpus, dim=64)
+        appended = S.ivf_pq_index_append(lists, cb_df, cents_df, batch)
+        cb = S.stored_codebook(cb_df)
+        cents = [[float(x) for x in r["cent_vec"]]
+                 for r in cents_df.orderBy("cent_id").collect()]
+        rebuilt, _, _ = S.ivf_pq_index(emb, dim=64, codebook=cb,
+                                       coarse_centroids=cents)
+
+        # cell LABELS differ between the paths (default cells carry
+        # corpus ids; passed-in centroids are enumerated 0..n-1) — the
+        # invariant is the partition of ids into cells plus each id's
+        # codes, both frozen-quantizer-pure
+        def canon(rows):
+            from collections import defaultdict
+            cells, codes = defaultdict(set), {}
+            for r in rows:
+                cells[r["cell"]].add(r["id"])
+                codes[r["id"]] = tuple(r["codes"])
+            return sorted(tuple(sorted(v)) for v in cells.values()), codes
+
+        assert canon(appended.collect()) == canon(rebuilt.collect())
+
     def test_trained_codebook_flows_through(self, emb):
         cb = S.train_pq_codebook(emb, dim=64, m=8, n_codes=8, max_iter=2)
         idx, cb_df = S.pq_index(emb, dim=64, m=8, n_codes=8, codebook=cb)
