@@ -358,6 +358,37 @@ class TestSuffixRadixInvariance:
         assert sorted(map(tuple, r4)) == sorted(map(tuple, r2))
 
 
+class TestGenerateScript:
+    """generate_script — the `generate-script` analog (reference:
+    pigpen.pig/generate-script, pig.clj:28-86): the exported artifact
+    must be a SELF-CONTAINED runnable script, carrying its oracle SQL."""
+
+    def test_generated_script_runs_standalone(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        from pigpen_spark.plans.viz import generate_script
+
+        src = generate_script("q1_groupby_fold")
+        assert "def q1_groupby_fold" in src
+        assert "DuckDB oracle" in src          # the cross-engine check rides along
+        assert "@register" not in src          # standalone, not entry-surface
+        p = tmp_path / "gen.py"
+        p.write_text(src)
+        out = subprocess.run([_sys.executable, str(p)], capture_output=True,
+                             text=True, timeout=180, cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr[-2000:]
+        # TPC-H Q1 has 6 (returnflag, linestatus) groups at sf0.001
+        assert out.stdout.count("|") > 0 and "sum_qty" in out.stdout
+
+    def test_unknown_query_raises(self):
+        import pytest as _pt
+
+        from pigpen_spark.plans.viz import generate_script
+        with _pt.raises(KeyError, match="unknown catalog query"):
+            generate_script("no_such_query")
+
+
 class TestUntestedCoverageRows:
     """Dedicated pins for the three rows COVERAGE.md marked '—'
     (VERDICT r8 #7): load_lazy, dump_lazy, set_options."""
