@@ -59,6 +59,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_ann_pq_index",
     "ext_ann_pq_index_update",
     "ext_ann_ivf_pq_index",
+    "ext_mix_plan",
     # --- freshness backlog: every remaining query ordered by
     # (last driver-verified round, prior ledger order) — the r8 window
     # re-verified the old head through ext_decontaminate, so the

@@ -1364,6 +1364,30 @@ def ext_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mixture-plan fixture: src0's share is epoch-capped at the budget
+#: (want ≈ 3.5 epochs of its mass), src1/src2 are satisfiable, src3 is
+#: targeted but planned to a near-zero share, and every other source is
+#: an explicit drop — all decision branches live at sf0.01 AND sf0.001
+_MIX_TARGETS = {"src0": 500_000, "src1": 300_000, "src2": 150_000,
+                "src3": 50_000}
+_MIX_BUDGET = 10_000
+
+
+@register(
+    "ext_mix_plan",
+    P.mix_plan_sql("documents", "source", "text", _MIX_TARGETS, _MIX_BUDGET),
+)
+def ext_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture PLANNING (the worksheet upstream of ext_source_mix):
+    target token shares + a total budget + a 2-epoch cap derive each
+    source's deterministic sampling rate, and the plan reports achieved
+    tokens and the deficit where the epoch cap binds (src0 here — the
+    renegotiate-or-raise-the-cap signal).  One token-count groupBy +
+    a broadcast plan join; integer-ppm arithmetic end to end."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.mix_plan(docs.df, "source", "text", _MIX_TARGETS, _MIX_BUDGET)
+
+
 @register(
     "ext_zorder_key",
     f"""

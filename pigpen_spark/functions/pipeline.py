@@ -195,6 +195,117 @@ def mix_by_weight_sql(group_col: str, id_col: str,
     )
 
 
+def mix_plan(df: DataFrame, source_col: str, text_col: str,
+             targets: Mapping[str, int], budget_tokens: int,
+             max_epochs_ppm: int = 2_000_000) -> DataFrame:
+    """Mixture PLANNING — the step upstream of :func:`mix_by_weight`:
+    given a target token mixture (source → share in ppm), a total token
+    budget, and an epoch cap, derive each source's sampling rate and
+    report what the plan actually achieves (the Pile/Dolma "how many
+    epochs of each source" worksheet as one aggregate).
+
+    Integer arithmetic end to end (hash-exact oracle): per source,
+    ``want = budget · share DIV 1e6``; ``rate_ppm = least(cap,
+    want · 1e6 DIV have)`` (an empty source rates 0);
+    ``achieved = have · rate_ppm DIV 1e6``; ``deficit = want −
+    achieved`` > 0 exactly when the epoch cap binds (or the source is
+    missing) — the signal to renegotiate the mixture or raise the cap.
+    Sources present in the corpus but absent from ``targets`` get
+    want 0 / rate 0 (an explicit drop, matching mix_by_weight's
+    ``default=0`` posture for planned mixes); targeted sources missing
+    from the corpus emit a row with have 0.
+
+    One token-count groupBy (map-side partials) + a broadcast join
+    against the ≤|targets|-row plan table — nothing corpus-sized moves.
+    ``rate_ppm / 1e6`` feeds :func:`mix_by_weight` as the source's
+    weight.  Returns (source, have_tokens, want_tokens, rate_ppm,
+    achieved_tokens, deficit_tokens) ordered-insensitive."""
+    from pigpen_spark.functions.text import tokens
+
+    if budget_tokens < 0:
+        raise ValueError(f"mix_plan: negative budget {budget_tokens}")
+    if max_epochs_ppm < 0:
+        raise ValueError(f"mix_plan: negative epoch cap {max_epochs_ppm}")
+    tot = 0
+    for s, ppm in targets.items():
+        if ppm < 0:
+            raise ValueError(f"mix_plan: negative target share for {s!r}")
+        tot += ppm
+    if tot > 1_000_000:
+        raise ValueError(
+            f"mix_plan: target shares sum to {tot} ppm > 1e6 — a mixture "
+            "cannot over-allocate the budget")
+    spark = df.sparkSession
+    have = (
+        df.select(_c(source_col).alias("source"),
+                  F.size(tokens(_c(text_col))).cast("long").alias("__n"))
+        .groupBy("source").agg(F.sum("__n").alias("have_tokens"))
+    )
+    tgt = spark.createDataFrame(
+        [(s, int(ppm)) for s, ppm in sorted(targets.items())] or
+        [("__none__", 0)],
+        "source string, share_ppm long",
+    ).filter(F.col("source") != "__none__")
+    joined = have.join(tgt, on="source", how="full_outer")
+    want = F.expr(f"coalesce(share_ppm, 0) * {int(budget_tokens)} DIV 1000000")
+    h = F.coalesce(F.col("have_tokens"), F.lit(0)).cast("long")
+    # integer DIV throughout (Spark DIV truncates; operands non-negative,
+    # so it agrees bit-for-bit with DuckDB's floor `//`)
+    return joined.select(
+        "source",
+        h.alias("have_tokens"),
+        want.cast("long").alias("want_tokens"),
+    ).withColumn(
+        "rate_ppm",
+        F.expr(f"CASE WHEN have_tokens > 0 THEN least(CAST({int(max_epochs_ppm)} AS BIGINT), "
+               "want_tokens * 1000000 DIV have_tokens) ELSE 0 END").cast("long"),
+    ).withColumn(
+        "achieved_tokens",
+        F.expr("have_tokens * rate_ppm DIV 1000000").cast("long"),
+    ).withColumn(
+        "deficit_tokens",
+        (F.col("want_tokens") - F.col("achieved_tokens")).cast("long"),
+    )
+
+
+def mix_plan_sql(table: str, source_col: str, text_col: str,
+                 targets: Mapping[str, int], budget_tokens: int,
+                 max_epochs_ppm: int = 2_000_000) -> str:
+    """DuckDB oracle for :func:`mix_plan` (same integer DIVs — all
+    operands non-negative, so `//` floor == Spark DIV truncate)."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    vals = ", ".join(f"({sql_str(s)}, {int(p)}::BIGINT)"
+                     for s, p in sorted(targets.items()))
+    return f"""
+    WITH have AS (
+      SELECT {source_col} AS source, sum(len({toks}))::BIGINT AS have_tokens
+      FROM {table} GROUP BY {source_col}
+    ),
+    tgt (source, share_ppm) AS (VALUES {vals}),
+    j AS (
+      SELECT coalesce(h.source, t.source) AS source,
+             coalesce(h.have_tokens, 0)::BIGINT AS have_tokens,
+             (coalesce(t.share_ppm, 0) * {int(budget_tokens)} // 1000000)::BIGINT
+               AS want_tokens
+      FROM have h FULL OUTER JOIN tgt t ON h.source = t.source
+    )
+    SELECT source, have_tokens, want_tokens,
+           (CASE WHEN have_tokens > 0
+                 THEN least({int(max_epochs_ppm)}::BIGINT,
+                            want_tokens * 1000000 // have_tokens)
+                 ELSE 0 END)::BIGINT AS rate_ppm,
+           (have_tokens * (CASE WHEN have_tokens > 0
+                 THEN least({int(max_epochs_ppm)}::BIGINT,
+                            want_tokens * 1000000 // have_tokens)
+                 ELSE 0 END) // 1000000)::BIGINT AS achieved_tokens,
+           (want_tokens - (have_tokens * (CASE WHEN have_tokens > 0
+                 THEN least({int(max_epochs_ppm)}::BIGINT,
+                            want_tokens * 1000000 // have_tokens)
+                 ELSE 0 END) // 1000000))::BIGINT AS deficit_tokens
+    FROM j
+    """
+
+
 def pack_chunks(df: DataFrame, size_col, order_by: Sequence, budget: int,
                 partition_by: Sequence = (), chunk_col: str = "chunk_id") -> DataFrame:
     """Concat-and-chunk sequence packing: rows are laid out in

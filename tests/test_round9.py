@@ -358,6 +358,57 @@ class TestSuffixRadixInvariance:
         assert sorted(map(tuple, r4)) == sorted(map(tuple, r2))
 
 
+class TestMixPlan:
+    """mix_plan: integer mixture worksheet — rates cap at the epoch
+    limit, deficits appear exactly when the cap binds, drops and
+    missing sources are explicit."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(i, "w " * 10, "a") for i in range(10)] \
+            + [(i + 100, "w " * 10, "b") for i in range(40)] \
+            + [(i + 200, "w " * 10, "c") for i in range(5)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string").persist()
+
+    def test_branches(self, corpus):
+        from pigpen_spark.functions import pipeline as P
+        # budget 600: a wants 300 (have 100 → capped at 2 epochs,
+        # achieved 200, deficit 100); b wants 240 (have 400 → rate
+        # 600000 ppm); ghost wants 60 but has nothing; c is dropped
+        out = {r["source"]: r for r in P.mix_plan(
+            corpus, "source", "text",
+            {"a": 500_000, "b": 400_000, "ghost": 100_000},
+            budget_tokens=600).collect()}
+        assert out["a"]["rate_ppm"] == 2_000_000
+        assert out["a"]["achieved_tokens"] == 200
+        assert out["a"]["deficit_tokens"] == 100
+        assert out["b"]["rate_ppm"] == 600_000
+        assert out["b"]["deficit_tokens"] == 0
+        assert out["ghost"]["have_tokens"] == 0
+        assert out["ghost"]["rate_ppm"] == 0
+        assert out["ghost"]["deficit_tokens"] == 60
+        assert out["c"]["want_tokens"] == 0 and out["c"]["rate_ppm"] == 0
+
+    def test_rates_feed_mix_by_weight(self, corpus):
+        from pigpen_spark.functions import pipeline as P
+        plan = {r["source"]: r["rate_ppm"] / 1e6 for r in P.mix_plan(
+            corpus, "source", "text", {"a": 500_000, "b": 400_000},
+            budget_tokens=600).collect()}
+        mixed = P.mix_by_weight(corpus, "source", "doc_id", plan, default=0.0)
+        per = {r["source"]: r["n"] for r in mixed.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per["a"] == 20            # exactly 2 epochs
+        assert 0 < per.get("b", 0) <= 40  # fractional downsample
+        assert "c" not in per             # dropped
+
+    def test_over_allocation_raises(self, corpus):
+        from pigpen_spark.functions import pipeline as P
+        with pytest.raises(ValueError, match="over-allocate"):
+            P.mix_plan(corpus, "source", "text",
+                       {"a": 700_000, "b": 600_000}, budget_tokens=100)
+
+
 class TestGenerateScript:
     """generate_script — the `generate-script` analog (reference:
     pigpen.pig/generate-script, pig.clj:28-86): the exported artifact
