@@ -941,6 +941,48 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_multi_full",
+    """
+    WITH a AS (SELECT nullif(c_nationkey, 5)::BIGINT AS k, count(*) AS n_cust
+               FROM customer WHERE c_nationkey < 12 GROUP BY 1),
+         b AS (SELECT nullif(s_nationkey, 9)::BIGINT AS k, count(*) AS n_supp
+               FROM supplier WHERE s_nationkey BETWEEN 8 AND 18 GROUP BY 1),
+         c AS (SELECT n_nationkey::BIGINT AS k, n_name FROM nation WHERE n_nationkey >= 15)
+    SELECT coalesce(a.k, b.k, c.k) AS key, a.n_cust, b.n_supp, c.n_name
+    FROM a FULL JOIN b ON a.k = b.k
+           FULL JOIN c ON coalesce(a.k, b.k) = c.k
+    """,
+)
+def q_join_multi_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-ary ALL-OPTIONAL join_multi — the N-way full-outer flatten
+    (reference raw.clj:489-566, script.clj:321-336; was the last §2
+    NotImplementedError, closed r10).  Three inputs with NULLABLE keys
+    (nullif-injected) and staggered key ranges: only-in-a, a+b, only-b,
+    b+c, only-c keys are all live, plus one NULL-key row per side
+    exercising nil-keys-never-match."""
+    t = tables(spark, sf_dir)
+    a = (
+        t["customer"].filter(F.col("c_nationkey") < 12)
+        .group_by(k=F.nullif(F.col("c_nationkey").cast("bigint"), F.lit(5)))
+        .fold(n_cust=fold.count())
+    )
+    b = (
+        t["supplier"].filter(F.col("s_nationkey").between(8, 18))
+        .group_by(k=F.nullif(F.col("s_nationkey").cast("bigint"), F.lit(9)))
+        .fold(n_supp=fold.count())
+    )
+    c = (
+        t["nation"].filter(F.col("n_nationkey") >= 15)
+        .map(k=F.col("n_nationkey").cast("bigint"), n_name=F.col("n_name"))
+    )
+    out = a.join_multi([(b, "k"), (c, "k")], on="k", required=[False, False, False])
+    return out.map(
+        key=F.col("k"), n_cust=F.col("n_cust"), n_supp=F.col("n_supp"),
+        n_name=F.col("n_name"),
+    ).df
+
+
+@register(
     "q_asof_join",
     """
     WITH r AS (

@@ -774,17 +774,57 @@ class Relation:
                     rels[1][0], on=rels[0][1], right_on=rels[1][1],
                     how="full", join_nils=join_nils,
                 )
-            raise NotImplementedError(
-                "join_multi with every input optional and >2 inputs: use "
-                "cogroup(required=[False,...]) + per-bag flatten — an N-ary "
-                "full-outer flattened join needs key coalescing across inputs"
-            )
+            return self._join_multi_full_outer(rels, join_nils)
         out, out_key = required_ins[0]
         for rel_i, key_i in required_ins[1:]:
             out = out.join(rel_i, on=out_key, right_on=key_i, how="inner", join_nils=join_nils)
         for rel_i, key_i in optional_ins:
             out = out.join(rel_i, on=out_key, right_on=key_i, how="left", join_nils=join_nils)
         return out
+
+    def _join_multi_full_outer(
+        self, rels: list[tuple["Relation", ColumnLike]], join_nils: bool
+    ) -> "Relation":
+        """N-ary all-optional flattened join (reference: the N-way
+        ``[:optional :optional ...]`` FULL OUTER join — semantics
+        raw.clj:489-566, Pig codegen script.clj:321-336, spec
+        functional/join_test.clj:244-299).
+
+        Compiled as a chain of binary FULL joins whose RUNNING KEY is the
+        coalesce of every key seen so far — so a key present in ANY input
+        keeps matching later inputs, per-key cross products and the
+        nil-keys-never-match default (join.clj:31-45; ``join_nils=True`` →
+        ``<=>``) fall out of SQL full-join semantics.  Scale: each step is
+        an ordinary equi-join Catalyst can plan as broadcast/SMJ with AQE
+        skew handling — no cogroup bag materialization."""
+        dfs: list[DataFrame] = []
+        keycols: list[str] = []
+        for rel_i, key_i in rels:
+            kc = _gensym("mjk")
+            dfs.append(rel_i.df.withColumn(kc, _to_col(key_i)))
+            keycols.append(kc)
+        out_df, rk = dfs[0], keycols[0]
+        for df_i, kc in zip(dfs[1:], keycols[1:]):
+            cond = out_df[rk].eqNullSafe(df_i[kc]) if join_nils else (out_df[rk] == df_i[kc])
+            merged = _gensym("mjk")
+            out_df = (
+                out_df.join(df_i, on=cond, how="full")
+                .withColumn(merged, F.coalesce(F.col(rk), F.col(kc)))
+                .drop(rk, kc)
+            )
+            rk = merged
+        # Same-named string keys collapse to ONE coalesced column (the
+        # binary join's USING-style output); otherwise original columns
+        # pass through untouched and the running key is internal-only.
+        key_names = [k for _, k in rels]
+        if all(isinstance(k, str) for k in key_names) and len(set(key_names)) == 1:
+            name = str(key_names[0])
+            for d in dfs:
+                out_df = out_df.drop(d[name])
+            out_df = out_df.withColumnRenamed(rk, name)
+        else:
+            out_df = out_df.drop(rk)
+        return self._with(out_df)
 
     def debug_tee(self, path: str, name: str) -> "Relation":
         """Debug mode: persist this intermediate to a store and pass it

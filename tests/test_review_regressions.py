@@ -31,13 +31,16 @@ def test_join_multi_all_optional_two_inputs(spark):
     assert got == sorted([(1, None), (None, 20)], key=key)
 
 
-def test_join_multi_all_optional_many_raises(spark):
+def test_join_multi_all_optional_many(spark):
+    # r10: the all-optional N>2 branch is now implemented (was a raise).
     a = return_(spark, [("k1", 1)], "k string, a long")
     b = return_(spark, [("k2", 2)], "kb string, b long")
-    c = return_(spark, [("k3", 3)], "kc string, c long")
-    with pytest.raises(NotImplementedError, match="cogroup"):
-        a.join_multi([(b, F.col("kb")), (c, F.col("kc"))],
-                     on=F.col("k"), required=[False, False, False])
+    c = return_(spark, [("k3", 3), ("k1", 30)], "kc string, c long")
+    out = a.join_multi([(b, F.col("kb")), (c, F.col("kc"))],
+                       on=F.col("k"), required=[False, False, False])
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted(((r["a"], r["b"], r["c"]) for r in out.df.collect()), key=key)
+    assert got == sorted([(1, None, 30), (None, 2, None), (None, None, 3)], key=key)
 
 
 def test_cogroup_required_with_null_fold(spark):

@@ -1,0 +1,122 @@
+"""Round-10 surface: N-ary all-optional join_multi full-outer flatten
+(VERDICT r9 item #1) — case matrix per functional/join_test.clj:244-299."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pigpen_spark.relation import return_
+
+
+def _sorted(rows):
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    return sorted(rows, key=key)
+
+
+class TestJoinMultiFullOuter:
+    def test_three_way_disjoint_and_shared_keys(self, spark):
+        a = return_(spark, [("k1", 1), ("k2", 2)], "ka string, a long")
+        b = return_(spark, [("k2", 20), ("k3", 30)], "kb string, b long")
+        c = return_(spark, [("k3", 300), ("k4", 400)], "kc string, c long")
+        out = a.join_multi(
+            [(b, F.col("kb")), (c, F.col("kc"))],
+            on=F.col("ka"), required=[False, False, False],
+        )
+        got = _sorted((r["a"], r["b"], r["c"]) for r in out.df.collect())
+        assert got == _sorted([
+            (1, None, None),      # k1 only in a
+            (2, 20, None),        # k2 in a+b
+            (None, 30, 300),      # k3 in b+c — skipping-input coalesce path
+            (None, None, 400),    # k4 only in c
+        ])
+
+    def test_key_skips_middle_input(self, spark):
+        # key present in inputs 1 and 3 but NOT 2: the running-key
+        # coalesce must carry it across the hole.
+        a = return_(spark, [("k", 1)], "ka string, a long")
+        b = return_(spark, [("x", 2)], "kb string, b long")
+        c = return_(spark, [("k", 3)], "kc string, c long")
+        out = a.join_multi(
+            [(b, F.col("kb")), (c, F.col("kc"))],
+            on=F.col("ka"), required=[False, False, False],
+        )
+        got = _sorted((r["a"], r["b"], r["c"]) for r in out.df.collect())
+        assert got == _sorted([(1, None, 3), (None, 2, None)])
+
+    def test_cross_product_multiplicity(self, spark):
+        # 2 × 1 × 3 matching rows on one key → 6 output rows.
+        a = return_(spark, [("k", 1), ("k", 2)], "ka string, a long")
+        b = return_(spark, [("k", 10)], "kb string, b long")
+        c = return_(spark, [("k", 100), ("k", 200), ("k", 300)], "kc string, c long")
+        out = a.join_multi(
+            [(b, F.col("kb")), (c, F.col("kc"))],
+            on=F.col("ka"), required=[False, False, False],
+        )
+        rows = out.df.collect()
+        assert len(rows) == 6
+        assert {(r["a"], r["b"], r["c"]) for r in rows} == {
+            (x, 10, z) for x in (1, 2) for z in (100, 200, 300)
+        }
+
+    def test_null_keys_never_match_by_default(self, spark):
+        # join.clj:31-45: nil keys never match — each NULL-key row stands
+        # alone with NULLs elsewhere.
+        a = return_(spark, [(None, 1)], "ka string, a long")
+        b = return_(spark, [(None, 2)], "kb string, b long")
+        c = return_(spark, [(None, 3), ("k", 30)], "kc string, c long")
+        out = a.join_multi(
+            [(b, F.col("kb")), (c, F.col("kc"))],
+            on=F.col("ka"), required=[False, False, False],
+        )
+        got = _sorted((r["a"], r["b"], r["c"]) for r in out.df.collect())
+        assert got == _sorted([
+            (1, None, None), (None, 2, None), (None, None, 3), (None, None, 30),
+        ])
+
+    def test_join_nils_true_matches_nulls(self, spark):
+        # {:join-nils true} → <=>: NULL keys group together across ALL inputs.
+        a = return_(spark, [(None, 1)], "ka string, a long")
+        b = return_(spark, [(None, 2)], "kb string, b long")
+        c = return_(spark, [(None, 3)], "kc string, c long")
+        out = a.join_multi(
+            [(b, F.col("kb")), (c, F.col("kc"))],
+            on=F.col("ka"), required=[False, False, False], join_nils=True,
+        )
+        got = [(r["a"], r["b"], r["c"]) for r in out.df.collect()]
+        assert got == [(1, 2, 3)]
+
+    def test_four_way(self, spark):
+        rels = [
+            return_(spark, [("k", i), (f"only{i}", i * 10)], f"k{i} string, v{i} long")
+            for i in range(4)
+        ]
+        out = rels[0].join_multi(
+            [(r, F.col(f"k{i}")) for i, r in enumerate(rels[1:], start=1)],
+            on=F.col("k0"), required=[False] * 4,
+        )
+        rows = out.df.collect()
+        assert len(rows) == 5  # shared 'k' row + four 'onlyN' singletons
+        shared = [r for r in rows if r["v0"] == 0 and r["v1"] == 1]
+        assert len(shared) == 1 and shared[0]["v2"] == 2 and shared[0]["v3"] == 3
+
+    def test_same_named_string_keys_collapse(self, spark):
+        # all inputs keyed on the same string column name → ONE coalesced
+        # key column in the output (binary USING-style parity).
+        a = return_(spark, [("k1", 1)], "k string, a long")
+        b = return_(spark, [("k2", 2)], "k string, b long")
+        c = return_(spark, [("k1", 3)], "k string, c long")
+        out = a.join_multi([(b, "k"), (c, "k")], on="k",
+                           required=[False, False, False])
+        assert out.df.columns.count("k") == 1
+        got = _sorted((r["k"], r["a"], r["b"], r["c"]) for r in out.df.collect())
+        assert got == _sorted([("k1", 1, None, 3), ("k2", None, 2, None)])
+
+    def test_computed_keys(self, spark):
+        a = return_(spark, [(10, 1)], "ka long, a long")
+        b = return_(spark, [(5, 2)], "kb long, b long")
+        c = return_(spark, [(20, 3)], "kc long, c long")
+        out = a.join_multi(
+            [(b, F.col("kb") * 2), (c, F.col("kc"))],
+            on=F.col("ka"), required=[False, False, False],
+        )
+        got = _sorted((r["a"], r["b"], r["c"]) for r in out.df.collect())
+        assert got == _sorted([(1, 2, None), (None, None, 3)])
