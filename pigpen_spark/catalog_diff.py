@@ -432,19 +432,25 @@ def ext_unigram_encode_trained_diff(spark: SparkSession, sf_dir: str) -> DataFra
           "SELECT 0 AS non_idempotent, "
           "(SELECT count(*) FROM documents) AS n_docs")
 def ext_normalize_unicode_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differential oracle for ext_normalize_unicode: NFKC + casefold +
-    whitespace-collapse is IDEMPOTENT (Unicode guarantees NFKC(NFKC(x))
-    = NFKC(x); casefold is stable on already-folded text) — re-applying
-    the full normalizer must change nothing, which a truncation,
-    double-escape, or non-canonical mapping bug would break."""
+    """Differential oracle for ext_normalize_unicode: the normalizer's
+    FIXED POINT is reached by the second application — Unicode
+    guarantees NFKC and casefold are each idempotent alone, but
+    casefold(NFKC(x)) need not be NFKC-normalized (this is why
+    NFKC_Casefold re-normalizes: NFKC_CF = NFKC∘casefold∘NFKC), so the
+    invariant asserted here is normalize(normalize(x)) ==
+    normalize(normalize(normalize(x))) — the NFKC_CF fixed point, which
+    a truncation, double-escape, or non-canonical mapping bug still
+    breaks, without false-positives on the affected codepoints."""
     docs = tables(spark, sf_dir)["documents"].df
     once = docs.select("doc_id",
                        T.normalize_text_unicode("text").alias("norm1"))
-    twice = once.withColumn(
-        "norm2", T.normalize_text_unicode(F.col("norm1")))
+    fixed = once.withColumn(
+        "norm2", T.normalize_text_unicode(F.col("norm1"))
+    ).withColumn(
+        "norm3", T.normalize_text_unicode(F.col("norm2")))
     return _one_row(
         spark,
-        non_idempotent=twice.filter(
-            ~F.col("norm2").eqNullSafe(F.col("norm1"))).count(),
+        non_idempotent=fixed.filter(
+            ~F.col("norm3").eqNullSafe(F.col("norm2"))).count(),
         n_docs=docs.count(),
     )

@@ -875,18 +875,34 @@ def decontaminate(train: DataFrame, test: DataFrame, id_col: str,
     )
 
 
+_ALL_PAIRS_CAP = 100_000
+
+
 def exact_jaccard_pairs(df: DataFrame, id_col: str, content_col: str,
-                        threshold_permille: int, shingle_n: int = 3) -> DataFrame:
+                        threshold_permille: int, shingle_n: int = 3,
+                        allow_all_pairs: bool = False) -> DataFrame:
     """ALL-PAIRS exact shingle Jaccard at/above a permille threshold —
     the ground truth for evaluating candidate blocking, O(n²) BY DESIGN:
     run it on a labeled SAMPLE (eval sets are thousands of docs, not the
     corpus), never at corpus scale — that is precisely what the LSH
-    operators it grades exist to avoid.
+    operators it grades exist to avoid.  REFUSES above
+    :data:`_ALL_PAIRS_CAP` rows unless ``allow_all_pairs=True`` (the
+    ``_FULL_FIT_CAP`` guard pattern — one count(*) probe, never a
+    silent n² job on a full corpus).
 
     Integer cross-multiplication (``inter·1000 ≥ thr·union``) instead of
     a float Jaccard keeps the comparison bit-free of division.
 
     Returns (id_a, id_b) with id_a < id_b."""
+    if not allow_all_pairs:
+        n = df.count()
+        if n > _ALL_PAIRS_CAP:
+            raise ValueError(
+                f"exact_jaccard_pairs: all-pairs ground truth over {n} rows "
+                f"(> {_ALL_PAIRS_CAP}) is an n-squared job — sample the eval "
+                "set first (this operator grades blocking on labeled "
+                "samples), or pass allow_all_pairs=True to force it"
+            )
     hs = F.array_distinct(shingle_hashes(token_hashes(F.col(content_col)), shingle_n))
     docs = df.select(F.col(id_col).alias("id"), hs.alias("hs")).transform(_persisted)
     a = docs.select(F.col("id").alias("id_a"), F.col("hs").alias("__ha"))

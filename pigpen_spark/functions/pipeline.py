@@ -224,6 +224,12 @@ def mix_plan(df: DataFrame, source_col: str, text_col: str,
 
     if budget_tokens < 0:
         raise ValueError(f"mix_plan: negative budget {budget_tokens}")
+    if budget_tokens > 9_000_000_000_000:
+        # rate_ppm computes want·1e6 DIV have; want ≤ budget, so budgets
+        # past 9.2e12 would overflow BIGINT silently inside the DIV.
+        raise ValueError(
+            f"mix_plan: budget {budget_tokens} > 9e12 tokens — "
+            "want_tokens * 1e6 would overflow int64; plan in shards")
     if max_epochs_ppm < 0:
         raise ValueError(f"mix_plan: negative epoch cap {max_epochs_ppm}")
     tot = 0
@@ -236,9 +242,14 @@ def mix_plan(df: DataFrame, source_col: str, text_col: str,
             f"mix_plan: target shares sum to {tot} ppm > 1e6 — a mixture "
             "cannot over-allocate the budget")
     spark = df.sparkSession
+    # coalesce NULL text to '' BEFORE tokenizing: with legacy sizeOfNull,
+    # size(tokens(NULL)) is -1 and would SUBTRACT a token where the
+    # DuckDB oracle's sum simply skips the NULL — a latent hash mismatch
+    # on dirty corpora.
     have = (
         df.select(_c(source_col).alias("source"),
-                  F.size(tokens(_c(text_col))).cast("long").alias("__n"))
+                  F.size(tokens(F.coalesce(_c(text_col), F.lit(""))))
+                  .cast("long").alias("__n"))
         .groupBy("source").agg(F.sum("__n").alias("have_tokens"))
     )
     tgt = spark.createDataFrame(
@@ -272,8 +283,10 @@ def mix_plan_sql(table: str, source_col: str, text_col: str,
                  targets: Mapping[str, int], budget_tokens: int,
                  max_epochs_ppm: int = 2_000_000) -> str:
     """DuckDB oracle for :func:`mix_plan` (same integer DIVs — all
-    operands non-negative, so `//` floor == Spark DIV truncate)."""
-    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    operands non-negative, so `//` floor == Spark DIV truncate; NULL
+    text coalesced to '' on both sides)."""
+    toks = (f"list_filter(string_split(lower(coalesce({text_col}, '')), ' '), "
+            "t -> t <> '')")
     vals = ", ".join(f"({sql_str(s)}, {int(p)}::BIGINT)"
                      for s, p in sorted(targets.items()))
     return f"""

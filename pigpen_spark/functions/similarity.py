@@ -1578,6 +1578,9 @@ def pq_adc_topk(
             "this operator driver-collects the queries (bounded-artifact "
             "contract); shard the query set or raise max_queries explicitly")
     q_ids_drv = [r["q_id"] for r in qrows]
+    if any(r["q_vec"] is None for r in qrows):
+        raise ValueError("pq_adc_topk: NULL query vector — filter "
+                         "NULL vecs before querying")
     q_vecs = [[float(x) for x in r["q_vec"]] for r in qrows]
     base = spread(corpus).select(
         F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec")
@@ -2484,6 +2487,9 @@ def pq_topk_against(
             f"pq_topk_against: query side exceeds max_queries={max_queries} "
             "— shard the query set or raise max_queries explicitly")
     q_ids_drv = [r["q_id"] for r in qrows]
+    if any(r["q_vec"] is None for r in qrows):
+        raise ValueError("pq_topk_against: NULL query vector — filter "
+                         "NULL vecs before querying")
     q_vecs = [[float(x) for x in r["q_vec"]] for r in qrows]
     q_type = queries.schema[id_col].dataType.simpleString()
     n_type = index.schema["id"].dataType.simpleString()

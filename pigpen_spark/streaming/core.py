@@ -481,7 +481,8 @@ def pq_index_stream(
     from pyspark.errors import AnalysisException
 
     from pigpen_spark.functions.similarity import (
-        _default_codebook, product_quantize, stored_codebook,
+        _default_codebook, product_quantize, stored_code_width,
+        stored_codebook,
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -490,6 +491,19 @@ def pq_index_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        try:
+            # stored-index-wins doctrine extends to m: once codes exist,
+            # a restart with a different m would silently append codes of
+            # another width and break pq_topk_against's single
+            # stored_code_width probe nondeterministically — refuse loud.
+            stored_m = stored_code_width(spark.read.parquet(codes_path))
+            if stored_m != m:
+                raise ValueError(
+                    f"pq_index_stream: stored index at {codes_path} has "
+                    f"code width m={stored_m} but the stream was started "
+                    f"with m={m} — changing m is a REBUILD, not an append")
+        except AnalysisException:
+            pass  # no codes yet: first batch seeds the index
         try:
             cb = stored_codebook(spark.read.parquet(codebook_path))
         except AnalysisException:

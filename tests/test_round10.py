@@ -120,3 +120,98 @@ class TestJoinMultiFullOuter:
         )
         got = _sorted((r["a"], r["b"], r["c"]) for r in out.df.collect())
         assert got == _sorted([(1, 2, None), (None, None, 3)])
+
+
+class TestAdviceR9Fixes:
+    """ADVICE r9 low-items: loud guards replacing silent misbehavior."""
+
+    def _emb(self, spark, n=12, d=8):
+        import hashlib
+        rows = [(i, [(int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:6],
+                          16) % 1000) / 500.0 - 1.0 for j in range(d)])
+                for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_exact_jaccard_pairs_guard_fires(self, spark, monkeypatch):
+        from pigpen_spark.functions import dedup as D
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i}") for i in range(10)],
+            "doc_id long, text string")
+        assert D.exact_jaccard_pairs(docs, "doc_id", "text", 500).count() >= 0
+        monkeypatch.setattr(D, "_ALL_PAIRS_CAP", 5)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="n-squared"):
+            D.exact_jaccard_pairs(docs, "doc_id", "text", 500)
+        # the explicit override still runs
+        assert D.exact_jaccard_pairs(
+            docs, "doc_id", "text", 500, allow_all_pairs=True).count() >= 0
+
+    def test_pq_adc_topk_null_query_raises(self, spark):
+        from pigpen_spark.functions import similarity as S
+        corpus = self._emb(spark)
+        queries = spark.createDataFrame(
+            [(0, None)], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="NULL query vector"):
+            S.pq_adc_topk(corpus, queries, dim=8, m=4, n_codes=4)
+
+    def test_pq_topk_against_null_query_raises(self, spark):
+        from pigpen_spark.functions import similarity as S
+        corpus = self._emb(spark)
+        idx, cb_df = S.pq_index(corpus, dim=8, m=4, n_codes=4)
+        queries = spark.createDataFrame(
+            [(0, None)], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="NULL query vector"):
+            S.pq_topk_against(idx, cb_df, queries)
+
+    def test_mix_plan_null_text_counts_zero(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        dirty = spark.createDataFrame(
+            [(1, "w w w", "a"), (2, None, "a"), (3, "w w", "b")],
+            "doc_id long, text string, source string")
+        out = {r["source"]: r for r in P.mix_plan(
+            dirty, "source", "text", {"a": 500_000, "b": 500_000},
+            budget_tokens=10).collect()}
+        # NULL text contributes 0 tokens (NOT -1 via legacy sizeOfNull)
+        assert out["a"]["have_tokens"] == 3 and out["b"]["have_tokens"] == 2
+
+    def test_mix_plan_budget_overflow_bound(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = spark.createDataFrame([(1, "w", "a")],
+                                   "doc_id long, text string, source string")
+        with pytest.raises(ValueError, match="overflow"):
+            P.mix_plan(df, "source", "text", {"a": 1_000_000},
+                       budget_tokens=10_000_000_000_000)
+
+    def test_pq_index_stream_m_mismatch_refuses(self, spark, tmp_path):
+        import json as _json
+
+        from pigpen_spark.streaming import core as stc
+
+        def _write(path, lo, hi):
+            with open(path, "w") as f:
+                for i in range(lo, hi):
+                    f.write(_json.dumps({"vec_id": i, "embedding": [
+                        float((i * 7 + j) % 5) for j in range(8)]}) + "\n")
+
+        src = tmp_path / "in"
+        src.mkdir()
+        _write(src / "b0.json", 0, 20)
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .json(str(src)))
+        codes_path, cb_path = str(tmp_path / "codes"), str(tmp_path / "cb")
+        q = stc.pq_index_stream(stream, codes_path, cb_path,
+                                str(tmp_path / "ck1"), m=4, n_codes=4,
+                                available_now=True)
+        q.awaitTermination(120)
+        assert spark.read.parquet(codes_path).count() == 20
+        # restart with a DIFFERENT m against the same index: refuse loud
+        _write(src / "b1.json", 20, 30)
+        q2 = stc.pq_index_stream(stream, codes_path, cb_path,
+                                 str(tmp_path / "ck2"), m=8, n_codes=4,
+                                 available_now=True)
+        from pyspark.errors import StreamingQueryException
+        with pytest.raises(StreamingQueryException, match="REBUILD"):
+            q2.awaitTermination(120)
+        # the stored index is untouched by the refused stream
+        assert spark.read.parquet(codes_path).count() == 20
