@@ -215,3 +215,33 @@ class TestAdviceR9Fixes:
             q2.awaitTermination(120)
         # the stored index is untouched by the refused stream
         assert spark.read.parquet(codes_path).count() == 20
+
+
+class TestGenerateScriptNamespaces:
+    """ADVICE r9 medium: generated scripts must run queries whose bodies
+    reference PRIVATE module helpers (underscore names skipped by
+    star-imports) — the script now re-execs the source in the defining
+    module's namespace."""
+
+    def _run(self, name, tmp_path, sf="/root/testdata/sf0.001"):
+        import subprocess
+        import sys as _sys
+
+        from pigpen_spark.plans.viz import generate_script
+        p = tmp_path / f"gen_{name}.py"
+        p.write_text(generate_script(name, sf))
+        out = subprocess.run([_sys.executable, str(p)], capture_output=True,
+                             text=True, timeout=300, cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    def test_ext_query_with_private_helpers(self, tmp_path):
+        # ext_mix_plan's body references _MIX_TARGETS/_MIX_BUDGET
+        stdout = self._run("ext_mix_plan", tmp_path)
+        assert "rate_ppm" in stdout
+
+    def test_diff_query_module(self, tmp_path):
+        # catalog_diff queries use _one_row and module aliases never
+        # star-imported anywhere
+        stdout = self._run("ext_normalize_unicode_diff", tmp_path)
+        assert "non_idempotent" in stdout
