@@ -319,6 +319,120 @@ def mix_plan_sql(table: str, source_col: str, text_col: str,
     """
 
 
+def mix_select(df: DataFrame, source_col: str, text_col: str, id_col: str,
+               targets: Mapping[str, int], budget_tokens: int,
+               max_epochs_ppm: int = 2_000_000, chunk_budget: int = 512,
+               salt: str = "mix") -> DataFrame:
+    """END-TO-END mixture selection — :func:`mix_plan`'s worksheet wired
+    straight into the data path: the plan's integer-ppm rates drive
+    deterministic :func:`mix_by_weight`-style fractional sampling, the
+    sampled copies are budget-cut by a two-phase global token cumsum
+    (:func:`pigpen_spark.operators.windows.take_budget`), and chunk ids
+    fall out of the SAME cumsum (``chunk_id = exclusive-cum DIV
+    chunk_budget`` — the :func:`pack_chunks` layout with no extra
+    window).  One pipeline, one plan: plan → sample → cut → pack.
+
+    The rates JOIN the corpus as a broadcast ≤|sources|-row table — no
+    driver collect of the plan, so the composition is exactly what a
+    100 TB selection run executes.  Sources absent from ``targets``
+    rate 0 and vanish in the copy explode (an explicit drop); the
+    selection order is the total (source, id, copy) — swap in a quality
+    key upstream if the recipe ranks within the budget.
+
+    Returns (source, ``id_col``, copy, n_tokens, cum_tokens, chunk_id)
+    for the selected copies."""
+    from pigpen_spark.operators.windows import take_budget
+
+    plan = mix_plan(df, source_col, text_col, targets, budget_tokens,
+                    max_epochs_ppm)
+    rates = plan.select("source", "rate_ppm")
+    from pigpen_spark.functions.text import tokens
+    base = df.select(
+        _c(source_col).alias("source"),
+        _c(id_col).alias(id_col),
+        F.size(tokens(F.coalesce(_c(text_col), F.lit(""))))
+        .cast("long").alias("n_tokens"),
+    ).join(F.broadcast(rates), on="source")
+    nf = F.expr("CAST(rate_ppm DIV 1000000 AS INT)")
+    frac = (F.col("rate_ppm") % 1_000_000) / F.lit(1_000_000.0)
+    u = hash_unit(F.col(id_col), salt)
+    sampled = base.withColumn(
+        "copy",
+        F.explode(F.filter(F.sequence(F.lit(0), nf),
+                           lambda c: (c < nf) | (u < frac))),
+    ).select("source", id_col, "copy", "n_tokens")
+    cut = take_budget(
+        sampled, [F.col("source"), F.col(id_col), F.col("copy")],
+        "n_tokens", budget=budget_tokens, cum_col="cum_tokens")
+    return cut.select(
+        "source", id_col, "copy", "n_tokens", "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) DIV {int(chunk_budget)}")
+        .cast("long").alias("chunk_id"),
+    )
+
+
+def mix_select_sql(table: str, source_col: str, text_col: str, id_col: str,
+                   targets: Mapping[str, int], budget_tokens: int,
+                   max_epochs_ppm: int = 2_000_000, chunk_budget: int = 512,
+                   salt: str = "mix") -> str:
+    """DuckDB oracle for :func:`mix_select` — the full plan → sample →
+    cut → pack composition as chained CTEs (plan arithmetic identical
+    to :func:`mix_plan_sql`; sampling identical to
+    :func:`mix_by_weight_sql` with rates read from the plan; the
+    single-partition ordered cumsum is exactly what the Spark side's
+    two-phase form avoids)."""
+    toks = (f"list_filter(string_split(lower(coalesce({text_col}, '')), ' '), "
+            "t -> t <> '')")
+    vals = ", ".join(f"({sql_str(s)}, {int(p)}::BIGINT)"
+                     for s, p in sorted(targets.items()))
+    u = hash_unit_sql(id_col, salt)
+    return f"""
+    WITH have AS (
+      SELECT {source_col} AS source, sum(len({toks}))::BIGINT AS have_tokens
+      FROM {table} GROUP BY {source_col}
+    ),
+    tgt (source, share_ppm) AS (VALUES {vals}),
+    plan AS (
+      SELECT coalesce(h.source, t.source) AS source,
+             coalesce(h.have_tokens, 0)::BIGINT AS have_tokens,
+             (coalesce(t.share_ppm, 0) * {int(budget_tokens)} // 1000000)::BIGINT
+               AS want_tokens
+      FROM have h FULL OUTER JOIN tgt t ON h.source = t.source
+    ),
+    rates AS (
+      SELECT source,
+             (CASE WHEN have_tokens > 0
+                   THEN least({int(max_epochs_ppm)}::BIGINT,
+                              want_tokens * 1000000 // have_tokens)
+                   ELSE 0 END)::BIGINT AS rate_ppm
+      FROM plan
+    ),
+    base AS (
+      SELECT d.{source_col} AS source, d.{id_col} AS {id_col},
+             len({toks})::BIGINT AS n_tokens, r.rate_ppm
+      FROM {table} d JOIN rates r ON d.{source_col} = r.source
+    ),
+    copies AS (
+      SELECT source, {id_col}, n_tokens,
+             unnest([c for c in range(0, (rate_ppm // 1000000)::INT + 1)
+                     if c < rate_ppm // 1000000
+                        or {u} < (rate_ppm % 1000000) / 1000000.0]) AS copy
+      FROM base
+    ),
+    cum AS (
+      SELECT source, {id_col}, copy, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY source, {id_col}, copy
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )::BIGINT AS cum_tokens
+      FROM copies
+    )
+    SELECT source, {id_col}, copy::BIGINT AS copy, n_tokens, cum_tokens,
+           ((cum_tokens - n_tokens) // {int(chunk_budget)})::BIGINT AS chunk_id
+    FROM cum WHERE cum_tokens - n_tokens < {int(budget_tokens)}
+    """
+
+
 def pack_chunks(df: DataFrame, size_col, order_by: Sequence, budget: int,
                 partition_by: Sequence = (), chunk_col: str = "chunk_id") -> DataFrame:
     """Concat-and-chunk sequence packing: rows are laid out in

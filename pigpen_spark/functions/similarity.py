@@ -2634,6 +2634,34 @@ def ivf_pq_topk_against(
     )
 
 
+def ivf_code_batch(batch: DataFrame, cb: list[list[float]],
+                   cents_df: DataFrame, m: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   ) -> DataFrame:
+    """Assign + PQ-code ONE batch against FROZEN quantizers → (cell, id,
+    codes) inverted-list rows — the delta half shared by
+    :func:`ivf_pq_index_append` and the streaming maintenance twin
+    (``streaming.core.ivf_pq_index_stream``).  Both cell assignment and
+    coding are pure functions of (vector, quantizers), which is what
+    makes append == rebuild and replays idempotent."""
+    dim = len(cb[0])
+    base = (
+        spread(batch)
+        .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
+        .withColumn("nrm", arrow_norm(F.col("vec")))
+        .transform(_persisted)
+    )
+    coded = product_quantize(
+        batch, id_col, vec_col, dim=dim, m=m, n_codes=len(cb), codebook=cb,
+    ).select("id", "codes")
+    return (
+        nearest_cells(base, cents_df, "id", "vec", "nrm", max_rank=1)
+        .select("id", F.col("cent_id").alias("cell"))
+        .join(coded, "id")
+        .select("cell", "id", "codes")
+    )
+
+
 def ivf_pq_index_append(lists: DataFrame, cb_df: DataFrame,
                         cents_df: DataFrame, batch: DataFrame,
                         id_col: str = "vec_id", vec_col: str = "embedding",
@@ -2647,22 +2675,7 @@ def ivf_pq_index_append(lists: DataFrame, cb_df: DataFrame,
     re-assigns every vector — a rebuild by definition."""
     cb = stored_codebook(cb_df)
     m = stored_code_width(lists)
-    dim = len(cb[0])
-    base = (
-        spread(batch)
-        .select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec"))
-        .withColumn("nrm", arrow_norm(F.col("vec")))
-        .transform(_persisted)
-    )
-    coded = product_quantize(
-        batch, id_col, vec_col, dim=dim, m=m, n_codes=len(cb), codebook=cb,
-    ).select("id", "codes")
-    new_rows = (
-        nearest_cells(base, cents_df, "id", "vec", "nrm", max_rank=1)
-        .select("id", F.col("cent_id").alias("cell"))
-        .join(coded, "id")
-        .select("cell", "id", "codes")
-    )
+    new_rows = ivf_code_batch(batch, cb, cents_df, m, id_col, vec_col)
     return lists.select("cell", "id", "codes").unionByName(new_rows)
 
 
@@ -2685,6 +2698,100 @@ def pq_index_append(index: DataFrame, cb_df: DataFrame, batch: DataFrame,
         batch, id_col, vec_col, dim=dim, m=m, n_codes=len(cb), codebook=cb,
     ).select("id", "codes")
     return index.select("id", "codes").unionByName(new_codes)
+
+
+def rotation_matrix(perm: list[int], signs: list[float]) -> list[list[float]]:
+    """:func:`sign_permutation` as a dense dim×dim orthogonal matrix
+    (``R[i][perm[i]] = signs[i]``) — the bridge from the structured
+    O(dim) transform into the generic stored-rotation artifact path:
+    one nonzero per row means the GEMM in :func:`rotate_vectors`
+    computes ``signs[i]·x[perm[i]]`` float-EXACTLY (adding 0.0 terms
+    preserves the value), so an OPQ index built on this matrix stays
+    hash-exact against its DuckDB oracle while exercising the very same
+    stored-matrix serving path a trained PCA rotation uses."""
+    dim = len(perm)
+    R = [[0.0] * dim for _ in range(dim)]
+    for i in range(dim):
+        R[i][perm[i]] = float(signs[i])
+    return R
+
+
+def opq_index(corpus: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", dim: int | None = None,
+              m: int = 8, n_codes: int = 16,
+              rotation: list[list[float]] | None = None,
+              codebook: list[list[float]] | None = None,
+              sample_size: int = 4096,
+              ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Materializable OPQ index — FAISS ``OPQMatrix + IndexPQ``
+    persisted as THREE plain tables: (id, codes) in ROTATED space, the
+    PQ codebook (trained/derived on rotated vectors), and the rotation
+    matrix itself as (row_id, r_vec).  The rotation is the piece the r9
+    index family lacked: without it stored, an OPQ index could not be
+    served or appended purely off artifacts — queries must be rotated
+    by the SAME matrix that coded the corpus, or ADC distances are
+    garbage.  ``rotation=None`` trains the parametric OPQ_P rotation
+    (:func:`train_opq_rotation`); the codebook defaults from the
+    ROTATED corpus (codes live in rotated space)."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    if rotation is None:
+        rotation = train_opq_rotation(corpus, id_col, vec_col, dim=dim, m=m,
+                                      sample_size=sample_size)
+    if len(rotation) != dim:
+        raise ValueError(
+            f"opq_index: rotation is {len(rotation)}×{len(rotation[0])} "
+            f"but dim={dim}")
+    rot = rotate_vectors(corpus, id_col, vec_col, rotation)
+    codes, cb_df = pq_index(rot, id_col, vec_col, dim=dim, m=m,
+                            n_codes=n_codes, codebook=codebook)
+    rot_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(rotation)],
+        "row_id int, r_vec array<double>",
+    )
+    return codes, cb_df, rot_df
+
+
+def stored_rotation(rot_df: DataFrame) -> list[list[float]]:
+    """Rotation artifact of a stored :func:`opq_index`, collected in
+    row_id order (bounded: dim² doubles) — the only safe source at
+    serving/append time, same stored-wins doctrine as
+    :func:`stored_codebook`."""
+    rows = rot_df.select("row_id", "r_vec").orderBy("row_id").collect()
+    if not rows:
+        raise ValueError("stored_rotation: empty rotation table")
+    return [[float(x) for x in r["r_vec"]] for r in rows]
+
+
+def opq_topk_against(
+    index: DataFrame, cb_df: DataFrame, rot_df: DataFrame,
+    queries: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, exclude_self: bool = True, max_queries: int = 65536,
+) -> DataFrame:
+    """ADC top-k against a STORED :func:`opq_index`: the query batch is
+    rotated by the STORED matrix (read off the artifact — never a
+    caller-passed one that could disagree with the codes), then served
+    through :func:`pq_topk_against` exactly like a plain PQ index.
+    Rotations are orthogonal ⇒ rotated-space ADC ranks are valid in the
+    original space."""
+    R = stored_rotation(rot_df)
+    rq = rotate_vectors(queries, id_col, vec_col, R)
+    return pq_topk_against(index, cb_df, rq, id_col, vec_col, k=k,
+                           exclude_self=exclude_self, max_queries=max_queries)
+
+
+def opq_index_append(index: DataFrame, cb_df: DataFrame, rot_df: DataFrame,
+                     batch: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """INCREMENTAL OPQ maintenance: rotate the new batch by the STORED
+    matrix, code it against the STORED codebook, union onto the stored
+    codes — append == rebuild under the frozen (rotation, codebook)
+    pair, :func:`pq_index_append`'s contract extended to both
+    quantizer artifacts (rotation and coding are each pure functions of
+    the vector and their artifact)."""
+    R = stored_rotation(rot_df)
+    rb = rotate_vectors(batch, id_col, vec_col, R)
+    return pq_index_append(index, cb_df, rb, id_col, vec_col)
 
 
 def negative_samples(df: DataFrame, id_col: str = "vec_id", k: int = 4,

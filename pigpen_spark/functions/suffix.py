@@ -115,13 +115,13 @@ def _dense_rank(df: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
     driver vector, one long per partition, the two-phase ranked()/Pig
     RANK shape applied to dense ranks).
 
-    This replaces the round-8 distinct → ranked() → join-back form,
-    which paid a distinct shuffle AND a corpus-sized join-back shuffle
-    per prefix-doubling round just to attach the rank; here the rank is
-    computed ON the rows (one range exchange), cutting the SA
+    The SMALL-corpus form (≤ :data:`_RANK_JOIN_CUTOFF` tokens): the rank
+    is computed ON the rows (one range exchange), cutting the SA
     construction's per-round cost to one shuffle + two bounded driver
     jobs — the fixed per-round driver-job latency was 22% of the whole
-    bench (VERDICT r8).  Also returns the TOTAL distinct-key count —
+    bench (VERDICT r8).  Above the cutoff :func:`_dense_rank_join`
+    takes over (the full-corpus range sort stops paying once partitions
+    are task-bound).  Also returns the TOTAL distinct-key count —
     the caller's rank-uniqueness check rides on the offsets vector the
     rank already collects, not a separate count job."""
     pid = "__sa_rpid"
@@ -150,6 +150,38 @@ def _dense_rank(df: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
     out = ranged.withColumn(
         "rank", (F.dense_rank().over(w) - 1 + off).cast("long")).drop(pid)
     return out, acc
+
+
+#: rank-FORM cutoff (tokens): below it the in-place range-partitioned
+#: rank wins (per-round cost is fixed job latency, which the in-place
+#: form minimizes — r9: 30.7 → 15.4 s at sf0.1); above it the in-place
+#: form's full-corpus range sort bites once partitions are task-bound,
+#: and the distinct → rank-the-keys → join-back form wins (measured at
+#: the 27.6M-token 100× corpus: 312 s in-place vs 278 s join form —
+#: the r9 verdict's two-form lever).  Final ranks are identical either
+#: way (the same dense rank), so the oracle is form-invariant.
+_RANK_JOIN_CUTOFF = 8_000_000
+
+
+def _dense_rank_join(df: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
+    """Large-corpus rank form (the r8 shape, fastest at the 100×
+    corpus): DISTINCT key tuples → two-phase ``ranked()`` (on distinct
+    rows a 0-based row rank IS the dense rank) → equi-join back — two
+    key-partitioned shuffles of slim rows instead of one full-corpus
+    range sort per round.  Same output contract as :func:`_dense_rank`
+    (rows + ``rank``, total distinct count; the uniqueness check rides
+    on the distinct pass's count)."""
+    from pigpen_spark.operators.windows import ranked
+
+    # df itself is deliberately NOT persisted: its two consumers
+    # (distinct, join-back) meet at an exchange AQE's ReusedExchange
+    # dedupes for free — an explicit persist adds a corpus-sized
+    # cache-write barrier per round while defeating that reuse (the
+    # measured HITS dead end, ROUND_NOTES).
+    keys = df.select(*cols).distinct().transform(_persisted)
+    n_keys = keys.count()
+    rk = ranked(keys, order_by=[F.col(c) for c in cols], index_col="rank")
+    return df.join(rk, on=cols, how="inner"), n_keys
 
 
 #: rank-table radix: each construction round ranks the tuple of RADIX
@@ -186,14 +218,18 @@ def suffix_ranks(positions: DataFrame,
     # persists (rank-input + range-partitioned internals) die with the
     # round via the scoped cache release — only the round's CHECKPOINTED
     # rank table survives, because the LCP descent still needs it.
+    # corpus length up front (positions arrives persisted from
+    # maximal_repeats): it picks BOTH the radix and the rank form, and
+    # replaces the old post-round-0 r.count() job — same total jobs.
+    n = positions.count()
+    if radix == "auto":
+        radix = _RADIX_SMALL if n <= _RADIX_CUTOFF else 2
+    rank_fn = _dense_rank if n <= _RANK_JOIN_CUTOFF else _dense_rank_join
     m0 = _cache.mark()
-    ranked0, n_ranks = _dense_rank(positions.select("pos", "sym"), ["sym"])
+    ranked0, n_ranks = rank_fn(positions.select("pos", "sym"), ["sym"])
     r = ranked0.select("pos", "rank").localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     _cache.release_since(m0)
     out = [(1, r)]
-    n = r.count()
-    if radix == "auto":
-        radix = _RADIX_SMALL if n <= _RADIX_CUTOFF else 2
     width = 1
     while n_ranks != n:
         if width > radix * n:  # safety: cannot exceed corpus length
@@ -207,7 +243,7 @@ def suffix_ranks(positions: DataFrame,
                       .withColumn(f"r{i}", F.coalesce(f"r{i}", F.lit(-1))))
             cols.append(f"r{i}")
         m = _cache.mark()
-        rr, n_ranks = _dense_rank(paired, cols)
+        rr, n_ranks = rank_fn(paired, cols)
         r = rr.select("pos", "rank").localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
         _cache.release_since(m)
         width *= radix

@@ -527,6 +527,114 @@ def pq_index_stream(
     return w.start()
 
 
+def ivf_pq_index_stream(
+    stream: DataFrame, lists_path: str, codebook_path: str,
+    centroids_path: str, checkpoint: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    m: int = 8, n_codes: int = 16, n_centroids: int = 16,
+    codebook: list[list[float]] | None = None,
+    coarse_centroids: list[list[float]] | None = None,
+    available_now: bool = False,
+):
+    """Streaming IVF-PQ index maintenance — the live twin of
+    :func:`pigpen_spark.functions.similarity.ivf_pq_index_append`: each
+    micro-batch is assigned to its stored coarse cell AND PQ-coded
+    against the stored codebook (one fused
+    :func:`similarity.ivf_code_batch` delta — both pure functions of
+    (vector, quantizers)), then appended to the inverted-lists parquet
+    that :func:`similarity.ivf_pq_topk_against` serves from.
+
+    Quantizer doctrine is inherited wholesale from
+    :func:`pq_index_stream`: BOTH quantizers come OFF the stored
+    artifacts once they exist (stored-wins — maintenance and build
+    cannot disagree); the FIRST batch seeds them (``codebook=`` /
+    ``coarse_centroids=`` for trained ones, else the deterministic
+    first-N-by-id rows of that batch, matching
+    :func:`similarity.ivf_pq_index`'s defaults so streamed ==
+    one-shot row-for-row) and writes them out; ``m`` is validated
+    against the stored code width once lists exist (changing it is a
+    REBUILD).  Batches write to ``batch={id}`` subdirectories with
+    overwrite — checkpoint replays rewrite their own directory instead
+    of double-appending (exactly-once index contents without a
+    transactional store).  Retraining either quantizer re-assigns or
+    re-codes every vector: rebuild once, restart the stream on the new
+    artifacts (the :func:`similarity.lsh_index_drift` signal decides
+    when).
+
+    Returns the started StreamingQuery."""
+    from pyspark.errors import AnalysisException
+
+    from pigpen_spark.functions.similarity import (
+        _default_codebook, arrow_norm, ivf_code_batch, norm,
+        stored_code_width, stored_codebook, to_double,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            stored_m = stored_code_width(spark.read.parquet(lists_path))
+            if stored_m != m:
+                raise ValueError(
+                    f"ivf_pq_index_stream: stored index at {lists_path} has "
+                    f"code width m={stored_m} but the stream was started "
+                    f"with m={m} — changing m is a REBUILD, not an append")
+        except AnalysisException:
+            pass  # no lists yet: first batch seeds the index
+        try:
+            cb = stored_codebook(spark.read.parquet(codebook_path))
+        except AnalysisException:
+            cb = ([list(map(float, c)) for c in codebook]
+                  if codebook is not None
+                  else _default_codebook(batch_df, id_col, vec_col, n_codes))
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cb)],
+                "code_id int, cb_vec array<double>",
+            ).write.mode("overwrite").parquet(codebook_path)
+        try:
+            cents_df = spark.read.parquet(centroids_path)
+        except AnalysisException:
+            if coarse_centroids is not None:
+                cents_df = spark.createDataFrame(
+                    [(i, [float(x) for x in c])
+                     for i, c in enumerate(coarse_centroids)],
+                    "cent_id int, cent_vec array<double>",
+                ).withColumn("cent_nrm", norm(F.col("cent_vec")))
+            else:
+                # ivf_pq_index's default: first n_centroids by id (cell
+                # labels carry those corpus ids)
+                cents_df = (
+                    batch_df
+                    .select(F.col(id_col).alias("id"),
+                            to_double(F.col(vec_col)).alias("vec"))
+                    .orderBy("id").limit(n_centroids)
+                    .select(F.col("id").cast("int").alias("cent_id"),
+                            F.col("vec").alias("cent_vec"),
+                            arrow_norm(F.col("vec")).alias("cent_nrm"))
+                )
+            cents_df.write.mode("overwrite").parquet(centroids_path)
+            cents_df = spark.read.parquet(centroids_path)
+        # scoped cache release: ivf_code_batch persists its batch base;
+        # a long-running stream must not accumulate one cache per
+        # micro-batch
+        from pigpen_spark import cache as _cache
+        mk = _cache.mark()
+        try:
+            new_rows = ivf_code_batch(batch_df, cb, cents_df, m,
+                                      id_col, vec_col)
+            new_rows.write.mode("overwrite").parquet(
+                f"{lists_path}/batch={batch_id}")
+        finally:
+            _cache.release_since(mk)
+
+    w = stream.writeStream.foreachBatch(handle) \
+        .option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def _parquet_versions(base_path: str) -> list[int]:
     """Committed versions of a versioned-parquet state dir: v{N}
     subdirectories that contain a _SUCCESS marker.  A crash mid-write
