@@ -39,71 +39,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # first), so no row's driver record ages more than a few rounds even
 # though the local full replica re-checks everything at HEAD.
 _DRIVER_PRIORITY: list[str] = [
-    # --- r9 window head: NEW round-9 registrations (never driver-
-    # verified) — the differential oracles that close VERDICT r8's
-    # "no_oracle rows" item: every rows-only twin now has a
-    # hash-checkable 1-row invariant query (see catalog_diff.py). ---
-    "ext_ann_pq_trained_diff",
-    "ext_ann_ivf_pq_trained_diff",
-    "ext_ann_opq_trained_diff",
-    "ext_semdedup_trained_diff",
-    "ext_ann_ivf_kmeans_diff",
-    "ext_ann_ivf_kmeans_auto_diff",
-    "ext_record_linkage_trained_diff",
-    "ext_bpe_encode_trained_diff",
-    "ext_wordpiece_encode_trained_diff",
-    "ext_unigram_encode_trained_diff",
-    "ext_normalize_unicode_diff",
-    # --- r9 head (cont.): PQ index-as-data lifecycle (build/serve/append
-    # with the codebook read off the stored artifact) ---
-    "ext_ann_pq_index",
-    "ext_ann_pq_index_update",
-    "ext_ann_ivf_pq_index",
-    "ext_mix_plan",
+    # --- r10 window head: NEW round-10 registrations (never driver-
+    # verified): the N-ary all-optional full-outer join_multi (the last
+    # SURVEY §2 semantic edge, VERDICT r9 #1), OPQ index-as-data
+    # serving off the stored rotation matrix (r9 #5), and the
+    # plan→sample→cut→pack mixture-selection composition (r9 #6). ---
+    "q_join_multi_full",
+    "ext_ann_opq_index",
+    "ext_ann_opq_index_update",
+    "ext_mix_select",
     # --- freshness backlog: every remaining query ordered by
-    # (last driver-verified round, prior ledger order) — the r8 window
-    # re-verified the old head through ext_decontaminate, so the
-    # stalest greens are the r3-era leftovers below, then the r4-era
-    # block.  The r3-era leftovers include the ENTIRE reworked PQ/ANN
-    # family (ext_ann_pq, ext_ann_ivf_pq, ext_semdedup …) — exactly the
-    # rows this round's Arrow/ADC kernels touched. ---
-    # --- last driver-verified round 3 ---
-    "ext_split_leakage",
-    "ext_embed_near_dup",
-    "ext_semdedup",
-    "ext_ann_pq",
-    "ext_ann_ivf_pq",
-    "ext_ann_lsh",
-    "ext_ann_ivf",
-    "ext_quality_classifier",
-    "ext_quality_prune",
-    "ext_split_hash",
-    "ext_zorder_key",
-    "ext_hll_merge",
-    "ext_bm25",
-    "ext_funnel",
+    # (last driver-verified round, prior ledger order).  The r9 window
+    # re-verified the r9 head + the r3-era leftovers + the first half
+    # of the r4-era block (through ext_ann_lsh_mp); the stalest greens
+    # are therefore the r4-era remainder below, then the r5/r6 blocks. ---
     # --- last driver-verified round 4 ---
-    "ext_embed_quantize",
-    "ext_embed_pq",
-    "ext_embed_rr_pq",
-    "ext_bpe_encode",
-    "ext_bloom_decontaminate",
-    "ext_apply_changes",
-    "ext_variant_extract",
-    "ext_profile",
-    "ext_histogram_drift",
-    "ext_exact_kth",
-    "ext_normalize",
-    "ext_quality_classifier_tbl",
-    "ext_lm_filter",
-    "ext_dedup_jaccard",
-    "ext_dedup_simhash",
-    "ext_dedup_spans",
-    "ext_dedup_incremental",
-    "ext_dedup_clusters",
-    "ext_knn_label",
-    "ext_ann_brute",
-    "ext_ann_lsh_mp",
     "ext_embed_centroids",
     "ext_multimodal_decode",
     "ext_frame_sample",
@@ -131,7 +81,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_skew_profile",
     "ext_url_dedup",
     "q_moving_avg",
-    "ext_normalize_unicode",
     # --- last driver-verified round 5 ---
     "ext_rrf_fuse",
     "ext_markdown_sections",
@@ -143,10 +92,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_embed_drift",
     "ext_image_decode_progressive",
     "ext_dedup_snm",
-    "ext_semdedup_trained",
-    "ext_ann_opq_trained",
-    "ext_ann_ivf_kmeans",
-    "ext_bpe_encode_trained",
     "ext_ann_lsh_auto",
     "ext_embed_near_dup_auto",
     "ext_frame_sample_webm",
@@ -206,6 +151,15 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_ols",
     "ext_fertility",
     "ext_embed_diversity",
+    # rows-only-by-design twins sort BEHIND hash-backed rows of equal
+    # staleness: their correctness is carried by their `*_diff`
+    # differential siblings (driver-green r9), so window slots go to
+    # hash-checkable rows first and the window stays 50/50 hash-backed
+    "ext_normalize_unicode",
+    "ext_semdedup_trained",
+    "ext_ann_opq_trained",
+    "ext_ann_ivf_kmeans",
+    "ext_bpe_encode_trained",
     # --- last driver-verified round 7 ---
     "ext_wordpiece_encode",
     "ext_wordpiece_encode_trained",
@@ -309,6 +263,58 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_keep",
     "ext_dedup_substr",
     "ext_decontaminate",
+    # --- last driver-verified round 9 (the freshest greens — the whole
+    # CORRECTNESS_r09 window, in its r9 order) ---
+    "ext_ann_pq_trained_diff",
+    "ext_ann_ivf_pq_trained_diff",
+    "ext_ann_opq_trained_diff",
+    "ext_semdedup_trained_diff",
+    "ext_ann_ivf_kmeans_diff",
+    "ext_ann_ivf_kmeans_auto_diff",
+    "ext_record_linkage_trained_diff",
+    "ext_bpe_encode_trained_diff",
+    "ext_wordpiece_encode_trained_diff",
+    "ext_unigram_encode_trained_diff",
+    "ext_normalize_unicode_diff",
+    "ext_ann_pq_index",
+    "ext_ann_pq_index_update",
+    "ext_ann_ivf_pq_index",
+    "ext_mix_plan",
+    "ext_split_leakage",
+    "ext_embed_near_dup",
+    "ext_semdedup",
+    "ext_ann_pq",
+    "ext_ann_ivf_pq",
+    "ext_ann_lsh",
+    "ext_ann_ivf",
+    "ext_quality_classifier",
+    "ext_quality_prune",
+    "ext_split_hash",
+    "ext_zorder_key",
+    "ext_hll_merge",
+    "ext_bm25",
+    "ext_funnel",
+    "ext_embed_quantize",
+    "ext_embed_pq",
+    "ext_embed_rr_pq",
+    "ext_bpe_encode",
+    "ext_bloom_decontaminate",
+    "ext_apply_changes",
+    "ext_variant_extract",
+    "ext_profile",
+    "ext_histogram_drift",
+    "ext_exact_kth",
+    "ext_normalize",
+    "ext_quality_classifier_tbl",
+    "ext_lm_filter",
+    "ext_dedup_jaccard",
+    "ext_dedup_simhash",
+    "ext_dedup_spans",
+    "ext_dedup_incremental",
+    "ext_dedup_clusters",
+    "ext_knn_label",
+    "ext_ann_brute",
+    "ext_ann_lsh_mp",
 ]
 
 

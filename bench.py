@@ -240,6 +240,12 @@ HEADLINE = [
     "ext_embed_pq",
     "ext_ann_pq",
     "ext_ann_ivf_pq",
+    # round-10 additions: OPQ serving off the stored rotation matrix
+    # (GEMM rotate + ADC against stored codes) and the end-to-end
+    # mixture selection composition (plan groupBy + broadcast rate join
+    # + copy explode + two-phase budget cumsum in ONE DAG)
+    "ext_ann_opq_index",
+    "ext_mix_select",
 ]
 
 

@@ -114,9 +114,43 @@ def select_data(spark, sf_dir: str, token_budget: int = 20_000,
     }
 
 
+def plan_and_mix(spark, sf_dir: str, targets: dict[str, int],
+                 token_budget: int = 10_000, chunk_budget: int = 512) -> dict:
+    """Phase 2 — the r10 composition: given target token SHARES per
+    source (ppm), derive the mixture worksheet (pipeline.mix_plan) and
+    run the SAME integer-ppm rates through the end-to-end selection DAG
+    (pipeline.mix_select: plan → deterministic fractional sampling →
+    token-budget cut → chunk layout).  The worksheet's deficit column is
+    the renegotiate signal; the selection output is the packed corpus a
+    trainer reads.  One token-count groupBy + a broadcast rate join —
+    nothing corpus-sized moves beyond the selection itself."""
+    from pigpen_spark.functions import pipeline as P
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet").df
+    plan = P.mix_plan(docs, "source", "text", targets, token_budget).cache()
+    picked = P.mix_select(docs, "source", "text", "doc_id", targets,
+                          token_budget, chunk_budget=chunk_budget).cache()
+    stats = picked.agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.sum("n_tokens").alias("tokens"),
+        (F.max("chunk_id") + 1).alias("chunks")).collect()[0]
+    return {
+        "plan": {r["source"]: {"rate_ppm": r["rate_ppm"],
+                               "deficit_tokens": r["deficit_tokens"]}
+                 for r in plan.collect()},
+        "selected_copies": stats["copies"],
+        "selected_tokens": stats["tokens"],
+        "chunks": stats["chunks"],
+        "budget": token_budget,
+    }
+
+
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     budget = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     spark = get_spark("select-pretraining-data")
     spark.sparkContext.setLogLevel("ERROR")
     print(select_data(spark, sf, budget))
+    print(plan_and_mix(spark, sf, {"src0": 500_000, "src1": 300_000,
+                                   "src2": 150_000, "src3": 50_000},
+                       token_budget=budget))

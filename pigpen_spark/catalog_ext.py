@@ -444,10 +444,12 @@ def ext_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_codes_sql(cb_where: str, dim: int = 64, m: int = 8,
-                  n_codes: int = 16) -> str:
+                  n_codes: int = 16,
+                  vec_expr: str = "[x::DOUBLE for x in embedding]") -> str:
     """Codes of EVERY corpus vector under a codebook drawn from the rows
     satisfying ``cb_where`` (the frozen-codebook append contract's
-    oracle: the codebook comes from the BASE corpus only)."""
+    oracle: the codebook comes from the BASE corpus only).
+    ``vec_expr`` lets a pre-rotation ride in (the OPQ lifecycle row)."""
     d = dim // m
 
     def dists(j: int) -> str:
@@ -463,7 +465,7 @@ def _pq_codes_sql(cb_where: str, dim: int = 64, m: int = 8,
     )
     return f"""
     WITH base AS (
-      SELECT vec_id AS id, [x::DOUBLE for x in embedding] AS vec FROM embeddings
+      SELECT vec_id AS id, {vec_expr} AS vec FROM embeddings
     ),
     cb AS (
       SELECT list(vec ORDER BY id) AS cbs FROM (
@@ -2039,6 +2041,32 @@ def ext_ann_opq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx, cb_df, rot_df = S.opq_index(emb.df, dim=64, rotation=R)
     q = emb.filter(F.col("vec_id") < 10)
     return S.opq_topk_against(idx, cb_df, rot_df, q.df, k=5)
+
+
+@register(
+    "ext_ann_opq_index_update",
+    _pq_codes_sql(
+        "id >= 100",
+        vec_expr=S.sign_permute_sql("embedding", _RR_PERM, _RR_SIGNS)),
+)
+def ext_ann_opq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ index LIFECYCLE: build the stored (codes, codebook, rotation)
+    triple on the corpus MINUS the newest 100 vectors, then
+    opq_index_append the arrivals — the delta is rotated BY THE STORED
+    MATRIX and coded against the stored codebook.  The oracle
+    recomputes every row's codes under (signed-perm rotation,
+    base-corpus codebook): hash-equality certifies append == rebuild
+    under the frozen (rotation, codebook) PAIR row for row — the
+    invariant that lets a daily OPQ maintenance job touch only the
+    delta.  Retraining either artifact is a rebuild by contract."""
+    emb = tables(spark, sf_dir)["embeddings"].df
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    batch = emb.filter(F.col("vec_id") < 100)
+    R = S.rotation_matrix(_RR_PERM, _RR_SIGNS)
+    idx, cb_df, rot_df = S.opq_index(corpus, dim=64, rotation=R)
+    appended = S.opq_index_append(idx, cb_df, rot_df, batch)
+    return _stringify_codes(appended).select(
+        F.col("id").alias("vec_id"), "codes")
 
 
 from pigpen_spark.functions import bpe as B  # noqa: E402

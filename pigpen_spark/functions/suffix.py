@@ -153,35 +153,39 @@ def _dense_rank(df: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
 
 
 #: rank-FORM cutoff (tokens): below it the in-place range-partitioned
-#: rank wins (per-round cost is fixed job latency, which the in-place
-#: form minimizes — r9: 30.7 → 15.4 s at sf0.1); above it the in-place
-#: form's full-corpus range sort bites once partitions are task-bound,
-#: and the distinct → rank-the-keys → join-back form wins (measured at
-#: the 27.6M-token 100× corpus: 312 s in-place vs 278 s join form —
-#: the r9 verdict's two-form lever).  Final ranks are identical either
-#: way (the same dense rank), so the oracle is form-invariant.
+#: rank wins clearly (per-round cost is fixed job latency, which the
+#: in-place form minimizes — r9: 30.7 → 15.4 s at sf0.1); above it the
+#: persisted distinct → rank-the-keys → join-back form edges it out in
+#: the r10 same-day 100× A/B (313 s vs 320 s in-place; the literal r8
+#: unpersisted form measured 372 s — see _dense_rank_join) and swaps
+#: the full-corpus range sort for key-partitioned shuffles.  Final
+#: ranks are identical either way (the same dense rank), so the oracle
+#: is form-invariant.
 _RANK_JOIN_CUTOFF = 8_000_000
 
 
 def _dense_rank_join(df: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
-    """Large-corpus rank form (the r8 shape, fastest at the 100×
-    corpus): DISTINCT key tuples → two-phase ``ranked()`` (on distinct
-    rows a 0-based row rank IS the dense rank) → equi-join back — two
-    key-partitioned shuffles of slim rows instead of one full-corpus
-    range sort per round.  Same output contract as :func:`_dense_rank`
-    (rows + ``rank``, total distinct count; the uniqueness check rides
-    on the distinct pass's count)."""
-    from pigpen_spark.operators.windows import ranked
+    """Large-corpus rank form: persist the round's slim pair table,
+    DISTINCT the key tuples, rank the (smaller) key set with the
+    in-place form, equi-join the rank back — key-partitioned shuffles
+    instead of one full-corpus range sort per round.
 
-    # df itself is deliberately NOT persisted: its two consumers
-    # (distinct, join-back) meet at an exchange AQE's ReusedExchange
-    # dedupes for free — an explicit persist adds a corpus-sized
-    # cache-write barrier per round while defeating that reuse (the
-    # measured HITS dead end, ROUND_NOTES).
-    keys = df.select(*cols).distinct().transform(_persisted)
-    n_keys = keys.count()
-    rk = ranked(keys, order_by=[F.col(c) for c in cols], index_col="rank")
-    return df.join(rk, on=cols, how="inner"), n_keys
+    Same-day 100× A/B (27.6M tokens, r10 — the honest record): this
+    form 313 s, pure in-place 320 s, the literal r8
+    distinct→ranked()→join-back-without-persist form 372 s.  The r9
+    verdict's 278 s target came from the r8 ROUND's measurement — the
+    delta was cross-round machine drift, not a recoverable plan cost;
+    within a single day the forms are within noise except the
+    unpersisted r8 shape, which recomputes the radix offset joins in
+    its boundary-sampling pass (+18%).  Kept because it measured best
+    and its shuffles are key-partitioned (no corpus-wide range sort
+    under memory pressure).  Same output contract as
+    :func:`_dense_rank`."""
+    df = df.transform(_persisted)
+    keys = df.select(*cols).distinct()
+    ranked_keys, total = _dense_rank(keys, cols)
+    out = df.join(ranked_keys.select(*cols, "rank"), on=cols, how="inner")
+    return out, total
 
 
 #: rank-table radix: each construction round ranks the tuple of RADIX

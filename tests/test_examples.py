@@ -137,3 +137,20 @@ def test_ann_serving_lifecycle(spark, sf_dir, tmp_path):
     assert report["stale"] is False
     assert report["planes_stored"] == report["planes_auto"]
     assert report["l1_ppm"] > 0
+
+
+def test_plan_and_mix_composition(spark, sf_dir):
+    from select_pretraining_data import plan_and_mix
+
+    report = plan_and_mix(spark, sf_dir,
+                          {"src0": 500_000, "src1": 300_000,
+                           "src2": 150_000, "src3": 50_000},
+                          token_budget=5000, chunk_budget=256)
+    assert report["selected_copies"] > 0
+    # budget respected up to the boundary row
+    assert report["selected_tokens"] <= 5000 + 400
+    # chunk count consistent with the packed token mass
+    assert report["chunks"] == -(-report["selected_tokens"] // 256) or \
+        report["chunks"] >= 1
+    # every planned source reports a rate; dropped sources rate 0
+    assert set(report["plan"]) >= {"src0", "src1", "src2", "src3"}
