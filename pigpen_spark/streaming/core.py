@@ -635,6 +635,98 @@ def ivf_pq_index_stream(
     return w.start()
 
 
+def opq_index_stream(
+    stream: DataFrame, codes_path: str, codebook_path: str,
+    rotation_path: str, checkpoint: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    m: int = 8, n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+    rotation: list[list[float]] | None = None,
+    available_now: bool = False,
+):
+    """Streaming OPQ index maintenance — completes the compressed-index
+    streaming family (PQ :func:`pq_index_stream`, IVF-PQ
+    :func:`ivf_pq_index_stream`): each micro-batch is rotated by the
+    STORED matrix and PQ-coded against the STORED codebook (both pure
+    functions of the vector, so append == rebuild and replays are
+    idempotent), then appended to the codes parquet that
+    :func:`similarity.opq_topk_against` serves from alongside the
+    rotation + codebook artifacts.
+
+    Seeding doctrine: the FIRST batch writes the rotation
+    (``rotation=`` for a trained matrix, else
+    :func:`similarity.train_opq_rotation` fit on that batch — FAISS
+    trains OPQMatrix on a sample too) and the codebook (``codebook=``,
+    else the deterministic first-``n_codes``-by-id rows of the ROTATED
+    batch, matching :func:`similarity.opq_index`); thereafter both come
+    OFF the stored artifacts (stored-wins).  ``m`` is validated against
+    the stored code width once codes exist — changing it is a REBUILD.
+    Retraining the rotation re-codes every vector: rebuild + restart.
+
+    Returns the started StreamingQuery."""
+    from pyspark.errors import AnalysisException
+
+    from pigpen_spark.functions.similarity import (
+        _default_codebook, infer_dim, product_quantize, rotate_vectors,
+        stored_code_width, stored_codebook, stored_rotation,
+        train_opq_rotation,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            stored_m = stored_code_width(spark.read.parquet(codes_path))
+            if stored_m != m:
+                raise ValueError(
+                    f"opq_index_stream: stored index at {codes_path} has "
+                    f"code width m={stored_m} but the stream was started "
+                    f"with m={m} — changing m is a REBUILD, not an append")
+        except AnalysisException:
+            pass  # no codes yet: first batch seeds the index
+        try:
+            R = stored_rotation(spark.read.parquet(rotation_path))
+        except AnalysisException:
+            R = ([[float(x) for x in row] for row in rotation]
+                 if rotation is not None
+                 else train_opq_rotation(
+                     batch_df, id_col, vec_col,
+                     dim=infer_dim(batch_df, vec_col), m=m))
+            spark.createDataFrame(
+                [(i, row) for i, row in enumerate(R)],
+                "row_id int, r_vec array<double>",
+            ).write.mode("overwrite").parquet(rotation_path)
+        from pigpen_spark import cache as _cache
+        mk = _cache.mark()
+        try:
+            rot = rotate_vectors(batch_df, id_col, vec_col, R)
+            try:
+                cb = stored_codebook(spark.read.parquet(codebook_path))
+            except AnalysisException:
+                cb = ([list(map(float, c)) for c in codebook]
+                      if codebook is not None
+                      else _default_codebook(rot, id_col, vec_col, n_codes))
+                spark.createDataFrame(
+                    [(i, c) for i, c in enumerate(cb)],
+                    "code_id int, cb_vec array<double>",
+                ).write.mode("overwrite").parquet(codebook_path)
+            codes = product_quantize(
+                rot, id_col, vec_col, dim=len(cb[0]), m=m,
+                n_codes=len(cb), codebook=cb,
+            ).select("id", "codes")
+            codes.write.mode("overwrite").parquet(
+                f"{codes_path}/batch={batch_id}")
+        finally:
+            _cache.release_since(mk)
+
+    w = stream.writeStream.foreachBatch(handle) \
+        .option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def _parquet_versions(base_path: str) -> list[int]:
     """Committed versions of a versioned-parquet state dir: v{N}
     subdirectories that contain a _SUCCESS marker.  A crash mid-write

@@ -401,3 +401,91 @@ class TestOpqIndexAsData:
         a = {r["vec_id"]: tuple(r["embedding"]) for r in via_matrix.collect()}
         b = {r["vec_id"]: tuple(r["embedding"]) for r in via_expr.collect()}
         assert a == b  # bit-exact: one nonzero per GEMM row
+
+
+class TestOpqIndexStream:
+    """Streaming OPQ maintenance: streamed codes == rebuild under the
+    stored (rotation, codebook) pair; the streamed artifacts serve."""
+
+    def _vec(self, i):
+        import hashlib
+        return [(int(hashlib.md5(f"oq{i}_{d}".encode()).hexdigest()[:6],
+                     16) % 1000) / 250.0 - 2.0 for d in range(8)]
+
+    def test_streamed_equals_rebuild_and_serves(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from pigpen_spark.functions import similarity as S
+        from pigpen_spark.streaming import core as stc
+
+        src = tmp_path / "in"
+        src.mkdir()
+        with open(src / "b0.json", "w") as f:
+            for i in range(0, 40):
+                f.write(_json.dumps(
+                    {"vec_id": i, "embedding": self._vec(i)}) + "\n")
+        with open(src / "b1.json", "w") as f:
+            for i in range(40, 70):
+                f.write(_json.dumps(
+                    {"vec_id": i, "embedding": self._vec(i)}) + "\n")
+        os.utime(src / "b0.json", (1_700_000_000, 1_700_000_000))
+        os.utime(src / "b1.json", (1_700_000_100, 1_700_000_100))
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        codes_path = str(tmp_path / "codes")
+        cb_path, rot_path = str(tmp_path / "cb"), str(tmp_path / "rot")
+        q = stc.opq_index_stream(
+            stream, codes_path, cb_path, rot_path, str(tmp_path / "ckpt"),
+            m=4, n_codes=8, available_now=True)
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(codes_path)
+        cb_df = spark.read.parquet(cb_path)
+        rot_df = spark.read.parquet(rot_path)
+        R = S.stored_rotation(rot_df)
+        cb = S.stored_codebook(cb_df)
+        both = spark.createDataFrame(
+            [(i, self._vec(i)) for i in range(70)],
+            "vec_id long, embedding array<double>")
+        rebuilt = S.product_quantize(
+            S.rotate_vectors(both, "vec_id", "embedding", R),
+            dim=8, m=4, n_codes=8, codebook=cb).select("id", "codes")
+        a = sorted((r["id"], tuple(r["codes"])) for r in streamed.collect())
+        b = sorted((r["id"], tuple(r["codes"])) for r in rebuilt.collect())
+        assert a == b and len(a) == 70
+        # the streamed artifact triple serves queries directly
+        hits = S.opq_topk_against(streamed, cb_df, rot_df,
+                                  both.filter(F.col("vec_id") < 3), k=3)
+        assert hits.count() == 9
+
+
+class TestRound10Plans:
+    """Round-10 plan pins (scale properties, not values)."""
+
+    def test_mix_select_broadcasts_rates_no_collect(self, spark, sf_dir):
+        # the plan's rate table must reach the corpus as a BROADCAST
+        # join (≤|sources| rows), and the budget cut must be the
+        # two-phase form — no single-partition global window
+        from pigpen_spark import catalog
+        from pigpen_spark import catalog_ext  # noqa: F401 — registers
+        df = catalog.queries()["ext_mix_select"](spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        # a naive global cumsum would be Window over Exchange SinglePartition
+        import re
+        assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}Window",
+                             p), "one-partition global window in mix_select"
+
+    def test_join_multi_full_is_equi_full_joins(self, spark, sf_dir):
+        # the N-ary all-optional flatten must compile to EQUI full joins
+        # (SortMergeJoin/ShuffledHashJoin FullOuter) — never a
+        # BroadcastNestedLoopJoin or cartesian fallback
+        from pigpen_spark import catalog
+        df = catalog.queries()["q_join_multi_full"](spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "FullOuter" in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
