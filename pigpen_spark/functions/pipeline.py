@@ -341,6 +341,9 @@ def mix_select(df: DataFrame, source_col: str, text_col: str, id_col: str,
 
     Returns (source, ``id_col``, copy, n_tokens, cum_tokens, chunk_id)
     for the selected copies."""
+    if chunk_budget < 1:
+        raise ValueError(
+            f"mix_select: chunk_budget must be >= 1, got {chunk_budget}")
     from pigpen_spark.operators.windows import take_budget
 
     plan = mix_plan(df, source_col, text_col, targets, budget_tokens,

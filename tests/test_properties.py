@@ -889,3 +889,56 @@ class TestRound4ContinuationProperties:
                 last = win[-1][2] if win else None
                 want[(u, ts * 1_000_000)] = (first, last)
         assert got == want
+
+
+class TestJoinMultiFullOuterModel:
+    """r10: N-ary all-optional join_multi vs the reference model
+    (join_test.clj:244-299 semantics — per-key cross products across
+    ALL inputs, keys from ANY input, nil keys never match)."""
+
+    kv = st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=0, max_size=6)
+
+    @staticmethod
+    def _rel(spark, rows, kcol, vcol):
+        if not rows:
+            return return_(spark, [], f"{kcol} long, {vcol} long")
+        return return_(spark, [(k, int(v)) for k, v in rows],
+                       f"{kcol} long, {vcol} long")
+
+    @staticmethod
+    def _model(a, b, c):
+        out = Counter()
+        keys = {k for k, _ in a + b + c if k is not None}
+        for k in keys:
+            xs = [v for kk, v in a if kk == k] or [None]
+            ys = [v for kk, v in b if kk == k] or [None]
+            zs = [v for kk, v in c if kk == k] or [None]
+            for x in xs:
+                for y in ys:
+                    for z in zs:
+                        out[(x, y, z)] += 1
+        for kk, v in a:
+            if kk is None:
+                out[(v, None, None)] += 1
+        for kk, v in b:
+            if kk is None:
+                out[(None, v, None)] += 1
+        for kk, v in c:
+            if kk is None:
+                out[(None, None, v)] += 1
+        return out
+
+    @given(a=kv, b=kv, c=kv)
+    @settings(**SET_SETTINGS)
+    def test_matches_model(self, spark, a, b, c):
+        ra = self._rel(spark, a, "ka", "va")
+        rb = self._rel(spark, b, "kb", "vb")
+        rc = self._rel(spark, c, "kc", "vc")
+        out = ra.join_multi(
+            [(rb, F.col("kb")), (rc, F.col("kc"))],
+            on=F.col("ka"), required=[False, False, False])
+        got = Counter((r["va"], r["vb"], r["vc"]) for r in out.df.collect())
+        assert got == self._model(a, b, c)
