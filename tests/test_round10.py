@@ -489,3 +489,61 @@ class TestRound10Plans:
         assert "FullOuter" in p
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
+
+
+class TestReferenceJoinSpecRows:
+    """The reference's OWN full-outer join spec rows, verbatim
+    (functional/join_test.clj join-data1/join-data2; expectations
+    :489-512 and :576-598) — keys :i/:l/:r as strings, nil keys as
+    NULL."""
+
+    D1 = [(None, 1), (None, 3), ("i", 5), ("i", 7), ("l", 9), ("l", 11)]
+    D2 = [(None, 2), (None, 4), ("i", 6), ("i", 8), ("r", 10), ("r", 12)]
+
+    def _rels(self, spark):
+        a = return_(spark, self.D1, "ka string, va long")
+        b = return_(spark, self.D2, "kb string, vb long")
+        return a, b
+
+    def test_join_full_outer_spec(self, spark):
+        # join_test.clj:489-512
+        a, b = self._rels(spark)
+        out = a.join_multi([(b, F.col("kb"))], on=F.col("ka"),
+                           required=[False, False])
+        got = {(r["va"], r["vb"]) for r in out.df.collect()}
+        assert got == {
+            (1, None), (3, None), (None, 2), (None, 4),
+            (5, 6), (5, 8), (7, 6), (7, 8),
+            (9, None), (11, None), (None, 10), (None, 12),
+        }
+
+    def test_join_full_outer_join_nils_spec(self, spark):
+        # join_test.clj:576-598 — {:join-nils true}: nil keys group
+        a, b = self._rels(spark)
+        out = a.join_multi([(b, F.col("kb"))], on=F.col("ka"),
+                           required=[False, False], join_nils=True)
+        got = {(r["va"], r["vb"]) for r in out.df.collect()}
+        assert got == {
+            (1, 2), (3, 2), (1, 4), (3, 4),
+            (5, 6), (5, 8), (7, 6), (7, 8),
+            (9, None), (11, None), (None, 10), (None, 12),
+        }
+
+    def test_three_way_extension_of_spec_data(self, spark):
+        # the same spec data through the NEW N>2 branch, with a third
+        # input hitting :i (all three), :r (skips the first two), and a
+        # fresh :x key
+        a, b = self._rels(spark)
+        c = return_(spark, [("i", 13), ("r", 14), ("x", 15)],
+                    "kc string, vc long")
+        out = a.join_multi([(b, F.col("kb")), (c, F.col("kc"))],
+                           on=F.col("ka"), required=[False, False, False])
+        got = {(r["va"], r["vb"], r["vc"]) for r in out.df.collect()}
+        assert got == {
+            (1, None, None), (3, None, None),
+            (None, 2, None), (None, 4, None),
+            (5, 6, 13), (5, 8, 13), (7, 6, 13), (7, 8, 13),
+            (9, None, None), (11, None, None),
+            (None, 10, 14), (None, 12, 14),
+            (None, None, 15),
+        }
