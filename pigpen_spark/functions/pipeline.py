@@ -241,7 +241,6 @@ def mix_plan(df: DataFrame, source_col: str, text_col: str,
         raise ValueError(
             f"mix_plan: target shares sum to {tot} ppm > 1e6 — a mixture "
             "cannot over-allocate the budget")
-    spark = df.sparkSession
     # coalesce NULL text to '' BEFORE tokenizing: with legacy sizeOfNull,
     # size(tokens(NULL)) is -1 and would SUBTRACT a token where the
     # DuckDB oracle's sum simply skips the NULL — a latent hash mismatch
@@ -252,6 +251,42 @@ def mix_plan(df: DataFrame, source_col: str, text_col: str,
                   .cast("long").alias("__n"))
         .groupBy("source").agg(F.sum("__n").alias("have_tokens"))
     )
+    return mix_plan_from_have(have, targets, budget_tokens, max_epochs_ppm,
+                              _validated=True)
+
+
+def mix_plan_from_have(have: DataFrame, targets: Mapping[str, int],
+                       budget_tokens: int, max_epochs_ppm: int = 2_000_000,
+                       _validated: bool = False) -> DataFrame:
+    """:func:`mix_plan`'s worksheet computed from a PRE-AGGREGATED
+    (source, have_tokens) table instead of the raw corpus — the piece
+    that makes mixture planning LIVE: maintain the token counts as a
+    streaming incremental rollup (:func:`pigpen_spark.streaming.core.
+    rollup_stream` with one sum) and re-derive the plan off the store
+    at any time, without ever re-scanning the corpus.  Identical
+    integer arithmetic to :func:`mix_plan` (which now delegates here),
+    so streamed-rollup planning == batch planning row for row."""
+    if not _validated:
+        if budget_tokens < 0:
+            raise ValueError(f"mix_plan: negative budget {budget_tokens}")
+        if budget_tokens > 9_000_000_000_000:
+            raise ValueError(
+                f"mix_plan: budget {budget_tokens} > 9e12 tokens — "
+                "want_tokens * 1e6 would overflow int64; plan in shards")
+        if max_epochs_ppm < 0:
+            raise ValueError(f"mix_plan: negative epoch cap {max_epochs_ppm}")
+        tot = 0
+        for s, ppm in targets.items():
+            if ppm < 0:
+                raise ValueError(f"mix_plan: negative target share for {s!r}")
+            tot += ppm
+        if tot > 1_000_000:
+            raise ValueError(
+                f"mix_plan: target shares sum to {tot} ppm > 1e6 — a mixture "
+                "cannot over-allocate the budget")
+    spark = have.sparkSession
+    have = have.select(F.col("source"),
+                       F.col("have_tokens").cast("long").alias("have_tokens"))
     tgt = spark.createDataFrame(
         [(s, int(ppm)) for s, ppm in sorted(targets.items())] or
         [("__none__", 0)],

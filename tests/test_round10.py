@@ -547,3 +547,59 @@ class TestReferenceJoinSpecRows:
             (None, 10, 14), (None, 12, 14),
             (None, None, 15),
         }
+
+
+class TestLiveMixPlanning:
+    """mix_plan_from_have: the worksheet re-derived off a STREAMED token
+    rollup == batch mix_plan on the union — live mixture accounting
+    without re-scanning the corpus."""
+
+    def test_streamed_rollup_plan_equals_batch_plan(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from pigpen_spark.functions import pipeline as P
+        from pigpen_spark.functions.text import tokens
+        from pigpen_spark.streaming import core as stc
+
+        rows = [(i, "w " * (i % 7 + 1), f"src{i % 3}") for i in range(60)]
+        src = tmp_path / "in"
+        src.mkdir()
+        for b, lo in enumerate((0, 30)):
+            with open(src / f"b{b}.json", "w") as f:
+                for i, text, s in rows[lo:lo + 30]:
+                    f.write(_json.dumps(
+                        {"doc_id": i, "text": text, "source": s}) + "\n")
+            os.utime(src / f"b{b}.json",
+                     (1_700_000_000 + b * 100,) * 2)
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, source string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        roll_path = str(tmp_path / "have")
+        q = stc.rollup_stream(
+            stream, ["source"],
+            aggs={"have_tokens": F.sum(
+                F.size(tokens(F.coalesce(F.col("text"), F.lit(""))))
+                .cast("long"))},
+            merges={"have_tokens": "sum"},
+            rollup_path=roll_path, checkpoint=str(tmp_path / "ck"),
+            available_now=True)
+        q.awaitTermination(120)
+        import glob
+        latest = sorted(glob.glob(f"{roll_path}/v*"),
+                        key=lambda p: int(p.rsplit("v", 1)[1]))[-1]
+        have = spark.read.parquet(latest)
+        targets = {"src0": 600_000, "src1": 300_000, "ghost": 100_000}
+        live = P.mix_plan_from_have(have, targets, budget_tokens=200)
+        batch = P.mix_plan(
+            spark.createDataFrame(rows, "doc_id long, text string, source string"),
+            "source", "text", targets, budget_tokens=200)
+        a = sorted(tuple(r) for r in live.collect())
+        b = sorted(tuple(r) for r in batch.collect())
+        assert a == b and len(a) == 4  # src0/src1/src2(drop)/ghost(missing)
+
+    def test_from_have_validates(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        have = spark.createDataFrame([("a", 10)], "source string, have_tokens long")
+        with pytest.raises(ValueError, match="over-allocate"):
+            P.mix_plan_from_have(have, {"a": 700_000, "b": 600_000}, 100)
