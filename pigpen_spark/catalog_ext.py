@@ -1041,6 +1041,27 @@ def ext_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_pack_greedy",
+    P.pack_greedy_sql("documents", f"len({_TOKS})", "doc_id", "lang",
+                      capacity=256),
+)
+def ext_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy NO-SPLIT sample packing (r10): documents walk in doc_id
+    order within each language shard; a chunk closes when the next doc
+    would overflow 256 tokens, and an oversize doc gets its own chunk —
+    documents never straddle chunks (the SFT/eval layout;
+    ext_pack_chunks is the split-at-boundary pretraining sibling).
+    Sequential by nature → one Arrow walk per shard; the oracle is the
+    identical walk as a recursive CTE."""
+    docs = tables(spark, sf_dir)["documents"]
+    out = P.pack_greedy(
+        docs.df.select("doc_id", "lang", T.token_count("text").alias("n_tokens")),
+        "n_tokens", order_by=["doc_id"], capacity=256, partition_by=["lang"],
+    )
+    return out.select("lang", "doc_id", "n_tokens", "chunk_id")
+
+
+@register(
     "ext_shuffle_det",
     """
     SELECT doc_id,

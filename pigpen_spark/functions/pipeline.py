@@ -494,6 +494,95 @@ def pack_chunks(df: DataFrame, size_col, order_by: Sequence, budget: int,
     return df.withColumn(chunk_col, F.floor(cum_excl / F.lit(budget)).cast("long"))
 
 
+def pack_greedy(df: DataFrame, size_col: str, order_by: Sequence[str],
+                capacity: int, partition_by: Sequence[str],
+                chunk_col: str = "chunk_id") -> DataFrame:
+    """Greedy NO-SPLIT sequence packing ("sample packing"): walk rows in
+    ``order_by`` order within each shard and open a new chunk whenever
+    the next document would overflow ``capacity`` — documents NEVER
+    straddle chunk boundaries, the layout SFT/eval pipelines use when a
+    truncated document is a corrupted example (:func:`pack_chunks` is
+    the split-at-boundary sibling for pretraining, where straddling is
+    fine and chunks are exactly full).  A document larger than
+    ``capacity`` gets a chunk of its own (loud in the fill, never
+    dropped, never split).
+
+    The walk is sequential BY NATURE (each decision depends on the
+    running fill, which cumsum cannot express through resets), so it
+    runs as one Arrow pass per shard (applyInPandas) — which is why
+    ``partition_by`` is REQUIRED: the shard key bounds the sequential
+    span exactly like tokenize_pack's sharded layout; chunk ids are
+    per-shard.  ``order_by`` must be a total order within the shard
+    (add a unique id tiebreak) for determinism.
+
+    Returns the input columns + ``chunk_col`` (0-based per shard)."""
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError(f"pack_greedy: capacity must be >= 1, got {capacity}")
+    if not partition_by:
+        raise ValueError(
+            "pack_greedy: partition_by is required — the greedy walk is "
+            "sequential per shard; an unsharded walk is one task at any "
+            "corpus size")
+    if not order_by:
+        raise ValueError("pack_greedy: order_by must be a total order "
+                         "within the shard")
+    order_names = [str(c) for c in order_by]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # fresh StructType: .add() MUTATES (and returns) the df's cached
+    # schema object, which would poison df.columns with the new field
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(chunk_col, LongType())])
+    cap = int(capacity)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_names, kind="mergesort").reset_index(drop=True)
+        chunks = []
+        chunk, fill = -1, cap + 1  # first row ALWAYS opens chunk 0 (even size 0)
+        for sz in pdf[size_col]:
+            s = int(sz)
+            if fill + s > cap:
+                chunk += 1
+                fill = s
+            else:
+                fill += s
+            chunks.append(chunk)
+        pdf[chunk_col] = pd.Series(chunks, dtype="int64")
+        return pdf
+
+    return df.groupBy(*[_c(c) for c in partition_by]).applyInPandas(
+        walk, schema=out_schema)
+
+
+def pack_greedy_sql(table: str, size_expr: str, id_col: str,
+                    shard_col: str, capacity: int) -> str:
+    """DuckDB oracle for :func:`pack_greedy` (order = (``id_col``)
+    within ``shard_col``): the same greedy walk as a recursive CTE —
+    one recursion step per row rank, shards advanced in lockstep."""
+    return f"""
+    WITH RECURSIVE ordered AS (
+      SELECT {shard_col} AS shard, {id_col} AS id, {size_expr}::BIGINT AS sz,
+             row_number() OVER (PARTITION BY {shard_col} ORDER BY {id_col}) AS rn
+      FROM {table}
+    ),
+    walk (shard, id, sz, rn, fill, chunk) AS (
+      SELECT shard, id, sz, rn, sz, 0 FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.id, o.sz, o.rn,
+             CASE WHEN w.fill + o.sz > {int(capacity)} THEN o.sz
+                  ELSE w.fill + o.sz END,
+             CASE WHEN w.fill + o.sz > {int(capacity)} THEN w.chunk + 1
+                  ELSE w.chunk END
+      FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+    )
+    SELECT shard AS {shard_col}, id AS {id_col}, sz AS n_tokens,
+           chunk::BIGINT AS chunk_id
+    FROM walk
+    """
+
+
 def shuffle_deterministic(df: DataFrame, id_col: str, salt: str = "epoch0",
                           pos_col: str | None = None) -> DataFrame:
     """Reproducible corpus shuffle: total order by md5(id || salt) with id

@@ -603,3 +603,55 @@ class TestLiveMixPlanning:
         have = spark.createDataFrame([("a", 10)], "source string, have_tokens long")
         with pytest.raises(ValueError, match="over-allocate"):
             P.mix_plan_from_have(have, {"a": 700_000, "b": 600_000}, 100)
+
+
+class TestPackGreedy:
+    """Greedy no-split sample packing: per-chunk fill <= capacity except
+    oversize singletons; documents never split; deterministic walk."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "shard string, id long, sz long")
+
+    def test_walk_semantics(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = self._df(spark, [
+            ("a", 1, 100), ("a", 2, 100), ("a", 3, 60),   # 100+100 fits 250; +60 overflows
+            ("a", 4, 300),                                 # oversize: own chunk
+            ("a", 5, 10),                                  # next chunk
+            ("b", 6, 200), ("b", 7, 100),                  # b: 200 | 100
+        ])
+        out = P.pack_greedy(df, "sz", ["id"], 250, ["shard"])
+        got = {(r["shard"], r["id"]): r["chunk_id"] for r in out.collect()}
+        assert got == {("a", 1): 0, ("a", 2): 0, ("a", 3): 1,
+                       ("a", 4): 2, ("a", 5): 3,
+                       ("b", 6): 0, ("b", 7): 1}
+
+    def test_no_chunk_overflows_except_oversize_singleton(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .selectExpr("lang AS shard", "doc_id AS id",
+                            "size(split(text, ' ')) AS sz"))
+        out = P.pack_greedy(docs, "sz", ["id"], 64, ["shard"]).collect()
+        from collections import defaultdict
+        fill, members = defaultdict(int), defaultdict(int)
+        for r in out:
+            fill[(r["shard"], r["chunk_id"])] += r["sz"]
+            members[(r["shard"], r["chunk_id"])] += 1
+        for k, f in fill.items():
+            assert f <= 64 or members[k] == 1  # oversize docs sit alone
+        assert len(out) == docs.count()        # nothing dropped or split
+
+    def test_zero_size_first_row_opens_chunk_zero(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = self._df(spark, [("a", 1, 0), ("a", 2, 5)])
+        got = {r["id"]: r["chunk_id"]
+               for r in P.pack_greedy(df, "sz", ["id"], 10, ["shard"]).collect()}
+        assert got == {1: 0, 2: 0}
+
+    def test_guards(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = self._df(spark, [("a", 1, 1)])
+        with pytest.raises(ValueError, match="partition_by is required"):
+            P.pack_greedy(df, "sz", ["id"], 10, [])
+        with pytest.raises(ValueError, match="capacity"):
+            P.pack_greedy(df, "sz", ["id"], 0, ["shard"])
