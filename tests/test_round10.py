@@ -655,3 +655,49 @@ class TestPackGreedy:
             P.pack_greedy(df, "sz", ["id"], 10, [])
         with pytest.raises(ValueError, match="capacity"):
             P.pack_greedy(df, "sz", ["id"], 0, ["shard"])
+
+
+class TestRound10EmptyInputs:
+    """ANSI-mode empty/edge probes for the r10 operators (the synthetic
+    corpus has no empties, so the oracle gate never exercises these)."""
+
+    def test_mix_select_empty_corpus(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = spark.createDataFrame([], "doc_id long, text string, source string")
+        out = P.mix_select(df, "source", "text", "doc_id",
+                           {"a": 1_000_000}, budget_tokens=100)
+        assert out.count() == 0
+
+    def test_mix_select_zero_budget(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = spark.createDataFrame([(1, "w w", "a")],
+                                   "doc_id long, text string, source string")
+        out = P.mix_select(df, "source", "text", "doc_id",
+                           {"a": 1_000_000}, budget_tokens=0)
+        assert out.count() == 0  # want 0 -> rate 0 -> nothing sampled
+
+    def test_pack_greedy_empty(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = spark.createDataFrame([], "shard string, id long, sz long")
+        assert P.pack_greedy(df, "sz", ["id"], 10, ["shard"]).count() == 0
+
+    def test_join_multi_full_empty_middle_input(self, spark):
+        a = return_(spark, [("k", 1)], "ka string, a long")
+        b = return_(spark, [], "kb string, b long")
+        c = return_(spark, [("k", 3), ("x", 4)], "kc string, c long")
+        out = a.join_multi([(b, F.col("kb")), (c, F.col("kc"))],
+                           on=F.col("ka"), required=[False, False, False])
+        got = _sorted((r["a"], r["b"], r["c"]) for r in out.df.collect())
+        assert got == _sorted([(1, None, 3), (None, None, 4)])
+
+    def test_opq_index_empty_corpus_raises_loud(self, spark):
+        from pigpen_spark.functions import similarity as S
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        # default codebook collection on an empty corpus must raise a
+        # ValueError, not emit an unusable empty artifact silently
+        with pytest.raises(Exception):
+            idx, cb_df, rot_df = S.opq_index(
+                empty, dim=8, m=4, n_codes=4,
+                rotation=[[1.0 if i == j else 0.0 for j in range(8)]
+                          for i in range(8)])
+            S.stored_codebook(cb_df)
