@@ -65,6 +65,27 @@ def prep(spark, sf_dir: str, min_turns: int = 2, max_repeat_ratio_ppm: int = 500
         deduped.select("session_id", "transcript"),
         "session_id", "transcript", seq_len=seq_len)
 
+    # 5b. NO-SPLIT sample packing (r10): an SFT example must not
+    #     straddle sequences — a truncated conversation is a corrupted
+    #     training example — so the greedy walk closes a sequence when
+    #     the next transcript would overflow, and oversize transcripts
+    #     sit alone (flagged, never silently cut).  Sharded by a
+    #     session-hash key so the sequential walk parallelizes.
+    from pigpen_spark.functions.text import token_count
+
+    no_split = P.pack_greedy(
+        deduped.select(
+            "session_id",
+            F.pmod(F.crc32(F.col("session_id").cast("string")), F.lit(8))
+            .alias("shard"),
+            token_count("transcript").alias("n_tokens"),
+        ),
+        "n_tokens", order_by=["session_id"], capacity=seq_len,
+        partition_by=["shard"],
+    ).cache()
+    oversize = no_split.filter(F.col("n_tokens") > seq_len).count()
+    n_chunks = no_split.select("shard", "chunk_id").distinct().count()
+
     return {
         "conversations": convs.count(),
         "after_gates": gated.count(),
@@ -72,6 +93,8 @@ def prep(spark, sf_dir: str, min_turns: int = 2, max_repeat_ratio_ppm: int = 500
         "near_dup_pairs": near.count(),
         "packed_sequences": packed.count(),
         "full_sequences": packed.filter(F.col("n_tokens") == seq_len).count(),
+        "no_split_sequences": n_chunks,
+        "oversize_transcripts": oversize,
     }
 
 

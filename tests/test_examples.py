@@ -85,6 +85,10 @@ def test_sft_prep_pipeline(spark, sf_dir):
     assert 0 < report["after_gates"] <= report["conversations"]
     assert report["after_exact_dedup"] <= report["after_gates"]
     assert report["packed_sequences"] >= report["full_sequences"] > 0
+    # no-split layout: at least one sequence per non-empty shard, and
+    # never more sequences than transcripts (greedy always fills)
+    assert 0 < report["no_split_sequences"] <= report["after_exact_dedup"]
+    assert report["oversize_transcripts"] >= 0
 
 
 def test_feature_store_pipeline(spark, sf_dir):
