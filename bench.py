@@ -241,11 +241,13 @@ HEADLINE = [
     "ext_ann_pq",
     "ext_ann_ivf_pq",
     # round-10 additions: OPQ serving off the stored rotation matrix
-    # (GEMM rotate + ADC against stored codes) and the end-to-end
-    # mixture selection composition (plan groupBy + broadcast rate join
-    # + copy explode + two-phase budget cumsum in ONE DAG)
+    # (GEMM rotate + ADC against stored codes), the end-to-end mixture
+    # selection composition (plan groupBy + broadcast rate join + copy
+    # explode + two-phase budget cumsum in ONE DAG), and the greedy
+    # no-split packer (one sequential Arrow walk per shard)
     "ext_ann_opq_index",
     "ext_mix_select",
+    "ext_pack_greedy",
 ]
 
 

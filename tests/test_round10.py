@@ -701,3 +701,20 @@ class TestRound10EmptyInputs:
                 rotation=[[1.0 if i == j else 0.0 for j in range(8)]
                           for i in range(8)])
             S.stored_codebook(cb_df)
+
+
+def test_generate_script_covers_every_catalog_query():
+    # generation (source extraction + module binding) must work for ALL
+    # registered queries — the r9 advice bug was exactly a class of
+    # queries (private-helper users, catalog_diff) that generated fine
+    # but crashed at run time; the namespace-exec form makes generation
+    # the only per-query variance, so pin it across the whole catalog
+    from pigpen_spark import catalog
+    from pigpen_spark import catalog_diff  # noqa: F401
+    from pigpen_spark import catalog_ext  # noqa: F401
+    from pigpen_spark.plans.viz import generate_script
+
+    for name in catalog.queries():
+        src = generate_script(name)
+        assert f"_mod.__dict__[{name!r}]" in src
+        assert "import importlib" in src
