@@ -718,3 +718,67 @@ def test_generate_script_covers_every_catalog_query():
         src = generate_script(name)
         assert f"_mod.__dict__[{name!r}]" in src
         assert "import importlib" in src
+
+
+class TestStreamRestartIdempotence:
+    """Restarting the new index-maintenance streams on the SAME
+    checkpoint with no new input must not change the stored index."""
+
+    def _write(self, path, lo, hi, d=8):
+        import json as _json
+        with open(path, "w") as f:
+            for i in range(lo, hi):
+                f.write(_json.dumps({"vec_id": i, "embedding": [
+                    float((i * 3 + j) % 7) for j in range(d)]}) + "\n")
+
+    def test_ivf_pq_stream_restart_noop(self, spark, tmp_path):
+        from pigpen_spark.streaming import core as stc
+        src = tmp_path / "in"
+        src.mkdir()
+        self._write(src / "b0.json", 0, 25)
+
+        def mk():
+            return (spark.readStream
+                    .schema("vec_id long, embedding array<double>")
+                    .json(str(src)))
+
+        paths = (str(tmp_path / "lists"), str(tmp_path / "cb"),
+                 str(tmp_path / "cents"), str(tmp_path / "ck"))
+        q = stc.ivf_pq_index_stream(mk(), *paths, m=4, n_codes=4,
+                                    n_centroids=4, available_now=True)
+        q.awaitTermination(120)
+        before = sorted((r["cell"], r["id"], tuple(r["codes"]))
+                        for r in spark.read.parquet(paths[0]).collect())
+        assert len(before) == 25
+        q2 = stc.ivf_pq_index_stream(mk(), *paths, m=4, n_codes=4,
+                                     n_centroids=4, available_now=True)
+        q2.awaitTermination(120)
+        after = sorted((r["cell"], r["id"], tuple(r["codes"]))
+                       for r in spark.read.parquet(paths[0]).collect())
+        assert after == before
+
+    def test_opq_stream_restart_noop(self, spark, tmp_path):
+        from pigpen_spark.streaming import core as stc
+        src = tmp_path / "in"
+        src.mkdir()
+        self._write(src / "b0.json", 0, 25)
+
+        def mk():
+            return (spark.readStream
+                    .schema("vec_id long, embedding array<double>")
+                    .json(str(src)))
+
+        paths = (str(tmp_path / "codes"), str(tmp_path / "cb"),
+                 str(tmp_path / "rot"), str(tmp_path / "ck"))
+        q = stc.opq_index_stream(mk(), *paths, m=4, n_codes=4,
+                                 available_now=True)
+        q.awaitTermination(120)
+        before = sorted((r["id"], tuple(r["codes"]))
+                        for r in spark.read.parquet(paths[0]).collect())
+        assert len(before) == 25
+        q2 = stc.opq_index_stream(mk(), *paths, m=4, n_codes=4,
+                                  available_now=True)
+        q2.awaitTermination(120)
+        after = sorted((r["id"], tuple(r["codes"]))
+                       for r in spark.read.parquet(paths[0]).collect())
+        assert after == before
