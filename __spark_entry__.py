@@ -44,12 +44,14 @@ _DRIVER_PRIORITY: list[str] = [
     # SURVEY §2 semantic edge, VERDICT r9 #1), OPQ index-as-data
     # serving + delta-append off the stored rotation matrix (r9 #5),
     # the plan→sample→cut→pack mixture-selection composition (r9 #6),
-    # and greedy no-split sample packing (recursive-CTE oracle). ---
+    # greedy no-split sample packing (recursive-CTE oracle), and the
+    # source-blended epoch ordering (prefix-exact interleave). ---
     "q_join_multi_full",
     "ext_ann_opq_index",
     "ext_ann_opq_index_update",
     "ext_mix_select",
     "ext_pack_greedy",
+    "ext_source_blend",
     # --- freshness backlog: every remaining query ordered by
     # (last driver-verified round, prior ledger order).  The r9 window
     # re-verified the r9 head + the r3-era leftovers + the first half

@@ -248,6 +248,9 @@ HEADLINE = [
     "ext_ann_opq_index",
     "ext_mix_select",
     "ext_pack_greedy",
+    # source-blended epoch ordering: two scale-safe ranks (per-source
+    # partitioned + two-phase global), integer virtual-time arithmetic
+    "ext_source_blend",
 ]
 
 

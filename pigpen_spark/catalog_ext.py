@@ -1062,6 +1062,27 @@ def ext_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_source_blend",
+    P.blend_by_weight_sql(
+        "documents", "source", "doc_id",
+        {"src0": 500_000, "src1": 300_000, "src2": 200_000}),
+)
+def ext_source_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-BLENDED epoch ordering (r10): each source's
+    salted-shuffle rank maps to an integer virtual time inversely
+    proportional to its weight, and reading in blend_pos order yields
+    the target source ratio from the very first batch — the data-loader
+    interleave schedule as a relation (src3 is omitted = dropped).
+    Per-source rank is a natively-partitioned window; the global
+    position is the two-phase rank.  Integer-exact end to end."""
+    docs = tables(spark, sf_dir)["documents"]
+    out = P.blend_by_weight(
+        docs.df.select("source", "doc_id"), "source", "doc_id",
+        {"src0": 500_000, "src1": 300_000, "src2": 200_000})
+    return out.select("source", "doc_id", "src_rank", "vt", "blend_pos")
+
+
+@register(
     "ext_shuffle_det",
     """
     SELECT doc_id,

@@ -583,6 +583,84 @@ def pack_greedy_sql(table: str, size_expr: str, id_col: str,
     """
 
 
+def blend_by_weight(df: DataFrame, source_col: str, id_col: str,
+                    weights_ppm: Mapping[str, int], salt: str = "epoch0",
+                    pos_col: str = "blend_pos") -> DataFrame:
+    """Deterministic source-BLENDED epoch ordering — the data-loader
+    interleave schedule (Dolma/Megatron-style blend): each source's
+    rows are laid out on a virtual timeline at intervals inversely
+    proportional to its weight, so reading in ``pos_col`` order yields
+    sources interleaved at their target ratios from the very first
+    batch (a plain concat front-loads one source; a random shuffle only
+    hits the ratio in expectation — this hits it by construction,
+    deficit-round-robin style).
+
+    Integer-exact: per-source rank r (salted-hash order within the
+    source — a new ``salt`` is a fresh epoch permutation) maps to
+    virtual time ``vt = (r+1)·1e6 DIV weight_ppm``; the global order is
+    (vt, source, r) — hash-exact in any SQL engine, no floats.
+    Sources absent from ``weights_ppm`` are DROPPED (the mix_by_weight
+    ``default=0`` posture for planned mixes); weights must be positive.
+
+    Scale: the per-source rank is a natively-partitioned window (one
+    shuffle on source); the global position is the two-phase
+    :func:`pigpen_spark.operators.windows.ranked` — never a
+    one-partition window.  Returns the input columns +
+    (``src_rank``, ``vt``, ``pos_col``)."""
+    from pigpen_spark.operators.windows import ranked
+
+    if not weights_ppm:
+        raise ValueError("blend_by_weight: weights_ppm is empty")
+    for s, w in weights_ppm.items():
+        if w <= 0:
+            raise ValueError(
+                f"blend_by_weight: weight for {s!r} must be positive ppm, "
+                f"got {w} (drop sources by omitting them)")
+    spark = df.sparkSession
+    wdf = F.broadcast(spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights_ppm.items())],
+        f"{source_col} string, __w_ppm long"))
+    h = F.md5(F.concat(_c(id_col).cast("string"), F.lit("|" + salt)))
+    tagged = (
+        df.join(wdf, on=source_col)   # inner: unplanned sources drop
+        .withColumn("__bh", h)
+    )
+    tagged = ranked(tagged, order_by=[F.col("__bh"), _c(id_col)],
+                    index_col="src_rank", partition_by=[source_col])
+    vt = F.expr("(src_rank + 1) * 1000000 DIV __w_ppm").cast("long")
+    tagged = tagged.withColumn("vt", vt).drop("__bh", "__w_ppm")
+    return ranked(tagged,
+                  order_by=[F.col("vt"), _c(source_col), F.col("src_rank")],
+                  index_col=pos_col)
+
+
+def blend_by_weight_sql(table: str, source_col: str, id_col: str,
+                        weights_ppm: Mapping[str, int],
+                        salt: str = "epoch0") -> str:
+    """DuckDB oracle for :func:`blend_by_weight` (single-window replica
+    of the two-phase ranks — same integer virtual-time arithmetic)."""
+    vals = ", ".join(f"({sql_str(s)}, {int(w)}::BIGINT)"
+                     for s, w in sorted(weights_ppm.items()))
+    return f"""
+    WITH w (src, w_ppm) AS (VALUES {vals}),
+    ranked AS (
+      SELECT d.*, w.w_ppm,
+             (row_number() OVER (
+                PARTITION BY d.{source_col}
+                ORDER BY md5(d.{id_col}::VARCHAR || {sql_str('|' + salt)}),
+                         d.{id_col}) - 1)::BIGINT AS src_rank
+      FROM {table} d JOIN w ON d.{source_col} = w.src
+    ),
+    vts AS (
+      SELECT *, ((src_rank + 1) * 1000000 // w_ppm)::BIGINT AS vt FROM ranked
+    )
+    SELECT {source_col}, {id_col}, src_rank, vt,
+           (row_number() OVER (ORDER BY vt, {source_col}, src_rank) - 1)::BIGINT
+             AS blend_pos
+    FROM vts
+    """
+
+
 def shuffle_deterministic(df: DataFrame, id_col: str, salt: str = "epoch0",
                           pos_col: str | None = None) -> DataFrame:
     """Reproducible corpus shuffle: total order by md5(id || salt) with id

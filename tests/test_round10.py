@@ -782,3 +782,58 @@ class TestStreamRestartIdempotence:
         after = sorted((r["id"], tuple(r["codes"]))
                        for r in spark.read.parquet(paths[0]).collect())
         assert after == before
+
+
+class TestBlendByWeight:
+    """Source-blended epoch ordering: target ratios hold in every
+    prefix (deficit-round-robin property), drops and guards explicit."""
+
+    def _df(self, spark, counts):
+        rows = [(s, i + 1000 * j) for j, (s, n) in enumerate(sorted(counts.items()))
+                for i in range(n)]
+        return spark.createDataFrame(rows, "source string, doc_id long")
+
+    def test_prefix_ratio_property(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = self._df(spark, {"a": 60, "b": 60, "c": 60})
+        out = P.blend_by_weight(df, "source", "doc_id",
+                                {"a": 500_000, "b": 300_000, "c": 200_000})
+        ordered = [r["source"] for r in out.orderBy("blend_pos").collect()]
+        # at every 20-row prefix the realized mix tracks 5:3:2 within
+        # the deficit-RR bound (±2 per source)
+        for k in (20, 40, 60):
+            pre = ordered[:k]
+            assert abs(pre.count("a") - k * 0.5) <= 2
+            assert abs(pre.count("b") - k * 0.3) <= 2
+            assert abs(pre.count("c") - k * 0.2) <= 2
+
+    def test_unplanned_source_dropped_and_positions_dense(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = self._df(spark, {"a": 5, "zz": 7})
+        out = P.blend_by_weight(df, "source", "doc_id", {"a": 1_000_000})
+        rows = out.collect()
+        assert {r["source"] for r in rows} == {"a"}
+        assert sorted(r["blend_pos"] for r in rows) == list(range(5))
+
+    def test_new_salt_new_permutation_same_mix(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = self._df(spark, {"a": 30, "b": 30})
+        w = {"a": 500_000, "b": 500_000}
+        e0 = [r["doc_id"] for r in P.blend_by_weight(df, "source", "doc_id", w)
+              .orderBy("blend_pos").collect()]
+        e0_again = [r["doc_id"] for r in P.blend_by_weight(df, "source", "doc_id", w)
+                    .orderBy("blend_pos").collect()]
+        e1 = [r["doc_id"] for r in P.blend_by_weight(df, "source", "doc_id", w,
+                                                     salt="epoch1")
+              .orderBy("blend_pos").collect()]
+        assert e0 == e0_again          # same salt replays exactly
+        assert e0 != e1                # new salt is a fresh permutation
+        assert sorted(e0) == sorted(e1)
+
+    def test_guards(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = self._df(spark, {"a": 1})
+        with pytest.raises(ValueError, match="empty"):
+            P.blend_by_weight(df, "source", "doc_id", {})
+        with pytest.raises(ValueError, match="positive"):
+            P.blend_by_weight(df, "source", "doc_id", {"a": 0})
