@@ -1062,6 +1062,27 @@ def ext_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_pack_ffd",
+    P.pack_ffd_sql("documents", f"len({_TOKS})", "doc_id", "lang",
+                   capacity=256),
+)
+def ext_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing NO-SPLIT packing (r10): documents walk in
+    (size DESC, doc_id) order within each language shard and land in the
+    first open 256-token chunk they fit — FFD back-fills small docs into
+    earlier gaps, so it needs fewer chunks (less padding waste) than
+    ext_pack_greedy's order-preserving walk on the same corpus (pinned
+    in TestPackFfd).  One Arrow walk per shard; the oracle replays the
+    identical walk as a recursive CTE over a LIST of open-chunk fills."""
+    docs = tables(spark, sf_dir)["documents"]
+    out = P.pack_ffd(
+        docs.df.select("doc_id", "lang", T.token_count("text").alias("n_tokens")),
+        "n_tokens", capacity=256, partition_by=["lang"], id_col="doc_id",
+    )
+    return out.select("lang", "doc_id", "n_tokens", "chunk_id")
+
+
+@register(
     "ext_source_blend",
     P.blend_by_weight_sql(
         "documents", "source", "doc_id",

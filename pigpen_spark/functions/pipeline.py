@@ -583,6 +583,110 @@ def pack_greedy_sql(table: str, size_expr: str, id_col: str,
     """
 
 
+def pack_ffd(df: DataFrame, size_col: str, capacity: int,
+             partition_by: Sequence[str], id_col: str = None,
+             chunk_col: str = "chunk_id") -> DataFrame:
+    """First-Fit-Decreasing NO-SPLIT bin packing: within each shard,
+    documents are walked in (size DESC, id) order and each is placed in
+    the FIRST already-open chunk it fits, opening a new chunk only when
+    none fits — the classic FFD heuristic (≤ 11/9·OPT + 1 bins), which
+    wastes markedly less capacity than :func:`pack_greedy`'s
+    sequential walk when sizes vary (greedy closes a chunk the moment
+    one doc overflows; FFD back-fills small docs into earlier gaps).
+    Use it when chunk COUNT (padding waste) matters more than
+    preserving an input order — SFT batch layout, eval sharding;
+    :func:`pack_greedy` is the order-preserving sibling.  An oversize
+    doc (> ``capacity``) opens a chunk of its own, never dropped.
+
+    Like every no-split pack the walk is sequential per shard (each
+    placement depends on all open-chunk fills), so it runs as one Arrow
+    pass per shard — ``partition_by`` is REQUIRED and bounds both the
+    walk length and the open-chunk list (O(rows·chunks) worst case per
+    shard; shard so chunks stay ≤ ~10⁴).  ``id_col`` (default: first
+    ``partition_by``-excluded tiebreak needed → required) makes the
+    size-DESC order total, hence deterministic.
+
+    Returns the input columns + ``chunk_col`` (0-based per shard, in
+    chunk-open order)."""
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError(f"pack_ffd: capacity must be >= 1, got {capacity}")
+    if not partition_by:
+        raise ValueError(
+            "pack_ffd: partition_by is required — the first-fit walk is "
+            "sequential per shard; an unsharded walk is one task at any "
+            "corpus size")
+    if not id_col:
+        raise ValueError("pack_ffd: id_col is required — the size-DESC "
+                         "order needs a unique tiebreak for determinism")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # fresh StructType: .add() MUTATES the df's cached schema object
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(chunk_col, LongType())])
+    cap = int(capacity)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([size_col, id_col], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        loads: list[int] = []
+        chunks = []
+        for sz in pdf[size_col]:
+            s = int(sz)
+            placed = -1
+            for bi, ld in enumerate(loads):
+                if ld + s <= cap:
+                    placed = bi
+                    loads[bi] += s
+                    break
+            if placed < 0:
+                placed = len(loads)
+                loads.append(s)
+            chunks.append(placed)
+        pdf[chunk_col] = pd.Series(chunks, dtype="int64")
+        return pdf
+
+    return df.groupBy(*[_c(c) for c in partition_by]).applyInPandas(
+        walk, schema=out_schema)
+
+
+def pack_ffd_sql(table: str, size_expr: str, id_col: str,
+                 shard_col: str, capacity: int) -> str:
+    """DuckDB oracle for :func:`pack_ffd`: the identical first-fit-
+    decreasing walk as a recursive CTE whose state is the LIST of open-
+    chunk fills — ``list_position(list_transform(loads, x -> x+sz<=cap),
+    true)`` finds the first fit (0 = none in DuckDB), and the list is
+    spliced in place.  Shards advance in lockstep, one step per rank."""
+    cap = int(capacity)
+    return f"""
+    WITH RECURSIVE ordered AS (
+      SELECT {shard_col} AS shard, {id_col} AS id, {size_expr}::BIGINT AS sz,
+             row_number() OVER (PARTITION BY {shard_col}
+                                ORDER BY {size_expr}::BIGINT DESC, {id_col}) AS rn
+      FROM {table}
+    ),
+    walk (shard, id, sz, rn, loads, chunk) AS (
+      SELECT shard, id, sz, rn, [sz], 0::BIGINT FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.id, o.sz, o.rn,
+             CASE WHEN fit.idx = 0 THEN list_append(w.loads, o.sz)
+                  ELSE list_slice(w.loads, 1, fit.idx - 1)
+                       || [w.loads[fit.idx] + o.sz]
+                       || list_slice(w.loads, fit.idx + 1, len(w.loads)) END,
+             CASE WHEN fit.idx = 0 THEN len(w.loads)::BIGINT
+                  ELSE (fit.idx - 1)::BIGINT END
+      FROM walk w
+      JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+      CROSS JOIN LATERAL (SELECT list_position(
+          list_transform(w.loads, x -> x + o.sz <= {cap}), true) AS idx) fit
+    )
+    SELECT shard AS {shard_col}, id AS {id_col}, sz AS n_tokens,
+           chunk AS chunk_id
+    FROM walk
+    """
+
+
 def blend_by_weight(df: DataFrame, source_col: str, id_col: str,
                     weights_ppm: Mapping[str, int], salt: str = "epoch0",
                     pos_col: str = "blend_pos") -> DataFrame:

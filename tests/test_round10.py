@@ -657,6 +657,70 @@ class TestPackGreedy:
             P.pack_greedy(df, "sz", ["id"], 0, ["shard"])
 
 
+class TestPackFfd:
+    """First-fit-decreasing no-split packing: first OPEN chunk that fits
+    wins, size-DESC walk, oversize singletons, never fewer-efficient
+    than the greedy sequential walk on varied sizes."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "shard string, id long, sz long")
+
+    def test_first_fit_backfills_earlier_gaps(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        # size-desc walk: 9 opens c0; 5,5 open+fill c1; 4 backfills... cap 10
+        df = self._df(spark, [("a", 1, 9), ("a", 2, 5), ("a", 3, 5),
+                              ("a", 4, 4), ("a", 5, 3), ("a", 6, 2)])
+        got = {r["id"]: r["chunk_id"]
+               for r in P.pack_ffd(df, "sz", 10, ["shard"], id_col="id").collect()}
+        # walk 9,5,5,4,3,2 (cap 10): 9→c0; 5→c1; 5→c1 (10); 4→c2;
+        # 3→c2 (7); 2→c2 (9) — first OPEN fit wins at every step
+        assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2}
+
+    def test_oversize_opens_own_chunk(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = self._df(spark, [("a", 1, 12), ("a", 2, 9), ("a", 3, 1)])
+        got = {r["id"]: r["chunk_id"]
+               for r in P.pack_ffd(df, "sz", 10, ["shard"], id_col="id").collect()}
+        # 12 oversize → c0 (and stays unfittable); 9 → c1; 1 → c1
+        assert got == {1: 0, 2: 1, 3: 1}
+
+    def test_never_more_chunks_than_greedy_on_corpus(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .selectExpr("lang AS shard", "doc_id AS id",
+                            "size(split(text, ' ')) AS sz"))
+        ffd = P.pack_ffd(docs, "sz", 64, ["shard"], id_col="id")
+        greedy = P.pack_greedy(docs, "sz", ["id"], 64, ["shard"])
+        n_ffd = ffd.select("shard", "chunk_id").distinct().count()
+        n_greedy = greedy.select("shard", "chunk_id").distinct().count()
+        assert n_ffd <= n_greedy
+        # and nothing dropped, no chunk overflows except oversize singletons
+        rows = ffd.collect()
+        assert len(rows) == docs.count()
+        from collections import defaultdict
+        fill, members = defaultdict(int), defaultdict(int)
+        for r in rows:
+            fill[(r["shard"], r["chunk_id"])] += r["sz"]
+            members[(r["shard"], r["chunk_id"])] += 1
+        for k, f in fill.items():
+            assert f <= 64 or members[k] == 1
+
+    def test_guards(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = self._df(spark, [("a", 1, 1)])
+        with pytest.raises(ValueError, match="partition_by is required"):
+            P.pack_ffd(df, "sz", 10, [], id_col="id")
+        with pytest.raises(ValueError, match="capacity"):
+            P.pack_ffd(df, "sz", 0, ["shard"], id_col="id")
+        with pytest.raises(ValueError, match="id_col"):
+            P.pack_ffd(df, "sz", 10, ["shard"], id_col=None)
+
+    def test_empty(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = spark.createDataFrame([], "shard string, id long, sz long")
+        assert P.pack_ffd(df, "sz", 10, ["shard"], id_col="id").count() == 0
+
+
 class TestRound10EmptyInputs:
     """ANSI-mode empty/edge probes for the r10 operators (the synthetic
     corpus has no empties, so the oracle gate never exercises these)."""
