@@ -1104,6 +1104,27 @@ def ext_source_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_curriculum",
+    P.curriculum_blend_sql("documents", "doc_id", f"len({_TOKS})",
+                           n_stages=4),
+)
+def ext_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difficulty-paced curriculum ordering (r10): documents bucket into
+    4 difficulty quartiles by token count; stage 0 trains on the easiest
+    quartile alone, each harder quartile unlocks at its own stage and
+    spreads evenly over the stages where it is unlocked, and within a
+    stage the unlocked buckets interleave on an even virtual-time grid —
+    competence-based curriculum as one deterministic integer layout
+    (reading in curr_pos order IS the schedule).  Two-phase global
+    ranks; partitioned windows everywhere else; one count() scalar."""
+    docs = tables(spark, sf_dir)["documents"]
+    out = P.curriculum_blend(
+        docs.df.select("doc_id", T.token_count("text").alias("difficulty")),
+        "doc_id", "difficulty", n_stages=4)
+    return out.select("doc_id", "difficulty", "bucket", "stage", "vt", "curr_pos")
+
+
+@register(
     "ext_shuffle_det",
     """
     SELECT doc_id,

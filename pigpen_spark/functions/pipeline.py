@@ -765,6 +765,123 @@ def blend_by_weight_sql(table: str, source_col: str, id_col: str,
     """
 
 
+def curriculum_blend(df: DataFrame, id_col: str, difficulty_col,
+                     n_stages: int = 4, salt: str = "epoch0",
+                     pos_col: str = "curr_pos") -> DataFrame:
+    """Difficulty-PACED curriculum ordering (competence-based curriculum,
+    Platanios et al. 2019 made deterministic): the corpus is split into
+    ``n_stages`` equal difficulty buckets (bucket 0 = easiest) and laid
+    out in staged epochs so that
+
+    - stage 0 is PURE bucket 0 (training opens on the easiest slice),
+    - a bucket-``b`` row never appears before stage ``b`` (the
+      competence ramp — hard material unlocks late), and
+    - within a stage every unlocked bucket interleaves evenly (no
+      distribution cliff at stage boundaries — bucket ``b``'s rows land
+      on an even integer virtual-time grid across the stage).
+
+    Construction (all integer DIV arithmetic — hash-exact in any SQL
+    engine): global difficulty rank → bucket ``drank·K DIV N``;
+    bucket ``b``'s salted in-bucket rank ``r`` goes to stage
+    ``b + r·(K−b) DIV N_b`` (even spread over the stages where it is
+    unlocked); within (stage, bucket) the ``q``-th row gets virtual
+    time ``(q+1)·1e6 DIV M_sb``; the global order is
+    (stage, vt, bucket, q).  A new ``salt`` reshuffles within buckets
+    (a fresh epoch) without moving the difficulty pacing.
+
+    Scale: the global difficulty rank and final position use the
+    two-phase :func:`~pigpen_spark.operators.windows.ranked` (never a
+    one-partition window); per-bucket/per-stage ranks and counts are
+    natively-partitioned windows; N is one ``count()`` scalar (the
+    1-row-broadcast-total doctrine).  Returns the input columns +
+    (``bucket``, ``stage``, ``vt``, ``pos_col``)."""
+    from pigpen_spark.operators.windows import ranked
+
+    if n_stages < 1:
+        raise ValueError(f"curriculum_blend: n_stages must be >= 1, got {n_stages}")
+    K = int(n_stages)
+    n = df.count()  # bounded: one scalar; injected as a literal below
+    if n == 0:  # ANSI DIV by zero would throw mid-plan
+        from pyspark.sql.types import LongType, StructField, StructType
+        empty_schema = StructType(
+            list(df.schema.fields)
+            + [StructField(c, LongType()) for c in ("bucket", "stage", "vt", pos_col)])
+        return df.sparkSession.createDataFrame([], empty_schema)
+
+    ranked_diff = ranked(df, order_by=[_c(difficulty_col), _c(id_col)],
+                         index_col="__drank")
+    bucketed = ranked_diff.withColumn(
+        "bucket", F.expr(f"__drank * {K} DIV {n}").cast("long")).drop("__drank")
+
+    h = F.md5(F.concat(_c(id_col).cast("string"), F.lit("|" + salt)))
+    wb = Window.partitionBy("bucket").orderBy(h, _c(id_col))
+    staged = (
+        bucketed
+        .withColumn("__rb", F.row_number().over(wb) - F.lit(1))
+        .withColumn("__nb", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+        .withColumn("stage",
+                    F.expr(f"bucket + __rb * ({K} - bucket) DIV __nb").cast("long"))
+    )
+    wsb = Window.partitionBy("stage", "bucket").orderBy(F.col("__rb"))
+    timed = (
+        staged
+        .withColumn("__q", F.row_number().over(wsb) - F.lit(1))
+        .withColumn("__msb",
+                    F.count(F.lit(1)).over(Window.partitionBy("stage", "bucket")))
+        .withColumn("vt", F.expr("(__q + 1) * 1000000 DIV __msb").cast("long"))
+    )
+    out = ranked(timed,
+                 order_by=[F.col("stage"), F.col("vt"), F.col("bucket"),
+                           F.col("__q")],
+                 index_col=pos_col)
+    return out.drop("__rb", "__nb", "__q", "__msb")
+
+
+def curriculum_blend_sql(table: str, id_col: str, difficulty_expr: str,
+                         n_stages: int = 4, salt: str = "epoch0") -> str:
+    """DuckDB oracle for :func:`curriculum_blend` — the same integer
+    staging arithmetic with single-window replicas of the two-phase
+    ranks."""
+    K = int(n_stages)
+    s = sql_str("|" + salt)
+    return f"""
+    WITH diff AS (
+      SELECT {id_col} AS id, {difficulty_expr}::BIGINT AS difficulty,
+             (row_number() OVER (ORDER BY {difficulty_expr}::BIGINT, {id_col}) - 1)::BIGINT AS drank,
+             count(*) OVER ()::BIGINT AS n
+      FROM {table}
+    ),
+    bucketed AS (
+      SELECT id, difficulty, (drank * {K} // n)::BIGINT AS bucket FROM diff
+    ),
+    staged AS (
+      SELECT *, (row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY md5(id::VARCHAR || {s}), id) - 1)::BIGINT AS rb,
+             count(*) OVER (PARTITION BY bucket)::BIGINT AS nb
+      FROM bucketed
+    ),
+    st2 AS (
+      SELECT id, difficulty, bucket,
+             (bucket + rb * ({K} - bucket) // nb)::BIGINT AS stage
+      FROM staged
+    ),
+    timed AS (
+      SELECT *, (row_number() OVER (
+               PARTITION BY stage, bucket
+               ORDER BY md5(id::VARCHAR || {s}), id) - 1)::BIGINT AS q,
+             count(*) OVER (PARTITION BY stage, bucket)::BIGINT AS msb
+      FROM st2
+    )
+    SELECT id AS {id_col}, difficulty, bucket, stage,
+           ((q + 1) * 1000000 // msb)::BIGINT AS vt,
+           (row_number() OVER (
+              ORDER BY stage, (q + 1) * 1000000 // msb, bucket, q) - 1)::BIGINT
+             AS curr_pos
+    FROM timed
+    """
+
+
 def shuffle_deterministic(df: DataFrame, id_col: str, salt: str = "epoch0",
                           pos_col: str | None = None) -> DataFrame:
     """Reproducible corpus shuffle: total order by md5(id || salt) with id

@@ -721,6 +721,67 @@ class TestPackFfd:
         assert P.pack_ffd(df, "sz", 10, ["shard"], id_col="id").count() == 0
 
 
+class TestCurriculumBlend:
+    """Difficulty-paced curriculum: stage 0 pure-easiest, hard buckets
+    unlock at their own stage, even in-stage interleave, permutation."""
+
+    def _out(self, spark, n=200, k=4, salt="epoch0"):
+        from pigpen_spark.functions import pipeline as P
+        df = spark.range(n).selectExpr("id", "(id * 37) % 101 AS difficulty")
+        return P.curriculum_blend(df, "id", "difficulty", n_stages=k,
+                                  salt=salt).collect()
+
+    def test_pacing_invariants(self, spark):
+        rows = self._out(spark)
+        n = len(rows)
+        assert sorted(r["curr_pos"] for r in rows) == list(range(n))
+        for r in rows:
+            assert r["stage"] >= r["bucket"]        # hard unlocks late
+        stage0_buckets = {r["bucket"] for r in rows if r["stage"] == 0}
+        assert stage0_buckets == {0}                 # opens on the easiest
+        assert {r["stage"] for r in rows} == {0, 1, 2, 3}
+        # equal difficulty quartiles (n=200, K=4 -> 50 each)
+        from collections import Counter
+        assert Counter(r["bucket"] for r in rows) == {b: 50 for b in range(4)}
+
+    def test_even_in_stage_interleave(self, spark):
+        # within a stage, each bucket's rows sit on an even vt grid:
+        # the vt<=500000 half holds M/2 (+-1) of the bucket's stage rows
+        from collections import Counter, defaultdict
+        rows = self._out(spark, n=400)
+        cell = Counter((r["stage"], r["bucket"]) for r in rows)
+        first_half = Counter((r["stage"], r["bucket"]) for r in rows
+                             if r["vt"] <= 500_000)
+        for k, m in cell.items():
+            assert abs(first_half[k] - m / 2) <= 1, (k, m, first_half[k])
+
+    def test_salt_moves_rows_not_histogram(self, spark):
+        from collections import Counter
+        a = self._out(spark, salt="epoch0")
+        b = self._out(spark, salt="epoch1")
+        assert Counter((r["stage"], r["bucket"]) for r in a) == \
+               Counter((r["stage"], r["bucket"]) for r in b)
+        assert {r["id"]: r["bucket"] for r in a} == \
+               {r["id"]: r["bucket"] for r in b}   # buckets are salt-free
+        assert [r["id"] for r in sorted(a, key=lambda r: r["curr_pos"])] != \
+               [r["id"] for r in sorted(b, key=lambda r: r["curr_pos"])]
+
+    def test_deterministic_replay(self, spark):
+        a = self._out(spark)
+        b = self._out(spark)
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_empty_and_guards(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = spark.createDataFrame([], "id long, difficulty long")
+        out = P.curriculum_blend(df, "id", "difficulty", n_stages=4)
+        assert out.count() == 0
+        assert set(out.columns) == {"id", "difficulty", "bucket", "stage",
+                                    "vt", "curr_pos"}
+        with pytest.raises(ValueError, match="n_stages"):
+            P.curriculum_blend(df, "id", "difficulty", n_stages=0)
+
+
 class TestRound10EmptyInputs:
     """ANSI-mode empty/edge probes for the r10 operators (the synthetic
     corpus has no empties, so the oracle gate never exercises these)."""
