@@ -1475,6 +1475,26 @@ def ext_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_mix_fill",
+    P.mix_plan_fill_sql("documents", "source", "text", _MIX_TARGETS,
+                        _MIX_BUDGET),
+)
+def ext_mix_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-FILLING mixture planning (water-filling): where
+    ext_mix_plan stops at a deficit report when the 2-epoch cap binds,
+    this row REASSIGNS the unfilled budget to the still-uncapped
+    sources proportional to their shares, iterating until stable — at
+    sf0.01 src0, src1, src2 cap in successive rounds and src3 absorbs
+    the leftover (2.5× its naive share).  Driver-side integer fixpoint
+    over the collected ≤|sources|-row worksheet; the oracle is an
+    INDEPENDENT unrolled-CTE replica of the same fixpoint, so the
+    hash-match differentially checks the water-fill algorithm itself."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.mix_plan_fill(docs.df, "source", "text", _MIX_TARGETS,
+                           _MIX_BUDGET)
+
+
+@register(
     "ext_mix_select",
     P.mix_select_sql("documents", "source", "text", "doc_id",
                      _MIX_TARGETS, _MIX_BUDGET),

@@ -354,6 +354,155 @@ def mix_plan_sql(table: str, source_col: str, text_col: str,
     """
 
 
+def mix_plan_fill(df: DataFrame, source_col: str, text_col: str,
+                  targets: Mapping[str, int], budget_tokens: int,
+                  max_epochs_ppm: int = 2_000_000) -> DataFrame:
+    """Budget-FILLING mixture planning — :func:`mix_plan` reports a
+    deficit when a source's epoch cap binds; this variant REASSIGNS that
+    unfilled budget to the uncapped sources (proportional to their
+    target shares) until the allocation is stable: integer water-filling,
+    the step a real data recipe does by hand when "2 epochs of books"
+    can't absorb books' planned share.
+
+    Fixpoint (all non-negative integer DIV, hash-exact): capped set C
+    starts empty; each round computes the remaining budget
+    ``R = B − Σ_{c∈C} cap_c`` and allocates ``R·share_s DIV Σ_{s∉C}
+    share`` to each uncapped source, capping every source whose
+    allocation reaches ``cap_s = have_s·max_epochs_ppm DIV 1e6``; C
+    only grows, so ≤ |targets| rounds converge and extra rounds are
+    idempotent.  Targeted-but-missing sources cap at 0; corpus sources
+    absent from ``targets`` keep share 0 (take 0, the planned-mix drop
+    posture).  Rounding leaves ≤ |sources| tokens unassigned — reported
+    in ``take_tokens``, never silently re-added.
+
+    The corpus side is one token-count groupBy (map-side partials); the
+    fixpoint runs driver-side on the collected ≤|sources|-row worksheet
+    (the bounded-artifact doctrine — planning tables are not
+    corpus-sized).  Returns (source, have_tokens, cap_tokens,
+    take_tokens, rate_ppm, capped) where ``rate_ppm`` feeds
+    :func:`mix_by_weight` / :func:`mix_select` directly."""
+    from pigpen_spark.functions.text import tokens
+
+    if budget_tokens < 0:
+        raise ValueError(f"mix_plan_fill: negative budget {budget_tokens}")
+    if budget_tokens > 9_000_000_000_000:
+        raise ValueError(
+            f"mix_plan_fill: budget {budget_tokens} > 9e12 tokens — "
+            "allocation * 1e6 would overflow int64; plan in shards")
+    if max_epochs_ppm < 0:
+        raise ValueError(f"mix_plan_fill: negative epoch cap {max_epochs_ppm}")
+    if not targets:
+        raise ValueError("mix_plan_fill: targets is empty — nothing to fill")
+    tot = 0
+    for s, ppm in targets.items():
+        if ppm < 0:
+            raise ValueError(f"mix_plan_fill: negative target share for {s!r}")
+        tot += ppm
+    if tot > 1_000_000:
+        raise ValueError(
+            f"mix_plan_fill: target shares sum to {tot} ppm > 1e6 — a "
+            "mixture cannot over-allocate the budget")
+    spark = df.sparkSession
+    have_rows = (
+        df.select(_c(source_col).alias("source"),
+                  F.size(tokens(F.coalesce(_c(text_col), F.lit(""))))
+                  .cast("long").alias("__n"))
+        .groupBy("source").agg(F.sum("__n").alias("have_tokens"))
+        .collect()  # bounded: one row per source
+    )
+    have = {r["source"]: int(r["have_tokens"]) for r in have_rows}
+    sources = sorted(set(have) | set(targets))
+    share = {s: int(targets.get(s, 0)) for s in sources}
+    hv = {s: have.get(s, 0) for s in sources}
+    cap = {s: hv[s] * int(max_epochs_ppm) // 1_000_000 for s in sources}
+    B = int(budget_tokens)
+
+    capped: set = set()
+    for _ in range(max(1, len(targets))):
+        r_budget = B - sum(cap[c] for c in capped)
+        s_share = sum(share[s] for s in sources if s not in capped)
+        newly = {s for s in sources if s not in capped
+                 and (r_budget * share[s] // s_share if s_share > 0 else 0)
+                 >= cap[s]}
+        if not newly:
+            break
+        capped |= newly
+    r_budget = B - sum(cap[c] for c in capped)
+    s_share = sum(share[s] for s in sources if s not in capped)
+    out = []
+    for s in sources:
+        take = cap[s] if s in capped else (
+            r_budget * share[s] // s_share if s_share > 0 else 0)
+        rate = take * 1_000_000 // hv[s] if hv[s] > 0 else 0
+        out.append((s, hv[s], cap[s], take, rate, s in capped))
+    return spark.createDataFrame(
+        out, "source string, have_tokens long, cap_tokens long, "
+             "take_tokens long, rate_ppm long, capped boolean")
+
+
+def mix_plan_fill_sql(table: str, source_col: str, text_col: str,
+                      targets: Mapping[str, int], budget_tokens: int,
+                      max_epochs_ppm: int = 2_000_000) -> str:
+    """DuckDB oracle for :func:`mix_plan_fill`: the water-filling
+    fixpoint unrolled ``|targets|`` times as chained CTEs (the capped
+    set only grows, so that many rounds always converge; extra rounds
+    are idempotent) — an INDEPENDENT replica of the driver-side loop,
+    window sums over the ≤|sources|-row worksheet per round."""
+    toks = (f"list_filter(string_split(lower(coalesce({text_col}, '')), ' '), "
+            "t -> t <> '')")
+    vals = ", ".join(f"({sql_str(s)}, {int(p)}::BIGINT)"
+                     for s, p in sorted(targets.items()))
+    B = int(budget_tokens)
+    k = max(1, len(targets))
+    step = """
+    step{i} AS (
+      SELECT source, have_tokens, cap_tokens, share,
+             capped OR (share > 0 OR cap_tokens = 0) AND
+             (CASE WHEN sum(CASE WHEN NOT capped THEN share ELSE 0 END) OVER () > 0
+                   THEN ({B} - sum(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER ())
+                        * share
+                        // sum(CASE WHEN NOT capped THEN share ELSE 0 END) OVER ()
+                   ELSE 0 END) >= cap_tokens AS capped
+      FROM step{j}
+    )"""
+    steps = ",".join(
+        step.format(i=i + 1, j=i, B=B) for i in range(k))
+    return f"""
+    WITH have AS (
+      SELECT {source_col} AS source, sum(len({toks}))::BIGINT AS have_tokens
+      FROM {table} GROUP BY {source_col}
+    ),
+    tgt (source, share) AS (VALUES {vals}),
+    step0 AS (
+      SELECT coalesce(h.source, t.source) AS source,
+             coalesce(h.have_tokens, 0)::BIGINT AS have_tokens,
+             (coalesce(h.have_tokens, 0) * {int(max_epochs_ppm)} // 1000000)::BIGINT
+               AS cap_tokens,
+             coalesce(t.share, 0)::BIGINT AS share,
+             false AS capped
+      FROM have h FULL OUTER JOIN tgt t ON h.source = t.source
+    ),
+    {steps},
+    final AS (
+      SELECT *,
+             sum(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER () AS cap_sum,
+             sum(CASE WHEN NOT capped THEN share ELSE 0 END) OVER () AS share_sum
+      FROM step{k}
+    )
+    SELECT source, have_tokens, cap_tokens,
+           (CASE WHEN capped THEN cap_tokens
+                 WHEN share_sum > 0 THEN ({B} - cap_sum) * share // share_sum
+                 ELSE 0 END)::BIGINT AS take_tokens,
+           (CASE WHEN have_tokens > 0 THEN
+              (CASE WHEN capped THEN cap_tokens
+                    WHEN share_sum > 0 THEN ({B} - cap_sum) * share // share_sum
+                    ELSE 0 END) * 1000000 // have_tokens
+              ELSE 0 END)::BIGINT AS rate_ppm,
+           capped
+    FROM final
+    """
+
+
 def mix_select(df: DataFrame, source_col: str, text_col: str, id_col: str,
                targets: Mapping[str, int], budget_tokens: int,
                max_epochs_ppm: int = 2_000_000, chunk_budget: int = 512,

@@ -782,6 +782,95 @@ class TestCurriculumBlend:
             P.curriculum_blend(df, "id", "difficulty", n_stages=0)
 
 
+class TestMixPlanFill:
+    """Water-filling mixture planning: redistribution fixpoint invariants
+    + randomized equivalence with an unbounded pure-Python fixpoint."""
+
+    @staticmethod
+    def _model(have, targets, budget, cap_ppm):
+        # unbounded fixpoint (no unroll limit) — the semantic spec
+        sources = sorted(set(have) | set(targets))
+        share = {s: targets.get(s, 0) for s in sources}
+        hv = {s: have.get(s, 0) for s in sources}
+        cap = {s: hv[s] * cap_ppm // 1_000_000 for s in sources}
+        capped = set()
+        while True:
+            r = budget - sum(cap[c] for c in capped)
+            ssum = sum(share[s] for s in sources if s not in capped)
+            newly = {s for s in sources if s not in capped
+                     and (r * share[s] // ssum if ssum > 0 else 0) >= cap[s]}
+            if not newly:
+                break
+            capped |= newly
+        r = budget - sum(cap[c] for c in capped)
+        ssum = sum(share[s] for s in sources if s not in capped)
+        out = {}
+        for s in sources:
+            take = cap[s] if s in capped else (
+                r * share[s] // ssum if ssum > 0 else 0)
+            out[s] = (hv[s], cap[s], take,
+                      take * 1_000_000 // hv[s] if hv[s] > 0 else 0,
+                      s in capped)
+        return out
+
+    def _df(self, spark, have):
+        rows = [(s, " ".join(["w"] * n)) for s, n in have.items()]
+        return spark.createDataFrame(rows, "source string, text string")
+
+    def test_randomized_against_model(self, spark):
+        import random
+        from pigpen_spark.functions import pipeline as P
+        rng = random.Random(7)
+        for trial in range(8):
+            n_src = rng.randint(1, 6)
+            have = {f"s{i}": rng.randint(0, 40) for i in range(n_src)}
+            targets = {f"s{i}": rng.choice([0, 50_000, 200_000, 400_000])
+                       for i in range(n_src) if rng.random() < 0.8}
+            targets = targets or {"s0": 100_000}
+            if rng.random() < 0.5:
+                targets["missing"] = 100_000  # targeted, not in corpus
+            budget = rng.randint(0, 200)
+            cap_ppm = rng.choice([1_000_000, 2_000_000, 3_000_000])
+            got = {r["source"]: (r["have_tokens"], r["cap_tokens"],
+                                 r["take_tokens"], r["rate_ppm"], r["capped"])
+                   for r in P.mix_plan_fill(self._df(spark, have), "source",
+                                            "text", targets, budget,
+                                            cap_ppm).collect()}
+            exp = self._model(have, targets, budget, cap_ppm)
+            assert got == exp, (trial, have, targets, budget, cap_ppm)
+
+    def test_fill_invariants_on_corpus(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        targets = {"src0": 500_000, "src1": 300_000, "src2": 150_000,
+                   "src3": 50_000}
+        rows = P.mix_plan_fill(docs, "source", "text", targets,
+                               budget_tokens=10_000).collect()
+        by = {r["source"]: r for r in rows}
+        total_take = sum(r["take_tokens"] for r in rows)
+        assert total_take <= 10_000
+        for r in rows:
+            assert 0 <= r["take_tokens"] <= max(r["cap_tokens"], 0)
+            if r["capped"]:
+                assert r["take_tokens"] == r["cap_tokens"]
+        # untargeted sources are explicit drops
+        assert all(by[s]["take_tokens"] == 0 for s in by
+                   if s not in targets)
+
+    def test_guards(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = self._df(spark, {"a": 3})
+        with pytest.raises(ValueError, match="targets is empty"):
+            P.mix_plan_fill(df, "source", "text", {}, 100)
+        with pytest.raises(ValueError, match="negative budget"):
+            P.mix_plan_fill(df, "source", "text", {"a": 1}, -1)
+        with pytest.raises(ValueError, match="> 9e12"):
+            P.mix_plan_fill(df, "source", "text", {"a": 1}, 10**13)
+        with pytest.raises(ValueError, match="sum to"):
+            P.mix_plan_fill(df, "source", "text", {"a": 900_000,
+                                                   "b": 200_000}, 100)
+
+
 class TestRound10EmptyInputs:
     """ANSI-mode empty/edge probes for the r10 operators (the synthetic
     corpus has no empties, so the oracle gate never exercises these)."""
