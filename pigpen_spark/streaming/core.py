@@ -749,6 +749,73 @@ def _parquet_versions(base_path: str) -> list[int]:
     return sorted(out)
 
 
+def take_budget_stream(
+    stream: DataFrame, order_by: Sequence[str], size, budget: int,
+    out_path: str, totals_path: str, checkpoint: str,
+    available_now: bool = False,
+):
+    """Streaming budgeted selection — the live twin of
+    :func:`pigpen_spark.operators.windows.take_budget`: micro-batches
+    arrive, each is cut against the budget REMAINING after everything
+    already accepted, and accepted rows append with their GLOBAL
+    inclusive running token sum (``cum_size``).  Once the running total
+    crosses the budget the gate closes: later batches (and later rows
+    of the crossing batch) are dropped entirely, exactly the batch
+    operator's keep rule (exclusive-cumsum < budget — the crossing row
+    itself is kept) applied across batch boundaries.  When batches
+    arrive in global ``order_by`` chunks, streamed selection == one
+    batch ``take_budget`` over the concatenated corpus row-for-row
+    (pinned); out-of-order arrival degrades to first-come accounting —
+    the honest semantics of gating an infinite stream.
+
+    State is the accepted-token total, stored as versioned 1-row
+    parquet (``v{batch_id}``, the rollup_stream discipline): a replayed
+    batch whose version exists is skipped, selected rows land in
+    ``batch={id}`` directories with overwrite-on-replay, so a crash
+    anywhere replays to the same selection (exactly-once without a
+    transactional sink).  Per batch the cut itself is the scale-safe
+    two-phase cumsum — never a one-partition window over the batch.
+
+    Returns the started StreamingQuery."""
+    import shutil
+
+    from pigpen_spark.operators.windows import take_budget
+
+    if budget < 0:
+        raise ValueError(f"take_budget_stream: negative budget {budget}")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vs = _parquet_versions(totals_path)
+        if batch_id in vs:   # checkpoint replay of an applied batch
+            return
+        prev = 0
+        if vs:
+            prev = spark.read.parquet(f"{totals_path}/v{vs[-1]}") \
+                .collect()[0]["accepted_tokens"]
+        accepted = 0
+        if prev < budget and not batch_df.isEmpty():
+            sel = take_budget(batch_df, order_by, size, budget - prev)
+            sel = sel.withColumn("cum_size",
+                                 (F.col("cum_size") + F.lit(prev)).cast("long"))
+            sel.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+            row = sel.agg(F.coalesce(F.max("cum_size"), F.lit(prev))
+                          .alias("m")).collect()[0]
+            accepted = int(row["m"]) - prev
+        spark.createDataFrame(
+            [(int(prev + accepted), int(batch_id))],
+            "accepted_tokens long, batch_id long",
+        ).write.mode("errorifexists").parquet(f"{totals_path}/v{batch_id}")
+        for v in vs:   # best-effort prune of superseded ledger versions
+            shutil.rmtree(f"{totals_path}/v{v}", ignore_errors=True)
+
+    w = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def rollup_stream(
     stream: DataFrame, keys: Sequence[str], aggs: dict, merges: dict,
     rollup_path: str, checkpoint: str, available_now: bool = False,

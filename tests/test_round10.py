@@ -605,6 +605,79 @@ class TestLiveMixPlanning:
             P.mix_plan_from_have(have, {"a": 700_000, "b": 600_000}, 100)
 
 
+class TestTakeBudgetStream:
+    """Streaming budgeted selection: streamed == batch take_budget on
+    ordered chunks, the gate closes across batches, replay idempotent."""
+
+    def _write_batches(self, src):
+        import json as _json
+        import os
+        # ordered chunks: ids 0..9 | 10..19 | 20..29, sizes 7,11,7,11,...
+        for b in range(3):
+            with open(src / f"b{b}.json", "w") as f:
+                for i in range(b * 10, b * 10 + 10):
+                    f.write(_json.dumps(
+                        {"id": i, "sz": 7 if i % 2 == 0 else 11}) + "\n")
+            os.utime(src / f"b{b}.json",
+                     (1_700_000_000 + b, 1_700_000_000 + b))
+
+    def _run(self, spark, tmp_path, budget, tag=""):
+        from pigpen_spark.streaming import core as stc
+        src = tmp_path / f"in{tag}"
+        if not src.exists():
+            src.mkdir()
+            self._write_batches(src)
+        stream = (spark.readStream.schema("id long, sz long")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = stc.take_budget_stream(
+            stream, ["id"], "sz", budget,
+            str(tmp_path / f"sel{tag}"), str(tmp_path / f"tot{tag}"),
+            str(tmp_path / f"ckpt{tag}"), available_now=True)
+        q.awaitTermination(120)
+        return src
+
+    def test_streamed_equals_batch_and_gate_closes(self, spark, tmp_path):
+        import os
+
+        from pigpen_spark.operators.windows import take_budget
+        # sizes alternate 7/11 -> total 90 per batch; budget 130 crosses
+        # inside batch 1 (needs rows from batch 0 AND 1, none of batch 2)
+        self._run(spark, tmp_path, budget=130)
+        got = {(r["id"], r["cum_size"])
+               for r in spark.read.parquet(str(tmp_path / "sel")).collect()}
+        full = spark.createDataFrame(
+            [(i, 7 if i % 2 == 0 else 11) for i in range(30)],
+            "id long, sz long")
+        exp = {(r["id"], r["cum_size"])
+               for r in take_budget(full, ["id"], "sz", 130).collect()}
+        assert got == exp and len(got) > 10   # crossed into batch 1
+        # gate closed: batch 2 wrote nothing
+        assert not os.path.exists(str(tmp_path / "sel" / "batch=2"))
+        from pigpen_spark.streaming.core import _parquet_versions
+        vs = _parquet_versions(str(tmp_path / "tot"))
+        assert vs == [2]   # every batch versions the ledger; old pruned
+        tot = spark.read.parquet(
+            str(tmp_path / "tot" / f"v{vs[-1]}")).collect()[0]["accepted_tokens"]
+        assert tot == max(c for _, c in exp)
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        self._run(spark, tmp_path, budget=130, tag="r")
+        first = sorted(map(tuple, spark.read.parquet(
+            str(tmp_path / "selr")).collect()))
+        # same checkpoint + same files: a restarted query re-applies nothing
+        self._run(spark, tmp_path, budget=130, tag="r")
+        again = sorted(map(tuple, spark.read.parquet(
+            str(tmp_path / "selr")).collect()))
+        assert first == again
+
+    def test_guard(self, spark, tmp_path):
+        from pigpen_spark.streaming import core as stc
+        stream = (spark.readStream.schema("id long, sz long")
+                  .json(str(tmp_path)))
+        with pytest.raises(ValueError, match="negative budget"):
+            stc.take_budget_stream(stream, ["id"], "sz", -1, "x", "y", "z")
+
+
 class TestPackGreedy:
     """Greedy no-split sample packing: per-chunk fill <= capacity except
     oversize singletons; documents never split; deterministic walk."""
