@@ -52,6 +52,11 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_mix_select",
     "ext_pack_greedy",
     "ext_source_blend",
+    # second r10 pass: FFD no-split packing (list-state CTE oracle),
+    # difficulty-paced curriculum ordering, water-filling mixture plan
+    "ext_pack_ffd",
+    "ext_curriculum",
+    "ext_mix_fill",
     # --- freshness backlog: every remaining query ordered by
     # (last driver-verified round, prior ledger order).  The r9 window
     # re-verified the r9 head + the r3-era leftovers + the first half

@@ -251,6 +251,11 @@ HEADLINE = [
     # source-blended epoch ordering: two scale-safe ranks (per-source
     # partitioned + two-phase global), integer virtual-time arithmetic
     "ext_source_blend",
+    # r10 second pass: FFD no-split packing (one Arrow walk per shard,
+    # open-bin list state) and difficulty-paced curriculum ordering
+    # (two two-phase ranks + partitioned stage/bucket windows)
+    "ext_pack_ffd",
+    "ext_curriculum",
 ]
 
 

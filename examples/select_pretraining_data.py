@@ -145,6 +145,52 @@ def plan_and_mix(spark, sf_dir: str, targets: dict[str, int],
     }
 
 
+def fill_and_order(spark, sf_dir: str, targets: dict[str, int],
+                   token_budget: int = 10_000, n_stages: int = 4) -> dict:
+    """Phase 3 — the r10 second-pass composition: when the epoch cap
+    binds, WATER-FILL the worksheet (pipeline.mix_plan_fill reassigns
+    the capped sources' unfilled budget to the uncapped ones), convert
+    the filled takes into blend weights, and lay the corpus out with
+    blend_by_weight so the loader sees the FILLED mix in every prefix.
+    Alongside, difficulty-pace the same corpus with curriculum_blend
+    (token count as the difficulty signal) — the alternative schedule
+    where quality ramps and the mix holds only in aggregate.  Both
+    orderings are deterministic integer layouts; re-running with a new
+    salt is a fresh epoch."""
+    from pigpen_spark.functions import pipeline as P
+    from pigpen_spark.functions import text as T
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet").df
+    fill = P.mix_plan_fill(docs, "source", "text", targets, token_budget)
+    takes = {r["source"]: int(r["take_tokens"]) for r in fill.collect()
+             if r["take_tokens"] > 0}
+    total = sum(takes.values()) or 1
+    weights = {s: max(1, t * 1_000_000 // total) for s, t in takes.items()}
+    ordered = P.blend_by_weight(docs.select("source", "doc_id"),
+                                "source", "doc_id", weights).cache()
+    n = ordered.count()
+    prefix = {
+        r["source"]: r["cnt"]
+        for r in ordered.filter(F.col("blend_pos") < F.lit(max(n // 10, 1)))
+        .groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    curr = P.curriculum_blend(
+        docs.select("doc_id", T.token_count("text").alias("difficulty")),
+        "doc_id", "difficulty", n_stages=n_stages).cache()
+    stage_mean = {
+        int(r["stage"]): float(r["mean_diff"])
+        for r in curr.groupBy("stage")
+        .agg(F.avg("difficulty").alias("mean_diff")).collect()
+    }
+    return {
+        "filled_takes": takes,
+        "blend_weights": weights,
+        "prefix_10pct_mix": prefix,
+        "curriculum_stage_mean_difficulty": stage_mean,
+        "ordered_docs": n,
+    }
+
+
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     budget = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
@@ -154,3 +200,6 @@ if __name__ == "__main__":
     print(plan_and_mix(spark, sf, {"src0": 500_000, "src1": 300_000,
                                    "src2": 150_000, "src3": 50_000},
                        token_budget=budget))
+    print(fill_and_order(spark, sf, {"src0": 500_000, "src1": 300_000,
+                                     "src2": 150_000, "src3": 50_000},
+                         token_budget=budget))

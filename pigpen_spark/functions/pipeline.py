@@ -779,19 +779,43 @@ def pack_ffd(df: DataFrame, size_col: str, capacity: int,
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([size_col, id_col], ascending=[False, True],
                               kind="mergesort").reset_index(drop=True)
-        loads: list[int] = []
+        n = len(pdf)
+        # leftmost-fit via a max-segment-tree over REMAINING capacities:
+        # the naive open-bin scan is O(rows·bins) per shard — measurably
+        # quadratic by 10× corpus (4.6× time at 10× data) — the tree
+        # keeps exact FFD semantics at O(rows·log bins)
+        size = 1
+        while size < max(n, 1):
+            size *= 2
+        # -1 marks unusable slots (unopened, or oversize bins whose
+        # remaining is negative): a size-0 doc must NOT land in either
+        # (load + 0 <= cap is false for an oversize bin), and s >= 0
+        # never matches -1
+        tree = [-1] * (2 * size)  # max remaining capacity per segment
         chunks = []
+        n_bins = 0
+
+        def update(i: int, val: int) -> None:
+            i += size
+            tree[i] = val
+            i //= 2
+            while i:
+                tree[i] = tree[2 * i] if tree[2 * i] >= tree[2 * i + 1] \
+                    else tree[2 * i + 1]
+                i //= 2
+
         for sz in pdf[size_col]:
             s = int(sz)
-            placed = -1
-            for bi, ld in enumerate(loads):
-                if ld + s <= cap:
-                    placed = bi
-                    loads[bi] += s
-                    break
-            if placed < 0:
-                placed = len(loads)
-                loads.append(s)
+            if n_bins and tree[1] >= s:
+                i = 1            # descend to the LEFTMOST bin with room
+                while i < size:
+                    i = 2 * i if tree[2 * i] >= s else 2 * i + 1
+                placed = i - size
+                update(placed, tree[i] - s)
+            else:
+                placed = n_bins
+                n_bins += 1
+                update(placed, cap - s)  # negative for oversize: stays closed
             chunks.append(placed)
         pdf[chunk_col] = pd.Series(chunks, dtype="int64")
         return pdf
@@ -964,9 +988,13 @@ def curriculum_blend(df: DataFrame, id_col: str, difficulty_col,
 
     h = F.md5(F.concat(_c(id_col).cast("string"), F.lit("|" + salt)))
     wb = Window.partitionBy("bucket").orderBy(h, _c(id_col))
+    # ranks cast to LONG at creation: row_number() is INT, and the ANSI
+    # products below ((q+1)·1e6, rb·(K−b)) overflow INT32 the moment a
+    # cell passes ~2k rows — caught by the 10× scale run, invisible at
+    # oracle SF
     staged = (
         bucketed
-        .withColumn("__rb", F.row_number().over(wb) - F.lit(1))
+        .withColumn("__rb", (F.row_number().over(wb) - F.lit(1)).cast("long"))
         .withColumn("__nb", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
         .withColumn("stage",
                     F.expr(f"bucket + __rb * ({K} - bucket) DIV __nb").cast("long"))
@@ -974,7 +1002,7 @@ def curriculum_blend(df: DataFrame, id_col: str, difficulty_col,
     wsb = Window.partitionBy("stage", "bucket").orderBy(F.col("__rb"))
     timed = (
         staged
-        .withColumn("__q", F.row_number().over(wsb) - F.lit(1))
+        .withColumn("__q", (F.row_number().over(wsb) - F.lit(1)).cast("long"))
         .withColumn("__msb",
                     F.count(F.lit(1)).over(Window.partitionBy("stage", "bucket")))
         .withColumn("vt", F.expr("(__q + 1) * 1000000 DIV __msb").cast("long"))

@@ -158,3 +158,22 @@ def test_plan_and_mix_composition(spark, sf_dir):
         report["chunks"] >= 1
     # every planned source reports a rate; dropped sources rate 0
     assert set(report["plan"]) >= {"src0", "src1", "src2", "src3"}
+
+
+def test_fill_and_order_composition(spark, sf_dir):
+    from select_pretraining_data import fill_and_order
+
+    report = fill_and_order(spark, sf_dir,
+                            {"src0": 500_000, "src1": 300_000,
+                             "src2": 150_000, "src3": 50_000},
+                            token_budget=10_000)
+    # water-fill assigns every targeted source a positive take and
+    # stays within budget
+    assert set(report["filled_takes"]) == {"src0", "src1", "src2", "src3"}
+    assert sum(report["filled_takes"].values()) <= 10_000
+    # the blended prefix contains every weighted source from the start
+    assert set(report["prefix_10pct_mix"]) == set(report["blend_weights"])
+    # curriculum stages ramp difficulty: stage 0 easiest on average
+    means = report["curriculum_stage_mean_difficulty"]
+    assert means[0] == min(means.values())
+    assert means[0] < means[max(means)]

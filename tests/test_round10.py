@@ -778,6 +778,31 @@ class TestPackFfd:
         for k, f in fill.items():
             assert f <= 64 or members[k] == 1
 
+    def test_segtree_walk_equals_naive_scan(self, spark):
+        # the O(log bins) leftmost-fit tree must match the naive
+        # O(bins) scan exactly — including size-0 docs (must not land
+        # in an oversize bin) and oversize docs (own closed bin)
+        import random
+
+        from pigpen_spark.functions import pipeline as P
+        rng = random.Random(11)
+        rows = [("s", i, rng.choice([0, 1, 2, 3, 5, 8, 9, 12, 15]))
+                for i in range(300)]
+        got = {r["id"]: r["chunk_id"]
+               for r in P.pack_ffd(self._df(spark, rows), "sz", 10,
+                                   ["shard"], id_col="id").collect()}
+        loads, exp = [], {}
+        for _, i, s in sorted(rows, key=lambda t: (-t[2], t[1])):
+            placed = next((bi for bi, ld in enumerate(loads)
+                           if ld + s <= 10), None)
+            if placed is None:
+                placed = len(loads)
+                loads.append(s)
+            else:
+                loads[placed] += s
+            exp[i] = placed
+        assert got == exp
+
     def test_guards(self, spark):
         from pigpen_spark.functions import pipeline as P
         df = self._df(spark, [("a", 1, 1)])
