@@ -57,6 +57,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_pack_ffd",
     "ext_curriculum",
     "ext_mix_fill",
+    "ext_ann_pq_refine",
     # --- freshness backlog: every remaining query ordered by
     # (last driver-verified round, prior ledger order).  The r9 window
     # re-verified the r9 head + the r3-era leftovers + the first half

@@ -256,6 +256,9 @@ HEADLINE = [
     # (two two-phase ranks + partitioned stage/bucket windows)
     "ext_pack_ffd",
     "ext_curriculum",
+    # ADC shortlist + exact re-rank (IndexRefineFlat): broadcast
+    # shortlist against the corpus scan, float work O(q*k*refine)
+    "ext_ann_pq_refine",
 ]
 
 

@@ -428,6 +428,24 @@ def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_ann_pq_refine",
+    S.pq_refine_topk_sql("embeddings", "vec_id", "embedding", dim=64,
+                         k=5, refine=4, query_pred="id < 10"),
+)
+def ext_ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed shortlist + exact re-rank (FAISS IndexRefineFlat):
+    ADC pulls a 20-candidate shortlist per query with table lookups
+    only, then JUST those candidates' raw vectors are fetched
+    (shortlist broadcast against the corpus scan — no shuffle) and
+    re-scored with exact cosine for the final top-5 — the
+    quality/latency dial on a compressed index.  Oracle recomputes the
+    shortlist AND the re-rank."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.pq_refine_topk(emb.df, q.df, k=5, refine=4, dim=64)
+
+
+@register(
     "ext_ann_ivf_pq",
     S.ivf_pq_topk_sql("embeddings", "vec_id", "embedding", dim=64,
                       query_pred="id < 10"),

@@ -1625,6 +1625,112 @@ def pq_adc_topk(
     )
 
 
+def pq_refine_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5, refine: int = 4,
+    dim: int | None = None, m: int = 8, n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+    exclude_self: bool = True, max_queries: int = 65536,
+) -> DataFrame:
+    """Compressed shortlist + EXACT re-rank — the FAISS IndexRefineFlat
+    pattern: :func:`pq_adc_topk` pulls a ``k·refine`` candidate
+    shortlist with m table lookups per pair (the corpus is never read
+    as floats), then ONLY the shortlist's raw vectors are fetched and
+    re-scored with exact cosine, and the top-``k`` by exact score is
+    returned.  Recall approaches brute force as ``refine`` grows while
+    the float work stays O(queries·k·refine) instead of O(queries·n) —
+    the standard serving-quality/latency dial on a compressed index.
+
+    Scale shape: the shortlist is bounded (≤ max_queries·k·refine slim
+    rows) and BROADCAST against the corpus scan for the vector fetch —
+    the re-rank never shuffles the corpus; the ADC pass is the only
+    full scan.  Returns (q_id, n_id, score, rank) ranked by exact
+    cosine descending (ties by n_id), the :func:`brute_force_topk`
+    output shape."""
+    if refine < 1:
+        raise ValueError(f"pq_refine_topk: refine must be >= 1, got {refine}")
+    short = pq_adc_topk(
+        corpus, queries, id_col, vec_col, k=k * refine, dim=dim, m=m,
+        n_codes=n_codes, codebook=codebook, exclude_self=exclude_self,
+        max_queries=max_queries,
+    ).select("q_id", "n_id")
+    qv = queries.select(F.col(id_col).alias("q_id"),
+                        to_double(F.col(vec_col)).alias("__qv"))
+    cv = spread(corpus).select(F.col(id_col).alias("n_id"),
+                               to_double(F.col(vec_col)).alias("__nv"))
+    shortq = short.join(F.broadcast(qv), "q_id")   # bounded query side
+    scored = (
+        cv.join(F.broadcast(shortq), "n_id")       # corpus streams, no shuffle
+        .select("q_id", "n_id",
+                F.round(cosine(F.col("__qv"), F.col("__nv")), 6).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pq_refine_topk_sql(table: str, id_col: str, vec_col: str, dim: int,
+                       k: int = 5, refine: int = 4, m: int = 8,
+                       n_codes: int = 16,
+                       query_pred: str = "id < 10") -> str:
+    """DuckDB oracle for :func:`pq_refine_topk` (default codebook):
+    the :func:`pq_adc_topk_sql` shortlist CTE at ``k·refine``, then the
+    exact-cosine re-rank over the shortlist's raw vectors."""
+    d = dim // m
+
+    def dists(vec: str, j: int) -> str:
+        lo = j * d + 1
+        return (
+            f"[list_sum([({vec}[i] - c[i]) * ({vec}[i] - c[i]) "
+            f"for i in range({lo}, {lo + d})]) for c in cbs]"
+        )
+
+    code = ", ".join(
+        f"(list_position({dists('vec', j)}, list_min({dists('vec', j)})) - 1)::INT"
+        for j in range(m)
+    )
+    adist = " + ".join(
+        f"({dists('q.vec', j)})[codes[{j + 1}] + 1]" for j in range(m)
+    )
+    cos = cosine_sql("qb.vec", "nb.vec")
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, [x::DOUBLE for x in {vec_col}] AS vec FROM {table}
+    ),
+    cb AS (
+      SELECT list(vec ORDER BY id) AS cbs FROM (
+        SELECT id, vec FROM base ORDER BY id LIMIT {n_codes}
+      )
+    ),
+    coded AS (SELECT id, [{code}] AS codes FROM base, cb),
+    q AS (SELECT id AS q_id, vec FROM base WHERE {query_pred}),
+    shortlist AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.q_id, coded.id AS n_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round({adist}, 6) ASC, coded.id
+               ) AS arank
+        FROM coded, cb, q WHERE coded.id <> q.q_id
+      ) WHERE arank <= {k * refine}
+    )
+    SELECT q_id, n_id, score, rank FROM (
+      SELECT s.q_id, s.n_id,
+             round({cos}, 6) AS score,
+             row_number() OVER (
+               PARTITION BY s.q_id
+               ORDER BY round({cos}, 6) DESC, s.n_id
+             ) AS rank
+      FROM shortlist s
+      JOIN base qb ON qb.id = s.q_id
+      JOIN base nb ON nb.id = s.n_id
+    ) WHERE rank <= {k}
+    """
+
+
 def pq_adc_topk_expr(
     corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 5, dim: int | None = None,

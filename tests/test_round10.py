@@ -969,6 +969,55 @@ class TestMixPlanFill:
                                                    "b": 200_000}, 100)
 
 
+class TestPqRefineTopk:
+    """ADC shortlist + exact re-rank (IndexRefineFlat): converges to
+    brute force as refine grows, never below plain-ADC recall."""
+
+    def _emb(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_large_refine_equals_brute_force(self, spark):
+        from pigpen_spark.functions import similarity as S
+        emb = self._emb(spark)
+        q = emb.filter("vec_id < 5")
+        n = emb.count()
+        refined = S.pq_refine_topk(emb, q, k=5, refine=(n + 4) // 5, dim=64)
+        brute = S.brute_force_topk(emb, q, k=5)
+        assert sorted(map(tuple, refined.collect())) == \
+               sorted(map(tuple, brute.collect()))
+
+    def test_recall_at_least_plain_adc(self, spark):
+        from pigpen_spark.functions import similarity as S
+        emb = self._emb(spark)
+        q = emb.filter("vec_id < 10")
+        brute = S.brute_force_topk(emb, q, k=5)
+        exact = {(r["q_id"], r["n_id"]) for r in brute.collect()}
+        adc = {(r["q_id"], r["n_id"])
+               for r in S.pq_adc_topk(emb, q, k=5, dim=64).collect()}
+        ref = {(r["q_id"], r["n_id"])
+               for r in S.pq_refine_topk(emb, q, k=5, refine=4,
+                                         dim=64).collect()}
+        # the refined set re-ranks a superset shortlist with the TRUE
+        # metric, so its hit count cannot fall below plain ADC's
+        assert len(ref & exact) >= len(adc & exact)
+
+    def test_rerank_broadcasts_shortlist_no_corpus_shuffle(self, spark):
+        from pigpen_spark.functions import similarity as S
+        emb = self._emb(spark)
+        q = emb.filter("vec_id < 5")
+        plan = S.pq_refine_topk(emb, q, k=5, refine=4, dim=64) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_guard(self, spark):
+        from pigpen_spark.functions import similarity as S
+        emb = self._emb(spark)
+        with pytest.raises(ValueError, match="refine"):
+            S.pq_refine_topk(emb, emb.limit(1), k=5, refine=0, dim=64)
+
+
 class TestRound10EmptyInputs:
     """ANSI-mode empty/edge probes for the r10 operators (the synthetic
     corpus has no empties, so the oracle gate never exercises these)."""
