@@ -58,6 +58,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_curriculum",
     "ext_mix_fill",
     "ext_ann_pq_refine",
+    "ext_ann_pq_index_refine",
+    "ext_mix_temperature",
+    "ext_span_corrupt",
     # --- freshness backlog: every remaining query ordered by
     # (last driver-verified round, prior ledger order).  The r9 window
     # re-verified the r9 head + the r3-era leftovers + the first half

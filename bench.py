@@ -259,6 +259,9 @@ HEADLINE = [
     # ADC shortlist + exact re-rank (IndexRefineFlat): broadcast
     # shortlist against the corpus scan, float work O(q*k*refine)
     "ext_ann_pq_refine",
+    # deterministic T5 span-corruption layout: per-position integer md5
+    # threshold + run-start counting, pure JVM HOFs (zero UDF/shuffle)
+    "ext_span_corrupt",
 ]
 
 

@@ -516,6 +516,23 @@ def ext_ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_ann_pq_index_refine",
+    S.pq_refine_topk_sql("embeddings", "vec_id", "embedding", dim=64,
+                         k=5, refine=4, query_pred="id < 10"),
+)
+def ext_ann_pq_index_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-index serving WITH exact re-rank (IndexRefineFlat on
+    parquet): the ADC shortlist reads only the stored (codes, codebook)
+    artifacts, then just the shortlist's raw vectors are fetched from
+    the original table and re-scored exactly — same result contract as
+    ext_ann_pq_refine, exercised through the index-as-data seam."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    idx, cb_df = S.pq_index(emb.df, dim=64)
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk_against_refined(idx, cb_df, emb.df, q.df, k=5, refine=4)
+
+
+@register(
     "ext_ann_ivf_pq_index",
     S.ivf_pq_topk_sql("embeddings", "vec_id", "embedding", dim=64,
                       query_pred="id < 10"),
@@ -1122,6 +1139,22 @@ def ext_source_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_span_corrupt",
+    P.span_corrupt_stats_sql("documents", "doc_id", "text", rate_pct=15),
+)
+def ext_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption layout (deterministic): each position
+    masks iff its salted (doc, position) hash clears an integer md5
+    threshold (15%), adjacent masks coalesce into sentinel spans, and
+    the row reports the denoising pair's shape (input_len, target_len)
+    — the budgeting/packing numbers a seq2seq pipeline needs before
+    materializing corrupted text.  Pure JVM HOFs, zero UDFs, zero
+    shuffles; integer-exact mask decisions."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.span_corrupt_stats(docs.df, "doc_id", "text", rate_pct=15)
+
+
+@register(
     "ext_curriculum",
     P.curriculum_blend_sql("documents", "doc_id", f"len({_TOKS})",
                            n_stages=4),
@@ -1510,6 +1543,22 @@ def ext_mix_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     return P.mix_plan_fill(docs.df, "source", "text", _MIX_TARGETS,
                            _MIX_BUDGET)
+
+
+@register(
+    "ext_mix_temperature",
+    P.temperature_plan_sql("documents", "source", "text", tau=4),
+)
+def ext_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture targets (the mBERT/XLM-R multilingual
+    sampling trick): source shares ∝ have_tokens^(1/4) — small sources
+    up-weighted vs proportional sampling.  τ restricted to powers of
+    two so the exponent is repeated sqrt (IEEE-exact in both engines —
+    a general pow is last-ulp implementation-defined); normalizer is a
+    sorted-order left fold on both sides.  The worksheet feeds
+    mix_plan/mix_plan_fill/blend_by_weight as the target mixture."""
+    docs = tables(spark, sf_dir)["documents"]
+    return P.temperature_plan(docs.df, "source", "text", tau=4)
 
 
 @register(

@@ -354,6 +354,89 @@ def mix_plan_sql(table: str, source_col: str, text_col: str,
     """
 
 
+def temperature_plan(df: DataFrame, source_col: str, text_col: str,
+                     tau: int = 2) -> DataFrame:
+    """Temperature-scaled mixture targets — the multilingual sampling
+    trick (mBERT / XLM-R): source shares ∝ have_tokens^(1/τ), which
+    up-weights small sources relative to proportional sampling (τ=1 is
+    proportional; τ→∞ is uniform).  The output (source, have_tokens,
+    share_ppm) worksheet feeds :func:`mix_plan` / :func:`mix_plan_fill`
+    / :func:`blend_by_weight` as the target mixture.
+
+    τ is restricted to POWERS OF TWO so have^(1/τ) is repeated
+    ``sqrt`` — an IEEE-exact operation in every engine (a general
+    ``pow`` is implementation-defined in its last ulp and would break
+    the hash-exact oracle).  The normalization Σ is computed in sorted
+    source order (left fold — same association in DuckDB's list_sum and
+    the Python loop) and shares floor to integer ppm; rounding leaves
+    ≤ |sources| ppm unassigned, never silently redistributed.
+
+    One token-count groupBy; the normalization is driver-side over the
+    collected ≤|sources|-row worksheet (bounded-artifact doctrine)."""
+    import math
+
+    from pigpen_spark.functions.text import tokens
+
+    if tau < 1 or (tau & (tau - 1)) != 0:
+        raise ValueError(
+            f"temperature_plan: tau must be a power of two (got {tau}) — "
+            "have^(1/tau) is computed as repeated sqrt for IEEE-exact "
+            "cross-engine arithmetic")
+    spark = df.sparkSession
+    have_rows = (
+        df.select(_c(source_col).alias("source"),
+                  F.size(tokens(F.coalesce(_c(text_col), F.lit(""))))
+                  .cast("long").alias("__n"))
+        .groupBy("source").agg(F.sum("__n").alias("have_tokens"))
+        .collect()  # bounded: one row per source
+    )
+    have = {r["source"]: int(r["have_tokens"]) for r in have_rows}
+    j = tau.bit_length() - 1  # tau = 2^j
+    w = {}
+    for s in sorted(have):
+        x = float(have[s])
+        for _ in range(j):
+            x = math.sqrt(x)
+        w[s] = x
+    tot = 0.0
+    for s in sorted(w):   # left fold in sorted order — matches list_sum
+        tot += w[s]
+    out = [(s, have[s], int(w[s] * 1_000_000 / tot) if tot > 0 else 0)
+           for s in sorted(have)]
+    return spark.createDataFrame(
+        out, "source string, have_tokens long, share_ppm long")
+
+
+def temperature_plan_sql(table: str, source_col: str, text_col: str,
+                         tau: int = 2) -> str:
+    """DuckDB oracle for :func:`temperature_plan`: the same repeated-
+    sqrt weights with the normalizer as a list_sum over sources in
+    sorted order (sequential left fold — bit-matches the Python loop)."""
+    if tau < 1 or (tau & (tau - 1)) != 0:
+        raise ValueError(f"temperature_plan_sql: tau must be a power of two "
+                         f"(got {tau})")
+    toks = (f"list_filter(string_split(lower(coalesce({text_col}, '')), ' '), "
+            "t -> t <> '')")
+    j = tau.bit_length() - 1
+    wexpr = "have_tokens::DOUBLE"
+    for _ in range(j):
+        wexpr = f"sqrt({wexpr})"
+    return f"""
+    WITH have AS (
+      SELECT {source_col} AS source, sum(len({toks}))::BIGINT AS have_tokens
+      FROM {table} GROUP BY {source_col}
+    ),
+    w AS (SELECT source, have_tokens, {wexpr} AS wt FROM have),
+    tot AS (
+      SELECT list_sum(list(wt ORDER BY source)) AS t FROM w
+    )
+    SELECT source, have_tokens,
+           (CASE WHEN tot.t > 0 THEN floor(wt * 1000000 / tot.t)
+                 ELSE 0 END)::BIGINT AS share_ppm
+    FROM w, tot
+    """
+
+
 def mix_plan_fill(df: DataFrame, source_col: str, text_col: str,
                   targets: Mapping[str, int], budget_tokens: int,
                   max_epochs_ppm: int = 2_000_000) -> DataFrame:
@@ -1734,6 +1817,100 @@ def tokenize_pack_sql(table: str, id_col: str, text_col: str,
            list(tid ORDER BY gpos) AS token_ids,
            count(*)::BIGINT AS n_tokens
     FROM placed GROUP BY shard, seq
+    """
+
+
+def span_corrupt_stats(df: DataFrame, id_col: str, text_col: str,
+                       rate_pct: int = 15, salt: str = "spanc") -> DataFrame:
+    """T5-style span-corruption LAYOUT, deterministically: each token
+    position masks iff its salted (doc, position) hash falls under
+    ``rate_pct``, adjacent masked positions coalesce into spans (one
+    sentinel each), and the row reports the denoising pair's shape —
+    ``input_len = n − masked + spans`` (unmasked tokens + one sentinel
+    per span) and ``target_len = masked + spans`` (masked tokens + the
+    matching sentinels).  The numbers every seq2seq/UL2 data pipeline
+    needs for budgeting and packing BEFORE materializing corrupted
+    text; a new ``salt`` is a fresh corruption draw, the same salt
+    replays exactly.
+
+    All per-row JVM HOF expressions (sequence → transform with an
+    integer md5 threshold → zip-with-shifted run starts) — zero UDFs,
+    zero shuffles; the mask decision is integer-exact (first 8 md5 hex
+    digits vs ``rate_pct·2³²DIV 100``), so the DuckDB oracle matches
+    bit-for-bit.  Returns (id, n_tokens, n_masked, n_spans, input_len,
+    target_len)."""
+    from pigpen_spark.functions.text import tokens
+
+    if not (0 <= rate_pct <= 100):
+        raise ValueError(f"span_corrupt_stats: rate_pct must be 0..100, "
+                         f"got {rate_pct}")
+    thr = rate_pct * (1 << 32) // 100
+    did = _c(id_col).cast("string")
+    n = F.size(tokens(F.coalesce(_c(text_col), F.lit(""))))
+
+    def flag(i: Column) -> Column:
+        h = F.md5(F.concat(did, F.lit("#"), i.cast("string"),
+                           F.lit("|" + salt)))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+                < F.lit(thr)).cast("int")
+
+    # sequence(1, n) REVERSES when n < 1 (Spark picks step -1) — guard
+    # empty docs explicitly
+    idxs = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+        .otherwise(F.array().cast("array<int>"))
+    flags = F.transform(idxs, flag)
+    masked = F.aggregate(flags, F.lit(0), lambda a, x: a + x)
+    prev = F.concat(F.array(F.lit(0)),
+                    F.slice(flags, 1, F.greatest(n - 1, F.lit(0))))
+    # n=0: prev is [0] while flags is [] and zip_with null-pads — guard
+    # the whole span count rather than rely on null arithmetic
+    spans = F.coalesce(
+        F.when(n >= 1, F.aggregate(
+            F.zip_with(flags, prev, lambda f, p: f * (1 - p)),
+            F.lit(0), lambda a, x: a + x)),
+        F.lit(0))
+    return df.select(
+        _c(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        masked.cast("long").alias("n_masked"),
+        spans.cast("long").alias("n_spans"),
+        (n - masked + spans).cast("long").alias("input_len"),
+        (masked + spans).cast("long").alias("target_len"),
+    )
+
+
+def span_corrupt_stats_sql(table: str, id_col: str, text_col: str,
+                           rate_pct: int = 15, salt: str = "spanc") -> str:
+    """DuckDB oracle for :func:`span_corrupt_stats` — identical integer
+    md5-threshold flags and run-start counting via range comprehensions."""
+    thr = rate_pct * (1 << 32) // 100
+    toks = (f"list_filter(string_split(lower(coalesce({text_col}, '')), ' '), "
+            "t -> t <> '')")
+    s = sql_str("|" + salt)
+    flag = (f"(CASE WHEN ('0x' || substring(md5({id_col}::VARCHAR || '#' || "
+            f"i::VARCHAR || {s}), 1, 8))::BIGINT < {thr} THEN 1 ELSE 0 END)")
+    return f"""
+    WITH f AS (
+      SELECT {id_col} AS id, len({toks})::BIGINT AS n_tokens,
+             [{flag} for i in range(1, len({toks}) + 1)] AS flags
+      FROM {table}
+    )
+    SELECT id, n_tokens,
+           coalesce(list_sum(flags), 0)::BIGINT AS n_masked,
+           coalesce(list_sum([flags[i] * (1 - CASE WHEN i = 1 THEN 0
+                        ELSE flags[i - 1] END)
+                      for i in range(1, len(flags) + 1)]), 0)::BIGINT AS n_spans,
+           (n_tokens - coalesce(list_sum(flags), 0)
+            + coalesce(list_sum([flags[i] * (1 - CASE WHEN i = 1 THEN 0
+                          ELSE flags[i - 1] END)
+                        for i in range(1, len(flags) + 1)]), 0))::BIGINT
+             AS input_len,
+           (coalesce(list_sum(flags), 0)
+            + coalesce(list_sum([flags[i] * (1 - CASE WHEN i = 1 THEN 0
+                          ELSE flags[i - 1] END)
+                        for i in range(1, len(flags) + 1)]), 0))::BIGINT
+             AS target_len
+    FROM f
     """
 
 

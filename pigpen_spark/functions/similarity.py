@@ -1654,10 +1654,20 @@ def pq_refine_topk(
         n_codes=n_codes, codebook=codebook, exclude_self=exclude_self,
         max_queries=max_queries,
     ).select("q_id", "n_id")
+    return _exact_rerank(short, queries, corpus, id_col, vec_col, k)
+
+
+def _exact_rerank(short: DataFrame, queries: DataFrame, raw: DataFrame,
+                  id_col: str, vec_col: str, k: int) -> DataFrame:
+    """Exact-cosine re-rank of a bounded (q_id, n_id) shortlist against
+    the raw vector table: the shortlist (+ its query vectors) is
+    BROADCAST against the raw scan — the corpus is never shuffled for
+    the re-rank.  Shared by :func:`pq_refine_topk` (inline codes) and
+    :func:`pq_topk_against_refined` (stored index)."""
     qv = queries.select(F.col(id_col).alias("q_id"),
                         to_double(F.col(vec_col)).alias("__qv"))
-    cv = spread(corpus).select(F.col(id_col).alias("n_id"),
-                               to_double(F.col(vec_col)).alias("__nv"))
+    cv = spread(raw).select(F.col(id_col).alias("n_id"),
+                            to_double(F.col(vec_col)).alias("__nv"))
     shortq = short.join(F.broadcast(qv), "q_id")   # bounded query side
     scored = (
         cv.join(F.broadcast(shortq), "n_id")       # corpus streams, no shuffle
@@ -1670,6 +1680,28 @@ def pq_refine_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def pq_topk_against_refined(
+    index: DataFrame, cb_df: DataFrame, raw: DataFrame, queries: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5,
+    refine: int = 4, exclude_self: bool = True, max_queries: int = 65536,
+) -> DataFrame:
+    """:func:`pq_refine_topk` served off a STORED :func:`pq_index`:
+    the ADC shortlist (``k·refine``) reads only the stored codes +
+    codebook (:func:`pq_topk_against` — m off the artifacts), then the
+    re-rank fetches JUST the shortlist's raw vectors from ``raw`` (the
+    original vector table the index was built from).  This is the full
+    FAISS IndexRefineFlat-on-parquet posture: compressed scan for
+    recall, exact float math only on O(queries·k·refine) rows."""
+    if refine < 1:
+        raise ValueError(
+            f"pq_topk_against_refined: refine must be >= 1, got {refine}")
+    short = pq_topk_against(
+        index, cb_df, queries, id_col, vec_col, k=k * refine,
+        exclude_self=exclude_self, max_queries=max_queries,
+    ).select("q_id", "n_id")
+    return _exact_rerank(short, queries, raw, id_col, vec_col, k)
 
 
 def pq_refine_topk_sql(table: str, id_col: str, vec_col: str, dim: int,

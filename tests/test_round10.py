@@ -1018,6 +1018,122 @@ class TestPqRefineTopk:
             S.pq_refine_topk(emb, emb.limit(1), k=5, refine=0, dim=64)
 
 
+class TestTemperaturePlan:
+    """Temperature-scaled mixture targets: τ=1 proportional, higher τ
+    flattens toward uniform, power-of-two restriction enforced."""
+
+    def _df(self, spark):
+        rows = [(s, " ".join(["w"] * n))
+                for s, n in [("a", 100), ("b", 25), ("c", 4)]]
+        return spark.createDataFrame(rows, "source string, text string")
+
+    def test_tau1_is_proportional(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        got = {r["source"]: r["share_ppm"]
+               for r in P.temperature_plan(self._df(spark), "source", "text",
+                                           tau=1).collect()}
+        assert got == {"a": int(100 / 129 * 1e6), "b": int(25 / 129 * 1e6),
+                       "c": int(4 / 129 * 1e6)}
+
+    def test_higher_tau_flattens(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = self._df(spark)
+        shares = {}
+        for tau in (1, 2, 4):
+            shares[tau] = {r["source"]: r["share_ppm"]
+                           for r in P.temperature_plan(df, "source", "text",
+                                                       tau=tau).collect()}
+        # the biggest source loses share, the smallest gains, as τ grows
+        assert shares[1]["a"] > shares[2]["a"] > shares[4]["a"]
+        assert shares[1]["c"] < shares[2]["c"] < shares[4]["c"]
+        for tau in (1, 2, 4):
+            assert sum(shares[tau].values()) <= 1_000_000
+        # τ=2 is exactly sqrt-proportional
+        import math
+        tot = math.sqrt(100) + math.sqrt(25) + math.sqrt(4)
+        assert shares[2]["a"] == int(math.sqrt(100) * 1_000_000 / tot)
+
+    def test_guard(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        with pytest.raises(ValueError, match="power of two"):
+            P.temperature_plan(self._df(spark), "source", "text", tau=3)
+
+
+class TestSpanCorrupt:
+    """Deterministic T5 span-corruption layout: python-model equality,
+    rate extremes, empty docs."""
+
+    @staticmethod
+    def _model(doc_id, n, rate_pct, salt="spanc"):
+        import hashlib
+        thr = rate_pct * (1 << 32) // 100
+        flags = []
+        for i in range(1, n + 1):
+            h = hashlib.md5(f"{doc_id}#{i}|{salt}".encode()).hexdigest()
+            flags.append(1 if int(h[:8], 16) < thr else 0)
+        masked = sum(flags)
+        spans = sum(f * (1 - (flags[i - 1] if i else 0))
+                    for i, f in enumerate(flags))
+        return (n, masked, spans, n - masked + spans, masked + spans)
+
+    def test_matches_python_model(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        rows = [(i, " ".join(f"t{j}" for j in range(5 * i))) for i in range(1, 8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["id"]: (r["n_tokens"], r["n_masked"], r["n_spans"],
+                         r["input_len"], r["target_len"])
+               for r in P.span_corrupt_stats(df, "doc_id", "text",
+                                             rate_pct=30).collect()}
+        assert got == {i: self._model(i, 5 * i, 30) for i in range(1, 8)}
+
+    def test_rate_extremes_and_empty(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "")], "doc_id long, text string")
+        z = {r["id"]: r for r in P.span_corrupt_stats(
+            df, "doc_id", "text", rate_pct=0).collect()}
+        assert (z[1]["n_masked"], z[1]["n_spans"], z[1]["input_len"]) == (0, 0, 5)
+        assert (z[2]["n_tokens"], z[2]["n_masked"], z[2]["n_spans"],
+                z[2]["input_len"], z[2]["target_len"]) == (0, 0, 0, 0, 0)
+        f = {r["id"]: r for r in P.span_corrupt_stats(
+            df, "doc_id", "text", rate_pct=100).collect()}
+        # all masked -> ONE span covering the doc
+        assert (f[1]["n_masked"], f[1]["n_spans"],
+                f[1]["input_len"], f[1]["target_len"]) == (5, 1, 1, 6)
+        with pytest.raises(ValueError, match="rate_pct"):
+            P.span_corrupt_stats(df, "doc_id", "text", rate_pct=101)
+
+    def test_salt_is_a_fresh_draw(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * 40)) for i in range(20)],
+            "doc_id long, text string")
+        a = {r["id"]: r["n_masked"] for r in P.span_corrupt_stats(
+            df, "doc_id", "text", salt="s1").collect()}
+        b = {r["id"]: r["n_masked"] for r in P.span_corrupt_stats(
+            df, "doc_id", "text", salt="s2").collect()}
+        assert a != b                      # different draw
+        again = {r["id"]: r["n_masked"] for r in P.span_corrupt_stats(
+            df, "doc_id", "text", salt="s1").collect()}
+        assert a == again                  # same salt replays exactly
+
+
+class TestPqIndexRefine:
+    """Stored-index refine serving == inline refine row-for-row."""
+
+    def test_against_equals_inline(self, spark):
+        from pigpen_spark.functions import similarity as S
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id < 5")
+        idx, cb_df = S.pq_index(emb, dim=64)
+        served = S.pq_topk_against_refined(idx, cb_df, emb, q, k=5, refine=4)
+        inline = S.pq_refine_topk(emb, q, k=5, refine=4, dim=64)
+        assert sorted(map(tuple, served.collect())) == \
+               sorted(map(tuple, inline.collect()))
+        with pytest.raises(ValueError, match="refine"):
+            S.pq_topk_against_refined(idx, cb_df, emb, q, k=5, refine=0)
+
+
 class TestRound10EmptyInputs:
     """ANSI-mode empty/edge probes for the r10 operators (the synthetic
     corpus has no empties, so the oracle gate never exercises these)."""
