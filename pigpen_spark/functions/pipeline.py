@@ -1833,67 +1833,97 @@ def span_corrupt_stats(df: DataFrame, id_col: str, text_col: str,
     text; a new ``salt`` is a fresh corruption draw, the same salt
     replays exactly.
 
-    All per-row JVM HOF expressions (sequence → transform with an
-    integer md5 threshold → zip-with-shifted run starts) — zero UDFs,
-    zero shuffles; the mask decision is integer-exact (first 8 md5 hex
-    digits vs ``rate_pct·2³²DIV 100``), so the DuckDB oracle matches
-    bit-for-bit.  Returns (id, n_tokens, n_masked, n_spans, input_len,
+    All per-row JVM HOF expressions (sequence → transform → zip-with-
+    shifted run starts) — zero UDFs, zero shuffles.  The draw is ONE
+    md5 per DOCUMENT (the seed) + a 32-bit LCG step per position
+    (``((seed+i) mod 2³²)·1103515245 + 12345 mod 2³²`` vs
+    ``rate_pct·2³² DIV 100`` — operands bounded under 2⁶³, so ANSI-safe
+    and bit-identical in DuckDB): the per-TOKEN md5 this replaces was
+    the whole runtime (5.97× at 10× data; the LCG form is pure integer
+    codegen).  Returns (id, n_tokens, n_masked, n_spans, input_len,
     target_len)."""
     from pigpen_spark.functions.text import tokens
 
     if not (0 <= rate_pct <= 100):
         raise ValueError(f"span_corrupt_stats: rate_pct must be 0..100, "
                          f"got {rate_pct}")
+    from pigpen_spark.functions.text import _let
+
     thr = rate_pct * (1 << 32) // 100
     did = _c(id_col).cast("string")
-    n = F.size(tokens(F.coalesce(_c(text_col), F.lit(""))))
+    seed_expr = F.conv(
+        F.substring(F.md5(F.concat(did, F.lit("|" + salt))), 1, 8), 16, 10
+    ).cast("bigint")
 
-    def flag(i: Column) -> Column:
-        h = F.md5(F.concat(did, F.lit("#"), i.cast("string"),
-                           F.lit("|" + salt)))
-        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-                < F.lit(thr)).cast("int")
+    # EVERYTHING the lambdas touch is let-bound: Catalyst re-evaluates
+    # outer EXPRESSIONS referenced inside a HOF lambda once per element
+    # (the _let docstring), so an unbound seed would re-run the md5 per
+    # TOKEN — measured as the entire runtime of the first form
+    def with_env(env: Column) -> Column:
+        n = env["n"]
+        seed = env["seed"]
+        # sequence(1, n) REVERSES when n < 1 (Spark picks step -1) —
+        # guard empty docs explicitly
+        idxs = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+            .otherwise(F.array().cast("array<int>"))
+        flags = F.transform(
+            idxs,
+            lambda i: ((((seed + i) % F.lit(4294967296))
+                        * F.lit(1103515245) + F.lit(12345))
+                       % F.lit(4294967296) < F.lit(thr)).cast("int"))
 
-    # sequence(1, n) REVERSES when n < 1 (Spark picks step -1) — guard
-    # empty docs explicitly
-    idxs = F.when(n >= 1, F.sequence(F.lit(1), n)) \
-        .otherwise(F.array().cast("array<int>"))
-    flags = F.transform(idxs, flag)
-    masked = F.aggregate(flags, F.lit(0), lambda a, x: a + x)
-    prev = F.concat(F.array(F.lit(0)),
-                    F.slice(flags, 1, F.greatest(n - 1, F.lit(0))))
-    # n=0: prev is [0] while flags is [] and zip_with null-pads — guard
-    # the whole span count rather than rely on null arithmetic
-    spans = F.coalesce(
-        F.when(n >= 1, F.aggregate(
-            F.zip_with(flags, prev, lambda f, p: f * (1 - p)),
-            F.lit(0), lambda a, x: a + x)),
-        F.lit(0))
-    return df.select(
-        _c(id_col).alias("id"),
-        n.cast("long").alias("n_tokens"),
-        masked.cast("long").alias("n_masked"),
-        spans.cast("long").alias("n_spans"),
-        (n - masked + spans).cast("long").alias("input_len"),
-        (masked + spans).cast("long").alias("target_len"),
+        def with_flags(fl: Column) -> Column:
+            masked = F.aggregate(fl, F.lit(0), lambda a, x: a + x)
+            prev = F.concat(F.array(F.lit(0)),
+                            F.slice(fl, 1, F.greatest(n - 1, F.lit(0))))
+            # n=0: prev is [0] while flags is [] and zip_with null-pads —
+            # guard the whole span count rather than rely on null math
+            spans = F.coalesce(
+                F.when(n >= 1, F.aggregate(
+                    F.zip_with(fl, prev, lambda f, p: f * (1 - p)),
+                    F.lit(0), lambda a, x: a + x)),
+                F.lit(0))
+            return F.struct(masked.alias("masked"), spans.alias("spans"))
+
+        return _let(flags, with_flags)
+
+    env = F.struct(
+        F.size(tokens(F.coalesce(_c(text_col), F.lit("")))).alias("n"),
+        seed_expr.alias("seed"))
+    return (
+        df.withColumn("__sc", _let(env, with_env))
+        .withColumn("__n", F.size(tokens(F.coalesce(_c(text_col), F.lit("")))))
+        .select(
+            _c(id_col).alias("id"),
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.col("__sc.masked").cast("long").alias("n_masked"),
+            F.col("__sc.spans").cast("long").alias("n_spans"),
+            (F.col("__n") - F.col("__sc.masked") + F.col("__sc.spans"))
+            .cast("long").alias("input_len"),
+            (F.col("__sc.masked") + F.col("__sc.spans")).cast("long")
+            .alias("target_len"),
+        )
     )
 
 
 def span_corrupt_stats_sql(table: str, id_col: str, text_col: str,
                            rate_pct: int = 15, salt: str = "spanc") -> str:
-    """DuckDB oracle for :func:`span_corrupt_stats` — identical integer
-    md5-threshold flags and run-start counting via range comprehensions."""
+    """DuckDB oracle for :func:`span_corrupt_stats` — identical md5
+    doc seed + per-position LCG flags and run-start counting via range
+    comprehensions."""
     thr = rate_pct * (1 << 32) // 100
     toks = (f"list_filter(string_split(lower(coalesce({text_col}, '')), ' '), "
             "t -> t <> '')")
     s = sql_str("|" + salt)
-    flag = (f"(CASE WHEN ('0x' || substring(md5({id_col}::VARCHAR || '#' || "
-            f"i::VARCHAR || {s}), 1, 8))::BIGINT < {thr} THEN 1 ELSE 0 END)")
+    seed = (f"('0x' || substring(md5({id_col}::VARCHAR || {s}), 1, 8))"
+            "::BIGINT")
+    flag = (f"(CASE WHEN (((seed + i) % 4294967296) * 1103515245 + 12345)"
+            f" % 4294967296 < {thr} THEN 1 ELSE 0 END)")
     return f"""
     WITH f AS (
       SELECT {id_col} AS id, len({toks})::BIGINT AS n_tokens,
              [{flag} for i in range(1, len({toks}) + 1)] AS flags
-      FROM {table}
+      FROM (SELECT *, {seed} AS seed FROM {table})
     )
     SELECT id, n_tokens,
            coalesce(list_sum(flags), 0)::BIGINT AS n_masked,

@@ -1067,10 +1067,11 @@ class TestSpanCorrupt:
     def _model(doc_id, n, rate_pct, salt="spanc"):
         import hashlib
         thr = rate_pct * (1 << 32) // 100
+        seed = int(hashlib.md5(f"{doc_id}|{salt}".encode()).hexdigest()[:8], 16)
         flags = []
         for i in range(1, n + 1):
-            h = hashlib.md5(f"{doc_id}#{i}|{salt}".encode()).hexdigest()
-            flags.append(1 if int(h[:8], 16) < thr else 0)
+            v = (((seed + i) % (1 << 32)) * 1103515245 + 12345) % (1 << 32)
+            flags.append(1 if v < thr else 0)
         masked = sum(flags)
         spans = sum(f * (1 - (flags[i - 1] if i else 0))
                     for i, f in enumerate(flags))
@@ -1102,6 +1103,19 @@ class TestSpanCorrupt:
                 f[1]["input_len"], f[1]["target_len"]) == (5, 1, 1, 6)
         with pytest.raises(ValueError, match="rate_pct"):
             P.span_corrupt_stats(df, "doc_id", "text", rate_pct=101)
+
+    def test_mask_rate_is_statistical(self, spark):
+        # LCG draw quality: the corpus-wide masked fraction tracks the
+        # requested rate (the model-equality test pins exactness; this
+        # pins that the generator is not degenerate)
+        from pigpen_spark.functions import pipeline as P
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * 500)) for i in range(50)],
+            "doc_id long, text string")
+        agg = P.span_corrupt_stats(df, "doc_id", "text", rate_pct=15) \
+            .groupBy().sum("n_masked", "n_tokens").collect()[0]
+        frac = agg[0] / agg[1]
+        assert 0.13 < frac < 0.17
 
     def test_salt_is_a_fresh_draw(self, spark):
         from pigpen_spark.functions import pipeline as P
