@@ -59,6 +59,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_mix_fill",
     "ext_ann_pq_refine",
     "ext_ann_pq_index_refine",
+    "ext_ann_ivf_pq_index_refine",
     "ext_mix_temperature",
     "ext_span_corrupt",
     # --- freshness backlog: every remaining query ordered by

@@ -551,6 +551,23 @@ def ext_ann_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk_against(lists, cb_df, cents_df, q.df, k=5)
 
 
+@register(
+    "ext_ann_ivf_pq_index_refine",
+    S.ivf_pq_refine_topk_sql("embeddings", "vec_id", "embedding", dim=64,
+                             k=5, refine=4, query_pred="id < 10"),
+)
+def ext_ann_ivf_pq_index_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexRefineFlat over the stored IVF-PQ triple: probed cells'
+    codes produce the 20-candidate ADC shortlist (both quantizers off
+    the artifacts), exact cosine re-ranks just those raw vectors — the
+    cell-pruned end of the refine family."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    lists, cb_df, cents_df = S.ivf_pq_index(emb.df, dim=64)
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_pq_topk_against_refined(lists, cb_df, cents_df, emb.df,
+                                         q.df, k=5, refine=4)
+
+
 @register("ext_ann_pq_index_update", _pq_codes_sql("id >= 100"))
 def ext_ann_pq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ index LIFECYCLE: build the stored codes on the corpus MINUS

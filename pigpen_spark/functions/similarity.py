@@ -1763,6 +1763,62 @@ def pq_refine_topk_sql(table: str, id_col: str, vec_col: str, dim: int,
     """
 
 
+def ivf_pq_topk_against_refined(
+    lists: DataFrame, cb_df: DataFrame, cents_df: DataFrame, raw: DataFrame,
+    queries: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, refine: int = 4, n_probe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IndexRefineFlat over the STORED IVF-PQ artifact triple: the
+    probed cells' codes produce the ``k·refine`` ADC shortlist
+    (:func:`ivf_pq_topk_against` — both quantizers off the artifacts,
+    queries cogrouped against their probed cells, never driver-
+    collected), then :func:`_exact_rerank` fetches just the shortlist's
+    raw vectors for the exact top-``k``.  The compressed end of the
+    refine family (:func:`pq_refine_topk` inline /
+    :func:`pq_topk_against_refined` flat-PQ / this, cell-pruned)."""
+    if refine < 1:
+        raise ValueError(
+            f"ivf_pq_topk_against_refined: refine must be >= 1, got {refine}")
+    short = ivf_pq_topk_against(
+        lists, cb_df, cents_df, queries, id_col, vec_col, k=k * refine,
+        n_probe=n_probe, exclude_self=exclude_self,
+    ).select("q_id", "n_id")
+    return _exact_rerank(short, queries, raw, id_col, vec_col, k)
+
+
+def ivf_pq_refine_topk_sql(table: str, id_col: str, vec_col: str, dim: int,
+                           k: int = 5, refine: int = 4,
+                           n_centroids: int = 16, n_probe: int = 2,
+                           m: int = 8, n_codes: int = 16,
+                           query_pred: str = "id < 10") -> str:
+    """DuckDB oracle for :func:`ivf_pq_topk_against_refined`: the full
+    :func:`ivf_pq_topk_sql` shortlist (at ``k·refine``) nested as a CTE,
+    re-ranked by exact cosine over the raw vectors."""
+    inner = ivf_pq_topk_sql(table, id_col, vec_col, dim, k=k * refine,
+                            n_centroids=n_centroids, n_probe=n_probe,
+                            m=m, n_codes=n_codes, query_pred=query_pred)
+    cos = cosine_sql("qb.vec", "nb.vec")
+    return f"""
+    WITH short AS ({inner}),
+    rawv AS (
+      SELECT {id_col} AS id, [x::DOUBLE for x in {vec_col}] AS vec
+      FROM {table}
+    )
+    SELECT q_id, n_id, score, rank FROM (
+      SELECT s.q_id, s.n_id,
+             round({cos}, 6) AS score,
+             row_number() OVER (
+               PARTITION BY s.q_id
+               ORDER BY round({cos}, 6) DESC, s.n_id
+             ) AS rank
+      FROM short s
+      JOIN rawv qb ON qb.id = s.q_id
+      JOIN rawv nb ON nb.id = s.n_id
+    ) WHERE rank <= {k}
+    """
+
+
 def pq_adc_topk_expr(
     corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 5, dim: int | None = None,

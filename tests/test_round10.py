@@ -1147,6 +1147,24 @@ class TestPqIndexRefine:
         with pytest.raises(ValueError, match="refine"):
             S.pq_topk_against_refined(idx, cb_df, emb, q, k=5, refine=0)
 
+    def test_ivf_refine_recall_not_below_plain(self, spark):
+        from pigpen_spark.functions import similarity as S
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id < 10")
+        lists, cb_df, cents_df = S.ivf_pq_index(emb, dim=64)
+        exact = {(r["q_id"], r["n_id"])
+                 for r in S.brute_force_topk(emb, q, k=5).collect()}
+        plain = {(r["q_id"], r["n_id"])
+                 for r in S.ivf_pq_topk_against(lists, cb_df, cents_df, q,
+                                                k=5).collect()}
+        ref = {(r["q_id"], r["n_id"])
+               for r in S.ivf_pq_topk_against_refined(
+                   lists, cb_df, cents_df, emb, q, k=5, refine=4).collect()}
+        assert len(ref & exact) >= len(plain & exact)
+        with pytest.raises(ValueError, match="refine"):
+            S.ivf_pq_topk_against_refined(lists, cb_df, cents_df, emb, q,
+                                          k=5, refine=0)
+
 
 class TestRound10EmptyInputs:
     """ANSI-mode empty/edge probes for the r10 operators (the synthetic
