@@ -123,6 +123,21 @@ def run(spark, sf_dir: str, work: str) -> dict:
     firsts = {(r["q_id"], r["n_id"]) for r in day1.collect()}
     report["delta_self_retrieved"] = sum(1 for q, nid in firsts if q == nid)
     report["index_rows"] = codes.count()
+
+    # refine dial: exact re-rank of the ADC shortlist (IndexRefineFlat)
+    # recovers recall the compressed scan lost — audited against the
+    # post-maintenance corpus (index now includes the delta)
+    codes1 = spark.read.parquet(f"{work}/pq_codes")
+    exact_full = S.brute_force_topk(emb, probes, k=5)
+    plain1 = S.pq_topk_against(codes1, cb_df, probes, k=5).localCheckpoint()
+    refined = S.pq_topk_against_refined(
+        codes1, cb_df, emb, probes, k=5, refine=4).localCheckpoint()
+    report["recall_ppm_day1_plain"] = int(
+        S.ann_recall(plain1, exact_full).filter(F.col("q_id").isNull())
+        .collect()[0]["recall_ppm"])
+    report["recall_ppm_refined"] = int(
+        S.ann_recall(refined, exact_full).filter(F.col("q_id").isNull())
+        .collect()[0]["recall_ppm"])
     return report
 
 

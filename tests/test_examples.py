@@ -141,6 +141,10 @@ def test_ann_serving_lifecycle(spark, sf_dir, tmp_path):
     assert report["stale"] is False
     assert report["planes_stored"] == report["planes_auto"]
     assert report["l1_ppm"] > 0
+    # the refine dial recovers recall the compressed scan lost: same
+    # post-maintenance index, same exact baseline — the exactly
+    # re-ranked shortlist cannot score below the plain ADC readout
+    assert report["recall_ppm_refined"] >= report["recall_ppm_day1_plain"]
 
 
 def test_plan_and_mix_composition(spark, sf_dir):
