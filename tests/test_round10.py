@@ -1166,6 +1166,38 @@ class TestPqIndexRefine:
                                           k=5, refine=0)
 
 
+class TestSecondPassPlans:
+    """Physical-plan pins for the r10 second-pass rows: the scale
+    promises must be visible in the plan, not just argued."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_curriculum_has_no_single_partition_exchange(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = spark.range(200).selectExpr("id", "id % 37 AS difficulty")
+        plan = self._plan(P.curriculum_blend(df, "id", "difficulty",
+                                             n_stages=4))
+        # two-phase ranks + partitioned windows: a one-reducer global
+        # window would show as Exchange SinglePartition
+        assert "Exchange SinglePartition" not in plan
+
+    def test_pack_ffd_is_sharded_arrow_walk(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        df = spark.createDataFrame([("a", 1, 2)], "shard string, id long, sz long")
+        plan = self._plan(P.pack_ffd(df, "sz", 10, ["shard"], id_col="id"))
+        assert "FlatMapGroupsInPandas" in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_span_corrupt_is_pure_projection(self, spark):
+        from pigpen_spark.functions import pipeline as P
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = self._plan(P.span_corrupt_stats(docs, "doc_id", "text"))
+        # zero shuffles, zero Python: one scan + projection
+        assert "Exchange" not in plan
+        assert "Pandas" not in plan and "PythonUDF" not in plan
+
+
 class TestRound10EmptyInputs:
     """ANSI-mode empty/edge probes for the r10 operators (the synthetic
     corpus has no empties, so the oracle gate never exercises these)."""
