@@ -17,6 +17,8 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,12 +26,39 @@ from pyspark.sql import functions as F
 
 from pigpen_spark import fold
 from pigpen_spark.operators.windows import ranked, sessionize, top_n_per_group
-from pigpen_spark.relation import Relation, load_parquet
+from pigpen_spark.relation import Relation
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+#: Per-session memo of resolved parquet readers for the STATIC catalog
+#: tables, keyed by (path, mtime_ns).  ``spark.read.parquet`` re-lists the
+#: path and re-reads footers for schema inference on EVERY call — a
+#: driver-side metadata job costing ~200 ms here (and minutes against
+#: object stores at 100 TB; manifest-keeping table formats exist for
+#: exactly this reason — guide §6).  A DataFrame is an immutable plan, so
+#: reusing the resolved reader is pure metadata caching: every action
+#: still scans the parquet data afresh.  The mtime key invalidates on any
+#: rewrite; streaming/index artifact paths do NOT go through this memo
+#: (they re-read their freshly written files each batch by design).
+_READER_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _cached_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        mt = os.stat(path).st_mtime_ns
+    except OSError:
+        mt = -1
+    per_session = _READER_MEMO.setdefault(spark, {})
+    df = per_session.get((path, mt))
+    if df is None:
+        df = spark.read.parquet(path)
+        per_session[(path, mt)] = df
+    return df
 
 
 class _LazyTables:
@@ -43,7 +72,8 @@ class _LazyTables:
     def __getitem__(self, name: str) -> Relation:
         if name == "events":
             return load_events(self._spark, self._sf_dir)
-        return load_parquet(self._spark, f"{self._sf_dir}/{name}.parquet")
+        return Relation(_cached_parquet(
+            self._spark, f"{self._sf_dir}/{name}.parquet"))
 
 
 def tables(spark: SparkSession, sf_dir: str) -> _LazyTables:
@@ -61,7 +91,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> Relation:
     time."""
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _cached_parquet(spark, f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
         # integer floor-division, not float /: current-era nanos (~1.7e18)
         # exceed a double's 53-bit mantissa (float div shifts ~12% of
