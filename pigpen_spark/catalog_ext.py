@@ -6632,9 +6632,14 @@ def ext_unigram_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     enc = UG.unigram_encode(docs.df, "doc_id", "text", UG.FIXED_PIECES,
                             unk_score=-1500)
+    # persist the encoded pieces: tokenize_pack scans its input three
+    # times (vocab build, doc-length offsets, token explode) — cheap for
+    # plain `tokens()` but here each scan re-runs the Arrow Viterbi
+    # encoder over the whole corpus (guide §5: reuse ⇒ persist; the
+    # opq_index lesson applied to the tokenizer composition)
     pieces_text = enc.select(
         F.col("id").alias("doc_id"),
-        F.array_join("pieces", " ").alias("pieces"))
+        F.array_join("pieces", " ").alias("pieces")).transform(_persisted)
     out = P.tokenize_pack(pieces_text, "doc_id", "pieces",
                           seq_len=32, shards=8)
     # catalog determinism rule #4: arrays stringify for the driver hash

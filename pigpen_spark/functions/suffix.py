@@ -38,9 +38,32 @@ they are AS MATERIALIZED (the CTE-inlining landmine).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+
+@contextmanager
+def _no_aqe(spark: SparkSession):
+    """Run the EAGER suffix-array region (round checkpoints, bounded
+    collects) with adaptive execution off, restoring the session value
+    after.  AQE materializes every Exchange as its own job and re-plans
+    at the driver between them — a sequential barrier per shuffle.  The
+    shuffles here are fixed-width and DERIVED-partitioned (bucket/block
+    expressions), so runtime re-planning has nothing to improve — AQE
+    skew handling does not apply to windows at all — while its barriers
+    dominate the wall time of this latency-bound iterative operator
+    (measured at sf0.1: 46 jobs for one ext_maximal_repeats run, ~60%
+    of them AQE exchange materializations; guide §7.2 AdaptiveSparkPlan
+    / §1.2 configuration-after-algorithm)."""
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 #: serialized + spillable blocks for every checkpoint here: the rank
 #: tables are corpus-sized and ALL retained for the LCP descent, so the
@@ -75,27 +98,32 @@ def pack_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             token_hashes(F.col(text_col)),
             F.array((-F.col(id_col) - F.lit(1)).cast("bigint")),
         ).alias("syms"),
-    ).withColumn("n", F.size("syms").cast("bigint"))
+    ).withColumn("n", F.size("syms").cast("bigint")).transform(_persisted)
+    # DERIVED doc_id buckets instead of a sampled range partition: the
+    # id bounds come from ONE bounded min/max aggregation (satisfied
+    # from parquet footer statistics when the id is a raw column —
+    # aggregatePushdown is on), the bucket is monotone in doc_id by
+    # construction, and the boundary-sampling pass disappears
+    # (guide §2.4).  Per-bucket SIZE offsets (sum of n, not row counts —
+    # the take_budget shape) stay a bounded driver-side vector.
     pid = "__sa_pid"
-    ranged = (toks.repartitionByRange("doc_id")
-              .withColumn(pid, F.spark_partition_id())
-              .transform(_persisted))
-    # per-partition SIZE offsets (sum of n, not row counts — the
-    # take_budget shape): one bounded driver-side vector
-    sums = {r["p"]: r["s"] for r in ranged.groupBy(F.col(pid).alias("p"))
+    bounds = docs.agg(F.min(F.col(id_col)).alias("lo"),
+                      F.max(F.col(id_col)).alias("hi")).collect()[0]
+    lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
+    hi = int(bounds["hi"]) if bounds["hi"] is not None else 0
+    n_buckets = max(8 * docs.sparkSession.sparkContext.defaultParallelism, 64)
+    div = max(1, -(-(hi - lo + 1) // n_buckets))
+    idc = F.col("doc_id").cast("long") - F.lit(lo)
+    bucketed = toks.withColumn(pid, ((idc - idc % F.lit(div)) / F.lit(div))
+                               .cast("long"))
+    sums = {r["p"]: r["s"] for r in bucketed.groupBy(F.col(pid).alias("p"))
             .agg(F.sum("n").alias("s")).collect()}
-    offsets, acc = {}, 0
-    for p in sorted(sums):
-        offsets[p] = acc
-        acc += sums[p]
-    off = (F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col(pid)) if offsets else F.lit(0))
+    off = _offset_expr(sums, pid)
     from pyspark.sql import Window
     w = Window.partitionBy(pid).orderBy("doc_id") \
         .rowsBetween(Window.unboundedPreceding, -1)
     doc_off = (F.coalesce(F.sum("n").over(w), F.lit(0)) + off).alias("off")
-    with_off = ranged.select("doc_id", "syms", doc_off)
+    with_off = bucketed.select("doc_id", "syms", doc_off)
     return with_off.select(
         "doc_id", "off",
         F.posexplode("syms").alias("loc", "sym"),
@@ -105,6 +133,127 @@ def pack_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "doc_id",
         F.col("loc").cast("long").alias("loc"),
     )
+
+
+def _dense_rank_bucketed(df: DataFrame, cols: list[str],
+                         n_prev: int) -> tuple[DataFrame, int]:
+    """Dense rank for construction rounds past the first, whose keys are
+    PREVIOUS-ROUND dense ranks on [0, n_prev) (missing neighbours −1) —
+    the same two-phase in-place rank as :func:`_dense_rank` but with the
+    range partitioning DERIVED instead of sampled: the bucket is a
+    monotone integer function of the (r0, r1) key prefix, so bucket
+    order IS key order and equal keys co-locate by construction.  This
+    removes two of the four sequential job barriers the sampled form
+    pays per round (guide §2.4 — remove shuffles/passes outright):
+
+    - no ``repartitionByRange`` boundary-sampling pass (and therefore no
+      persist of the round input to keep that pass from recomputing the
+      round's pairing);
+    - no separate ``countDistinct`` scan — each bucket's distinct-key
+      count is read off the bucket's max local dense rank, collected
+      from the already-checkpointed table (a bounded B-long vector).
+
+    Bucketing on the (r0, r1) PAIR, not r0 alone, is what keeps the
+    derived partitioning balanced: a hot first symbol (one r0 value —
+    e.g. the corpus's most common token) can own a large share of all
+    suffixes, and r0-only buckets would put every one of its tuples in
+    one window partition (measured at sf0.1: 3 of 512 buckets held 60%
+    of keys).  The pair key = prefix of length 2·width, whose hot mass
+    shrinks geometrically with the round.  B = 16× parallelism distinct
+    buckets hash-spread over the shuffle (guide §2.5's synthetic-key
+    collision warning).  Returns the same contract as
+    :func:`_dense_rank` — (rows + ``rank``, total distinct) — and the
+    returned frame is already checkpoint-backed (lineage truncated;
+    callers must not re-checkpoint)."""
+    # composite key (r0+1)*(n_prev+2) + (r1+1): monotone in the
+    # (r0, r1) lexicographic order, fits a long for any n_prev below
+    # _RANK_JOIN_CUTOFF (8e6² « 2^63); integer bucket arithmetic avoids
+    # float rounding
+    n_buckets = max(16 * df.sparkSession.sparkContext.defaultParallelism, 64)
+    span = (n_prev + 2) * (n_prev + 2)
+    div = max(1, -(-span // n_buckets))
+    c1 = (F.col(cols[1]) if len(cols) > 1 else F.lit(-1)).cast("long")
+    combined = ((F.col(cols[0]).cast("long") + 1) * F.lit(n_prev + 2)
+                + (c1 + 1))
+    return _dense_rank_via(df, cols,
+                           (combined - combined % F.lit(div)) / F.lit(div))
+
+
+def _dense_rank_sym(df: DataFrame) -> tuple[DataFrame, int]:
+    """Bucketed dense rank for the FIRST round, keyed on the raw symbol:
+    token symbols are 32-bit md5 hashes — uniform on [0, 2^32) by
+    construction (dedup.token_hashes, the repo-wide hash contract) — so
+    the bucket is derived by integer division, no sampling pass.  Doc
+    sentinels (−doc_id−1) land in the negative buckets: one row per
+    document, each a distinct key, so they add no meaningful skew."""
+    n_buckets = max(16 * df.sparkSession.sparkContext.defaultParallelism, 64)
+    div = max(1, -(-(1 << 32) // n_buckets))
+    sym = F.col("sym").cast("long")
+    return _dense_rank_via(df, ["sym"],
+                           (sym - sym % F.lit(div)) / F.lit(div))
+
+
+def _offset_expr(counts: dict[int, int], colname: str):
+    """Cumulative-offset lookup expression for a bounded per-bucket
+    count vector: an ARRAY literal indexed by (bucket − lo) — O(1)
+    ``GetArrayItem`` per row.  (The create_map literal form is a LINEAR
+    scan of every entry per row — at 512 buckets that was the dominant
+    per-row cost of reading a rank table.)  Falls back to the map form
+    if the bucket id range is somehow huge/sparse."""
+    if not counts:
+        return F.lit(0)
+    lo_b, hi_b = min(counts), max(counts)
+    if hi_b - lo_b + 1 <= 4096:
+        arr, acc = [], 0
+        for b in range(lo_b, hi_b + 1):
+            arr.append(acc)
+            acc += counts.get(b, 0)
+        return F.element_at(
+            F.array(*[F.lit(x) for x in arr]),
+            (F.col(colname) - F.lit(lo_b)).cast("int") + 1)
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    return F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col(colname))
+
+
+def _dense_rank_via(df: DataFrame, cols: list[str],
+                    bucket) -> tuple[DataFrame, int]:
+    """Shared two-phase machinery for the derived-bucket rank forms:
+    window dense rank within each bucket (one exchange — the bucket
+    expression is monotone in the sort key, so bucket order is key order
+    and equal keys co-locate), checkpoint, then per-bucket distinct
+    counts read off each bucket's max local rank (a bounded B-long
+    collect on the checkpointed table) turn local ranks global via an
+    O(1) array-indexed offset.
+
+    The checkpoint is SLIMMED to (pos, __sab, __salr): an ExistingRDD
+    scan cannot column-prune, so every later read of a rank table pays
+    for every checkpointed column — the key columns are dead weight
+    once the local rank exists.  Returns ((pos, rank), total distinct);
+    the frame is checkpoint-backed (callers must not re-checkpoint)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__sab").orderBy(*[F.col(c) for c in cols])
+    pre = df.select("pos", *[F.col(c) for c in cols],
+                    bucket.cast("long").alias("__sab"))
+    local = pre.select(
+        "pos", "__sab",
+        (F.dense_rank().over(w) - 1).cast("long").alias("__salr"))
+    ck = local.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    counts = {
+        r["b"]: r["c"] + 1
+        for r in ck.groupBy(F.col("__sab").alias("b"))
+        .agg(F.max("__salr").alias("c")).collect()
+    }
+    out = ck.select(
+        "pos",
+        (F.col("__salr") + _offset_expr(counts, "__sab")).cast("long")
+        .alias("rank"))
+    return out, sum(counts.values())
 
 
 def _dense_rank(df: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
@@ -139,17 +288,11 @@ def _dense_rank(df: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
         for r in ranged.groupBy(F.col(pid).alias("p"))
         .agg(F.countDistinct(*cols).alias("c")).collect()
     }
-    offsets, acc = {}, 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    off = (F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col(pid)) if offsets else F.lit(0))
+    off = _offset_expr(counts, pid)
     w = Window.partitionBy(pid).orderBy(*[F.col(c) for c in cols])
     out = ranged.withColumn(
         "rank", (F.dense_rank().over(w) - 1 + off).cast("long")).drop(pid)
-    return out, acc
+    return out, sum(counts.values())
 
 
 #: rank-FORM cutoff (tokens): below it the in-place range-partitioned
@@ -205,7 +348,8 @@ _RADIX_SMALL, _RADIX_CUTOFF = 4, 8_000_000
 
 
 def suffix_ranks(positions: DataFrame,
-                 radix: int | str = "auto") -> list[tuple[int, DataFrame]]:
+                 radix: int | str = "auto",
+                 n: int | None = None) -> list[tuple[int, DataFrame]]:
     """Prefix-doubling rank tables: returns [(width, ranks)] where
     ``ranks`` maps pos → dense rank of the suffix's first ``width``
     symbols; the last table's ranks are UNIQUE (it IS the suffix
@@ -225,37 +369,88 @@ def suffix_ranks(positions: DataFrame,
     # corpus length up front (positions arrives persisted from
     # maximal_repeats): it picks BOTH the radix and the rank form, and
     # replaces the old post-round-0 r.count() job — same total jobs.
-    n = positions.count()
+    # Callers that already know the length pass it to skip the job.
+    if n is None:
+        n = positions.count()
     if radix == "auto":
         radix = _RADIX_SMALL if n <= _RADIX_CUTOFF else 2
-    rank_fn = _dense_rank if n <= _RANK_JOIN_CUTOFF else _dense_rank_join
+    small = n <= _RANK_JOIN_CUTOFF
+    rank_fn = _dense_rank if small else _dense_rank_join
     m0 = _cache.mark()
-    ranked0, n_ranks = rank_fn(positions.select("pos", "sym"), ["sym"])
-    r = ranked0.select("pos", "rank").localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    if small:
+        ranked0, n_ranks = _dense_rank_sym(positions.select("pos", "sym"))
+        r = ranked0.select("pos", "rank")
+    else:
+        ranked0, n_ranks = rank_fn(positions.select("pos", "sym"), ["sym"])
+        r = ranked0.select("pos", "rank").localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     _cache.release_since(m0)
     out = [(1, r)]
     width = 1
+    from pyspark.sql import Window
+
+    par = positions.sparkSession.sparkContext.defaultParallelism
+    # lead-window pairing blocks: pos is GLOBALLY DENSE (0..n−1, every
+    # value present — pack_positions builds it as an exclusive prefix
+    # sum), so the rank at pos+i·width is exactly lead(rank, i·width)
+    # over pos order.  Partition the corpus into ~8·cores contiguous
+    # pos-blocks; rows in the first (radix−1)·width positions of a block
+    # are ALSO emitted to the previous block ("ghosts") so every real
+    # row sees its full lead horizon inside its own partition.  One
+    # exchange replaces the radix−1 offset self-joins (2·(radix−1)
+    # exchanges + sorts) the join form pays per round (guide §2.4).
+    n_blocks = max(8 * par, 1)
+    block = max(-(-n // n_blocks), 1)
     while n_ranks != n:
         if width > radix * n:  # safety: cannot exceed corpus length
             raise RuntimeError("suffix_ranks: doubling failed to converge")
-        paired = r.select("pos", F.col("rank").alias("r0"))
-        cols = ["r0"]
-        for i in range(1, radix):
-            b = r.select((F.col("pos") - F.lit(i * width)).alias("pos"),
-                         F.col("rank").alias(f"r{i}"))
-            paired = (paired.join(b, "pos", "left")
-                      .withColumn(f"r{i}", F.coalesce(f"r{i}", F.lit(-1))))
-            cols.append(f"r{i}")
+        horizon = (radix - 1) * width
+        cols = [f"r{i}" for i in range(radix)]
+        if small and horizon <= block:
+            blk = (F.col("pos") - F.col("pos") % F.lit(block)) / F.lit(block)
+            ghost = ((F.col("pos") % F.lit(block) < F.lit(horizon))
+                     & (F.col("pos") >= F.lit(block)))
+            tagged = r.select(
+                "pos", "rank",
+                F.explode(F.when(ghost, F.array(blk, blk - 1))
+                          .otherwise(F.array(blk))).alias("__sablk"))
+            wlead = Window.partitionBy("__sablk").orderBy("pos")
+            sel = [F.col("pos"), F.col("rank").alias("r0")]
+            for i in range(1, radix):
+                sel.append(F.coalesce(F.lead("rank", i * width).over(wlead),
+                                      F.lit(-1)).alias(f"r{i}"))
+            paired = (tagged.withColumn("__own", blk)
+                      .select(*sel, "__own", "__sablk")
+                      .filter(F.col("__own") == F.col("__sablk"))
+                      .drop("__own", "__sablk"))
+        else:
+            paired = r.select("pos", F.col("rank").alias("r0"))
+            for i in range(1, radix):
+                b = r.select((F.col("pos") - F.lit(i * width)).alias("pos"),
+                             F.col("rank").alias(f"r{i}"))
+                paired = (paired.join(b, "pos", "left")
+                          .withColumn(f"r{i}", F.coalesce(f"r{i}", F.lit(-1))))
         m = _cache.mark()
-        rr, n_ranks = rank_fn(paired, cols)
-        r = rr.select("pos", "rank").localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+        if small:
+            # rounds past the first have a KNOWN-UNIFORM leading key
+            # (r0 = previous round's dense rank, on [0, n_ranks)): the
+            # bucketed rank derives its partitioning instead of
+            # sampling it, and arrives checkpoint-backed — per-round
+            # sequential job barriers drop from 4 (persist, boundary
+            # sample, countDistinct, checkpoint) to 2 (rank+checkpoint,
+            # bounded per-bucket max collect)
+            rr, n_ranks = _dense_rank_bucketed(paired, cols, n_ranks)
+            r = rr.select("pos", "rank")
+        else:
+            rr, n_ranks = rank_fn(paired, cols)
+            r = rr.select("pos", "rank").localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
         _cache.release_since(m)
         width *= radix
         out.append((width, r))
     return out
 
 
-def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]]) -> DataFrame:
+def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]],
+                 n: int | None = None) -> DataFrame:
     """(pos_a, pos_b, lcp) for every ADJACENT suffix-array pair, via the
     sparse-rank descent: for k from the widest half-table down, extend
     the match by ``width`` whenever rank_k agrees at the current
@@ -265,35 +460,70 @@ def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]]) -> DataFrame:
     into one plan so each level costs one lineage-truncating checkpoint
     job.  Exact: the final table's uniqueness bounds every LCP below
     the last width, and after level k the remainder is < next_width, so
-    (next_width/width)−1 tests at width cover every digit value."""
+    (next_width/width)−1 tests at width cover every digit value.
+
+    When the caller supplies the corpus length ``n``, the adjacent-pair
+    step is a ``lead`` window over rank-blocks (final ranks are dense
+    and unique on [0, n), so the SA-adjacent suffix is literally the
+    next row in rank order) — one derived-partition exchange instead of
+    the rank+1 self-join's two (guide §2.4)."""
     final = rank_tables[-1][1]
-    b = final.select(F.col("pos").alias("pos_b"),
-                     F.col("rank").alias("__rb"))
-    adj = (final.join(b, F.col("__rb") == F.col("rank") + F.lit(1))
-           .select(F.col("pos").alias("pos_a"), "pos_b"))
+    if n is not None:
+        from pyspark.sql import Window
+
+        par = final.sparkSession.sparkContext.defaultParallelism
+        block = max(-(-n // max(8 * par, 1)), 1)
+        blk = (F.col("rank") - F.col("rank") % F.lit(block)) / F.lit(block)
+        ghost = ((F.col("rank") % F.lit(block) == 0)
+                 & (F.col("rank") >= F.lit(block)))
+        tagged = final.select(
+            "pos", "rank",
+            F.explode(F.when(ghost, F.array(blk, blk - 1))
+                      .otherwise(F.array(blk))).alias("__lab"))
+        wl = Window.partitionBy("__lab").orderBy("rank")
+        adj = (tagged.withColumn("__nxt", F.lead("pos", 1).over(wl))
+               .withColumn("__own", blk)
+               .filter((F.col("__own") == F.col("__lab"))
+                       & F.col("__nxt").isNotNull())
+               .select(F.col("pos").alias("pos_a"),
+                       F.col("__nxt").alias("pos_b")))
+    else:
+        b = final.select(F.col("pos").alias("pos_b"),
+                         F.col("rank").alias("__rb"))
+        adj = (final.join(b, F.col("__rb") == F.col("rank") + F.lit(1))
+               .select(F.col("pos").alias("pos_a"), "pos_b"))
     d = adj.withColumn("lcp", F.lit(0).cast("long")) \
         .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     widths = [w for w, _ in rank_tables]
     levels = (list(range(len(rank_tables) - 1)) if len(rank_tables) > 1
               else [0])
+    # checkpoint per level: each level's extension joins chain into one
+    # plan, then one lineage-truncating checkpoint.  (A fused 2-levels-
+    # per-checkpoint variant was tried this round and REVERTED: with
+    # 12+ extension joins in one plan the planner launches every
+    # broadcast build concurrently with no exchange reuse — measured
+    # ~19 broadcast jobs per descent vs ~6 — and the builds contend
+    # with each other; the per-level plan keeps the broadcast count at
+    # the level's own 2·n_ext with reuse opportunities.)
     for li in reversed(levels):
         width, rk = rank_tables[li]
         n_ext = (widths[li + 1] // width - 1) if li + 1 < len(widths) else 1
         prev = d
         for i in range(n_ext):
-            ra = rk.select(F.col("pos").alias(f"__pa{i}"),
-                           F.col("rank").alias(f"__ra{i}"))
-            rb = rk.select(F.col("pos").alias(f"__pb{i}"),
-                           F.col("rank").alias(f"__rb{i}"))
-            d = (d.join(ra, F.col(f"__pa{i}") == F.col("pos_a") + F.col("lcp"), "left")
-                 .join(rb, F.col(f"__pb{i}") == F.col("pos_b") + F.col("lcp"), "left")
+            u = f"{li}_{i}"
+            ra = rk.select(F.col("pos").alias(f"__pa{u}"),
+                           F.col("rank").alias(f"__ra{u}"))
+            rb = rk.select(F.col("pos").alias(f"__pb{u}"),
+                           F.col("rank").alias(f"__rb{u}"))
+            d = (d.join(ra, F.col(f"__pa{u}") == F.col("pos_a") + F.col("lcp"), "left")
+                 .join(rb, F.col(f"__pb{u}") == F.col("pos_b") + F.col("lcp"), "left")
                  .select(
                      "pos_a", "pos_b",
                      (F.col("lcp") + F.when(
-                         F.coalesce(f"__ra{i}", F.lit(_MISS_A))
-                         == F.coalesce(f"__rb{i}", F.lit(_MISS_B)),
+                         F.coalesce(f"__ra{u}", F.lit(_MISS_A))
+                         == F.coalesce(f"__rb{u}", F.lit(_MISS_B)),
                          F.lit(width)).otherwise(F.lit(0))).alias("lcp")))
-        d = d.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)  # per-level lineage truncation
+        d = d.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
         prev.unpersist()  # superseded level's blocks die immediately
     return d
 
@@ -308,10 +538,22 @@ def maximal_repeats(docs: DataFrame, id_col: str, text_col: str,
     (doc_a, off_a, doc_b, off_b, rep_len) with the lower corpus
     position first — token offsets into each doc's whitespace
     tokenization."""
-    positions = pack_positions(docs, id_col, text_col) \
-        .transform(_persisted)
-    tables = suffix_ranks(positions)
-    d_final = adjacent_lcp(tables)
+    from pyspark.sql import Window
+
+    # the no-AQE region covers ONLY the construction rounds (windows +
+    # checkpoints over derived partitionings, where AQE's per-exchange
+    # job barriers dominate and its re-planning has nothing to decide).
+    # The LCP descent and the finish joins run WITH AQE: their join
+    # strategy is a genuine runtime decision — rank tables broadcast at
+    # bench scale but must flip to partitioned joins once they outgrow
+    # the threshold at corpus scale (the forced-SMJ form was measured
+    # 7× slower in-suite at sf0.1).
+    with _no_aqe(docs.sparkSession):
+        positions = pack_positions(docs, id_col, text_col) \
+            .transform(_persisted)
+        n = positions.count()
+        tables = suffix_ranks(positions, n=n)
+    d_final = adjacent_lcp(tables, n=n)
     # the descent output is checkpointed, so the rank tables' blocks are
     # dead weight from here — free them NOW (the 100x OOM lesson:
     # ~log(L) corpus-sized cached tables × multiple bench passes
@@ -324,20 +566,34 @@ def maximal_repeats(docs: DataFrame, id_col: str, text_col: str,
         F.greatest("pos_a", "pos_b").alias("p_hi"),
         F.col("lcp").alias("rep_len"),
     )
-    sym = positions.select("pos", "sym")
-    pa = sym.select(F.col("pos").alias("__qa"), F.col("sym").alias("__sa"))
-    pb = sym.select(F.col("pos").alias("__qb"), F.col("sym").alias("__sb"))
-    d = (d.join(pa, F.col("__qa") == F.col("p_lo") - F.lit(1), "left")
-         .join(pb, F.col("__qb") == F.col("p_hi") - F.lit(1), "left")
-         .filter(F.coalesce("__sa", F.lit(_MISS_A))
-                 != F.coalesce("__sb", F.lit(_MISS_B)))
-         .select("p_lo", "p_hi", "rep_len"))
-    loc = positions.select("pos", "doc_id", "loc")
-    la = loc.select(F.col("pos").alias("p_lo"), F.col("doc_id").alias("doc_a"),
-                    F.col("loc").alias("off_a"))
-    lb = loc.select(F.col("pos").alias("p_hi"), F.col("doc_id").alias("doc_b"),
-                    F.col("loc").alias("off_b"))
+    # ONE pos-block lag window attaches each position's PRECEDING symbol
+    # (pos is dense, so lag(sym) over pos order is the left neighbour;
+    # doc starts see the previous doc's sentinel, position 0 sees null —
+    # both "distinct" under the MISS_A/MISS_B coalesce, exactly the
+    # semantics the old per-side pos−1 joins had).  The left-maximality
+    # check and the (doc, loc) locate then share ONE join per side
+    # instead of two (guide §2.4).
+    par = positions.sparkSession.sparkContext.defaultParallelism
+    block = max(-(-n // max(8 * par, 1)), 1)
+    blk = (F.col("pos") - F.col("pos") % F.lit(block)) / F.lit(block)
+    ghost = ((F.col("pos") % F.lit(block) == F.lit(block - 1))
+             & (F.col("pos") < F.lit(n - 1)))
+    tagged = positions.select(
+        "pos", "sym", "doc_id", "loc",
+        F.explode(F.when(ghost, F.array(blk, blk + 1))
+                  .otherwise(F.array(blk))).alias("__lmb"))
+    wl = Window.partitionBy("__lmb").orderBy("pos")
+    aug = (tagged.withColumn("__prev", F.lag("sym", 1).over(wl))
+           .withColumn("__own", blk)
+           .filter(F.col("__own") == F.col("__lmb"))
+           .select("pos", "doc_id", "loc", "__prev"))
+    la = aug.select(F.col("pos").alias("p_lo"), F.col("doc_id").alias("doc_a"),
+                    F.col("loc").alias("off_a"), F.col("__prev").alias("__sa"))
+    lb = aug.select(F.col("pos").alias("p_hi"), F.col("doc_id").alias("doc_b"),
+                    F.col("loc").alias("off_b"), F.col("__prev").alias("__sb"))
     return (d.join(la, on="p_lo").join(lb, on="p_hi")
+            .filter(F.coalesce("__sa", F.lit(_MISS_A))
+                    != F.coalesce("__sb", F.lit(_MISS_B)))
             .select("doc_a", "off_a", "doc_b", "off_b", "rep_len"))
 
 

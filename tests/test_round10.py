@@ -1378,3 +1378,47 @@ class TestBlendByWeight:
             P.blend_by_weight(df, "source", "doc_id", {})
         with pytest.raises(ValueError, match="positive"):
             P.blend_by_weight(df, "source", "doc_id", {"a": 0})
+
+
+class TestSuffixDerivedPartitioning:
+    """Round-10 optimization pins: the suffix array's derived-bucket
+    rank forms (sym buckets for round 0, (r0, r1) composite buckets for
+    later rounds) and the lead-window pairing must produce EXACTLY the
+    repeats the sampled-range + offset-self-join forms produce — the
+    dense ranks are the same total order either way."""
+
+    def test_derived_forms_equal_sampled_join_forms(self, spark, monkeypatch):
+        from pigpen_spark.functions import suffix as X
+        docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .limit(120))
+        fast = X.maximal_repeats(docs, "doc_id", "text", min_len=6).collect()
+        # force the large-corpus path everywhere: sampled range ranks,
+        # distinct+join-back, offset self-joins (no lead pairing)
+        monkeypatch.setattr(X, "_RANK_JOIN_CUTOFF", 0)
+        monkeypatch.setattr(X, "_RADIX_CUTOFF", 0)
+        slow = X.maximal_repeats(docs, "doc_id", "text", min_len=6).collect()
+        assert len(fast) > 0
+        assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+    def test_lead_pairing_exercised_then_falls_back(self, spark):
+        """At 120 sf0.001 docs the early rounds satisfy horizon <= block
+        (lead pairing) and later rounds exceed it (join fallback) — pin
+        that BOTH code paths run in one build by checking the round
+        widths actually produced."""
+        from pigpen_spark.functions import suffix as X
+        docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .limit(120))
+        with X._no_aqe(spark):
+            positions = X.pack_positions(docs, "doc_id", "text")
+            positions = positions.persist()
+            n = positions.count()
+            tables = X.suffix_ranks(positions, n=n)
+        par = spark.sparkContext.defaultParallelism
+        block = max(-(-n // max(8 * par, 1)), 1)
+        horizons = [3 * w for w, _ in tables[:-1]]  # radix 4 small form
+        assert any(h <= block for h in horizons), "lead path never ran"
+        # final table is a permutation: dense unique ranks == positions
+        final = tables[-1][1]
+        got = final.agg(F.countDistinct("rank").alias("c")).collect()[0]["c"]
+        assert got == n
+        positions.unpersist()
