@@ -367,19 +367,26 @@ def main() -> None:
         fh.write(payload + "\n")
     print(payload)
     # The driver's capture keeps only the LAST 2000 chars of stdout.  The
-    # full named map above is ~2.5 KB (93 quoted names alone sum to
-    # ~1.6 KB + 93×5 structural chars > 2000 even with 1-char values), so
-    # NO single-line named encoding of all rows can ever fit the window —
-    # past rounds lost the alphabetical head of the map ("parsed": null,
-    # 77/93 rows recovered in BENCH_r07).  So the FINAL line is a compact
-    # record that fits the window whole: the same per-query seconds as a
-    # positional array `t` over sorted(times) — i.e. index i of `t` is
-    # the i-th name of the canonical map's sorted keys (== sorted
-    # HEADLINE for a full run).  Reconstruction:
-    #     dict(zip(sorted(HEADLINE), t))
-    # with HEADLINE from this committed file; the named map is also
-    # durable in BENCH_LOCAL.json (committed) and in the line above,
-    # whose tail still shows ~55 named rows as a spot cross-check.
+    # full named map above is ~3 KB (110 quoted names alone sum to
+    # ~1.9 KB), so NO single-line full-name encoding of all rows can ever
+    # fit the window — past rounds lost the alphabetical head of the map
+    # ("parsed": null, 77/93 rows recovered in BENCH_r07), and the r10
+    # positional-array fallback left the driver's per-query comparison
+    # empty.  The FINAL line therefore carries the per-query map under
+    # SHORT DETERMINISTIC KEYS: md5(name).hexdigest()[:6] — collision-free
+    # over the committed HEADLINE universe (verified at import below) and
+    # recomputable by anyone holding this file:
+    #     {hashlib.md5(n.encode()).hexdigest()[:6]: n for n in HEADLINE}
+    # Values are rounded to 2 decimals to stay inside the window (the
+    # 3-decimal canonical record is the full-name line above and
+    # BENCH_LOCAL.json).  Measured size: ~1.8 KB for 110 rows.
+    import hashlib
+
+    def _k(name: str) -> str:
+        return hashlib.md5(name.encode()).hexdigest()[:6]
+
+    keyed = {_k(n): round(v, 2) for n, v in sorted(times.items())}
+    assert len(keyed) == len(times), "md5:6 key collision in HEADLINE"
     compact = json.dumps({
         "metric": "headline-suite-sec",
         "value": total,
@@ -387,8 +394,8 @@ def main() -> None:
         "sf": sf,
         "cal": cal,
         "n_queries": len(times),
-        "order": "t[i] pairs with sorted(HEADLINE)[i]; full named map in BENCH_LOCAL.json",
-        "t": [times[k] for k in sorted(times)],
+        "keys": "md5:6",
+        "queries": keyed,
     }, separators=(",", ":"))
     print(compact)
 

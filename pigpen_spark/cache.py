@@ -72,6 +72,59 @@ def mark() -> int:
         return len(_HELD)
 
 
+# ---------------------------------------------------------------------------
+# localCheckpoint block tracking.  DataFrame.unpersist() is a NO-OP for a
+# checkpoint-backed frame: the blocks were persisted on the underlying RDD by
+# Dataset.checkpoint, not registered with the CacheManager, so freeing them
+# needs rdd.unpersist() on the LogicalRDD the checkpointed frame wraps.
+# Iterative operators (suffix array, LCP descent) produce O(log n)
+# corpus-sized checkpoints per call — without deterministic freeing they
+# accumulate until GC/ContextCleaner gets around to them (the 100x OOM
+# lesson, suffix.py).
+# ---------------------------------------------------------------------------
+
+_HELD_CKPT: list[DataFrame] = []
+
+
+def free_ckpt(df: DataFrame) -> bool:
+    """Immediately release the storage blocks behind a frame returned by
+    ``localCheckpoint`` (the frame must BE the checkpoint result — its
+    analyzed plan is the LogicalRDD — not a select over it).  After this
+    the frame's data is gone permanently (local checkpoints are not
+    recomputable); only call on tables provably dead."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
+def hold_ckpt(df: DataFrame) -> DataFrame:
+    """Register a checkpoint-backed frame for a later scoped
+    :func:`release_ckpt_since` — the checkpoint twin of :func:`hold`."""
+    with _LOCK:
+        _HELD_CKPT.append(df)
+    return df
+
+
+def mark_ckpt() -> int:
+    with _LOCK:
+        return len(_HELD_CKPT)
+
+
+def release_ckpt_since(marker: int) -> int:
+    """Free the storage blocks of every checkpoint registered after
+    ``marker``.  The freed frames must not be referenced by any plan that
+    still runs — local checkpoints cannot be recomputed."""
+    with _LOCK:
+        held, _HELD_CKPT[marker:] = _HELD_CKPT[marker:], []
+    n = 0
+    for df in held:
+        if free_ckpt(df):
+            n += 1
+    return n
+
+
 def release_since(marker: int) -> int:
     """Unpersist exactly the engine holdings registered after ``marker``
     (scoped release for iterative operators: each prefix-doubling /

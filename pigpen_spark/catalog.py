@@ -48,11 +48,31 @@ _READER_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def _parquet_mtime_ns(path: str) -> int:
+    """Invalidation key for a parquet path: for a directory of part
+    files, the directory's own mtime only changes when entries are
+    added/removed — an in-place part-file rewrite would be invisible —
+    so take the max over the directory's entries as well.  Raises
+    OSError for a missing path (the caller must NOT memoize a miss:
+    a path that appears later has to be re-resolved)."""
+    st = os.stat(path)
+    mt = st.st_mtime_ns
+    if os.path.isdir(path):
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    mt = max(mt, e.stat().st_mtime_ns)
+                except OSError:
+                    continue
+    return mt
+
+
 def _cached_parquet(spark: SparkSession, path: str) -> DataFrame:
     try:
-        mt = os.stat(path).st_mtime_ns
+        mt = _parquet_mtime_ns(path)
     except OSError:
-        mt = -1
+        # do not cache the miss: let the read fail (or succeed) afresh
+        return spark.read.parquet(path)
     per_session = _READER_MEMO.setdefault(spark, {})
     df = per_session.get((path, mt))
     if df is None:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pigpen_spark import cache as _cache
 from pigpen_spark.cache import persisted as _persisted
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1092,6 +1093,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if checkpoint_every < 1:
         raise ValueError(
             f"pagerank: checkpoint_every must be >= 1, got {checkpoint_every}")
+    m = _cache.mark()
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -1099,14 +1101,25 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         .transform(_persisted)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # nodes and the per-edge fan-out table are CHECKPOINTED, not
+    # persisted: both re-enter every iteration's plan, and with a
+    # persist alone the ANALYZED plan still inlines the whole upstream
+    # edge construction per iteration — for the declared queries (edges
+    # from a distinct'd fact-fact join / an LSH candidate generator)
+    # that compounded to a 2k-line final plan whose analysis/AQE
+    # re-planning dominated driver time (guide §5 localCheckpoint to
+    # truncate lineage; §7.3 planning cost).  Eager materialization here
+    # is not extra work: the first iteration's action materialized these
+    # tables anyway.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .transform(_persisted)
+        .localCheckpoint(eager=True)
     )
     # slim per-edge fan-out table, partitioned by src like e
-    ed = e.join(deg, on="src").transform(_persisted)
+    ed = e.join(deg, on="src").localCheckpoint(eager=True)
+    _cache.release_since(m)   # e's persist served its two readers above
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: edge list is empty (no nodes)")
@@ -1211,6 +1224,12 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     auth = None
 
     def _norm(raw: DataFrame, col: str) -> DataFrame:
+        # ``raw`` re-enters this plan TWICE (the grand total and the
+        # join), and the next level references the normalized score
+        # again — left lazy, the plan size doubled per half-iteration
+        # (measured 4.4k plan lines at 2 iterations) and the raw subtree
+        # executed twice per level.  The caller checkpoints each raw
+        # (an O(V) slim table) so both references read one ExistingRDD.
         tot = raw.agg(F.sum("raw").alias("t"))
         return (
             nodes.join(raw, on="node", how="left")
@@ -1224,16 +1243,15 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         a_raw = (
             e.join(hubs, e["src"] == hubs["node"])
             .groupBy(e["dst"].alias("node")).agg(F.sum("h").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         auth = _norm(a_raw, "a")
         h_raw = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy(e["src"].alias("node")).agg(F.sum("a").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         hubs = _norm(h_raw, "h")
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            hubs = hubs.localCheckpoint(eager=True)
-            auth = auth.localCheckpoint(eager=True)
     return (
         hubs.join(auth, on="node")
         .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
@@ -1435,12 +1453,18 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     if iterations < 1:
         raise ValueError(
             f"label_propagation: iterations must be >= 1, got {iterations}")
+    # eager checkpoint, not persist: the edge list re-enters every
+    # round's plan twice (votes join + argmax), and the declared query
+    # feeds an LSH candidate generator whose plan is large — persisted,
+    # the ANALYZED plan still inlined that base per round (1.7k plan
+    # lines at 2 rounds).  The ExistingRDD truncates it once; the first
+    # round's action would have materialized the cache anyway.
     e = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b), F.col(id_a)))
         .distinct()
         .repartition("src")
-        .transform(_persisted)
+        .localCheckpoint(eager=True)
     )
     labels = e.select(F.col("src").alias("node")).distinct() \
         .select("node", F.col("node").alias("community"))
@@ -1628,24 +1652,37 @@ def kcore(pairs: DataFrame, k: int, id_a: str = "id_a", id_b: str = "id_b",
         raise ValueError(f"kcore: k must be >= 1, got {k}")
     if rounds < 1:
         raise ValueError(f"kcore: rounds must be >= 1, got {rounds}")
+    # Per-round EAGER CHECKPOINTS instead of persist + sparse
+    # checkpoint_every: each round references the surviving edge list
+    # THREE times (degree agg + two semi-joins), so a lazily-persisted
+    # loop tripled the analyzed plan per round over the (large) LSH
+    # candidate-generator base — 14.6k plan lines at 8 rounds, with
+    # analysis + AQE re-planning re-paid at every convergence count
+    # (guide §5 lineage truncation; §7.3 planning cost).  The eager
+    # checkpoint is not extra execution: the convergence count
+    # materialized each round anyway; counting the checkpointed RDD is
+    # free by comparison.  Superseded rounds' blocks are freed
+    # immediately (unpersist() would be a no-op on checkpoint frames).
     e = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b), F.col(id_a)))
         .distinct()
         .repartition("src")
-        .transform(_persisted)
+        .localCheckpoint(eager=True)
     )
     prev_edges: int | None = None
     for i in range(rounds):
         deg = e.groupBy(F.col("src").alias("node")) \
             .agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("node")
+        prev = e
         e = (
             e.join(keep.withColumnRenamed("node", "src"), on="src",
                    how="left_semi")
             .join(keep.withColumnRenamed("node", "dst"), on="dst",
                   how="left_semi")
-        ).transform(_persisted)
+        ).localCheckpoint(eager=True)
+        _cache.free_ckpt(prev)
         # convergence probe: peeling is idempotent once no edge drops,
         # so breaking early returns EXACTLY the fixed-round result the
         # oracle computes — a pure plan optimization, not a semantics
@@ -1654,8 +1691,6 @@ def kcore(pairs: DataFrame, k: int, id_a: str = "id_a", id_b: str = "id_b",
         if n_edges == prev_edges:
             break
         prev_edges = n_edges
-        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
-            e = e.localCheckpoint(eager=True)
     return (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))

@@ -614,8 +614,16 @@ def ivf_topk_kmeans(
                 "count-derived sizing), or allow_full_fit=True to force "
                 "the demonstration instrument")
     train = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
-    feats = train.select(array_to_vector(F.col("vec")).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    # persist the training features for the fit: KMeans runs kmeans||
+    # init + max_iter Lloyd passes, EACH rescanning its input — uncached,
+    # every pass re-runs the sample + array_to_vector + the base's
+    # Python-norm chain (mllib itself warns "input not directly cached").
+    # Scoped: the fit is synchronous, so the cache dies right after.
+    feats = train.select(array_to_vector(F.col("vec")).alias("features")).persist()
+    try:
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    finally:
+        feats.unpersist()
     spark = corpus.sparkSession
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
@@ -639,8 +647,13 @@ def train_coarse_centroids(
 
     base = spread(corpus).select(to_double(F.col(vec_col)).alias("vec"))
     train = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
-    feats = train.select(array_to_vector(F.col("vec")).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    # cached for the fit: kmeans|| init + max_iter Lloyd passes each
+    # rescan the input (see ivf_topk_kmeans)
+    feats = train.select(array_to_vector(F.col("vec")).alias("features")).persist()
+    try:
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    finally:
+        feats.unpersist()
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
@@ -924,7 +937,17 @@ def embedding_near_dup_pairs(
         lsh_bucket(F.col("vec"), n_planes, dim, plane_offset=t * stride)
         for t in range(n_tables)
     ])
-    tagged = base.select("id", F.posexplode(buckets).alias("tbl", "bucket"))
+    # persist the slim (id, tbl, bucket) index: BOTH sides of the
+    # candidate self-join read it, and without the barrier the Arrow
+    # _bucket hashing pass (an ArrowEvalPython crossing of every vector)
+    # executes once PER SIDE — the r10 `_before` plan showed two
+    # identical ArrowEvalPython bucket nodes (guide §2.4 shared work,
+    # §4 minimize Python-boundary crossings).  Deterministic expressions
+    # only, so the cache substitutes on the dedup-rewritten join side
+    # (unlike the suffix rank's nondeterministic partition-id tag).
+    tagged = base.select(
+        "id", F.posexplode(buckets).alias("tbl", "bucket")
+    ).transform(_persisted)
     if multi_probe:
         a = tagged.select(
             "id", "tbl",

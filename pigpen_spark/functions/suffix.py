@@ -45,6 +45,18 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+#: re-entrancy guard for _no_aqe: only the OUTERMOST region saves and
+#: restores the session value, so nested/overlapping regions on one
+#: thread can never write back the inner region's "false".  The setting
+#: is still session-global — concurrent queries on OTHER driver threads
+#: of the same session would run without AQE for the duration; the
+#: engine's single-threaded bench/oracle contract makes that a
+#: documented non-event, and callers that multi-thread the driver should
+#: give maximal_repeats its own ``spark.newSession()``.
+_NO_AQE_LOCK = __import__("threading").RLock()
+_NO_AQE_STATE: dict = {"depth": 0, "old": None}
+
+
 @contextmanager
 def _no_aqe(spark: SparkSession):
     """Run the EAGER suffix-array region (round checkpoints, bounded
@@ -58,12 +70,20 @@ def _no_aqe(spark: SparkSession):
     (measured at sf0.1: 46 jobs for one ext_maximal_repeats run, ~60%
     of them AQE exchange materializations; guide §7.2 AdaptiveSparkPlan
     / §1.2 configuration-after-algorithm)."""
-    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    with _NO_AQE_LOCK:
+        if _NO_AQE_STATE["depth"] == 0:
+            _NO_AQE_STATE["old"] = spark.conf.get(
+                "spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _NO_AQE_STATE["depth"] += 1
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old)
+        with _NO_AQE_LOCK:
+            _NO_AQE_STATE["depth"] -= 1
+            if _NO_AQE_STATE["depth"] == 0:
+                spark.conf.set("spark.sql.adaptive.enabled",
+                               _NO_AQE_STATE["old"])
 
 #: serialized + spillable blocks for every checkpoint here: the rank
 #: tables are corpus-sized and ALL retained for the LCP descent, so the
@@ -108,14 +128,32 @@ def pack_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # the take_budget shape) stay a bounded driver-side vector.
     pid = "__sa_pid"
     bounds = docs.agg(F.min(F.col(id_col)).alias("lo"),
-                      F.max(F.col(id_col)).alias("hi")).collect()[0]
+                      F.max(F.col(id_col)).alias("hi"),
+                      F.count(F.lit(1)).alias("n")).collect()[0]
     lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
     hi = int(bounds["hi"]) if bounds["hi"] is not None else 0
+    n_docs = int(bounds["n"])
     n_buckets = max(8 * docs.sparkSession.sparkContext.defaultParallelism, 64)
-    div = max(1, -(-(hi - lo + 1) // n_buckets))
-    idc = F.col("doc_id").cast("long") - F.lit(lo)
-    bucketed = toks.withColumn(pid, ((idc - idc % F.lit(div)) / F.lit(div))
-                               .cast("long"))
+    span = hi - lo + 1
+    if span > (1 << 53) or span > max(1, n_docs) * 4096:
+        # sparse/clustered ids: value-range buckets would land nearly all
+        # docs in a handful of buckets (single-partition windows), and
+        # past 2^53 the double division below can round and break bucket
+        # monotonicity.  Fall back to a SAMPLED range partition — the pid
+        # is frozen with an eager checkpoint so the offsets pass and the
+        # window pass provably read the same tagging (the _dense_rank
+        # self-join lesson).  NOT registered for scoped release: the
+        # caller's returned plan still reads positions, which derives
+        # from this frame — it lives as long as the session's caches.
+        bucketed = (
+            toks.repartitionByRange(n_buckets, F.col("doc_id"))
+            .withColumn(pid, F.spark_partition_id())
+            .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL))
+    else:
+        idc = F.col("doc_id").cast("long") - F.lit(lo)
+        div = max(1, -(-span // n_buckets))
+        bucketed = toks.withColumn(
+            pid, ((idc - idc % F.lit(div)) / F.lit(div)).cast("long"))
     sums = {r["p"]: r["s"] for r in bucketed.groupBy(F.col(pid).alias("p"))
             .agg(F.sum("n").alias("s")).collect()}
     off = _offset_expr(sums, pid)
@@ -215,9 +253,14 @@ def _offset_expr(counts: dict[int, int], colname: str):
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
+    # cast keys uniformly: a mix of int-sized and long-sized Python
+    # literals would otherwise give the map mixed key types and an
+    # AnalysisException at plan time (negative sentinel buckets next to
+    # ordinary ones can straddle the int boundary)
     return F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col(colname))
+        F.create_map(*[c for k, v in offsets.items()
+                       for c in (F.lit(k).cast("long"), F.lit(v))]),
+        F.col(colname).cast("long"))
 
 
 def _dense_rank_via(df: DataFrame, cols: list[str],
@@ -243,7 +286,8 @@ def _dense_rank_via(df: DataFrame, cols: list[str],
     local = pre.select(
         "pos", "__sab",
         (F.dense_rank().over(w) - 1).cast("long").alias("__salr"))
-    ck = local.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    ck = _cache.hold_ckpt(
+        local.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL))
     counts = {
         r["b"]: r["c"] + 1
         for r in ck.groupBy(F.col("__sab").alias("b"))
@@ -280,9 +324,21 @@ def _dense_rank(df: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
     # pass would otherwise recompute the whole upstream join chain once
     # more per round (the rows are slim — a few longs each)
     df = df.transform(_persisted)
-    ranged = (df.repartitionByRange(*[F.col(c) for c in cols])
-              .withColumn(pid, F.spark_partition_id())
-              .transform(_persisted))
+    # the tagged frame is CHECKPOINTED, not persisted: spark_partition_id
+    # must evaluate identically in the offsets pass and every later
+    # consumer, and a persist alone cannot guarantee that — when the
+    # output is consumed through a self-join (the _dense_rank_join
+    # join-back), the analyzer's relation deduplication re-assigns the
+    # subtree's expression ids and the cache lookup MISSES, so the range
+    # exchange re-samples its boundaries with the offsets already frozen
+    # from the first sampling (observed: nondeterministically collapsed
+    # ranks, the r10 red invariance pin).  An eager localCheckpoint
+    # freezes (rows, pid) into an ExistingRDD that every rewrite of the
+    # plan still reads verbatim.
+    ranged = _cache.hold_ckpt(
+        df.repartitionByRange(*[F.col(c) for c in cols])
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL))
     counts = {
         r["p"]: r["c"]
         for r in ranged.groupBy(F.col(pid).alias("p"))
@@ -381,8 +437,14 @@ def suffix_ranks(positions: DataFrame,
         ranked0, n_ranks = _dense_rank_sym(positions.select("pos", "sym"))
         r = ranked0.select("pos", "rank")
     else:
+        mk0 = _cache.mark_ckpt()
         ranked0, n_ranks = rank_fn(positions.select("pos", "sym"), ["sym"])
         r = ranked0.select("pos", "rank").localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+        # the rank-internal tagged checkpoint (_dense_rank's ranged) is
+        # dead once the round table is materialized — free it now, THEN
+        # register the round table for the descent-lifetime release
+        _cache.release_ckpt_since(mk0)
+        _cache.hold_ckpt(r)
     _cache.release_since(m0)
     out = [(1, r)]
     width = 1
@@ -441,8 +503,11 @@ def suffix_ranks(positions: DataFrame,
             rr, n_ranks = _dense_rank_bucketed(paired, cols, n_ranks)
             r = rr.select("pos", "rank")
         else:
+            mk = _cache.mark_ckpt()
             rr, n_ranks = rank_fn(paired, cols)
             r = rr.select("pos", "rank").localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+            _cache.release_ckpt_since(mk)  # rank-internal tagged ckpt
+            _cache.hold_ckpt(r)
         _cache.release_since(m)
         width *= radix
         out.append((width, r))
@@ -524,7 +589,10 @@ def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]],
                          == F.coalesce(f"__rb{u}", F.lit(_MISS_B)),
                          F.lit(width)).otherwise(F.lit(0))).alias("lcp")))
         d = d.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
-        prev.unpersist()  # superseded level's blocks die immediately
+        # superseded level's blocks die immediately — the frame is
+        # checkpoint-backed, so unpersist() would be a no-op; free the
+        # underlying RDD blocks directly
+        _cache.free_ckpt(prev)
     return d
 
 
@@ -548,6 +616,7 @@ def maximal_repeats(docs: DataFrame, id_col: str, text_col: str,
     # bench scale but must flip to partitioned joins once they outgrow
     # the threshold at corpus scale (the forced-SMJ form was measured
     # 7× slower in-suite at sf0.1).
+    mck = _cache.mark_ckpt()
     with _no_aqe(docs.sparkSession):
         positions = pack_positions(docs, id_col, text_col) \
             .transform(_persisted)
@@ -557,9 +626,10 @@ def maximal_repeats(docs: DataFrame, id_col: str, text_col: str,
     # the descent output is checkpointed, so the rank tables' blocks are
     # dead weight from here — free them NOW (the 100x OOM lesson:
     # ~log(L) corpus-sized cached tables × multiple bench passes
-    # otherwise accumulate until the heap gives out)
-    for _w, rk in tables:
-        rk.unpersist()
+    # otherwise accumulate until the heap gives out).  unpersist() on a
+    # checkpoint-backed frame is a no-op, so the release goes through
+    # the checkpoint registry, which unpersists the underlying RDDs.
+    _cache.release_ckpt_since(mck)
     d = d_final.filter(F.col("lcp") >= F.lit(min_len))
     d = d.select(
         F.least("pos_a", "pos_b").alias("p_lo"),

@@ -279,11 +279,13 @@ def test_winnow_hub_cut_precedes_self_join(plans):
 
 
 def test_pagerank_edges_partitioned_once(plans):
-    # rank iterations re-join edges on src; the edge side is persisted
-    # hash-partitioned, so per-iteration exchanges are on the slim rank
-    # table (InMemoryTableScan present, and no CartesianProduct ever)
+    # rank iterations re-join edges on src; the edge side is MATERIALIZED
+    # once — since r11 as an eager localCheckpoint (ExistingRDD), which
+    # both stops per-iteration recompute and truncates the 2k-line
+    # analyzed plan the persisted form still inlined per iteration — and
+    # no CartesianProduct ever
     p = plans("ext_pagerank")
-    assert "InMemoryTableScan" in p
+    assert "ExistingRDD" in p or "InMemoryTableScan" in p
     assert "CartesianProduct" not in p
 
 
@@ -326,11 +328,33 @@ def test_audio_profile_auto_single_python_crossing(plans):
 
 def test_kcore_rounds_are_semi_joins(plans):
     # every peel filters the edge list with LeftSemi joins keyed on the
-    # node id — no inner-join pair blowups, no cartesian
-    p = plans("ext_kcore")
-    assert "LeftSemi" in p
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    # node id — no inner-join pair blowups, no cartesian.  Since r11 each
+    # round is frozen by an eager localCheckpoint (the final plan reads
+    # ExistingRDD; the 8-round lazy form compounded to a 14.6k-line
+    # plan), so the semi-join shape is pinned on the PRE-checkpoint
+    # plans, captured through a localCheckpoint spy.
+    # patch the CLASSIC class: pyspark 4 instances override the base
+    # pyspark.sql.DataFrame's localCheckpoint
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    captured: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **kw):
+        captured.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, *a, **kw)
+
+    DataFrame.localCheckpoint = spy
+    try:
+        p = plans("ext_kcore")
+    finally:
+        DataFrame.localCheckpoint = orig
+    rounds = [c for c in captured if "LeftSemi" in c]
+    assert rounds, "no peel round built LeftSemi joins"
+    allp = p + "".join(captured)
+    assert "ExistingRDD" in p
+    assert "CartesianProduct" not in allp
+    assert "BroadcastNestedLoopJoin" not in allp
 
 
 def test_margin_mine_auto_is_bucket_equi_join(plans):

@@ -51,13 +51,18 @@ def test_ann_ivf_pq_is_cogrouped_adc(plans):
 def test_maximal_repeats_rank_has_no_join_back(spark, sf_dir):
     # the in-place dense rank: one range exchange feeding a partitioned
     # window — the round-8 form's rank-attach JOIN is gone (each round's
-    # plan had a distinct + join-back; now rank rides the ranged rows)
+    # plan had a distinct + join-back; now rank rides the ranged rows).
+    # Since r11 the range-partitioned tagged frame is FROZEN by an eager
+    # localCheckpoint (the offsets pass and every consumer must read the
+    # same spark_partition_id tagging — the r10 self-join lesson), so the
+    # executed plan of the returned frame reads an ExistingRDD; the range
+    # exchange ran inside the checkpoint materialization.
     from pigpen_spark.functions import suffix as X
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
     pos = X.pack_positions(docs, "doc_id", "text")
     ranked, n = X._dense_rank(pos.select("pos", "sym"), ["sym"])
     p = ranked._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in p.lower()
+    assert "ExistingRDD" in p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert n > 0
