@@ -1353,12 +1353,24 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, content_col: str,
     fp = (
         hs.select("id", F.explode(winnow_fingerprints(F.col("hs"), w)).alias("fp"))
         .distinct()
-        .transform(_persisted)
     )
     if max_df is not None:
-        keep = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")) \
-                 .filter(F.col("__df") <= max_df).select("fp")
-        fp = fp.join(keep, on="fp")
+        # df cut as a COUNT WINDOW over the fp partitioning instead of a
+        # groupBy + join-back: one exchange establishes hash(fp) and the
+        # self-join below reuses it (no per-side re-exchange), where the
+        # join-back form re-executed the shingle scan + distinct once per
+        # consumer of the cut output (the r10 plan showed the subtree
+        # inlined 7x).  count(*) over (partition by fp) == the groupBy
+        # count, so survivors are identical.
+        fp = (
+            fp.withColumn("__df", F.count(F.lit(1))
+                          .over(Window.partitionBy("fp")))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    # persisted AFTER the cut: three consumers (sizes + both self-join
+    # sides) read the final fingerprint set
+    fp = fp.transform(_persisted)
     sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fp.select(F.col("id").alias("id_a"), "fp")
     b = fp.select(F.col("id").alias("id_b"), "fp")
@@ -1562,8 +1574,12 @@ def common_neighbor_pairs(pairs: DataFrame, id_a: str = "id_a",
     )
     deg = e.groupBy(F.col("src").alias("node")) \
         .agg(F.count(F.lit(1)).alias("deg")).transform(_persisted)
+    # persisted: BOTH wedge self-join sides read this, and it inherits
+    # e's src hash-partitioning through the broadcast degree join, so
+    # the self-join on src needs no exchange at all
     small = e.join(deg.filter(F.col("deg") <= max_degree),
-                   e["src"] == F.col("node")).select("src", "dst")
+                   e["src"] == F.col("node")).select("src", "dst") \
+        .transform(_persisted)
     x, y = small.alias("x"), small.alias("y")
     wedges = (
         x.join(y, (F.col("x.src") == F.col("y.src"))
@@ -1571,9 +1587,17 @@ def common_neighbor_pairs(pairs: DataFrame, id_a: str = "id_a",
         .select(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
     )
     common = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
-    adj = pairs.select(
-        F.least(F.col(id_a), F.col(id_b)).alias("a"),
-        F.greatest(F.col(id_a), F.col(id_b)).alias("b")).distinct()
+    # adjacency for the anti-join comes from the PERSISTED symmetric edge
+    # list, not from `pairs`: e = distinct(pairs ∪ reversed(pairs)), so
+    # e filtered to src < dst IS the canonical (least, greatest) distinct
+    # pair set — reading it off the cache drops a full re-execution of
+    # the upstream candidate generator plus its distinct exchange (the
+    # generator subtree was inlined a second time in the plan).  Any
+    # self-loop in `pairs` is dropped here, but a self-loop can never
+    # match a wedge pair (those are strictly a < b), so the anti-join
+    # result is unchanged.
+    adj = e.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"))
     cand = common.join(adj, on=["a", "b"], how="left_anti") \
         .filter(F.col("common") >= min_common)
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))

@@ -213,7 +213,8 @@ def lsh_bucket_expr(vec, n_planes: int, dim: int, plane_offset: int = 0) -> Colu
     )
 
 
-def lsh_bucket(vec, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
+def lsh_bucket(vec, n_planes: int, dim: int, plane_offset: int = 0,
+               dedupe_safe: bool = True) -> Column:
     """Sign-pattern bucket id: one char per hyperplane, Arrow-batched.
 
     Hashing is n·n_planes·dim multiply-adds over the whole corpus — with
@@ -255,7 +256,20 @@ def lsh_bucket(vec, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
         return pd.Series(["".join(row) for row in bits])
 
     _bucket.__annotations__ = {"vs": pd.Series, "return": pd.Series}
-    return F.pandas_udf(_bucket, "string")(to_double(vec))
+    udf = F.pandas_udf(_bucket, "string")
+    if not dedupe_safe:
+        # asNondeterministic stops the optimizer DUPLICATING this
+        # expensive Arrow crossing below a pushed join-key isnotnull
+        # filter (the plan showed two ArrowEvalPython _bucket passes over
+        # the index corpus, one feeding only `Filter isnotnull`).  The
+        # function is genuinely deterministic; the flag only constrains
+        # the optimizer — but a nondeterministic output no longer
+        # substitutes from the cache after the analyzer's self-join
+        # relation dedup, so ONLY call sites whose output is never
+        # cache-self-joined (the stored-index build) may pass
+        # dedupe_safe=False.
+        udf = udf.asNondeterministic()
+    return udf(to_double(vec))
 
 
 def arrow_norm(vec) -> Column:
@@ -2446,7 +2460,14 @@ def lsh_index(corpus: DataFrame, id_col: str = "vec_id",
         corpus.select(
             F.col(id_col).alias("id"),
             to_double(F.col(vec_col)).alias("vec"),
-            lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+            # dedupe_safe=False: the downstream bucket equi-join inserts
+            # an isnotnull(bucket) that the optimizer pushes below this
+            # projection, re-evaluating the Arrow hashing pass over the
+            # whole index corpus a second time (guide §4.4).  The index
+            # output is consumed once (or written out) — never
+            # cache-self-joined — so the nondeterministic marking is safe
+            lsh_bucket(F.col(vec_col), n_planes, dim,
+                       dedupe_safe=False).alias("bucket"),
         )
         .withColumn("nrm", arrow_norm(F.col("vec")))
     )

@@ -147,3 +147,81 @@ class TestOffsetExprMixedKeys:
         got = {r["b"]: r["o"] for r in df.select(
             "b", expr.alias("o")).collect()}
         assert got == {-(1 << 40): 0, 5: 3, (1 << 40) + 7: 5}
+
+
+class TestWinnowDfCutEquivalence:
+    """r11: the max_df cut is now a count window over the fp
+    partitioning instead of a groupBy + join-back (which re-executed the
+    shingle scan per consumer).  Survivors must be identical."""
+
+    def test_window_cut_matches_join_back(self, spark):
+        from pigpen_spark.functions import dedup as D
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(60)
+        got = sorted(map(tuple, D.winnow_overlap_pairs(
+            docs, "doc_id", "text", shingle_n=3, w=4,
+            min_shared=2, max_df=10).collect()))
+        # reference: the pre-r11 join-back form, inlined
+        th = docs.select(F.col("doc_id").alias("id"),
+                         D.token_hashes(F.col("text")).alias("th"))
+        hs = th.select("id", D.shingle_hashes(F.col("th"), 3).alias("hs"))
+        fp = hs.select("id", F.explode(
+            D.winnow_fingerprints(F.col("hs"), 4)).alias("fp")).distinct()
+        keep = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")) \
+            .filter(F.col("__df") <= 10).select("fp")
+        fp = fp.join(keep, on="fp")
+        sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+        a = fp.select(F.col("id").alias("id_a"), "fp")
+        b = fp.select(F.col("id").alias("id_b"), "fp")
+        pairs = (a.join(b, on="fp").filter(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("shared"))
+                 .filter(F.col("shared") >= 2))
+        ref = sorted(map(tuple, pairs
+                     .join(sizes.withColumnsRenamed(
+                         {"id": "id_a", "n_fp": "n_a"}), on="id_a")
+                     .join(sizes.withColumnsRenamed(
+                         {"id": "id_b", "n_fp": "n_b"}), on="id_b")
+                     .select("id_a", "id_b", "shared",
+                             F.expr("shared * 1000000 DIV least(n_a, n_b)")
+                             .alias("containment_ppm")).collect()))
+        assert len(got) > 0
+        assert got == ref
+
+
+class TestCommonNeighborAdjFromEdgeList:
+    """r11: the anti-join adjacency is derived from the persisted
+    symmetric edge list (e filtered to src < dst) instead of re-running
+    the candidate generator — results must match brute force."""
+
+    def test_matches_brute_force(self, spark):
+        from itertools import combinations
+
+        from pigpen_spark.functions import dedup as D
+        import random
+        rng = random.Random(11)
+        pairs = sorted(set(tuple(sorted(rng.sample(range(40), 2)))
+                           for _ in range(120)))
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = sorted(map(tuple, D.common_neighbor_pairs(
+            df, min_common=2, max_degree=8).collect()))
+        # brute force
+        adj: dict[int, set[int]] = {}
+        for x, y in pairs:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        deg = {n: len(s) for n, s in adj.items()}
+        from collections import Counter
+        common = Counter()
+        for c, nbrs in adj.items():
+            if deg[c] <= 8:
+                for a, b in combinations(sorted(nbrs), 2):
+                    common[(a, b)] += 1
+        exp = []
+        edge = set(pairs)
+        for (a, b), k in common.items():
+            if k >= 2 and (a, b) not in edge:
+                exp.append((a, b, k, deg[a], deg[b],
+                            k * 10**6 // (deg[a] + deg[b] - k)))
+        assert got == sorted(exp)
+        assert len(got) > 0
