@@ -1093,7 +1093,6 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if checkpoint_every < 1:
         raise ValueError(
             f"pagerank: checkpoint_every must be >= 1, got {checkpoint_every}")
-    m = _cache.mark()
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -1101,25 +1100,31 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         .transform(_persisted)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # nodes and the per-edge fan-out table are CHECKPOINTED, not
-    # persisted: both re-enter every iteration's plan, and with a
-    # persist alone the ANALYZED plan still inlines the whole upstream
-    # edge construction per iteration — for the declared queries (edges
-    # from a distinct'd fact-fact join / an LSH candidate generator)
-    # that compounded to a 2k-line final plan whose analysis/AQE
-    # re-planning dominated driver time (guide §5 localCheckpoint to
-    # truncate lineage; §7.3 planning cost).  Eager materialization here
-    # is not extra work: the first iteration's action materialized these
-    # tables anyway.
+    # nodes and the per-edge fan-out table are PERSISTED AND CHECKPOINTED:
+    # both re-enter every iteration's plan, and with a persist alone the
+    # ANALYZED plan still inlines the whole upstream edge construction
+    # per iteration — for the declared queries (edges from a distinct'd
+    # fact-fact join / an LSH candidate generator) that compounded to a
+    # 2k-line final plan whose analysis/AQE re-planning dominated driver
+    # time (guide §5 localCheckpoint to truncate lineage; §7.3 planning
+    # cost).  The eager checkpoint truncates the lineage; the
+    # session-lived persist UNDER it keeps repeated constructions cheap —
+    # a re-built query's structurally identical persist plan-matches the
+    # CacheManager entry, so the fresh checkpoint re-materializes from
+    # the cache instead of re-running the edge build (checkpoint RDDs
+    # themselves can never be shared across constructions).  e stays
+    # session-lived for the same reason (released by clear_engine_caches
+    # like every engine persist).
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .transform(_persisted)
         .localCheckpoint(eager=True)
     )
     # slim per-edge fan-out table, partitioned by src like e
-    ed = e.join(deg, on="src").localCheckpoint(eager=True)
-    _cache.release_since(m)   # e's persist served its two readers above
+    ed = e.join(deg, on="src").transform(_persisted) \
+        .localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: edge list is empty (no nodes)")
@@ -1203,21 +1208,25 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     Returns (node, hub, authority) — one row per node in src ∪ dst."""
     if iterations < 1:
         raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
-    # localCheckpoint, not persist: the edge list is re-read 2× per
-    # iteration and nodes 2× more — under a long session's cache
-    # pressure a persisted-but-evicted edge table silently re-runs the
-    # upstream distinct/join for EVERY reuse (measured 6× on the bench
-    # suite); the eager checkpoint materializes once and cannot be
-    # re-derived from lineage
+    # localCheckpoint OVER a session-lived persist: in-run reads come
+    # from the checkpoint blocks (the r8 eviction regime — a
+    # persisted-but-evicted edge table silently re-ran the upstream
+    # distinct/join for EVERY reuse, measured 6× on the bench suite —
+    # cannot recur, reads never depend on the cache), while the persist
+    # underneath lets a REPEATED construction re-materialize the edge
+    # table from the plan-matched cache instead of re-running the
+    # orders⋈lineitem distinct — the dominant cost of this operator
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .transform(_persisted)
         .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .transform(_persisted)
         .localCheckpoint(eager=True)
     )
     hubs = nodes.select("node", F.lit(scale).cast("long").alias("h"))
@@ -1465,17 +1474,21 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     if iterations < 1:
         raise ValueError(
             f"label_propagation: iterations must be >= 1, got {iterations}")
-    # eager checkpoint, not persist: the edge list re-enters every
-    # round's plan twice (votes join + argmax), and the declared query
-    # feeds an LSH candidate generator whose plan is large — persisted,
-    # the ANALYZED plan still inlined that base per round (1.7k plan
-    # lines at 2 rounds).  The ExistingRDD truncates it once; the first
-    # round's action would have materialized the cache anyway.
+    # eager checkpoint OVER a session-lived persist: the edge list
+    # re-enters every round's plan twice (votes join + argmax), and the
+    # declared query feeds an LSH candidate generator whose plan is
+    # large — persisted alone, the ANALYZED plan still inlined that base
+    # per round (1.7k plan lines at 2 rounds); the ExistingRDD truncates
+    # it once.  The persist underneath keeps REPEATED constructions
+    # cheap (a re-built query's identical persist plan-matches the
+    # CacheManager entry, so the fresh checkpoint re-materializes from
+    # cache — checkpoint RDDs can't be shared across constructions).
     e = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b), F.col(id_a)))
         .distinct()
         .repartition("src")
+        .transform(_persisted)
         .localCheckpoint(eager=True)
     )
     labels = e.select(F.col("src").alias("node")).distinct() \
@@ -1692,6 +1705,10 @@ def kcore(pairs: DataFrame, k: int, id_a: str = "id_a", id_b: str = "id_b",
         .union(pairs.select(F.col(id_b), F.col(id_a)))
         .distinct()
         .repartition("src")
+        # persist under the checkpoint: repeated constructions
+        # re-materialize the base from the plan-matched cache instead of
+        # re-running the candidate generator (see label_propagation)
+        .transform(_persisted)
         .localCheckpoint(eager=True)
     )
     prev_edges: int | None = None
