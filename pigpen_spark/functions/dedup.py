@@ -1239,6 +1239,10 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         # (measured 4.4k plan lines at 2 iterations) and the raw subtree
         # executed twice per level.  The caller checkpoints each raw
         # (an O(V) slim table) so both references read one ExistingRDD.
+        # The checkpoint is NON-eager: the broadcast build of ``tot`` is
+        # the first job over it, so one job materializes the raw blocks
+        # AND totals them — the eager form paid a separate
+        # materialization job per half-iteration (fixed job latency).
         tot = raw.agg(F.sum("raw").alias("t"))
         return (
             nodes.join(raw, on="node", how="left")
@@ -1252,13 +1256,13 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         a_raw = (
             e.join(hubs, e["src"] == hubs["node"])
             .groupBy(e["dst"].alias("node")).agg(F.sum("h").alias("raw"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         auth = _norm(a_raw, "a")
         h_raw = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy(e["src"].alias("node")).agg(F.sum("a").alias("raw"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hubs = _norm(h_raw, "h")
     return (

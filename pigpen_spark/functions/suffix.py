@@ -69,11 +69,20 @@ def _no_aqe(spark: SparkSession):
     dominate the wall time of this latency-bound iterative operator
     (measured at sf0.1: 46 jobs for one ext_maximal_repeats run, ~60%
     of them AQE exchange materializations; guide §7.2 AdaptiveSparkPlan
-    / §1.2 configuration-after-algorithm)."""
+    / §1.2 configuration-after-algorithm).
+
+    The region also restores ``spark.sql.shuffle.partitions``: with AQE
+    off the construction forfeits runtime partition coalescing, so
+    :func:`_set_region_partitions` re-derives the width from the packed
+    corpus length once pack_positions has counted it (guide §2.2 —
+    size partitions from the data, not from a constant tuned to either
+    local mode or the cluster)."""
     with _NO_AQE_LOCK:
         if _NO_AQE_STATE["depth"] == 0:
             _NO_AQE_STATE["old"] = spark.conf.get(
                 "spark.sql.adaptive.enabled", "true")
+            _NO_AQE_STATE["old_parts"] = spark.conf.get(
+                "spark.sql.shuffle.partitions", "200")
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         _NO_AQE_STATE["depth"] += 1
     try:
@@ -84,6 +93,37 @@ def _no_aqe(spark: SparkSession):
             if _NO_AQE_STATE["depth"] == 0:
                 spark.conf.set("spark.sql.adaptive.enabled",
                                _NO_AQE_STATE["old"])
+                spark.conf.set("spark.sql.shuffle.partitions",
+                               _NO_AQE_STATE["old_parts"])
+
+
+#: floor on rows per construction task — below this the fixed per-task
+#: cost (scheduling, shuffle-file handling, codegen warm-up) dominates
+#: the work itself (measured: an exchange+sort of 276k slim rows cost
+#: 1.14 s at 64×64 tasks vs 0.19 s at 8×16 on the same data)
+_MIN_ROWS_PER_TASK = 65_536
+#: target rows per construction task at scale: ~32 B/row of slim longs
+#: ⇒ ~64 MB partitions, the same size AQE's advisoryPartitionSizeInBytes
+#: coalescing would produce if it were on (session.py) — the no-AQE
+#: region re-derives what AQE would have chosen, without its barriers
+_TARGET_ROWS_PER_TASK = 2_000_000
+
+
+def _set_region_partitions(spark: SparkSession, n: int) -> None:
+    """Derive ``spark.sql.shuffle.partitions`` for the construction
+    region from the packed corpus length ``n``: full core-count
+    parallelism as soon as every task holds ≥ :data:`_MIN_ROWS_PER_TASK`
+    rows, growing past the core count once tasks reach
+    :data:`_TARGET_ROWS_PER_TASK` (~64 MB) each.  Scale-adaptive by
+    construction — never a constant tuned for one machine.  No-op unless
+    inside a :func:`_no_aqe` region (which restores the old value)."""
+    with _NO_AQE_LOCK:
+        if _NO_AQE_STATE["depth"] == 0:
+            return
+        par = spark.sparkContext.defaultParallelism
+        parts = max(1, min(max(par, -(-n // _TARGET_ROWS_PER_TASK)),
+                           -(-n // _MIN_ROWS_PER_TASK)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
 #: serialized + spillable blocks for every checkpoint here: the rank
 #: tables are corpus-sized and ALL retained for the LCP descent, so the
@@ -156,6 +196,10 @@ def pack_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             pid, ((idc - idc % F.lit(div)) / F.lit(div)).cast("long"))
     sums = {r["p"]: r["s"] for r in bucketed.groupBy(F.col(pid).alias("p"))
             .agg(F.sum("n").alias("s")).collect()}
+    # the per-bucket sizes already total the packed corpus length —
+    # derive the construction region's shuffle width from it before the
+    # first corpus-sized exchange runs (no-op outside a _no_aqe region)
+    _set_region_partitions(docs.sparkSession, sum(sums.values()))
     off = _offset_expr(sums, pid)
     from pyspark.sql import Window
     w = Window.partitionBy(pid).orderBy("doc_id") \
@@ -286,8 +330,12 @@ def _dense_rank_via(df: DataFrame, cols: list[str],
     local = pre.select(
         "pos", "__sab",
         (F.dense_rank().over(w) - 1).cast("long").alias("__salr"))
+    # NON-eager checkpoint: the counts collect right below is the first
+    # action, so ONE job both materializes the round table's blocks and
+    # reads the per-bucket maxima off it — the eager form paid a separate
+    # materialization job per round (fixed job latency, guide §1.2/§2.4)
     ck = _cache.hold_ckpt(
-        local.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL))
+        local.localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL))
     counts = {
         r["b"]: r["c"] + 1
         for r in ck.groupBy(F.col("__sab").alias("b"))
@@ -332,13 +380,16 @@ def _dense_rank(df: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
     # subtree's expression ids and the cache lookup MISSES, so the range
     # exchange re-samples its boundaries with the offsets already frozen
     # from the first sampling (observed: nondeterministically collapsed
-    # ranks, the r10 red invariance pin).  An eager localCheckpoint
-    # freezes (rows, pid) into an ExistingRDD that every rewrite of the
-    # plan still reads verbatim.
+    # ranks, the r10 red invariance pin).  A localCheckpoint freezes
+    # (rows, pid) into an ExistingRDD that every rewrite of the plan
+    # still reads verbatim.  NON-eager: the countDistinct collect below
+    # is the first action, so one job materializes the frozen tagging
+    # AND reads the offsets off it — the determinism guarantee is
+    # unchanged (a single materialization, all consumers read blocks).
     ranged = _cache.hold_ckpt(
         df.repartitionByRange(*[F.col(c) for c in cols])
         .withColumn(pid, F.spark_partition_id())
-        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL))
+        .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL))
     counts = {
         r["p"]: r["c"]
         for r in ranged.groupBy(F.col(pid).alias("p"))
@@ -557,8 +608,11 @@ def adjacent_lcp(rank_tables: list[tuple[int, DataFrame]],
                          F.col("rank").alias("__rb"))
         adj = (final.join(b, F.col("__rb") == F.col("rank") + F.lit(1))
                .select(F.col("pos").alias("pos_a"), "pos_b"))
+    # non-eager: the first descent level's eager checkpoint computes (and
+    # thereby materializes) this frame in its own job — no separate
+    # materialization job; free_ckpt(prev) runs only after that job.
     d = adj.withColumn("lcp", F.lit(0).cast("long")) \
-        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+        .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
     widths = [w for w, _ in rank_tables]
     levels = (list(range(len(rank_tables) - 1)) if len(rank_tables) > 1
               else [0])
